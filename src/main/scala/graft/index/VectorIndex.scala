@@ -1,0 +1,44 @@
+package graft.index
+
+import graft.embed.HashingTfIdfEmbedder
+import graft.transform.{Chunker, Sectionizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The "knowledge base": a persisted table of
+  * `(chunk_id, doc_id, section, text, embedding ARRAY<FLOAT>)`.
+  *
+  * The reference's index build is `Chroma.from_documents(documents,
+  * embeddings)` (`/root/reference/micro-infobot/app.py:130`) — an in-memory,
+  * per-session store. Here the index *is* a DataFrame job: sectionize →
+  * chunk → embed → write Parquet partitioned by `section`, so filtered
+  * searches (app.py:150) become partition pruning at the scan, and the index
+  * survives across jobs. Empty input produces an empty table, so downstream
+  * searches return 0 rows — the same observable behavior as the reference's
+  * `None` guard (app.py:139-140, 221-222).
+  */
+object VectorIndex {
+
+  /** Full EP1 pipeline: docs(doc_id, text) -> index rows. */
+  def build(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val sections = Sectionizer.sectionize(docs)
+    val chunks = Chunker.chunk(sections)
+    val embedder = new HashingTfIdfEmbedder(dims).fit(chunks, "chunk")
+    embedder
+      .embed(chunks, "chunk", "embedding")
+      .select(
+        // Stable, collision-free surrogate id derived from position — no
+        // monotonically_increasing_id (partition-layout dependent).
+        (col("doc_id") * 1000000 + col("pos") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("doc_id"),
+        col("section"),
+        col("chunk").as("text"),
+        col("embedding"))
+  }
+
+  def write(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("section").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
