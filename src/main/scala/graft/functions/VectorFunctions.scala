@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for dense float-vector math.
   *
@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * this is the hot loop of a 100 TB similarity scan.
   */
 abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
+  // Seq[DataType] <: Seq[AbstractDataType] (covariant override);
+  // AbstractDataType itself is private[sql] in Spark 4.x.
+  override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
 
@@ -33,11 +35,27 @@ abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInput
     nullSafeCodeGen(ctx, ev, (a, b) => genLoop(a, b, ev.value.toString))
 }
 
+object VectorBinaryExpression {
+  /** Mismatched dimensions are an error, never silent truncation (the
+    * reference's numpy/Chroma path would raise too). Called from both the
+    * interpreted path and generated Java (via the static forwarder).
+    */
+  def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n != m) {
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs $m")
+    }
+    n
+  }
+}
+
 /** Euclidean (L2) distance — Chroma's default similarity metric. */
 case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "l2_distance"
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorBinaryExpression.checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; s += d * d; i += 1 }
@@ -45,7 +63,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   }
   override protected def genLoop(a: String, b: String, result: String): String =
     s"""
-       |int n = Math.min($a.numElements(), $b.numElements());
+       |int n = graft.functions.VectorBinaryExpression.checkDims($a, $b);
        |double s = 0.0;
        |for (int i = 0; i < n; i++) {
        |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
@@ -61,7 +79,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "dot_product"
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorBinaryExpression.checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -69,7 +87,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   }
   override protected def genLoop(a: String, b: String, result: String): String =
     s"""
-       |int n = Math.min($a.numElements(), $b.numElements());
+       |int n = graft.functions.VectorBinaryExpression.checkDims($a, $b);
        |double s = 0.0;
        |for (int i = 0; i < n; i++) {
        |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
@@ -84,7 +102,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "cosine_similarity"
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorBinaryExpression.checkDims(a, b)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -98,7 +116,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   }
   override protected def genLoop(a: String, b: String, result: String): String =
     s"""
-       |int n = Math.min($a.numElements(), $b.numElements());
+       |int n = graft.functions.VectorBinaryExpression.checkDims($a, $b);
        |double dot = 0.0, na = 0.0, nb = 0.0;
        |for (int i = 0; i < n; i++) {
        |  double x = (double) $a.getFloat(i);
@@ -119,10 +137,10 @@ object VectorFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es.head, es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "builtin")
+    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "builtin")
+      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
   }
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)

@@ -27,9 +27,11 @@ object VectorIndex {
     embedder
       .embed(chunks, "chunk", "embedding")
       .select(
-        // Stable, collision-free surrogate id derived from position — no
-        // monotonically_increasing_id (partition-layout dependent).
-        (col("doc_id") * 1000000 + col("pos") * 1000 + col("chunk_idx")).as("chunk_id"),
+        // Stable surrogate id derived from the full (doc, pos, chunk) triple —
+        // xxhash64 has no range assumptions (a long PDF can exceed 1000
+        // paragraphs) and no partition-layout dependence like
+        // monotonically_increasing_id.
+        xxhash64(col("doc_id"), col("pos"), col("chunk_idx")).as("chunk_id"),
         col("doc_id"),
         col("section"),
         col("chunk").as("text"),

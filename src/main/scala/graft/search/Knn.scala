@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *    no shuffle of the index.
   *  - query batch: `broadcast(queries)` cross join (index never moves),
   *    per-query top-k via window rank. One shuffle on `query_id`.
-  *  - the approximate scale path (LSH bucketing) lives in
-  *    [[graft.ops.Similarity]].
+  *  - the approximate scale paths (LSH bucketing, IVF) live in
+  *    [[graft.ops.Ann]]; near-duplicate detection in [[graft.ops.Dedup]].
   */
 object Knn {
 
@@ -105,8 +105,16 @@ object Knn {
     * share of the sum of the k scores. (Scores are distances, so the least
     * similar hit gets the largest share — reference quirk, preserved.)
     */
-  def normalizeScores(hits: DataFrame, scoreCol: String = "dist"): DataFrame = {
-    val w = Window.partitionBy()
+  def normalizeScores(
+      hits: DataFrame,
+      scoreCol: String = "dist",
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    // Per-result-set normalization (app.py:317-321 runs on one query's k
+    // hits). For batch output pass the query-id column, so the window
+    // shuffles on query_id instead of collapsing to one partition.
+    val w =
+      if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols.map(col): _*)
     hits.withColumn("importance_pct", col(scoreCol) / sum(col(scoreCol)).over(w) * 100)
   }
 }
