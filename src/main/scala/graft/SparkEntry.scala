@@ -1,13 +1,953 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.VectorFunctions
+import graft.index.VectorIndex
+import graft.ingest.TextSources
+import graft.multimodal.Multimodal
+import graft.ops.{Ann, Dedup, Relational, StreamingOps, TextAnalytics}
+import graft.search.Knn
+import graft.serve._
+import graft.transform.{Chunker, Sectionizer}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: every operator from SURVEY.md §2 (+ the LLM-pipeline
+  * extensions) registered as a named query over the sf fixtures, with an
+  * equivalent DuckDB oracle where the semantics are SQL-expressible.
+  *
+  * Conventions shared by query and oracle (the driver hash-compares):
+  *  - identical column names/ordering keys on both sides;
+  *  - float outputs only where both engines compute the identical double
+  *    (same operand sequence), then rounded; money sums go through
+  *    DECIMAL(18,2) so they are exact and order-independent;
+  *  - timestamps surfaced as formatted strings (parquet physical-type and
+  *    tz-semantics drift between engines otherwise).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------ helpers
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with ts normalized to a microsecond TIMESTAMP. The fixture
+    * stores TIMESTAMP(NANOS) which Spark 4 cannot read natively; sessions
+    * set `spark.sql.legacy.parquet.nanosAsLong` and this truncates ns→µs
+    * exactly like DuckDB's read of the same file.
+    */
+  private def eventsDf(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Query vector: vec_id 7's embedding (same row both engines). */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    T(s, dir, "embeddings").where(col("vec_id") === 7)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** Documents with synthesized title structure: every doc whose id is not
+    * ≡0 (mod 10) gets an ALL-CAPS title line + blank line prepended; ids
+    * ≡0 keep raw text (exercises the "General" default section).
+    */
+  private def docs2(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").withColumn(
+      "text2",
+      when(col("doc_id") % 10 === 0, col("text"))
+        .otherwise(concat(lit("SECTION "), upper(col("lang")), lit("\n\n"), col("text"))))
+
+  private val Docs2Sql =
+    """CASE WHEN doc_id % 10 = 0 THEN text
+      | ELSE 'SECTION ' || upper(lang) || chr(10) || chr(10) || text END""".stripMargin
+
+  /** Deterministic session-memory table derived from events: first 3
+    * events of users 1 and 2, role mapped from event type.
+    */
+  private def memoryDf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    eventsDf(s, dir)
+      .where(col("user_id").isin(1, 2))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(
+        col("user_id").cast("string").as("session_id"),
+        (col("rn") - 1).cast("long").as("turn"),
+        when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"),
+        concat(col("event_type"), lit(":"), coalesce(col("props"), lit(""))).as("content"))
+  }
+
+  private val MemorySql =
+    """SELECT CAST(user_id AS VARCHAR) AS session_id,
+      |       CAST(rn - 1 AS BIGINT) AS turn,
+      |       CASE WHEN event_type IN ('click','view') THEN 'user' ELSE 'assistant' END AS role,
+      |       event_type || ':' || coalesce(props, '') AS content
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |      FROM events WHERE user_id IN (1, 2))
+      |WHERE rn <= 3""".stripMargin
+
+  /** L2 distance to vec 7's embedding, DuckDB side (identical operand
+    * sequence to the codegen'd L2Distance loop).
+    */
+  private val DistSql =
+    """sqrt(list_sum(list_transform(range(1, 65),
+      | i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+      |    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))))""".stripMargin
+
+  private val QvSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)"
+
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  // ------------------------------------------------------------ flagship
+
+  /** EP1+EP2 end-to-end on sf0.001: ingest → sectionize → chunk → embed →
+    * index → kNN → context assembly. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = docs2(spark, dir).select(col("doc_id"), col("text2").as("text"))
+    val index = VectorIndex.build(docs)
+    val q = index.select("embedding").head.getSeq[Float](0).toArray
+    val hits = Knn.topKWithScore(index, q, 4)
+    ContextAssembly.assemble(
+      hits.withColumn("query_id", lit(0L)), "query_id", "text", "dist")
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = Map.newBuilder[String, (SparkSession, String) => DataFrame]
+
+    def reg(name: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      m += name -> ((s: SparkSession, dir: String) => {
+        VectorFunctions.register(s)
+        fn(s, dir)
+      })
+
+    // ---- RAG retrieval (Q1-Q10) over the embeddings fixture
+    reg("q1_knn_top4") { (s, dir) =>
+      Knn.topK(T(s, dir, "embeddings"), queryVec(s, dir), 4, idCol = "vec_id")
+        .select(col("vec_id")).orderBy("vec_id")
+    }
+    reg("q1b_knn_batch") { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Knn.topKBatch(qs, emb, 3, idCol = "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+    reg("q2_knn_scores_top3") { (s, dir) =>
+      Knn.topKWithScore(T(s, dir, "embeddings"), queryVec(s, dir), 3, idCol = "vec_id")
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }
+    reg("q3_knn_filtered") { (s, dir) =>
+      Knn.topKFiltered(T(s, dir, "embeddings"), queryVec(s, dir), 2,
+        col("label") === 3, idCol = "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"))
+    }
+    reg("q4_hierarchical") { (s, dir) =>
+      Knn.hierarchical(T(s, dir, "embeddings"), queryVec(s, dir),
+        sectionCol = "label", idCol = "vec_id")
+        .select(col("label"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("label", "rank")
+    }
+    reg("q5_section_distinct") { (s, dir) =>
+      Knn.topKWithScore(T(s, dir, "embeddings"), queryVec(s, dir), 3, idCol = "vec_id")
+        .select(col("label")).distinct().orderBy("label")
+    }
+    reg("q6_context") { (s, dir) =>
+      val hits = Knn.topKWithScore(T(s, dir, "embeddings"), queryVec(s, dir), 4,
+        idCol = "vec_id")
+        .join(T(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .withColumn("query_id", lit(0L))
+      ContextAssembly.assemble(hits, "query_id", "text", "dist")
+    }
+    reg("q6_context_empty") { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(1L).toDF("query_id")
+      val hits = Knn.topKFiltered(T(s, dir, "embeddings"), queryVec(s, dir), 4,
+        col("label") === -1, idCol = "vec_id")
+        .join(T(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .withColumn("query_id", lit(1L))
+      ContextAssembly.assembleAll(qs, hits, "query_id", "text", "dist")
+    }
+    reg("q7_importance") { (s, dir) =>
+      val hits = Knn.topKWithScore(T(s, dir, "embeddings"), queryVec(s, dir), 3,
+        idCol = "vec_id")
+      Knn.normalizeScores(hits)
+        .select(col("vec_id"), round(col("importance_pct"), 4).as("importance_pct"))
+        .orderBy("vec_id")
+    }
+    reg("q8_count") { (s, dir) =>
+      T(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+    }
+    reg("q9_head3") { (s, dir) =>
+      T(s, dir, "documents").orderBy("doc_id").limit(3)
+        .select("doc_id", "lang", "source")
+    }
+    reg("q10_group_by_section") { (s, dir) =>
+      Sectionizer.sectionize(docs2(s, dir), "text2")
+        .groupBy(col("section"))
+        .agg(
+          count(lit(1)).as("n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id").as("d"), col("pos").as("p"),
+                substring(col("paragraph"), 1, 10).as("t")))),
+              x => x.getField("t")), "|").as("preview"))
+        .orderBy("section")
+    }
+
+    // ---- pipeline transforms (T1-T7)
+    reg("t1_titles") { (s, dir) =>
+      Sectionizer.titles(docs2(s, dir), "text2").orderBy("doc_id", "title")
+    }
+    reg("t2_paragraphs") { (s, dir) =>
+      docs2(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text2"), "\n\n")).as(Seq("pos", "paragraph")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("paragraph"))
+        .orderBy("doc_id", "pos")
+    }
+    reg("t3_sectionize") { (s, dir) =>
+      Sectionizer.sectionize(docs2(s, dir), "text2").orderBy("doc_id", "pos")
+    }
+    reg("t4_chunks") { (s, dir) => // rows-only: recursive splitter is not SQL
+      Chunker.chunk(Sectionizer.sectionize(docs2(s, dir), "text2"))
+        .orderBy("doc_id", "pos", "chunk_idx")
+    }
+    reg("t6_embed") { (s, dir) => // rows-only: HashingTF/IDF is not SQL
+      val chunks = Chunker.chunk(Sectionizer.sectionize(docs2(s, dir), "text2"))
+      val embedder = new graft.embed.HashingTfIdfEmbedder(64).fit(chunks, "chunk")
+      embedder.embed(chunks, "chunk", "embedding")
+        .select(col("doc_id"), col("pos"), col("chunk_idx"),
+          round(sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), (a, b) => a + b)), 4)
+            .as("norm"))
+        .orderBy("doc_id", "pos", "chunk_idx")
+    }
+    reg("t7_index_stats") { (s, dir) => // rows-only: whole EP1 pipeline
+      val idx = VectorIndex.build(
+        docs2(s, dir).select(col("doc_id"), col("text2").as("text")))
+      idx.agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_id")).as("n_ids"),
+        countDistinct(col("section")).as("n_sections"))
+    }
+
+    // ---- ingestion (S2-S7)
+    reg("s2_html_strip") { (s, dir) =>
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+        upper(col("lang")), lit("</h1><p>"), col("text"),
+        lit(" &amp; more</p><!-- note --></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextSources.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }
+    reg("s3_xml_strip") { (s, dir) =>
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><root><title>"), upper(col("lang")),
+        lit("</title><body>"), col("text"), lit("</body></root>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextSources.stripMarkup(xml).as("clean"))
+        .orderBy("doc_id")
+    }
+    reg("s5_csv_flatten") { (s, dir) =>
+      TextSources.flattenTable(T(s, dir, "region"), "r_regionkey")
+    }
+    reg("s7_union") { (s, dir) =>
+      val d = T(s, dir, "documents")
+      TextSources.unionCorpus(
+        d.where(col("lang") === "en"), d.where(col("lang") === "es"))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }
+
+    // ---- serving (C1-C8)
+    reg("c1_memory_load") { (s, dir) =>
+      SessionMemory.load(memoryDf(s, dir), lit("1"))
+        .select("session_id", "turn", "role", "content")
+    }
+    reg("c2_prompt_assembly") { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(("1", "what happened?", "ctx: recent activity"),
+        ("2", "what happened?", "ctx: recent activity"))
+        .toDF("session_id", "question", "context")
+      PromptAssembly.messages(memoryDf(s, dir), qs, faithful = true)
+        .orderBy("session_id", "msg_idx")
+    }
+    reg("c3_answer_stub") { (s, dir) =>
+      val hits = Knn.topKWithScore(T(s, dir, "embeddings"), queryVec(s, dir), 4,
+        idCol = "vec_id")
+        .join(T(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .withColumn("query_id", lit(0L))
+      val ctx = ContextAssembly.assemble(hits, "query_id", "text", "dist")
+        .withColumn("question", lit("what happened?"))
+      EchoAnswerer.answer(ctx, "question", "context")
+        .select("query_id", "answer")
+    }
+    reg("c4_memory_append") { (s, dir) =>
+      memoryDf(s, dir).where(col("session_id") === "1")
+        .unionByName(SessionMemory.appendRows(s, "1", 3L, "what happened?", "events happened"))
+        .orderBy("turn", "role")
+    }
+    reg("c5_chatlog") { (s, dir) =>
+      val rows = memoryDf(s, dir).where(col("session_id") === "1" && col("turn") === 0)
+      ChatLog.record(rows, col("session_id"), col("content"),
+        lit("ack"), lit("2024-02-01 00:00:00"))
+        .orderBy("message")
+    }
+    reg("c6_cost") { (s, dir) =>
+      val toks = eventsDf(s, dir)
+        .select(col("event_id"),
+          floor(col("value") * 10).cast("long").as("prompt_tokens"),
+          get_json_object(col("props"), "$.k").cast("long").as("completion_tokens"))
+      Costing.withCost(toks, col("prompt_tokens"), col("completion_tokens"))
+        .withColumn("cost", round(col("cost"), 8))
+        .orderBy("event_id")
+    }
+    reg("c7_latency") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      eventsDf(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev")))
+        .groupBy("user_id")
+        .agg(round((sum(col("gap_us")).cast("double") / count(lit(1))) / 1e6, 6)
+          .as("avg_gap_sec"))
+        .orderBy("user_id")
+    }
+    reg("c8_config") { (s, _) => Config.asDf(s).orderBy("key") }
+
+    // ---- relational extensions (r*)
+    reg("r1_pricing_summary") { (s, dir) =>
+      Relational.pricingSummary(T(s, dir, "lineitem"))
+    }
+    reg("r2_shipping_priority") { (s, dir) =>
+      Relational.shippingPriority(T(s, dir, "customer"), T(s, dir, "orders"),
+        T(s, dir, "lineitem"))
+    }
+    reg("r3_regional_revenue") { (s, dir) =>
+      Relational.regionalRevenue(Relational.tables(s, dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region"))
+    }
+    reg("r4_top_customers_window") { (s, dir) =>
+      Relational.topCustomersPerNation(T(s, dir, "customer"), T(s, dir, "nation"))
+    }
+    reg("r5_rollup") { (s, dir) =>
+      Relational.orderStatusRollup(T(s, dir, "orders"))
+    }
+    reg("r6_except") { (s, dir) =>
+      Relational.openNotFinishedCustomers(T(s, dir, "orders"))
+    }
+    reg("r7_anti_join") { (s, dir) =>
+      Relational.partsNeverOrdered(T(s, dir, "part"), T(s, dir, "lineitem"))
+    }
+    reg("r8_json_events") { (s, dir) =>
+      Relational.eventPropStats(eventsDf(s, dir))
+    }
+    reg("r9_asof_join") { (s, dir) =>
+      val ev = eventsDf(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val views = ev.where(col("event_type") === "view")
+      Relational.asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_value"))
+        .orderBy("event_id")
+    }
+
+    // ---- text analytics (x*)
+    reg("x1_token_counts") { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalytics.tokenCount(col("text")).as("n_tokens"),
+          TextAnalytics.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }
+    reg("x2_langid") { (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalytics.langId(col("text")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }
+    reg("x3_quality") { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalytics.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }
+    reg("x4_fingerprint") { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalytics.fingerprintMd5(col("text")).as("fp_md5"),
+          TextAnalytics.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    }
+    reg("x5_top_terms") { (s, dir) =>
+      TextAnalytics.topTermsPerGroup(T(s, dir, "documents"), "lang", "text", 5)
+    }
+
+    // ---- dedup (d*)
+    reg("d1_exact_dup_groups") { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(
+        d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exactDupGroups(withDups)
+        .select(col("digest"), col("n"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("ids_str"))
+    }
+    reg("d2_dedup_exact_count") { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(
+        d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.dedupExact(withDups).agg(count(lit(1)).as("n"))
+    }
+    reg("d3_jaccard_pairs") { (s, dir) =>
+      Dedup.jaccardPairs(T(s, dir, "documents").where(col("doc_id") < 60),
+        minSim = 0.8)
+    }
+    reg("d4_cosine_top_pairs") { (s, dir) =>
+      Dedup.cosineTopPairs(T(s, dir, "embeddings"), topN = 20)
+    }
+    reg("d5_minhash_pairs") { (s, dir) => // rows-only: MLlib MinHashLSH
+      // word-level shingles: the fixture's word-salad docs share vocabulary
+      // but almost no 3-gram shingles, so n=1 keeps the candidate set alive
+      Dedup.minHashPairs(T(s, dir, "documents").where(col("doc_id") < 100),
+        shingleSize = 1, threshold = 0.4)
+    }
+    reg("d6_simhash_pairs") { (s, dir) => // rows-only: xxhash64 is Spark-specific
+      Dedup.simhashPairs(T(s, dir, "documents").where(col("doc_id") < 100),
+        maxHamming = 8)
+    }
+
+    // ---- ANN (a*): rows-only (approximate + MLlib internals)
+    reg("a1_lsh_topk") { (s, dir) =>
+      val (hashed, model) = Ann.fitLsh(T(s, dir, "embeddings"))
+      Ann.lshTopK(hashed, model, queryVec(s, dir), 10).orderBy("dist", "vec_id")
+    }
+    reg("a2_ivf_topk") { (s, dir) =>
+      val (assigned, centroids) = Ann.buildIvf(T(s, dir, "embeddings"), nLists = 8)
+      Ann.ivfTopK(assigned, centroids, queryVec(s, dir), 10, nProbe = 3)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }
+
+    // ---- streaming-shape aggregations (st*, batch-equivalent)
+    reg("st1_tumbling") { (s, dir) =>
+      StreamingOps.tumblingCounts(eventsDf(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }
+    reg("st2_sliding") { (s, dir) =>
+      StreamingOps.slidingCounts(eventsDf(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"))
+        .orderBy("window_start")
+    }
+    reg("st3_sessionize") { (s, dir) =>
+      StreamingOps.sessionize(eventsDf(s, dir))
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_str"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_str"),
+          col("n"))
+    }
+    reg("st4_session_window") { (s, dir) =>
+      StreamingOps.sessionCounts(eventsDf(s, dir), gap = "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_str"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_str"),
+          col("n"))
+        .orderBy("user_id", "start_str")
+    }
+
+    // ---- multimodal plumbing (m*)
+    reg("m1_frame_sample") { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(T(s, dir, "documents")), nFrames = 4)
+        .orderBy("media_id", "frame_idx")
+    }
+    reg("m2_decode_features") { (s, dir) => // rows-only: stubbed decoder
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(T(s, dir, "documents")), dims = 8)
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("media_id")
+    }
+    reg("m3_resize_meta") { (s, dir) =>
+      Multimodal.resizeMeta(
+        Multimodal.fromDocuments(T(s, dir, "documents")), 128, 128)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }
+
+    m.result()
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_knn_top4" ->
+      s"""WITH q AS $QvSql
+         |SELECT vec_id FROM (
+         |  SELECT e.vec_id, $DistSql AS dist
+         |  FROM embeddings e, q ORDER BY dist, e.vec_id LIMIT 4)
+         |ORDER BY vec_id""".stripMargin,
+    "q1b_knn_batch" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |            WHERE vec_id IN (3, 7, 11)),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+         |  FROM embeddings e, qs q),
+         |ranked AS (
+         |  SELECT query_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q2_knn_scores_top3" ->
+      s"""WITH q AS $QvSql
+         |SELECT e.vec_id, round($DistSql, 4) AS dist
+         |FROM embeddings e, q ORDER BY $DistSql, e.vec_id LIMIT 3""".stripMargin,
+    "q3_knn_filtered" ->
+      s"""WITH q AS $QvSql
+         |SELECT e.vec_id, e.label, round($DistSql, 4) AS dist
+         |FROM embeddings e, q WHERE e.label = 3
+         |ORDER BY $DistSql, e.vec_id LIMIT 2""".stripMargin,
+    "q4_hierarchical" ->
+      s"""WITH q AS $QvSql,
+         |scored AS (SELECT e.vec_id, e.label, $DistSql AS dist FROM embeddings e, q),
+         |coarse AS (SELECT DISTINCT label FROM
+         |  (SELECT label FROM scored ORDER BY dist, vec_id LIMIT 3)),
+         |fine AS (
+         |  SELECT s.label, s.vec_id, s.dist,
+         |    row_number() OVER (PARTITION BY s.label ORDER BY s.dist, s.vec_id) AS rank
+         |  FROM scored s JOIN coarse c ON s.label = c.label)
+         |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
+         |FROM fine WHERE rank <= 2 ORDER BY label, rank""".stripMargin,
+    "q5_section_distinct" ->
+      s"""WITH q AS $QvSql
+         |SELECT DISTINCT label FROM (
+         |  SELECT e.label FROM embeddings e, q ORDER BY $DistSql, e.vec_id LIMIT 3)
+         |ORDER BY label""".stripMargin,
+    "q6_context" ->
+      s"""WITH q AS $QvSql,
+         |hits AS (SELECT e.vec_id, $DistSql AS dist
+         |         FROM embeddings e, q ORDER BY dist, e.vec_id LIMIT 4)
+         |SELECT CAST(0 AS BIGINT) AS query_id,
+         |       string_agg(d.text, chr(10) ORDER BY h.dist, d.text) AS context
+         |FROM hits h JOIN documents d ON d.doc_id = h.vec_id""".stripMargin,
+    "q6_context_empty" ->
+      "SELECT CAST(1 AS BIGINT) AS query_id, 'No hay información relevante.' AS context",
+    "q7_importance" ->
+      s"""WITH q AS $QvSql,
+         |hits AS (SELECT e.vec_id, $DistSql AS dist
+         |         FROM embeddings e, q ORDER BY dist, e.vec_id LIMIT 3)
+         |SELECT vec_id, round(dist / sum(dist) OVER () * 100, 4) AS importance_pct
+         |FROM hits ORDER BY vec_id""".stripMargin,
+    "q8_count" -> "SELECT count(*) AS n FROM embeddings",
+    "q9_head3" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id LIMIT 3",
+    "q10_group_by_section" ->
+      s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents),
+         |paras AS (
+         |  SELECT doc_id, unnest(range(len(ps))) AS pos, unnest(ps) AS raw
+         |  FROM (SELECT doc_id, string_split(text2, chr(10)||chr(10)) AS ps FROM d2)),
+         |sec AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    regexp_matches(trim(raw), '^[A-Z\\s]+$$') AND length(trim(raw)) > 5
+         |      AND NOT contains(trim(raw), chr(10)) AS is_title,
+         |    trim(raw) AS paragraph
+         |  FROM paras),
+         |tagged AS (
+         |  SELECT doc_id, pos, is_title, paragraph,
+         |    coalesce(last_value(CASE WHEN is_title THEN paragraph END IGNORE NULLS)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'General') AS section
+         |  FROM sec)
+         |SELECT section, count(*) AS n,
+         |  string_agg(substring(paragraph, 1, 10), '|' ORDER BY doc_id, pos) AS preview
+         |FROM tagged WHERE NOT is_title GROUP BY section ORDER BY section""".stripMargin,
+    "t1_titles" ->
+      s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents),
+         |lines AS (SELECT doc_id, trim(unnest(string_split(text2, chr(10)))) AS line FROM d2)
+         |SELECT doc_id, line AS title FROM lines
+         |WHERE regexp_matches(line, '^[A-Z\\s]+$$') AND length(line) > 5
+         |  AND NOT contains(line, chr(10))
+         |ORDER BY doc_id, title""".stripMargin,
+    "t2_paragraphs" ->
+      s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents)
+         |SELECT doc_id, CAST(unnest(range(len(ps))) AS BIGINT) AS pos,
+         |       unnest(ps) AS paragraph
+         |FROM (SELECT doc_id, string_split(text2, chr(10)||chr(10)) AS ps FROM d2)
+         |ORDER BY doc_id, pos""".stripMargin,
+    "t3_sectionize" ->
+      s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents),
+         |paras AS (
+         |  SELECT doc_id, unnest(range(len(ps))) AS pos, unnest(ps) AS raw
+         |  FROM (SELECT doc_id, string_split(text2, chr(10)||chr(10)) AS ps FROM d2)),
+         |sec AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    regexp_matches(trim(raw), '^[A-Z\\s]+$$') AND length(trim(raw)) > 5
+         |      AND NOT contains(trim(raw), chr(10)) AS is_title,
+         |    trim(raw) AS paragraph
+         |  FROM paras)
+         |SELECT doc_id, pos,
+         |  coalesce(last_value(CASE WHEN is_title THEN paragraph END IGNORE NULLS)
+         |    OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'General') AS section,
+         |  paragraph
+         |FROM sec QUALIFY NOT is_title ORDER BY doc_id, pos""".stripMargin,
+    "s2_html_strip" ->
+      """SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            '<html><head><style>p{color:red}</style></head><body><h1>' || upper(lang)
+        |              || '</h1><p>' || text || ' &amp; more</p><!-- note --></body></html>',
+        |            '<!--.*?-->', '', 'gs'),
+        |          '<script[^>]*>.*?</script\s*>', '', 'gis'),
+        |        '<style[^>]*>.*?</style\s*>', '', 'gis'),
+        |      '<[^>]*>', '', 'gs'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s3_xml_strip" ->
+      """SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            '<?xml version="1.0"?><root><title>' || upper(lang)
+        |              || '</title><body>' || text || '</body></root>',
+        |            '<!--.*?-->', '', 'gs'),
+        |          '<script[^>]*>.*?</script\s*>', '', 'gis'),
+        |        '<style[^>]*>.*?</style\s*>', '', 'gis'),
+        |      '<[^>]*>', '', 'gs'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s5_csv_flatten" ->
+      """SELECT 'r_regionkey r_name' || chr(10) ||
+        |  string_agg(CAST(r_regionkey AS VARCHAR) || ' ' || r_name, chr(10)
+        |             ORDER BY r_regionkey) AS text
+        |FROM region""".stripMargin,
+    "s7_union" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents WHERE lang = 'es')
+        |ORDER BY doc_id""".stripMargin,
+    "c1_memory_load" ->
+      s"""SELECT session_id, turn, role, content FROM ($MemorySql)
+         |WHERE session_id = '1' ORDER BY turn""".stripMargin,
+    "c2_prompt_assembly" ->
+      s"""WITH memory AS ($MemorySql),
+         |sessions AS (SELECT '1' AS session_id, 'what happened?' AS question,
+         |                    'ctx: recent activity' AS context
+         |             UNION ALL
+         |             SELECT '2', 'what happened?', 'ctx: recent activity'),
+         |maxturn AS (SELECT session_id, max(turn) AS mt FROM memory GROUP BY session_id),
+         |msgs AS (
+         |  SELECT session_id, 0 AS ord, 0 AS sub, 'system' AS role,
+         |         '${sqlEsc(Config.SystemPrompt)}' AS content FROM sessions
+         |  UNION ALL
+         |  SELECT m.session_id, m.turn + 1, s.sub,
+         |         CASE WHEN s.sub = 0 THEN 'user' ELSE 'assistant' END, m.content
+         |  FROM memory m CROSS JOIN (SELECT 0 AS sub UNION ALL SELECT 1) s
+         |  UNION ALL
+         |  SELECT s.session_id, coalesce(t.mt, 0) + 2, 0, 'user', s.question
+         |  FROM sessions s LEFT JOIN maxturn t USING (session_id)
+         |  UNION ALL
+         |  SELECT s.session_id, coalesce(t.mt, 0) + 3, 0, 'system',
+         |         'Context:' || chr(10) || s.context
+         |  FROM sessions s LEFT JOIN maxturn t USING (session_id))
+         |SELECT session_id,
+         |  CAST(row_number() OVER (PARTITION BY session_id ORDER BY ord, sub) - 1 AS BIGINT)
+         |    AS msg_idx,
+         |  role, content
+         |FROM msgs ORDER BY session_id, msg_idx""".stripMargin,
+    "c3_answer_stub" ->
+      s"""WITH q AS $QvSql,
+         |hits AS (SELECT e.vec_id, $DistSql AS dist
+         |         FROM embeddings e, q ORDER BY dist, e.vec_id LIMIT 4),
+         |ctx AS (SELECT string_agg(d.text, chr(10) ORDER BY h.dist, d.text) AS context
+         |        FROM hits h JOIN documents d ON d.doc_id = h.vec_id)
+         |SELECT CAST(0 AS BIGINT) AS query_id,
+         |       '[${sqlEsc(Config.AgentName)}] ' || split_part(context, chr(10), 1) AS answer
+         |FROM ctx""".stripMargin,
+    "c4_memory_append" ->
+      s"""SELECT * FROM (
+         |  SELECT session_id, turn, role, content FROM ($MemorySql) WHERE session_id = '1'
+         |  UNION ALL SELECT '1', 3, 'user', 'what happened?'
+         |  UNION ALL SELECT '1', 4, 'assistant', 'events happened')
+         |ORDER BY turn, role""".stripMargin,
+    "c5_chatlog" ->
+      s"""SELECT session_id AS user, content AS message, 'ack' AS response,
+         |       '2024-02-01 00:00:00' AS ts
+         |FROM ($MemorySql) WHERE session_id = '1' AND turn = 0
+         |ORDER BY message""".stripMargin,
+    "c6_cost" ->
+      s"""SELECT event_id,
+         |  CAST(floor(value * 10) AS BIGINT) AS prompt_tokens,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS completion_tokens,
+         |  round(CAST(floor(value * 10) AS BIGINT) * 0.00001
+         |      + CAST(json_extract_string(props, '$$.k') AS BIGINT) * 0.00003, 8) AS cost
+         |FROM events ORDER BY event_id""".stripMargin,
+    "c7_latency" ->
+      """SELECT user_id,
+        |  round((CAST(sum(gap_us) AS DOUBLE) / count(*)) / 1e6, 6) AS avg_gap_sec
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "c8_config" -> {
+      val rows = Seq(
+        ("agent_name", Config.AgentName),
+        ("greetings", Config.Greetings.mkString(",")),
+        ("no_info_fallback", Config.NoInfoFallback),
+        ("system_prompt", Config.SystemPrompt))
+      rows.map { case (k, v) => s"SELECT '${sqlEsc(k)}' AS key, '${sqlEsc(v)}' AS value" }
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY key")
+    },
+    "r1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r2_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "r3_regional_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "r4_top_customers_window" ->
+      """SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT n_name, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+    "r5_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r6_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "r7_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "r8_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "r9_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value, v.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "x1_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x2_langid" -> {
+      def hits(m: String) =
+        s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+      val en = s"(${hits(" the ")} + ${hits(" and ")} + ${hits(" of ")})"
+      val es = s"(${hits(" el ")} + ${hits(" la ")} + ${hits(" los ")})"
+      val de = s"(${hits(" der ")} + ${hits(" und ")} + ${hits(" die ")})"
+      val fr = s"(${hits(" le ")} + ${hits(" et ")} + ${hits(" les ")})"
+      val zh = "CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)"
+      s"""WITH scored AS (
+         |  SELECT lang, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr, $zh AS s_zh
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS lang_pred
+         |  FROM scored)
+         |SELECT lang, lang_pred, count(*) AS n FROM pred
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+    },
+    "x3_quality" ->
+      """SELECT doc_id, round(
+        |  least(length(text) / 500.0, 1.0) * 0.4
+        |  + (CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |            / length(text)
+        |       ELSE 0.0 END) * 0.3
+        |  + (1.0 - (CASE WHEN length(text) > 0
+        |       THEN least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |                  / length(text) * 4.0, 1.0)
+        |       ELSE 0.0 END)) * 0.1
+        |  + (CASE WHEN (CASE WHEN ntok > 0 THEN CAST(length(text) AS DOUBLE) / ntok
+        |                     ELSE 0.0 END) BETWEEN 3 AND 12
+        |          THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+        |FROM (SELECT doc_id, text,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id, md5(norm) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(norm) + 1),
+        |        i -> CAST(ascii(substring(norm, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS fp_roll
+        |FROM (SELECT doc_id,
+        |        regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                       '\s+', ' ', 'g') AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x5_top_terms" ->
+      """SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, cnt FROM (
+        |  SELECT lang, term, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+        |  FROM (
+        |    SELECT lang, term, count(*) AS cnt FROM (
+        |      SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |      FROM documents)
+        |    WHERE length(term) > 0 GROUP BY lang, term))
+        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "d1_exact_dup_groups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS digest, count(*) AS n,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_str
+        |FROM aug GROUP BY md5(text) HAVING count(*) > 1 ORDER BY digest""".stripMargin,
+    "d2_dedup_exact_count" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+        |SELECT count(DISTINCT md5(text)) AS n FROM aug""".stripMargin,
+    "d3_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d4_cosine_top_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs
+        |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "st1_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st2_sliding" ->
+      """WITH g AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:30:00',
+        |    (SELECT max(ts) FROM events), INTERVAL 30 MINUTE)) AS ws)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+        |FROM g JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 60 MINUTE
+        |GROUP BY ws ORDER BY 1""".stripMargin,
+    "st3_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_str,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_str,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "st4_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_str,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS end_str,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, start_str""".stripMargin,
+    "m1_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(unnest([0,1,2,3]) AS BIGINT) AS frame_idx,
+        |  CAST(floor(unnest([0,1,2,3]) * CAST(octet_length(encode(text)) AS BIGINT) / 4)
+        |    AS BIGINT) AS byte_offset
+        |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+    "m3_resize_meta" ->
+      """SELECT doc_id AS media_id, 128 AS width, 128 AS height,
+        |  CAST(length(text) AS BIGINT) * 10 AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

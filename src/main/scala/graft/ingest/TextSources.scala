@@ -1,0 +1,98 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion front door (reference S1–S7,
+  * `/root/reference/micro-infobot/app.py:191-205`).
+  *
+  * The reference accepts pdf/csv/xlsx/html/xml uploads, extracts text from
+  * each, and concatenates everything into one corpus string. Here each
+  * format is a reader producing `(doc_id, text, source)` rows — per-document
+  * rows instead of one blob (the blob is a scaling anti-pattern; the union
+  * preserves the concat semantics observably) — and extraction is pure
+  * column expressions (codegen'd, no UDF) so it runs inside the scan stage.
+  */
+object TextSources {
+
+  /** S1: raw-file scan + extension dispatch. One row per file:
+    * `(path, ext, content BINARY)`. `binaryFile` is Spark's built-in
+    * splittable whole-file reader, so a 100 TB landing dir fans out one
+    * file per task with no driver listing bottleneck beyond the catalog.
+    */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        col("path"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("ext"),
+        col("content"))
+
+  /** S2/S3: HTML/XML → visible text. The reference uses
+    * `BeautifulSoup(...).get_text()` (app.py:197-199): script/style bodies
+    * dropped, tags removed, text nodes concatenated *without* separator,
+    * entities decoded. Re-expressed as a chain of codegen'd regexp/replace
+    * column ops — no jsoup offline, and a regex strip is the documented
+    * baseline (SURVEY §2.1 S2).
+    */
+  def stripMarkup(html: Column): Column = {
+    // No backreferences: keeps the pattern portable to RE2-based engines
+    // (and to the DuckDB oracle).
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script\\s*>", "")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", "")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", "")
+    // Entity decode after tag strip, &amp; last so "&amp;lt;" → "&lt;".
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    decoded
+  }
+
+  /** S2 over raw files: html/xml rows → (doc_id, text, source). */
+  def htmlDocs(raw: DataFrame): DataFrame =
+    raw
+      .where(col("ext").isin("html", "htm", "xml"))
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        stripMarkup(decode(col("content"), "UTF-8")).as("text"),
+        col("path").as("source"))
+
+  /** S4: pre-extracted text (the PDF path; no PDF jar offline — the
+    * interface point where a real extractor slots in, SURVEY §2.1 S4).
+    */
+  def textDocs(spark: SparkSession, parquetPath: String): DataFrame =
+    spark.read.parquet(parquetPath)
+
+  /** S5 per-row flatten: every column stringified and space-joined —
+    * the relational-to-text step of `df.to_string(index=False)`
+    * (app.py:204-205), kept per-row so it stays distributed.
+    */
+  def flattenRows(df: DataFrame, outCol: String = "line"): DataFrame = {
+    val cols = df.columns.map(c => col(c).cast("string"))
+    df.withColumn(outCol, concat_ws(" ", cols: _*))
+  }
+
+  /** S5 whole-table flatten: header + one line per row, newline-joined in
+    * `orderCol` order. The single-string result mirrors the reference's
+    * lossy text block; order is made explicit because Spark has none.
+    * The sort-in-aggregate keeps this a single hash-agg (no global sort
+    * shuffle) — fine for the bounded tables it is meant for.
+    */
+  def flattenTable(df: DataFrame, orderCol: String, outCol: String = "text"): DataFrame = {
+    val header = df.columns.mkString(" ")
+    flattenRows(df)
+      .agg(collect_list(struct(col(orderCol).as("k"), col("line").as("v"))).as("rows"))
+      .select(
+        concat(
+          lit(header + "\n"),
+          array_join(transform(array_sort(col("rows")), _.getField("v")), "\n")
+        ).as(outCol))
+  }
+
+  /** S7: multi-source union (`text += ...` app.py:192-205, per-doc rows). */
+  def unionCorpus(sources: DataFrame*): DataFrame =
+    sources.reduce(_.unionByName(_, allowMissingColumns = true))
+}

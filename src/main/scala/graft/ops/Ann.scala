@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import graft.search.Knn
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an `ARRAY<FLOAT>` embedding
+  * column (builder brief): brute-force is the exact baseline
+  * ([[graft.search.Knn]]); the scale paths here trade recall for pruning.
+  *
+  * - LSH: random hyperplane projections bucket the index once; a query
+  *   probes only its buckets. Index never re-shuffles per query.
+  * - IVF: a KMeans coarse quantizer partitions the index by nearest
+  *   centroid; a query scans only `nProbe` inverted lists. This is the
+  *   layout a 100 TB index wants on disk: `partitionBy(centroid_id)` makes
+  *   probing = partition pruning at the parquet scan.
+  */
+object Ann {
+
+  private val toMl = udf { a: Seq[Float] =>
+    Vectors.dense(a.map(_.toDouble).toArray)
+  }
+  private val toArr = udf { v: MLVector => v.toArray.map(_.toFloat) }
+
+  // ----------------------------------------------------------------- LSH
+
+  /** Fit a bucketed-random-projection model (L2 LSH) on the index. */
+  def fitLsh(
+      index: DataFrame,
+      vecCol: String = "embedding",
+      bucketLength: Double = 2.0,
+      numHashTables: Int = 4): (DataFrame, BucketedRandomProjectionLSHModelWrapper) = {
+    val withMl = index.withColumn("__ml", toMl(col(vecCol)))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__ml").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(withMl)
+    (model.transform(withMl), new BucketedRandomProjectionLSHModelWrapper(model))
+  }
+
+  /** Single-query ANN top-k through the fitted LSH model. */
+  def lshTopK(
+      hashed: DataFrame,
+      model: BucketedRandomProjectionLSHModelWrapper,
+      queryVec: Array[Float],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val q = Vectors.dense(queryVec.map(_.toDouble))
+    model.underlying.approxNearestNeighbors(hashed, q, k, "dist")
+      .select(col(idCol), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Cosine near-dup pairs at scale: normalize to the unit sphere (cos sim
+    * ⇔ L2 dist: ‖a−b‖² = 2−2cos), then LSH `approxSimilarityJoin` — the
+    * bucketed path [[Dedup.cosinePairsExact]] escalates to.
+    */
+  def cosinePairsLsh(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCos: Double = 0.95,
+      bucketLength: Double = 0.5,
+      numHashTables: Int = 4): DataFrame = {
+    val normed = emb.withColumn("__norm",
+      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, b) => a + b)))
+      .where(col("__norm") > 0)
+      .withColumn("__unit", transform(col(vecCol), x => x.cast("double") / col("__norm")))
+      .withColumn("__ml", udf { a: Seq[Double] => Vectors.dense(a.toArray) }.apply(col("__unit")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__ml").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(normed)
+    val maxL2 = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    model.approxSimilarityJoin(normed, normed, maxL2, "l2")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        round(lit(1.0) - col("l2") * col("l2") / 2.0, 6).as("cos"))
+      .where(col("id_a") < col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ----------------------------------------------------------------- IVF
+
+  /** Build an IVF index: KMeans coarse centroids + per-vector assignment.
+    * Returns (assigned index with `centroid_id`, centroid table). Persist
+    * the assigned index `partitionBy("centroid_id")` and probing becomes
+    * parquet partition pruning.
+    */
+  def buildIvf(
+      index: DataFrame,
+      vecCol: String = "embedding",
+      nLists: Int = 16): (DataFrame, DataFrame) = {
+    val withMl = index.withColumn("__ml", toMl(col(vecCol)))
+    val km = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("__ml").setPredictionCol("centroid_id")
+    val model = km.fit(withMl)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("centroid_id", "centroid")
+    (model.transform(withMl).drop("__ml"), centroids)
+  }
+
+  /** IVF query: rank centroids by distance to the query, semi-join the
+    * index on the `nProbe` nearest lists, exact top-k within them.
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queryVec: Array[Float],
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probes = centroids
+      .withColumn("cdist", VectorFunctions.l2Distance(col("centroid"), typedlit(queryVec)))
+      .orderBy(col("cdist"), col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    val candidates = assigned.join(broadcast(probes), Seq("centroid_id"), "left_semi")
+    Knn.topKWithScore(candidates, queryVec, k, idCol, vecCol)
+  }
+}
+
+/** Thin serializable handle so callers don't need the mllib type. */
+class BucketedRandomProjectionLSHModelWrapper(
+    val underlying: org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel)
+  extends Serializable

@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, MinHashLSH, NGram, RegexTokenizer}
+import org.apache.spark.ml.linalg.{Vector => MLVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (builder brief):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale notes: every variant is bucketed or inverted-index shaped — the
+  * all-pairs cross join never appears. Exact dedup shuffles once on the
+  * content hash; MinHash/SimHash shuffle on band keys; Jaccard shuffles on
+  * tokens with a document-frequency cutoff to bound the hottest key.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups: hash-groupBy on the full text digest.
+    * Returns one row per duplicated digest with the member ids.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("n") > 1)
+      .orderBy(col("digest"))
+
+  /** Exact dedup keep-first: one survivor (min id) per distinct text. */
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** Near-dup candidate pairs via MinHash LSH over word shingles.
+    * `threshold` is Jaccard *distance* (1 − similarity). Deterministic:
+    * fixed seed, CountVectorizer vocabulary ordered by (count, term).
+    *
+    * Plan: shingle (per-row) → sparse binary vector → MinHash signatures →
+    * `approxSimilarityJoin` explodes band hashes and joins on them — the
+    * classic band-bucket join, never all-pairs.
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashTables: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val shingled = shingles(docs, textCol, shingleSize)
+    val cv = new CountVectorizer()
+      .setInputCol("__shingles").setOutputCol("__vec").setBinary(true)
+    val model = cv.fit(shingled)
+    val vecs = model.transform(shingled).where(nonEmptyVec(col("__vec")))
+    val mh = new MinHashLSH()
+      .setInputCol("__vec").setOutputCol("__sig")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val mhModel = mh.fit(vecs)
+    mhModel
+      .approxSimilarityJoin(vecs, vecs, threshold, "jaccard_dist")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .where(col("id_a") < col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("__toks")
+      .setPattern("\\s+").setToLowercase(true)
+    val ng = new NGram().setN(n).setInputCol("__toks").setOutputCol("__shingles")
+    ng.transform(tok.transform(docs))
+  }
+
+  private val nonEmptyVec = udf { v: MLVector => v.numNonzeros > 0 }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset. Deterministic: token hash is
+    * xxhash64 via Spark's own expression. Implemented as column algebra:
+    * per-row loop over 64 bits of per-token hashes — no UDF, stays in
+    * codegen.
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    // bit i of result = majority of bit i over token hashes
+    // The Scala shiftright/shiftleft helpers take literal bit counts only;
+    // the SQL functions accept a column, so go through call_function.
+    val bitVotes = transform(
+      sequence(lit(0), lit(63)),
+      i => {
+        val votes = aggregate(
+          hashes, lit(0L),
+          (acc, h) =>
+            acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
+              .otherwise(-1L))
+        when(votes > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+      })
+    aggregate(bitVotes, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** docs → (id, simhash, 4×16-bit band keys). Pairs within Hamming
+    * distance `maxHamming` are found by joining on any equal band
+    * (pigeonhole: ≤3 differing bits ⇒ ≥1 band equal), then verified with
+    * `bit_count(xor)` — bucketed join, no all-pairs.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = docs.select(
+      col(idCol),
+      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+    val banded = withSig.select(
+      col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact token-set Jaccard pairs ≥ `minSim` via inverted-index join:
+    * explode distinct tokens, self-join on token, count co-occurrences,
+    * Jaccard = |∩| / (|A|+|B|−|∩|). `maxDocFreq` drops stop-tokens whose
+    * posting lists would otherwise quadratically dominate — the standard
+    * scale guard for similarity self-joins.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minSim: Double = 0.8,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val filtered =
+      if (maxDocFreq == Long.MaxValue) toks
+      else {
+        val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq)
+        toks.join(broadcast(df.select("tok")), Seq("tok"))
+      }
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val co = filtered.as("x").join(filtered.as("y"), Seq("tok"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs with cosine ≥ `minCos`. Exact variant: a
+    * self equi-join on an LSH-free coarse key is impossible in general, so
+    * this is the *small-side* exact path (broadcast one side); the scale
+    * path is [[Ann.cosinePairsLsh]] (random-projection bucketed).
+    */
+  /** Top-N most-similar embedding pairs by cosine — the inspection variant
+    * of [[cosinePairsExact]] (useful when no pair clears a dedup threshold).
+    */
+  def cosineTopPairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      topN: Int = 20): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  def cosinePairsExact(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCos: Double = 0.95): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .where(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

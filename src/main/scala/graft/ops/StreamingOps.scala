@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Streaming operators over the `events` table (SURVEY §2.5): tumbling /
+  * sliding / session windows with watermarks, plus the chat-log streaming
+  * sink. Each aggregation is defined once as a DataFrame transform that
+  * works identically on a batch frame (oracle-checkable) and on a
+  * `readStream` frame (watermark applied only in streaming — Spark ignores
+  * `withWatermark` in batch, so the same function serves both).
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window event counts (width/slide). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** Session windows per user (gap-based). In streaming this is
+    * `session_window`; the same call works in batch.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  /** Batch gaps-and-islands sessionization — the window-function
+    * formulation of [[sessionCounts]] (used as its oracle twin; also the
+    * shape for retro-sessionizing historical data where no streaming state
+    * is wanted). One shuffle on user_id.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Open the events table as a file stream (one-file-per-trigger cap keeps
+    * local tests bounded); schema pinned from the batch read.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events.parquet")
+  }
+
+  /** C5 streaming variant: append-mode parquet sink with checkpoint. */
+  def chatLogSink(rows: DataFrame, path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+}

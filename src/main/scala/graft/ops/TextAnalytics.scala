@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder brief:
+  * language-ID, quality scoring, token counting, fingerprinting, top terms).
+  *
+  * Every operator is pure column algebra (codegen'd, scan-stage) except the
+  * top-terms aggregate, whose one shuffle is keyed by (group, token).
+  */
+object TextAnalytics {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: word pieces + standalone punctuation, the
+    * shape tokenizers like tiktoken (pinned by the reference,
+    * requirements.txt:10) produce to first order.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Heuristic language ID over a closed language set: count stopword
+    * markers per language, pick the max (ties → language name order).
+    * N-gram/stopword scoring is the standard offline heuristic; scores are
+    * integers so argmax is exactly reproducible.
+    */
+  def langId(text: Column): Column = {
+    def hits(marker: String): Column =
+      (length(text) - length(replace(text, lit(marker), lit("")))) / marker.length
+    val scored = map(
+      lit("en"), hits(" the ") + hits(" and ") + hits(" of "),
+      lit("es"), hits(" el ") + hits(" la ") + hits(" los "),
+      lit("de"), hits(" der ") + hits(" und ") + hits(" die "),
+      lit("fr"), hits(" le ") + hits(" et ") + hits(" les "),
+      lit("zh"), length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double")
+    )
+    // argmax by (score desc, lang asc)
+    val entries = map_entries(scored)
+    val best = array_sort(
+      entries,
+      (a, b) => when(a.getField("value") > b.getField("value"), -1)
+        .when(a.getField("value") < b.getField("value"), 1)
+        .when(a.getField("key") < b.getField("key"), -1)
+        .when(a.getField("key") > b.getField("key"), 1)
+        .otherwise(0))
+    element_at(best, 1).getField("key")
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, alpha ratio,
+    * punctuation penalty, and mean-token-length sanity — the standard
+    * cheap pre-filter for LLM corpus cleaning.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val punctPenalty = when(len > 0, least(punct / len * lit(4.0), lit(1.0))).otherwise(lit(0.0))
+    val toks = tokenCount(text).cast("double")
+    val meanTok = when(toks > 0, len / toks).otherwise(lit(0.0))
+    val tokScore = when(meanTok >= 3 && meanTok <= 12, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * lit(0.4) + alphaRatio * lit(0.3) +
+      (lit(1.0) - punctPenalty) * lit(0.1) + tokScore * lit(0.2), 6)
+  }
+
+  /** Stable document fingerprint: md5 of the normalized text (lowercased,
+    * punctuation stripped, whitespace collapsed) — whitespace/case/punct
+    * variants collide intentionally (near-dup pre-key).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ").cast("binary"))
+
+  /** Polynomial rolling hash of the normalized text, mod 2^31-1 — the
+    * order-sensitive cousin of [[fingerprintMd5]]; pure column algebra via
+    * `aggregate` so it stays inside codegen (ANSI-safe: stays < 2^62).
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val norm = regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")
+    // Explicit per-position codes (not split-by-empty-regex, whose
+    // trailing-empty semantics differ between engines).
+    val codes = transform(
+      sequence(lit(1), length(norm)),
+      i => ascii(call_function("substring", norm, i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(2147483647L)))
+  }
+
+  /** Top-N terms per group: tokenize → explode → count → rank. The shuffle
+    * is keyed (group, token) with map-side partial counts, then a second
+    * tiny shuffle on group for the rank — the scalable word-count shape.
+    */
+  def topTermsPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term"))
+    docs
+      .select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+      .orderBy(col(groupCol), col("rnk"))
+  }
+
+  /** Per-document analysis record: all scalar analytics in one projection. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_bpeish", bpeishTokenCount(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fp_md5", fingerprintMd5(col(textCol)))
+      .withColumn("fp_roll", fingerprintRolling(col(textCol)))
+}

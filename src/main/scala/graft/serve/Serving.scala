@@ -1,0 +1,214 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serving-layer operators (reference C1–C8 + Q6/Q7,
+  * `/root/reference/micro-infobot/app.py:214-283`).
+  *
+  * Everything here is a plain DataFrame transform so the same code serves
+  * one chat turn (driver-side, tiny) and a 100 TB batch-inference job
+  * (per-query rows, shuffles keyed by query/session id only).
+  */
+object Config {
+  /** app.py:23-40 constants, re-expressed generically. */
+  val AgentName = "InfoBot"
+  val SystemPrompt =
+    "You are a helpful document-grounded assistant. Answer only from the provided context."
+  /** Empty-retrieval fallback — observable string, app.py:224. */
+  val NoInfoFallback = "No hay información relevante."
+  val Greetings = Seq("hola", "hello", "hi", "buenos dias", "buenas tardes")
+
+  /** gpt-4-turbo pricing, app.py:276: $1e-5/prompt tok, $3e-5/completion tok. */
+  val PromptTokenCost = 1.0e-5
+  val CompletionTokenCost = 3.0e-5
+
+  def asDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("agent_name", AgentName),
+      ("system_prompt", SystemPrompt),
+      ("no_info_fallback", NoInfoFallback),
+      ("greetings", Greetings.mkString(","))
+    ).toDF("key", "value")
+  }
+}
+
+/** Q6 (+ batch Q7 hook): turn per-hit rows into one context string per
+  * query (app.py:224: `"\n".join(doc.page_content)`; fallback when no hits).
+  */
+object ContextAssembly {
+
+  /** hits(queryId, dist, text) → (queryId, context), hits joined in
+    * ascending-distance (retrieval) order. One hash aggregate keyed by
+    * query id; the in-group sort happens inside `array_sort` on k rows,
+    * so no per-query shuffle sort.
+    */
+  def assemble(
+      hits: DataFrame,
+      queryIdCol: String = "query_id",
+      textCol: String = "text",
+      distCol: String = "dist"): DataFrame =
+    hits
+      .groupBy(col(queryIdCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(distCol).as("d"), col(textCol).as("t")))),
+            _.getField("t")),
+          "\n").as("context"))
+
+  /** Left-join variant so queries with zero hits still get a row, carrying
+    * the reference's fallback string (app.py:224 `else` branch).
+    */
+  def assembleAll(
+      queries: DataFrame,
+      hits: DataFrame,
+      queryIdCol: String = "query_id",
+      textCol: String = "text",
+      distCol: String = "dist"): DataFrame =
+    queries
+      .join(assemble(hits, queryIdCol, textCol, distCol), Seq(queryIdCol), "left")
+      .withColumn("context", coalesce(col("context"), lit(Config.NoInfoFallback)))
+}
+
+/** C1/C4: conversation memory as a session table
+  * `(session_id, turn, role, content)` — the reference's
+  * `ConversationBufferMemory` (app.py:43-44, 227, 256) as rows.
+  */
+object SessionMemory {
+
+  /** C1: one session's history in turn order (memory_key="history"). */
+  def load(memory: DataFrame, sessionId: Column): DataFrame =
+    memory.where(col("session_id") === sessionId).orderBy(col("turn"))
+
+  /** C4: `save_context({input: q}, {output: a})` — two appended rows with
+    * the next turn numbers. Pure transform: returns the rows to append so
+    * the caller picks the sink (batch union / parquet append / stream).
+    */
+  def appendRows(
+      spark: SparkSession,
+      sessionId: String,
+      nextTurn: Long,
+      question: String,
+      answer: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (sessionId, nextTurn, "user", question),
+      (sessionId, nextTurn + 1, "assistant", answer)
+    ).toDF("session_id", "turn", "role", "content")
+  }
+}
+
+/** C2: prompt assembly — system prompt, history replay, user query, and the
+  * retrieved context as a trailing system message (app.py:228-242).
+  */
+object PromptAssembly {
+
+  /** turns(session_id, turn, role, content) + per-session query/context →
+    * flat message rows `(session_id, msg_idx, role, content)` (the
+    * array-of-struct payload, exploded — same information, oracle-friendly).
+    *
+    * `faithful=true` replicates the reference bug (app.py:231-233): every
+    * history message is emitted twice, once as user and once as assistant,
+    * regardless of its stored role. `faithful=false` maps stored roles.
+    */
+  def messages(
+      history: DataFrame,
+      queries: DataFrame,
+      faithful: Boolean = true): DataFrame = {
+    val sys = queries.select(
+      col("session_id"), lit(0L).as("ord"), lit(0L).as("sub"),
+      lit("system").as("role"), lit(Config.SystemPrompt).as("content"))
+    val hist =
+      if (faithful)
+        history.select(
+          col("session_id"), (col("turn") + 1).cast("long").as("ord"),
+          explode(array(lit(0L), lit(1L))).as("sub"),
+          lit("").as("role"), col("content"))
+          .withColumn("role", when(col("sub") === 0, "user").otherwise("assistant"))
+      else
+        history.select(
+          col("session_id"), (col("turn") + 1).cast("long").as("ord"), lit(0L).as("sub"),
+          col("role"), col("content"))
+    val maxTurn = history.groupBy("session_id").agg(max(col("turn")).as("mt"))
+    val tail = queries.join(maxTurn, Seq("session_id"), "left")
+      .withColumn("mt", coalesce(col("mt"), lit(0L)))
+    val userQ = tail.select(
+      col("session_id"), (col("mt") + 2).cast("long").as("ord"), lit(0L).as("sub"),
+      lit("user").as("role"), col("question").as("content"))
+    val ctx = tail.select(
+      col("session_id"), (col("mt") + 3).cast("long").as("ord"), lit(0L).as("sub"),
+      lit("system").as("role"),
+      concat(lit("Context:\n"), col("context")).as("content"))
+    val all = sys.unionByName(hist).unionByName(userQ).unionByName(ctx)
+    val w = Window.partitionBy("session_id").orderBy(col("ord"), col("sub"))
+    all
+      .withColumn("msg_idx", row_number().over(w).cast("long") - 1)
+      .select("session_id", "msg_idx", "role", "content")
+  }
+
+  /** The ARRAY<STRUCT<role,content>> payload shape (SURVEY §1 row 10). */
+  def asPayload(msgs: DataFrame): DataFrame =
+    msgs
+      .groupBy("session_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("msg_idx").as("i"),
+            struct(col("role"), col("content")).as("m")))),
+          _.getField("m")).as("messages"))
+}
+
+/** C3: the LLM-completion boundary. The engine never calls a network model;
+  * serving plugs an [[Answerer]] in, tests use the deterministic stub.
+  */
+trait Answerer extends Serializable {
+  /** Adds `answerCol` computed from a context column and question column. */
+  def answer(df: DataFrame, questionCol: String, contextCol: String,
+      answerCol: String = "answer"): DataFrame
+}
+
+/** Deterministic extractive stub: echoes the first context line (the top
+  * retrieved chunk) — grounded, offline, and oracle-expressible.
+  */
+object EchoAnswerer extends Answerer {
+  override def answer(df: DataFrame, questionCol: String, contextCol: String,
+      answerCol: String): DataFrame =
+    df.withColumn(
+      answerCol,
+      concat(lit("[" + Config.AgentName + "] "),
+        substring_index(col(contextCol), "\n", 1)))
+}
+
+/** C5: chat-log sink (Mongo insert_one, app.py:60-71 → append-only Parquet;
+  * the streaming variant is writeStream in [[graft.ops.StreamingOps]]).
+  */
+object ChatLog {
+  def append(rows: DataFrame, path: String): Unit =
+    rows.write.mode("append").parquet(path)
+
+  /** The log-record projection `(user, message, response, ts)` (app.py:65-70).
+    * `tsCol` defaults to now; tests/batch jobs pass a deterministic column.
+    */
+  def record(df: DataFrame, userCol: Column, messageCol: Column,
+      responseCol: Column, tsCol: Column = current_timestamp()): DataFrame =
+    df.select(
+      userCol.as("user"), messageCol.as("message"),
+      responseCol.as("response"), tsCol.as("ts"))
+}
+
+/** C6/C7: token, cost, and latency accounting (app.py:272-283). */
+object Costing {
+
+  /** Adds cost from token counts (gpt-4-turbo pricing, app.py:276). */
+  def withCost(df: DataFrame, promptToks: Column, completionToks: Column): DataFrame =
+    df.withColumn(
+      "cost",
+      promptToks * lit(Config.PromptTokenCost) +
+        completionToks * lit(Config.CompletionTokenCost))
+
+  /** C7: wall-clock delta between two timestamp columns, in seconds. */
+  def latencySec(start: Column, end: Column): Column =
+    (unix_micros(end) - unix_micros(start)).cast("double") / 1e6
+}
