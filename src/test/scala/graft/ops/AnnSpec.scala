@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.search.Knn
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private lazy val qv: Array[Float] = emb
+    .where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+
+  private lazy val exactTop10: Seq[Long] =
+    Knn.topK(emb, qv, 10, idCol = "vec_id").select("vec_id").as[Long].collect().toSeq
+
+  test("LSH ANN achieves recall@10 >= 0.5 vs exact") {
+    val (hashed, model) = Ann.fitLsh(emb, numHashTables = 8)
+    val approx = Ann.lshTopK(hashed, model, qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exactTop10.count(approx.contains).toDouble / 10
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("IVF with all lists probed equals exact search") {
+    val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
+    val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactTop10)
+  }
+
+  test("IVF probing fewer lists keeps decent recall and prunes work") {
+    val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
+    val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exactTop10.count(got.contains).toDouble / 10
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(assigned.select("centroid_id").distinct().count() > 2)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog"),    // near dup
+    (4L, "completely different words entirely unrelated zebra"),
+    (5L, "the quick brown fox leaps over the lazy dog")   // near dup
+  ).toDF("doc_id", "text")
+
+  test("exact dup groups find the identical pair only") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L))
+  }
+
+  test("dedupExact keeps the lowest id per text") {
+    val kept = Dedup.dedupExact(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccard pairs find near-dups, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard value is exactly |inter|/|union|") {
+    val j = Dedup.jaccardPairs(docs, minSim = 0.0)
+      .where($"id_a" === 1 && $"id_b" === 3)
+      .select("jaccard").as[Double].head()
+    // sets: {the,quick,brown,fox,jumps,over,lazy,dog} (8) vs same minus
+    // "the"->"a" wait: {the,quick,brown,fox,jumps,over,a,lazy,dog} (9)
+    // inter = 8, union = 9
+    assert(math.abs(j - 8.0 / 9.0) < 1e-6)
+  }
+
+  test("maxDocFreq cutoff drops hot tokens from candidate generation") {
+    val pairs = Dedup.jaccardPairs(docs, minSim = 0.0, maxDocFreq = 1)
+    // every token shared by >1 doc is cut: no co-occurrences remain
+    assert(pairs.count() == 0)
+  }
+
+  test("minhash candidates include the exact duplicate pair") {
+    val pairs = Dedup.minHashPairs(docs, shingleSize = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs hash identically, near-dups are close") {
+    val sigs = docs.select($"doc_id",
+      Dedup.simhash(split(lower(trim($"text")), "\\s+")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash banded pairs find the identical pair with hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine near-dup pairs over embeddings") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairsExact(emb, minCos = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+    (2L, ts("2024-01-01 00:20:00"), 1L, "view", 2.0),
+    (3L, ts("2024-01-01 01:10:00"), 1L, "click", 3.0),   // >30min gap: new session
+    (4L, ts("2024-01-01 00:10:00"), 2L, "view", 4.0),
+    (5L, ts("2024-01-01 02:00:00"), 2L, "click", 5.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling window counts align to the hour") {
+    val got = StreamingOps.tumblingCounts(events)
+      .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("00:00", "click", 1L), ("00:00", "view", 2L),
+      ("01:00", "click", 1L), ("02:00", "click", 1L)))
+  }
+
+  test("sliding windows produce overlapping membership") {
+    val got = StreamingOps.slidingCounts(events)
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n")
+      .as[(String, Long)].collect().toMap
+    // event at 00:05 belongs to windows starting 23:30 and 00:00
+    assert(got("00:00") == 3L) // 00:05, 00:10, 00:20
+    assert(got("23:30") == 3L) // same three (all < 00:30)
+  }
+
+  test("batch sessionize splits on the 30-minute gap") {
+    val got = StreamingOps.sessionize(events)
+      .select($"user_id", $"session_seq", $"n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("session_window batch agrees with gaps-and-islands on counts") {
+    val sw = StreamingOps.sessionCounts(events)
+      .select($"user_id", $"n").as[(Long, Long)].collect().toSeq.sorted
+    val gi = StreamingOps.sessionize(events)
+      .select($"user_id", $"n").as[(Long, Long)].collect().toSeq.sorted
+    assert(sw == gi)
+  }
+
+  test("streaming tumbling aggregation over MemoryStream with watermark") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = StreamingOps.tumblingCounts(df, watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // watermark advances past 00:00+1h window only after later data
+      mem.addData((3L, ts("2024-01-01 03:00:00"), 1L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("00:00", "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped in streaming mode") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = StreamingOps.tumblingCounts(df, watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 05:00:00"), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // hours late: its 00:00 window is already finalized and emitted
+      mem.addData((3L, ts("2024-01-01 00:15:00"), 1L, "click", 9.0))
+      q.processAllAvailable()
+      val n = spark.table("late_test")
+        .where(date_format($"window_start", "HH:mm") === "00:00")
+        .agg(sum($"n")).as[Long].head()
+      assert(n == 1L, "late row must not re-open the finalized window")
+    } finally q.stop()
+  }
+
+  test("chat-log streaming sink appends parquet rows") {
+    implicit val sqlC = spark.sqlContext
+    val out = Files.createTempDirectory("graft_chatlog").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val rows = mem.toDF().toDF("user", "message", "response", "ts")
+    val q = StreamingOps.chatLogSink(rows, out, ckpt).start()
+    try {
+      mem.addData(("u1", "hi", "hello", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      val logged = spark.read.parquet(out)
+      assert(logged.count() == 1)
+      assert(logged.select("response").as[String].head() == "hello")
+    } finally q.stop()
+  }
+}

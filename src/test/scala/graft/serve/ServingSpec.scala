@@ -1,0 +1,96 @@
+package graft.serve
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("context assembly joins hits ascending by distance with newline") {
+    val hits = Seq(
+      (0L, 2.0, "far chunk"),
+      (0L, 1.0, "near chunk"),
+      (1L, 0.5, "other query")
+    ).toDF("query_id", "dist", "text")
+    val got = ContextAssembly.assemble(hits).orderBy("query_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "near chunk\nfar chunk"), (1L, "other query")))
+  }
+
+  test("assembleAll falls back to the reference no-info string") {
+    val queries = Seq(1L, 2L).toDF("query_id")
+    val hits = Seq((1L, 1.0, "hit")).toDF("query_id", "dist", "text")
+    val got = ContextAssembly.assembleAll(queries, hits).orderBy("query_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "hit"), (2L, "No hay información relevante.")))
+  }
+
+  test("prompt assembly faithful mode duplicates every history turn (reference bug)") {
+    val history = Seq(("s1", 0L, "user", "hello"), ("s1", 1L, "assistant", "hi"))
+      .toDF("session_id", "turn", "role", "content")
+    val queries = Seq(("s1", "next?", "the ctx")).toDF("session_id", "question", "context")
+    val msgs = PromptAssembly.messages(history, queries, faithful = true)
+      .orderBy("msg_idx").as[(String, Long, String, String)].collect().toSeq
+    val roles = msgs.map(m => (m._3, m._4))
+    assert(roles == Seq(
+      ("system", Config.SystemPrompt),
+      ("user", "hello"), ("assistant", "hello"),
+      ("user", "hi"), ("assistant", "hi"),
+      ("user", "next?"),
+      ("system", "Context:\nthe ctx")))
+  }
+
+  test("prompt assembly correct mode keeps stored roles") {
+    val history = Seq(("s1", 0L, "user", "hello"), ("s1", 1L, "assistant", "hi"))
+      .toDF("session_id", "turn", "role", "content")
+    val queries = Seq(("s1", "next?", "ctx")).toDF("session_id", "question", "context")
+    val msgs = PromptAssembly.messages(history, queries, faithful = false)
+      .orderBy("msg_idx").as[(String, Long, String, String)].collect().toSeq
+    assert(msgs.map(_._3) == Seq("system", "user", "assistant", "user", "system"))
+  }
+
+  test("prompt assembly works with empty history") {
+    val history = Seq.empty[(String, Long, String, String)]
+      .toDF("session_id", "turn", "role", "content")
+    val queries = Seq(("s1", "q?", "ctx")).toDF("session_id", "question", "context")
+    val msgs = PromptAssembly.messages(history, queries)
+      .orderBy("msg_idx").as[(String, Long, String, String)].collect().toSeq
+    assert(msgs.map(_._3) == Seq("system", "user", "system"))
+  }
+
+  test("payload shape is an ordered array of (role, content) structs") {
+    val history = Seq(("s1", 0L, "user", "hello"))
+      .toDF("session_id", "turn", "role", "content")
+    val queries = Seq(("s1", "q?", "ctx")).toDF("session_id", "question", "context")
+    val payload = PromptAssembly.asPayload(
+      PromptAssembly.messages(history, queries, faithful = false))
+    val arr = payload.select("messages").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.map(_.getString(0)) == Seq("system", "user", "user", "system"))
+  }
+
+  test("memory append produces the two next-turn rows") {
+    val rows = SessionMemory.appendRows(spark, "s1", 4L, "q", "a")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(rows == Seq(("s1", 4L, "user", "q"), ("s1", 5L, "assistant", "a")))
+  }
+
+  test("cost model matches reference pricing (app.py:276)") {
+    val df = Seq((1000L, 500L)).toDF("pt", "ct")
+    val cost = Costing.withCost(df, col("pt"), col("ct")).select("cost").as[Double].head()
+    assert(math.abs(cost - (1000 * 1e-5 + 500 * 3e-5)) < 1e-12)
+  }
+
+  test("latency is the timestamp delta in seconds") {
+    val df = Seq(("2024-01-01 00:00:00.000", "2024-01-01 00:00:01.500"))
+      .toDF("a", "b")
+      .select(to_timestamp($"a").as("a"), to_timestamp($"b").as("b"))
+    val sec = df.select(Costing.latencySec($"a", $"b")).as[Double].head()
+    assert(math.abs(sec - 1.5) < 1e-9)
+  }
+
+  test("echo answerer is grounded in the top context line") {
+    val df = Seq((0L, "what?", "line one\nline two")).toDF("query_id", "question", "context")
+    val ans = EchoAnswerer.answer(df, "question", "context").select("answer").as[String].head()
+    assert(ans == s"[${Config.AgentName}] line one")
+  }
+}
