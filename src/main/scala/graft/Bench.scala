@@ -30,6 +30,11 @@ object Bench {
         case c => c.toString
       }
 
+    // Warm the JVM/session (codegen, parquet footer cache) so the first
+    // measured query doesn't absorb startup cost.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>

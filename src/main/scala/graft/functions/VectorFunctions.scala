@@ -141,6 +141,7 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
+    TopKAggregate.register(spark)
   }
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)

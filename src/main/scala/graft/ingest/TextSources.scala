@@ -92,6 +92,14 @@ object TextSources {
         ).as(outCol))
   }
 
+  /** S6 (xlsx) is intentionally absent, matching the reference: the
+    * uploader accepts `.xlsx` and pins openpyxl, but no processing branch
+    * exists, so xlsx uploads are silently dropped
+    * (`/root/reference/micro-infobot/app.py:191` vs 194-205). A real
+    * implementation would slot in beside [[htmlDocs]] as another
+    * extension dispatch arm.
+    */
+
   /** S7: multi-source union (`text += ...` app.py:192-205, per-doc rows). */
   def unionCorpus(sources: DataFrame*): DataFrame =
     sources.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -67,15 +67,22 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
-  /** Open the events table as a file stream (one-file-per-trigger cap keeps
-    * local tests bounded); schema pinned from the batch read.
+  /** Open a directory of event parquet files as a file stream — the
+    * landing-zone shape a production ingest watches. One-file-per-trigger
+    * caps local test batches; schema is pinned from an existing file (file
+    * streams cannot infer).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
+  def eventsStream(spark: SparkSession, watchDir: String, schemaFrom: String): DataFrame = {
+    val schema = spark.read.parquet(schemaFrom).schema
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/events.parquet")
+      .parquet(watchDir)
+    // fixture ts is TIMESTAMP(NANOS) read as long (nanosAsLong); normalize
+    // to a microsecond timestamp exactly like the batch reader
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** C5 streaming variant: append-mode parquet sink with checkpoint. */

@@ -60,9 +60,39 @@ object Knn {
     topKWithScore(index.where(predicate), queryVec, k, idCol, embCol)
 
   /** Batch kNN: one row per (query, neighbor rank ≤ k). Queries are
-    * broadcast; the big side never shuffles for the join.
+    * broadcast so the index never shuffles for the join; the per-query
+    * top-k runs through [[graft.functions.TopKByDist]], a bounded-heap
+    * aggregate with map-side partial aggregation — the shuffle carries
+    * partitions×k candidate rows per query, not the whole scored index.
     */
   def topKBatch(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "chunk_id",
+      embCol: String = "embedding"): DataFrame = {
+    val scored = index
+      .crossJoin(broadcast(queries))
+      .withColumn("dist", l2Distance(col(embCol), col(queryVecCol)))
+    scored
+      .groupBy(col(queryIdCol))
+      .agg(call_function("topk_by_dist",
+        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(
+        col(queryIdCol),
+        (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol),
+        col("hit.dist").as("dist"))
+  }
+
+  /** Window-rank formulation of [[topKBatch]] — correct but shuffles and
+    * sorts every scored row per query; kept as the parity/testing twin of
+    * the aggregate path (they must return identical rows).
+    */
+  def topKBatchWindow(
       queries: DataFrame,
       index: DataFrame,
       k: Int,

@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Plan audits for the scale-critical queries: verifies (by string probe
+  * on the executed plan) that the physical shape is the one a 100 TB run
+  * needs — pushdown at the scan, broadcast on dimension joins, partial
+  * aggregation, no stray global windows/sorts. Prints PASS/FAIL per probe
+  * plus the formatted plan on failure.
+  * Usage: sbt "runMain graft.tools.ExplainAudit [sfDir]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = SparkEntry.queries
+    var failed = 0
+
+    def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
+      val df = qs(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      checks.foreach { case (desc, p) =>
+        val ok = p(plan)
+        if (!ok) {
+          failed += 1
+          println(s"FAIL $name: $desc")
+          println(plan.linesIterator.take(60).mkString("\n"))
+        } else println(s"PASS $name: $desc")
+      }
+    }
+
+    audit("q3_knn_filtered")(
+      "label filter pushed to parquet scan" ->
+        (p => p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")),
+      "TakeOrderedAndProject (per-partition k-heap), no full sort" ->
+        (p => p.contains("TakeOrderedAndProject")))
+    audit("q1_knn_top4")(
+      "TakeOrderedAndProject" -> (p => p.contains("TakeOrderedAndProject")))
+    audit("q1b_knn_batch")(
+      "no window stage" -> (p => !p.contains("Window")),
+      "broadcast queries side" -> (p => p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastExchange")),
+      "partial top-k aggregate" -> (p => p.contains("partial_topk_by_dist")))
+    audit("r2_shipping_priority")(
+      "customer broadcast, not shuffled" -> (p => p.contains("BroadcastHashJoin")),
+      "segment filter pushed" -> (p => p.contains("EqualTo(c_mktsegment,BUILDING)")))
+    audit("r3_regional_revenue")(
+      "dimension chain broadcast" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 4))
+    audit("r7_anti_join")(
+      "anti join stays hash-based" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
+    audit("x1_token_counts")(
+      "projection pruned to needed columns" ->
+        (p => p.contains("ReadSchema: struct<doc_id:bigint,text:string>")))
+    audit("d3_jaccard_pairs")(
+      "doc_id range filter pushed" ->
+        (p => p.contains("LessThan(doc_id,60)")))
+    audit("st1_tumbling")(
+      "single aggregate, no sort before it" ->
+        (p => p.contains("HashAggregate")))
+
+    println(if (failed == 0) "ALL PLAN AUDITS PASS" else s"$failed AUDIT(S) FAILED")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

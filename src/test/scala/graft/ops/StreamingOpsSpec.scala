@@ -97,6 +97,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("events file stream reads the fixture with normalized timestamps") {
+    val watch = Files.createTempDirectory("graft_events").toString
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(watch, "events.parquet"))
+    val stream = StreamingOps.eventsStream(spark, watch,
+      "/root/testdata/sf0.001/events.parquet")
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val agg = StreamingOps.tumblingCounts(stream, watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("events_stream_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("events_stream_test").agg(sum($"n")).as[Long].head()
+      assert(n == 1000L) // all sf0.001 events flowed through the stream
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString

@@ -73,6 +73,29 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("aggregate batch kNN returns identical rows to the window formulation") {
+    val queries = Seq(
+      (100L, Array(0.1f, 0.2f, 0.3f, 0.4f)),
+      (200L, Array(3.0f, 6.0f, 9.0f, 12.0f))
+    ).toDF("query_id", "query_vec")
+    val agg = Knn.topKBatch(queries, index, 5)
+      .select("query_id", "rank", "chunk_id", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val win = Knn.topKBatchWindow(queries, index, 5)
+      .select("query_id", "rank", "chunk_id", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(agg == win)
+    assert(agg.size == 10)
+  }
+
+  test("aggregate batch kNN plan has no per-query full sort (partial agg present)") {
+    val queries = Seq((1L, q)).toDF("query_id", "query_vec")
+    val plan = Knn.topKBatch(queries, index, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by_dist") || plan.contains("ObjectHashAggregate"),
+      s"expected partial aggregation in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window stage crept back in:\n$plan")
+  }
+
   test("hierarchical returns at most fineK per section from coarse sections") {
     val hits = Knn.hierarchical(index, q, coarseK = 3, fineK = 2,
       sectionCol = "label")
