@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.Multimodal
-import graft.ops.{Ann, Dedup, Relational, StreamingOps, TextAnalytics}
+import graft.ops.{Ann, Dedup, Relational, Skew, StreamingOps, TextAnalytics}
 import graft.search.Knn
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
@@ -355,6 +355,47 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"),
           col("asof_value"))
         .orderBy("event_id")
+    }
+
+    reg("r10_intersect") { (s, dir) =>
+      Relational.openAndFinishedCustomers(T(s, dir, "orders"))
+    }
+    reg("r11_cube") { (s, dir) =>
+      Relational.returnStatusCube(T(s, dir, "lineitem"))
+    }
+    reg("r12_window_suite") { (s, dir) =>
+      Relational.customerBalanceWindows(T(s, dir, "customer"), T(s, dir, "nation"))
+    }
+    reg("r13_salted_join") { (s, dir) =>
+      // same join as a plain orders⋈customer but salted 8 ways; results
+      // must be identical to the unsalted join (the oracle is unsalted)
+      Skew.saltedJoin(T(s, dir, "orders"), T(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,4)")
+            .cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }
+    reg("x6_scalar_suite") { (s, dir) =>
+      // broad scalar-function surface in one projection: string, math,
+      // date, array, conditional
+      T(s, dir, "orders").where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          length(col("o_orderstatus")).cast("long").as("st_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+          round(log(col("o_totalprice") + 1) / log(lit(10.0)), 6).as("log10_price"),
+          pmod(col("o_orderkey"), lit(7)).as("key_mod"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          array_join(slice(split(col("o_orderpriority"), "-"), 1, 1), "").as("pri_head"),
+          when(col("o_totalprice") > 200000, "big").otherwise("small").as("bucket"))
+        .orderBy("o_orderkey")
     }
 
     // ---- text analytics (x*)
@@ -782,6 +823,52 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "r10_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "r11_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "r12_window_suite" ->
+      """SELECT n_name, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lag(c_custkey, 1) OVER w AS prev_cust,
+        |  lead(c_custkey, 1) OVER w AS next_cust,
+        |  count(*) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY n_name, rn""".stripMargin,
+    "r13_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "x6_scalar_suite" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS pri3,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS st_len,
+        |  o_orderstatus || '-' || o_orderpriority AS tag,
+        |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+        |  round(ln(o_totalprice + 1) / ln(10), 6) AS log10_price,
+        |  o_orderkey % 7 AS key_mod,
+        |  greatest(o_totalprice, 100000.0) AS floor_price,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  split_part(o_orderpriority, '-', 1) AS pri_head,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
     "x1_token_counts" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -102,6 +102,40 @@ object Relational {
       .select(col("p_partkey"), col("p_name"))
       .orderBy(col("p_partkey"))
 
+  /** Set ops: customers with both open and finished orders (INTERSECT). */
+  def openAndFinishedCustomers(orders: DataFrame): DataFrame =
+    orders.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(orders.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+
+  /** Cube aggregate over two dims — every grouping-set combination. */
+  def returnStatusCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), money(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Analytic-window suite over customer balances: rank family, offsets,
+    * running aggregate, ntile — one pass, one shuffle on the partition key.
+    */
+  def customerBalanceWindows(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wRange = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .where(col("c_custkey") <= 300)
+      .select(
+        col("n_name"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+        lead(col("c_custkey"), 1).over(w).as("next_cust"),
+        count(lit(1)).over(wRange).as("running_n"))
+      .orderBy(col("n_name"), col("rn"))
+  }
+
   /** JSON scalar extraction over the events stream table
     * (`get_json_object(props, '$.k')`, SURVEY §2.5).
     */

@@ -67,6 +67,68 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** One user's open-session accumulator for [[statefulSessionize]]. */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: closes a
+    * user's session when the gap exceeds `gapMinutes` (or on event-time
+    * timeout once the watermark passes), emitting one row per closed
+    * session. This is the arbitrary-state API the built-in
+    * `session_window` cannot express custom per-session logic with —
+    * state is one small record per live user, partitioned by user_id.
+    */
+  def statefulSessionize(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => _}
+    val gapUs = gapMinutes * 60L * 1000000L
+    // keep the watermarked ts column itself — projecting it into a derived
+    // long would strip the event-time tag EventTimeTimeout requires
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("_1"), col("ts").as("_2"))
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s =>
+              out += SessionOut(user, s.start, s.last, s.n))
+            state.remove()
+          } else {
+            // full microseconds: getTime is ms-truncated, sub-ms lives in getNanos
+            val sorted = rows.map { r =>
+              val t = r._2
+              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            }.toArray.sorted
+            var cur = state.getOption
+            for (ts <- sorted) {
+              cur match {
+                case Some(s) if ts - s.last <= gapUs =>
+                  cur = Some(s.copy(last = ts, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Open a directory of event parquet files as a file stream — the
     * landing-zone shape a production ingest watches. One-file-per-trigger
     * caps local test batches; schema is pinned from an existing file (file

@@ -117,6 +117,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val sessions = StreamingOps.statefulSessionize(df, gapMinutes = 30,
+      watermark = "1 minute")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("stateful_sessions").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // gap > 30min within the same user closes the first session inline
+      mem.addData((1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // advance watermark far past the open session's timeout
+      mem.addData((2L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_sessions")
+        .select($"user_id", $"n").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 2L)), s"first session (2 events) missing: $rows")
+      assert(rows.contains((1L, 1L)), s"timed-out session missing: $rows")
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
