@@ -65,6 +65,9 @@ object ExplainAudit {
     audit("d3_jaccard_pairs")(
       "doc_id range filter pushed" ->
         (p => p.contains("LessThan(doc_id,60)")))
+    audit("t4_chunks")(
+      "native generator, no UDF array materialization" ->
+        (p => p.contains("recursivesplitgenerator") && !p.contains("UDF(")))
     audit("st1_tumbling")(
       "single aggregate, no sort before it" ->
         (p => p.contains("HashAggregate")))

@@ -1,5 +1,6 @@
 package graft.transform
 
+import graft.functions.RecursiveSplitGenerator
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -8,10 +9,13 @@ import org.apache.spark.sql.functions._
   * `/root/reference/micro-infobot/app.py:116-128`: split per section content,
   * then wrap each chunk with its section as metadata).
   *
-  * The splitter runs as a deterministic Scala UDF returning `ARRAY<STRING>`
-  * followed by `posexplode` — per-row work with no shuffle; the array for one
-  * section is bounded by the section length, so executor memory is safe at
-  * any corpus scale.
+  * Default path is the native Catalyst generator
+  * ([[graft.functions.RecursiveSplitGenerator]]): chunk rows stream out of
+  * the scan stage with no UDF boxing and no intermediate array value.
+  * [[chunkUdf]] keeps the UDF+posexplode formulation as the parity twin.
+  * Either way this is per-row work with no shuffle; one section's chunks
+  * are bounded by the section length, so executor memory is safe at any
+  * corpus scale.
   */
 object Chunker {
 
@@ -21,9 +25,28 @@ object Chunker {
   }
 
   /** sections(doc_id, pos, section, paragraph) ->
-    * (doc_id, section, chunk_idx, chunk). `chunk_idx` is per (doc, pos).
+    * (doc_id, pos, section, chunk_idx, chunk). `chunk_idx` is per (doc, pos).
     */
   def chunk(
+      sections: DataFrame,
+      contentCol: String = "paragraph",
+      chunkSize: Int = RecursiveSplitter.DefaultChunkSize,
+      chunkOverlap: Int = RecursiveSplitter.DefaultChunkOverlap): DataFrame = {
+    RecursiveSplitGenerator.register(sections.sparkSession)
+    sections
+      .selectExpr(
+        "doc_id", "pos", "section",
+        s"recursive_split($contentCol, $chunkSize, $chunkOverlap) AS (chunk_idx, chunk)")
+      .select(
+        col("doc_id"),
+        col("pos"),
+        col("section"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+  }
+
+  /** UDF + posexplode formulation — kept as the testing twin of [[chunk]]. */
+  def chunkUdf(
       sections: DataFrame,
       contentCol: String = "paragraph",
       chunkSize: Int = RecursiveSplitter.DefaultChunkSize,

@@ -62,6 +62,23 @@ class SectionizerSpec extends SparkSpec {
     assert(rows.forall(_._3.length <= 500))
   }
 
+  test("generator chunker returns identical rows to the UDF formulation") {
+    val texts = Seq(
+      (1L, "MY SECTION\n\n" + ("alpha beta gamma " * 60).trim),
+      (2L, ("x" * 700) + "\n\nshort para"),
+      (3L, (1 to 300).map(i => s"sentence $i").mkString(". ")))
+      .toDF("doc_id", "text")
+    val sections = Sectionizer.sectionize(texts)
+    val gen = Chunker.chunk(sections)
+      .select("doc_id", "pos", "chunk_idx", "chunk")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val viaUdf = Chunker.chunkUdf(sections)
+      .select("doc_id", "pos", "chunk_idx", "chunk")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(gen == viaUdf)
+    assert(gen.nonEmpty)
+  }
+
   test("chunk ids stay collision-free on a 2000-paragraph document") {
     val text = (0 until 2000).map(i => s"para $i content").mkString("\n\n")
     val docs = Seq((1L, text)).toDF("doc_id", "text")
