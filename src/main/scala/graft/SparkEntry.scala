@@ -428,6 +428,14 @@ object SparkEntry {
       TextAnalytics.topTermsPerGroup(T(s, dir, "documents"), "lang", "text", 5)
     }
 
+    reg("x7_sketches") { (s, dir) => // rows-only: sketch algorithms differ per engine
+      T(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    }
+
     // ---- dedup (d*)
     reg("d1_exact_dup_groups") { (s, dir) =>
       val d = T(s, dir, "documents")
@@ -449,6 +457,12 @@ object SparkEntry {
     }
     reg("d4_cosine_top_pairs") { (s, dir) =>
       Dedup.cosineTopPairs(T(s, dir, "embeddings"), topN = 20)
+    }
+    reg("d7_drop_near_dups") { (s, dir) =>
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
+      Dedup.dropNearDups(docs, pairs)
+        .select("doc_id").orderBy("doc_id")
     }
     reg("d5_minhash_pairs") { (s, dir) => // rows-only: MLlib MinHashLSH
       // word-level shingles: the fixture's word-salad docs share vocabulary
@@ -969,6 +983,23 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d7_drop_near_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id_b FROM co
+        |  JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 60 AND doc_id NOT IN (SELECT id_b FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "d4_cosine_top_pairs" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

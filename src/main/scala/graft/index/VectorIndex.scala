@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Full EP1 pipeline: docs(doc_id, text) -> index rows. */
+  /** Full EP1 pipeline: docs(doc_id, text) -> index rows.
+    *
+    * Chunks are persisted (memory, spill-to-disk) because TF-IDF is
+    * inherently two-pass — IDF statistics then embedding — and recomputing
+    * sectionize+split for the second pass doubles the pipeline cost.
+    */
   def build(docs: DataFrame, dims: Int = 64): DataFrame = {
     val sections = Sectionizer.sectionize(docs)
     val chunks = Chunker.chunk(sections)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val embedder = new HashingTfIdfEmbedder(dims).fit(chunks, "chunk")
     embedder
       .embed(chunks, "chunk", "embedding")

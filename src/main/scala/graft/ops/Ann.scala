@@ -110,8 +110,24 @@ object Ann {
     (model.transform(withMl).drop("__ml"), centroids)
   }
 
-  /** IVF query: rank centroids by distance to the query, semi-join the
-    * index on the `nProbe` nearest lists, exact top-k within them.
+  /** Persist an IVF index partitioned by centroid: probing N lists becomes
+    * parquet partition pruning — the on-disk layout a 100 TB ANN index
+    * wants (each query touches nProbe directories, not the full scan).
+    */
+  def writeIvf(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$path/lists")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/lists"), spark.read.parquet(s"$path/centroids"))
+
+  /** IVF query: rank centroids by distance to the query, then scan only
+    * the `nProbe` nearest lists. The probe ids (≤ nLists ints) are
+    * resolved on the driver so the list filter is a *literal* predicate —
+    * on a centroid-partitioned index that is static partition pruning,
+    * guaranteed at plan time (a semi-join would rely on DPP heuristics).
     */
   def ivfTopK(
       assigned: DataFrame,
@@ -121,12 +137,14 @@ object Ann {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val probes = centroids
+    val probeIds = centroids
       .withColumn("cdist", VectorFunctions.l2Distance(col("centroid"), typedlit(queryVec)))
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nProbe)
       .select("centroid_id")
-    val candidates = assigned.join(broadcast(probes), Seq("centroid_id"), "left_semi")
+      .collect()
+      .map(_.getInt(0))
+    val candidates = assigned.where(col("centroid_id").isin(probeIds.map(Int.box): _*))
     Knn.topKWithScore(candidates, queryVec, k, idCol, vecCol)
   }
 }

@@ -179,6 +179,20 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Resolve near-dup candidate pairs into a deduplicated corpus: drop
+    * every doc that appears as the higher id of any pair (greedy
+    * keep-lowest — the standard single-pass approximation of
+    * connected-component dedup; exact CC needs iterative min-propagation).
+    * One anti join on the pair set.
+    */
+  def dropNearDups(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs with cosine ≥ `minCos`. Exact variant: a

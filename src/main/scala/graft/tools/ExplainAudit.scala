@@ -72,6 +72,28 @@ object ExplainAudit {
       "single aggregate, no sort before it" ->
         (p => p.contains("HashAggregate")))
 
+    // Section-partitioned index: a filtered search must prune partitions
+    // at the scan, not read-then-filter.
+    {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(200)
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 10 = 0 THEN text " +
+            "ELSE 'SECTION ' || upper(lang) || chr(10) || chr(10) || text END AS text")
+      graft.index.VectorIndex.write(graft.index.VectorIndex.build(docs), tmp)
+      val loaded = graft.index.VectorIndex.load(spark, tmp)
+        .where(org.apache.spark.sql.functions.col("section") === "SECTION EN")
+      val plan = loaded.queryExecution.executedPlan.toString
+      val ok = plan.contains("PartitionFilters: [isnotnull(section") ||
+        plan.contains("PartitionFilters: [section")
+      if (!ok) {
+        failed += 1
+        println("FAIL index_partition_pruning: section filter not pruning partitions")
+        println(plan.linesIterator.take(30).mkString("\n"))
+      } else println("PASS index_partition_pruning: section filter prunes at scan")
+    }
+
     println(if (failed == 0) "ALL PLAN AUDITS PASS" else s"$failed AUDIT(S) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)

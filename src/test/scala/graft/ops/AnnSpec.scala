@@ -30,6 +30,22 @@ class AnnSpec extends SparkSpec {
     assert(got == exactTop10)
   }
 
+  test("persisted IVF index prunes partitions when probing") {
+    val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ann.writeIvf(assigned, centroids, path)
+    val (lists, cents) = Ann.loadIvf(spark, path)
+    val got = Ann.ivfTopK(lists, cents, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactTop10)
+    // probing 1 list must statically prune at the scan
+    val probe1 = Ann.ivfTopK(lists, cents, qv, 10, nProbe = 1)
+    val plan = probe1.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\(centroid_id".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"expected static partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("IVF probing fewer lists keeps decent recall and prunes work") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
     val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 2)

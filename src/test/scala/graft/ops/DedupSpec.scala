@@ -70,6 +70,13 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dropNearDups keeps the lowest id of each near-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
+    val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet
+    // 2,3,5 are all near-dups of 1 (higher ids drop); 4 is unrelated
+    assert(kept == Set(1L, 4L))
+  }
+
   test("cosine near-dup pairs over embeddings") {
     val emb = Seq(
       (1L, Array(1f, 0f, 0f)),
