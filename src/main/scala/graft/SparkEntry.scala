@@ -486,6 +486,10 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }
 
+    reg("a3_cosine_lsh_pairs") { (s, dir) => // rows-only: LSH bucketing is MLlib
+      Ann.cosinePairsLsh(T(s, dir, "embeddings"), minCos = 0.35)
+    }
+
     // ---- streaming-shape aggregations (st*, batch-equivalent)
     reg("st1_tumbling") { (s, dir) =>
       StreamingOps.tumblingCounts(eventsDf(s, dir))
@@ -513,6 +517,13 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_str"),
           col("n"))
         .orderBy("user_id", "start_str")
+    }
+
+    reg("st5_stateful_sessions") { (s, dir) =>
+      // batch-mode flatMapGroupsWithState: emits every *closed* session —
+      // i.e. all but each user's final session (still "open" at data end)
+      StreamingOps.statefulSessionize(eventsDf(s, dir)).toDF()
+        .orderBy("user_id", "session_start")
     }
 
     // ---- multimodal plumbing (m*)
@@ -1058,6 +1069,27 @@ object SparkEntry {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS end_str,
         |  count(*) AS n
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, start_str""".stripMargin,
+    "st5_stateful_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    min(epoch_us(ts)) AS session_start, max(epoch_us(ts)) AS session_end,
+        |    count(*) AS n
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT user_id, session_start, session_end, n FROM sess
+        |WHERE session_seq < (SELECT max(session_seq) FROM sess s2
+        |                     WHERE s2.user_id = sess.user_id)
+        |ORDER BY user_id, session_start""".stripMargin,
     "m1_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(unnest([0,1,2,3]) AS BIGINT) AS frame_idx,
         |  CAST(floor(unnest([0,1,2,3]) * CAST(octet_length(encode(text)) AS BIGINT) / 4)

@@ -44,7 +44,9 @@ object ExplainAudit {
       "TakeOrderedAndProject (per-partition k-heap), no full sort" ->
         (p => p.contains("TakeOrderedAndProject")))
     audit("q1_knn_top4")(
-      "TakeOrderedAndProject" -> (p => p.contains("TakeOrderedAndProject")))
+      "TakeOrderedAndProject" -> (p => p.contains("TakeOrderedAndProject")),
+      "column pruning through the top-k (label never read)" ->
+        (p => p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")))
     audit("q1b_knn_batch")(
       "no window stage" -> (p => !p.contains("Window")),
       "broadcast queries side" -> (p => p.contains("BroadcastNestedLoopJoin")
