@@ -219,6 +219,7 @@ object SparkEntry {
     }
     reg("t6_embed") { (s, dir) => // rows-only: HashingTF/IDF is not SQL
       val chunks = Chunker.chunk(Sectionizer.sectionize(docs2(s, dir), "text2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val embedder = new graft.embed.HashingTfIdfEmbedder(64).fit(chunks, "chunk")
       embedder.embed(chunks, "chunk", "embedding")
         .select(col("doc_id"), col("pos"), col("chunk_idx"),
@@ -377,6 +378,48 @@ object SparkEntry {
             .cast("double").as("total"))
         .orderBy("c_mktsegment")
     }
+    reg("r14_grouping_sets") { (s, dir) =>
+      // through the SQL interface (temp view + spark.sql), incl. the
+      // grouping() marker distinguishing real NULLs from subtotal rows
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+          |  count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_pri, o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }
+    reg("r15_pivot") { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }
+    reg("x8_array_map_hof") { (s, dir) =>
+      // higher-order functions over per-order quantity arrays: transform,
+      // filter, aggregate, zip_with, sort, slice + a map built from entries
+      T(s, dir, "lineitem").where(col("l_orderkey") < 500)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+        .select(
+          col("l_orderkey"),
+          col("qtys"),
+          size(col("qtys")).cast("long").as("n_items"),
+          aggregate(col("qtys"), lit(0L), (a, b) => a + b).as("total_qty"),
+          transform(col("qtys"), q => q * 2).as("doubled"),
+          filter(col("qtys"), q => q > 25).as("big_qtys"),
+          slice(col("qtys"), 1, 3).as("first3"),
+          reverse(col("qtys")).as("rev"),
+          zip_with(col("qtys"), reverse(col("qtys")), (a, b) => a + b).as("sym_sum"),
+          element_at(col("qtys"), 1).as("min_qty"),
+          element_at(col("qtys"), -1).as("max_qty"))
+        .orderBy("l_orderkey")
+    }
     reg("x6_scalar_suite") { (s, dir) =>
       // broad scalar-function surface in one projection: string, math,
       // date, array, conditional
@@ -487,7 +530,12 @@ object SparkEntry {
     }
 
     reg("a3_cosine_lsh_pairs") { (s, dir) => // rows-only: LSH bucketing is MLlib
-      Ann.cosinePairsLsh(T(s, dir, "embeddings"), minCos = 0.35)
+      // unit-vector projections onto a random unit direction are ~N(0, d^-1/2)
+      // = sigma 0.125 at d=64, so slabs must be much narrower than that or
+      // every vector lands in the same handful of buckets and the join
+      // degenerates to all-pairs
+      Ann.cosinePairsLsh(T(s, dir, "embeddings"), minCos = 0.4, bucketLength = 0.05,
+        numHashTables = 2)
     }
 
     // ---- streaming-shape aggregations (st*, batch-equivalent)
@@ -879,6 +927,37 @@ object SparkEntry {
         |    AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "r14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_pri, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r15_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x8_array_map_hof" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+        |  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
+        |SELECT l_orderkey, qtys,
+        |  CAST(len(qtys) AS BIGINT) AS n_items,
+        |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+        |  list_transform(qtys, q -> q * 2) AS doubled,
+        |  list_filter(qtys, q -> q > 25) AS big_qtys,
+        |  list_slice(qtys, 1, 3) AS first3,
+        |  list_reverse(qtys) AS rev,
+        |  list_transform(range(1, len(qtys) + 1),
+        |    i -> qtys[CAST(i AS INT)] + list_reverse(qtys)[CAST(i AS INT)]) AS sym_sum,
+        |  qtys[1] AS min_qty,
+        |  qtys[-1] AS max_qty
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     "x6_scalar_suite" ->
       """SELECT o_orderkey,
         |  upper(substring(o_orderpriority, 1, 3)) AS pri3,
