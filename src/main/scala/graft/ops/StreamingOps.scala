@@ -147,6 +147,25 @@ object StreamingOps {
     else raw
   }
 
+  /** Stream-static enrichment join: the static side is broadcast to every
+    * micro-batch; no stream state, no watermark needed. The standard shape
+    * for dimension lookup on a live stream.
+    */
+  def enrichWithDims(stream: DataFrame, dims: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dims), Seq(key), "left")
+
+  /** Streaming exact dedup on a key within the watermark horizon —
+    * the streaming arm of [[Dedup.dedupExact]] for a training-data intake
+    * pipeline (state holds one entry per key seen inside the horizon, so
+    * memory is bounded by arrival rate × watermark).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** C5 streaming variant: append-mode parquet sink with checkpoint. */
   def chatLogSink(rows: DataFrame, path: String,
       checkpoint: String): DataStreamWriter[Row] =

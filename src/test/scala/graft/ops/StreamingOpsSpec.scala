@@ -143,6 +143,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches from a broadcast dim") {
+    implicit val sqlC = spark.sqlContext
+    val dims = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = StreamingOps.enrichWithDims(stream, dims, "event_type")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00"), "click"),
+        (2L, ts("2024-01-01 00:01:00"), "error"))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"event_id", $"category").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == Map(1L -> Some("engagement"), 2L -> None))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = StreamingOps.streamingDedup(stream, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00"), "click"))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 00:05:00"), "click"), // dup key
+        (2L, ts("2024-01-01 00:06:00"), "view"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"dup survived: $ids")
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
