@@ -518,6 +518,21 @@ object SparkEntry {
         maxHamming = 8)
     }
 
+    // ---- corpus curation pipeline (p*)
+    reg("p1_curation_funnel") { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(
+        d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
+      graft.ops.CorpusPipeline.funnel(withDups, minQuality = 0.7, nearDupMinSim = 0.8)
+    }
+    reg("p2_curated_index") { (s, dir) => // rows-only: includes chunk+embed
+      val d = T(s, dir, "documents")
+      graft.ops.CorpusPipeline.curateAndIndex(d, minQuality = 0.7)
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("chunk_id")).as("n_ids"))
+    }
+
     // ---- ANN (a*): rows-only (approximate + MLlib internals)
     reg("a1_lsh_topk") { (s, dir) =>
       val (hashed, model) = Ann.fitLsh(T(s, dir, "embeddings"))
@@ -1044,6 +1059,52 @@ object SparkEntry {
         |      FROM documents)
         |    WHERE length(term) > 0 GROUP BY lang, term))
         |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "p1_curation_funnel" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |scored AS (
+        |  SELECT doc_id, text, round(
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    + (CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         ELSE 0.0 END) * 0.3
+        |    + (1.0 - (CASE WHEN length(text) > 0
+        |         THEN least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |                    / length(text) * 4.0, 1.0)
+        |         ELSE 0.0 END)) * 0.1
+        |    + (CASE WHEN (CASE WHEN ntok > 0 THEN CAST(length(text) AS DOUBLE) / ntok
+        |                       ELSE 0.0 END) BETWEEN 3 AND 12
+        |            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id, text,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |        FROM aug)),
+        |quality AS (SELECT doc_id, text FROM scored WHERE quality >= 0.7),
+        |exact AS (
+        |  SELECT doc_id, text FROM quality
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM exact),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id_b FROM co
+        |  JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+        |SELECT
+        |  (SELECT count(*) FROM aug) AS n_input,
+        |  (SELECT count(*) FROM quality) AS n_quality,
+        |  (SELECT count(*) FROM exact) AS n_exact,
+        |  (SELECT count(*) FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers))
+        |    AS n_near""".stripMargin,
     "d1_exact_dup_groups" ->
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents

@@ -13,7 +13,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // keep metastore + warehouse artifacts out of the repo working dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spark").toString
+    System.setProperty("derby.system.home", tmp)
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

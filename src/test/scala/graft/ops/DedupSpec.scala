@@ -77,6 +77,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("curation pipeline: funnel is monotonic and stages compose") {
+    val corpus = docs.unionByName(
+      Seq((10L, "the quick brown fox jumps over the lazy dog")) // extra exact dup
+        .toDF("doc_id", "text"))
+    val funnel = CorpusPipeline.funnel(corpus, minQuality = 0.0, nearDupMinSim = 0.9)
+      .as[(Long, Long, Long, Long)].head()
+    val (in, q, ex, near) = funnel
+    assert(in == 6 && q == 6)
+    assert(ex == 4)   // two exact dups of doc 1 die
+    assert(near <= ex && near >= 1)
+    val survivors = CorpusPipeline.curate(corpus, 0.0, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.size.toLong == near)
+    assert(survivors.contains(4L)) // the unrelated doc always survives
+  }
+
   test("cosine near-dup pairs over embeddings") {
     val emb = Seq(
       (1L, Array(1f, 0f, 0f)),
