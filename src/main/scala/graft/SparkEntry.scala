@@ -520,13 +520,16 @@ object SparkEntry {
 
     // ---- corpus curation pipeline (p*)
     reg("p1_curation_funnel") { (s, dir) =>
-      val d = T(s, dir, "documents")
+      // bounded slice: the word-salad fixture's shared vocabulary makes the
+      // near-dup self-join quadratic in docs, so the registered query pins
+      // a fixed 200-doc corpus at every SF (real corpora use maxDocFreq)
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
       val withDups = d.unionByName(
         d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
       graft.ops.CorpusPipeline.funnel(withDups, minQuality = 0.7, nearDupMinSim = 0.8)
     }
     reg("p2_curated_index") { (s, dir) => // rows-only: includes chunk+embed
-      val d = T(s, dir, "documents")
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
       graft.ops.CorpusPipeline.curateAndIndex(d, minQuality = 0.7)
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("doc_id")).as("n_docs"),
@@ -1061,7 +1064,7 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "p1_curation_funnel" ->
       """WITH aug AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
         |  UNION ALL
         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
         |scored AS (
