@@ -147,6 +147,32 @@ object StreamingOps {
     else raw
   }
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's views in the preceding `windowMinutes`. Both sides carry
+    * watermarks so Spark can bound join state (views older than purchase
+    * watermark + window are evicted) — the canonical watermarked
+    * stream-stream join shape.
+    */
+  def purchaseAttribution(
+      purchases: DataFrame,
+      views: DataFrame,
+      windowMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("view_id"), col("view_ts"))
+  }
+
   /** Stream-static enrichment join: the static side is broadcast to every
     * micro-batch; no stream state, no watermark needed. The standard shape
     * for dimension lookup on a live stream.

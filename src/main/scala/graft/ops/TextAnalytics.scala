@@ -12,24 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalytics {
 
+  /** Null text is an empty document, not a null metric — curation must
+    * score and count every row (a null-propagating metric silently drops
+    * rows from downstream filters).
+    */
+  private def safe(text: Column): Column = coalesce(text, lit(""))
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
+  def tokenCount(text0: Column): Column = {
+    val text = safe(text0)
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+  }
 
   /** BPE-ish subword count: word pieces + standalone punctuation, the
     * shape tokenizers like tiktoken (pinned by the reference,
     * requirements.txt:10) produce to first order.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    size(regexp_extract_all(safe(text), lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
 
   /** Heuristic language ID over a closed language set: count stopword
     * markers per language, pick the max (ties → language name order).
     * N-gram/stopword scoring is the standard offline heuristic; scores are
     * integers so argmax is exactly reproducible.
     */
-  def langId(text: Column): Column = {
+  def langId(text0: Column): Column = {
+    val text = safe(text0)
     def hits(marker: String): Column =
       (length(text) - length(replace(text, lit(marker), lit("")))) / marker.length
     val scored = map(
@@ -55,7 +65,8 @@ object TextAnalytics {
     * punctuation penalty, and mean-token-length sanity — the standard
     * cheap pre-filter for LLM corpus cleaning.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text0: Column): Column = {
+    val text = safe(text0)
     val len = length(text).cast("double")
     val lenScore = least(len / lit(500.0), lit(1.0))
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
@@ -74,14 +85,16 @@ object TextAnalytics {
     * variants collide intentionally (near-dup pre-key).
     */
   def fingerprintMd5(text: Column): Column =
-    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(regexp_replace(lower(safe(text)), "[^a-z0-9\\s]", " "), "\\s+", " ")
+      .cast("binary"))
 
   /** Polynomial rolling hash of the normalized text, mod 2^31-1 — the
     * order-sensitive cousin of [[fingerprintMd5]]; pure column algebra via
     * `aggregate` so it stays inside codegen (ANSI-safe: stays < 2^62).
     */
   def fingerprintRolling(text: Column): Column = {
-    val norm = regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")
+    val norm =
+      regexp_replace(regexp_replace(lower(safe(text)), "[^a-z0-9\\s]", " "), "\\s+", " ")
     // Explicit per-position codes (not split-by-empty-regex, whose
     // trailing-empty semantics differ between engines).
     val codes = transform(

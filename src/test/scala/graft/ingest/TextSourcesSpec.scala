@@ -42,6 +42,33 @@ class TextSourcesSpec extends SparkSpec {
     assert(docs.select("doc_id").distinct().count() == 2)
   }
 
+  test("CSV reader with header + schema inference (S5 relational path)") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    Files.writeString(new java.io.File(dir, "t.csv").toPath,
+      "id,name,score\n1,alpha,2.5\n2,beta,4.0\n")
+    val df = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .csv(dir.getAbsolutePath)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("id", "int"), ("name", "string"), ("score", "double")))
+    // and the lossy flatten-to-text on top of it (app.py:204-205 semantics)
+    val block = TextSources.flattenTable(df, "id").select("text").as[String].head()
+    assert(block == "id name score\n1 alpha 2.5\n2 beta 4.0")
+  }
+
+  test("analytics are null-safe: null text scores as an empty document") {
+    import graft.ops.TextAnalytics
+    val df = Seq((1L, null: String), (2L, "real text here")).toDF("doc_id", "text")
+    val got = TextAnalytics.analyze(df)
+      .select("doc_id", "n_tokens", "quality")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 0L)
+    // empty doc: punct term (1-0)*0.1 + tokScore fallback 0.5*0.2 = 0.2
+    assert(got(1L)._2 == 0.2)
+    assert(got(2L)._1 == 3L)
+  }
+
   test("flattenRows stringifies every column in order") {
     val df = Seq((1, "x", 2.5)).toDF("a", "b", "c")
     val got = TextSources.flattenRows(df).select("line").as[String].head()

@@ -143,6 +143,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent views") {
+    implicit val sqlC = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamingOps.purchaseAttribution(
+      pMem.toDF().toDF(cols: _*), vMem.toDF().toDF(cols: _*), windowMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      vMem.addData(
+        (1L, ts("2024-01-01 00:10:00"), 7L, "view", 0.0),   // inside window
+        (2L, ts("2024-01-01 00:50:00"), 7L, "view", 0.0),   // inside window
+        (3L, ts("2023-12-31 22:00:00"), 7L, "view", 0.0),   // too old
+        (4L, ts("2024-01-01 00:30:00"), 8L, "view", 0.0))   // other user
+      pMem.addData((10L, ts("2024-01-01 01:00:00"), 7L, "purchase", 99.0))
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .select($"purchase_id", $"view_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L), (10L, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches micro-batches from a broadcast dim") {
     implicit val sqlC = spark.sqlContext
     val dims = Seq(("click", "engagement"), ("view", "engagement"),
