@@ -518,6 +518,31 @@ object SparkEntry {
         maxHamming = 8)
     }
 
+    reg("ep2_rag_answer") { (s, dir) => // rows-only: full EP1+EP2 incl. embedder
+      // the complete reference chat path: build index, embed the *query
+      // string* with the same fitted embedder (shared space), retrieve,
+      // assemble context, answer
+      import s.implicits._
+      val docs = docs2(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text2").as("text"))
+      val sections = Sectionizer.sectionize(docs)
+      val chunks = Chunker.chunk(sections)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val embedder = new graft.embed.HashingTfIdfEmbedder(64).fit(chunks, "chunk")
+      val index = embedder.embed(chunks, "chunk", "embedding")
+        .select(xxhash64(col("doc_id"), col("pos"), col("chunk_idx")).as("chunk_id"),
+          col("doc_id"), col("section"), col("chunk").as("text"), col("embedding"))
+      val qText = "customer order data stream"
+      val qVec = embedder
+        .embed(Seq(qText).toDF("chunk"), "chunk", "embedding")
+        .select("embedding").head.getSeq[Float](0).toArray
+      val hits = Knn.topKWithScore(index, qVec, 4).withColumn("query_id", lit(0L))
+      val ctx = ContextAssembly.assemble(hits, "query_id", "text", "dist")
+        .withColumn("question", lit(qText))
+      EchoAnswerer.answer(ctx, "question", "context")
+        .select("query_id", "question", "answer")
+    }
+
     // ---- corpus curation pipeline (p*)
     reg("p1_curation_funnel") { (s, dir) =>
       // bounded slice: the word-salad fixture's shared vocabulary makes the
