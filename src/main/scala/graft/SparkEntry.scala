@@ -420,6 +420,95 @@ object SparkEntry {
           element_at(col("qtys"), -1).as("max_qty"))
         .orderBy("l_orderkey")
     }
+    reg("r16_window_frames") { (s, dir) =>
+      val w = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val rows2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val range100 = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal"))
+        .rangeBetween(-100, 0)
+      T(s, dir, "customer").where(col("c_custkey") <= 300)
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name"), col("c_custkey"), col("c_acctbal"),
+          first(col("c_custkey")).over(rows2).as("richest"),
+          nth_value(col("c_custkey"), 2).over(rows2).as("second"),
+          count(lit(1)).over(range100).cast("long").as("peers_within_100"),
+          min(col("c_acctbal")).over(range100).as("min_within_100"))
+        .orderBy(col("n_name"), col("c_acctbal").desc, col("c_custkey"))
+    }
+    reg("r17_outer_joins") { (s, dir) =>
+      val cust = T(s, dir, "customer").where(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ordAgg = T(s, dir, "orders")
+        .where(col("o_custkey").between(50, 150))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      cust.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("c_custkey").isNull.as("customer_missing"),
+          col("o_custkey").isNull.as("orders_missing"))
+        .orderBy("custkey")
+    }
+    reg("r18_conditional_aggs") { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_big"),
+          count(when(col("l_discount") === 0, 1)).as("n_nodisc"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_quantity") > 49).as("any_near_max"),
+          max_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey")))
+            .as("priciest_order"),
+          round(median(col("l_quantity")), 4).as("median_qty"))
+        .orderBy("l_returnflag")
+    }
+    reg("x9_string_suite") { (s, dir) =>
+      T(s, dir, "part").where(col("p_partkey") <= 300)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("translated"),
+          levenshtein(col("p_brand"), lit("Brand#1")).cast("long").as("lev"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          repeat(substring(col("p_brand"), 1, 2), 2).as("rep"),
+          reverse(col("p_brand")).as("rev"),
+          ascii(col("p_name")).cast("long").as("first_code"),
+          ltrim(rtrim(concat(lit("  "), col("p_brand"), lit("  ")))).as("trimmed"))
+        .orderBy("p_partkey")
+    }
+    reg("x10_date_suite") { (s, dir) =>
+      T(s, dir, "orders").where(col("o_orderkey") < 300)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_98"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+            .as("q_start"))
+        .orderBy("o_orderkey")
+    }
+    reg("x11_map_suite") { (s, dir) =>
+      // map built per group from entries; outputs are derived scalars (raw
+      // map parquet encoding/order is engine-specific)
+      T(s, dir, "orders").where(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderkey"), col("o_totalprice"))))).as("m"))
+        .select(
+          col("o_custkey"),
+          size(col("m")).cast("long").as("n_entries"),
+          array_join(transform(map_keys(col("m")), _.cast("string")), ",").as("keys_str"),
+          element_at(col("m"), element_at(map_keys(col("m")), 1)).as("first_price"),
+          round(aggregate(map_values(col("m")), lit(0.0), (a, b) => a + b), 2)
+            .as("sum_prices"))
+        .orderBy("o_custkey")
+    }
     reg("x6_scalar_suite") { (s, dir) =>
       // broad scalar-function surface in one projection: string, math,
       // date, array, conditional
@@ -1001,6 +1090,80 @@ object SparkEntry {
         |  qtys[1] AS min_qty,
         |  qtys[-1] AS max_qty
         |FROM g ORDER BY l_orderkey""".stripMargin,
+    "r16_window_frames" ->
+      """SELECT n_name, c_custkey, c_acctbal,
+        |  first_value(c_custkey) OVER w AS richest,
+        |  nth_value(c_custkey, 2) OVER w AS second,
+        |  count(*) OVER r AS peers_within_100,
+        |  min(c_acctbal) OVER r AS min_within_100
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       r AS (PARTITION BY n_name ORDER BY c_acctbal
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+    "r17_outer_joins" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  c_custkey IS NULL AS customer_missing,
+        |  o_custkey IS NULL AS orders_missing
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_custkey BETWEEN 50 AND 150 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "r18_conditional_aggs" ->
+      """WITH priciest AS (
+        |  SELECT l_returnflag, l_orderkey AS priciest_order FROM lineitem
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey DESC) = 1)
+        |SELECT g.l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_quantity > 49) AS any_near_max,
+        |  any_value(p.priciest_order) AS priciest_order,
+        |  round(median(l_quantity), 4) AS median_qty
+        |FROM lineitem g JOIN priciest p USING (l_returnflag)
+        |GROUP BY g.l_returnflag ORDER BY g.l_returnflag""".stripMargin,
+    "x9_string_suite" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS translated,
+        |  CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  repeat(substring(p_brand, 1, 2), 2) AS rep,
+        |  reverse(p_brand) AS rev,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_code,
+        |  ltrim(rtrim('  ' || p_brand || '  ')) AS trimmed
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+    "x10_date_suite" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
+        |    AS days_to_98,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+    "x11_map_suite" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    map_from_entries(list_sort(list({'k': o_orderkey, 'v': o_totalprice}))) AS m
+        |  FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  CAST(cardinality(m) AS BIGINT) AS n_entries,
+        |  list_aggregate(list_transform(map_keys(m), k -> CAST(k AS VARCHAR)),
+        |    'string_agg', ',') AS keys_str,
+        |  m[map_keys(m)[1]][1] AS first_price,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), map_values(m)),
+        |    (a, b) -> a + b), 2) AS sum_prices
+        |FROM g ORDER BY o_custkey""".stripMargin,
     "x6_scalar_suite" ->
       """SELECT o_orderkey,
         |  upper(substring(o_orderpriority, 1, 3)) AS pri3,
