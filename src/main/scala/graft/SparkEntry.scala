@@ -137,6 +137,21 @@ object SparkEntry {
           round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
     }
+    reg("q2b_knn_hof_cosine") { (s, dir) =>
+      // the built-in higher-order-function formulation (zip_with + aggregate)
+      // of cosine scoring — the no-custom-Expression fallback path; top-3
+      // most similar by cosine
+      val emb = T(s, dir, "embeddings")
+      val qv = typedlit(queryVec(s, dir))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val cos = dot(col("embedding"), qv) /
+        (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(qv, qv)))
+      emb.select(col("vec_id"), round(cos, 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(3)
+    }
     reg("q2_knn_scores_top3") { (s, dir) =>
       Knn.topKWithScore(T(s, dir, "embeddings"), queryVec(s, dir), 3, idCol = "vec_id")
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
@@ -754,6 +769,19 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q2b_knn_hof_cosine" ->
+      s"""WITH q AS $QvSql,
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings e, q)
+         |SELECT vec_id, round(cos, 4) AS cos FROM scored
+         |ORDER BY cos DESC, vec_id LIMIT 3""".stripMargin,
     "q2_knn_scores_top3" ->
       s"""WITH q AS $QvSql
          |SELECT e.vec_id, round($DistSql, 4) AS dist
