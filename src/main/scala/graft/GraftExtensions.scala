@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, RecursiveSplitGenerator, TopKByDist}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension injector: makes every graft function available on any
+  * session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the deployment
+  * path for a shared cluster, where per-session `register()` calls don't
+  * reach SQL-only users (JDBC/Thrift, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+    ext.injectFunction((
+      FunctionIdentifier("l2_distance"),
+      info("l2_distance", "l2_distance(a, b) - Euclidean distance of two float vectors"),
+      (es: Seq[Expression]) => L2Distance(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_dist"),
+      info("topk_by_dist", "topk_by_dist(dist, id, k) - k smallest (dist, id) pairs"),
+      (es: Seq[Expression]) => TopKByDist(es(0), es(1), es(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("recursive_split"),
+      info("recursive_split",
+        "recursive_split(text, size, overlap) - recursive chunk generator"),
+      (es: Seq[Expression]) => RecursiveSplitGenerator(es(0), es(1), es(2))))
+  }
+}
