@@ -583,6 +583,16 @@ object SparkEntry {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
     }
 
+    reg("x12_expectations") { (s, dir) =>
+      import graft.ops.Expectations.Expectation
+      graft.ops.Expectations.check(T(s, dir, "lineitem"), Seq(
+        Expectation("qty_in_range", col("l_quantity").between(1, 50)),
+        Expectation("price_positive", col("l_extendedprice") > 0),
+        Expectation("discount_unit_interval", col("l_discount").between(0, 1)),
+        Expectation("flag_in_domain", col("l_returnflag").isin("A", "N", "R")),
+        Expectation("shipdate_present", col("l_shipdate").isNotNull)))
+    }
+
     // ---- dedup (d*)
     reg("d1_exact_dup_groups") { (s, dir) =>
       val d = T(s, dir, "documents")
@@ -1324,6 +1334,33 @@ object SparkEntry {
         |  (SELECT count(*) FROM exact) AS n_exact,
         |  (SELECT count(*) FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers))
         |    AS n_near""".stripMargin,
+    "x12_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'discount_unit_interval' AS expectation,
+        |    count(*) FILTER (WHERE l_discount BETWEEN 0 AND 1) AS n_pass,
+        |    count(*) FILTER (WHERE NOT coalesce(l_discount BETWEEN 0 AND 1, false))
+        |      AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'flag_in_domain',
+        |    count(*) FILTER (WHERE l_returnflag IN ('A','N','R')),
+        |    count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'), false))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_positive',
+        |    count(*) FILTER (WHERE l_extendedprice > 0),
+        |    count(*) FILTER (WHERE NOT coalesce(l_extendedprice > 0, false))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'qty_in_range',
+        |    count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 50),
+        |    count(*) FILTER (WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'shipdate_present',
+        |    count(*) FILTER (WHERE l_shipdate IS NOT NULL),
+        |    count(*) FILTER (WHERE l_shipdate IS NULL)
+        |  FROM lineitem)
+        |ORDER BY expectation""".stripMargin,
     "d1_exact_dup_groups" ->
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents
