@@ -109,6 +109,21 @@ class KnnSpec extends SparkSpec {
     assert(math.abs(total - 100.0) < 1e-9)
   }
 
+  test("exact distance ties break deterministically by id") {
+    // 4 vectors all at identical distance from the query
+    val tied = Seq(30L, 10L, 40L, 20L)
+      .map(id => (id, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("chunk_id", "label", "embedding")
+    val got = Knn.topKWithScore(tied, Array(0f, 0f, 0f, 0f), 3)
+      .select("chunk_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 20L, 30L))
+    // and the batch aggregate breaks ties the same way
+    val queries = Seq((1L, Array(0f, 0f, 0f, 0f))).toDF("query_id", "query_vec")
+    val batch = Knn.topKBatch(queries, tied, 3)
+      .orderBy("rank").select("chunk_id").as[Long].collect().toSeq
+    assert(batch == Seq(10L, 20L, 30L))
+  }
+
   test("dimension mismatch raises rather than truncating") {
     val ex = intercept[Exception] {
       index.select(VectorFunctions.l2Distance($"embedding",

@@ -61,6 +61,25 @@ class RecursiveSplitterSpec extends AnyFunSuite {
     assert(chunks == Seq(blob))
   }
 
+  test("golden: paragraph/line/sentence hierarchy with overlap (200/30)") {
+    val t = ("Para one has several words here.\n\nPara two follows.\n" +
+      "Line two of para two. More sentence text to push the length up a bit.") * 3
+    val chunks = RecursiveSplitter.split(t, 200, 30)
+    assert(chunks == Seq(
+      "Para one has several words here.\n\nPara two follows.\nLine two of para two." +
+        " More sentence text to push the length up a bit.Para one has several words here.",
+      "Para two follows.\nLine two of para two. More sentence text to push the length" +
+        " up a bit.Para one has several words here.",
+      "Para two follows.\nLine two of para two. More sentence text to push the length" +
+        " up a bit."))
+  }
+
+  test("golden: sentence separator keeps the dot attached to the next piece (20/5)") {
+    val chunks = RecursiveSplitter.split(
+      "aaaa. bbbb. cccc. dddd. eeee. ffff. gggg. hhhh", 20, 5)
+    assert(chunks == Seq("aaaa. bbbb. cccc", ". dddd. eeee. ffff", ". gggg. hhhh"))
+  }
+
   test("property: every chunk within size, nonempty, trimmed (200 random texts)") {
     val rnd = new Random(42)
     val seps = Seq(" ", ".", "\n", "\n\n")
