@@ -583,6 +583,40 @@ object SparkEntry {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
     }
 
+    reg("r19_subqueries") { (s, dir) =>
+      // correlated scalar subquery + EXISTS/IN through the SQL interface
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      T(s, dir, "customer").createOrReplaceTempView("customer_v")
+      // exact decimal arithmetic: price*count > sum*1.8 is the avg
+      // comparison with no double rounding at the decision boundary
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+          |FROM orders_v o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |      (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders_v o2
+          |       WHERE o2.o_custkey = o.o_custkey) * 1.8
+          |  AND EXISTS (SELECT 1 FROM customer_v c WHERE c.c_custkey = o.o_custkey
+          |              AND c.c_mktsegment IN ('BUILDING', 'MACHINERY'))
+          |ORDER BY o_orderkey""".stripMargin)
+    }
+    reg("x13_conditionals") { (s, dir) =>
+      T(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          nvl(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_nvl"),
+          nvl2(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("present"), lit("was_building")).as("seg_nvl2"),
+          when(col("c_acctbal") < 0, "debtor")
+            .when(col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").as("tier"),
+          (col("c_acctbal") <=> lit(null)).as("nullsafe_eq_null"),
+          least(col("c_acctbal"), lit(1000.0)).as("capped"),
+          greatest(col("c_nationkey"), lit(10)).cast("long").as("floored_nation"))
+        .orderBy("c_custkey")
+    }
     reg("x12_expectations") { (s, dir) =>
       import graft.ops.Expectations.Expectation
       graft.ops.Expectations.check(T(s, dir, "lineitem"), Seq(
@@ -1334,6 +1368,30 @@ object SparkEntry {
         |  (SELECT count(*) FROM exact) AS n_exact,
         |  (SELECT count(*) FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers))
         |    AS n_near""".stripMargin,
+    "r19_subqueries" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey) * 1.8
+        |  AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |              AND c.c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        |ORDER BY o_orderkey""".stripMargin,
+    "x13_conditionals" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_nvl,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |       THEN 'present' ELSE 'was_building' END AS seg_nvl2,
+        |  CASE WHEN c_acctbal < 0 THEN 'debtor'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  c_acctbal IS NOT DISTINCT FROM NULL AS nullsafe_eq_null,
+        |  least(c_acctbal, 1000.0) AS capped,
+        |  CAST(greatest(c_nationkey, 10) AS BIGINT) AS floored_nation
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
     "x12_expectations" ->
       """SELECT * FROM (
         |  SELECT 'discount_unit_interval' AS expectation,
