@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, RecursiveSplitGenerator, TopKByDist}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, RecursiveSplitGenerator, TopKByDist, WindowTopKRewrite}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by_dist"),
       info("topk_by_dist", "topk_by_dist(dist, id, k) - k smallest (dist, id) pairs"),
       (es: Seq[Expression]) => TopKByDist(es(0), es(1), es(2)).toAggregateExpression()))
+    // conf-gated (spark.graft.rewriteWindowTopK): window-rank top-k →
+    // bounded-heap aggregate
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
+
     ext.injectFunction((
       FunctionIdentifier("recursive_split"),
       info("recursive_split",

@@ -28,6 +28,23 @@ object ExtSmoke {
     spark.sql("SELECT recursive_split('aaaa bbbb cccc dddd', 10, 3) AS (i, c)").show()
     println("DESCRIBE: " + spark.sql("DESCRIBE FUNCTION l2_distance")
       .collect().map(_.getString(0)).mkString(" | "))
+
+    // optimizer rule: user writes the naive window-rank top-k; with the
+    // conf on, the planner swaps in the bounded-heap aggregate
+    spark.conf.set("spark.graft.rewriteWindowTopK", "true")
+    val windowSql =
+      """SELECT query_id, rank, vec_id, round(dist, 4) AS dist FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    l2_distance(e.embedding, q.embedding) AS dist,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY l2_distance(e.embedding, q.embedding) ASC, e.vec_id ASC) AS rank
+        |  FROM emb e CROSS JOIN (SELECT * FROM emb WHERE vec_id IN (3, 7, 11)) q
+        |) WHERE rank <= 3""".stripMargin
+    val df = spark.sql(windowSql)
+    val plan = df.queryExecution.executedPlan.toString
+    println(s"rewritten: topk_by_dist=${plan.contains("topk_by_dist")} " +
+      s"window=${plan.contains("Window")}")
+    df.orderBy("query_id", "rank").show(9)
     spark.stop()
   }
 }
