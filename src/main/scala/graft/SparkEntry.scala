@@ -617,6 +617,18 @@ object SparkEntry {
           greatest(col("c_nationkey"), lit(10)).cast("long").as("floored_nation"))
         .orderBy("c_custkey")
     }
+    reg("x14_regex_suite") { (s, dir) =>
+      T(s, dir, "part").where(col("p_partkey") <= 300)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+            .cast("long").as("n_vowels"),
+          col("p_type").rlike("^STANDARD|^SMALL").as("is_std_or_small"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          regexp_replace(col("p_brand"), "(\\d+)", "<$1>").as("num_tagged"))
+        .orderBy("p_partkey")
+    }
     reg("x12_expectations") { (s, dir) =>
       import graft.ops.Expectations.Expectation
       graft.ops.Expectations.check(T(s, dir, "lineitem"), Seq(
@@ -1392,6 +1404,14 @@ object SparkEntry {
         |  least(c_acctbal, 1000.0) AS capped,
         |  CAST(greatest(c_nationkey, 10) AS BIGINT) AS floored_nation
         |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+    "x14_regex_suite" ->
+      """SELECT p_partkey,
+        |  coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS first_word,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_matches(p_type, '^STANDARD|^SMALL') AS is_std_or_small,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_replace(p_brand, '(\d+)', '<\1>', 'g') AS num_tagged
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
     "x12_expectations" ->
       """SELECT * FROM (
         |  SELECT 'discount_unit_interval' AS expectation,

@@ -88,6 +88,22 @@ class ServingSpec extends SparkSpec {
     assert(math.abs(sec - 1.5) < 1e-9)
   }
 
+  test("chat-log batch sink appends across writes") {
+    val out = java.nio.file.Files.createTempDirectory("chatlog_batch").toString
+    val r1 = ChatLog.record(
+      Seq(("u1", "hi")).toDF("u", "m"), col("u"), col("m"), lit("ok"),
+      lit("2024-02-01 00:00:00"))
+    val r2 = ChatLog.record(
+      Seq(("u2", "again")).toDF("u", "m"), col("u"), col("m"), lit("ok2"),
+      lit("2024-02-01 00:01:00"))
+    ChatLog.append(r1, out)
+    ChatLog.append(r2, out)
+    val logged = spark.read.parquet(out)
+    assert(logged.count() == 2)
+    assert(logged.columns.toSeq == Seq("user", "message", "response", "ts"))
+    assert(logged.select("response").as[String].collect().toSet == Set("ok", "ok2"))
+  }
+
   test("echo answerer is grounded in the top context line") {
     val df = Seq((0L, "what?", "line one\nline two")).toDF("query_id", "question", "context")
     val ans = EchoAnswerer.answer(df, "question", "context").select("answer").as[String].head()

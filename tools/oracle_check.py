@@ -29,6 +29,16 @@ def compare(name, mine, oracle):
     mcols, ocols = sorted(mine.columns), sorted(oracle.columns)
     if [c.lower() for c in mcols] != [c.lower() for c in ocols]:
         return f"SCHEMA: mine={mcols} oracle={ocols}"
+    # dtype families must agree (int vs float vs object) even when values
+    # stringify identically — catches silent type drift between engines
+    fam = lambda d: ("int" if d.kind in "iu" else
+                     "float" if d.kind == "f" else
+                     "bool" if d.kind == "b" else
+                     "ts" if d.kind == "M" else "obj")
+    for c in mcols:
+        mf, of = fam(mine[c].dtype), fam(oracle[c].dtype)
+        if mf != of and {mf, of} != {"int", "float"}:  # count() nullability
+            return f"DTYPE {c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
     mine = mine[mcols]
     oracle = oracle[[c for c in sorted(oracle.columns)]]
     if len(mine) != len(oracle):
