@@ -1568,7 +1568,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(unnest([0,1,2,3]) AS BIGINT) AS frame_idx,
         |  CAST(floor(unnest([0,1,2,3]) * CAST(octet_length(encode(text)) AS BIGINT) / 4)
         |    AS BIGINT) AS byte_offset
-        |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+        |FROM documents WHERE octet_length(encode(text)) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "m3_resize_meta" ->
       """SELECT doc_id AS media_id, 128 AS width, 128 AS height,
         |  CAST(length(text) AS BIGINT) * 10 AS duration_ms

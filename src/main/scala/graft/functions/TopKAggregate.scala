@@ -43,15 +43,24 @@ case class TopKByDist(
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](ord)
 
+  private def offer(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      pair: (Double, Long)): Unit = {
+    // k <= 0 keeps nothing (rank <= 0 filters are legal SQL); the nonEmpty
+    // guard also protects head-of-empty when k == 0
+    if (buf.size < k) buf.enqueue(pair)
+    else if (buf.nonEmpty && ord.lt(pair, buf.head)) {
+      buf.dequeue(); buf.enqueue(pair)
+    }
+  }
+
   override def update(
       buf: mutable.PriorityQueue[(Double, Long)],
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val d = dist.eval(input)
     val i = id.eval(input)
     if (d != null && i != null) {
-      val pair = (d.asInstanceOf[Double], i.asInstanceOf[Long])
-      if (buf.size < k) buf.enqueue(pair)
-      else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
+      offer(buf, (d.asInstanceOf[Double], i.asInstanceOf[Long]))
     }
     buf
   }
@@ -59,10 +68,7 @@ case class TopKByDist(
   override def merge(
       buf: mutable.PriorityQueue[(Double, Long)],
       other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
-    other.foreach { pair =>
-      if (buf.size < k) buf.enqueue(pair)
-      else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
-    }
+    other.foreach(offer(buf, _))
     buf
   }
 
@@ -97,6 +103,18 @@ case class TopKByDist(
 
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(dist, id, kExpr)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (dist.dataType != DoubleType)
+      TypeCheckFailure(s"topk_by_dist dist must be DOUBLE, got ${dist.dataType}")
+    else if (id.dataType != LongType)
+      TypeCheckFailure(s"topk_by_dist id must be BIGINT, got ${id.dataType}")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckFailure("topk_by_dist k must be an INT literal")
+    else TypeCheckSuccess
+  }
   override def prettyName: String = "topk_by_dist"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByDist =

@@ -23,7 +23,11 @@ object VectorIndex {
     *
     * Chunks are persisted (memory, spill-to-disk) because TF-IDF is
     * inherently two-pass — IDF statistics then embedding — and recomputing
-    * sectionize+split for the second pass doubles the pipeline cost.
+    * sectionize+split for the second pass doubles the pipeline cost. The
+    * cache lives until the session ends (the returned frame is lazy, so
+    * there is no safe unpersist point inside build); callers building many
+    * indexes in one session should `spark.catalog.clearCache()` between
+    * builds.
     */
   def build(docs: DataFrame, dims: Int = 64): DataFrame = {
     val sections = Sectionizer.sectionize(docs)

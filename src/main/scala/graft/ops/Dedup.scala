@@ -109,23 +109,33 @@ object Dedup {
     aggregate(bitVotes, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** docs → (id, simhash, 4×16-bit band keys). Pairs within Hamming
-    * distance `maxHamming` are found by joining on any equal band
-    * (pigeonhole: ≤3 differing bits ⇒ ≥1 band equal), then verified with
-    * `bit_count(xor)` — bucketed join, no all-pairs.
+  /** docs → (id, simhash, banded keys). Pairs within Hamming distance
+    * `maxHamming` are found by joining on any equal band, then verified
+    * with `bit_count(xor)` — bucketed join, no all-pairs. Recall guarantee
+    * needs `maxHamming + 1` bands (pigeonhole: ≤ h differing bits over
+    * h+1 bands ⇒ at least one band untouched), so the band layout adapts
+    * to the requested distance (capped at 16 bands of ≥4 bits).
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] for guaranteed banding recall, got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // last band absorbs the remainder bits
+    def bandKey(b: Int): Column = {
+      val w = if (b == nBands - 1) 64 - width * (nBands - 1) else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      call_function("shiftright", col("sig"), lit(b * width)).bitwiseAND(mask)
+    }
     val withSig = docs.select(
       col(idCol),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
     val banded = withSig.select(
       col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
+      posexplode(array((0 until nBands).map(bandKey): _*))
         .as(Seq("band", "band_key")))
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_key"))
@@ -164,7 +174,9 @@ object Dedup {
           .where(col("df") <= maxDocFreq)
         toks.join(broadcast(df.select("tok")), Seq("tok"))
       }
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    // sizes over the SAME (df-filtered) token space as the intersections —
+    // mixing spaces understates similarity whenever the cutoff is active
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val co = filtered.as("x").join(filtered.as("y"), Seq("tok"))
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

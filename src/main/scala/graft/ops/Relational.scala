@@ -163,13 +163,11 @@ object Relational {
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__rowid", monotonically_increasing_id())
     val rTagged = right.select(
-      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-        lit(null).cast("long").as("__rowid")) ++
+      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         rightValCols.map(c => col(c).as(s"__r_$c")): _*)
     val lAligned = lTagged.select(
-      lTagged.columns.filterNot(_.startsWith("__r_")).map(col) ++
+      lTagged.columns.map(col) ++
         rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     val unioned = lAligned.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -180,6 +178,6 @@ object Relational {
     }
     filled
       .where(col("__side") === 1)
-      .drop((rightValCols.map(c => s"__r_$c") ++ Seq("__ts", "__side", "__rowid")): _*)
+      .drop((rightValCols.map(c => s"__r_$c") ++ Seq("__ts", "__side")): _*)
   }
 }

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -25,6 +29,11 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner",
       deterministic: Boolean = true): DataFrame = {
+    // right/full outer would emit every unmatched small-side row once per
+    // salt copy — refuse rather than silently duplicate
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti joins, not '$joinType' " +
+        "(outer small-side rows would be duplicated per salt)")
     val saltCol =
       if (deterministic)
         pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)).cast("int")

@@ -73,6 +73,13 @@ object Knn {
       queryVecCol: String = "query_vec",
       idCol: String = "chunk_id",
       embCol: String = "embedding"): DataFrame = {
+    // ids must be integral: a blind cast("long") would turn e.g. string
+    // ids into nulls the heap silently drops
+    val idType = index.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"topKBatch id column '$idCol' must be integral, got $idType")
     val scored = index
       .crossJoin(broadcast(queries))
       .withColumn("dist", l2Distance(col(embCol), col(queryVecCol)))

@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash banding recall holds for maxHamming beyond 3 (adaptive bands)") {
+    // near-dups 1-3 and 1-5 differ by one token; their simhashes may differ
+    // in >3 bits spread across bands — the adaptive band count must still
+    // surface every pair the hamming filter would accept
+    val within8 = docs.select($"doc_id",
+      Dedup.simhash(split(lower(trim($"text")), "\\s+")).as("sig"))
+      .as[(Long, Long)].collect()
+      .combinations(2)
+      .collect { case Array((a, sa), (b, sb))
+        if java.lang.Long.bitCount(sa ^ sb) <= 8 => (a min b, a max b) }
+      .toSet
+    val found = Dedup.simhashPairs(docs, maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == within8, s"banding missed ${within8 -- found}")
+  }
+
   test("dropNearDups keeps the lowest id of each near-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
     val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet

@@ -29,6 +29,18 @@ class SkewSpec extends SparkSpec {
     assert(salts > 4, s"expected the hot key spread over >4 salts, got $salts")
   }
 
+  test("outer join types are rejected (would duplicate small-side rows)") {
+    val big = Seq((1L, "a")).toDF("k", "payload")
+    val small = Seq((1L, "x"), (9L, "unmatched")).toDF("k", "attr")
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 4, joinType = "full_outer")
+    }
+    assert(ex.getMessage.contains("salt"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 4, joinType = "right")
+    }
+  }
+
   test("left join semantics preserved under salting") {
     val big = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "payload")
     val small = Seq((1L, "x"), (2L, "y")).toDF("k", "attr")

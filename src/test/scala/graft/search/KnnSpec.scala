@@ -109,6 +109,20 @@ class KnnSpec extends SparkSpec {
     assert(math.abs(total - 100.0) < 1e-9)
   }
 
+  test("topk aggregate with k = 0 returns empty instead of crashing") {
+    val queries = Seq((1L, q)).toDF("query_id", "query_vec")
+    assert(Knn.topKBatch(queries, index, 0).count() == 0)
+  }
+
+  test("topKBatch rejects non-integral id columns instead of nulling them") {
+    val strIndex = index.withColumn("chunk_id", $"chunk_id".cast("string"))
+    val queries = Seq((1L, q)).toDF("query_id", "query_vec")
+    val ex = intercept[IllegalArgumentException] {
+      Knn.topKBatch(queries, strIndex, 3)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("exact distance ties break deterministically by id") {
     // 4 vectors all at identical distance from the query
     val tied = Seq(30L, 10L, 40L, 20L)

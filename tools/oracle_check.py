@@ -37,8 +37,12 @@ def compare(name, mine, oracle):
                      "ts" if d.kind == "M" else "obj")
     for c in mcols:
         mf, of = fam(mine[c].dtype), fam(oracle[c].dtype)
-        if mf != of and {mf, of} != {"int", "float"}:  # count() nullability
-            return f"DTYPE {c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
+        if mf != of:
+            if {mf, of} == {"int", "float"}:  # count() nullability widening
+                mine = mine.assign(**{c: mine[c].astype("float64")})
+                oracle = oracle.assign(**{c: oracle[c].astype("float64")})
+            else:
+                return f"DTYPE {c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
     mine = mine[mcols]
     oracle = oracle[[c for c in sorted(oracle.columns)]]
     if len(mine) != len(oracle):
