@@ -545,6 +545,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }
 
+    reg("r20_range_join") { (s, dir) =>
+      import s.implicits._
+      // three maintenance windows; count events landing in each
+      val windows = Seq(
+        ("w1", "2024-01-03 00:00:00", "2024-01-03 06:00:00"),
+        ("w2", "2024-01-10 12:00:00", "2024-01-11 00:00:00"),
+        ("w3", "2024-01-20 00:00:00", "2024-01-25 00:00:00"))
+        .toDF("win", "start_s", "end_s")
+        .select(col("win"), to_timestamp(col("start_s")).as("w_start"),
+          to_timestamp(col("end_s")).as("w_end"))
+      Relational.bandedRangeJoin(eventsDf(s, dir), windows, "ts", "w_start", "w_end")
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("win")
+    }
+
     // ---- text analytics (x*)
     reg("x1_token_counts") { (s, dir) =>
       T(s, dir, "documents")
@@ -1263,6 +1280,18 @@ object SparkEntry {
         |  split_part(o_orderpriority, '-', 1) AS pri_head,
         |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
         |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "r20_range_join" ->
+      """WITH w AS (
+        |  SELECT 'w1' AS win, TIMESTAMP '2024-01-03 00:00:00' AS w_start,
+        |         TIMESTAMP '2024-01-03 06:00:00' AS w_end
+        |  UNION ALL SELECT 'w2', TIMESTAMP '2024-01-10 12:00:00',
+        |                   TIMESTAMP '2024-01-11 00:00:00'
+        |  UNION ALL SELECT 'w3', TIMESTAMP '2024-01-20 00:00:00',
+        |                   TIMESTAMP '2024-01-25 00:00:00')
+        |SELECT win, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY win ORDER BY win""".stripMargin,
     "x1_token_counts" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

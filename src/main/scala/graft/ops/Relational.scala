@@ -149,6 +149,31 @@ object Relational {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Banded range join: rows ⋈ intervals on `start <= ts < end` without a
+    * cross join. Each interval is exploded into the fixed-width time
+    * buckets it covers; rows equi-join on their bucket, then the exact
+    * range predicate filters. The shuffle key is the bucket, so cost is
+    * O(rows + intervals×span/width) instead of O(rows×intervals) — pick
+    * `bucketWidthSec` near the typical interval length.
+    */
+  def bandedRangeJoin(
+      rows: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidthSec: Long = 3600L): DataFrame = {
+    val w = bucketWidthSec * 1000000L // µs
+    val rowsB = rows.withColumn("__bucket", expr(s"unix_micros($tsCol) div $w"))
+    val intsB = intervals.withColumn("__bucket",
+      explode(sequence(
+        expr(s"unix_micros($startCol) div $w"),
+        expr(s"(unix_micros($endCol) - 1) div $w"))))
+    rowsB.join(intsB, Seq("__bucket"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` in the same partition key — the time-series
     * operator the reference lacks. Implemented by unioning both sides and

@@ -32,6 +32,27 @@ class RelationalSpec extends SparkSpec {
       4L -> None))     // key absent from right side
   }
 
+  test("banded range join equals the naive range predicate join") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:30:00")),
+      (2L, ts("2024-01-01 01:00:00")), // exactly at a bucket boundary
+      (3L, ts("2024-01-01 02:59:59")),
+      (4L, ts("2024-01-01 03:00:00")), // == w_end: excluded (half-open)
+      (5L, ts("2024-02-01 00:00:00"))  // outside everything
+    ).toDF("event_id", "ts")
+    val intervals = Seq(
+      ("a", ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00")),
+      ("b", ts("2024-01-01 00:45:00"), ts("2024-01-01 01:10:00")) // overlaps a
+    ).toDF("win", "w_start", "w_end")
+    val banded = Relational.bandedRangeJoin(rows, intervals, "ts", "w_start", "w_end")
+      .select("event_id", "win").as[(Long, String)].collect().toSet
+    val naive = rows.join(intervals,
+      $"ts" >= $"w_start" && $"ts" < $"w_end")
+      .select("event_id", "win").as[(Long, String)].collect().toSet
+    assert(banded == naive)
+    assert(banded == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "a")))
+  }
+
   test("salted and plain shipping-priority agree end-to-end on fixtures") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")
