@@ -279,6 +279,43 @@ object SparkEntry {
         d.where(col("lang") === "en"), d.where(col("lang") === "es"))
         .select("doc_id", "lang").orderBy("doc_id")
     }
+    reg("s1_raw_ingest") { (s, dir) =>
+      // EP1 front door from genuine files on disk (app.py:191-205): fixture
+      // rows are materialized as .html/.xml/.csv files in a temp dir, then
+      // ingested end-to-end: readRaw (binaryFile scan) → extension dispatch
+      // → stripMarkup / csv flatten → unionCorpus. The oracle recomputes the
+      // identical extraction from the same fixture rows in SQL, so this row
+      // hash-checks the whole file path, not just the column expressions.
+      // Driver-side file *generation* is test scaffolding, not a data path.
+      import java.nio.file.{Files, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val tmp = Files.createTempDirectory("graft_s1_")
+      T(s, dir, "documents").where(col("doc_id") < 40)
+        .select("doc_id", "text").collect().foreach { r =>
+          val id = r.getLong(0); val text = r.getString(1)
+          val (fname, payload) =
+            if (id % 2 == 0)
+              (f"doc_$id%04d.html",
+                s"<html><body><h1>DOC $id</h1><p>$text</p></body></html>")
+            else
+              (f"doc_$id%04d.xml",
+                s"<doc><title>DOC $id</title><body>$text</body></doc>")
+          Files.write(tmp.resolve(fname), payload.getBytes(UTF_8))
+        }
+      val regionCsv = "r_regionkey,r_name" +:
+        T(s, dir, "region").select("r_regionkey", "r_name").collect()
+          .map(r => s"${r.get(0)},${r.getString(1)}").sorted
+      Files.write(tmp.resolve("region.csv"), regionCsv.mkString("\n").getBytes(UTF_8))
+
+      val raw = TextSources.readRaw(s, tmp.toString)
+      val markup = TextSources.htmlDocs(raw).select(
+        element_at(split(col("source"), "/"), -1).as("fname"), col("text"))
+      val csv = s.read.option("header", "true").option("inferSchema", "true")
+        .csv(tmp.resolve("region.csv").toString)
+      val flat = TextSources.flattenTable(csv, "r_regionkey")
+        .select(lit("region.csv").as("fname"), col("text"))
+      TextSources.unionCorpus(markup, flat).orderBy("fname")
+    }
 
     // ---- serving (C1-C8)
     reg("c1_memory_load") { (s, dir) =>
@@ -417,22 +454,26 @@ object SparkEntry {
     }
     reg("x8_array_map_hof") { (s, dir) =>
       // higher-order functions over per-order quantity arrays: transform,
-      // filter, aggregate, zip_with, sort, slice + a map built from entries
+      // filter, aggregate, zip_with, sort, slice. The HOF computation stays
+      // array-native; each array result is surfaced as a comma-joined string
+      // so the cross-engine compare sees only hashable scalar cells (raw
+      // array columns crash the pandas-based harness).
+      def asStr(c: Column): Column = array_join(transform(c, x => x.cast("string")), ",")
       T(s, dir, "lineitem").where(col("l_orderkey") < 500)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("q"))
         .select(
           col("l_orderkey"),
-          col("qtys"),
-          size(col("qtys")).cast("long").as("n_items"),
-          aggregate(col("qtys"), lit(0L), (a, b) => a + b).as("total_qty"),
-          transform(col("qtys"), q => q * 2).as("doubled"),
-          filter(col("qtys"), q => q > 25).as("big_qtys"),
-          slice(col("qtys"), 1, 3).as("first3"),
-          reverse(col("qtys")).as("rev"),
-          zip_with(col("qtys"), reverse(col("qtys")), (a, b) => a + b).as("sym_sum"),
-          element_at(col("qtys"), 1).as("min_qty"),
-          element_at(col("qtys"), -1).as("max_qty"))
+          asStr(col("q")).as("qtys"),
+          size(col("q")).cast("long").as("n_items"),
+          aggregate(col("q"), lit(0L), (a, b) => a + b).as("total_qty"),
+          asStr(transform(col("q"), q => q * 2)).as("doubled"),
+          asStr(filter(col("q"), q => q > 25)).as("big_qtys"),
+          asStr(slice(col("q"), 1, 3)).as("first3"),
+          asStr(reverse(col("q"))).as("rev"),
+          asStr(zip_with(col("q"), reverse(col("q")), (a, b) => a + b)).as("sym_sum"),
+          element_at(col("q"), 1).as("min_qty"),
+          element_at(col("q"), -1).as("max_qty"))
         .orderBy("l_orderkey")
     }
     reg("r16_window_frames") { (s, dir) =>
@@ -991,6 +1032,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, lang FROM documents WHERE lang = 'es')
         |ORDER BY doc_id""".stripMargin,
+    "s1_raw_ingest" ->
+      """WITH markup AS (
+        |  SELECT printf('doc_%04d.', doc_id)
+        |           || (CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE 'xml' END) AS fname,
+        |         'DOC ' || CAST(doc_id AS VARCHAR) || text AS text
+        |  FROM documents WHERE doc_id < 40),
+        |csv AS (
+        |  SELECT 'region.csv' AS fname,
+        |         'r_regionkey r_name' || chr(10) ||
+        |         string_agg(CAST(r_regionkey AS VARCHAR) || ' ' || r_name, chr(10)
+        |                    ORDER BY r_regionkey) AS text
+        |  FROM region)
+        |SELECT fname, text FROM markup
+        |UNION ALL SELECT fname, text FROM csv
+        |ORDER BY fname""".stripMargin,
     "c1_memory_load" ->
       s"""SELECT session_id, turn, role, content FROM ($MemorySql)
          |WHERE session_id = '1' ORDER BY turn""".stripMargin,
@@ -1177,19 +1233,24 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x8_array_map_hof" ->
       """WITH g AS (
-        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS q
         |  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
-        |SELECT l_orderkey, qtys,
-        |  CAST(len(qtys) AS BIGINT) AS n_items,
-        |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
-        |  list_transform(qtys, q -> q * 2) AS doubled,
-        |  list_filter(qtys, q -> q > 25) AS big_qtys,
-        |  list_slice(qtys, 1, 3) AS first3,
-        |  list_reverse(qtys) AS rev,
-        |  list_transform(range(1, len(qtys) + 1),
-        |    i -> qtys[CAST(i AS INT)] + list_reverse(qtys)[CAST(i AS INT)]) AS sym_sum,
-        |  qtys[1] AS min_qty,
-        |  qtys[-1] AS max_qty
+        |SELECT l_orderkey,
+        |  array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',') AS qtys,
+        |  CAST(len(q) AS BIGINT) AS n_items,
+        |  CAST(list_sum(q) AS BIGINT) AS total_qty,
+        |  array_to_string(list_transform(q, v -> CAST(v * 2 AS VARCHAR)), ',') AS doubled,
+        |  coalesce(array_to_string(list_transform(list_filter(q, v -> v > 25),
+        |    v -> CAST(v AS VARCHAR)), ','), '') AS big_qtys,
+        |  array_to_string(list_transform(list_slice(q, 1, 3),
+        |    v -> CAST(v AS VARCHAR)), ',') AS first3,
+        |  array_to_string(list_transform(list_reverse(q),
+        |    v -> CAST(v AS VARCHAR)), ',') AS rev,
+        |  array_to_string(list_transform(range(1, len(q) + 1),
+        |    i -> CAST(q[CAST(i AS INT)] + list_reverse(q)[CAST(i AS INT)] AS VARCHAR)),
+        |    ',') AS sym_sum,
+        |  q[1] AS min_qty,
+        |  q[-1] AS max_qty
         |FROM g ORDER BY l_orderkey""".stripMargin,
     "r16_window_frames" ->
       """SELECT n_name, c_custkey, c_acctbal,

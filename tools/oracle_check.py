@@ -22,6 +22,11 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # Array-typed cells (numpy ndarray / list) are unhashable and engine-
+    # dependent in repr; coerce to a tuple of normalized element strings so
+    # sorting/comparison can't crash and "[1 2]" vs "[1, 2]" can't diverge.
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(str(norm_cell(x)) for x in v)
     return v
 
 
