@@ -763,13 +763,15 @@ object SparkEntry {
 
     // ---- corpus curation pipeline (p*)
     reg("p1_curation_funnel") { (s, dir) =>
-      // bounded slice: the word-salad fixture's shared vocabulary makes the
-      // near-dup self-join quadratic in docs, so the registered query pins
-      // a fixed 200-doc corpus at every SF (real corpora use maxDocFreq)
-      val d = T(s, dir, "documents").where(col("doc_id") < 200)
+      // Unsliced corpus: the doc-frequency cutoff (300) is the scale guard —
+      // the word-salad fixture's 31 shared tokens have df ≈ 350 among exact
+      // survivors at sf0.01, so the cutoff genuinely drops stop tokens here
+      // (and drops all of them at sf0.1, bounding the bench cost too).
+      val d = T(s, dir, "documents")
       val withDups = d.unionByName(
         d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
-      graft.ops.CorpusPipeline.funnel(withDups, minQuality = 0.7, nearDupMinSim = 0.8)
+      graft.ops.CorpusPipeline.funnel(
+        withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L)
     }
     reg("p2_curated_index") { (s, dir) => // rows-only: includes chunk+embed
       val d = T(s, dir, "documents").where(col("doc_id") < 200)
@@ -1426,7 +1428,7 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "p1_curation_funnel" ->
       """WITH aug AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
         |scored AS (
@@ -1451,11 +1453,13 @@ object SparkEntry {
         |exact AS (
         |  SELECT doc_id, text FROM quality
         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-        |toks AS (
+        |toks0 AS (
         |  SELECT doc_id AS id, unnest(list_distinct(
         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |                t -> length(t) > 0))) AS tok
         |  FROM exact),
+        |dfreq AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+        |toks AS (SELECT id, tok FROM toks0 JOIN dfreq USING (tok) WHERE df <= 300),
         |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
         |co AS (
         |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter

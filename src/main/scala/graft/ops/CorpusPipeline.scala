@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.index.VectorIndex
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline (builder brief): raw
@@ -10,8 +11,22 @@ import org.apache.spark.sql.functions._
   * Each stage is one of the already-audited operators; the composition
   * keeps their scale shapes (per-row scoring in the scan, one hash shuffle
   * for exact dedup, inverted-index join for near-dups, generator chunking).
+  * The near-dup stage is doc-frequency bounded by default ([[AutoDocFreq]]):
+  * an unbounded token self-join goes quadratic on the hottest posting list,
+  * which is exactly the failure mode a 100 TB corpus hits first.
   */
 object CorpusPipeline {
+
+  /** Sentinel: derive the jaccard doc-frequency cutoff from corpus size
+    * (5% of rows, floor 64). Tokens above the cutoff are stop tokens for
+    * near-dup purposes — they carry no discriminating signal but dominate
+    * the join cost.
+    */
+  val AutoDocFreq: Long = -1L
+
+  private def resolveDocFreq(docs: DataFrame, maxDocFreq: Long): Long =
+    if (maxDocFreq == AutoDocFreq) math.max(64L, (docs.count() * 0.05).toLong)
+    else maxDocFreq
 
   /** Curate a corpus: returns the surviving docs. */
   def curate(
@@ -19,34 +34,60 @@ object CorpusPipeline {
       minQuality: Double = 0.5,
       nearDupMinSim: Double = 0.8,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDocFreq: Long = AutoDocFreq): DataFrame = {
+    val bound = resolveDocFreq(docs, maxDocFreq)
     val quality = docs.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
     val exact = Dedup.dedupExact(quality, idCol, textCol)
-    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim)
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
     Dedup.dropNearDups(exact, pairs, idCol)
   }
 
-  /** Per-stage survivor counts — the curation funnel report. */
+  /** Per-stage survivor counts — the curation funnel report.
+    *
+    * Single-traversal shape: instead of four chained `.count()` actions
+    * (which re-run quality scoring 4×, exact dedup 3×, the jaccard join 2×),
+    * every row is annotated with its quality / exact-survivor flags, losers
+    * of the near-dup join are marked via one left join, and all four counts
+    * come out of a single aggregate. Requires `idCol` values to be unique
+    * (they are re-joined by id), which every upstream source guarantees.
+    */
   def funnel(
       docs: DataFrame,
       minQuality: Double = 0.5,
       nearDupMinSim: Double = 0.8,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val quality = docs.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
-    val exact = Dedup.dedupExact(quality, idCol, textCol)
-    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim)
-    val near = Dedup.dropNearDups(exact, pairs, idCol)
-    Seq((docs.count(), quality.count(), exact.count(), near.count()))
-      .toDF("n_input", "n_quality", "n_exact", "n_near")
+      textCol: String = "text",
+      maxDocFreq: Long = AutoDocFreq): DataFrame = {
+    val bound = resolveDocFreq(docs, maxDocFreq)
+    val q = col("__q")
+    val flagged = docs.withColumn(
+      "__q", TextAnalytics.qualityScore(col(textCol)) >= minQuality)
+    // Rank within (quality, digest) so keep-first applies to quality
+    // survivors exactly as dedupExact does on the filtered frame.
+    val w = Window
+      .partitionBy(q, md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    val staged = flagged.withColumn("__e", q && row_number().over(w) === 1)
+    val exact = staged.where(col("__e")).select(col(idCol), col(textCol))
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__loser", lit(true))
+    staged
+      .join(losers, Seq(idCol), "left")
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(q, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("__e") && col("__loser").isNull, 1L).otherwise(0L))
+          .as("n_near"))
   }
 
   /** Full pipeline: curate then build the vector index. */
   def curateAndIndex(
       docs: DataFrame,
       minQuality: Double = 0.5,
-      nearDupMinSim: Double = 0.8): DataFrame =
-    VectorIndex.build(curate(docs, minQuality, nearDupMinSim))
+      nearDupMinSim: Double = 0.8,
+      maxDocFreq: Long = AutoDocFreq): DataFrame =
+    VectorIndex.build(curate(docs, minQuality, nearDupMinSim, maxDocFreq = maxDocFreq))
 }

@@ -170,9 +170,13 @@ object Dedup {
     val filtered =
       if (maxDocFreq == Long.MaxValue) toks
       else {
-        val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq)
-        toks.join(broadcast(df.select("tok")), Seq("tok"))
+        // Anti-join against the *drop* list (df > cutoff): stop tokens are
+        // bounded by corpus_size / maxDocFreq, so the list stays broadcast-
+        // small at any corpus size — the keep list is vocabulary-sized and
+        // would not.
+        val stop = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq)
+        toks.join(broadcast(stop.select("tok")), Seq("tok"), "left_anti")
       }
     // sizes over the SAME (df-filtered) token space as the intersections —
     // mixing spaces understates similarity whenever the cutoff is active

@@ -109,6 +109,45 @@ class DedupSpec extends SparkSpec {
     assert(survivors.contains(4L)) // the unrelated doc always survives
   }
 
+  test("funnel single-pass equals the four-action reference computation") {
+    val corpus = docs.unionByName(
+      Seq((10L, "the quick brown fox jumps over the lazy dog"),
+          (11L, "zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"))
+    for (cutoff <- Seq(Long.MaxValue, 3L)) {
+      val got = CorpusPipeline
+        .funnel(corpus, 0.0, 0.9, maxDocFreq = cutoff)
+        .as[(Long, Long, Long, Long)].head()
+      // reference computation: four independent actions over the stages
+      val quality = corpus.where(TextAnalytics.qualityScore($"text") >= 0.0)
+      val exact = Dedup.dedupExact(quality)
+      val pairs = Dedup.jaccardPairs(exact, minSim = 0.9, maxDocFreq = cutoff)
+      val near = Dedup.dropNearDups(exact, pairs)
+      val want = (corpus.count(), quality.count(), exact.count(), near.count())
+      assert(got == want, s"cutoff=$cutoff")
+    }
+  }
+
+  test("funnel runs as one traversal (bounded job count, not 4 chained actions)") {
+    // AQE materializes every exchange as its own job, which hides the
+    // action count; with it off, jobs ≈ actions + broadcast builds.
+    val corpus = docs
+    val group = "funnel-job-count"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, "funnel", interruptOnCancel = false)
+    try CorpusPipeline.funnel(corpus, 0.0, 0.9, maxDocFreq = 1000L).head()
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // one aggregate action + ≤5 broadcast builds (stop tokens, 2× sizes,
+    // losers); the old shape was 4 full-pipeline actions (quality ×4,
+    // dedup ×3, jaccard ×2), i.e. 4 aggregate actions before broadcasts
+    assert(jobs <= 6, s"funnel used $jobs jobs")
+  }
+
   test("cosine near-dup pairs over embeddings") {
     val emb = Seq(
       (1L, Array(1f, 0f, 0f)),
