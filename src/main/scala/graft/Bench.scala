@@ -35,23 +35,43 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Sub-5s timings carry ±50% variance on a shared box; per-query numbers
+    // are medians over `runs` repeats so round-over-round regressions are
+    // detectable. "queries" stays name→seconds (driver contract); the raw
+    // samples ride along under "runs".
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < nRuns && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          samples += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        i += 1
       }
+      if (!failed) timings(name) = samples.toSeq
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":${median(v)}""" }
+      .mkString("{", ",", "}")
+    val runs = timings.map { case (k, v) => s""""${esc(k)}":[${v.mkString(",")}]""" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = timings.values.sum
+    val total = timings.values.map(median).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"n_runs":$nRuns,"errors":$errs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

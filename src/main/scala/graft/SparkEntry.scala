@@ -243,6 +243,20 @@ object SparkEntry {
             .as("norm"))
         .orderBy("doc_id", "pos", "chunk_idx")
     }
+    reg("t6b_embed_w2v") { (s, dir) => // rows-only: MLlib Word2Vec
+      // second Embedder implementation through the same seam — downstream
+      // shape identical (ARRAY<FLOAT> + norm projection) to t6_embed
+      val chunks = Chunker.chunk(Sectionizer.sectionize(
+          docs2(s, dir).where(col("doc_id") < 100), "text2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val embedder = new graft.embed.Word2VecEmbedder(16).fit(chunks, "chunk")
+      embedder.embed(chunks, "chunk", "embedding")
+        .select(col("doc_id"), col("pos"), col("chunk_idx"),
+          round(sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), (a, b) => a + b)), 4)
+            .as("norm"))
+        .orderBy("doc_id", "pos", "chunk_idx")
+    }
     reg("t7_index_stats") { (s, dir) => // rows-only: whole EP1 pipeline
       val idx = VectorIndex.build(
         docs2(s, dir).select(col("doc_id"), col("text2").as("text")))
@@ -725,6 +739,12 @@ object SparkEntry {
       Dedup.dropNearDups(docs, pairs)
         .select("doc_id").orderBy("doc_id")
     }
+    reg("d8_cosine_pairs_auto") { (s, dir) =>
+      // size-guarded path: fixture is under maxExactRows so this resolves
+      // to the exact branch (oracle-comparable); past the guard it
+      // auto-escalates to the LSH-bucketed join (plan asserted in DedupSpec)
+      Dedup.cosinePairsAuto(T(s, dir, "embeddings"), minCos = 0.4)
+    }
     reg("d5_minhash_pairs") { (s, dir) => // rows-only: MLlib MinHashLSH
       // word-level shingles: the fixture's word-salad docs share vocabulary
       // but almost no 3-gram shingles, so n=1 keeps the candidate set alive
@@ -792,6 +812,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }
 
+    reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate
+      // query *table* (3 queries) against the hashed index in one
+      // band-bucket equi-join — the many-queries ANN shape; per-query
+      // approxNearestNeighbors would re-scan the index 3 times
+      val emb = T(s, dir, "embeddings")
+      val (hashed, model) = Ann.fitLsh(emb, numHashTables = 8)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.lshTopKBatch(qs, hashed, model, 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a3_cosine_lsh_pairs") { (s, dir) => // rows-only: LSH bucketing is MLlib
       // unit-vector projections onto a random unit direction are ~N(0, d^-1/2)
       // = sigma 0.125 at d=64, so slabs must be much narrower than that or
@@ -835,6 +869,20 @@ object SparkEntry {
       // i.e. all but each user's final session (still "open" at data end)
       StreamingOps.statefulSessionize(eventsDf(s, dir)).toDF()
         .orderBy("user_id", "session_start")
+    }
+
+    reg("st6_streaming_memory") { (s, dir) =>
+      // batch twin of the stateful conversation memory (C1/C4 streaming
+      // arm): same flatMapGroupsWithState call, state starts empty, one
+      // group call per session → turn = event-time rank within session
+      val msgs = eventsDf(s, dir).where(col("user_id").isin(1, 2, 3))
+        .select(col("user_id").cast("string").as("session_id"), col("ts"),
+          when(col("event_type").isin("click", "view"), "user")
+            .otherwise("assistant").as("role"),
+          concat(col("event_type"), lit(":"), coalesce(col("props"), lit("")))
+            .as("content"))
+      StreamingOps.streamingMemory(msgs).toDF()
+        .orderBy("session_id", "turn")
     }
 
     // ---- multimodal plumbing (m*)
@@ -1591,6 +1639,29 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs
         |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "st6_streaming_memory" ->
+      """SELECT CAST(user_id AS VARCHAR) AS session_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, role, content) - 1
+        |    AS BIGINT) AS turn,
+        |  role, content
+        |FROM (SELECT user_id, ts,
+        |        CASE WHEN event_type IN ('click','view') THEN 'user'
+        |             ELSE 'assistant' END AS role,
+        |        event_type || ':' || coalesce(props, '') AS content
+        |      FROM events WHERE user_id IN (1, 2, 3))
+        |ORDER BY session_id, turn""".stripMargin,
+    "d8_cosine_pairs_auto" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "st1_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

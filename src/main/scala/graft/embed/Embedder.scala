@@ -1,6 +1,6 @@
 package graft.embed
 
-import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, RegexTokenizer}
+import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, RegexTokenizer, Word2Vec, Word2VecModel}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -60,5 +60,49 @@ class HashingTfIdfEmbedder(val dims: Int = 64, idfModel: Option[IDFModel] = None
       .transform(tf)
       .withColumn(outCol, toFloatArray(col("__idf")))
       .drop("__tokens", "__tf", "__idf")
+  }
+}
+
+/** Seeded Word2Vec embedder — the second implementation behind [[Embedder]],
+  * proving the seam: downstream operators (index build, kNN, ANN) never know
+  * which embedder produced the `ARRAY<FLOAT>` column.
+  *
+  * Determinism: fixed seed, ONE training partition, corpus sorted before
+  * fit — Word2Vec's SGD visits rows in partition order, so both row order
+  * and partitioning must be pinned for bit-reproducible vectors across
+  * differently-parallel sessions. At real scale you trade this determinism
+  * back for throughput by raising `numPartitions` (Hogwild-style updates
+  * make the fit order-dependent again); the *transform* side is stateless
+  * either way and scales freely.
+  */
+class Word2VecEmbedder(val dims: Int = 64, model: Option[Word2VecModel] = None)
+    extends Embedder {
+
+  private def tokenizer(inputCol: String) = new RegexTokenizer()
+    .setInputCol(inputCol)
+    .setOutputCol("__tokens")
+    .setPattern("\\s+")
+    .setToLowercase(true)
+
+  def fit(corpus: DataFrame, textCol: String = "chunk"): Word2VecEmbedder = {
+    // sort → coalesce(1): a global order the optimizer cannot re-split,
+    // so the SGD pass sees an identical sequence at any session parallelism
+    val pinned = corpus.select(textCol).sort(textCol).coalesce(1)
+    val toks = tokenizer(textCol).transform(pinned)
+    val w2v = new Word2Vec()
+      .setInputCol("__tokens").setOutputCol("__vec")
+      .setVectorSize(dims).setSeed(42L)
+      .setMinCount(1).setMaxIter(1).setNumPartitions(1)
+    new Word2VecEmbedder(dims, Some(w2v.fit(toks)))
+  }
+
+  private val toFloatArray = udf { v: Vector => v.toArray.map(_.toFloat) }
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val m = model.getOrElse(
+      throw new IllegalStateException("call fit(corpus) before embed"))
+    m.transform(tokenizer(textCol).transform(df))
+      .withColumn(outCol, toFloatArray(col("__vec")))
+      .drop("__tokens", "__vec")
   }
 }

@@ -5,7 +5,7 @@ import graft.search.Knn
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest-neighbor search over an `ARRAY<FLOAT>` embedding
@@ -53,6 +53,63 @@ object Ann {
     val q = Vectors.dense(queryVec.map(_.toDouble))
     model.underlying.approxNearestNeighbors(hashed, q, k, "dist")
       .select(col(idCol), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Batch ANN: many queries against a fitted LSH index in ONE join — the
+    * LSH analog of [[graft.search.Knn.topKBatch]]. Per-query
+    * `approxNearestNeighbors` re-plans the index scan for every query; at
+    * 100 TB with a query *table* the right shape is:
+    *
+    *  1. hash the queries through the already-fitted model (transform only,
+    *     no fit — queries must live in the index's hash space);
+    *  2. explode both sides' hash tables to `(band, bucket)` keys;
+    *  3. equi-join on the key, query side broadcast (queries ≪ index, so
+    *     the index never shuffles for the join);
+    *  4. exact distance on the candidates (codegen, map-side — the shuffle
+    *     that follows carries only `(query_id, id, dist)` scalars);
+    *  5. dedup multi-band collisions, then bounded-heap top-k per query.
+    *
+    * Recall = P(any of the `numHashTables` bands collide); tune
+    * `bucketLength`/`numHashTables` at fit time, not here.
+    */
+  def lshTopKBatch(
+      queries: DataFrame,
+      hashed: DataFrame,
+      model: BucketedRandomProjectionLSHModelWrapper,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val idType = hashed.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"lshTopKBatch id column '$idCol' must be integral, got $idType")
+    import org.apache.spark.ml.functions.vector_to_array
+    val qHashed = model.underlying
+      .transform(queries.withColumn("__ml", toMl(col(queryVecCol))))
+    def bands(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ posexplode(col("__hashes")).as(Seq("band", "__hv")): _*)
+        .withColumn("__bucket", element_at(vector_to_array(col("__hv")), 1))
+        .drop("__hv")
+    val qBands = bands(qHashed, Seq(col(queryIdCol), col(queryVecCol)))
+    val iBands = bands(hashed, Seq(col(idCol), col(vecCol)))
+    val cands = iBands
+      .join(broadcast(qBands), Seq("band", "__bucket"))
+      .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
+      .select(col(queryIdCol), col(idCol), col("dist"))
+      .dropDuplicates(queryIdCol, idCol)
+    cands
+      .groupBy(col(queryIdCol))
+      .agg(call_function("topk_by_dist",
+        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(
+        col(queryIdCol),
+        (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol),
+        col("hit.dist").as("dist"))
   }
 
   /** Cosine near-dup pairs at scale: normalize to the unit sphere (cos sim

@@ -246,4 +246,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Size-guarded cosine near-dup pairs — the path callers should default
+    * to. Exact O(n²) broadcast join only while the input provably fits
+    * (`maxExactRows`); above that it auto-escalates to the LSH-bucketed
+    * [[Ann.cosinePairsLsh]] so the all-pairs plan can never reach a
+    * full-size corpus. The size probe is `limit(max+1).count()` — it scans
+    * at most `maxExactRows + 1` rows, never the whole table.
+    *
+    * The two branches agree on every pair the LSH banding recalls; the
+    * exact branch is the recall oracle (see DedupSpec).
+    */
+  def cosinePairsAuto(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCos: Double = 0.95,
+      maxExactRows: Int = 10000,
+      bucketLength: Double = 0.05,
+      numHashTables: Int = 4): DataFrame = {
+    val small = emb.limit(maxExactRows + 1).count() <= maxExactRows
+    if (small) cosinePairsExact(emb, idCol, vecCol, minCos)
+    else graft.ops.Ann.cosinePairsLsh(emb, idCol, vecCol, minCos,
+      bucketLength, numHashTables)
+  }
 }

@@ -129,6 +129,71 @@ object StreamingOps {
       }
   }
 
+  /** One row of the conversation-memory table ([[graft.serve.SessionMemory]]). */
+  case class MemoryTurn(session_id: String, turn: Long, role: String, content: String)
+  case class MemCounter(nextTurn: Long, lastEventMs: Long)
+
+  /** C1/C4 streaming variant: the reference's `ConversationBufferMemory`
+    * (`/root/reference/micro-infobot/app.py:43-44,256`) as managed streaming
+    * state keyed by session_id. Incoming messages
+    * `(session_id, ts, role, content)` are assigned the next turn index for
+    * their session (event-time order, ties broken by role then content);
+    * the output is exactly the batch memory table, produced incrementally.
+    *
+    * Scale: state per live session is ONE counter — the conversation text
+    * itself lives in the append sink, not in state — so state size is
+    * O(active sessions) and idle sessions are evicted by event-time timeout
+    * once the watermark passes their last turn by `idleTimeout`. The same
+    * call works on a batch frame (state starts empty, one group call per
+    * session), which is the oracle twin.
+    */
+  def streamingMemory(
+      messages: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeoutHours: Int = 24): org.apache.spark.sql.Dataset[MemoryTurn] = {
+    import messages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = messages
+      .withWatermark("ts", watermark)
+      .select(col("session_id").cast("string").as("_1"), col("ts").as("_2"),
+        col("role").cast("string").as("_3"), col("content").cast("string").as("_4"))
+      .as[(String, java.sql.Timestamp, String, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MemCounter, MemoryTurn](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, String, String)],
+         state: GroupState[MemCounter]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var next = state.getOption.map(_.nextTurn).getOrElse(0L)
+            // full-microsecond ordering (getTime is ms-truncated)
+            val sorted = rows.toArray.sortBy { r =>
+              val t = r._2
+              ((t.getTime / 1000L) * 1000000L + t.getNanos / 1000L, r._3, r._4)
+            }
+            val out = sorted.map { r =>
+              val turn = MemoryTurn(sid, next, r._3, r._4)
+              next += 1
+              turn
+            }
+            // timeout anchored to the session's LAST TURN, not the current
+            // watermark — watermark-anchored timeouts expire live sessions
+            // between micro-batches (and getCurrentWatermarkMs throws in
+            // batch mode, where this function doubles as the oracle twin)
+            val lastMs = sorted.lastOption.map(_._2.getTime)
+              .getOrElse(state.getOption.map(_.lastEventMs).getOrElse(0L))
+            state.update(MemCounter(next, lastMs))
+            state.setTimeoutTimestamp(lastMs + idleTimeoutHours * 3600L * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Open a directory of event parquet files as a file stream — the
     * landing-zone shape a production ingest watches. One-file-per-trigger
     * caps local test batches; schema is pinned from an existing file (file

@@ -61,6 +61,36 @@ object Drive {
     println(s"distinct chunk_id: ${index.select("chunk_id").distinct().count()}")
     index.show(3, 60)
 
+    println("== batch LSH ANN (3-query table, one band-bucket join) ==")
+    val (hashed, model) = graft.ops.Ann.fitLsh(emb, numHashTables = 8)
+    val qs = emb.where(col("vec_id").isin(3, 7, 11))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    graft.ops.Ann.lshTopKBatch(qs, hashed, model, 3)
+      .orderBy("query_id", "rank").show(false)
+
+    println("== size-guarded cosine pairs (escalates past maxExactRows) ==")
+    graft.ops.Dedup.cosinePairsAuto(emb, minCos = 0.4, maxExactRows = 10000)
+      .show(5, false)
+
+    println("== streaming session memory, batch twin (first 6 rows) ==")
+    val msgs = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("user_id").isin(1, 2))
+      .select(col("user_id").cast("string").as("session_id"), col("ts"),
+        when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"),
+        concat(col("event_type"), lit(":"), coalesce(col("props"), lit("")))
+          .as("content"))
+    graft.ops.StreamingOps.streamingMemory(msgs).toDF()
+      .orderBy("session_id", "turn").show(6, 40)
+
+    println("== Word2Vec embedder through the Embedder seam ==")
+    val corpus = docs.limit(50).select(col("doc_id"), col("text").as("chunk"))
+    val w2v = new graft.embed.Word2VecEmbedder(16).fit(corpus, "chunk")
+    w2v.embed(corpus, "chunk", "embedding")
+      .select(col("doc_id"), slice(col("embedding"), 1, 4).as("embedding_head"))
+      .show(3, false)
+
     spark.stop()
   }
 }

@@ -46,6 +46,36 @@ class AnnSpec extends SparkSpec {
       s"expected static partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("batch LSH ANN: recall@10 >= 0.9 vs exact batch kNN") {
+    val (hashed, model) = Ann.fitLsh(emb, numHashTables = 16)
+    val qs = emb.where($"vec_id".isin(3L, 7L, 11L))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = byQuery(Ann.lshTopKBatch(qs, hashed, model, 10))
+    val exact = byQuery(Knn.topKBatch(qs, emb, 10, idCol = "vec_id"))
+    val recalls = exact.map { case (q, ids) =>
+      ids.count(approx.getOrElse(q, Set.empty).contains).toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall=$mean per-query=$recalls")
+  }
+
+  test("batch LSH ANN dedups multi-band collisions: ranks are 1..k distinct ids") {
+    val (hashed, model) = Ann.fitLsh(emb, numHashTables = 8)
+    val qs = emb.where($"vec_id".isin(3L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val rows = Ann.lshTopKBatch(qs, hashed, model, 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    rows.groupBy(_._1).foreach { case (q, hits) =>
+      assert(hits.map(_._2).sorted.toSeq == (1 to hits.length),
+        s"query $q ranks not contiguous: ${hits.toSeq}")
+      assert(hits.map(_._3).distinct.length == hits.length,
+        s"query $q returned duplicate ids: ${hits.toSeq}")
+    }
+  }
+
   test("IVF probing fewer lists keeps decent recall and prunes work") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
     val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 2)

@@ -158,4 +158,32 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("cosinePairsAuto under the guard equals the exact path") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val auto = Dedup.cosinePairsAuto(emb, minCos = 0.9, maxExactRows = 10)
+      .collect().toSeq
+    val exact = Dedup.cosinePairsExact(emb, minCos = 0.9).collect().toSeq
+    assert(auto == exact)
+  }
+
+  test("cosinePairsAuto past the guard escalates: no all-pairs join in the plan") {
+    // 24 near-identical unit-ish vectors, guard set to 10 → LSH branch
+    val emb = (1L to 24L).map { i =>
+      (i, Array(1f, (i % 3) * 0.01f, (i % 5) * 0.01f, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val big = Dedup.cosinePairsAuto(emb, minCos = 0.95, maxExactRows = 10,
+      bucketLength = 0.05, numHashTables = 4)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"escalated path must not contain the all-pairs join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"escalated path must not contain a cartesian product:\n${plan.take(2000)}")
+    // and it still finds real near-dups (every vector here is ~parallel)
+    assert(big.count() > 0)
+  }
 }

@@ -202,6 +202,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session memory: interleaved sessions reproduce the batch table") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String, String)]
+    val df = mem.toDF().toDF("session_id", "ts", "role", "content")
+    val q = StreamingOps.streamingMemory(df, watermark = "10 minutes").toDF()
+      .writeStream.format("memory").queryName("memory_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: turns of two sessions interleaved
+      mem.addData(
+        ("s1", ts("2024-01-01 00:00:01"), "user", "hi"),
+        ("s2", ts("2024-01-01 00:00:02"), "user", "hola"),
+        ("s1", ts("2024-01-01 00:00:03"), "assistant", "hello"))
+      q.processAllAvailable()
+      // batch 2: counters must continue where each session left off
+      mem.addData(
+        ("s2", ts("2024-01-01 00:00:04"), "assistant", "buenas"),
+        ("s1", ts("2024-01-01 00:00:05"), "user", "how are you"))
+      q.processAllAvailable()
+      val got = spark.table("memory_test")
+        .as[(String, Long, String, String)].collect().toSet
+      assert(got == Set(
+        ("s1", 0L, "user", "hi"),
+        ("s1", 1L, "assistant", "hello"),
+        ("s1", 2L, "user", "how are you"),
+        ("s2", 0L, "user", "hola"),
+        ("s2", 1L, "assistant", "buenas")))
+    } finally q.stop()
+  }
+
+  test("streamingMemory in batch mode equals the window-rank memory table") {
+    val msgs = Seq(
+      ("a", ts("2024-01-01 00:00:02"), "assistant", "r1"),
+      ("a", ts("2024-01-01 00:00:01"), "user", "q1"),
+      ("b", ts("2024-01-01 00:00:01"), "user", "q2"),
+      ("a", ts("2024-01-01 00:00:03"), "user", "q3")
+    ).toDF("session_id", "ts", "role", "content")
+    val got = StreamingOps.streamingMemory(msgs).toDF()
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, "user", "q1"),
+      ("a", 1L, "assistant", "r1"),
+      ("a", 2L, "user", "q3"),
+      ("b", 0L, "user", "q2")))
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
