@@ -812,6 +812,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }
 
+    reg("a5_ivf_batch") { (s, dir) => // rows-only: KMeans lists are MLlib
+      // query table against the IVF lists: probe assignment is a broadcast
+      // cross join vs 8 centroids, candidates come from ONE index pass
+      val emb = T(s, dir, "embeddings")
+      val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.ivfTopKBatch(assigned, centroids, qs, 5, nProbe = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate
       // query *table* (3 queries) against the hashed index in one
       // band-bucket equi-join — the many-queries ANN shape; per-query

@@ -182,6 +182,57 @@ object Ann {
   def loadIvf(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/lists"), spark.read.parquet(s"$path/centroids"))
 
+  /** Batch IVF: a query *table* probed in one pass. Per query, rank the
+    * centroids (tiny broadcast cross join: |queries| × nLists rows) and
+    * keep the `nProbe` nearest; join the probe list back to the assigned
+    * index on `centroid_id` with the probe side broadcast — the index
+    * never shuffles, and each index row is scored only against the queries
+    * that probe its list. Bounded-heap top-k finishes per query.
+    *
+    * vs [[ivfTopK]]: the single-query path prunes partitions (each query
+    * touches nProbe directories); the batch path amortizes ONE index scan
+    * across all queries, which is the right trade once the union of probe
+    * lists approaches the whole index.
+    */
+  def ivfTopKBatch(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val idType = assigned.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"ivfTopKBatch id column '$idCol' must be integral, got $idType")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("cdist"), col("centroid_id"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        VectorFunctions.l2Distance(col("centroid"), col(queryVecCol)))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nProbe)
+      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"))
+    assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
+      .select(col(queryIdCol), col(idCol), col("dist"))
+      .groupBy(col(queryIdCol))
+      .agg(call_function("topk_by_dist",
+        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(
+        col(queryIdCol),
+        (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol),
+        col("hit.dist").as("dist"))
+  }
+
   /** IVF query: rank centroids by distance to the query, then scan only
     * the `nProbe` nearest lists. The probe ids (≤ nLists ints) are
     * resolved on the driver so the list filter is a *literal* predicate —

@@ -223,7 +223,9 @@ object Dedup {
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      topN: Int = 20): DataFrame = {
+      topN: Int = 20,
+      maxExactRows: Int = 1 << 20): DataFrame = {
+    requireSmall(emb, maxExactRows, "cosineTopPairs")
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -237,7 +239,9 @@ object Dedup {
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      minCos: Double = 0.95): DataFrame = {
+      minCos: Double = 0.95,
+      maxExactRows: Int = 1 << 20): DataFrame = {
+    requireSmall(emb, maxExactRows, "cosinePairsExact")
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -246,6 +250,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The exact cosine joins are O(n²): refuse inputs past `maxExactRows`
+    * instead of silently launching a year-long job on a full corpus. The
+    * probe scans at most `maxExactRows + 1` rows (never the whole table).
+    */
+  private def requireSmall(emb: DataFrame, maxExactRows: Int, op: String): Unit =
+    require(emb.limit(maxExactRows + 1).count() <= maxExactRows,
+      s"$op is the exact all-pairs path and the input exceeds " +
+        s"maxExactRows=$maxExactRows; use Dedup.cosinePairsAuto or " +
+        s"Ann.cosinePairsLsh for the bucketed scale path (or raise the cap)")
 
   /** Size-guarded cosine near-dup pairs — the path callers should default
     * to. Exact O(n²) broadcast join only while the input provably fits
@@ -266,7 +280,7 @@ object Dedup {
       bucketLength: Double = 0.05,
       numHashTables: Int = 4): DataFrame = {
     val small = emb.limit(maxExactRows + 1).count() <= maxExactRows
-    if (small) cosinePairsExact(emb, idCol, vecCol, minCos)
+    if (small) cosinePairsExact(emb, idCol, vecCol, minCos, maxExactRows)
     else graft.ops.Ann.cosinePairsLsh(emb, idCol, vecCol, minCos,
       bucketLength, numHashTables)
   }

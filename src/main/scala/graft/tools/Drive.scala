@@ -68,6 +68,11 @@ object Drive {
     graft.ops.Ann.lshTopKBatch(qs, hashed, model, 3)
       .orderBy("query_id", "rank").show(false)
 
+    println("== batch IVF ANN (same query table, one index pass) ==")
+    val (assigned, cents) = graft.ops.Ann.buildIvf(emb, nLists = 8)
+    graft.ops.Ann.ivfTopKBatch(assigned, cents, qs, 3, nProbe = 3)
+      .orderBy("query_id", "rank").show(false)
+
     println("== size-guarded cosine pairs (escalates past maxExactRows) ==")
     graft.ops.Dedup.cosinePairsAuto(emb, minCos = 0.4, maxExactRows = 10000)
       .show(5, false)

@@ -76,6 +76,19 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("batch IVF with all lists probed equals exact batch kNN") {
+    val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
+    val qs = emb.where($"vec_id".isin(3L, 7L, 11L))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = Ann.ivfTopKBatch(assigned, centroids, qs, 10, nProbe = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val exact = Knn.topKBatch(qs, emb, 10, idCol = "vec_id")
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == exact)
+  }
+
   test("IVF probing fewer lists keeps decent recall and prunes work") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
     val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 2)

@@ -171,6 +171,18 @@ class DedupSpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("exact cosine joins refuse inputs past maxExactRows") {
+    val emb = (1L to 30L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosinePairsExact(emb, minCos = 0.5, maxExactRows = 10)
+    }
+    assert(e.getMessage.contains("cosinePairsAuto"))
+    intercept[IllegalArgumentException] {
+      Dedup.cosineTopPairs(emb, topN = 5, maxExactRows = 10)
+    }
+  }
+
   test("cosinePairsAuto past the guard escalates: no all-pairs join in the plan") {
     // 24 near-identical unit-ish vectors, guard set to 10 → LSH branch
     val emb = (1L to 24L).map { i =>
