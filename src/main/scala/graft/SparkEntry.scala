@@ -655,6 +655,16 @@ object SparkEntry {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
     }
 
+    reg("x7b_sketch_union") { (s, dir) => // rows-only: sketch bytes differ per engine
+      // the 100 TB sketch-table pattern: per-group HLL sketches built in
+      // one pass and persisted, then MERGED later without rescanning the
+      // corpus — the merged estimate must track the global distinct count
+      val perLang = T(s, dir, "documents")
+        .groupBy("lang").agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      perLang.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
+    }
+
     reg("r19_subqueries") { (s, dir) =>
       // correlated scalar subquery + EXISTS/IN through the SQL interface
       T(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -882,6 +892,22 @@ object SparkEntry {
       // i.e. all but each user's final session (still "open" at data end)
       StreamingOps.statefulSessionize(eventsDf(s, dir)).toDF()
         .orderBy("user_id", "session_start")
+    }
+
+    reg("st7_attribution") { (s, dir) =>
+      // batch twin of the watermarked stream-stream interval join: same
+      // function, watermarks ignored in batch — oracle-checkable
+      val ev = eventsDf(s, dir)
+      StreamingOps.purchaseAttribution(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "view"), windowMinutes = 60)
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts_str"),
+          col("purchase_value"), col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("view_ts_str"))
+        .orderBy("purchase_id", "view_id")
     }
 
     reg("st6_streaming_memory") { (s, dir) =>
@@ -1652,6 +1678,17 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs
         |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "st7_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts_str,
+        |  p.value AS purchase_value,
+        |  v.event_id AS view_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts_str
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "st6_streaming_memory" ->
       """SELECT CAST(user_id AS VARCHAR) AS session_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, role, content) - 1

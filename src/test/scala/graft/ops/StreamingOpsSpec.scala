@@ -248,6 +248,27 @@ class StreamingOpsSpec extends SparkSpec {
       ("b", 0L, "user", "q2")))
   }
 
+  test("stateless curation gate (quality score) runs unchanged on a stream") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    // the same column expression that curates the batch corpus — stateless,
+    // so it applies to a streaming intake with zero changes
+    val gated = df
+      .withColumn("q", TextAnalytics.qualityScore($"text"))
+      .where($"q" >= 0.6)
+    val q = gated.writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      val good = ("A reasonably long and well punctuated sentence about " +
+        "the weather conditions we observed today. ") * 8
+      mem.addData((1L, good), (2L, "!!! ### $$$ %%%"))
+      q.processAllAvailable()
+      val ids = spark.table("quality_gate").select("doc_id").as[Long].collect().toSeq
+      assert(ids == Seq(1L), s"quality gate kept $ids")
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
