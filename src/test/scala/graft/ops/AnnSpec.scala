@@ -89,6 +89,30 @@ class AnnSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("batch ANN plan audit: broadcast probe joins, bounded-heap agg, no blowups") {
+    val qs = emb.where($"vec_id".isin(3L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val (hashed, model) = Ann.fitLsh(emb, numHashTables = 4)
+    val lshPlan = Ann.lshTopKBatch(qs, hashed, model, 5)
+      .queryExecution.executedPlan.toString
+    // the candidate join must be a hash join on (band, bucket) with the
+    // query side broadcast — the index never shuffles for the join
+    assert(lshPlan.contains("BroadcastHashJoin"), s"no broadcast hash join:\n$lshPlan")
+    assert(!lshPlan.contains("CartesianProduct") &&
+      !lshPlan.contains("BroadcastNestedLoopJoin"),
+      s"batch LSH must never degrade to all-pairs:\n$lshPlan")
+    // top-k via the bounded-heap aggregate (object hash agg), not a sort
+    assert(lshPlan.contains("ObjectHashAggregate"), s"no heap aggregate:\n$lshPlan")
+
+    val (assigned, cents) = Ann.buildIvf(emb, nLists = 4)
+    val ivfPlan = Ann.ivfTopKBatch(assigned, cents, qs, 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // candidates come from a broadcast hash join on centroid_id; the only
+    // nested-loop join allowed is the |queries| × nLists probe ranking
+    assert(ivfPlan.contains("BroadcastHashJoin"), s"no broadcast hash join:\n$ivfPlan")
+    assert(ivfPlan.contains("ObjectHashAggregate"), s"no heap aggregate:\n$ivfPlan")
+  }
+
   test("IVF probing fewer lists keeps decent recall and prunes work") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
     val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 2)
