@@ -40,13 +40,19 @@ object Bench {
     // detectable. "queries" stays name→seconds (driver contract); the raw
     // samples ride along under "runs".
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Soft wall-clock budget: every query always gets its first run, but
+    // repeat runs (for the median) stop once the budget is spent — bounds
+    // total bench time no matter how many queries are registered.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
-      while (i < nRuns && !failed) {
+      while (i < nRuns && !failed && (i == 0 || elapsedSec < budgetSec)) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -73,6 +73,22 @@ object ExplainAudit {
     audit("st1_tumbling")(
       "single aggregate, no sort before it" ->
         (p => p.contains("HashAggregate")))
+    audit("a4_lsh_batch")(
+      "band-bucket candidate join is broadcast-hash" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no all-pairs degradation" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "partial top-k aggregate" -> (p => p.contains("partial_topk_by_dist")))
+    audit("a5_ivf_batch")(
+      "candidates via broadcast-hash join on centroid_id" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "partial top-k aggregate" -> (p => p.contains("partial_topk_by_dist")))
+    audit("st7_attribution")(
+      "interval join keyed on user, never cartesian" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("d8_cosine_pairs_auto")(
+      "small input resolves to the exact broadcast path" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")))
 
     // Section-partitioned index: a filtered search must prune partitions
     // at the scan, not read-then-filter.
