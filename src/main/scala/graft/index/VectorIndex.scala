@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.embed.HashingTfIdfEmbedder
+import graft.embed.{Embedder, HashingTfIdfEmbedder}
 import graft.transform.{Chunker, Sectionizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,4 +53,75 @@ object VectorIndex {
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Fit the index embedder on a corpus — kept separate from [[build]] so
+    * the SAME fitted instance can later embed deltas ([[append]]) and
+    * query strings into the index's vector space.
+    */
+  def fit(docs: DataFrame, dims: Int = 64): HashingTfIdfEmbedder = {
+    val chunks = Chunker.chunk(Sectionizer.sectionize(docs))
+    new HashingTfIdfEmbedder(dims).fit(chunks, "chunk")
+  }
+
+  /** [[build]] with a pre-fitted embedder (no internal fit). */
+  def buildWith(docs: DataFrame, embedder: Embedder): DataFrame = {
+    val chunks = Chunker.chunk(Sectionizer.sectionize(docs))
+    embedder
+      .embed(chunks, "chunk", "embedding")
+      .select(
+        xxhash64(col("doc_id"), col("pos"), col("chunk_idx")).as("chunk_id"),
+        col("doc_id"),
+        col("section"),
+        col("chunk").as("text"),
+        col("embedding"))
+  }
+
+  /** Incremental maintenance: append newly-arrived docs to a persisted
+    * index WITHOUT rebuilding — the operational path once the index is
+    * 100 TB and the delta is megabytes.
+    *
+    * - `embedder` must be the instance fitted on the original corpus
+    *   ([[fit]]): re-fitting on the delta would silently shift the vector
+    *   space and corrupt every distance against pre-existing rows.
+    * - Idempotent: chunks whose `chunk_id` already exists are dropped via
+    *   a left-anti join against ONLY the sections the delta touches — the
+    *   section list is resolved to literals, so the existing-id scan is
+    *   static partition pruning over the touched directories, never a full
+    *   index read.
+    *
+    * Returns the number of rows appended.
+    */
+  def append(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      path: String,
+      embedder: Embedder): Long = {
+    val delta = buildWith(newDocs, embedder)
+      // re-ingesting the same doc twice in one delta must not double rows
+      .dropDuplicates("chunk_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = delta.select("section").distinct()
+        .collect().map(_.getString(0)).toSeq
+      // first append onto a not-yet-existing index is just a write
+      val existing =
+        try Some(load(spark, path))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val fresh = existing match {
+        case Some(idx) if touched.nonEmpty =>
+          val existingIds = idx
+            .where(col("section").isin(touched.map(x => x: Any): _*))
+            .select("chunk_id")
+          delta.join(existingIds, Seq("chunk_id"), "left_anti")
+        case _ => delta
+      }
+      val appended = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = appended.count()
+        if (n > 0)
+          appended.write.mode("append").partitionBy("section").parquet(path)
+        n
+      } finally appended.unpersist()
+    } finally delta.unpersist()
+  }
 }

@@ -83,6 +83,35 @@ object CorpusPipeline {
           .as("n_near"))
   }
 
+  /** Streaming intake arm of [[curate]]: the gates that can run per-event
+    * applied to a live document stream (`docs` must carry an event-time
+    * `ts` column).
+    *
+    * - quality filter: stateless column algebra, free on a stream;
+    * - dedup on the 64-bit SimHash signature within the watermark horizon:
+    *   one state entry per distinct signature inside the horizon, so state
+    *   is bounded by arrival rate × watermark. Signature equality catches
+    *   exact duplicates AND token-reorder / whitespace / case variants —
+    *   the hamming-0 slice of near-dup.
+    *
+    * Deeper near-dup (hamming > 0, jaccard) needs pairwise joins the
+    * streaming model can't bound; that remains the periodic batch
+    * compaction ([[curate]]) over the landed data — the standard
+    * stream-ingest / batch-compact split for a 100 TB intake.
+    */
+  def streamingIntake(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      watermark: String = "2 hours",
+      textCol: String = "text"): DataFrame =
+    docs
+      .where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__sig",
+        Dedup.simhash(split(lower(trim(col(textCol))), "\\s+")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Full pipeline: curate then build the vector index. */
   def curateAndIndex(
       docs: DataFrame,

@@ -89,6 +89,19 @@ object Drive {
     graft.ops.StreamingOps.streamingMemory(msgs).toDF()
       .orderBy("session_id", "turn").show(6, 40)
 
+    println("== incremental index append (delta in the original space) ==")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_drive_idx").toString + "/idx"
+    val baseDocs = docs.where(col("doc_id") < 300)
+    val fitted = graft.index.VectorIndex.fit(baseDocs)
+    graft.index.VectorIndex.write(
+      graft.index.VectorIndex.buildWith(baseDocs, fitted), idxPath)
+    val n1 = graft.index.VectorIndex.append(
+      spark, docs.where(col("doc_id") >= 250), idxPath, fitted)
+    val n2 = graft.index.VectorIndex.append(
+      spark, docs.where(col("doc_id") >= 250), idxPath, fitted)
+    println(s"appended $n1 new chunks; idempotent re-append added $n2 (expect 0)")
+
     println("== Word2Vec embedder through the Embedder seam ==")
     val corpus = docs.limit(50).select(col("doc_id"), col("text").as("chunk"))
     val w2v = new graft.embed.Word2VecEmbedder(16).fit(corpus, "chunk")

@@ -269,6 +269,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming intake: quality gate + signature dedup on a live stream") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusPipeline.streamingIntake(df, minQuality = 0.6)
+      .writeStream.format("memory").queryName("intake_test")
+      .outputMode("append").start()
+    try {
+      val good = ("A reasonably long and well punctuated paragraph about " +
+        "observed weather conditions in the region today. ") * 8
+      val reordered = good.toUpperCase // same tokens after lowercasing
+      val other = ("Another entirely different body of text describing " +
+        "agricultural yields and their seasonal variation in detail. ") * 8
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:01"), good),
+        (2L, ts("2024-01-01 00:00:02"), "!!! ### $$$"), // junk: gated out
+        (3L, ts("2024-01-01 00:00:03"), reordered),     // near-dup: same signature
+        (4L, ts("2024-01-01 00:00:04"), other))         // distinct: kept
+      q.processAllAvailable()
+      val kept = spark.table("intake_test").select($"doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 4L), s"intake kept $kept")
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
