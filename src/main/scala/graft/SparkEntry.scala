@@ -835,6 +835,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a6_rp_batch") { (s, dir) => // rows-only: approximate by design
+      // multi-projection random-projection LSH: AND-amplified band keys as
+      // pure column algebra — no MLlib fit, deterministic from the seed
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.rpTopKBatch(qs, emb, 5, nTables = 16, nProjs = 2, width = 1.0)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate
       // query *table* (3 queries) against the hashed index in one
       // band-bucket equi-join — the many-queries ANN shape; per-query

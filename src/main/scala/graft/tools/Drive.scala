@@ -73,6 +73,10 @@ object Drive {
     graft.ops.Ann.ivfTopKBatch(assigned, cents, qs, 3, nProbe = 3)
       .orderBy("query_id", "rank").show(false)
 
+    println("== RP-LSH batch ANN (AND-amplified keys, no fit) ==")
+    graft.ops.Ann.rpTopKBatch(qs, emb, 3, nTables = 16, nProjs = 2, width = 1.0)
+      .orderBy("query_id", "rank").show(false)
+
     println("== size-guarded cosine pairs (escalates past maxExactRows) ==")
     graft.ops.Dedup.cosinePairsAuto(emb, minCos = 0.4, maxExactRows = 10000)
       .show(5, false)

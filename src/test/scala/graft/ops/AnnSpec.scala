@@ -76,6 +76,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("RP-LSH batch: decent recall, narrow probe plan, deterministic") {
+    val qs = emb.where($"vec_id".isin(3L, 7L, 11L))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rp = Ann.rpTopKBatch(qs, emb, 10, nTables = 16, nProjs = 2, width = 1.0)
+    val approx = byQuery(rp)
+    val exact = byQuery(Knn.topKBatch(qs, emb, 10, idCol = "vec_id"))
+    val recalls = exact.map { case (q, ids) =>
+      ids.count(approx.getOrElse(q, Set.empty).contains).toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall=$mean per-query=$recalls")
+    // deterministic: same seed, same result
+    val again = byQuery(Ann.rpTopKBatch(qs, emb, 10, nTables = 16, nProjs = 2, width = 1.0))
+    assert(approx == again)
+    // plan: broadcast probe joins, no cartesian, heap aggregate
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"must never degrade to all-pairs:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no heap aggregate:\n$plan")
+  }
+
   test("batch IVF with all lists probed equals exact batch kNN") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
     val qs = emb.where($"vec_id".isin(3L, 7L, 11L))
