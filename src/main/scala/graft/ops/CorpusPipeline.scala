@@ -119,4 +119,35 @@ object CorpusPipeline {
       nearDupMinSim: Double = 0.8,
       maxDocFreq: Long = AutoDocFreq): DataFrame =
     VectorIndex.build(curate(docs, minQuality, nearDupMinSim, maxDocFreq = maxDocFreq))
+
+  /** Terminal stage of the streaming ingest: append each micro-batch of
+    * (curated) documents to a persisted vector index via `foreachBatch` +
+    * [[VectorIndex.append]].
+    *
+    * Exactly-once without a transactional sink: `foreachBatch` delivers
+    * at-least-once on failure/restart, but `append` derives chunk ids from
+    * content position (`xxhash64(doc_id, pos, chunk_idx)`) and drops
+    * already-present ids, so a re-delivered batch appends nothing — the
+    * index converges to exactly-once. `embedder` must be the instance
+    * fitted on the base corpus (shared vector space; see
+    * [[VectorIndex.append]]).
+    *
+    * Compose upstream as `streamingIntake(stream) → streamingIndexSink`:
+    * quality/dedup gates run per-event, the index grows per micro-batch,
+    * and deeper near-dup stays with the periodic batch [[curate]].
+    */
+  def streamingIndexSink(
+      docs: DataFrame,
+      path: String,
+      embedder: graft.embed.Embedder,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        VectorIndex.append(batch.sparkSession, delta, path, embedder)
+        ()
+      }
 }

@@ -294,6 +294,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index sink: micro-batches append; re-delivery converges") {
+    implicit val sqlC = spark.sqlContext
+    val path = Files.createTempDirectory("graft_stream_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val base = Seq((100L,
+      "SECTION BASE\n\nseed paragraph about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val embedder = graft.index.VectorIndex.fit(base)
+    graft.index.VectorIndex.write(
+      graft.index.VectorIndex.buildWith(base, embedder), path)
+
+    val doc1 = "SECTION A\n\nfirst streamed document body"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusPipeline.streamingIndexSink(df, path, embedder, ckpt).start()
+    try {
+      mem.addData((1L, doc1))
+      q.processAllAvailable()
+      // re-delivery of doc 1 (at-least-once upstream) + a new doc
+      mem.addData((1L, doc1),
+        (2L, "SECTION B\n\nsecond streamed document body"))
+      q.processAllAvailable()
+      val idx = graft.index.VectorIndex.load(spark, path)
+      assert(idx.select("chunk_id").distinct().count() == idx.count(),
+        "re-delivered batch must not duplicate chunks")
+      assert(idx.where($"doc_id" === 2).count() > 0)
+      val doc1Rows = idx.where($"doc_id" === 1).count()
+      val expected = graft.index.VectorIndex
+        .buildWith(Seq((1L, doc1)).toDF("doc_id", "text"), embedder).count()
+      assert(doc1Rows == expected,
+        s"doc 1 indexed $doc1Rows rows, expected $expected despite re-delivery")
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
