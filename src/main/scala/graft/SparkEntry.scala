@@ -922,6 +922,23 @@ object SparkEntry {
         .orderBy("purchase_id", "view_id")
     }
 
+    reg("st7b_attribution_outer") { (s, dir) =>
+      // left-outer twin: purchases with no view in the window keep a null
+      // view side — in streaming these emit at watermark expiry
+      val ev = eventsDf(s, dir)
+      StreamingOps.purchaseAttribution(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "view"), windowMinutes = 60,
+          joinType = "left_outer")
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts_str"),
+          col("purchase_value"), col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("view_ts_str"))
+        .orderBy("purchase_id", "view_id")
+    }
+
     reg("st6_streaming_memory") { (s, dir) =>
       // batch twin of the stateful conversation memory (C1/C4 streaming
       // arm): same flatMapGroupsWithState call, state starts empty, one
@@ -1700,6 +1717,17 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    "st7b_attribution_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts_str,
+        |  p.value AS purchase_value,
+        |  v.event_id AS view_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts_str
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
         |ORDER BY purchase_id, view_id""".stripMargin,
     "st6_streaming_memory" ->
       """SELECT CAST(user_id AS VARCHAR) AS session_id,

@@ -218,11 +218,18 @@ object StreamingOps {
     * watermark + window are evicted) — the canonical watermarked
     * stream-stream join shape.
     */
+  /** `joinType = "left_outer"` additionally emits purchases with NO view in
+    * the window (null view columns) — in streaming these surface once the
+    * watermark passes `purchase_ts + window`, i.e. when the match can no
+    * longer arrive; in batch they surface immediately. State stays
+    * watermark-bounded either way.
+    */
   def purchaseAttribution(
       purchases: DataFrame,
       views: DataFrame,
       windowMinutes: Int = 60,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", watermark)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
@@ -233,7 +240,7 @@ object StreamingOps {
       col("user_id") === col("v_user_id") &&
         col("view_ts") <= col("purchase_ts") &&
         col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("purchase_value"), col("view_id"), col("view_ts"))
   }

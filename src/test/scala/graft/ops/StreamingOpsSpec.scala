@@ -166,6 +166,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched purchases at watermark expiry") {
+    implicit val sqlC = spark.sqlContext
+    val pm = MemoryStream[(Long, Timestamp, Long, Double)]
+    val vm = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pm.toDF().toDF("event_id", "ts", "user_id", "value")
+    val views = vm.toDF().toDF("event_id", "ts", "user_id")
+    val joined = StreamingOps.purchaseAttribution(purchases, views,
+      windowMinutes = 60, watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    try {
+      // purchase with NO view in its window; a matched purchase as control
+      pm.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1L, 9.99),
+        (2L, ts("2024-01-01 00:30:00"), 2L, 5.00))
+      vm.addData((10L, ts("2024-01-01 00:10:00"), 2L))
+      q.processAllAvailable()
+      // advance both watermarks far past purchase_ts + window so the
+      // unmatched row can be finalized (needs a following batch to apply)
+      pm.addData((3L, ts("2024-01-01 06:00:00"), 9L, 1.0))
+      vm.addData((11L, ts("2024-01-01 06:00:00"), 9L))
+      q.processAllAvailable()
+      pm.addData((4L, ts("2024-01-01 07:00:00"), 9L, 1.0))
+      vm.addData((12L, ts("2024-01-01 07:00:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("outer_attr")
+        .select($"purchase_id", $"view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((2L, 10L)), s"matched purchase missing: $rows")
+      assert(rows.contains((1L, -1L)),
+        s"unmatched purchase must emit with null view after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches micro-batches from a broadcast dim") {
     implicit val sqlC = spark.sqlContext
     val dims = Seq(("click", "engagement"), ("view", "engagement"),
