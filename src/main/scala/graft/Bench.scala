@@ -64,7 +64,9 @@ object Bench {
         }
         i += 1
       }
-      if (!failed) timings(name) = samples.toSeq
+      // keep successful samples even when a later repeat fails (transient
+      // failures must not erase a measured data point)
+      if (samples.nonEmpty) timings(name) = samples.toSeq
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

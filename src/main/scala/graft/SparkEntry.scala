@@ -96,6 +96,10 @@ object SparkEntry {
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
 
+  /** s1_raw_ingest's file-scaffold dirs, one per fixture dir per JVM. */
+  private val s1ScaffoldDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   // ------------------------------------------------------------ flagship
 
   /** EP1+EP2 end-to-end on sf0.001: ingest → sectionize → chunk → embed →
@@ -303,7 +307,14 @@ object SparkEntry {
       // Driver-side file *generation* is test scaffolding, not a data path.
       import java.nio.file.{Files, Paths}
       import java.nio.charset.StandardCharsets.UTF_8
-      val tmp = Files.createTempDirectory("graft_s1_")
+      // one scaffold dir per (JVM, fixture): Bench re-runs each query for
+      // medians and must not leak a fresh directory per invocation
+      val tmp = SparkEntry.s1ScaffoldDirs.computeIfAbsent(dir, _ => {
+        val d = Files.createTempDirectory("graft_s1_")
+        d.toFile.deleteOnExit()
+        d
+      })
+      tmp.toFile.listFiles().foreach(_.delete())
       T(s, dir, "documents").where(col("doc_id") < 40)
         .select("doc_id", "text").collect().foreach { r =>
           val id = r.getLong(0); val text = r.getString(1)

@@ -103,18 +103,19 @@ object VectorIndex {
     try {
       val touched = delta.select("section").distinct()
         .collect().map(_.getString(0)).toSeq
-      // first append onto a not-yet-existing index is just a write
-      val existing =
-        try Some(load(spark, path))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      val fresh = existing match {
-        case Some(idx) if touched.nonEmpty =>
-          val existingIds = idx
+      // First append onto a not-yet-existing index is just a write. The
+      // existence check is an explicit FS probe — catching AnalysisException
+      // from load would also swallow real failures (corrupt directory,
+      // schema drift) and silently skip the duplicate-chunk anti-join.
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val fresh =
+        if (fs.exists(hPath) && touched.nonEmpty) {
+          val existingIds = load(spark, path)
             .where(col("section").isin(touched.map(x => x: Any): _*))
             .select("chunk_id")
           delta.join(existingIds, Seq("chunk_id"), "left_anti")
-        case _ => delta
-      }
+        } else delta
       val appended = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = appended.count()

@@ -26,6 +26,33 @@ object Ann {
   }
   private val toArr = udf { v: MLVector => v.toArray.map(_.toFloat) }
 
+  /** ids must be integral: a blind cast("long") would turn e.g. string ids
+    * into nulls the top-k heap silently drops.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"$op id column '$idCol' must be integral, got $idType")
+  }
+
+  /** Shared batch finisher: (query_id, id, dist) candidate rows → bounded
+    * heap per query → one row per (query, rank ≤ k).
+    */
+  private def finishTopK(
+      scored: DataFrame, k: Int, queryIdCol: String, idCol: String): DataFrame =
+    scored
+      .groupBy(col(queryIdCol))
+      .agg(call_function("topk_by_dist",
+        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(
+        col(queryIdCol),
+        (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol),
+        col("hit.dist").as("dist"))
+
   // ----------------------------------------------------------------- LSH
 
   /** Fit a bucketed-random-projection model (L2 LSH) on the index. */
@@ -88,11 +115,7 @@ object Ann {
       queryVecCol: String = "query_vec",
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val idType = hashed.schema(idCol).dataType
-    require(
-      idType == org.apache.spark.sql.types.LongType ||
-        idType == org.apache.spark.sql.types.IntegerType,
-      s"lshTopKBatch id column '$idCol' must be integral, got $idType")
+    requireIntegralId(hashed, idCol, "lshTopKBatch")
     import org.apache.spark.ml.functions.vector_to_array
     val qHashed = model.underlying
       .transform(queries.withColumn("__ml", toMl(col(queryVecCol))))
@@ -120,16 +143,7 @@ object Ann {
         Seq(queryIdCol))
       .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
       .select(col(queryIdCol), col(idCol), col("dist"))
-    cands
-      .groupBy(col(queryIdCol))
-      .agg(call_function("topk_by_dist",
-        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
-      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
-      .select(
-        col(queryIdCol),
-        (col("r") + 1).cast("int").as("rank"),
-        col("hit.id").as(idCol),
-        col("hit.dist").as("dist"))
+    finishTopK(cands, k, queryIdCol, idCol)
   }
 
   // --------------------------------------------- multi-projection RP-LSH
@@ -189,10 +203,12 @@ object Ann {
       nTables: Int = 8,
       nProjs: Int = 3,
       width: Double = 0.5,
-      seed: Long = 42L): DataFrame =
-    index.select(col(idCol), posexplode(
-      array((0 until nTables).map(t =>
-        rpBandKey(col(vecCol), t, nProjs, width, seed)): _*)).as(Seq("band", "__key")))
+      seed: Long = 42L): RpBands =
+    RpBands(
+      index.select(col(idCol), posexplode(
+        array((0 until nTables).map(t =>
+          rpBandKey(col(vecCol), t, nProjs, width, seed)): _*)).as(Seq("band", "__key"))),
+      nTables, nProjs, width, seed)
 
   def rpTopKBatch(
       queries: DataFrame,
@@ -206,38 +222,36 @@ object Ann {
       queryVecCol: String = "query_vec",
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      indexBands: Option[DataFrame] = None): DataFrame = {
-    val idType = index.schema(idCol).dataType
-    require(
-      idType == org.apache.spark.sql.types.LongType ||
-        idType == org.apache.spark.sql.types.IntegerType,
-      s"rpTopKBatch id column '$idCol' must be integral, got $idType")
+      indexBands: Option[RpBands] = None): DataFrame = {
+    requireIntegralId(index, idCol, "rpTopKBatch")
+    // mismatched quantization would band-join almost nothing and silently
+    // return near-empty results — refuse instead
+    indexBands.foreach { b =>
+      require(
+        b.nTables == nTables && b.nProjs == nProjs &&
+          b.width == width && b.seed == seed,
+        s"precomputed index bands were built with (nTables=${b.nTables}, " +
+          s"nProjs=${b.nProjs}, width=${b.width}, seed=${b.seed}) but the " +
+          s"probe asked for ($nTables, $nProjs, $width, $seed)")
+    }
     val qBands = queries.select(col(queryIdCol), posexplode(
       array((0 until nTables).map(t =>
         rpBandKey(col(queryVecCol), t, nProjs, width, seed)): _*))
       .as(Seq("band", "__key")))
-    val iBands = indexBands.getOrElse(
-      rpIndexBands(index, idCol, vecCol, nTables, nProjs, width, seed))
+    val iBands = indexBands.map(_.bands).getOrElse(
+      rpIndexBands(index, idCol, vecCol, nTables, nProjs, width, seed).bands)
     val candIds = iBands
       .join(broadcast(qBands), Seq("band", "__key"))
       .select(col(queryIdCol), col(idCol))
       .distinct()
-    index
+    val cands = index
       .select(col(idCol), col(vecCol))
       .join(broadcast(candIds), Seq(idCol))
       .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
         Seq(queryIdCol))
       .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
       .select(col(queryIdCol), col(idCol), col("dist"))
-      .groupBy(col(queryIdCol))
-      .agg(call_function("topk_by_dist",
-        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
-      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
-      .select(
-        col(queryIdCol),
-        (col("r") + 1).cast("int").as("rank"),
-        col("hit.id").as(idCol),
-        col("hit.dist").as("dist"))
+    finishTopK(cands, k, queryIdCol, idCol)
   }
 
   /** Cosine near-dup pairs at scale: normalize to the unit sphere (cos sim
@@ -332,11 +346,7 @@ object Ann {
       queryVecCol: String = "query_vec",
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val idType = assigned.schema(idCol).dataType
-    require(
-      idType == org.apache.spark.sql.types.LongType ||
-        idType == org.apache.spark.sql.types.IntegerType,
-      s"ivfTopKBatch id column '$idCol' must be integral, got $idType")
+    requireIntegralId(assigned, idCol, "ivfTopKBatch")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryIdCol)).orderBy(col("cdist"), col("centroid_id"))
     val probes = queries
@@ -346,19 +356,11 @@ object Ann {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= nProbe)
       .select(col(queryIdCol), col(queryVecCol), col("centroid_id"))
-    assigned
+    val cands = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
       .select(col(queryIdCol), col(idCol), col("dist"))
-      .groupBy(col(queryIdCol))
-      .agg(call_function("topk_by_dist",
-        col("dist"), col(idCol).cast("long"), lit(k)).as("topk"))
-      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("r", "hit")))
-      .select(
-        col(queryIdCol),
-        (col("r") + 1).cast("int").as("rank"),
-        col("hit.id").as(idCol),
-        col("hit.dist").as("dist"))
+    finishTopK(cands, k, queryIdCol, idCol)
   }
 
   /** IVF query: rank centroids by distance to the query, then scan only
@@ -391,3 +393,11 @@ object Ann {
 class BucketedRandomProjectionLSHModelWrapper(
     val underlying: org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel)
   extends Serializable
+
+/** Precomputed RP-LSH index banding with the parameters that produced it —
+  * [[Ann.rpTopKBatch]] refuses a probe whose quantization doesn't match
+  * (the keys would silently join nothing). Persist `bands` (or write it as
+  * a parquet sidecar next to the index) to amortize the banding cost.
+  */
+case class RpBands(bands: org.apache.spark.sql.DataFrame,
+    nTables: Int, nProjs: Int, width: Double, seed: Long)

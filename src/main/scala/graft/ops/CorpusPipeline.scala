@@ -21,6 +21,10 @@ object CorpusPipeline {
     * (5% of rows, floor 64). Tokens above the cutoff are stop tokens for
     * near-dup purposes — they carry no discriminating signal but dominate
     * the join cost.
+    *
+    * Resolving the sentinel costs ONE eager `count()` over the input at
+    * call time (the cutoff must be a literal before the join is planned).
+    * Pass an explicit `maxDocFreq` to keep `curate`/`funnel` fully lazy.
     */
   val AutoDocFreq: Long = -1L
 
@@ -92,7 +96,12 @@ object CorpusPipeline {
     *   one state entry per distinct signature inside the horizon, so state
     *   is bounded by arrival rate × watermark. Signature equality catches
     *   exact duplicates AND token-reorder / whitespace / case variants —
-    *   the hamming-0 slice of near-dup.
+    *   the hamming-0 slice of near-dup. This is deliberately a DROP-ON-
+    *   COLLISION policy: two distinct documents whose token statistics
+    *   collide to the same 64-bit signature lose one of the pair (no
+    *   pairwise verification step exists in the streaming model); accept
+    *   that rare false drop at intake, or dedup on `fingerprintMd5`
+    *   instead for exact-only streaming dedup.
     *
     * Deeper near-dup (hamming > 0, jaccard) needs pairwise joins the
     * streaming model can't bound; that remains the periodic batch

@@ -242,6 +242,11 @@ object Dedup {
       minCos: Double = 0.95,
       maxExactRows: Int = 1 << 20): DataFrame = {
     requireSmall(emb, maxExactRows, "cosinePairsExact")
+    cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
+  }
+
+  private def cosinePairsExactUnchecked(
+      emb: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -279,8 +284,10 @@ object Dedup {
       maxExactRows: Int = 10000,
       bucketLength: Double = 0.05,
       numHashTables: Int = 4): DataFrame = {
+    // one probe job decides the branch; the exact path is entered unchecked
+    // so the same probe is not paid twice
     val small = emb.limit(maxExactRows + 1).count() <= maxExactRows
-    if (small) cosinePairsExact(emb, idCol, vecCol, minCos, maxExactRows)
+    if (small) cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
     else graft.ops.Ann.cosinePairsLsh(emb, idCol, vecCol, minCos,
       bucketLength, numHashTables)
   }

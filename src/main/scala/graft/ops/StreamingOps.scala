@@ -137,8 +137,13 @@ object StreamingOps {
     * (`/root/reference/micro-infobot/app.py:43-44,256`) as managed streaming
     * state keyed by session_id. Incoming messages
     * `(session_id, ts, role, content)` are assigned the next turn index for
-    * their session (event-time order, ties broken by role then content);
-    * the output is exactly the batch memory table, produced incrementally.
+    * their session — event-time order WITHIN each micro-batch (ties broken
+    * by role then content), arrival order across batches. A late-but-within-
+    * watermark message therefore gets a turn AFTER messages already emitted
+    * (turns are append-only, matching the reference's
+    * ConversationBufferMemory arrival semantics); the batch twin equals the
+    * streaming output exactly when messages arrive in event-time order,
+    * which is what the st6 oracle exercises.
     *
     * Scale: state per live session is ONE counter — the conversation text
     * itself lives in the append sink, not in state — so state size is

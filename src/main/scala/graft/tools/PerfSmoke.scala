@@ -97,8 +97,8 @@ object PerfSmoke {
     // algebra, no fit); the probe itself reuses it
     t0 = System.nanoTime()
     val rpBands = graft.ops.Ann.rpIndexBands(cIndex, "chunk_id", "embedding",
-      nTables = 8, nProjs = 3, width = 0.2).persist()
-    rpBands.count()
+      nTables = 8, nProjs = 3, width = 0.2)
+    rpBands.bands.persist().count()
     println(f"RP-LSH banding (amortized)   ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     val rp = graft.ops.Ann.rpTopKBatch(q64, cIndex, 10,
       nTables = 8, nProjs = 3, width = 0.2,
