@@ -760,6 +760,14 @@ object SparkEntry {
       Dedup.dropNearDups(docs, pairs)
         .select("doc_id").orderBy("doc_id")
     }
+    reg("d9_cc_resolution") { (s, dir) =>
+      // exact transitive-closure dedup: one representative per connected
+      // component of the jaccard pair graph (oracled against a DuckDB
+      // recursive CTE — a genuine oracle for an iterative Spark algorithm)
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
+      Dedup.dropNearDupsCC(docs, pairs).select("doc_id").orderBy("doc_id")
+    }
     reg("d8_cosine_pairs_auto") { (s, dir) =>
       // size-guarded path: fixture is under maxExactRows so this resolves
       // to the exact branch (oracle-comparable); past the guard it
@@ -1751,6 +1759,32 @@ object SparkEntry {
         |        event_type || ':' || coalesce(props, '') AS content
         |      FROM events WHERE user_id IN (1, 2, 3))
         |ORDER BY session_id, turn""".stripMargin,
+    "d9_cc_resolution" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |mincomp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 60
+        |  AND doc_id NOT IN (SELECT id FROM mincomp WHERE id <> comp)
+        |ORDER BY doc_id""".stripMargin,
     "d8_cosine_pairs_auto" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -209,6 +209,69 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Exact connected components over the near-dup candidate pair graph:
+    * returns `(id, comp)` where `comp` is the minimum id reachable through
+    * any chain of pairs. Iterative min-label propagation — one keyed
+    * shuffle per round, converging in O(cluster diameter) rounds, which
+    * for near-dup graphs is small (dup clusters are dense); each round is
+    * localCheckpoint'ed so the plan/lineage stays flat. For adversarial
+    * long-chain graphs substitute the large-star/small-star O(log n)
+    * variant; the per-round join shape is the same.
+    *
+    * vs [[dropNearDups]]: greedy keep-lowest drops only ids that appear as
+    * `id_b`, so pairs {(1,3),(2,3)} keep BOTH 1 and 2 even though they are
+    * transitively near each other through 3. Component resolution keeps
+    * exactly one representative per transitive cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dcomp")).as("ncomp"))
+        val updated = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        converged = updated
+          .join(labels.select(col("id"), col("comp").as("old")), "id")
+          .where(col("comp") =!= col("old"))
+          .isEmpty
+        labels = updated
+        i += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — raise " +
+          "maxIter (cluster diameter exceeds it) or use a star-contraction variant")
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** Near-dup resolution by exact transitive closure: keep one
+    * representative (the minimum id) per connected component of the pair
+    * graph. Docs not in any pair pass through untouched.
+    */
+  def dropNearDupsCC(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, maxIter)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs with cosine ≥ `minCos`. Exact variant: a

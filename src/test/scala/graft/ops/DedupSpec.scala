@@ -148,6 +148,30 @@ class DedupSpec extends SparkSpec {
     assert(jobs <= 6, s"funnel used $jobs jobs")
   }
 
+  test("connected components resolve transitive near-dup chains exactly") {
+    // two components: {1,2,3} connected only through 3, and a 4-chain
+    // {10,11,12,13}; greedy keep-lowest would keep both 1 AND 2
+    val pairs = Seq(
+      (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L)
+    ).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 99L)
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDupsCC(corpus, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L),
+      s"one representative per component + untouched singleton, got $kept")
+    // greedy differs on exactly the transitive case
+    val greedy = Dedup.dropNearDups(corpus, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == Set(1L, 2L, 10L, 99L))
+  }
+
   test("cosine near-dup pairs over embeddings") {
     val emb = Seq(
       (1L, Array(1f, 0f, 0f)),
