@@ -32,19 +32,28 @@ object CorpusPipeline {
     if (maxDocFreq == AutoDocFreq) math.max(64L, (docs.count() * 0.05).toLong)
     else maxDocFreq
 
-  /** Curate a corpus: returns the surviving docs. */
+  /** Curate a corpus: returns the surviving docs.
+    *
+    * `exactComponents = true` resolves near-dups by exact transitive
+    * closure ([[Dedup.dropNearDupsCC]]) — one representative per connected
+    * cluster — instead of the greedy single-pass keep-lowest (which keeps
+    * both endpoints of a transitive chain like {(1,3),(2,3)}). The exact
+    * variant costs O(cluster diameter) extra shuffle rounds.
+    */
   def curate(
       docs: DataFrame,
       minQuality: Double = 0.5,
       nearDupMinSim: Double = 0.8,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDocFreq: Long = AutoDocFreq): DataFrame = {
+      maxDocFreq: Long = AutoDocFreq,
+      exactComponents: Boolean = false): DataFrame = {
     val bound = resolveDocFreq(docs, maxDocFreq)
     val quality = docs.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
     val exact = Dedup.dedupExact(quality, idCol, textCol)
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
-    Dedup.dropNearDups(exact, pairs, idCol)
+    if (exactComponents) Dedup.dropNearDupsCC(exact, pairs, idCol)
+    else Dedup.dropNearDups(exact, pairs, idCol)
   }
 
   /** Per-stage survivor counts — the curation funnel report.

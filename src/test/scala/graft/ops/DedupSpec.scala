@@ -172,6 +172,25 @@ class DedupSpec extends SparkSpec {
     assert(greedy == Set(1L, 2L, 10L, 99L))
   }
 
+  test("curate with exactComponents keeps one representative per cluster") {
+    // 1/2/3 transitively near through shared vocabulary; quality passes all
+    val base = "a reasonably long body of plain words repeated enough " * 10
+    val corpus = Seq(
+      (1L, base + "alpha"),
+      (2L, base + "beta"),
+      (3L, base + "alpha beta"),
+      (4L, ("entirely different vocabulary about orchard harvesting " * 12))
+    ).toDF("doc_id", "text")
+    val greedy = CorpusPipeline.curate(corpus, minQuality = 0.3, nearDupMinSim = 0.9,
+      maxDocFreq = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = CorpusPipeline.curate(corpus, minQuality = 0.3, nearDupMinSim = 0.9,
+      maxDocFreq = 1000L, exactComponents = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(greedy))
+    assert(exact.contains(4L) && exact.contains(1L))
+  }
+
   test("cosine near-dup pairs over embeddings") {
     val emb = Seq(
       (1L, Array(1f, 0f, 0f)),
