@@ -810,6 +810,24 @@ object SparkEntry {
         .select("query_id", "question", "answer")
     }
 
+    reg("ep3_rag_batch") { (s, dir) => // rows-only: includes the fitted embedder
+      // the serving path (RagServing.answerBatch) as one batch job: many
+      // questions answered together — identical inner plan to the
+      // streaming foreachBatch arm
+      val docs = docs2(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text2").as("text"))
+      val embedder = VectorIndex.fit(docs)
+      val index = VectorIndex.buildWith(docs, embedder)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import s.implicits._
+      val questions = Seq(
+        (0L, "customer order data stream"),
+        (1L, "supplier nation region"),
+        (2L, "lineitem quantity price")).toDF("query_id", "question")
+      RagServing.answerBatch(questions, index, embedder, k = 4)
+        .orderBy("query_id")
+    }
+
     // ---- corpus curation pipeline (p*)
     reg("p1_curation_funnel") { (s, dir) =>
       // Unsliced corpus: the doc-frequency cutoff (300) is the scale guard —

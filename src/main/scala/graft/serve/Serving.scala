@@ -20,6 +20,9 @@ object Config {
   val NoInfoFallback = "No hay información relevante."
   val Greetings = Seq("hola", "hello", "hi", "buenos dias", "buenas tardes")
 
+  /** LangChain `similarity_search` default k, app.py:223. */
+  val RetrievalK = 4
+
   /** gpt-4-turbo pricing, app.py:276: $1e-5/prompt tok, $3e-5/completion tok. */
   val PromptTokenCost = 1.0e-5
   val CompletionTokenCost = 3.0e-5
@@ -163,6 +166,59 @@ object PromptAssembly {
 /** C3: the LLM-completion boundary. The engine never calls a network model;
   * serving plugs an [[Answerer]] in, tests use the deterministic stub.
   */
+/** EP2 as a stream: the reference's interactive chat loop
+  * (`/root/reference/micro-infobot/app.py:219-256`) re-expressed as
+  * micro-batch serving — a stream of questions is answered against a
+  * static index. Each micro-batch runs the full batch retrieval path
+  * (embed with the FITTED corpus embedder → batch kNN against the
+  * broadcast-scored index → context assembly → answerer), so serving
+  * shares every audited plan shape with the batch engine; the index is
+  * re-read per batch only if not cached — persist it for serving.
+  *
+  * This is the Spark answer to "online semantic search": latency is
+  * micro-batch-bounded (trigger interval), throughput scales with the
+  * cluster, and exactly-once output comes from the sink checkpoint.
+  */
+object RagServing {
+
+  def answerBatch(
+      questions: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame,
+      embedder: graft.embed.Embedder,
+      k: Int = Config.RetrievalK,
+      answerer: Answerer = EchoAnswerer): org.apache.spark.sql.DataFrame = {
+    val qVecs = embedder.embed(questions, "question", "query_vec")
+      .select(col("query_id"), col("question"), col("query_vec"))
+    val hits = graft.search.Knn
+      .topKBatch(qVecs, index, k, idCol = "chunk_id")
+      .join(index.select(col("chunk_id"), col("text")), Seq("chunk_id"))
+    val ctx = ContextAssembly.assembleAll(
+      qVecs.select("query_id", "question"), hits)
+    answerer.answer(ctx, "question", "context")
+      .select("query_id", "question", "answer")
+  }
+
+  /** Streaming arm: `questions(query_id, question)` stream → parquet sink
+    * of `(query_id, question, answer)`. foreachBatch so the inner plan is
+    * exactly [[answerBatch]].
+    */
+  def streamingRagSink(
+      questions: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame,
+      embedder: graft.embed.Embedder,
+      path: String,
+      checkpoint: String,
+      k: Int = Config.RetrievalK,
+      answerer: Answerer = EchoAnswerer): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    questions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        answerBatch(batch, index, embedder, k, answerer)
+          .write.mode("append").parquet(path)
+        ()
+      }
+}
+
 trait Answerer extends Serializable {
   /** Adds `answerCol` computed from a context column and question column. */
   def answer(df: DataFrame, questionCol: String, contextCol: String,

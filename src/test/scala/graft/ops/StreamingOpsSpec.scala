@@ -362,6 +362,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming RAG serving answers a question stream from the static index") {
+    implicit val sqlC = spark.sqlContext
+    val out = Files.createTempDirectory("graft_rag_out").toString + "/answers"
+    val ckpt = Files.createTempDirectory("graft_rag_ckpt").toString
+    val corpus = Seq(
+      (1L, "SECTION SPARK\n\nspark shuffles data between stages when grouping"),
+      (2L, "SECTION DUCKS\n\nducks swim in the pond every morning")
+    ).toDF("doc_id", "text")
+    val embedder = graft.index.VectorIndex.fit(corpus)
+    val index = graft.index.VectorIndex.buildWith(corpus, embedder).persist()
+    val mem = MemoryStream[(Long, String)]
+    val qs = mem.toDF().toDF("query_id", "question")
+    val q = graft.serve.RagServing
+      .streamingRagSink(qs, index, embedder, out, ckpt, k = 2).start()
+    try {
+      mem.addData((1L, "spark shuffles grouping"), (2L, "ducks pond swim"))
+      q.processAllAvailable()
+      val answers = spark.read.parquet(out)
+        .select("query_id", "answer").as[(Long, String)].collect().toMap
+      assert(answers.size == 2)
+      assert(answers(1L).contains("spark shuffles data"),
+        s"query 1 should ground in the spark chunk: ${answers(1L)}")
+      assert(answers(2L).contains("ducks swim"),
+        s"query 2 should ground in the ducks chunk: ${answers(2L)}")
+    } finally q.stop()
+  }
+
   test("chat-log streaming sink appends parquet rows") {
     implicit val sqlC = spark.sqlContext
     val out = Files.createTempDirectory("graft_chatlog").toString
