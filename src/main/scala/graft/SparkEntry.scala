@@ -996,7 +996,9 @@ object SparkEntry {
         Multimodal.fromDocuments(T(s, dir, "documents")), nFrames = 4)
         .orderBy("media_id", "frame_idx")
     }
-    reg("m2_decode_features") { (s, dir) => // rows-only: stubbed decoder
+    reg("m2_decode_features") { (s, dir) => // oracled: FakeDecoder's math
+      // (exact integer sums → two double divisions → one float cast) is
+      // IEEE-reproducible in DuckDB via CAST(... AS REAL)
       Multimodal.decodeFeatures(
         Multimodal.fromDocuments(T(s, dir, "documents")), dims = 8)
         .select(col("media_id"), col("kind"),
@@ -1888,6 +1890,18 @@ object SparkEntry {
         |    AS BIGINT) AS byte_offset
         |FROM documents WHERE octet_length(encode(text)) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "m2_decode_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN len(idx) = 0 THEN CAST(0.0 AS REAL)
+        |       ELSE round(CAST(
+        |         list_sum(list_transform(idx,
+        |           i -> CAST(ascii(substring(text, i, 1)) AS DOUBLE)))
+        |         / len(idx) / 255.0 AS REAL), 6) END AS f0
+        |FROM (SELECT doc_id, text,
+        |        list_filter(range(1, length(text)+1), i -> (i-1) % 8 = 0) AS idx
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin,
     "m3_resize_meta" ->
       """SELECT doc_id AS media_id, 128 AS width, 128 AS height,
         |  CAST(length(text) AS BIGINT) * 10 AS duration_ms
