@@ -111,7 +111,17 @@ object VectorIndex {
       val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
       val fresh =
         if (fs.exists(hPath) && touched.nonEmpty) {
-          val existingIds = load(spark, path)
+          val existing = load(spark, path)
+          // a wrong-dims embedder (e.g. re-fit with different settings)
+          // would append vectors that silently score garbage distances
+          // against every pre-existing row — refuse instead
+          existing.select(size(col("embedding"))).head(1).foreach { r =>
+            require(r.getInt(0) == embedder.dims,
+              s"index at $path holds ${r.getInt(0)}-d embeddings but the " +
+                s"embedder produces ${embedder.dims}-d — append must use the " +
+                "embedder fitted for this index")
+          }
+          val existingIds = existing
             .where(col("section").isin(touched.map(x => x: Any): _*))
             .select("chunk_id")
           delta.join(existingIds, Seq("chunk_id"), "left_anti")

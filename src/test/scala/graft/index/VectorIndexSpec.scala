@@ -48,6 +48,21 @@ class VectorIndexSpec extends SparkSpec {
     assert(fromIndex == rebuilt)
   }
 
+  test("append refuses an embedder with mismatched dimensions") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_dims").toString + "/idx"
+    val base = docs(0 until 10)
+    val embedder64 = VectorIndex.fit(base)
+    VectorIndex.write(VectorIndex.buildWith(base, embedder64), path)
+    val embedder16 = new graft.embed.HashingTfIdfEmbedder(16)
+      .fit(graft.transform.Chunker.chunk(
+        graft.transform.Sectionizer.sectionize(base)), "chunk")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.append(spark, docs(10 until 12), path, embedder16)
+    }
+    assert(e.getMessage.contains("64-d"))
+  }
+
   test("first append onto a missing path bootstraps the index") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_idx_boot").toString + "/fresh"

@@ -101,6 +101,17 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no heap aggregate:\n$plan")
   }
 
+  test("rpTopKBatch refuses precomputed bands with mismatched quantization") {
+    val qs = emb.where($"vec_id" === 7L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bands = Ann.rpIndexBands(emb, nTables = 4, nProjs = 2, width = 1.0)
+    val e = intercept[IllegalArgumentException] {
+      Ann.rpTopKBatch(qs, emb, 5, nTables = 8, nProjs = 2, width = 1.0,
+        indexBands = Some(bands))
+    }
+    assert(e.getMessage.contains("nTables"))
+  }
+
   test("batch IVF with all lists probed equals exact batch kNN") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
     val qs = emb.where($"vec_id".isin(3L, 7L, 11L))
