@@ -2,11 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times each registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A query that throws is recorded under "errors"
-  * (and excluded from the total) instead of masquerading as a fast run.
+/** Benchmark main: times each registered query on SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (two artifacts, one purpose each):
+  *  - stdout: ONE compact JSON line. The driver captures only the TAIL of
+  *    stdout (~2000 chars), so the line carries the total, a fixed headline
+  *    subset of per-query medians, and error counts — never the full
+  *    98-query dict (that is what made rounds 1-3 unparseable).
+  *  - `BENCH.json` (repo root): the full result — every query's median,
+  *    raw samples, and error detail.
+  *
+  * Error contract: a query appears in `queries`/`runs` only if it produced
+  * at least one successful sample. A query whose FIRST run throws goes to
+  * `errors` (fatal, no timing). A query that succeeded then failed on a
+  * repeat keeps its samples in `queries` and the message goes to `flaky` —
+  * `errors` and `queries` are disjoint by construction.
   */
 object Bench {
+
+  /** Fixed headline subset for the compact stdout line: one representative
+    * per area (relational, kNN, pipeline, dedup, ANN, streaming, text,
+    * curation, serving). Small enough that the line survives a 2000-char
+    * stdout tail with room to spare.
+    */
+  private val Headline = Seq(
+    "r1_pricing_summary", "r2_shipping_priority", "r3_regional_revenue",
+    "q1_knn_top4", "q1b_knn_batch", "t4_chunks", "t6_embed",
+    "d1_exact_dup_groups", "d3_jaccard_pairs", "d5_minhash_pairs",
+    "a2_ivf_topk", "a6_rp_batch", "st1_tumbling", "x5_top_terms",
+    "p1_curation_funnel", "ep3_rag_batch")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,6 +54,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
+    def r3(d: Double): String = f"$d%.3f"
 
     // Warm the JVM/session (codegen, parquet footer cache) so the first
     // measured query doesn't absorb startup cost.
@@ -37,8 +63,7 @@ object Bench {
 
     // Sub-5s timings carry ±50% variance on a shared box; per-query numbers
     // are medians over `runs` repeats so round-over-round regressions are
-    // detectable. "queries" stays name→seconds (driver contract); the raw
-    // samples ride along under "runs".
+    // detectable.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // Soft wall-clock budget: every query always gets its first run, but
     // repeat runs (for the median) stop once the budget is spent — bounds
@@ -48,6 +73,7 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val flaky = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
@@ -60,26 +86,53 @@ object Bench {
         } catch {
           case e: Throwable =>
             failed = true
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            // fatal only when no run ever succeeded; a repeat failure after a
+            // successful sample is flaky — the measured data point stands
+            if (samples.isEmpty) errors(name) = msg else flaky(name) = msg
         }
         i += 1
       }
-      // keep successful samples even when a later repeat fails (transient
-      // failures must not erase a measured data point)
       if (samples.nonEmpty) timings(name) = samples.toSeq
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":${median(v)}""" }
-      .mkString("{", ",", "}")
-    val runs = timings.map { case (k, v) => s""""${esc(k)}":[${v.mkString(",")}]""" }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    def dict(kv: Iterable[(String, String)]): String =
+      kv.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val total = timings.values.map(median).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"n_runs":$nRuns,"errors":$errs,"sf":"${esc(sfDir)}"}""")
+    val sfStr = s""""${esc(sfDir)}""""
+
+    // Full result → file (the machine-readable artifact; stdout is a tail).
+    val full = dict(Seq(
+      "metric" -> "\"total\"",
+      "value" -> r3(total),
+      "unit" -> "\"sec\"",
+      "queries" -> dict(timings.map { case (k, v) => k -> r3(median(v)) }),
+      "runs" -> dict(timings.map { case (k, v) =>
+        k -> v.map(r3).mkString("[", ",", "]") }),
+      "n_runs" -> nRuns.toString,
+      "errors" -> dict(errors.map { case (k, v) => k -> s""""${esc(v)}"""" }),
+      "flaky" -> dict(flaky.map { case (k, v) => k -> s""""${esc(v)}"""" }),
+      "sf" -> sfStr))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), full + "\n")
+
+    // Compact stdout line: fixed headline subset only (~600 chars), printed
+    // after spark.stop() so no shutdown logging can land behind it.
+    val headlineQs = Headline.flatMap(n => timings.get(n).map(v => n -> r3(median(v))))
+    val compact = dict(Seq(
+      "metric" -> "\"total\"",
+      "value" -> r3(total),
+      "unit" -> "\"sec\"",
+      "queries" -> dict(headlineQs),
+      "n_queries" -> timings.size.toString,
+      "n_runs" -> nRuns.toString,
+      "n_errors" -> errors.size.toString,
+      "n_flaky" -> flaky.size.toString,
+      "detail" -> "\"BENCH.json\"",
+      "sf" -> sfStr))
     spark.stop()
+    println(compact)
   }
 }

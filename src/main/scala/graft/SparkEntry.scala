@@ -898,13 +898,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
-    reg("a3_cosine_lsh_pairs") { (s, dir) => // rows-only: LSH bucketing is MLlib
-      // unit-vector projections onto a random unit direction are ~N(0, d^-1/2)
-      // = sigma 0.125 at d=64, so slabs must be much narrower than that or
-      // every vector lands in the same handful of buckets and the join
-      // degenerates to all-pairs
-      Ann.cosinePairsLsh(T(s, dir, "embeddings"), minCos = 0.4, bucketLength = 0.05,
-        numHashTables = 2)
+    reg("a3_cosine_lsh_pairs") { (s, dir) => // rows-only: LSH banding is approximate
+      // AND/OR-amplified RP-LSH banding with exact-cosine verification of
+      // candidates: the output is a subset of the exact d8 pairs, with
+      // recall >= 0.9 asserted against that exact path in AnnSpec (the
+      // prior MLlib BRP path recalled ~32% at this threshold — one
+      // projection per table cannot trade selectivity against recall)
+      Ann.cosinePairsRp(T(s, dir, "embeddings"), minCos = 0.4)
     }
 
     // ---- streaming-shape aggregations (st*, batch-equivalent)

@@ -85,9 +85,17 @@ class Word2VecEmbedder(val dims: Int = 64, model: Option[Word2VecModel] = None)
     .setToLowercase(true)
 
   def fit(corpus: DataFrame, textCol: String = "chunk"): Word2VecEmbedder = {
-    // sort → coalesce(1): a global order the optimizer cannot re-split,
-    // so the SGD pass sees an identical sequence at any session parallelism
-    val pinned = corpus.select(textCol).sort(textCol).coalesce(1)
+    // The SGD pass needs ONE partition in a globally fixed order. A naive
+    // sort.coalesce(1) pipelines the coalesce into the sort stage and the
+    // sort itself runs as a single task; materializing the sorted result
+    // first (localCheckpoint) keeps the sort parallel, and the subsequent
+    // coalesce(1) concatenates the range-partitioned output in partition
+    // order — still globally sorted. Rows tying on textCol are byte-equal
+    // strings, so their relative order cannot change the token sequence.
+    // The 1-partition FIT remains inherently serial and size-bound — that
+    // is the determinism trade; raise numPartitions to trade it back for
+    // throughput (Hogwild updates make the fit order-dependent again).
+    val pinned = corpus.select(textCol).sort(textCol).localCheckpoint(true).coalesce(1)
     val toks = tokenizer(textCol).transform(pinned)
     val w2v = new Word2Vec()
       .setInputCol("__tokens").setOutputCol("__vec")

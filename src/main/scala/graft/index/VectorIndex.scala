@@ -126,13 +126,20 @@ object VectorIndex {
             .select("chunk_id")
           delta.join(existingIds, Seq("chunk_id"), "left_anti")
         } else delta
-      val appended = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val n = appended.count()
-        if (n > 0)
-          appended.write.mode("append").partitionBy("section").parquet(path)
-        n
-      } finally appended.unpersist()
+      // The deduped frame's lineage references the index directory it is
+      // about to append into. A persist() would make correctness depend on
+      // cached partitions surviving until the write (an eviction mid-write
+      // recomputes against the partially-appended directory and can
+      // duplicate or drop delta rows). localCheckpoint(eager) materializes
+      // the rows and TRUNCATES the lineage: after this line the write reads
+      // checkpointed blocks only — if an executor holding them dies, the
+      // job fails loudly instead of silently recomputing against mutated
+      // input.
+      val appended = fresh.localCheckpoint(true)
+      val n = appended.count()
+      if (n > 0)
+        appended.write.mode("append").partitionBy("section").parquet(path)
+      n
     } finally delta.unpersist()
   }
 }

@@ -37,6 +37,17 @@ object Ann {
       s"$op id column '$idCol' must be integral, got $idType")
   }
 
+  /** Broadcast a data-dependent candidate-id frame only while it provably
+    * fits. The candidate set's size is |queries| × banding selectivity — a
+    * mistuned bucketLength/width (or skewed data) degenerates the banding
+    * and an unconditional `broadcast()` hint would then force an OOM-sized
+    * driver collect. The probe scans at most `cap + 1` rows (limit pushes
+    * down, never a full materialization); past the cap the join falls back
+    * to a shuffle — slower, never fatal.
+    */
+  private def maybeBroadcast(candIds: DataFrame, cap: Int): DataFrame =
+    if (candIds.limit(cap + 1).count() <= cap) broadcast(candIds) else candIds
+
   /** Shared batch finisher: (query_id, id, dist) candidate rows → bounded
     * heap per query → one row per (query, rank ≤ k).
     */
@@ -114,7 +125,8 @@ object Ann {
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBroadcastCandidates: Int = 4000000): DataFrame = {
     requireIntegralId(hashed, idCol, "lshTopKBatch")
     import org.apache.spark.ml.functions.vector_to_array
     val qHashed = model.underlying
@@ -134,11 +146,12 @@ object Ann {
       .select(col(queryIdCol), col(idCol))
       .distinct()
     // Fetch each surviving candidate's vector once (candidates ≪ index by
-    // construction — that is the point of LSH — so they broadcast), score
-    // against the broadcast query vectors, heap-topk per query.
+    // construction — that is the point of LSH — so they broadcast, guarded
+    // against degenerate banding), score against the broadcast query
+    // vectors, heap-topk per query.
     val cands = hashed
       .select(col(idCol), col(vecCol))
-      .join(broadcast(candIds), Seq(idCol))
+      .join(maybeBroadcast(candIds, maxBroadcastCandidates), Seq(idCol))
       .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
         Seq(queryIdCol))
       .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
@@ -222,7 +235,8 @@ object Ann {
       queryVecCol: String = "query_vec",
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      indexBands: Option[RpBands] = None): DataFrame = {
+      indexBands: Option[RpBands] = None,
+      maxBroadcastCandidates: Int = 4000000): DataFrame = {
     requireIntegralId(index, idCol, "rpTopKBatch")
     // mismatched quantization would band-join almost nothing and silently
     // return near-empty results — refuse instead
@@ -246,7 +260,7 @@ object Ann {
       .distinct()
     val cands = index
       .select(col(idCol), col(vecCol))
-      .join(broadcast(candIds), Seq(idCol))
+      .join(maybeBroadcast(candIds, maxBroadcastCandidates), Seq(idCol))
       .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
         Seq(queryIdCol))
       .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
@@ -254,9 +268,86 @@ object Ann {
     finishTopK(cands, k, queryIdCol, idCol)
   }
 
+  /** Unit-normalize an `ARRAY<FLOAT>` embedding column to `ARRAY<DOUBLE>`
+    * (zero vectors dropped — cosine is undefined for them).
+    */
+  private def unitRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.withColumn("__norm",
+      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, b) => a + b)))
+      .where(col("__norm") > 0)
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double") / col("__norm")).as("__unit"))
+
+  /** Cosine near-dup pairs via multi-projection RP-LSH banding — the scale
+    * path [[graft.ops.Dedup.cosinePairsAuto]] escalates to.
+    *
+    * Shape: normalize to the unit sphere (cos ⇔ L2: ‖a−b‖² = 2−2cos), band
+    * each vector with [[rpBandKey]] (nProjs quantized projections AND-ed
+    * per table, OR over nTables tables), self-join on `(band, key)` moving
+    * only `(id, band, key)`, then verify every candidate with the EXACT
+    * cosine — precision is exact by construction, only recall is
+    * approximate.
+    *
+    * Recall: a true pair at distance d* = √(2−2·minCos) collides per
+    * projection with probability ≈ 1 − E|Δ|/w where Δ ~ N(0, d*²/12); with
+    * the default `width` = d* that is ≈ 0.77 per projection, ≈ 0.45 per
+    * 3-projection table, and 1−(1−0.45)¹² ≈ 0.999 over 12 tables. Pairs
+    * ABOVE the threshold are closer and collide more. Asserted ≥ 0.9
+    * against the exact path in AnnSpec. Selectivity sharpens as minCos → 1
+    * (dedup regime); at loose thresholds (≲ 0.5) banding keeps most of the
+    * index — that is inherent to LSH, not a tuning failure.
+    *
+    * Hot-bucket guard: same cutoff as [[Dedup.simhashPairs]] — buckets past
+    * `maxBucketSize` are dropped before the quadratic self-join (mass exact
+    * dups belong to exact dedup first).
+    *
+    * Supersedes [[cosinePairsLsh]] (MLlib BRP: ONE projection per table, no
+    * AND-amplification — measured ~32% recall at minCos 0.4 on the fixture
+    * where this path exceeds 90%).
+    */
+  def cosinePairsRp(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCos: Double = 0.95,
+      nTables: Int = 12,
+      nProjs: Int = 3,
+      width: Option[Double] = None,
+      seed: Long = 42L,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
+    val dStar = math.sqrt(math.max(1e-12, 2.0 - 2.0 * minCos))
+    val w = width.getOrElse(dStar)
+    val unit = unitRows(emb, idCol, vecCol)
+    val banded = unit.select(col(idCol), posexplode(
+      array((0 until nTables).map(t => rpBandKey(col("__unit"), t, nProjs, w, seed)): _*))
+      .as(Seq("band", "__key")))
+    val hot = banded.groupBy("band", "__key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select("band", "__key")
+    val cold = banded.join(broadcast(hot), Seq("band", "__key"), "left_anti")
+    val candPairs = cold.select(col(idCol).as("id_a"), col("band"), col("__key"))
+      .join(cold.select(col(idCol).as("id_b"), col("band"), col("__key")),
+        Seq("band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candPairs
+      .join(unit.select(col(idCol).as("id_a"), col("__unit").as("__ua")), Seq("id_a"))
+      .join(unit.select(col(idCol).as("id_b"), col("__unit").as("__ub")), Seq("id_b"))
+      .withColumn("cos", aggregate(zip_with(col("__ua"), col("__ub"), _ * _),
+        lit(0.0), (a, b) => a + b))
+      .where(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cosine near-dup pairs at scale: normalize to the unit sphere (cos sim
-    * ⇔ L2 dist: ‖a−b‖² = 2−2cos), then LSH `approxSimilarityJoin` — the
-    * bucketed path [[Dedup.cosinePairsExact]] escalates to.
+    * ⇔ L2 dist: ‖a−b‖² = 2−2cos), then LSH `approxSimilarityJoin`. Kept for
+    * compatibility with a fitted MLlib model; prefer [[cosinePairsRp]] —
+    * MLlib hashes with one projection per table, so recall at a given
+    * candidate volume is strictly worse (no AND-amplification).
     */
   def cosinePairsLsh(
       emb: DataFrame,

@@ -115,12 +115,26 @@ object Dedup {
     * needs `maxHamming + 1` bands (pigeonhole: ≤ h differing bits over
     * h+1 bands ⇒ at least one band untouched), so the band layout adapts
     * to the requested distance (capped at 16 bands of ≥4 bits).
+    *
+    * Hot-bucket guard (`maxBucketSize`): the band self-join is quadratic in
+    * the largest band bucket, and a degenerate signature (mass empty or
+    * near-identical docs — e.g. a boilerplate page crawled a million times)
+    * concentrates one bucket until the join is effectively all-pairs. Band
+    * buckets holding more than `maxBucketSize` ids are dropped before the
+    * join — the analog of [[jaccardPairs]]'s `maxDocFreq` posting-list
+    * cutoff; the drop list is bounded by corpus_size / maxBucketSize, so it
+    * stays broadcast-small at any corpus size. RECALL NOTE: a pair is lost
+    * only if EVERY band it shares is hot, so the pigeonhole guarantee
+    * weakens to "some shared band is cold". Mass exact duplicates (the
+    * usual cause of a hot bucket) belong to [[dedupExact]] first — run it
+    * before near-dup detection and the guard almost never fires.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] for guaranteed banding recall, got $maxHamming")
     val nBands = maxHamming + 1
@@ -137,9 +151,14 @@ object Dedup {
       col(idCol), col("sig"),
       posexplode(array((0 until nBands).map(bandKey): _*))
         .as(Seq("band", "band_key")))
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+    val hot = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select("band", "band_key")
+    val cold = banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    val a = cold.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+    val b = cold.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
       col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
@@ -227,6 +246,16 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A localCheckpoint's blocks live in an RDD referenced by the plan's
+    // LogicalRDD, not in the cache manager, so Dataset.unpersist() cannot
+    // reach them — without this, every round's label set would stay pinned
+    // in executor storage for the life of the session.
+    def freeCkpt(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
@@ -238,16 +267,19 @@ object Dedup {
           .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("dcomp")).as("ncomp"))
+        // The convergence marker rides along in the same job as the label
+        // update (a prior version re-joined updated×labels per round just
+        // to detect change — one extra shuffle for information the update
+        // row already carries).
         val updated = labels
           .join(nbrMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+            (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
           .localCheckpoint(true)
-        converged = updated
-          .join(labels.select(col("id"), col("comp").as("old")), "id")
-          .where(col("comp") =!= col("old"))
-          .isEmpty
-        labels = updated
+        converged = updated.where(col("__changed")).isEmpty
+        freeCkpt(labels)
+        labels = updated.drop("__changed")
         i += 1
       }
       require(converged,
@@ -331,13 +363,15 @@ object Dedup {
 
   /** Size-guarded cosine near-dup pairs — the path callers should default
     * to. Exact O(n²) broadcast join only while the input provably fits
-    * (`maxExactRows`); above that it auto-escalates to the LSH-bucketed
-    * [[Ann.cosinePairsLsh]] so the all-pairs plan can never reach a
+    * (`maxExactRows`); above that it auto-escalates to the AND/OR-amplified
+    * RP-LSH banding ([[Ann.cosinePairsRp]], recall ≥ 0.9 asserted vs the
+    * exact path in AnnSpec) so the all-pairs plan can never reach a
     * full-size corpus. The size probe is `limit(max+1).count()` — it scans
     * at most `maxExactRows + 1` rows, never the whole table.
     *
-    * The two branches agree on every pair the LSH banding recalls; the
-    * exact branch is the recall oracle (see DedupSpec).
+    * The two branches agree on every pair the banding recalls (candidates
+    * are verified with the exact cosine); the exact branch is the recall
+    * oracle (see AnnSpec).
     */
   def cosinePairsAuto(
       emb: DataFrame,
@@ -345,13 +379,12 @@ object Dedup {
       vecCol: String = "embedding",
       minCos: Double = 0.95,
       maxExactRows: Int = 10000,
-      bucketLength: Double = 0.05,
-      numHashTables: Int = 4): DataFrame = {
+      nTables: Int = 12,
+      nProjs: Int = 3): DataFrame = {
     // one probe job decides the branch; the exact path is entered unchecked
     // so the same probe is not paid twice
     val small = emb.limit(maxExactRows + 1).count() <= maxExactRows
     if (small) cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
-    else graft.ops.Ann.cosinePairsLsh(emb, idCol, vecCol, minCos,
-      bucketLength, numHashTables)
+    else graft.ops.Ann.cosinePairsRp(emb, idCol, vecCol, minCos, nTables, nProjs)
   }
 }

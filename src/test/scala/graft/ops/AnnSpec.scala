@@ -62,6 +62,25 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall=$mean per-query=$recalls")
   }
 
+  test("cosinePairsRp: recall >= 0.9 vs exact pairs, exact precision, no cartesian") {
+    // the registered a3 configuration (minCos 0.4 — a LOOSE threshold, the
+    // adversarial regime for LSH banding; at dedup thresholds ~0.95 the
+    // banding is strictly sharper)
+    val exact = Dedup.cosinePairsExact(emb, minCos = 0.4, maxExactRows = 1 << 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val rp = Ann.cosinePairsRp(emb, minCos = 0.4)
+    val got = rp.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction: every candidate is verified with
+    // the true cosine, so the output must be a subset of the exact pairs
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0
+      else got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${got.size}/${exact.size})")
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded pairs join must not be all-pairs:\n${plan.take(2000)}")
+  }
+
   test("batch LSH ANN dedups multi-band collisions: ranks are 1..k distinct ids") {
     val (hashed, model) = Ann.fitLsh(emb, numHashTables = 8)
     val qs = emb.where($"vec_id".isin(3L, 7L))

@@ -86,6 +86,105 @@ class DedupSpec extends SparkSpec {
     assert(found == within8, s"banding missed ${within8 -- found}")
   }
 
+  test("simhash hot-bucket guard bounds a degenerate mass-duplicate corpus") {
+    // 300 identical boilerplate docs concentrate every band bucket; without
+    // the guard the band self-join emits 300·299/2 = 44850 pairs from that
+    // bucket alone. The guard drops buckets past maxBucketSize, so the
+    // candidate volume stays bounded while pairs in cold buckets survive.
+    val boiler = (1L to 300L).map(i =>
+      (i, "the same boilerplate page content repeated everywhere forever"))
+    val near = Seq(
+      (1001L, "completely distinct article about orchard harvesting methods and tools"),
+      (1002L, "completely distinct article about orchard harvesting methods and gear"))
+    val corpus = (boiler ++ near).toDF("doc_id", "text")
+    val guarded = Dedup.simhashPairs(corpus, maxHamming = 8, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!guarded.exists { case (a, b) => a <= 300L && b <= 300L },
+      "mass-dup bucket must be cut by the guard")
+    assert(guarded.size <= 10, s"candidate volume must stay bounded, got ${guarded.size}")
+    // the genuinely-near pair lives in cold buckets and must survive (gated
+    // on its actual hamming distance, same as the adaptive-band test)
+    val sigs = corpus.where($"doc_id" > 1000L).select($"doc_id",
+      Dedup.simhash(split(lower(trim($"text")), "\\s+")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    if (java.lang.Long.bitCount(sigs(1001L) ^ sigs(1002L)) <= 8)
+      assert(guarded.contains((1001L, 1002L)),
+        "cold-bucket near-dup pair must survive the guard")
+    // default cap is inactive on sane corpora: the tiny docs fixture's
+    // output is unchanged
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- quantitative candidate-quality harness: the approximate detectors
+  // measured against the exact token-jaccard ground truth on the real
+  // fixture (same corpus slice as the registered d3/d5/d6 queries).
+
+  private lazy val fixtureDocs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .where($"doc_id" < 100).select($"doc_id", $"text")
+
+  test("minhash candidates: precision/recall vs exact jaccard on the fixture") {
+    // shingleSize=1 puts MinHash in the SAME token-set space jaccardPairs
+    // measures, so exact pairs at sim >= 0.6 are the ground truth for the
+    // registered d5 threshold (jaccard distance 0.4)
+    val exact = Dedup.jaccardPairs(fixtureDocs, minSim = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs at sim >= 0.6")
+    val mh = Dedup.minHashPairs(fixtureDocs, shingleSize = 1, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    val precision = if (mh.isEmpty) 1.0 else mh.count(exact.contains).toDouble / mh.size
+    // recall: P(candidate at sim 0.6) = 1 - 0.4^8 ≈ 0.999 with 8 tables;
+    // precision: approxSimilarityJoin verifies the TRUE distance on every
+    // candidate, so misses come only from tokenizer edge cases
+    assert(recall >= 0.9, s"minhash recall=$recall (|exact|=${exact.size}, |mh|=${mh.size})")
+    assert(precision >= 0.9, s"minhash precision=$precision (|mh|=${mh.size})")
+  }
+
+  test("simhash pairs: lossless banding and discriminative signatures on the fixture") {
+    // Simhash's metric is HAMMING distance, not jaccard — on long docs a
+    // 10% token change can flip many marginal majority bits, so
+    // "jaccard >= 0.9 => hamming <= 8" does NOT hold (measured: ~4% of the
+    // j>=0.9 pairs sit within hamming 8 on this fixture). The honest
+    // quantitative claims are the two below.
+    val sigs = fixtureDocs.select($"doc_id",
+      Dedup.simhash(split(lower(trim($"text")), "\\s+")).as("sig"))
+      .as[(Long, Long)].collect()
+    // (1) the banded join is LOSSLESS vs its own metric: it returns exactly
+    // the brute-force hamming <= 8 pairs (pigeonhole band guarantee, here
+    // verified against all 4950 driver-side pairs of the fixture slice)
+    val brute = sigs.combinations(2).collect {
+      case Array((a, sa), (b, sb))
+        if java.lang.Long.bitCount(sa ^ sb) <= 8 => (a min b, a max b)
+    }.toSet
+    val sh = Dedup.simhashPairs(fixtureDocs, maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh == brute,
+      s"banding must be exact vs brute force: missed ${brute.diff(sh).take(5)}, " +
+        s"extra ${sh.diff(brute).take(5)}")
+    assert(sh.nonEmpty, "fixture slice must contain hamming<=8 pairs")
+    // (2) the signature DISCRIMINATES: high-jaccard pairs sit far closer in
+    // hamming space than unrelated pairs
+    val sigMap = sigs.toMap
+    def meanHamming(pairs: Set[(Long, Long)]): Double =
+      pairs.toSeq.map { case (a, b) =>
+        java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)).toDouble
+      }.sum / pairs.size
+    val verySim = Dedup.jaccardPairs(fixtureDocs, minSim = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verySim.nonEmpty)
+    val allPairs = sigs.map(_._1).combinations(2)
+      .map { case Array(a, b) => (a min b, a max b) }.toSet
+    val unrelated = allPairs.diff(
+      Dedup.jaccardPairs(fixtureDocs, minSim = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    val (simMean, farMean) = (meanHamming(verySim), meanHamming(unrelated))
+    assert(simMean + 8 <= farMean,
+      s"j>=0.9 pairs mean hamming $simMean must sit well below unrelated $farMean")
+  }
+
   test("dropNearDups keeps the lowest id of each near-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
     val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet
@@ -231,8 +330,7 @@ class DedupSpec extends SparkSpec {
     val emb = (1L to 24L).map { i =>
       (i, Array(1f, (i % 3) * 0.01f, (i % 5) * 0.01f, 0.1f))
     }.toDF("vec_id", "embedding")
-    val big = Dedup.cosinePairsAuto(emb, minCos = 0.95, maxExactRows = 10,
-      bucketLength = 0.05, numHashTables = 4)
+    val big = Dedup.cosinePairsAuto(emb, minCos = 0.95, maxExactRows = 10)
     val plan = big.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"escalated path must not contain the all-pairs join:\n${plan.take(2000)}")
