@@ -232,7 +232,7 @@ object SparkEntry {
     reg("t3_sectionize") { (s, dir) =>
       Sectionizer.sectionize(docs2(s, dir), "text2").orderBy("doc_id", "pos")
     }
-    reg("t4_chunks") { (s, dir) => // rows-only: recursive splitter is not SQL
+    reg("t4_chunks") { (s, dir) => // golden-parquet oracle (LangChain-port boundaries)
       Chunker.chunk(Sectionizer.sectionize(docs2(s, dir), "text2"))
         .orderBy("doc_id", "pos", "chunk_idx")
     }
@@ -261,7 +261,7 @@ object SparkEntry {
             .as("norm"))
         .orderBy("doc_id", "pos", "chunk_idx")
     }
-    reg("t7_index_stats") { (s, dir) => // rows-only: whole EP1 pipeline
+    reg("t7_index_stats") { (s, dir) => // golden-derived oracle (counts over t4 golden)
       val idx = VectorIndex.build(
         docs2(s, dir).select(col("doc_id"), col("text2").as("text")))
       idx.agg(
@@ -785,7 +785,7 @@ object SparkEntry {
         maxHamming = 8)
     }
 
-    reg("ep2_rag_answer") { (s, dir) => // rows-only: full EP1+EP2 incl. embedder
+    reg("ep2_rag_answer") { (s, dir) => // golden-parquet oracle (determinism pin)
       // the complete reference chat path: build index, embed the *query
       // string* with the same fitted embedder (shared space), retrieve,
       // assemble context, answer
@@ -810,7 +810,7 @@ object SparkEntry {
         .select("query_id", "question", "answer")
     }
 
-    reg("ep3_rag_batch") { (s, dir) => // rows-only: includes the fitted embedder
+    reg("ep3_rag_batch") { (s, dir) => // golden-parquet oracle (determinism pin)
       // the serving path (RagServing.answerBatch) as one batch job: many
       // questions answered together — identical inner plan to the
       // streaming foreachBatch arm
@@ -1019,6 +1019,31 @@ object SparkEntry {
   // ------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    // ---- golden-parquet oracles (fixtures/, sf0.01 — the fixture Verify
+    // runs on): deterministic queries whose semantics are not DuckDB-SQL-
+    // expressible, oracled against committed parquet instead.
+    //  - t4's golden is INDEPENDENT: DuckDB re-runs the (already-oracled)
+    //    t3 sectionize SQL and a line-faithful Python port of LangChain's
+    //    splitter produces the chunk boundaries (tools/gen_goldens.py) —
+    //    Scala-vs-Python cross-implementation agreement, not self-reference.
+    //  - t7's counts are SQL aggregates over that same golden; its n_ids
+    //    additionally asserts the xxhash64 chunk ids are collision-free.
+    //  - ep2/ep3 pin END-TO-END DETERMINISM of the flagship RAG path: the
+    //    embedder is deterministic and kNN ties break on chunk_id, so the
+    //    answer strings are fixed; recorded once (Verify at sf0.01) and
+    //    frozen. Regenerate fixtures deliberately when semantics change.
+    "t4_chunks" ->
+      """SELECT doc_id, pos, section, chunk_idx, chunk
+        |FROM read_parquet('/root/repo/fixtures/t4_chunks_sf001.parquet')""".stripMargin,
+    "t7_index_stats" ->
+      """SELECT count(*) AS n_chunks,
+        |       count(DISTINCT (doc_id, pos, chunk_idx)) AS n_ids,
+        |       count(DISTINCT section) AS n_sections
+        |FROM read_parquet('/root/repo/fixtures/t4_chunks_sf001.parquet')""".stripMargin,
+    "ep2_rag_answer" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/ep2_rag_answer_sf001.parquet')",
+    "ep3_rag_batch" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/ep3_rag_batch_sf001.parquet')",
     "q1_knn_top4" ->
       s"""WITH q AS $QvSql
          |SELECT vec_id FROM (
