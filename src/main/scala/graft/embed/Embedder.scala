@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * The reference embeds chunks with a remote OpenAI model
   * (`/root/reference/micro-infobot/app.py:122`, text-embedding-ada-002,
   * 1536-d). That is an external-call boundary, so the engine keeps the stage
-  * behind this trait; the default implementation is a fully deterministic,
-  * offline MLlib pipeline (RegexTokenizer → HashingTF → IDF) producing
+  * behind this trait; [[HttpEmbedder]] is the remote-API binding (batched
+  * `mapPartitions` POSTs), and the default implementation is a fully
+  * deterministic, offline MLlib pipeline (RegexTokenizer → HashingTF → IDF)
+  * producing
   * `ARRAY<FLOAT>` — same column shape as the 64-d fixture embeddings, so the
   * search operators are embedder-agnostic.
   *

@@ -219,6 +219,10 @@ object RagServing {
       }
 }
 
+/** The LLM boundary (reference `ChatCompletion.create`, app.py:246-250).
+  * [[HttpAnswerer]] is the remote-API binding; [[EchoAnswerer]] the
+  * deterministic offline stub the oracled queries run on.
+  */
 trait Answerer extends Serializable {
   /** Adds `answerCol` computed from a context column and question column. */
   def answer(df: DataFrame, questionCol: String, contextCol: String,
