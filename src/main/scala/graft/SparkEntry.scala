@@ -768,6 +768,14 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
       Dedup.dropNearDupsCC(docs, pairs).select("doc_id").orderBy("doc_id")
     }
+    reg("d10_cc_star") { (s, dir) =>
+      // the O(log n)-round star-contraction CC variant, oracled against
+      // the same DuckDB recursive-CTE transitive closure as d9 — full
+      // (id, comp) labels, not just the dedup survivors
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
+      Dedup.connectedComponentsStar(pairs).orderBy("id")
+    }
     reg("d8_cosine_pairs_auto") { (s, dir) =>
       // size-guarded path: fixture is under maxExactRows so this resolves
       // to the exact branch (oracle-comparable); past the guard it
@@ -1044,6 +1052,41 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/ep2_rag_answer_sf001.parquet')",
     "ep3_rag_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/ep3_rag_batch_sf001.parquet')",
+    //  - the remaining pins below freeze DETERMINISM of seeded/approximate
+    //    operators (fixed-seed MLlib fits, hash-based signatures, sketches):
+    //    semantic quality bounds live in ScalaTest (recall/precision/
+    //    equivalence assertions in AnnSpec/DedupSpec/EmbedderSpec); the
+    //    golden adds hash-level regression pinning. Verified byte-stable
+    //    across separate JVM runs AND across session query order before
+    //    pinning. Regenerate deliberately after an intentional semantic
+    //    change: run Verify at sf0.01, copy the query's part file over
+    //    fixtures/<name>_sf001.parquet.
+    "a1_lsh_topk" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a1_lsh_topk_sf001.parquet')",
+    "a2_ivf_topk" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a2_ivf_topk_sf001.parquet')",
+    "a3_cosine_lsh_pairs" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a3_cosine_lsh_pairs_sf001.parquet')",
+    "a4_lsh_batch" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a4_lsh_batch_sf001.parquet')",
+    "a5_ivf_batch" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a5_ivf_batch_sf001.parquet')",
+    "a6_rp_batch" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a6_rp_batch_sf001.parquet')",
+    "d5_minhash_pairs" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
+    "d6_simhash_pairs" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/d6_simhash_pairs_sf001.parquet')",
+    "p2_curated_index" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/p2_curated_index_sf001.parquet')",
+    "t6_embed" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/t6_embed_sf001.parquet')",
+    "t6b_embed_w2v" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/t6b_embed_w2v_sf001.parquet')",
+    "x7_sketches" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/x7_sketches_sf001.parquet')",
+    "x7b_sketch_union" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/x7b_sketch_union_sf001.parquet')",
     "q1_knn_top4" ->
       s"""WITH q AS $QvSql
          |SELECT vec_id FROM (
@@ -1804,6 +1847,29 @@ object SparkEntry {
         |        event_type || ':' || coalesce(props, '') AS content
         |      FROM events WHERE user_id IN (1, 2, 3))
         |ORDER BY session_id, turn""".stripMargin,
+    "d10_cc_star" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |mincomp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT id, comp FROM mincomp ORDER BY id""".stripMargin,
     "d9_cc_resolution" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(

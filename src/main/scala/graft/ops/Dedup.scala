@@ -289,6 +289,89 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Exact connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-chain escape hatch
+    * [[connectedComponents]]'s scaladoc promises: min-label propagation
+    * converges in O(component diameter) rounds, which a pathological
+    * million-node chain turns into a million shuffles; star contraction
+    * halves tree heights every alternation and converges in O(log n)
+    * rounds on ANY graph shape.
+    *
+    * Per round (each a distinct + one keyed aggregate join, same shuffle
+    * shape as a min-propagation round):
+    *  - large-star: every node attaches its STRICTLY LARGER neighbors to
+    *    its minimum neighborhood label m(u) = min(Γ(u) ∪ u);
+    *  - small-star: every node attaches its ≤ neighbors and itself to m(u).
+    * The fixed point is a forest of depth-1 stars rooted at each
+    * component's minimum id — the same (id, comp=min reachable id)
+    * contract as [[connectedComponents]] (equality asserted in DedupSpec;
+    * registered as `d10_cc_star` against the same DuckDB recursive-CTE
+    * oracle family as d9).
+    *
+    * Each round localCheckpoints (flat lineage) and frees the previous
+    * round's blocks; convergence is an edge-set fixed-point check
+    * (count equality + one-sided except).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def freeCkpt(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // canonical undirected edges as (u = max, v = min); both star steps
+    // preserve this orientation because they always attach to a minimum
+    var edges = pairs
+      .where(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // large-star: m over the SYMMETRIZED neighborhood; emitted (bigger
+    // neighbor, m) keeps (u=max, v=min) since v > u >= m
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.where(col("v") > col("u"))
+        .join(m, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: neighbors in canonical orientation are exactly the ≤
+    // ones; attach them and u itself to m = min(neighbors) (all < u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(m, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      freeCkpt(edges)
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds " +
+        "(theoretical bound is O(log n) alternations — raise maxIter)")
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+  }
+
   /** Near-dup resolution by exact transitive closure: keep one
     * representative (the minimum id) per connected component of the pair
     * graph. Docs not in any pair pass through untouched.

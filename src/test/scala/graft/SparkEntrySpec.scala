@@ -19,16 +19,28 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("the battery is substantial and mostly oracled") {
+  test("the battery is substantial and fully oracled") {
     assert(SparkEntry.queries.size >= 80)
-    assert(SparkEntry.oracleSql.size >= 70)
+    assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
+      s"unoracled queries: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
   }
 
-  test("oracle SQL uses bare table names, never file paths") {
+  test("file-based oracles only reference committed golden fixtures that exist") {
+    // Golden-parquet oracles (read_parquet) are allowed ONLY against
+    // committed files under fixtures/ — absolute paths, so the driver's
+    // DuckDB resolves them regardless of cwd; existence checked here so a
+    // renamed/forgotten fixture fails the suite, not the round's gate.
+    val pathRe = "read_parquet\\('([^']+)'\\)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
-      assert(!sql.contains("read_parquet") && !sql.contains("/root/"),
-        s"$name: oracle must reference driver-registered views, not files")
+      val paths = pathRe.findAllMatchIn(sql).map(_.group(1)).toSeq
+      assert(!sql.contains("/root/") || paths.nonEmpty,
+        s"$name: absolute path outside a read_parquet golden reference")
+      paths.foreach { p =>
+        assert(p.startsWith("/root/repo/fixtures/"),
+          s"$name: golden path must live in committed fixtures/, got $p")
+        assert(new java.io.File(p).isFile, s"$name: missing golden fixture $p")
+      }
     }
   }
 }

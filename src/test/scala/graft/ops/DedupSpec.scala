@@ -185,6 +185,31 @@ class DedupSpec extends SparkSpec {
       s"j>=0.9 pairs mean hamming $simMean must sit well below unrelated $farMean")
   }
 
+  test("star-contraction CC equals min-propagation CC and handles long chains") {
+    // same labels as the O(diameter) min-propagation on a real pair graph
+    val pairs = Dedup.jaccardPairs(fixtureDocs, minSim = 0.6)
+    val viaProp = Dedup.connectedComponents(pairs)
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    assert(viaProp.nonEmpty && viaStar == viaProp,
+      s"star labels diverge: ${viaStar.diff(viaProp).take(5)} vs ${viaProp.diff(viaStar).take(5)}")
+    // a 300-node path graph has diameter 299 — min-propagation's worst
+    // case — but star contraction halves tree heights per alternation and
+    // must land the whole chain on node 1 within O(log n) rounds
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain, maxIter = 12)
+      .select("id", "comp").as[(Long, Long)].collect()
+    assert(labels.length == 300)
+    assert(labels.forall(_._2 == 1L),
+      s"chain must collapse to component 1, got ${labels.filter(_._2 != 1L).take(5).toSeq}")
+    // two disjoint components stay disjoint
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val twoLabels = Dedup.connectedComponentsStar(two)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert(twoLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dropNearDups keeps the lowest id of each near-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
     val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet
