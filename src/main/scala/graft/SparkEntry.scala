@@ -315,17 +315,26 @@ object SparkEntry {
         d
       })
       tmp.toFile.listFiles().foreach(_.delete())
-      T(s, dir, "documents").where(col("doc_id") < 40)
+      T(s, dir, "documents").where(col("doc_id") < 50)
         .select("doc_id", "text").collect().foreach { r =>
           val id = r.getLong(0); val text = r.getString(1)
-          val (fname, payload) =
-            if (id % 2 == 0)
-              (f"doc_$id%04d.html",
-                s"<html><body><h1>DOC $id</h1><p>$text</p></body></html>")
-            else
-              (f"doc_$id%04d.xml",
-                s"<doc><title>DOC $id</title><body>$text</body></doc>")
-          Files.write(tmp.resolve(fname), payload.getBytes(UTF_8))
+          if (id < 40) {
+            val (fname, payload) =
+              if (id % 2 == 0)
+                (f"doc_$id%04d.html",
+                  s"<html><body><h1>DOC $id</h1><p>$text</p></body></html>")
+              else
+                (f"doc_$id%04d.xml",
+                  s"<doc><title>DOC $id</title><body>$text</body></doc>")
+            Files.write(tmp.resolve(fname), payload.getBytes(UTF_8))
+          } else {
+            // ids 40-49: genuine .pdf files through the built-in extractor
+            // (even ids Flate-compressed, odd ids plain — both PDF decode
+            // paths exercised end-to-end through the binaryFile scan)
+            Files.write(tmp.resolve(f"doc_$id%04d.pdf"),
+              graft.ingest.PdfText.synthesize(
+                s"DOC $id" +: text.split("\n").toSeq, compress = id % 2 == 0))
+          }
         }
       val regionCsv = "r_regionkey,r_name" +:
         T(s, dir, "region").select("r_regionkey", "r_name").collect()
@@ -335,11 +344,13 @@ object SparkEntry {
       val raw = TextSources.readRaw(s, tmp.toString)
       val markup = TextSources.htmlDocs(raw).select(
         element_at(split(col("source"), "/"), -1).as("fname"), col("text"))
+      val pdfs = TextSources.pdfDocs(raw).select(
+        element_at(split(col("source"), "/"), -1).as("fname"), col("text"))
       val csv = s.read.option("header", "true").option("inferSchema", "true")
         .csv(tmp.resolve("region.csv").toString)
       val flat = TextSources.flattenTable(csv, "r_regionkey")
         .select(lit("region.csv").as("fname"), col("text"))
-      TextSources.unionCorpus(markup, flat).orderBy("fname")
+      TextSources.unionCorpus(markup, pdfs, flat).orderBy("fname")
     }
 
     // ---- serving (C1-C8)
@@ -1263,6 +1274,10 @@ object SparkEntry {
         |           || (CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE 'xml' END) AS fname,
         |         'DOC ' || CAST(doc_id AS VARCHAR) || text AS text
         |  FROM documents WHERE doc_id < 40),
+        |pdfs AS (
+        |  SELECT printf('doc_%04d.pdf', doc_id) AS fname,
+        |         'DOC ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text
+        |  FROM documents WHERE doc_id >= 40 AND doc_id < 50),
         |csv AS (
         |  SELECT 'region.csv' AS fname,
         |         'r_regionkey r_name' || chr(10) ||
@@ -1270,6 +1285,7 @@ object SparkEntry {
         |                    ORDER BY r_regionkey) AS text
         |  FROM region)
         |SELECT fname, text FROM markup
+        |UNION ALL SELECT fname, text FROM pdfs
         |UNION ALL SELECT fname, text FROM csv
         |ORDER BY fname""".stripMargin,
     "c1_memory_load" ->

@@ -60,8 +60,26 @@ object TextSources {
         stripMarkup(decode(col("content"), "UTF-8")).as("text"),
         col("path").as("source"))
 
-  /** S4: pre-extracted text (the PDF path; no PDF jar offline — the
-    * interface point where a real extractor slots in, SURVEY §2.1 S4).
+  /** S4 over raw files: pdf rows → (doc_id, text, source) via the built-in
+    * minimal extractor ([[PdfText]] — pure JVM, text-only PDFs; encrypted
+    * input fails the task loudly). Per-row pure function over the binary
+    * column, so extraction runs fully distributed inside the scan stage —
+    * a UDF rather than codegen because PDF parsing is genuine imperative
+    * work, the documented last-resort tier.
+    */
+  def pdfDocs(raw: DataFrame): DataFrame = {
+    val extract = udf { bytes: Array[Byte] => PdfText.extract(bytes) }
+    raw
+      .where(col("ext") === "pdf")
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        extract(col("content")).as("text"),
+        col("path").as("source"))
+  }
+
+  /** S4 fallback: pre-extracted text (the seam where a full-fidelity
+    * external extractor slots in when [[PdfText]]'s text-only scope is not
+    * enough, SURVEY §2.1 S4).
     */
   def textDocs(spark: SparkSession, parquetPath: String): DataFrame =
     spark.read.parquet(parquetPath)
