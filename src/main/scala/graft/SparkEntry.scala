@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.Multimodal
-import graft.ops.{Ann, Dedup, Relational, Skew, StreamingOps, TextAnalytics}
+import graft.ops.{Ann, Dedup, Pq, Relational, Skew, StreamingOps, TextAnalytics}
 import graft.search.Knn
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
@@ -903,6 +903,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a7_pq_batch") { (s, dir) => // golden-pinned: seeded PQ codebooks
+      // product quantization with exact re-rank: codebook fit (m seeded
+      // KMeans) -> byte-code index -> ADC table scoring as pure column
+      // algebra -> true-L2 re-rank of the bounded shortlist
+      val emb = T(s, dir, "embeddings")
+      val model = Pq.fit(emb, dims = 64, m = 8, k = 16)
+      val codes = Pq.encode(emb, model)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pq.topKBatch(qs, codes, model, k = 5, emb = emb, rerank = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate
       // query *table* (3 queries) against the hashed index in one
       // band-bucket equi-join — the many-queries ANN shape; per-query
@@ -1084,6 +1099,8 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/a5_ivf_batch_sf001.parquet')",
     "a6_rp_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a6_rp_batch_sf001.parquet')",
+    "a7_pq_batch" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->

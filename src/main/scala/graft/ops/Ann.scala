@@ -51,7 +51,7 @@ object Ann {
   /** Shared batch finisher: (query_id, id, dist) candidate rows → bounded
     * heap per query → one row per (query, rank ≤ k).
     */
-  private def finishTopK(
+  private[ops] def finishTopK(
       scored: DataFrame, k: Int, queryIdCol: String, idCol: String): DataFrame =
     scored
       .groupBy(col(queryIdCol))

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization for memory-bound ANN (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — the public
+  * algorithm behind FAISS's IVF-PQ indexes).
+  *
+  * Why it matters at 100 TB: a 64-d float embedding is 256 bytes; its PQ
+  * code is `m` small ints (8 bytes at m=8) — a 32× smaller index that
+  * scans memory-speed. The trade is approximate distances (quantization
+  * error), recovered by an exact re-rank of the top candidates.
+  *
+  * Spark shapes, hot path UDF-free:
+  *  - [[fit]]: `m` MLlib KMeans fits, one per subspace of `dims/m`
+  *    components (each a distributed job over the corpus; seeded →
+  *    deterministic). The model is `m × k × dims/m` floats — KBs, ships
+  *    in closures.
+  *  - [[encode]]: one-time, per-row argmin over `k` centroids per
+  *    subspace (UDF — genuine imperative work, off the query path). The
+  *    code table `(id, codes ARRAY<INT>)` is what gets persisted.
+  *  - [[topKBatch]]: per-query ADC lookup tables are computed
+  *    executor-side on the (broadcast-small) query table, then scoring is
+  *    pure codegen column algebra — `aggregate(zip_with(codes, tables,
+  *    element_at))` — over the code scan: no vectors move, no UDF in the
+  *    per-row loop, heap top-k via the existing bounded-heap aggregate.
+  *    Optional re-rank fetches true vectors for only `rerank × k`
+  *    candidates per query and re-scores exactly.
+  */
+object Pq {
+
+  /** `codebooks(j)(c)` = centroid `c` of subspace `j`, length `dims/m`. */
+  final case class PqModel(
+      dims: Int,
+      m: Int,
+      k: Int,
+      codebooks: Array[Array[Array[Float]]]) extends Serializable {
+    def subDim: Int = dims / m
+
+    /** Squared-L2 ADC tables for one query: `tables(j)(c)` = ‖q_j − c‖². */
+    def adcTables(q: Array[Float]): Array[Array[Float]] =
+      Array.tabulate(m) { j =>
+        Array.tabulate(k) { c =>
+          var s = 0.0f
+          var i = 0
+          while (i < subDim) {
+            val d = q(j * subDim + i) - codebooks(j)(c)(i)
+            s += d * d
+            i += 1
+          }
+          s
+        }
+      }
+
+    def encodeOne(v: Array[Float]): Array[Int] =
+      Array.tabulate(m) { j =>
+        var best = 0
+        var bestD = Float.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0f
+          var i = 0
+          while (i < subDim) {
+            val d = v(j * subDim + i) - codebooks(j)(c)(i)
+            s += d * d
+            i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+  }
+
+  /** Fit the `m` subspace codebooks. `k` must fit the corpus (MLlib
+    * requires k ≤ distinct points; use small k on small fixtures).
+    */
+  def fit(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      m: Int = 8,
+      k: Int = 256,
+      seed: Long = 42L): PqModel = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val codebooks = (0 until m).map { j =>
+      val sub = emb.select(
+        array_to_vector(slice(transform(col(vecCol), _.cast("double")),
+          j * subDim + 1, subDim)).as("__sub"))
+      val model = new KMeans()
+        .setK(k).setSeed(seed + j).setFeaturesCol("__sub").setMaxIter(20)
+        .fit(sub)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    PqModel(dims, m, k, codebooks)
+  }
+
+  /** One-time index encode: `(idCol, codes ARRAY<INT>)`. */
+  def encode(
+      emb: DataFrame,
+      model: PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val enc = udf { v: Seq[Float] => model.encodeOne(v.toArray) }
+    emb.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** Batch ANN over PQ codes: one row per (query, rank ≤ k).
+    *
+    * `rerank = 0` returns ADC-ranked results (`dist` is the APPROXIMATE
+    * squared distance). `rerank = r > 0` shortlists `r × k` per query by
+    * ADC, joins ONLY those ids back to `emb` for true vectors, re-scores
+    * exactly and returns true L2 in `dist` — the standard two-stage
+    * PQ search; the full-vector fetch is bounded by queries × r × k rows.
+    */
+  def topKBatch(
+      queries: DataFrame,
+      codes: DataFrame,
+      model: PqModel,
+      k: Int,
+      emb: DataFrame = null,
+      rerank: Int = 4,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank == 0 || emb != null,
+      "rerank > 0 needs the full-vector table to re-score shortlisted candidates")
+    val tablesUdf = udf { q: Seq[Float] =>
+      model.adcTables(q.toArray).map(_.toSeq).toSeq
+    }
+    // tables computed once per query row (executor-side), then broadcast;
+    // the per-code scoring below is pure codegen over the code scan
+    val qTables = broadcast(
+      queries.select(col(queryIdCol), col(queryVecCol),
+        tablesUdf(col(queryVecCol)).as("__tables")))
+    val scored = codes
+      .crossJoin(qTables.select(col(queryIdCol), col("__tables")))
+      .withColumn("dist",
+        aggregate(
+          zip_with(col("codes"), col("__tables"),
+            (c, t) => element_at(t, c + 1).cast("double")),
+          lit(0.0), (a, b) => a + b))
+    val shortN = if (rerank > 0) k * rerank else k
+    val shortlist = Ann.finishTopK(
+      scored.select(col(queryIdCol), col(idCol), col("dist")),
+      shortN, queryIdCol, idCol)
+    if (rerank == 0) shortlist
+    else {
+      val exact = shortlist.select(col(queryIdCol), col(idCol))
+        .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
+          Seq(queryIdCol))
+        .withColumn("dist",
+          graft.functions.VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
+      Ann.finishTopK(
+        exact.select(col(queryIdCol), col(idCol), col("dist")),
+        k, queryIdCol, idCol)
+    }
+  }
+}

