@@ -918,6 +918,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
+      // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
+      // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
+      // exact re-rank restores true distances on the bounded shortlist
+      val emb = T(s, dir, "embeddings")
+      val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
+      val model = Pq.fit(emb, dims = 64, m = 8, k = 16)
+      val codes = Pq.encode(emb, model)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pq.ivfPqTopKBatch(qs, assigned, centroids, codes, model,
+        k = 5, nProbe = 2, emb = emb, rerank = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate
       // query *table* (3 queries) against the hashed index in one
       // band-bucket equi-join — the many-queries ANN shape; per-query
@@ -1101,6 +1118,8 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/a6_rp_batch_sf001.parquet')",
     "a7_pq_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
+    "a8_ivfpq_batch" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a8_ivfpq_batch_sf001.parquet')",
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->

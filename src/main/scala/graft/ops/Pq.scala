@@ -151,16 +151,86 @@ object Pq {
       scored.select(col(queryIdCol), col(idCol), col("dist")),
       shortN, queryIdCol, idCol)
     if (rerank == 0) shortlist
-    else {
-      val exact = shortlist.select(col(queryIdCol), col(idCol))
-        .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
-        .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
-          Seq(queryIdCol))
-        .withColumn("dist",
-          graft.functions.VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
-      Ann.finishTopK(
-        exact.select(col(queryIdCol), col(idCol), col("dist")),
-        k, queryIdCol, idCol)
+    else rerankExact(shortlist, queries, emb, k, queryIdCol, queryVecCol, idCol, vecCol)
+  }
+
+  private def rerankExact(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      emb: DataFrame,
+      k: Int,
+      queryIdCol: String,
+      queryVecCol: String,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val exact = shortlist.select(col(queryIdCol), col(idCol))
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
+        Seq(queryIdCol))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
+    Ann.finishTopK(
+      exact.select(col(queryIdCol), col(idCol), col("dist")),
+      k, queryIdCol, idCol)
+  }
+
+  /** IVF + PQ composed (the FAISS `IVFPQ` layout): IVF prunes WHICH rows
+    * are scored (only the `nProbe` nearest lists per query), PQ shrinks
+    * WHAT is scanned for them (codes, not vectors). At 100 TB this is the
+    * layout that works: the coarse quantizer turns the scan into list
+    * pruning (static partition pruning when the code table is written
+    * `partitionBy(centroid_id)` like [[Ann.writeIvf]]), and each probed
+    * list is read at PQ-code width.
+    *
+    * Inputs compose from the existing builders: `assigned`/`centroids`
+    * from [[Ann.buildIvf]] (coarse lists), `codes`/`model` from
+    * [[fit]]/[[encode]] (fine quantizer). Probing ALL lists makes this
+    * exactly [[topKBatch]] (asserted in PqSpec).
+    */
+  def ivfPqTopKBatch(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      codes: DataFrame,
+      model: PqModel,
+      k: Int,
+      nProbe: Int = 4,
+      emb: DataFrame = null,
+      rerank: Int = 4,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank == 0 || emb != null,
+      "rerank > 0 needs the full-vector table to re-score shortlisted candidates")
+    val tablesUdf = udf { q: Seq[Float] =>
+      model.adcTables(q.toArray).map(_.toSeq).toSeq
     }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("cdist"), col("centroid_id"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        graft.functions.VectorFunctions.l2Distance(col("centroid"), col(queryVecCol)))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nProbe)
+      .select(col(queryIdCol), tablesUdf(col(queryVecCol)).as("__tables"),
+        col("centroid_id"))
+    // list membership prunes the candidate set BEFORE any scoring; the
+    // surviving rows are scored from codes alone — vectors never move
+    val scored = assigned.select(col(idCol), col("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(codes, Seq(idCol))
+      .withColumn("dist",
+        aggregate(
+          zip_with(col("codes"), col("__tables"),
+            (c, t) => element_at(t, c + 1).cast("double")),
+          lit(0.0), (a, b) => a + b))
+    val shortN = if (rerank > 0) k * rerank else k
+    val shortlist = Ann.finishTopK(
+      scored.select(col(queryIdCol), col(idCol), col("dist")),
+      shortN, queryIdCol, idCol)
+    if (rerank == 0) shortlist
+    else rerankExact(shortlist, queries, emb, k, queryIdCol, queryVecCol, idCol, vecCol)
   }
 }

@@ -95,6 +95,28 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no shuffled cartesian:\n${plan.take(1500)}")
   }
 
+  test("IVFPQ: probing all lists equals plain PQ; fewer lists prune candidates") {
+    val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
+    val all = Pq.ivfPqTopKBatch(queries, assigned, centroids, codes, model,
+      k = 5, nProbe = 4, emb = emb, rerank = 8)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val plain = Pq.topKBatch(queries, codes, model, k = 5, emb = emb, rerank = 8)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(all == plain, "nProbe = nLists must reduce to the full PQ scan")
+    // nProbe=1 restricts scoring to one list's membership per query
+    val one = Pq.ivfPqTopKBatch(queries, assigned, centroids, codes, model,
+      k = 5, nProbe = 1, emb = emb, rerank = 8)
+    val rows = one.select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty && rows.groupBy(_._1).forall(_._2.length <= 5))
+    // each query's hits must come from its single probed list
+    val listOf = assigned.select("vec_id", "centroid_id").as[(Long, Int)]
+      .collect().toMap
+    val probedList = rows.groupBy(_._1).view.mapValues(_.map(r => listOf(r._3)).toSet)
+    probedList.foreach { case (qid, lists) =>
+      assert(lists.size == 1, s"q$qid drew hits from lists $lists with nProbe=1")
+    }
+  }
+
   test("compression: codes are 32x smaller than raw vectors at m=8/64-d") {
     // structural claim pinned as arithmetic so a schema change that widens
     // the code column (e.g. LONG codes) fails loudly
