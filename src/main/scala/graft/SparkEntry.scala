@@ -668,6 +668,19 @@ object SparkEntry {
     reg("x5_top_terms") { (s, dir) =>
       TextAnalytics.topTermsPerGroup(T(s, dir, "documents"), "lang", "text", 5)
     }
+    reg("x15_compression") { (s, dir) => // golden-pinned: deflate is not SQL
+      // repetitiveness signal: deflate ratio per doc + the corpus gate
+      // counts a Gopher-style rule would act on
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalytics.compressionRatio(col("text")).as("ratio"))
+      scored.agg(
+        count(lit(1)).as("n"),
+        round(avg(col("ratio")), 4).as("mean_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"),
+        sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_too_repetitive"))
+    }
 
     reg("x7_sketches") { (s, dir) => // rows-only: sketch algorithms differ per engine
       T(s, dir, "lineitem").agg(
@@ -1130,6 +1143,8 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/t6_embed_sf001.parquet')",
     "t6b_embed_w2v" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/t6b_embed_w2v_sf001.parquet')",
+    "x15_compression" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/x15_compression_sf001.parquet')",
     "x7_sketches" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/x7_sketches_sf001.parquet')",
     "x7b_sketch_union" ->
