@@ -113,6 +113,34 @@ object Drive {
       .select(col("doc_id"), slice(col("embedding"), 1, 4).as("embedding_head"))
       .show(3, false)
 
+    println("== PDF ingestion: synthesize -> binaryFile scan -> extract ==")
+    val pdfDir = java.nio.file.Files.createTempDirectory("graft_drive_pdf")
+    docs.limit(3).select("doc_id", "text").collect().foreach { r =>
+      java.nio.file.Files.write(
+        pdfDir.resolve(f"doc_${r.getLong(0)}%03d.pdf"),
+        graft.ingest.PdfText.synthesize(
+          Seq(s"DOC ${r.getLong(0)}", r.getString(1).take(120)),
+          compress = r.getLong(0) % 2 == 0))
+    }
+    graft.ingest.TextSources.pdfDocs(
+        graft.ingest.TextSources.readRaw(spark, pdfDir.toString))
+      .select(col("source"), substring(col("text"), 1, 60).as("text_head"))
+      .orderBy("source").show(3, false)
+
+    println("== product quantization: codes + ADC search + exact re-rank ==")
+    val pqModel = graft.ops.Pq.fit(emb, dims = 64, m = 8, k = 8)
+    val pqCodes = graft.ops.Pq.encode(emb, pqModel)
+    val pqQs = emb.where(col("vec_id").isin(3, 7))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    graft.ops.Pq.topKBatch(pqQs, pqCodes, pqModel, k = 3, emb = emb, rerank = 8)
+      .orderBy("query_id", "rank").show(6, false)
+
+    println("== star-contraction connected components (300-node chain) ==")
+    import spark.implicits._
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = graft.ops.Dedup.connectedComponentsStar(chain, maxIter = 12)
+    println(s"chain components: ${comps.select("comp").distinct().count()} (expect 1)")
+
     spark.stop()
   }
 }
