@@ -85,19 +85,25 @@ object Pq {
       dims: Int = 64,
       m: Int = 8,
       k: Int = 256,
-      seed: Long = 42L): PqModel = {
+      seed: Long = 42L,
+      maxIter: Int = 20): PqModel = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val subDim = dims / m
-    val codebooks = (0 until m).map { j =>
-      val sub = emb.select(
-        array_to_vector(slice(transform(col(vecCol), _.cast("double")),
-          j * subDim + 1, subDim)).as("__sub"))
-      val model = new KMeans()
-        .setK(k).setSeed(seed + j).setFeaturesCol("__sub").setMaxIter(20)
-        .fit(sub)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
-    PqModel(dims, m, k, codebooks)
+    // cache once: all m fits iterate over the same projected corpus, and
+    // without this each KMeans pass re-reads the source
+    val cached = emb.select(transform(col(vecCol), _.cast("double")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codebooks = (0 until m).map { j =>
+        val sub = cached.select(
+          array_to_vector(slice(col("__v"), j * subDim + 1, subDim)).as("__sub"))
+        val model = new KMeans()
+          .setK(k).setSeed(seed + j).setFeaturesCol("__sub").setMaxIter(maxIter)
+          .fit(sub)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+      PqModel(dims, m, k, codebooks)
+    } finally { cached.unpersist(); () }
   }
 
   /** One-time index encode: `(idCol, codes ARRAY<INT>)`. */
