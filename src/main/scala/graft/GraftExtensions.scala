@@ -42,5 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("recursive_split",
         "recursive_split(text, size, overlap) - recursive chunk generator"),
       (es: Seq[Expression]) => RecursiveSplitGenerator(es(0), es(1), es(2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("pdf_extract"),
+      info("pdf_extract", "pdf_extract(content) - text of a text-only PDF binary"),
+      (es: Seq[Expression]) => graft.functions.PdfExtract(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("compression_ratio"),
+      info("compression_ratio",
+        "compression_ratio(text) - deflate ratio; 1.0 for empty/null"),
+      (es: Seq[Expression]) => graft.functions.CompressionRatio(es.head)))
   }
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the imperative text operators, so SQL-only
+  * deployments (`spark.sql.extensions=graft.GraftExtensions`) reach them
+  * without a Scala UDF registration step: `SELECT pdf_extract(content)`,
+  * `SELECT compression_ratio(text)`. Both are eval-based
+  * ([[CodegenFallback]]): the per-row work is genuine byte-level
+  * imperation (inflate, deflate, PDF scan) that gains nothing from
+  * generated Java, and a fallback expression still pipelines inside the
+  * scan stage.
+  */
+case class PdfExtract(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "pdf_extract"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.ingest.PdfText.extract(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): PdfExtract =
+    copy(child = newChild)
+}
+
+/** Deflate compression ratio of a string — see
+  * [[graft.ops.TextAnalytics.compressionRatio]] for the curation
+  * semantics. Null and empty input are NEUTRAL (1.0), not null: curation
+  * gates on "ratio too low" must not silently drop empty rows here.
+  */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "compression_ratio"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 1.0
+    else CompressionRatio.ratio(v.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
+object CompressionRatio {
+  def ratio(text: String): Double = {
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (raw.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val k = d.deflate(buf)
+        out.write(buf, 0, k)
+      }
+      d.end()
+      math.rint(out.size.toDouble / raw.length * 1e6) / 1e6
+    }
+  }
+}
+
+object TextExpressions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pdf_extract", es => PdfExtract(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "compression_ratio", es => CompressionRatio(es.head), "built-in")
+  }
+
+  def pdfExtract(c: Column): Column = call_function("pdf_extract", c)
+  def compressionRatio(c: Column): Column = call_function("compression_ratio", c)
+}

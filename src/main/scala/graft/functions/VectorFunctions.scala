@@ -142,6 +142,7 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
     TopKAggregate.register(spark)
+    TextExpressions.register(spark)
   }
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)

@@ -62,18 +62,18 @@ object TextSources {
 
   /** S4 over raw files: pdf rows → (doc_id, text, source) via the built-in
     * minimal extractor ([[PdfText]] — pure JVM, text-only PDFs; encrypted
-    * input fails the task loudly). Per-row pure function over the binary
-    * column, so extraction runs fully distributed inside the scan stage —
-    * a UDF rather than codegen because PDF parsing is genuine imperative
-    * work, the documented last-resort tier.
+    * input fails the task loudly). Extraction is the native
+    * [[graft.functions.PdfExtract]] expression (also exposed to pure SQL
+    * as `pdf_extract` via GraftExtensions), evaluated per row inside the
+    * scan stage — fully distributed, no UDF boxing.
     */
   def pdfDocs(raw: DataFrame): DataFrame = {
-    val extract = udf { bytes: Array[Byte] => PdfText.extract(bytes) }
+    graft.functions.TextExpressions.register(raw.sparkSession)
     raw
       .where(col("ext") === "pdf")
       .select(
         xxhash64(col("path")).as("doc_id"),
-        extract(col("content")).as("text"),
+        graft.functions.TextExpressions.pdfExtract(col("content")).as("text"),
         col("path").as("source"))
   }
 

@@ -84,32 +84,14 @@ object TextAnalytics {
     * signal public curation pipelines gate on (Gopher/RefinedWeb-style
     * rules): boilerplate and keyword-stuffed spam compress far below
     * natural prose, near-random noise compresses above it. Deterministic
-    * (fixed level + strategy), distributed per-row UDF — compression is
-    * genuine imperative byte work, the documented last-resort tier; it
-    * runs inside the scan stage like any projection. Empty text → 1.0
-    * (neutral: gates on "ratio too low" must not drop empties here —
+    * (fixed level + strategy); evaluated by the native
+    * [[graft.functions.CompressionRatio]] expression (SQL name
+    * `compression_ratio`) per row inside the scan stage. Empty/null text
+    * → 1.0 (neutral: gates on "ratio too low" must not drop empties here —
     * length filters own that).
     */
-  val compressionRatio: Column => Column = {
-    val f = udf { text: String =>
-      val t = if (text == null) "" else text
-      val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (raw.isEmpty) 1.0
-      else {
-        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-        d.setInput(raw); d.finish()
-        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) {
-          val k = d.deflate(buf)
-          out.write(buf, 0, k)
-        }
-        d.end()
-        math.rint(out.size.toDouble / raw.length * 1e6) / 1e6
-      }
-    }
-    (text: Column) => f(text)
-  }
+  def compressionRatio(text: Column): Column =
+    graft.functions.TextExpressions.compressionRatio(text)
 
   /** Stable document fingerprint: md5 of the normalized text (lowercased,
     * punctuation stripped, whitespace collapsed) — whitespace/case/punct

@@ -43,6 +43,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val chunks = spark.sql(
         "SELECT recursive_split('aaa bbb ccc', 7, 2) AS (i, c)").collect()
       assert(chunks.nonEmpty)
+      val ratio = spark.sql(
+        "SELECT compression_ratio('spam spam spam spam spam spam spam spam')")
+        .head.getDouble(0)
+      assert(ratio > 0 && ratio < 1.0, s"repetitive text must compress, got $ratio")
+      assert(spark.sql("SELECT compression_ratio(NULL)").head.getDouble(0) == 1.0)
+      // pdf_extract over a synthesized binary literal, end to end in SQL
+      val pdfHex = graft.ingest.PdfText.synthesize(Seq("sql extraction works"))
+        .map("%02X".format(_)).mkString
+      val text = spark.sql(s"SELECT pdf_extract(X'$pdfHex')").head.getString(0)
+      assert(text == "sql extraction works", s"got: $text")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
