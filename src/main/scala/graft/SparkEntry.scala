@@ -880,7 +880,8 @@ object SparkEntry {
           countDistinct(col("chunk_id")).as("n_ids"))
     }
 
-    // ---- ANN (a*): rows-only (approximate + MLlib internals)
+    // ---- ANN (a*): approximate operators, golden-pinned (determinism
+    // freezes; recall/equivalence bounds live in AnnSpec/PqSpec)
     reg("a1_lsh_topk") { (s, dir) =>
       val (hashed, model) = Ann.fitLsh(T(s, dir, "embeddings"))
       Ann.lshTopK(hashed, model, queryVec(s, dir), 10).orderBy("dist", "vec_id")
