@@ -38,7 +38,10 @@ object CorpusPipeline {
     * closure ([[Dedup.dropNearDupsCC]]) — one representative per connected
     * cluster — instead of the greedy single-pass keep-lowest (which keeps
     * both endpoints of a transitive chain like {(1,3),(2,3)}). The exact
-    * variant costs O(cluster diameter) extra shuffle rounds.
+    * variant costs O(cluster diameter) extra shuffle rounds;
+    * `starComponents = true` resolves the same components by star
+    * contraction (O(log n) rounds regardless of diameter — the choice for
+    * web-scale dup graphs with long boilerplate chains).
     */
   def curate(
       docs: DataFrame,
@@ -47,12 +50,15 @@ object CorpusPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDocFreq: Long = AutoDocFreq,
-      exactComponents: Boolean = false): DataFrame = {
+      exactComponents: Boolean = false,
+      starComponents: Boolean = false): DataFrame = {
     val bound = resolveDocFreq(docs, maxDocFreq)
     val quality = docs.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
     val exact = Dedup.dedupExact(quality, idCol, textCol)
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
-    if (exactComponents) Dedup.dropNearDupsCC(exact, pairs, idCol)
+    if (exactComponents || starComponents)
+      Dedup.dropNearDupsCC(exact, pairs, idCol,
+        maxIter = if (starComponents) 30 else 20, star = starComponents)
     else Dedup.dropNearDups(exact, pairs, idCol)
   }
 

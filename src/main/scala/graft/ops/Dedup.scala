@@ -380,8 +380,15 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIter: Int = 20): DataFrame = {
-    val losers = connectedComponents(pairs, maxIter)
+      maxIter: Int = 20,
+      star: Boolean = false): DataFrame = {
+    // both algorithms return identical (id, comp=min id) labels; `star`
+    // picks the O(log n)-round contraction for graphs whose diameter may
+    // exceed maxIter propagation rounds (see connectedComponentsStar)
+    val labels =
+      if (star) connectedComponentsStar(pairs, maxIter)
+      else connectedComponents(pairs, maxIter)
+    val losers = labels
       .where(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

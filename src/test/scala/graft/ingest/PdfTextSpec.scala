@@ -70,6 +70,24 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(noLen) == "indirect length works")
   }
 
+  test("non-text streams (images, fonts) are skipped, text still extracted") {
+    // a PDF whose first stream is binary junk (an image XObject shape)
+    // and whose second carries the text: extraction must skip the junk —
+    // including bytes that happen to contain 'BT' — and not crash
+    val junk = Array.tabulate[Byte](256)(i => i.toByte) ++ "BT not ops".getBytes(ISO_8859_1)
+    val content = "BT (text survives) Tj ET"
+    val pdf = (new StringBuilder)
+      .append("%PDF-1.4\n")
+      .append(s"6 0 obj << /Subtype /Image /Length ${junk.length} >> stream\n")
+      .append(new String(junk, ISO_8859_1))
+      .append("\nendstream endobj\n")
+      .append(s"4 0 obj << /Length ${content.length} >> stream\n")
+      .append(content)
+      .append("\nendstream endobj\n%%EOF\n")
+      .toString.getBytes(ISO_8859_1)
+    assert(PdfText.extract(pdf) == "text survives")
+  }
+
   test("refusals: non-PDF bytes and encrypted PDFs fail loudly") {
     intercept[IllegalArgumentException] {
       PdfText.extract("plain text file".getBytes(ISO_8859_1))

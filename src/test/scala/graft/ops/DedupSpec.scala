@@ -313,6 +313,11 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(exact.subsetOf(greedy))
     assert(exact.contains(4L) && exact.contains(1L))
+    // star contraction resolves the SAME components — identical survivors
+    val star = CorpusPipeline.curate(corpus, minQuality = 0.3, nearDupMinSim = 0.9,
+      maxDocFreq = 1000L, starComponents = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(star == exact, s"star survivors $star must equal propagation $exact")
   }
 
   test("cosine near-dup pairs over embeddings") {
