@@ -89,6 +89,16 @@ object ExplainAudit {
     audit("d8_cosine_pairs_auto")(
       "small input resolves to the exact broadcast path" ->
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")))
+    audit("a7_pq_batch")(
+      "ADC scoring finishes in the bounded-heap aggregate" ->
+        (p => p.contains("topk_by_dist")),
+      "no shuffled cartesian anywhere in the PQ path" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("a8_ivfpq_batch")(
+      "IVF list membership is an equi-join on centroid_id" ->
+        (p => p.contains("centroid_id")),
+      "no shuffled cartesian in the composed IVFPQ path" ->
+        (p => !p.contains("CartesianProduct")))
 
     // Section-partitioned index: a filtered search must prune partitions
     // at the scan, not read-then-filter.
