@@ -32,19 +32,22 @@ class HttpEmbedder(
     val target: HttpTarget,
     val model: String,
     val dims: Int,
-    val batchSize: Int = 64) extends Embedder {
+    val batchSize: Int = 64,
+    val minIntervalMs: Long = 0L) extends Embedder {
 
   require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
     val textIdx = df.schema.fieldIndex(textCol)
-    val (t, m, d, bs) = (target, model, dims, batchSize)
+    val (t, m, d, bs, interval) = (target, model, dims, batchSize, minIntervalMs)
     df.mapPartitions { rows =>
+      val pacer = new graft.http.HttpCall.Pacer(interval)
       rows.grouped(bs).flatMap { batch =>
         // null text has no meaningful embedding and most APIs reject it;
         // send "" so row alignment (index i ↔ batch(i)) is preserved
         val texts = batch.map(r => Option(r.getString(textIdx)).getOrElse(""))
+        pacer.pace()
         val vecs = HttpEmbedder.requestEmbeddings(t, m, d, texts)
         batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v))
       }

@@ -40,6 +40,22 @@ final case class HttpTarget(
   */
 object HttpCall {
 
+  /** Per-partition request pacer: sleeps so consecutive requests from one
+    * partition are at least `minIntervalMs` apart. Combined with
+    * partition-count concurrency this gives a hard cluster-wide ceiling of
+    * `partitions × 1000/minIntervalMs` requests/second against the remote
+    * service — the client-side half of rate-limit compliance (the
+    * server-side half is [[postJson]]'s 429 backoff).
+    */
+  final class Pacer(minIntervalMs: Long) {
+    private var lastNs = 0L
+    def pace(): Unit = if (minIntervalMs > 0) {
+      val waitNs = lastNs + minIntervalMs * 1000000L - System.nanoTime()
+      if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+      lastNs = System.nanoTime()
+    }
+  }
+
   /** One client per executor JVM: it is thread-safe and holds the
     * connection pool — per-task clients would re-handshake TLS per batch.
     */

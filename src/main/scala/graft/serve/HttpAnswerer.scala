@@ -29,18 +29,21 @@ import org.apache.spark.sql.types.StringType
 class HttpAnswerer(
     val target: HttpTarget,
     val model: String,
-    val temperature: Double = 0.0) extends Answerer {
+    val temperature: Double = 0.0,
+    val minIntervalMs: Long = 0L) extends Answerer {
 
   override def answer(df: DataFrame, questionCol: String, contextCol: String,
       answerCol: String): DataFrame = {
     val outSchema = df.schema.add(answerCol, StringType)
     val qIdx = df.schema.fieldIndex(questionCol)
     val cIdx = df.schema.fieldIndex(contextCol)
-    val (t, m, temp) = (target, model, temperature)
+    val (t, m, temp, interval) = (target, model, temperature, minIntervalMs)
     df.mapPartitions { rows =>
+      val pacer = new graft.http.HttpCall.Pacer(interval)
       rows.map { r =>
         val question = Option(r.getString(qIdx)).getOrElse("")
         val context = Option(r.getString(cIdx)).getOrElse("")
+        pacer.pace()
         Row.fromSeq(r.toSeq :+ HttpAnswerer.requestCompletion(t, m, temp, question, context))
       }
     }(Encoders.row(outSchema))

@@ -146,6 +146,31 @@ class HttpAdapterSpec extends SparkSpec {
     } finally sys.props.remove("GRAFT_TEST_API_KEY")
   }
 
+  test("minIntervalMs paces consecutive requests within a partition") {
+    val times = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    server.createContext("/v1/paced", (ex: HttpExchange) => {
+      times.add(System.nanoTime())
+      om.readTree(readBody(ex)) // drain
+      val root = om.createObjectNode()
+      val data = root.putArray("data")
+      val item = data.addObject()
+      item.put("index", 0)
+      val e = item.putArray("embedding")
+      (0 until Dims).foreach(_ => e.add(0.0))
+      respond(ex, 200, om.writeValueAsString(root))
+    })
+    val df = (1 to 3).map(i => (i.toLong, s"t$i")).toDF("id", "chunk").repartition(1)
+    new HttpEmbedder(target("/v1/paced"), "fake-model", Dims,
+      batchSize = 1, minIntervalMs = 120)
+      .embed(df, "chunk", "embedding").collect()
+    val ts = times.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    assert(ts.length == 3)
+    val gapsMs = ts.sliding(2).map(w => (w(1) - w(0)) / 1e6).toSeq
+    // generous slack: scheduling jitter may stretch gaps, never shrink
+    // them below the pacer's floor
+    assert(gapsMs.forall(_ >= 90.0), s"request gaps must be paced, got $gapsMs ms")
+  }
+
   test("HttpAnswerer: one request per row, prompt carries question and context") {
     chatRequests.set(0)
     val df = Seq(
