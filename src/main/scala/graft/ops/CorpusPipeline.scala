@@ -51,9 +51,17 @@ object CorpusPipeline {
       textCol: String = "text",
       maxDocFreq: Long = AutoDocFreq,
       exactComponents: Boolean = false,
-      starComponents: Boolean = false): DataFrame = {
+      starComponents: Boolean = false,
+      minCompressionRatio: Double = 0.0): DataFrame = {
     val bound = resolveDocFreq(docs, maxDocFreq)
-    val quality = docs.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
+    // optional repetitiveness gate (Gopher-style): docs compressing below
+    // the floor are boilerplate/spam. Off by default (0.0 passes all —
+    // empty text is neutral 1.0 by contract, so it is never dropped here).
+    val gated =
+      if (minCompressionRatio > 0.0)
+        docs.where(TextAnalytics.compressionRatio(col(textCol)) >= minCompressionRatio)
+      else docs
+    val quality = gated.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
     val exact = Dedup.dedupExact(quality, idCol, textCol)
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
     if (exactComponents || starComponents)

@@ -31,4 +31,23 @@ class TextAnalyticsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(again == r)
   }
+
+  test("curate's compression gate drops boilerplate, keeps prose, default is off") {
+    val prose = "The quarterly report outlines revenue growth across " +
+      "three regions with costs partially offsetting enterprise gains. " * 6
+    val docs = Seq(
+      (1L, "spam spam spam spam " * 60),  // repetitive boilerplate
+      (2L, prose),
+      (3L, prose + " second variant closes differently."))
+      .toDF("doc_id", "text")
+    val gated = CorpusPipeline.curate(docs, minQuality = 0.1, nearDupMinSim = 0.99,
+      maxDocFreq = 1000L, minCompressionRatio = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!gated.contains(1L), "boilerplate must fall to the compression gate")
+    assert(gated.contains(2L), "prose must survive")
+    val off = CorpusPipeline.curate(docs, minQuality = 0.1, nearDupMinSim = 0.99,
+      maxDocFreq = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(off.contains(1L), "gate off by default: boilerplate passes this stage")
+  }
 }
