@@ -880,6 +880,48 @@ object SparkEntry {
           countDistinct(col("chunk_id")).as("n_ids"))
     }
 
+    // ---- training-data corpus assembly (TrainingData: sampling, mixing,
+    // splitting, sharding, packing, decontamination) — all md5-keyed
+    // deterministic, all recomputed independently by the DuckDB oracle
+    reg("p3_stratified_sample") { (s, dir) =>
+      graft.ops.TrainingData.stratifiedSample(T(s, dir, "documents"), "lang", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }
+    reg("p4_source_mixture") { (s, dir) =>
+      graft.ops.TrainingData.sourceMixture(
+        T(s, dir, "documents"), "source",
+        Map("src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.15),
+        total = 100L)
+        .select("doc_id", "source").orderBy("source", "doc_id")
+    }
+    reg("p5_hash_split") { (s, dir) =>
+      graft.ops.TrainingData.hashSplit(T(s, dir, "documents"), valFrac = 0.1)
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")
+    }
+    reg("p6_shard_assign") { (s, dir) =>
+      graft.ops.TrainingData.shardAssign(T(s, dir, "documents"), nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("shard")
+    }
+    reg("p7_seq_packing") { (s, dir) =>
+      graft.ops.TrainingData.concatPack(
+        T(s, dir, "documents"), capacity = 2048L, groupCols = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("offset").as("tok_offset"),
+          col("start_bin"), col("offset_in_bin"), col("n_bins"), col("n_tokens"))
+        .orderBy("lang", "doc_id")
+    }
+    reg("d11_repeated_ngrams") { (s, dir) =>
+      graft.ops.TrainingData.repeatedNgrams(T(s, dir, "documents"), n = 2, minDocs = 3L)
+        .orderBy(desc("df"), col("gram")).limit(100)
+    }
+    reg("d12_decontamination") { (s, dir) =>
+      val d = T(s, dir, "documents")
+      graft.ops.TrainingData.contamination(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0), n = 3)
+        .select("eval_id", "n_shared", "n_grams").orderBy("eval_id")
+    }
+
     // ---- ANN (a*): approximate operators, golden-pinned (determinism
     // freezes; recall/equivalence bounds live in AnnSpec/PqSpec)
     reg("a1_lsh_topk") { (s, dir) =>
@@ -1767,6 +1809,90 @@ object SparkEntry {
         |  (SELECT count(*) FROM exact) AS n_exact,
         |  (SELECT count(*) FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers))
         |    AS n_near""".stripMargin,
+    // ---- training-data corpus assembly (TrainingData.*): the md5 order
+    // key is portable, so DuckDB recomputes every operator independently
+    "p3_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "p4_source_mixture" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT d.doc_id, d.source, q.quota, row_number() OVER (
+        |    PARTITION BY d.source
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d
+        |  JOIN (VALUES ('src0', 30), ('src1', 25), ('src2', 20), ('src3', 15))
+        |       q(source, quota) ON d.source = q.source)
+        |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin,
+    "p5_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        |            THEN 'val' ELSE 'train' END AS split,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p6_shard_assign" ->
+      """SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+        |            % 8 AS INTEGER) AS shard,
+        |       count(*) AS n, min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p7_seq_packing" ->
+      """SELECT doc_id, lang,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 2048 AS BIGINT) AS start_bin,
+        |  CAST(tok_offset - (tok_offset // 2048) * 2048 AS BIGINT) AS offset_in_bin,
+        |  CAST(greatest(cum - 1, tok_offset) // 2048
+        |       - tok_offset // 2048 + 1 AS BIGINT) AS n_bins,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+        |  FROM (SELECT doc_id, lang,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |            AS n_tokens
+        |        FROM documents))
+        |ORDER BY lang, doc_id""".stripMargin,
+    "d11_repeated_ngrams" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(0, len(toks) - 1),
+        |                             i -> array_to_string(toks[i+1:i+2], ' '))
+        |         ELSE [] END) AS gram
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |        FROM documents))
+        |SELECT gram, count(*) AS df FROM g GROUP BY gram
+        |HAVING count(*) >= 3 ORDER BY df DESC, gram LIMIT 100""".stripMargin,
+    "d12_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |eg AS (
+        |  SELECT DISTINCT doc_id AS eval_id, unnest(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(0, len(toks) - 2),
+        |                             i -> array_to_string(toks[i+1:i+3], ' '))
+        |         ELSE [] END) AS gram
+        |  FROM toks WHERE doc_id % 10 = 0),
+        |tg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(0, len(toks) - 2),
+        |                             i -> array_to_string(toks[i+1:i+3], ' '))
+        |         ELSE [] END) AS gram
+        |  FROM toks WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT eval_id, count(*) AS n_grams FROM eg GROUP BY 1)
+        |SELECT eg.eval_id, count(*) AS n_shared, tot.n_grams AS n_grams
+        |FROM tg JOIN eg USING (gram) JOIN tot ON tot.eval_id = eg.eval_id
+        |GROUP BY eg.eval_id, tot.n_grams ORDER BY eg.eval_id""".stripMargin,
     "r19_subqueries" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

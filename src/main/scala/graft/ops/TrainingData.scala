@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for LLM training-data pipelines: the steps
+  * that come AFTER curation (quality gates + dedup, `CorpusPipeline`) and
+  * BEFORE the trainer reads shards — deterministic sampling, source
+  * mixing, train/val splitting, shard assignment, context-window packing,
+  * and corpus-level n-gram duplication / benchmark decontamination.
+  *
+  * Reference scope note: the reference app (app.py) stops at index build;
+  * these operators are the north-star extension surface (BASELINE.json)
+  * that makes the engine a usable 100 TB pre-training pipeline.
+  *
+  * Design rules shared by every operator here:
+  *  - **Deterministic, no `rand()`.** Sampling/splitting/sharding key off
+  *    `md5(id)` so reruns, retries, and speculative tasks agree row-for-row
+  *    (a `rand()`-based sample is not reproducible across retries — a real
+  *    failure mode for 100 TB jobs where stage retries are routine). md5 is
+  *    also portable: DuckDB computes the identical hex, so every operator
+  *    is oracle-checkable.
+  *  - **One declarative plan per operator.** No driver-side loops, no
+  *    collect; Catalyst sees the whole computation.
+  *  - **Partition-local where possible.** Hash split and shard assignment
+  *    are pure per-row column algebra (zero shuffle); sampling shuffles
+  *    once on the stratum key; packing windows inside an explicit group
+  *    (never a global sort).
+  */
+object TrainingData {
+
+  /** Uniform deterministic per-row order/placement key: md5 over the id
+    * rendered as decimal text. Identical in DuckDB (`md5(CAST(id AS
+    * VARCHAR))`), uniform in its leading hex digits, and independent of
+    * row content so re-chunked/re-encoded corpora keep their sample.
+    */
+  def orderKey(id: Column): Column = md5(id.cast("string"))
+
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic stratified sample: the `perStratum` rows of each
+    * stratum that sort first by `orderKey(id)` — i.e. an md5-keyed uniform
+    * sample with an exact per-stratum quota (strata smaller than the quota
+    * are kept whole).
+    *
+    * Scale: one shuffle keyed on the stratum column; the rank-filter shape
+    * (`row_number <= n` over a window) is exactly what
+    * [[graft.functions.WindowTopKRewrite]] rewrites into a map-side k-heap
+    * aggregate when enabled, so a huge stratum never needs a full sort —
+    * each task keeps `perStratum` rows and the shuffle carries
+    * partitions×quota rows, not the corpus.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      stratumCol: String,
+      perStratum: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderKey(col(idCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Deterministic source-mixture downsampling: per-stratum quotas derived
+    * from target mixture `weights` over a `total` row budget
+    * (`quota = floor(weight * total)`), taken with the same md5-keyed
+    * uniform rule as [[stratifiedSample]]. Strata absent from `weights`
+    * are dropped; strata smaller than their quota are kept whole (this
+    * operator never replicates rows — upweighting a small source is the
+    * trainer's epoch-weighting job, not the corpus assembler's).
+    *
+    * Scale: the quota table is a literal (broadcast side); the corpus side
+    * shuffles once on the stratum key.
+    */
+  def sourceMixture(
+      docs: DataFrame,
+      stratumCol: String,
+      weights: Map[String, Double],
+      total: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "sourceMixture: empty weight map")
+    require(weights.values.forall(_ >= 0), "sourceMixture: negative weight")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = weights.toSeq
+      .map { case (k, wgt) => (k, math.floor(wgt * total).toLong) }
+      .toDF(stratumCol, "__quota")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderKey(col(idCol)), col(idCol))
+    docs.join(broadcast(quotas), stratumCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Deterministic train/validation split: a row lands in `val` iff the
+    * first 8 hex digits of `md5(id)` fall below `valFrac` of the 32-bit
+    * space (lexicographic compare — hex strings of equal length order
+    * numerically). Pure per-row column algebra: zero shuffle, stable
+    * under retries, and any doc keeps its split across corpus versions
+    * as long as its id is stable.
+    *
+    * Granularity is 1/2^32 — exact enough that the realized fraction
+    * converges to `valFrac` at corpus scale.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      valFrac: Double,
+      idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    require(valFrac >= 0 && valFrac <= 1, s"hashSplit: valFrac $valFrac outside [0,1]")
+    val threshold = f"${math.min((valFrac * 4294967296.0).toLong, 4294967295L)}%08x"
+    val isVal =
+      if (valFrac >= 1.0) lit(true)
+      else substring(orderKey(col(idCol)), 1, 8) < lit(threshold)
+    docs.withColumn(splitCol, when(isVal, "val").otherwise("train"))
+  }
+
+  /** Deterministic shard assignment: `shard = bucket256(md5(id)) % nShards`
+    * where bucket256 is the first two hex digits. Pure per-row column
+    * algebra — the assignment itself needs no shuffle; the subsequent
+    * shard write is `df.repartition(nShards, col(shardCol)).write...`,
+    * one shuffle keyed on the shard, each output file written by exactly
+    * one task (no tiny-file explosion, no driver-side routing).
+    *
+    * `nShards` must divide 256 so every shard covers the same number of
+    * hash buckets (exact uniformity of the bucket→shard map; realized row
+    * counts are then hash-uniform). For finer fan-out compose with a
+    * second-level key.
+    */
+  def shardAssign(
+      docs: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id",
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0 && 256 % nShards == 0,
+      s"shardAssign: nShards $nShards must divide 256")
+    val bucket = conv(substring(orderKey(col(idCol)), 1, 2), 16, 10).cast("long")
+    docs.withColumn(shardCol, (bucket % nShards).cast("int"))
+  }
+
+  // ------------------------------------------------------------- packing
+
+  /** Concat-and-chunk context-window packing: within each group, documents
+    * are laid end-to-end in `orderCol` order and the resulting token tape
+    * is cut every `capacity` tokens — the standard pre-training packing
+    * layout (every context window is full; documents may straddle window
+    * boundaries). Emits per-document placement:
+    *
+    *  - `offset`        absolute token offset of the doc on its group's tape
+    *  - `start_bin`     context window the doc starts in
+    *  - `offset_in_bin` token offset inside that window
+    *  - `n_bins`        number of windows the doc touches (≥ 1; a
+    *                    zero-token doc counts as touching its start window)
+    *
+    * All integer math — exact, order-independent of physical row layout,
+    * oracle-checkable.
+    *
+    * Scale: ONE window partitioned by `groupCols` (e.g. the shard from
+    * [[shardAssign]]) — never a global sort. Each group's tape is
+    * independent, so packing parallelizes across shards exactly like the
+    * trainer reads them.
+    */
+  def concatPack(
+      docs: DataFrame,
+      capacity: Long,
+      groupCols: Seq[String],
+      orderCol: String = "doc_id",
+      tokensCol: Column = null): DataFrame = {
+    require(capacity > 0, "concatPack: capacity must be positive")
+    require(groupCols.nonEmpty,
+      "concatPack: empty groupCols would be a single global sort — shard first")
+    val toks = Option(tokensCol).getOrElse(TextAnalytics.tokenCount(col("text")))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    // integer `div`, not floor(double /): a group tape can exceed 2^53
+    // tokens before a 100 TB corpus exceeds it in rows, and bin ids must
+    // stay exact there
+    docs.withColumn("__tokens", toks.cast("long"))
+      .withColumn("__cum", sum(col("__tokens")).over(w))
+      .withColumn("offset", col("__cum") - col("__tokens"))
+      .withColumn("start_bin", expr(s"`offset` div ${capacity}L"))
+      .withColumn("offset_in_bin", col("offset") - col("start_bin") * capacity)
+      .withColumn("n_bins",
+        (expr(s"greatest(__cum - 1, `offset`) div ${capacity}L")
+          - col("start_bin") + 1).cast("long"))
+      .withColumn("n_tokens", col("__tokens"))
+      .drop("__tokens", "__cum")
+  }
+
+  // ------------------------------------- n-gram duplication / decontamination
+
+  /** Distinct word n-grams per document: `(id, gram)` pairs, lowercased,
+    * whitespace-tokenized (same tokenizer as `TextAnalytics.tokenCount`,
+    * so "token" means the same thing across the engine). Documents shorter
+    * than `n` tokens contribute nothing.
+    */
+  def ngramSets(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, "ngramSets: n must be positive")
+    val toks = when(length(trim(col(textCol))) === 0, array())
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= n,
+          expr(s"transform(sequence(0, size(__toks) - $n), i -> " +
+            s"array_join(slice(__toks, i + 1, $n), ' '))"))
+          .otherwise(array())).as("gram"))
+      .distinct()
+  }
+
+  /** Corpus-level repeated-passage detection (the signal behind
+    * suffix-array training-data dedup, Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): word n-grams appearing
+    * in at least `minDocs` distinct documents, with their document
+    * frequency. The df-ranked output is the "memorization risk" report —
+    * the passages a model would see many times per epoch.
+    *
+    * Scale: explicit two-stage plan — distinct `(doc, gram)` pairs (one
+    * shuffle, map-side combine) then a count per gram (second shuffle on
+    * the gram key, partial aggregation). The `minDocs` cutoff bounds the
+    * output; the gram key space itself is bounded by corpus tokens, never
+    * corpus² (no pairwise comparison anywhere).
+    */
+  def repeatedNgrams(
+      docs: DataFrame,
+      n: Int,
+      minDocs: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    ngramSets(docs, n, idCol, textCol)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+
+  /** Benchmark decontamination check: for each eval document, how many of
+    * its distinct word n-grams also occur anywhere in the training corpus
+    * (n-gram–overlap contamination in the GPT-3 / PaLM style). Returns
+    * `(eval id, n_shared, n_grams, share)` for contaminated docs only —
+    * the removal list is `share >= threshold` on the caller's side.
+    *
+    * Scale: the eval/benchmark side is small by nature — its distinct
+    * grams are the broadcast build side, the 100 TB training side streams
+    * through one hash-join + partial count without ever being collected
+    * or re-shuffled. Train-side grams are deduped per doc first so a
+    * passage repeated inside one train doc doesn't inflate the count.
+    */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalGrams = ngramSets(eval, n, idCol, textCol)
+      .withColumnRenamed(idCol, "eval_id")
+    val trainGrams = ngramSets(train, n, idCol, textCol).select("gram").distinct()
+    val totals = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("eval_id").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals), "eval_id")
+      .withColumn("share",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+}

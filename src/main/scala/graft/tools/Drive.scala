@@ -141,6 +141,25 @@ object Drive {
     val comps = graft.ops.Dedup.connectedComponentsStar(chain, maxIter = 12)
     println(s"chain components: ${comps.select("comp").distinct().count()} (expect 1)")
 
+    println("== training-data assembly: mixture -> split -> shard -> pack ==")
+    val mixed = graft.ops.TrainingData.sourceMixture(
+      docs, "source", Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2), total = 60L)
+    val split = graft.ops.TrainingData.hashSplit(mixed, valFrac = 0.1)
+    val sharded = graft.ops.TrainingData.shardAssign(
+      split.where(col("split") === "train"), nShards = 4)
+    graft.ops.TrainingData.concatPack(sharded, capacity = 1024L,
+        groupCols = Seq("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"),
+        (max(col("start_bin")) + 1).as("windows"))
+      .orderBy("shard").show(4, false)
+
+    println("== decontamination: eval-vs-train trigram overlap ==")
+    graft.ops.TrainingData.contamination(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0).limit(20), n = 3)
+      .orderBy(desc("share")).show(3, false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("doc text body number "), col("id").cast("string"),
+        lit(" with some shared filler words")).as("text"),
+      (col("id") % 3).cast("string").as("lang"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+
+  // ---------------------------------------------------------- sampling
+
+  test("stratifiedSample: exact quota per stratum, deterministic, subset") {
+    val docs = corpus(90)
+    val s1 = TrainingData.stratifiedSample(docs, "lang", 10)
+    val s2 = TrainingData.stratifiedSample(docs, "lang", 10)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+    assert(s1.select("doc_id").collect().toSet ==
+      s2.select("doc_id").collect().toSet, "same sample across runs")
+    assert(s1.join(docs, Seq("doc_id"), "left_anti").count() == 0, "subset of input")
+  }
+
+  test("stratifiedSample: stratum smaller than quota kept whole") {
+    val counts = TrainingData.stratifiedSample(corpus(9), "lang", 10)
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 3L))
+  }
+
+  test("sourceMixture: floor(weight*total) quotas, unmapped strata dropped") {
+    val docs = corpus(100) // 25 docs per src0..src3
+    val out = TrainingData.sourceMixture(
+      docs, "source", Map("src0" -> 0.2, "src1" -> 0.05), total = 100L)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 quota 20 (<25), src1 quota 5, src2/src3 absent from weights
+    assert(counts == Map("src0" -> 20L, "src1" -> 5L))
+  }
+
+  test("sourceMixture: quota above stratum size keeps the stratum whole") {
+    val counts = TrainingData.sourceMixture(
+      corpus(8), "source", Map("src0" -> 1.0), total = 100L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("src0" -> 2L))
+  }
+
+  test("hashSplit: partition of the corpus, fraction near target, stable ids") {
+    val docs = corpus(2000)
+    val out = TrainingData.hashSplit(docs, valFrac = 0.1)
+    assert(out.count() == 2000)
+    val nVal = out.where(col("split") === "val").count()
+    assert(nVal > 100 && nVal < 300, s"10% of 2000 expected ~200, got $nVal")
+    // a doc's split depends only on its id: same ids in a different corpus
+    // land identically
+    val again = TrainingData.hashSplit(docs.where(col("doc_id") < 500), 0.1)
+    val full = out.where(col("doc_id") < 500)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    again.collect().foreach(r =>
+      assert(full(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+  }
+
+  test("hashSplit: degenerate fractions") {
+    val docs = corpus(50)
+    assert(TrainingData.hashSplit(docs, 0.0).where(col("split") === "val").count() == 0)
+    assert(TrainingData.hashSplit(docs, 1.0).where(col("split") === "train").count() == 0)
+  }
+
+  test("shardAssign: shards in range, deterministic, hash-balanced") {
+    val out = TrainingData.shardAssign(corpus(4096), nShards = 8)
+    val counts = out.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf((0 until 8).toSet))
+    // hash-uniform: no shard more than 2x the mean
+    assert(counts.values.max < 2 * 4096 / 8)
+    assert(counts.values.sum == 4096L)
+    intercept[IllegalArgumentException] {
+      TrainingData.shardAssign(corpus(10), nShards = 7) // 7 does not divide 256
+    }
+  }
+
+  // ---------------------------------------------------------- packing
+
+  test("concatPack: contiguous tape per group, exact bin math") {
+    val docs = Seq(
+      (0L, "a", 1000L), (1L, "a", 1500L), (2L, "a", 100L), (3L, "a", 0L),
+      (4L, "b", 5000L))
+      .toDF("doc_id", "grp", "toks")
+    val out = TrainingData.concatPack(docs, capacity = 2048L,
+        groupCols = Seq("grp"), tokensCol = col("toks"))
+      .orderBy("grp", "doc_id")
+      .select("doc_id", "offset", "start_bin", "offset_in_bin", "n_bins")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((0L, 0L, 0L, 0L, 1L)))          // [0,1000) in bin 0
+    assert(out(1) == ((1L, 1000L, 0L, 1000L, 2L)))    // [1000,2500) spans bins 0-1
+    assert(out(2) == ((2L, 2500L, 1L, 452L, 1L)))     // [2500,2600) in bin 1
+    assert(out(3) == ((3L, 2600L, 1L, 552L, 1L)))     // zero-token doc: 1 bin
+    assert(out(4) == ((4L, 0L, 0L, 0L, 3L)))          // group b: own tape, 3 bins
+  }
+
+  test("concatPack: offsets reconstruct the token total; windows stay full") {
+    val docs = corpus(300)
+    val out = TrainingData.concatPack(docs, capacity = 64L, groupCols = Seq("lang"))
+    val byGroup = out.groupBy("lang")
+      .agg(max(col("offset") + col("n_tokens")).as("tape"),
+        sum("n_tokens").as("total"))
+      .collect()
+    byGroup.foreach(r => assert(r.getLong(1) == r.getLong(2), "tape length = token sum"))
+    assert(out.where(col("offset_in_bin") < 0 || col("offset_in_bin") >= 64).count() == 0)
+    intercept[IllegalArgumentException] {
+      TrainingData.concatPack(docs, 64L, groupCols = Seq.empty)
+    }
+  }
+
+  // ------------------------------------------- n-grams / decontamination
+
+  private val phraseDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "a quick brown fox appeared in the garden today"),
+    (2L, "quick brown fox sightings are common here now"),
+    (3L, "completely unrelated text about spark partitions"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("repeatedNgrams: cross-document phrase found with exact df") {
+    val out = TrainingData.repeatedNgrams(phraseDocs, n = 3, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("quick brown fox" -> 3L))
+    // below the cutoff: nothing from the singleton docs
+    val loose = TrainingData.repeatedNgrams(phraseDocs, n = 3, minDocs = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(loose.contains("quick brown fox"))
+    assert(!loose.exists(_.contains("unrelated")))
+  }
+
+  test("ngramSets: dedup within doc, case-folded, short docs contribute nothing") {
+    val docs = Seq((0L, "Ha ha HA ha"), (1L, "one")).toDF("doc_id", "text")
+    val grams = TrainingData.ngramSets(docs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(grams.toSet == Set((0L, "ha ha")), "within-doc repeats collapse; 1-token doc empty")
+  }
+
+  test("contamination: eval doc sharing a train phrase flagged, clean doc absent") {
+    val train = phraseDocs.where(col("doc_id").isin(0L, 3L))
+    val eval = phraseDocs.where(col("doc_id").isin(1L, 2L, 4L))
+      .unionByName(Seq((9L, "totally novel words nowhere else written")).toDF("doc_id", "text"))
+    val out = TrainingData.contamination(train, eval, n = 3)
+      .collect().map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("n_shared"))).toMap
+    // docs 1 and 2 share the "quick brown fox" trigram with train doc 0
+    assert(out.keySet == Set(1L, 2L))
+    assert(out.values.forall(_ >= 1L))
+    // share column bounded by 1
+    val shares = TrainingData.contamination(train, eval, n = 3)
+      .select("share").collect().map(_.getDouble(0))
+    assert(shares.forall(s => s > 0 && s <= 1.0))
+  }
+
+  test("contamination plan: eval grams are the broadcast side") {
+    val train = phraseDocs.where(col("doc_id") =!= 4L)
+    val plan = TrainingData.contamination(train, phraseDocs.limit(2), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
