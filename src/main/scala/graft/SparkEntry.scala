@@ -887,6 +887,12 @@ object SparkEntry {
       graft.ops.TrainingData.stratifiedSample(T(s, dir, "documents"), "lang", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
     }
+    reg("p3b_stratified_sample_large") { (s, dir) =>
+      // the billion-row-stratum path: md5-prefix pre-filter before the
+      // rank — must hash-match the SAME oracle as p3 (identical sample)
+      graft.ops.TrainingData.stratifiedSampleLarge(T(s, dir, "documents"), "lang", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }
     reg("p4_source_mixture") { (s, dir) =>
       graft.ops.TrainingData.sourceMixture(
         T(s, dir, "documents"), "source",
@@ -1812,6 +1818,14 @@ object SparkEntry {
     // ---- training-data corpus assembly (TrainingData.*): the md5 order
     // key is portable, so DuckDB recomputes every operator independently
     "p3_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // the pre-filtered large-stratum variant returns the IDENTICAL sample,
+    // so it faces the same oracle as p3
+    "p3b_stratified_sample_large" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn

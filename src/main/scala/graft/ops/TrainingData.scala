@@ -44,12 +44,11 @@ object TrainingData {
     * sample with an exact per-stratum quota (strata smaller than the quota
     * are kept whole).
     *
-    * Scale: one shuffle keyed on the stratum column; the rank-filter shape
-    * (`row_number <= n` over a window) is exactly what
-    * [[graft.functions.WindowTopKRewrite]] rewrites into a map-side k-heap
-    * aggregate when enabled, so a huge stratum never needs a full sort —
-    * each task keeps `perStratum` rows and the shuffle carries
-    * partitions×quota rows, not the corpus.
+    * Scale: one shuffle keyed on the stratum column, then a per-stratum
+    * sort inside the window. Fine while strata fit a task's sort budget;
+    * for strata of billions of rows use [[stratifiedSampleLarge]], which
+    * pre-filters on the uniform md5 key so the sort only ever sees
+    * ~margin×quota rows per stratum and returns the identical sample.
     */
   def stratifiedSample(
       docs: DataFrame,
@@ -61,6 +60,61 @@ object TrainingData {
     docs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= perStratum)
       .drop("__rn")
+  }
+
+  /** [[stratifiedSample]] for strata too large to sort: same md5-keyed
+    * sample, computed without ever ranking a full stratum.
+    *
+    * Two-pass plan:
+    *  1. per-stratum row counts (a column-pruned count aggregate — the
+    *     cheap pass);
+    *  2. keep only rows whose 32-bit md5 prefix falls below
+    *     `margin × perStratum / stratumSize` of the key space (a pure
+    *     per-row filter — no shuffle, prunes ~everything for huge
+    *     strata), then rank the ~margin×quota survivors per stratum
+    *     exactly as [[stratifiedSample]] does.
+    *
+    * Because the md5 prefix is uniform, the pre-filter keeps every row
+    * the full rank would have kept as long as at least
+    * `min(perStratum, stratumSize)` rows survive — the survivor count is
+    * Binomial(size, margin·quota/size) with mean margin·quota, so at the
+    * default margin 4 a shortfall is a < exp(-quota) tail event. The
+    * `strict` check (default on) verifies the guarantee per stratum and
+    * throws rather than return a silently different sample — rerun with
+    * a larger margin if it ever fires (it is a one-extra-aggregate
+    * action on the already-tiny filtered side).
+    */
+  def stratifiedSampleLarge(
+      docs: DataFrame,
+      stratumCol: String,
+      perStratum: Int,
+      idCol: String = "doc_id",
+      margin: Double = 4.0,
+      strict: Boolean = true): DataFrame = {
+    require(margin > 1.0, s"stratifiedSampleLarge: margin $margin must exceed 1")
+    val sizes = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__size"))
+      .withColumn("__frac",
+        least(lit(1.0), lit(margin * perStratum) / col("__size")))
+      .withColumn("__th",
+        lpad(lower(hex((col("__frac") * 4294967296.0).cast("long"))), 8, "0"))
+    val filtered = docs.join(broadcast(sizes), stratumCol)
+      .where(col("__frac") >= 1.0 ||
+        substring(orderKey(col(idCol)), 1, 8) < col("__th"))
+    if (strict) {
+      val short = filtered.groupBy(col(stratumCol), col("__size"))
+        .agg(count(lit(1)).as("__kept"))
+        .where(col("__kept") < least(lit(perStratum.toLong), col("__size")))
+        .limit(1).collect()
+      require(short.isEmpty,
+        s"stratifiedSampleLarge: pre-filter shortfall in stratum " +
+          s"'${short.headOption.map(_.get(0)).orNull}' — rerun with margin > $margin")
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderKey(col(idCol)), col(idCol))
+    filtered.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perStratum)
+      .drop("__rn", "__size", "__frac", "__th")
   }
 
   /** Deterministic source-mixture downsampling: per-stratum quotas derived

@@ -141,7 +141,12 @@ object Drive {
     val comps = graft.ops.Dedup.connectedComponentsStar(chain, maxIter = 12)
     println(s"chain components: ${comps.select("comp").distinct().count()} (expect 1)")
 
-    println("== training-data assembly: mixture -> split -> shard -> pack ==")
+    println("== training-data assembly: sample -> mixture -> split -> shard -> pack ==")
+    val sampleEq = graft.ops.TrainingData.stratifiedSample(docs, "lang", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      graft.ops.TrainingData.stratifiedSampleLarge(docs, "lang", 15)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    println(s"pre-filtered large-stratum sample identical to full rank: $sampleEq (expect true)")
     val mixed = graft.ops.TrainingData.sourceMixture(
       docs, "source", Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2), total = 60L)
     val split = graft.ops.TrainingData.hashSplit(mixed, valFrac = 0.1)

@@ -99,6 +99,27 @@ object ExplainAudit {
         (p => p.contains("centroid_id")),
       "no shuffled cartesian in the composed IVFPQ path" ->
         (p => !p.contains("CartesianProduct")))
+    audit("p4_source_mixture")(
+      "quota table is the broadcast side" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
+      "only doc_id + stratum read from the corpus scan" ->
+        (p => p.contains("ReadSchema: struct<doc_id:bigint,source:string>")))
+    audit("p5_hash_split")(
+      "split assignment is pure column algebra: single exchange (the " +
+        "2-group count), no join" ->
+        (p => !p.contains("Join") && p.linesIterator.count(_.contains("Exchange")) <= 2))
+    audit("p7_seq_packing")(
+      "one window per group tape, fed by a partition-local sort" ->
+        (p => p.linesIterator.count(_.contains("Window [")) == 1 &&
+          p.linesIterator.exists(l => l.contains("Sort [") &&
+            l.contains("doc_id") && l.contains("], false, 0"))),
+      "packing reads only the columns it needs" ->
+        (p => p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")))
+    audit("d12_decontamination")(
+      "train grams stream through a broadcast hash join (eval side built)" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no cartesian in the contamination path" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
 
     // Section-partitioned index: a filtered search must prune partitions
     // at the scan, not read-then-filter.

@@ -35,6 +35,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(counts.forall(_ == 3L))
   }
 
+  test("stratifiedSampleLarge: identical sample to the full-rank path") {
+    val docs = corpus(3000)
+    val full = TrainingData.stratifiedSample(docs, "lang", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pre = TrainingData.stratifiedSampleLarge(docs, "lang", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre == full, "pre-filtered variant must return the identical sample")
+    // small strata (size < quota) are kept whole through the frac>=1 branch
+    val tiny = TrainingData.stratifiedSampleLarge(corpus(9), "lang", 10)
+    assert(tiny.count() == 9)
+  }
+
   test("sourceMixture: floor(weight*total) quotas, unmapped strata dropped") {
     val docs = corpus(100) // 25 docs per src0..src3
     val out = TrainingData.sourceMixture(
