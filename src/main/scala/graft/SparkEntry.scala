@@ -682,6 +682,31 @@ object SparkEntry {
         sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_too_repetitive"))
     }
 
+    reg("x16_redaction") { (s, dir) =>
+      // C4/RefinedWeb-style PII scrub; the fixture prose carries no PII,
+      // so deterministic synthetic spans (email/URL/number from doc_id)
+      // are appended identically in both engines and must be masked
+      val t2 = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.example/d/"),
+        col("doc_id").cast("string"), lit(" tel 555 123 4567."))
+      T(s, dir, "documents").select(col("doc_id"),
+          TextAnalytics.piiCount(t2).as("n_pii"),
+          md5(TextAnalytics.redactPii(t2).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }
+    reg("x17_c4_clean") { (s, dir) =>
+      // C4 line filter over synthesized page chrome: nav/cookie/footer
+      // lines drop, the punctuated prose line survives
+      val t2 = concat(lit("HOME ABOUT CONTACT\nAccept cookies\n"),
+        col("text"), lit(" end of document.\nSign up"))
+      val cleaned = TextAnalytics.c4LineClean(t2)
+      T(s, dir, "documents").select(col("doc_id"),
+          length(cleaned).cast("long").as("clean_len"),
+          md5(cleaned.cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    }
+
     reg("x7_sketches") { (s, dir) => // rows-only: sketch algorithms differ per engine
       T(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
@@ -1815,6 +1840,37 @@ object SparkEntry {
         |  (SELECT count(*) FROM exact) AS n_exact,
         |  (SELECT count(*) FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers))
         |    AS n_near""".stripMargin,
+    "x16_redaction" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or https://ex.example/d/'
+        |      || CAST(doc_id AS VARCHAR) || ' tel 555 123 4567.' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|https?://[^\s]+|[+(]?[0-9][0-9 ().-]{7,}[0-9]'))
+        |    AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[+(]?[0-9][0-9 ().-]{7,}[0-9]', '<NUMBER>', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "x17_c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    'HOME ABOUT CONTACT' || chr(10) || 'Accept cookies' || chr(10)
+        |      || text || ' end of document.' || chr(10) || 'Sign up' AS t2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, array_to_string(list_filter(string_split(t2, chr(10)),
+        |    l -> regexp_matches(trim(l), '[.!?"'']$')
+        |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3),
+        |    chr(10)) AS cleaned
+        |  FROM t)
+        |SELECT doc_id, CAST(length(cleaned) AS BIGINT) AS clean_len,
+        |       md5(cleaned) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     // ---- training-data corpus assembly (TrainingData.*): the md5 order
     // key is portable, so DuckDB recomputes every operator independently
     "p3_stratified_sample" ->

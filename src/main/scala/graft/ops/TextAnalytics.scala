@@ -116,6 +116,44 @@ object TextAnalytics {
     aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(2147483647L)))
   }
 
+  /** PII redaction (the C4/RefinedWeb-style scrub pass): masks emails,
+    * URLs, and long digit runs (phone/account numbers) with typed
+    * placeholder tokens. Pure per-row `regexp_replace` chain — runs
+    * inside the scan stage's codegen, zero shuffle, trivially 100 TB-safe.
+    * Patterns deliberately use the regex intersection of Java and RE2
+    * (no lookaround, no backrefs) so the oracle recomputes them exactly.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(safe(text),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[+(]?[0-9][0-9 ().-]{7,}[0-9]", "<NUMBER>")
+  }
+
+  /** Count of PII spans [[redactPii]] would mask — the audit column to
+    * log alongside the scrub (redaction without measurement is how silent
+    * corpus damage ships).
+    */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(safe(text),
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+        "|https?://[^\\s]+|[+(]?[0-9][0-9 ().-]{7,}[0-9]"), lit(0))).cast("long")
+
+  /** C4-style line-level boilerplate filter (Raffel et al. 2020 §2.2):
+    * keep only lines that end in terminal punctuation AND carry at least
+    * `minWords` whitespace tokens — drops nav menus, cookie banners, and
+    * list cruft while keeping prose. Returns the re-joined text (empty
+    * string when no line survives). Higher-order-function column algebra
+    * (`filter` over `split`) — per-row, codegen'd, zero shuffle.
+    */
+  def c4LineClean(text: Column, minWords: Int = 3): Column = {
+    val kept = filter(
+      split(safe(text), "\n"),
+      l => trim(l).rlike("[.!?\"']$") &&
+        size(split(trim(l), "\\s+")) >= minWords)
+    array_join(kept, "\n")
+  }
+
   /** Top-N terms per group: tokenize → explode → count → rank. The shuffle
     * is keyed (group, token) with map-side partial counts, then a second
     * tiny shuffle on group for the rank — the scalable word-count shape.

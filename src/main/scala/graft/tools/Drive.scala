@@ -159,6 +159,15 @@ object Drive {
         (max(col("start_bin")) + 1).as("windows"))
       .orderBy("shard").show(4, false)
 
+    println("== C4-style scrub: pii redaction + line-level boilerplate filter ==")
+    val page = "HOME ABOUT\nAccept cookies\nWrite to ops@corp.example or " +
+      "call (415) 555-0199 about the quarterly report today.\nSign up"
+    spark.range(1).select(
+        graft.ops.TextAnalytics.c4LineClean(
+          graft.ops.TextAnalytics.redactPii(lit(page))).as("cleaned"),
+        graft.ops.TextAnalytics.piiCount(lit(page)).as("n_pii"))
+      .show(1, false)
+
     println("== decontamination: eval-vs-train trigram overlap ==")
     graft.ops.TrainingData.contamination(
         docs.where(col("doc_id") % 10 =!= 0),

@@ -50,4 +50,41 @@ class TextAnalyticsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(off.contains(1L), "gate off by default: boilerplate passes this stage")
   }
+
+  test("redactPii masks emails, urls, and digit runs; count matches") {
+    val docs = Seq(
+      (1L, "write to jane.doe+x@corp.example.org today"),
+      (2L, "see https://a.example/path?q=1 and http://b.example for docs"),
+      (3L, "call (415) 555-0199 or 555 123 4567 now"),
+      (4L, "clean prose with no pii at all"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextAnalytics.redactPii($"text").as("red"),
+        TextAnalytics.piiCount($"text").as("n"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == "write to <EMAIL> today" && out(1L)._2 == 1L)
+    assert(out(2L)._1 == "see <URL> and <URL> for docs" && out(2L)._2 == 2L)
+    assert(out(3L)._1 == "call <NUMBER> or <NUMBER> now" && out(3L)._2 == 2L)
+    assert(out(4L) == (("clean prose with no pii at all", 0L)))
+    assert(out(5L) == (("", 0L)))
+  }
+
+  test("c4LineClean keeps punctuated prose lines, drops chrome") {
+    val page = Seq(
+      "HOME ABOUT CONTACT",
+      "Accept all cookies",
+      "This is a real sentence about the product.",
+      "Is it short?",        // ends in ? but only 3 words -> kept at default 3
+      "No",
+      "Buy now").mkString("\n")
+    val out = spark.range(1)
+      .select(TextAnalytics.c4LineClean(lit(page)).as("c"))
+      .as[String].head()
+    assert(out == "This is a real sentence about the product.\nIs it short?")
+    // nothing survives -> empty string, not null
+    val none = spark.range(1)
+      .select(TextAnalytics.c4LineClean(lit("MENU\nFOOTER")).as("c"))
+      .as[String].head()
+    assert(none == "")
+  }
 }
