@@ -52,15 +52,30 @@ object CorpusPipeline {
       maxDocFreq: Long = AutoDocFreq,
       exactComponents: Boolean = false,
       starComponents: Boolean = false,
-      minCompressionRatio: Double = 0.0): DataFrame = {
+      minCompressionRatio: Double = 0.0,
+      scrub: Boolean = false,
+      c4MinWords: Int = 0): DataFrame = {
     val bound = resolveDocFreq(docs, maxDocFreq)
+    // optional scrub stage, FIRST (C4 ordering: clean the text, then let
+    // the gates judge the cleaned text — a page whose only survivors are
+    // chrome lines should fail the quality gate, and dedup should key on
+    // what the trainer would actually see). Both rewrites are scan-stage
+    // column algebra; off by default to keep the reference funnel
+    // semantics (p1) unchanged.
+    val cleaned0 =
+      if (c4MinWords > 0)
+        docs.withColumn(textCol, TextAnalytics.c4LineClean(col(textCol), c4MinWords))
+      else docs
+    val scrubbed =
+      if (scrub) cleaned0.withColumn(textCol, TextAnalytics.redactPii(col(textCol)))
+      else cleaned0
     // optional repetitiveness gate (Gopher-style): docs compressing below
     // the floor are boilerplate/spam. Off by default (0.0 passes all —
     // empty text is neutral 1.0 by contract, so it is never dropped here).
     val gated =
       if (minCompressionRatio > 0.0)
-        docs.where(TextAnalytics.compressionRatio(col(textCol)) >= minCompressionRatio)
-      else docs
+        scrubbed.where(TextAnalytics.compressionRatio(col(textCol)) >= minCompressionRatio)
+      else scrubbed
     val quality = gated.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
     val exact = Dedup.dedupExact(quality, idCol, textCol)
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)

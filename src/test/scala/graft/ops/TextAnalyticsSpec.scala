@@ -69,6 +69,22 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out(5L) == (("", 0L)))
   }
 
+  test("curate with scrub: masks pii and drops chrome-only pages pre-gate") {
+    val prose = "The quarterly report outlines revenue growth across " +
+      "three regions with costs partially offsetting enterprise gains."
+    val docs = Seq(
+      (1L, s"MENU HOME\n$prose Contact ops@corp.example today.\nSign up"),
+      (2L, "HOME\nABOUT\nCookie notice\nBuy now"), // chrome-only page
+      (3L, prose)).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, minQuality = 0.5, nearDupMinSim = 0.99,
+      maxDocFreq = 1000L, scrub = true, c4MinWords = 3)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.contains(1L) && byId(1L).contains("<EMAIL>")
+      && !byId(1L).contains("MENU"), "kept page is cleaned and masked")
+    assert(!byId.contains(2L), "chrome-only page fails the quality gate post-clean")
+    assert(byId.contains(3L))
+  }
+
   test("c4LineClean keeps punctuated prose lines, drops chrome") {
     val page = Seq(
       "HOME ABOUT CONTACT",
