@@ -150,14 +150,27 @@ object CorpusPipeline {
       docs: DataFrame,
       minQuality: Double = 0.5,
       watermark: String = "2 hours",
-      textCol: String = "text"): DataFrame =
-    docs
+      textCol: String = "text",
+      scrub: Boolean = false,
+      c4MinWords: Int = 0): DataFrame = {
+    // same optional scrub stage as batch curate(), same order (clean →
+    // mask → gate → dedup-on-cleaned-text); both rewrites are stateless
+    // column algebra, so they compose into the streaming plan unchanged
+    val cleaned0 =
+      if (c4MinWords > 0)
+        docs.withColumn(textCol, TextAnalytics.c4LineClean(col(textCol), c4MinWords))
+      else docs
+    val scrubbed =
+      if (scrub) cleaned0.withColumn(textCol, TextAnalytics.redactPii(col(textCol)))
+      else cleaned0
+    scrubbed
       .where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
       .withColumn("__sig",
         Dedup.simhash(split(lower(trim(col(textCol))), "\\s+")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
+  }
 
   /** Full pipeline: curate then build the vector index. */
   def curateAndIndex(

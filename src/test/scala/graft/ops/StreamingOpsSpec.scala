@@ -328,6 +328,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming intake with scrub: masked + line-cleaned before the gate") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusPipeline.streamingIntake(df, minQuality = 0.5,
+        scrub = true, c4MinWords = 3)
+      .writeStream.format("memory").queryName("intake_scrub_test")
+      .outputMode("append").start()
+    try {
+      val prose = ("A reasonably long and well punctuated paragraph about " +
+        "observed weather conditions in the region today. ") * 8
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:01"),
+          s"MENU HOME\n$prose Reach ops@corp.example for details.\nSign up"),
+        (2L, ts("2024-01-01 00:00:02"), "HOME\nABOUT\nBuy now")) // chrome-only
+      q.processAllAvailable()
+      val rows = spark.table("intake_scrub_test")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(1L), s"kept ${rows.keySet}")
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("MENU"),
+        "stored text is the cleaned, masked version")
+    } finally q.stop()
+  }
+
   test("streaming index sink: micro-batches append; re-delivery converges") {
     implicit val sqlC = spark.sqlContext
     val path = Files.createTempDirectory("graft_stream_idx").toString + "/idx"
