@@ -942,6 +942,11 @@ object SparkEntry {
           col("start_bin"), col("offset_in_bin"), col("n_bins"), col("n_tokens"))
         .orderBy("lang", "doc_id")
     }
+    reg("p8_shard_manifest") { (s, dir) =>
+      val sharded = graft.ops.TrainingData.shardAssign(T(s, dir, "documents"), 8)
+      graft.ops.TrainingData.shardManifest(sharded, capacity = 2048L)
+        .orderBy("shard")
+    }
     reg("d11_repeated_ngrams") { (s, dir) =>
       graft.ops.TrainingData.repeatedNgrams(T(s, dir, "documents"), n = 2, minDocs = 3L)
         .orderBy(desc("df"), col("gram")).limit(100)
@@ -1926,6 +1931,19 @@ object SparkEntry {
         |            AS n_tokens
         |        FROM documents))
         |ORDER BY lang, doc_id""".stripMargin,
+    "p8_shard_manifest" ->
+      """SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST((sum(ntok) + 2047) // 2048 AS BIGINT) AS n_windows
+        |FROM (
+        |  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+        |              % 8 AS INTEGER) AS shard,
+        |         text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "d11_repeated_ngrams" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, unnest(

@@ -243,6 +243,28 @@ object TrainingData {
       .drop("__tokens", "__cum")
   }
 
+  /** Shard manifest: the per-shard summary a trainer's data loader reads
+    * before touching any shard file — doc/token/byte totals and the
+    * context-window count at `capacity` ([[concatPack]]'s tape cut). One
+    * aggregate pass over (shard, tokens, bytes); integer-exact, so the
+    * manifest doubles as a cross-run corpus checksum.
+    */
+  def shardManifest(
+      sharded: DataFrame,
+      capacity: Long,
+      shardCol: String = "shard",
+      textCol: String = "text"): DataFrame = {
+    require(capacity > 0, "shardManifest: capacity must be positive")
+    sharded
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalytics.tokenCount(col(textCol))).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .withColumn("n_windows",
+        expr(s"(n_tokens + ${capacity - 1}L) div ${capacity}L"))
+  }
+
   // ------------------------------------- n-gram duplication / decontamination
 
   /** Distinct word n-grams per document: `(id, gram)` pairs, lowercased,

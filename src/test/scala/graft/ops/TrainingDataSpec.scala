@@ -131,6 +131,53 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("property: concatPack matches a sequential reference on random tapes") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(4) match {
+        case 0 => 0L // zero-token docs are legal
+        case _ => rnd.nextInt(5000).toLong
+      })
+    }
+    val cap = 1024L
+    val out = TrainingData.concatPack(
+        rows.toDF("doc_id", "grp", "toks"), cap, Seq("grp"), tokensCol = col("toks"))
+      .select("grp", "doc_id", "offset", "start_bin", "offset_in_bin", "n_bins")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // sequential reference: walk each group in doc_id order, carry offset
+    rows.groupBy(_._2).foreach { case (g, docs) =>
+      var off = 0L
+      docs.sortBy(_._1).foreach { case (id, _, toks) =>
+        val startBin = off / cap
+        val endBin = math.max(off + toks - 1, off) / cap
+        assert(out((g, id)) == ((off, startBin, off - startBin * cap, endBin - startBin + 1)),
+          s"mismatch at group $g doc $id")
+        off += toks
+      }
+    }
+  }
+
+  test("shardManifest: totals agree with direct aggregation and packing") {
+    val docs = corpus(500)
+    val sharded = TrainingData.shardAssign(docs, nShards = 4)
+    val man = TrainingData.shardManifest(sharded, capacity = 64L)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(man.values.map(_._1).sum == 500L)
+    // window count per shard equals the packed tape's last bin + 1
+    val packed = TrainingData.concatPack(sharded, 64L, Seq("shard"))
+      .groupBy("shard")
+      .agg(max(expr("(`offset` + greatest(n_tokens, 1) - 1) div 64")).as("last_bin"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    man.foreach { case (shard, (_, toks, _, windows)) =>
+      assert(windows == (toks + 63) / 64, s"ceil mismatch shard $shard")
+      assert(windows == packed(shard) + 1 || toks == 0,
+        s"manifest windows vs packed tape mismatch for shard $shard")
+    }
+  }
+
   // ------------------------------------------- n-grams / decontamination
 
   private val phraseDocs = Seq(
