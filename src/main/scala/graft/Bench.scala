@@ -30,7 +30,8 @@ object Bench {
     "q1_knn_top4", "q1b_knn_batch", "t4_chunks", "t6_embed",
     "d1_exact_dup_groups", "d3_jaccard_pairs", "d5_minhash_pairs",
     "a2_ivf_topk", "a6_rp_batch", "st1_tumbling", "x5_top_terms",
-    "p1_curation_funnel", "ep3_rag_batch")
+    "p1_curation_funnel", "p7_seq_packing", "d11_repeated_ngrams",
+    "ep3_rag_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

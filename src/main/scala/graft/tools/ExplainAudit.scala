@@ -115,6 +115,22 @@ object ExplainAudit {
             l.contains("doc_id") && l.contains("], false, 0"))),
       "packing reads only the columns it needs" ->
         (p => p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")))
+    audit("p3b_stratified_sample_large")(
+      // Catalyst folds the md5-prefix threshold into the broadcast-join
+      // condition itself (no standalone Filter node) — the compare just
+      // has to be planned upstream of the window
+      "md5-prefix threshold compare planned before the rank window" ->
+        (p => p.linesIterator.exists(l =>
+          l.contains("substring(md5") && l.contains("__th"))),
+      "quota/threshold table joined broadcast" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "rank truncated map-side (WindowGroupLimit Partial)" ->
+        (p => p.contains("WindowGroupLimit") && p.contains("Partial")))
+    audit("p8_shard_manifest")(
+      "manifest is one partial-aggregated pass" ->
+        (p => p.contains("partial_count") || p.contains("HashAggregate")),
+      "no join anywhere in the manifest plan" ->
+        (p => !p.contains("Join")))
     audit("d12_decontamination")(
       "train grams stream through a broadcast hash join (eval side built)" ->
         (p => p.contains("BroadcastHashJoin")),
