@@ -1000,9 +1000,10 @@ object SparkEntry {
       // KMeans) -> byte-code index -> ADC table scoring as pure column
       // algebra -> true-L2 re-rank of the bounded shortlist
       val emb = T(s, dir, "embeddings")
-      // maxIter 5: codebooks converge in a handful of rounds at fixture
-      // scale; the full 20 only adds per-job scheduling overhead × m fits
-      val model = Pq.fit(emb, dims = 64, m = 8, k = 16, maxIter = 5)
+      // sample-trained codebooks (fitSampled): driver-side Lloyd's over a
+      // hash-chosen bounded sample — the FAISS training shape; replaces
+      // m distributed KMeans jobs whose scheduling dominated the fit
+      val model = Pq.fitSampled(emb, dims = 64, m = 8, k = 16, maxIter = 10)
       val codes = Pq.encode(emb, model)
       val qs = emb.where(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -1018,7 +1019,7 @@ object SparkEntry {
       // exact re-rank restores true distances on the bounded shortlist
       val emb = T(s, dir, "embeddings")
       val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
-      val model = Pq.fit(emb, dims = 64, m = 8, k = 16, maxIter = 5)
+      val model = Pq.fitSampled(emb, dims = 64, m = 8, k = 16, maxIter = 10)
       val codes = Pq.encode(emb, model)
       val qs = emb.where(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

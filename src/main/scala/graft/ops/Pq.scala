@@ -106,6 +106,110 @@ object Pq {
     } finally { cached.unpersist(); () }
   }
 
+  /** Fit the codebooks on a BOUNDED, deterministically-chosen sample with
+    * driver-side Lloyd's — the FAISS training shape, and the right one at
+    * 100 TB: codebook quality saturates long before the sample does
+    * (`m × k` centroids of `dims/m` components have only KBs of
+    * parameters), so training on the full corpus buys nothing but
+    * `m × maxIter` distributed passes. [[fit]] (MLlib over the corpus)
+    * remains for when the corpus is the sample.
+    *
+    *  - Sample: top-`sampleCap` rows by `md5(id)` — a distributed
+    *    TakeOrdered (map-side heaps, no global sort), deterministic and
+    *    uniform, ≤ `sampleCap × dims` floats on the driver (16 MB at the
+    *    64k default × 64-d).
+    *  - Lloyd's per subspace: spread init (every `n/k`-th point of the
+    *    hash-shuffled sample), empty clusters reseeded to the point
+    *    farthest from its centroid — deterministic end to end, no RNG.
+    */
+  def fitSampled(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      m: Int = 8,
+      k: Int = 256,
+      maxIter: Int = 20,
+      sampleCap: Int = 65536): PqModel = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val sample: Array[Array[Float]] = emb
+      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
+      .orderBy(col("__h")).limit(sampleCap)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "fitSampled: empty corpus")
+    require(sample.length >= k,
+      s"fitSampled: sample ${sample.length} < k=$k centroids")
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      lloyd(pts, k, maxIter)
+    }
+    PqModel(dims, m, k, codebooks)
+  }
+
+  /** Seeded Lloyd's over driver-local points (the hash order of the
+    * sample is already random, so spread init = every n/k-th point).
+    */
+  private def lloyd(
+      pts: Array[Array[Float]],
+      k: Int,
+      maxIter: Int): Array[Array[Float]] = {
+    val n = pts.length
+    val d = pts(0).length
+    val cent = Array.tabulate(k)(c => pts((c.toLong * n / k).toInt).clone())
+    val assign = new Array[Int](n)
+    def d2(a: Array[Float], b: Array[Float]): Float = {
+      var s = 0.0f; var i = 0
+      while (i < d) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = Float.MaxValue; var c = 0
+        while (c < k) {
+          val s = d2(pts(p), cent(c))
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        if (assign(p) != best || iter == 0) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < n) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += pts(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) == 0) {
+          // deterministic reseed: the point farthest from its own centroid
+          var far = 0; var farD = -1.0f; var q = 0
+          while (q < n) {
+            val s = d2(pts(q), cent(assign(q)))
+            if (s > farD) { farD = s; far = q }
+            q += 1
+          }
+          cent(c) = pts(far).clone(); assign(far) = c
+        } else {
+          var i = 0
+          while (i < d) { cent(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cent
+  }
+
   /** One-time index encode: `(idCol, codes ARRAY<INT>)`. */
   def encode(
       emb: DataFrame,

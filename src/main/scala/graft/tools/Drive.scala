@@ -128,7 +128,7 @@ object Drive {
       .orderBy("source").show(3, false)
 
     println("== product quantization: codes + ADC search + exact re-rank ==")
-    val pqModel = graft.ops.Pq.fit(emb, dims = 64, m = 8, k = 8)
+    val pqModel = graft.ops.Pq.fitSampled(emb, dims = 64, m = 8, k = 8)
     val pqCodes = graft.ops.Pq.encode(emb, pqModel)
     val pqQs = emb.where(col("vec_id").isin(3, 7))
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

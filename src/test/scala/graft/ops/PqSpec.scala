@@ -117,6 +117,37 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fitSampled: deterministic, valid codebooks, same search quality contract") {
+    val m1 = Pq.fitSampled(emb, dims = 64, m = 8, k = 8, maxIter = 10)
+    val m2 = Pq.fitSampled(emb, dims = 64, m = 8, k = 8, maxIter = 10)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "sample-trained codebooks must be bit-reproducible")
+    assert(m1.codebooks.length == 8 && m1.codebooks.forall(_.length == 8)
+      && m1.codebooks.forall(_.forall(_.length == 8)))
+    // same contracts as the MLlib fit: self-top1 under ADC, recall with rerank
+    val sCodes = Pq.encode(emb, m1)
+    val adcTop = Pq.topKBatch(queries, sCodes, m1, k = 1, rerank = 0)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    adcTop.foreach { case (qid, hit) => assert(hit == qid, s"q$qid ADC top-1 $hit") }
+    val exact = queries.select("query_id", "query_vec").as[(Long, Array[Float])]
+      .collect().map { case (qid, qv) =>
+        qid -> Knn.topKWithScore(emb, qv, 5, idCol = "vec_id")
+          .select("vec_id").as[Long].collect().toSet
+      }.toMap
+    val rr = Pq.topKBatch(queries, sCodes, m1, k = 5, emb = emb, rerank = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (rr(q) intersect exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.8, s"sampled-fit rerank recall $recall")
+    // sampleCap smaller than the corpus still trains a usable model
+    val capped = Pq.fitSampled(emb, dims = 64, m = 8, k = 8, maxIter = 10, sampleCap = 64)
+    assert(capped.codebooks.forall(_.length == 8))
+    intercept[IllegalArgumentException] {
+      Pq.fitSampled(emb, dims = 64, m = 8, k = 256, sampleCap = 64) // k > sample
+    }
+  }
+
   test("compression: codes are 32x smaller than raw vectors at m=8/64-d") {
     // structural claim pinned as arithmetic so a schema change that widens
     // the code column (e.g. LONG codes) fails loudly
