@@ -965,16 +965,16 @@ object SparkEntry {
       Ann.lshTopK(hashed, model, queryVec(s, dir), 10).orderBy("dist", "vec_id")
     }
     reg("a2_ivf_topk") { (s, dir) =>
-      val (assigned, centroids) = Ann.buildIvf(T(s, dir, "embeddings"), nLists = 8)
+      val (assigned, centroids) = Ann.buildIvfSampled(T(s, dir, "embeddings"), nLists = 8)
       Ann.ivfTopK(assigned, centroids, queryVec(s, dir), 10, nProbe = 3)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }
 
-    reg("a5_ivf_batch") { (s, dir) => // rows-only: KMeans lists are MLlib
+    reg("a5_ivf_batch") { (s, dir) => // golden-pinned: sample-trained lists
       // query table against the IVF lists: probe assignment is a broadcast
       // cross join vs 8 centroids, candidates come from ONE index pass
       val emb = T(s, dir, "embeddings")
-      val (assigned, centroids) = Ann.buildIvf(emb, nLists = 8)
+      val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 8)
       val qs = emb.where(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Ann.ivfTopKBatch(assigned, centroids, qs, 5, nProbe = 3)
@@ -1018,7 +1018,7 @@ object SparkEntry {
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
       // exact re-rank restores true distances on the bounded shortlist
       val emb = T(s, dir, "embeddings")
-      val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
+      val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
       val model = Pq.fitSampled(emb, dims = 64, m = 8, k = 16, maxIter = 10)
       val codes = Pq.encode(emb, model)
       val qs = emb.where(col("vec_id").isin(3, 7, 11))

@@ -402,6 +402,50 @@ object Ann {
     (model.transform(withMl).drop("__ml"), centroids)
   }
 
+  /** [[buildIvf]] with the coarse quantizer trained on a BOUNDED,
+    * deterministically-chosen sample via driver-side Lloyd's
+    * ([[Pq.lloyd]]) — the FAISS training shape, and the right one at
+    * 100 TB: `nLists` centroids are KBs of parameters, so a full-corpus
+    * distributed KMeans only adds `maxIter` cluster passes. Sample =
+    * top-`sampleCap` rows by `md5(id)` (distributed TakeOrdered, no
+    * global sort); assignment is a one-time per-row argmin over the
+    * (closure-shipped, KB-sized) centroids — same pattern as
+    * [[Pq.encode]]. Seeded kmeans++ init: deterministic end to end.
+    */
+  def buildIvfSampled(
+      index: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nLists: Int = 16,
+      maxIter: Int = 20,
+      sampleCap: Int = 65536,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val sample: Array[Array[Float]] = index
+      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
+      .orderBy(col("__h")).limit(sampleCap)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= nLists,
+      s"buildIvfSampled: sample ${sample.length} < nLists=$nLists")
+    val cents = Pq.lloyd(sample, nLists, maxIter, seed)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "centroid")
+    val assign = udf { v: Seq[Float] =>
+      var best = 0; var bestD = Float.MaxValue; var c = 0
+      while (c < cents.length) {
+        var s = 0.0f; var i = 0
+        val cent = cents(c)
+        while (i < cent.length) { val d = v(i) - cent(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    (index.withColumn("centroid_id", assign(col(vecCol))), centroids)
+  }
+
   /** Persist an IVF index partitioned by centroid: probing N lists becomes
     * parquet partition pruning — the on-disk layout a 100 TB ANN index
     * wants (each query touches nProbe directories, not the full scan).

@@ -118,9 +118,9 @@ object Pq {
     *    TakeOrdered (map-side heaps, no global sort), deterministic and
     *    uniform, ≤ `sampleCap × dims` floats on the driver (16 MB at the
     *    64k default × 64-d).
-    *  - Lloyd's per subspace: spread init (every `n/k`-th point of the
-    *    hash-shuffled sample), empty clusters reseeded to the point
-    *    farthest from its centroid — deterministic end to end, no RNG.
+    *  - Lloyd's per subspace: seeded kmeans++ init, empty clusters
+    *    reseeded to the point farthest from its centroid — deterministic
+    *    for a fixed seed, end to end.
     */
   def fitSampled(
       emb: DataFrame,
@@ -130,7 +130,8 @@ object Pq {
       m: Int = 8,
       k: Int = 256,
       maxIter: Int = 20,
-      sampleCap: Int = 65536): PqModel = {
+      sampleCap: Int = 65536,
+      seed: Long = 42L): PqModel = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val subDim = dims / m
     val sample: Array[Array[Float]] = emb
@@ -143,27 +144,83 @@ object Pq {
       s"fitSampled: sample ${sample.length} < k=$k centroids")
     val codebooks = Array.tabulate(m) { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-      lloyd(pts, k, maxIter)
+      lloyd(pts, k, maxIter, seed + j)
     }
     PqModel(dims, m, k, codebooks)
   }
 
-  /** Seeded Lloyd's over driver-local points (the hash order of the
-    * sample is already random, so spread init = every n/k-th point).
+  /** Lloyd's over driver-local points: seeded kmeans++ init, a few
+    * restarts, keep the lowest-inertia run — deterministic for a fixed
+    * seed (a single draw can land in a visibly bad local optimum on
+    * structureless data; restarts are cheap at driver scale). Shared with
+    * [[Ann.buildIvfSampled]]: the IVF coarse quantizer is the same
+    * bounded-parameter fit, one subspace, full dims.
     */
-  private def lloyd(
+  private[ops] def lloyd(
       pts: Array[Array[Float]],
       k: Int,
-      maxIter: Int): Array[Array[Float]] = {
+      maxIter: Int,
+      seed: Long,
+      restarts: Int = 4): Array[Array[Float]] = {
+    var best: Array[Array[Float]] = null
+    var bestInertia = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val (cent, inertia) = lloydOnce(pts, k, maxIter, seed + 7919L * r)
+      if (inertia < bestInertia) { bestInertia = inertia; best = cent }
+      r += 1
+    }
+    best
+  }
+
+  /** One Lloyd's run; returns (centroids, final inertia). */
+  private def lloydOnce(
+      pts: Array[Array[Float]],
+      k: Int,
+      maxIter: Int,
+      seed: Long): (Array[Array[Float]], Double) = {
     val n = pts.length
     val d = pts(0).length
-    val cent = Array.tabulate(k)(c => pts((c.toLong * n / k).toInt).clone())
-    val assign = new Array[Int](n)
     def d2(a: Array[Float], b: Array[Float]): Float = {
       var s = 0.0f; var i = 0
       while (i < d) { val x = a(i) - b(i); s += x * x; i += 1 }
       s
     }
+    // seeded kmeans++ init (deterministic for a fixed seed): weighted
+    // sampling by squared distance to the nearest chosen centroid.
+    // NOT maxmin/farthest-point — that deterministically elects outliers
+    // as centroids and quantizes the bulk badly (measured on the 100-row
+    // fixture: rerank recall 0.60 maxmin vs 0.80 kmeans++ with restarts,
+    // MLlib-fit parity)
+    val rnd = new scala.util.Random(seed)
+    val cent = new Array[Array[Float]](k)
+    cent(0) = pts(rnd.nextInt(n)).clone()
+    val minD = new Array[Double](n)
+    var p0 = 0
+    while (p0 < n) { minD(p0) = d2(pts(p0), cent(0)); p0 += 1 }
+    var ci = 1
+    while (ci < k) {
+      val total = minD.sum
+      var pick = 0
+      if (total > 0) {
+        val r = rnd.nextDouble() * total
+        var acc = 0.0; var q = 0
+        pick = n - 1
+        var found = false
+        while (q < n && !found) {
+          acc += minD(q); if (acc >= r) { pick = q; found = true }; q += 1
+        }
+      } else pick = rnd.nextInt(n) // all points identical: any index works
+      cent(ci) = pts(pick).clone()
+      var q = 0
+      while (q < n) {
+        val s = d2(pts(q), cent(ci)).toDouble
+        if (s < minD(q)) minD(q) = s
+        q += 1
+      }
+      ci += 1
+    }
+    val assign = new Array[Int](n)
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
@@ -207,7 +264,10 @@ object Pq {
       }
       iter += 1
     }
-    cent
+    var inertia = 0.0
+    var pi = 0
+    while (pi < n) { inertia += d2(pts(pi), cent(assign(pi))); pi += 1 }
+    (cent, inertia)
   }
 
   /** One-time index encode: `(idCol, codes ARRAY<INT>)`. */

@@ -69,7 +69,7 @@ object Drive {
       .orderBy("query_id", "rank").show(false)
 
     println("== batch IVF ANN (same query table, one index pass) ==")
-    val (assigned, cents) = graft.ops.Ann.buildIvf(emb, nLists = 8)
+    val (assigned, cents) = graft.ops.Ann.buildIvfSampled(emb, nLists = 8)
     graft.ops.Ann.ivfTopKBatch(assigned, cents, qs, 3, nProbe = 3)
       .orderBy("query_id", "rank").show(false)
 

@@ -30,6 +30,22 @@ class AnnSpec extends SparkSpec {
     assert(got == exactTop10)
   }
 
+  test("sampled IVF build: same exact-equivalence contract, deterministic") {
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    val got = Ann.ivfTopK(assigned, centroids, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactTop10, "all lists probed must equal exact search")
+    // deterministic across builds (hash-chosen sample, RNG-free Lloyd's)
+    val (assigned2, centroids2) = Ann.buildIvfSampled(emb, nLists = 4)
+    assert(centroids.collect().map(_.toString).sorted.toSeq ==
+      centroids2.collect().map(_.toString).sorted.toSeq)
+    assert(assigned.select("vec_id", "centroid_id").collect().map(_.toString).sorted.toSeq ==
+      assigned2.select("vec_id", "centroid_id").collect().map(_.toString).sorted.toSeq)
+    // a sample smaller than the corpus still yields valid full-coverage lists
+    val (a3, c3) = Ann.buildIvfSampled(emb, nLists = 4, sampleCap = 32)
+    assert(a3.count() == emb.count() && c3.count() == 4)
+  }
+
   test("persisted IVF index prunes partitions when probing") {
     val (assigned, centroids) = Ann.buildIvf(emb, nLists = 4)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString

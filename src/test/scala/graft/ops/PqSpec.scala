@@ -139,7 +139,7 @@ class PqSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recall = exact.keys.toSeq.map(q =>
       (rr(q) intersect exact(q)).size.toDouble / exact(q).size).sum / exact.size
-    assert(recall >= 0.8, s"sampled-fit rerank recall $recall")
+    assert(recall >= 0.8 - 1e-9, s"sampled-fit rerank recall $recall")
     // sampleCap smaller than the corpus still trains a usable model
     val capped = Pq.fitSampled(emb, dims = 64, m = 8, k = 8, maxIter = 10, sampleCap = 64)
     assert(capped.codebooks.forall(_.length == 8))
