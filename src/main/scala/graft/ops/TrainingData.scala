@@ -323,20 +323,30 @@ object TrainingData {
     * through one hash-join + partial count without ever being collected
     * or re-shuffled. Train-side grams are deduped per doc first so a
     * passage repeated inside one train doc doesn't inflate the count.
+    * The broadcast is guarded (same discipline as the ANN candidate
+    * joins): an eval side whose gram set exceeds `maxBroadcastGrams`
+    * falls back to a shuffle join — slower, never a driver OOM. The
+    * probe scans at most cap+1 rows (limit pushes down).
     */
   def contamination(
       train: DataFrame,
       eval: DataFrame,
       n: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBroadcastGrams: Int = 4000000): DataFrame = {
     val evalGrams = ngramSets(eval, n, idCol, textCol)
       .withColumnRenamed(idCol, "eval_id")
+    def guarded(df: DataFrame): DataFrame =
+      if (df.limit(maxBroadcastGrams + 1).count() <= maxBroadcastGrams)
+        broadcast(df)
+      else df
+    val evalSide = guarded(evalGrams)
     val trainGrams = ngramSets(train, n, idCol, textCol).select("gram").distinct()
     val totals = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
-    trainGrams.join(broadcast(evalGrams), "gram")
+    trainGrams.join(evalSide, "gram")
       .groupBy("eval_id").agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(totals), "eval_id")
+      .join(guarded(totals), "eval_id")
       .withColumn("share",
         round(col("n_shared").cast("double") / col("n_grams"), 6))
   }
