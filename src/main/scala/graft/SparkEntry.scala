@@ -707,6 +707,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    reg("x18_bpe_tokens") { (s, dir) =>
+      // learned-subword (BPE) token counts: merges trained on the corpus's
+      // own bounded word-frequency table (the HF-tokenizers shape), encode
+      // distributed. Golden-pinned (merge training is not SQL); the merge
+      // algebra and roundtrip contracts live in BpeTokenizerSpec/BpeSpec.
+      val d = T(s, dir, "documents")
+      val model = graft.ops.Bpe.train(d, numMerges = 200)
+      graft.ops.Bpe.tokenize(d, model)
+        .select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"),
+          slice(col("tokens"), 1, 5).as("head_tokens"))
+        .orderBy("doc_id")
+    }
+
     reg("x7_sketches") { (s, dir) => // rows-only: sketch algorithms differ per engine
       T(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
@@ -957,6 +970,42 @@ object SparkEntry {
         d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0), n = 3)
         .select("eval_id", "n_shared", "n_grams").orderBy("eval_id")
     }
+    reg("d13_semantic_dedup") { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means cells bound the pair search,
+      // exact CC resolves, the paper's farthest-from-centroid keeper rule
+      // picks the survivor. Golden-pinned (the k-means fit is not SQL);
+      // recall/keeper/guard contracts live in DedupSpec.
+      graft.ops.Dedup.semanticDedup(
+        T(s, dir, "embeddings"), minCos = 0.4, nClusters = 8)
+        .select("vec_id").orderBy("vec_id")
+    }
+    reg("p9_dsir_weights") { (s, dir) =>
+      // DSIR (Xie et al. 2023) log importance weights on the 1e-6 integer
+      // grid — exact arithmetic end to end, so DuckDB recomputes the whole
+      // feature-hash -> bucket-model -> per-doc-sum pipeline and must
+      // hash-match
+      val d = T(s, dir, "documents")
+      graft.ops.TrainingData.importanceWeights(
+        d, d.where(col("lang") === "en"), nBuckets = 4096)
+        .orderBy("doc_id")
+    }
+    reg("p10_dsir_resample") { (s, dir) =>
+      // Gumbel top-k selection over the p9 weights (deterministic md5
+      // Gumbel noise) — also fully recomputed by the oracle
+      val d = T(s, dir, "documents")
+      graft.ops.TrainingData.importanceResample(
+        d, d.where(col("lang") === "en"), k = 200, nBuckets = 4096)
+        .orderBy(desc("score_q"), col("doc_id"))
+    }
+    reg("p11_epoch_mixture") { (s, dir) =>
+      // epoch-aware upsampling: src0 repeated 2.5x, src2 quartered; the
+      // fractional pass is an md5-coin uniform subset per (doc, copy)
+      graft.ops.TrainingData.epochMixture(
+        T(s, dir, "documents"), "source",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select("doc_id", "source", "copy")
+        .orderBy("source", "doc_id", "copy")
+    }
 
     // ---- ANN (a*): approximate operators, golden-pinned (determinism
     // freezes; recall/equivalence bounds live in AnnSpec/PqSpec)
@@ -1164,6 +1213,47 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
+  /** Shared DuckDB CTE chain for the DSIR oracles (p9/p10): tokenize →
+    * hashed gram buckets (the `'0x' || md5-prefix` cast is DuckDB's
+    * spelling of Spark's `conv(substring(md5(g),1,15),16,10)`) → Laplace
+    * bucket models → 1e-6-grid quantized log ratios → per-doc integer
+    * weight sums. Ends by defining a `weights` CTE; callers append their
+    * own final SELECT.
+    */
+  private def dsirWeightsSql(nBuckets: Int, targetPred: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(list_concat(t,
+       |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS gram
+       |  FROM toks),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % $nBuckets AS bucket,
+       |    count(*) AS cnt
+       |  FROM grams GROUP BY 1, 2, 3),
+       |raw_counts AS (
+       |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_r FROM feats GROUP BY 1),
+       |tgt_counts AS (
+       |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_t
+       |  FROM feats WHERE $targetPred GROUP BY 1),
+       |tots AS (SELECT
+       |  (SELECT CAST(sum(cnt_r) AS BIGINT) FROM raw_counts) AS tot_r,
+       |  (SELECT CAST(sum(cnt_t) AS BIGINT) FROM tgt_counts) AS tot_t),
+       |ratio AS (
+       |  SELECT rc.bucket,
+       |    CAST(round((ln(coalesce(tc.cnt_t, 0) + 1) - ln(tots.tot_t + $nBuckets)
+       |      - ln(rc.cnt_r + 1) + ln(tots.tot_r + $nBuckets)) * 1e6) AS BIGINT) AS ratio_q
+       |  FROM raw_counts rc LEFT JOIN tgt_counts tc USING (bucket), tots),
+       |weights AS (
+       |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+       |    CAST(sum(f.cnt * r.ratio_q) AS BIGINT) AS logw_q
+       |  FROM feats f JOIN ratio r USING (bucket)
+       |  GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- golden-parquet oracles (fixtures/, sf0.01 — the fixture Verify
     // runs on): deterministic queries whose semantics are not DuckDB-SQL-
@@ -1219,6 +1309,10 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d6_simhash_pairs_sf001.parquet')",
+    "d13_semantic_dedup" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/d13_semantic_dedup_sf001.parquet')",
+    "x18_bpe_tokens" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/x18_bpe_tokens_sf001.parquet')",
     "p2_curated_index" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/p2_curated_index_sf001.parquet')",
     "t6_embed" ->
@@ -1982,6 +2076,38 @@ object SparkEntry {
         |SELECT eg.eval_id, count(*) AS n_shared, tot.n_grams AS n_grams
         |FROM tg JOIN eg USING (gram) JOIN tot ON tot.eval_id = eg.eval_id
         |GROUP BY eg.eval_id, tot.n_grams ORDER BY eg.eval_id""".stripMargin,
+    // DSIR: DuckDB re-runs the WHOLE pipeline — tokenize, hash grams into
+    // buckets ('0x'||md5-prefix cast, identical to Spark's conv), Laplace
+    // bucket models, 1e-6-grid log ratios, per-doc integer sums, and (p10)
+    // the md5-Gumbel top-k. Everything after the ln() rounding is exact
+    // integer arithmetic, so the hashes must match bit for bit.
+    "p9_dsir_weights" -> (dsirWeightsSql(4096, "lang = 'en'") +
+      "\nSELECT doc_id, n_feats, logw_q FROM weights ORDER BY doc_id"),
+    "p10_dsir_resample" -> (dsirWeightsSql(4096, "lang = 'en'") +
+      """
+        |SELECT doc_id, n_feats, logw_q,
+        |  logw_q + CAST(round(-ln(-ln(
+        |    (CAST(('0x' || substr(md5(doc_id || ':gumbel'), 1, 15)) AS BIGINT) + 0.5)
+        |      / 1152921504606846976.0)) * 1e6) AS BIGINT) AS score_q
+        |FROM weights
+        |ORDER BY score_q DESC, doc_id LIMIT 200""".stripMargin),
+    // NOTE the LATERAL spelling: filtering a CTE whose SELECT list holds a
+    // bare unnest() trips an INTERNAL binder error in DuckDB 1.0 that
+    // INVALIDATES the whole connection (poisoning every later oracle);
+    // unnesting in a lateral subquery binds fine.
+    "p11_epoch_mixture" ->
+      """WITH quotas(source, ep) AS (VALUES ('src0', 2.5), ('src1', 1.0), ('src2', 0.25)),
+        |e AS (
+        |  SELECT d.doc_id, d.source, q.ep, r.cp
+        |  FROM documents d
+        |  JOIN quotas q USING (source),
+        |  LATERAL (SELECT unnest(range(CAST(ceil(q.ep) AS BIGINT))) AS cp) r)
+        |SELECT doc_id, source, CAST(cp AS INTEGER) AS copy
+        |FROM e
+        |WHERE cp < CAST(floor(ep) AS BIGINT)
+        |   OR substr(md5(doc_id || ':' || cp), 1, 8) <
+        |      lpad(lower(hex(CAST((ep - floor(ep)) * 4294967296.0 AS BIGINT))), 8, '0')
+        |ORDER BY source, doc_id, copy""".stripMargin,
     "r19_subqueries" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

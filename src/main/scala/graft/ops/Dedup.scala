@@ -451,6 +451,110 @@ object Dedup {
         s"maxExactRows=$maxExactRows; use Dedup.cosinePairsAuto or " +
         s"Ann.cosinePairsLsh for the bucketed scale path (or raise the cap)")
 
+  // ------------------------------------------------- semantic (SemDeDup)
+
+  /** Within-cluster embedding near-dup pairs — the SemDeDup candidate
+    * generator (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540). The
+    * corpus is coarse-clustered with the sampled k-means quantizer
+    * ([[Ann.buildIvfSampled]] — centroids are KBs of parameters, fit on a
+    * bounded deterministic sample), then pairs are scored ONLY inside each
+    * cluster: one shuffle on `centroid_id`, and the quadratic term is
+    * bounded by the largest cluster, never the corpus. Clusters are the
+    * data-adaptive analog of [[simhashPairs]]'s band buckets; like every
+    * bucketed candidate scheme the output is a strict SUBSET of the exact
+    * pairs (candidates are verified with the true cosine — precision is
+    * exact; recall loses only pairs the quantizer splits across clusters,
+    * which at SemDeDup thresholds ≥0.9 are rare because near-identical
+    * vectors land in the same cell; quantified in DedupSpec).
+    *
+    * Hot-cluster guard (`maxClusterSize`): a degenerate corpus (mass
+    * identical embeddings) concentrates one cluster until the within-
+    * cluster join is all-pairs; clusters past the cap are dropped from the
+    * pair search — same discipline as the simhash band guard and jaccard's
+    * document-frequency cutoff. Run [[dedupExact]] first and the guard
+    * almost never fires.
+    */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCos: Double = 0.95,
+      nClusters: Int = 16,
+      maxClusterSize: Long = 1L << 20,
+      sampleCap: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    val (assigned, _) =
+      Ann.buildIvfSampled(emb, idCol, vecCol, nClusters, 20, sampleCap, seed)
+    semanticPairsAssigned(assigned, idCol, vecCol, minCos, maxClusterSize)
+  }
+
+  private def semanticPairsAssigned(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, maxClusterSize: Long): DataFrame = {
+    // drop list, not keep list: oversized clusters are bounded by
+    // corpus_size / maxClusterSize, so the anti-join side stays broadcast-
+    // small at any corpus size
+    val hot = assigned.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxClusterSize)
+      .select("centroid_id")
+    val cold = assigned.join(broadcast(hot), Seq("centroid_id"), "left_anti")
+    val a = cold.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = cold.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .where(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup end-to-end: cluster → within-cluster pairs → exact connected
+    * components → keep ONE representative per semantic-duplicate component.
+    * `keepFarthestFromCentroid = true` is the paper's keeper rule (§3: keep
+    * the example with LOWEST cosine similarity to its cluster centroid —
+    * the most "atypical" member, which they found preserves downstream
+    * accuracy best); `false` keeps the minimum id (the convention of
+    * [[dropNearDupsCC]], handy when ids encode arrival order). Both rules
+    * are deterministic (ties broken by id).
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCos: Double = 0.95,
+      nClusters: Int = 16,
+      keepFarthestFromCentroid: Boolean = true,
+      maxClusterSize: Long = 1L << 20,
+      sampleCap: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) =
+      Ann.buildIvfSampled(emb, idCol, vecCol, nClusters, 20, sampleCap, seed)
+    val pairs =
+      semanticPairsAssigned(assigned, idCol, vecCol, minCos, maxClusterSize)
+    val labels = connectedComponents(pairs)
+    val keepers =
+      if (!keepFarthestFromCentroid)
+        labels.groupBy("comp").agg(min(col("id")).as("keep"))
+      else {
+        // centroid table is nClusters rows — broadcast; struct ordering is
+        // lexicographic, so min_by picks (lowest centroid-sim, then lowest id)
+        val csim = assigned
+          .join(broadcast(centroids), Seq("centroid_id"))
+          .select(col(idCol).as("id"),
+            VectorFunctions.cosineSimilarity(col(vecCol), col("centroid")).as("csim"))
+        labels.join(csim, Seq("id"))
+          .groupBy("comp")
+          .agg(min_by(col("id"), struct(col("csim"), col("id"))).as("keep"))
+      }
+    // keepers is one row per dup COMPONENT — not broadcast-bounded on a
+    // dup-heavy corpus; both sides key on comp, let AQE pick the strategy
+    val losers = labels.join(keepers, Seq("comp"))
+      .where(col("id") =!= col("keep"))
+      .select(col("id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Size-guarded cosine near-dup pairs — the path callers should default
     * to. Exact O(n²) broadcast join only while the input provably fits
     * (`maxExactRows`); above that it auto-escalates to the AND/OR-amplified

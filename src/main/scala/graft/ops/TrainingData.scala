@@ -265,6 +265,50 @@ object TrainingData {
         expr(s"(n_tokens + ${capacity - 1}L) div ${capacity}L"))
   }
 
+  /** Epoch-aware mixture: replicate each source `epochs(source)` times —
+    * the data-constrained regime where a high-value source is repeated for
+    * several passes while the bulk gets one (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating up to ~4 epochs
+    * is nearly as good as new data). Complements [[sourceMixture]], which
+    * only ever downsamples.
+    *
+    * Each doc emits `floor(ep)` full copies plus one more with probability
+    * `frac(ep)` — decided by an md5 coin keyed on `(id, copy)`, so the
+    * fractional pass is a uniform subset, deterministic and retry-stable.
+    * Output gains a `copy` column (0-based repetition index — feed it into
+    * [[shardAssign]]'s id or the pack order so repeats spread across
+    * shards). Strata absent from `epochs` are dropped.
+    *
+    * Scale: pure column algebra — a broadcast-literal quota join + a
+    * per-row explode of at most `ceil(ep)` copies; no shuffle at all.
+    */
+  def epochMixture(
+      docs: DataFrame,
+      stratumCol: String,
+      epochs: Map[String, Double],
+      idCol: String = "doc_id",
+      copyCol: String = "copy"): DataFrame = {
+    require(epochs.nonEmpty, "epochMixture: empty epoch map")
+    require(epochs.values.forall(e => e >= 0 && e <= 64),
+      "epochMixture: epochs must be in [0, 64] — repeating a source more " +
+        "than a few times buys nothing (Muennighoff et al. 2023, fig. 2)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = epochs.toSeq.toDF(stratumCol, "__ep")
+    docs.join(broadcast(quotas), stratumCol)
+      .withColumn(copyCol,
+        explode(when(ceil(col("__ep")) >= 1,
+          sequence(lit(0), ceil(col("__ep")).cast("int") - 1))
+          .otherwise(array())))
+      .withColumn("__frac", col("__ep") - floor(col("__ep")))
+      .withColumn("__th",
+        lpad(lower(hex((col("__frac") * 4294967296.0).cast("long"))), 8, "0"))
+      .where(col(copyCol) < floor(col("__ep")).cast("int") ||
+        substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col(copyCol).cast("string"))), 1, 8) < col("__th"))
+      .drop("__ep", "__frac", "__th")
+  }
+
   // ------------------------------------- n-gram duplication / decontamination
 
   /** Distinct word n-grams per document: `(id, gram)` pairs, lowercased,
@@ -349,5 +393,121 @@ object TrainingData {
       .join(guarded(totals), "eval_id")
       .withColumn("share",
         round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+
+  // --------------------------------------- importance resampling (DSIR)
+
+  /** Hashed n-gram feature counts per document — the DSIR feature space
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169 §3: unigrams + bigrams hashed into
+    * `nBuckets`). Returns `(id, bucket, cnt)` — a COUNT multiset, unlike
+    * [[ngramSets]]'s distinct sets, because importance weights are products
+    * over feature occurrences.
+    *
+    * The bucket hash is the md5-prefix integer ([[orderKey]] discipline):
+    * deterministic, retry-stable, and portable — DuckDB computes the
+    * identical bucket, so the whole DSIR pipeline stays oracle-checkable.
+    */
+  def hashedGramBuckets(
+      docs: DataFrame,
+      nBuckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "hashedGramBuckets: nBuckets must be positive")
+    val toks = when(length(trim(col(textCol))) === 0, array())
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val bucket = pmod(
+      conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(concat(
+        col("__toks"),
+        when(size(col("__toks")) >= 2,
+          expr("transform(sequence(0, size(__toks) - 2), i -> " +
+            "concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2)))"))
+          .otherwise(array()))).as("gram"))
+      .select(col(idCol), bucket.as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance weights: for each raw-corpus doc, the log-likelihood
+    * ratio of its hashed-n-gram features under the TARGET distribution vs
+    * the RAW distribution — `log ŵ(x) = Σ_features log p_target/p_raw` with
+    * Laplace-smoothed bucket unigram models (α = 1). High weight = "looks
+    * like the target domain".
+    *
+    * Returns `(id, n_feats, logw_q)` where `logw_q = round(log ŵ × 10⁶)` —
+    * the log-weight on a fixed 10⁻⁶ grid. Quantizing per BUCKET makes the
+    * per-doc sum exact integer arithmetic: associative, partial-aggregation-
+    * order-independent, identical in any engine — the weights are
+    * hash-stable facts, not float accidents. Docs with no features (empty
+    * text) emit no row.
+    *
+    * Scale: the bucket model tables are ≤ `nBuckets` rows (broadcast); the
+    * raw corpus streams through one explode + one broadcast join + one
+    * keyed aggregate — linear, two shuffles (feature count, per-doc sum),
+    * nothing corpus-sized ever sits on the driver.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      nBuckets: Int = 8192,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rawFeats = hashedGramBuckets(raw, nBuckets, idCol, textCol)
+    val targetFeats = hashedGramBuckets(target, nBuckets, idCol, textCol)
+    val rawCounts = rawFeats.groupBy("bucket").agg(sum(col("cnt")).as("cnt_r"))
+    val targetCounts = targetFeats.groupBy("bucket").agg(sum(col("cnt")).as("cnt_t"))
+    val totals = rawCounts.agg(sum(col("cnt_r")).as("tot_r"))
+      .crossJoin(targetCounts.agg(sum(col("cnt_t")).as("tot_t")))
+    // log p_t/p_r per bucket with α=1 smoothing, quantized to the 1e-6
+    // grid: round((ln(c_t+1) − ln(T+B) − ln(c_r+1) + ln(R+B)) · 1e6).
+    // Every input is an exact integer, so both engines round the same
+    // doubles (a flip needs the true value within ~ulp of a .5 boundary)
+    val b = lit(nBuckets.toLong)
+    val ratio = rawCounts
+      .join(targetCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(totals)
+      .select(col("bucket"),
+        round((log(col("cnt_t") + 1) - log(col("tot_t") + b)
+          - log(col("cnt_r") + 1) + log(col("tot_r") + b)) * 1e6, 0)
+          .cast("long").as("ratio_q"))
+    rawFeats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("ratio_q")).as("logw_q"))
+  }
+
+  /** DSIR selection: sample `k` raw docs without replacement with
+    * probability ∝ ŵ(x) via the Gumbel top-k trick (the DSIR paper's §3
+    * sampling step): score = log ŵ + Gumbel noise, take the k largest.
+    * The "noise" is deterministic — Gumbel-inverse-CDF of an md5-derived
+    * uniform keyed on the doc id — so selection is reproducible,
+    * retry-stable, and oracle-checkable end to end. Scores share
+    * `logw_q`'s 10⁻⁶ integer grid (ties broken by id).
+    *
+    * Scale: weights as [[importanceWeights]]; selection is a global top-k
+    * (`TakeOrdered` — map-side k-heaps, never a full sort).
+    */
+  def importanceResample(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      nBuckets: Int = 8192,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "importanceResample: k must be positive")
+    // u ∈ (0,1): (md5-prefix 60-bit integer + 0.5) / 2^60 — never exactly
+    // 0 or 1, so the double Gumbel log is always finite
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(":gumbel"))),
+      1, 15), 16, 10).cast("long") + lit(0.5)) / lit(1.152921504606846976e18)
+    importanceWeights(raw, target, nBuckets, idCol, textCol)
+      .withColumn("gumbel_q",
+        round(-log(-log(u)) * 1e6, 0).cast("long"))
+      .withColumn("score_q", col("logw_q") + col("gumbel_q"))
+      .drop("gumbel_q")
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
   }
 }

@@ -136,6 +136,18 @@ object ExplainAudit {
         (p => p.contains("BroadcastHashJoin")),
       "no cartesian in the contamination path" ->
         (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("p9_dsir_weights")(
+      // the ≤nBuckets-row ratio model is the broadcast side; the raw
+      // corpus's feature stream never re-shuffles for the join
+      "bucket ratio model joined broadcast" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no shuffled cartesian (the 1-row totals join is the only nested loop)" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("p11_epoch_mixture")(
+      "epoch quota table joined broadcast" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
+      "pure per-row expansion: no window, no aggregate" ->
+        (p => !p.contains("Window") && !p.contains("HashAggregate")))
 
     // Section-partitioned index: a filtered search must prune partitions
     // at the scan, not read-then-filter.

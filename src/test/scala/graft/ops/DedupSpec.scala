@@ -369,4 +369,91 @@ class DedupSpec extends SparkSpec {
     // and it still finds real near-dups (every vector here is ~parallel)
     assert(big.count() > 0)
   }
+
+  // ------------------------------------------------------------ SemDeDup
+
+  // 3 tight semantic clusters + 2 far singletons in 8-d: within-group
+  // cosines ≈ 0.9999, cross-group cosines = 0
+  private def semJitter(base: Array[Float], eps: Float, at: Int): Array[Float] =
+    base.zipWithIndex.map { case (x, i) => if (i == at) x + eps else x }
+
+  private lazy val semEmb = {
+    val a = Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val c = Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f)
+    Seq(
+      (0L, a), (1L, semJitter(a, 0.1f, 1)), (2L, semJitter(a, 0.2f, 2)),
+      (10L, b), (11L, semJitter(b, 0.1f, 3)),
+      (20L, c), (21L, semJitter(c, 0.1f, 5)), (22L, semJitter(c, 0.15f, 6)),
+      (30L, Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f)),
+      (40L, Array(0f, 0f, 0f, 0f, 10f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("semanticPairs on well-separated clusters equals the exact pairs") {
+    val sem = Dedup.semanticPairs(semEmb, minCos = 0.99, nClusters = 5)
+      .collect().map(_.toString).toSeq
+    val exact = Dedup.cosinePairsExact(semEmb, minCos = 0.99)
+      .collect().map(_.toString).toSeq
+    // recall 1.0 here (near-identical vectors share a k-means cell) and
+    // precision is exact by construction (candidates verified with the
+    // true cosine) — so the two outputs must be identical
+    assert(sem == exact && sem.size == 7, s"sem=$sem exact=$exact")
+  }
+
+  test("semanticDedup keeps one representative per semantic component") {
+    val kept = Dedup.semanticDedup(semEmb, minCos = 0.99, nClusters = 5,
+      keepFarthestFromCentroid = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 10L, 20L, 30L, 40L))
+  }
+
+  test("semanticDedup paper rule keeps the member farthest from its centroid") {
+    // 2-member group: v2 = (10,3,…) is MORE aligned with the midpoint
+    // centroid (10,1.5,…) than v1 = (10,0,…), so the paper rule must keep
+    // v1 (lowest centroid cosine) even though v2 has the smaller id
+    val emb = Seq(
+      (1L, Array(10f, 3f, 0f, 0f)),
+      (2L, Array(10f, 0f, 0f, 0f)),
+      (7L, Array(0f, 0f, 10f, 0f)),
+      (8L, Array(0f, 0f, 0f, 10f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, idCol = "vec_id", minCos = 0.95,
+      nClusters = 3, keepFarthestFromCentroid = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L, 8L), s"kept=$kept")
+    val keptMin = Dedup.semanticDedup(emb, idCol = "vec_id", minCos = 0.95,
+      nClusters = 3, keepFarthestFromCentroid = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 7L, 8L), s"keptMin=$keptMin")
+  }
+
+  test("semanticPairs hot-cluster guard bounds a degenerate corpus") {
+    val degenerate = (1L to 100L).map(i => (i, Array(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // every point lands in one cluster; past the cap it is dropped whole
+    val guarded = Dedup.semanticPairs(degenerate, minCos = 0.9,
+      nClusters = 2, maxClusterSize = 10)
+    assert(guarded.count() == 0)
+    // without the cap the same corpus is all-pairs within the cluster
+    val unguarded = Dedup.semanticPairs(degenerate, minCos = 0.9, nClusters = 2)
+    assert(unguarded.count() == 100L * 99 / 2)
+  }
+
+  test("semanticPairs plan: equi-join on the cell key, never all-pairs") {
+    val plan = Dedup.semanticPairs(semEmb, minCos = 0.99, nClusters = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("centroid_id"), "join must key on the k-means cell")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell join degraded to all-pairs:\n${plan.take(2000)}")
+  }
+
+  test("semanticPairs is deterministic across runs") {
+    val r1 = Dedup.semanticPairs(semEmb, minCos = 0.99, nClusters = 5)
+      .collect().map(_.toString).toSeq
+    val r2 = Dedup.semanticPairs(semEmb, minCos = 0.99, nClusters = 5)
+      .collect().map(_.toString).toSeq
+    assert(r1 == r2)
+  }
 }

@@ -228,4 +228,94 @@ class TrainingDataSpec extends SparkSpec {
       s"expected broadcast join in:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // --------------------------------------------------------- epoch mixture
+
+  test("epochMixture: integer epochs replicate exactly, unmapped strata drop") {
+    val docs = corpus(100) // 25 docs per src0..src3
+    val out = TrainingData.epochMixture(docs, "source",
+      Map("src0" -> 2.0, "src1" -> 1.0, "src3" -> 0.0))
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("src0" -> 50L, "src1" -> 25L))
+    // copy indexes are dense 0..floor(ep)-1 per doc
+    val copies = out.where(col("source") === "src0").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("copy"))).as("cs"))
+      .select("cs").collect().map(_.getSeq[Int](0).toSeq).toSet
+    assert(copies == Set(Seq(0, 1)))
+  }
+
+  test("epochMixture: fractional epoch takes a uniform deterministic subset") {
+    val docs = corpus(400) // 100 docs per source
+    val out = TrainingData.epochMixture(docs, "source", Map("src0" -> 1.5))
+    val n = out.count()
+    // 100 full copies + Binomial(100, 0.5) extras
+    assert(n > 125 && n < 175, s"expected ~150 rows, got $n")
+    val again = TrainingData.epochMixture(docs, "source", Map("src0" -> 1.5))
+    assert(out.select("doc_id", "copy").collect().map(_.toString).sorted.toSeq ==
+      again.select("doc_id", "copy").collect().map(_.toString).sorted.toSeq)
+    // sub-1 epoch: plain downsample, every kept row is copy 0
+    val frac = TrainingData.epochMixture(docs, "source", Map("src1" -> 0.3))
+    val m = frac.count()
+    assert(m > 15 && m < 45, s"expected ~30 rows, got $m")
+    assert(frac.where(col("copy") =!= 0).count() == 0)
+    intercept[IllegalArgumentException] {
+      TrainingData.epochMixture(docs, "source", Map("src0" -> 65.0))
+    }
+  }
+
+  // ------------------------------------------------ importance resampling
+
+  private lazy val dsirTarget = Seq(
+    (100L, "alpha physics equations describe quantum fields and alpha particles"),
+    (101L, "alpha decay emits alpha particles from quantum nuclei"),
+    (102L, "quantum field equations govern alpha interactions")
+  ).toDF("doc_id", "text")
+
+  private lazy val dsirRaw = {
+    val alphaish = Seq(
+      (0L, "alpha particles and quantum fields in physics equations"),
+      (1L, "quantum alpha decay equations for alpha particles"),
+      (2L, "alpha interactions govern quantum field physics"))
+    val betaish = (10L until 40L).map(i =>
+      (i, s"cooking recipe number $i uses butter flour sugar and eggs"))
+    (alphaish ++ betaish).toDF("doc_id", "text")
+  }
+
+  test("hashedGramBuckets: multiset counts over unigrams + bigrams") {
+    val docs = Seq((0L, "a a a"), (1L, ""), (2L, "x y")).toDF("doc_id", "text")
+    val rows = TrainingData.hashedGramBuckets(docs, nBuckets = 8192)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // doc 0: unigram "a" x3 + bigram "a a" x2; doc 1 empty; doc 2: x, y, "x y"
+    assert(rows.filter(_._1 == 0L).map(_._2).sorted.toSeq == Seq(2L, 3L))
+    assert(!rows.exists(_._1 == 1L))
+    assert(rows.filter(_._1 == 2L).map(_._2).sum == 3L)
+    // buckets stay in range
+    val buckets = TrainingData.hashedGramBuckets(docs, nBuckets = 16)
+      .select("bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 16))
+  }
+
+  test("importanceWeights: target-domain docs outweigh off-domain docs") {
+    val w = TrainingData.importanceWeights(dsirRaw, dsirTarget, nBuckets = 8192)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_q")).toMap
+    assert(w.size == 33, "every non-empty raw doc gets a weight")
+    val alphaMin = (0L to 2L).map(w).min
+    val betaMax = (10L until 40L).map(w).max
+    assert(alphaMin > betaMax,
+      s"alpha-domain docs must outweigh recipes: alphaMin=$alphaMin betaMax=$betaMax")
+  }
+
+  test("importanceResample: Gumbel top-k prefers the target lookalikes, deterministic") {
+    val sel = TrainingData.importanceResample(dsirRaw, dsirTarget, k = 3, nBuckets = 8192)
+    val ids = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    // logw gap between domains is tens of 1e6-grid units; Gumbel noise is
+    // O(1e6) — selection must be exactly the three alpha docs
+    assert(ids == Set(0L, 1L, 2L), s"selected $ids")
+    val again = TrainingData.importanceResample(dsirRaw, dsirTarget, k = 3, nBuckets = 8192)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // k past the corpus returns every weighted doc, ranked
+    assert(TrainingData.importanceResample(dsirRaw, dsirTarget, k = 1000).count() == 33)
+  }
 }
