@@ -707,6 +707,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    reg("x19_lm_score") { (s, dir) =>
+      // CCNet-style bigram-LM cross-entropy gate: model trained on the
+      // 'en' slice, every doc scored. 1e-6-grid integer log-probs — the
+      // DuckDB oracle recomputes the model AND the scoring hash-exactly
+      val d = T(s, dir, "documents")
+      TextAnalytics.bigramLmScore(d, d.where(col("lang") === "en"))
+        .orderBy("doc_id")
+    }
+
     reg("x18_bpe_tokens") { (s, dir) =>
       // learned-subword (BPE) token counts: merges trained on the corpus's
       // own bounded word-frequency table (the HF-tokenizers shape), encode
@@ -2091,6 +2100,42 @@ object SparkEntry {
         |      / 1152921504606846976.0)) * 1e6) AS BIGINT) AS score_q
         |FROM weights
         |ORDER BY score_q DESC, doc_id LIMIT 200""".stripMargin),
+    // CCNet bigram-LM gate: DuckDB rebuilds the interpolated model
+    // (unigram/bigram/context counts + totals) and rescores every doc on
+    // the same 1e-6 integer grid — hash-exact end to end.
+    "x19_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |tgt_uni AS (
+        |  SELECT w2, count(*) AS c2 FROM (
+        |    SELECT unnest(t) AS w2 FROM toks WHERE lang = 'en')
+        |  WHERE length(w2) > 0 GROUP BY 1),
+        |tgt_bi AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM (
+        |    SELECT t[i] AS w1, t[i+1] AS w2
+        |    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        |    WHERE lang = 'en') GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx1 FROM tgt_bi GROUP BY 1),
+        |tots AS (SELECT (SELECT CAST(sum(c2) AS BIGINT) FROM tgt_uni) AS tot_t,
+        |                (SELECT count(*) FROM tgt_uni) AS vocab_v),
+        |raw_bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+        |scored AS (
+        |  SELECT rb.doc_id,
+        |    CAST(round(ln((coalesce(b.c12, 0) + 1.0 * (coalesce(u.c2, 0) + 1)
+        |        / (tots.tot_t + tots.vocab_v + 1))
+        |      / (coalesce(cx.ctx1, 0) + 1.0)) * 1e6) AS BIGINT) AS logp_q
+        |  FROM raw_bi rb
+        |  LEFT JOIN tgt_bi b USING (w1, w2)
+        |  LEFT JOIN ctx cx USING (w1)
+        |  LEFT JOIN tgt_uni u USING (w2)
+        |  , tots)
+        |SELECT doc_id, count(*) AS n_scored, CAST(sum(logp_q) AS BIGINT) AS logp_q
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     // NOTE the LATERAL spelling: filtering a CTE whose SELECT list holds a
     // bare unnest() trips an INTERNAL binder error in DuckDB 1.0 that
     // INVALIDATES the whole connection (poisoning every later oracle);

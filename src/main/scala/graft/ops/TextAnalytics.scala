@@ -185,4 +185,98 @@ object TextAnalytics {
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fp_md5", fingerprintMd5(col(textCol)))
       .withColumn("fp_roll", fingerprintRolling(col(textCol)))
+
+  // ------------------------------------ bigram-LM perplexity gate (CCNet)
+
+  /** Bigram language-model cross-entropy scoring — the CCNet-style
+    * perplexity quality gate (Wenzek et al. 2020, "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data": score raw docs
+    * with an LM trained on a trusted target corpus; low perplexity ≈
+    * target-like prose, high = noise/boilerplate/wrong-language). KenLM's
+    * native 5-gram model is re-expressed at the weight class a declarative
+    * engine wants: both model "tables" are DataFrames (unigrams ≤ target
+    * vocab, bigrams ≤ target token count) and scoring is two hash joins +
+    * one aggregate — no native library, no model file.
+    *
+    * Probability model (add-α interpolated backoff; every position scores
+    * a finite log-prob, unseen words included):
+    * {{{
+    *   p(w2|w1) = (c(w1 w2) + α·p1(w2)) / (ctx(w1) + α)
+    *   p1(w)    = (c(w) + 1) / (T + V + 1)
+    * }}}
+    * where `ctx(w1)` counts bigram positions starting with w1, `T` is
+    * total target tokens and `V` distinct target vocab (the +1 slot is
+    * every unseen word's share).
+    *
+    * Per-position log-probs are quantized to the 1e-6 integer grid (the
+    * [[TrainingData.importanceWeights]] discipline): the per-doc sum is
+    * exact integer algebra — deterministic, partial-aggregation-order-
+    * independent, and recomputable verbatim by the DuckDB oracle. Returns
+    * `(id, n_scored, logp_q)` with one row per raw doc holding ≥ 1 bigram
+    * (shorter docs carry no signal). Cross-entropy = `-logp_q / n_scored
+    * / 1e6`, perplexity = `exp` of that — left to the caller so the
+    * oracled artifact stays integer-exact; see [[perplexity]].
+    *
+    * Scale: the model tables are broadcast while they provably fit
+    * (`maxBroadcastModel` probe — same guard as the ANN candidate joins)
+    * and degrade to shuffle joins past it; the raw corpus streams through
+    * the two joins + one keyed aggregate, shuffling only its bigram
+    * stream. Nothing corpus-sized reaches the driver.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      target: DataFrame,
+      alpha: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBroadcastModel: Int = 4000000): DataFrame = {
+    require(alpha > 0, "bigramLmScore: alpha must be positive")
+    def toks(c: Column): Column =
+      when(length(trim(c)) === 0, array())
+        .otherwise(split(lower(trim(c)), "\\s+"))
+    def bigrams(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (withId) col(idCol) else lit(0L)).as("__id"), toks(col(textCol)).as("__t"))
+      base.select(col("__id"),
+        explode(when(size(col("__t")) >= 2,
+          expr("transform(sequence(0, size(__t) - 2), i -> " +
+            "struct(element_at(__t, i + 1) AS w1, element_at(__t, i + 2) AS w2))"))
+          .otherwise(array())).as("bg"))
+        .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    def guarded(df: DataFrame): DataFrame =
+      if (df.limit(maxBroadcastModel + 1).count() <= maxBroadcastModel)
+        broadcast(df)
+      else df
+    val tgtTokens = target.select(explode(toks(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val uni = tgtTokens.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))
+    val tgtBi = bigrams(target, withId = false)
+    val bi = tgtBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy("w1").agg(sum(col("c12")).as("ctx1"))
+    val totals = uni.agg(sum(col("c2")).as("tot_t"),
+      count(lit(1)).as("vocab_v"))
+    val scored = bigrams(docs, withId = true)
+      .join(guarded(bi), Seq("w1", "w2"), "left")
+      .join(guarded(ctx), Seq("w1"), "left")
+      .join(guarded(uni), Seq("w2"), "left")
+      .na.fill(0L, Seq("c12", "ctx1", "c2"))
+      .crossJoin(totals)
+      .withColumn("__p1",
+        (col("c2") + 1) / (col("tot_t") + col("vocab_v") + 1))
+      .withColumn("__logp_q",
+        round(log((col("c12") + lit(alpha) * col("__p1"))
+          / (col("ctx1") + lit(alpha))) * 1e6, 0).cast("long"))
+    scored.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum(col("__logp_q")).as("logp_q"))
+  }
+
+  /** Convenience view over [[bigramLmScore]] output: cross-entropy (nats)
+    * and perplexity per doc — the thresholds CCNet buckets on.
+    */
+  def perplexity(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("cross_entropy",
+        -col("logp_q").cast("double") / col("n_scored") / 1e6)
+      .withColumn("ppl", exp(col("cross_entropy")))
 }

@@ -103,4 +103,50 @@ class TextAnalyticsSpec extends SparkSpec {
       .as[String].head()
     assert(none == "")
   }
+
+  // ------------------------------------------------- bigram-LM perplexity
+
+  private lazy val lmTarget = Seq(
+    (100L, "the cat sat on the mat and the cat slept"),
+    (101L, "the dog sat on the mat and the dog barked"),
+    (102L, "the cat and the dog sat on the mat")).toDF("doc_id", "text")
+
+  test("bigramLmScore: target-like prose scores lower cross-entropy than noise") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),          // pure target phrasing
+      (1L, "zq xv wk jj qqq zzz plo ikm"),     // out-of-vocab noise
+      (2L, "the"),                             // 1 token: no bigram, no row
+      (3L, "")).toDF("doc_id", "text")
+    val scored = TextAnalytics.bigramLmScore(docs, lmTarget)
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId.keySet == Set(0L, 1L), "sub-bigram docs emit no row")
+    assert(byId(0L)._1 == 5 && byId(1L)._1 == 7, "n_scored = bigram count")
+    val ce0 = -byId(0L)._2.toDouble / byId(0L)._1
+    val ce1 = -byId(1L)._2.toDouble / byId(1L)._1
+    assert(ce0 < ce1 / 2,
+      s"target-like prose must score far lower cross-entropy: $ce0 vs $ce1")
+  }
+
+  test("bigramLmScore matches a hand-computed interpolated bigram model") {
+    // target "a b a b": uni c(a)=2 c(b)=2, T=4, V=2; bi c(a,b)=2 c(b,a)=1;
+    // ctx(a)=2 ctx(b)=1. Score "a b": p = (2 + p1(b)) / (2 + 1),
+    // p1(b) = (2+1)/(4+2+1) = 3/7
+    val target = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val doc = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalytics.bigramLmScore(doc, target).head()
+    val expected = math.round(math.log((2.0 + 3.0 / 7.0) / 3.0) * 1e6)
+    assert(got.getLong(1) == 1L && got.getLong(2) == expected,
+      s"got ${got.getLong(2)}, expected $expected")
+  }
+
+  test("perplexity view: exp(-logp/n/1e6), deterministic across runs") {
+    val docs = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val p = TextAnalytics.perplexity(TextAnalytics.bigramLmScore(docs, lmTarget))
+      .select("ppl").as[Double].head()
+    assert(p > 1.0 && p.isFinite)
+    val p2 = TextAnalytics.perplexity(TextAnalytics.bigramLmScore(docs, lmTarget))
+      .select("ppl").as[Double].head()
+    assert(p == p2)
+  }
 }
