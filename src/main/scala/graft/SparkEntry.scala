@@ -716,6 +716,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    reg("x20_quality_model") { (s, dir) =>
+      // discriminative quality gate (the CCNet/GPT-3 classifier arm):
+      // weak-label bootstrap on the even half, score the held-out odd
+      // half. Golden-pinned (an LBFGS fit is not SQL); separation and
+      // determinism contracts live in QualityModelSpec.
+      val d = T(s, dir, "documents")
+      val model = graft.ops.QualityModel.fit(
+        graft.ops.QualityModel.weakLabels(d.where(col("doc_id") % 2 === 0)))
+      graft.ops.QualityModel.score(d.where(col("doc_id") % 2 =!= 0), model)
+        .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy("doc_id")
+    }
+
     reg("x18_bpe_tokens") { (s, dir) =>
       // learned-subword (BPE) token counts: merges trained on the corpus's
       // own bounded word-frequency table (the HF-tokenizers shape), encode
@@ -1322,6 +1335,8 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/d13_semantic_dedup_sf001.parquet')",
     "x18_bpe_tokens" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/x18_bpe_tokens_sf001.parquet')",
+    "x20_quality_model" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/x20_quality_model_sf001.parquet')",
     "p2_curated_index" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/p2_curated_index_sf001.parquet')",
     "t6_embed" ->

@@ -34,6 +34,11 @@ object CorpusPipeline {
 
   /** Curate a corpus: returns the surviving docs.
     *
+    * `lmTarget`/`maxCrossEntropy` switch on the CCNet-style perplexity
+    * gate ([[TextAnalytics.bigramLmScore]]): docs whose bigram-LM
+    * cross-entropy against the trusted target corpus exceeds the ceiling
+    * are dropped (anti-join on the scored ids). Off by default.
+    *
     * `exactComponents = true` resolves near-dups by exact transitive
     * closure ([[Dedup.dropNearDupsCC]]) — one representative per connected
     * cluster — instead of the greedy single-pass keep-lowest (which keeps
@@ -54,7 +59,9 @@ object CorpusPipeline {
       starComponents: Boolean = false,
       minCompressionRatio: Double = 0.0,
       scrub: Boolean = false,
-      c4MinWords: Int = 0): DataFrame = {
+      c4MinWords: Int = 0,
+      lmTarget: Option[DataFrame] = None,
+      maxCrossEntropy: Double = Double.MaxValue): DataFrame = {
     val bound = resolveDocFreq(docs, maxDocFreq)
     // optional scrub stage, FIRST (C4 ordering: clean the text, then let
     // the gates judge the cleaned text — a page whose only survivors are
@@ -76,7 +83,22 @@ object CorpusPipeline {
       if (minCompressionRatio > 0.0)
         scrubbed.where(TextAnalytics.compressionRatio(col(textCol)) >= minCompressionRatio)
       else scrubbed
-    val quality = gated.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
+    // optional CCNet perplexity gate: keep docs whose bigram-LM
+    // cross-entropy vs the trusted target stays under the ceiling. The
+    // model joins are the only addition to the funnel's plan; docs too
+    // short to score (< 1 bigram) pass — perplexity carries no signal
+    // there and the length gates already own that regime.
+    val lmGated = lmTarget match {
+      case Some(t) if maxCrossEntropy < Double.MaxValue =>
+        val tooPerplexed = TextAnalytics
+          .bigramLmScore(gated, t, idCol = idCol, textCol = textCol)
+          .where(-col("logp_q").cast("double") / col("n_scored") / 1e6
+            > maxCrossEntropy)
+          .select(col(idCol))
+        gated.join(tooPerplexed, Seq(idCol), "left_anti")
+      case _ => gated
+    }
+    val quality = lmGated.where(TextAnalytics.qualityScore(col(textCol)) >= minQuality)
     val exact = Dedup.dedupExact(quality, idCol, textCol)
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
     if (exactComponents || starComponents)

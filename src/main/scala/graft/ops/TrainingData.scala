@@ -309,6 +309,37 @@ object TrainingData {
       .drop("__ep", "__frac", "__th")
   }
 
+  /** Materialize a sharded corpus the way a trainer's loader reads it:
+    * `shards/shard=N/` parquet directories (one shuffle keyed on the
+    * shard column; each shard written by one task — no tiny-file
+    * explosion) plus the [[shardManifest]] alongside, so the loader can
+    * plan windows without opening a single shard file.
+    */
+  def writeShards(
+      sharded: DataFrame,
+      path: String,
+      capacity: Long,
+      nShards: Int,
+      shardCol: String = "shard",
+      textCol: String = "text"): Unit = {
+    sharded
+      .repartition(nShards, col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol)
+      .parquet(s"$path/shards")
+    shardManifest(sharded, capacity, shardCol, textCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Load a [[writeShards]] layout: (sharded docs, manifest). Reading one
+    * shard is partition pruning at the scan
+    * (`.where(col("shard") === n)`), not a directory walk.
+    */
+  def loadShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/shards"), spark.read.parquet(s"$path/manifest"))
+
   // ------------------------------------- n-gram duplication / decontamination
 
   /** Distinct word n-grams per document: `(id, gram)` pairs, lowercased,

@@ -140,6 +140,21 @@ class TextAnalyticsSpec extends SparkSpec {
       s"got ${got.getLong(2)}, expected $expected")
   }
 
+  test("curate with the lm gate drops only the high-perplexity doc") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the cat slept on the mat today fine."),
+      (1L, "zq xv wk jj qqq zzz plo ikm zq xv wk jj qqq zzz plo ikm here."))
+      .toDF("doc_id", "text")
+    val kept = CorpusPipeline.curate(docs, minQuality = 0.0, maxDocFreq = 1000L,
+      lmTarget = Some(lmTarget), maxCrossEntropy = 3.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L), s"kept=$kept")
+    // gate off by default: both survive
+    val all = CorpusPipeline.curate(docs, minQuality = 0.0, maxDocFreq = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(0L, 1L))
+  }
+
   test("perplexity view: exp(-logp/n/1e6), deterministic across runs") {
     val docs = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
     val p = TextAnalytics.perplexity(TextAnalytics.bigramLmScore(docs, lmTarget))

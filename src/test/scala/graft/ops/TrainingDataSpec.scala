@@ -229,6 +229,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("writeShards/loadShards: layout round-trips, one shard reads pruned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val sharded = TrainingData.shardAssign(corpus(200), nShards = 4)
+    TrainingData.writeShards(sharded, tmp, capacity = 64L, nShards = 4)
+    val (docs, manifest) = TrainingData.loadShards(spark, tmp)
+    assert(docs.count() == 200 && manifest.count() == 4)
+    // manifest totals match a direct recount of the written data
+    val direct = docs.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    manifest.collect().foreach { r =>
+      assert(r.getLong(1) == direct(r.getInt(0)), s"shard ${r.getInt(0)} doc count")
+    }
+    // single-shard read prunes partitions at the scan
+    val plan = docs.where(col("shard") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard") ||
+      plan.contains("PartitionFilters: [shard"), s"no pruning in:\n${plan.take(800)}")
+  }
+
   // --------------------------------------------------------- epoch mixture
 
   test("epochMixture: integer epochs replicate exactly, unmapped strata drop") {
