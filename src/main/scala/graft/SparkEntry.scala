@@ -1028,6 +1028,46 @@ object SparkEntry {
         .select("doc_id", "source", "copy")
         .orderBy("source", "doc_id", "copy")
     }
+    reg("p12_token_mixture") { (s, dir) =>
+      // token-budget mixture: src0/src1 truncated at their token budgets
+      // (exclusive-prefix-sum keep rule, md5 order), src2's huge budget
+      // keeps the stratum whole, src3's zero budget drops it, all other
+      // sources are absent from the budget map and dropped
+      graft.ops.TrainingData.tokenMixture(
+        T(s, dir, "documents"), "source",
+        Map("src0" -> 800L, "src1" -> 1200L, "src2" -> 100000L, "src3" -> 0L))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }
+    reg("d14_line_dedup") { (s, dir) =>
+      // CCNet/RefinedWeb line-level boilerplate removal. The documents
+      // fixture is single-line prose, so the shared nav/cookie/footer lines
+      // are injected in-query (same fixture-construction pattern as d1);
+      // lineDedup must drop exactly those and keep every payload line
+      val noisy = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("Home | About | Contact"),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("Cookie notice: this site uses cookies")),
+          lit("(c) 2026 Example Corp")).as("text"))
+      Dedup.lineDedup(noisy, maxDf = 5).orderBy("doc_id")
+    }
+    reg("d15_incremental_dedup") { (s, dir) =>
+      // incremental exact dedup via the bloom-prefiltered plan: batch = 50
+      // re-crawled copies (new ids, duplicate texts) + 25 revised docs
+      // (genuinely new texts); corpus = the full documents table. Exact
+      // semantics — only the 25 revised docs survive
+      val d = T(s, dir, "documents")
+      val batch = d.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .unionByName(
+          d.where(col("doc_id") >= 450 && col("doc_id") < 475)
+            .withColumn("doc_id", col("doc_id") + 20000)
+            .withColumn("text", concat(col("text"), lit(" [rev 2]"))))
+      Dedup.dedupAgainstCorpus(batch, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }
 
     // ---- ANN (a*): approximate operators, golden-pinned (determinism
     // freezes; recall/equivalence bounds live in AnnSpec/PqSpec)
@@ -2168,6 +2208,58 @@ object SparkEntry {
         |   OR substr(md5(doc_id || ':' || cp), 1, 8) <
         |      lpad(lower(hex(CAST((ep - floor(ep)) * 4294967296.0 AS BIGINT))), 8, '0')
         |ORDER BY source, doc_id, copy""".stripMargin,
+    "p12_token_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', 800), ('src1', 1200), ('src2', 100000), ('src3', 0)),
+        |r AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens,
+        |    coalesce(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.k, d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum,
+        |    b.budget
+        |  FROM d JOIN b USING (source))
+        |SELECT doc_id, source, n_tokens FROM r WHERE before_sum < budget
+        |ORDER BY doc_id""".stripMargin,
+    "d14_line_dedup" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, concat_ws(chr(10), 'Home | About | Contact', text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Cookie notice: this site uses cookies' END,
+        |    '(c) 2026 Example Corp') AS text
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM noisy
+        |), keyed AS (
+        |  SELECT doc_id, line, pos, trim(line) AS key FROM lines
+        |), dup AS (
+        |  SELECT key FROM keyed WHERE key <> ''
+        |  GROUP BY key HAVING count(DISTINCT doc_id) > 5
+        |)
+        |SELECT l.doc_id,
+        |  coalesce(string_agg(CASE WHEN d.key IS NULL THEN l.line END,
+        |                      chr(10) ORDER BY l.pos), '') AS text,
+        |  count(*) AS n_lines,
+        |  count(d.key) AS n_dropped
+        |FROM keyed l LEFT JOIN dup d USING (key)
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "d15_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text || ' [rev 2]' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id >= 450 AND doc_id < 475
+        |)
+        |SELECT doc_id, text, lang, source, n_chars FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
     "r19_subqueries" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

@@ -38,6 +38,105 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup: the rows of a NEW batch whose text digest
+    * does not already occur in an EXISTING corpus — the daily-increment
+    * shape (dedup this week's crawl against the accumulated 100 TB corpus
+    * without shuffling the corpus).
+    *
+    * Plan: the batch digests are condensed into a Bloom filter
+    * (`DataFrameStatFunctions.bloomFilter`, ~1.2 MB per million keys at
+    * fpp 0.01 — one batch pass, result is driver-side bytes shipped in
+    * the task closure). The CORPUS scan then keeps only
+    * probable-batch-digest rows — the true matches plus `fpp × |corpus|`
+    * false positives — pruned AT SCAN STAGE with zero corpus shuffle.
+    * Only that remnant becomes the (distinct, small) right side of the
+    * anti join, which AQE broadcasts. A Bloom false positive costs one
+    * extra candidate row; false negatives do not exist, so the result is
+    * EXACT (asserted ≡ the naive anti join in DedupSpec).
+    *
+    * The membership probe is a closure UDF because Spark's native
+    * `might_contain` expression is registered internal-only (runtime
+    * filters); the UDF is a per-row boolean filter on the scan, not a
+    * join, so nothing downstream loses whole-stage codegen.
+    */
+  def dedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"dedupAgainstCorpus: fpp $fpp outside (0,1)")
+    val digest = md5(col(textCol).cast("binary"))
+    val batchD = batch.withColumn("__digest", digest)
+    val nBatch = math.max(batchD.count(), 1L)
+    val bloom = batchD.stat.bloomFilter("__digest", nBatch, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((d: String) => d != null && bc.value.mightContainString(d))
+    val corpusHits = corpus.select(digest.as("__digest"))
+      .where(mightMatch(col("__digest")))
+      .distinct()
+    batchD.join(corpusHits, Seq("__digest"), "left_anti").drop("__digest")
+  }
+
+  // ----------------------------------------------- corpus-level line dedup
+
+  /** Corpus-level duplicated-line removal — the CCNet / RefinedWeb
+    * boilerplate pass (Wenzek et al. 2020 §3.1; Penedo et al. 2023 §3):
+    * a line whose trimmed form occurs in more than `maxDf` DISTINCT
+    * documents is boilerplate (nav menus, cookie banners, copyright
+    * footers) and is removed from EVERY document carrying it — unlike
+    * document-level near-dup, which keeps one survivor per group. Blank
+    * lines are document structure, not content: never counted toward a
+    * frequency, never dropped.
+    *
+    * Returns `(id, text, n_lines, n_dropped)` with the surviving lines
+    * rejoined in their original order (`n_lines` counts the original
+    * lines; a fully-boilerplate document survives with empty text so the
+    * caller decides its fate).
+    *
+    * Scale: the line explode is scan-stage; the document-frequency count
+    * is one shuffle on the line key. The drop list (`df > maxDf`) is
+    * bounded by `total_line_instances / maxDf` — the same cardinality
+    * argument as [[jaccardPairs]]' df cutoff — so it is the broadcast
+    * side of the membership join (guarded: past `maxBroadcastLines`
+    * entries it degrades to a shuffle join instead of a driver OOM; the
+    * probe scans at most cap+1 rows). The rebuild groups on the document
+    * id — one shuffle on an evenly distributed key.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      maxDf: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBroadcastLines: Int = 4000000): DataFrame = {
+    require(maxDf >= 1, s"lineDedup: maxDf $maxDf must be >= 1")
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val dropList = lines.where(col("__key") =!= "")
+      .groupBy("__key").agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(col("__key"), lit(true).as("__dup"))
+    val guarded =
+      if (dropList.limit(maxBroadcastLines + 1).count() <= maxBroadcastLines)
+        broadcast(dropList)
+      else dropList
+    lines.join(guarded, Seq("__key"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("__dup"), lit(1L))), lit(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__dup").isNull, struct(col("__pos"), col("__line"))))),
+            s => s.getField("__line")),
+          "\n").as(textCol))
+      .select(col(idCol), col(textCol), col("n_lines"), col("n_dropped"))
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** Near-dup candidate pairs via MinHash LSH over word shingles.

@@ -149,6 +149,49 @@ object TrainingData {
       .drop("__rn", "__quota")
   }
 
+  /** Token-budget source mixture: keep documents per stratum, in the
+    * deterministic [[orderKey]] order, until the stratum's TOKEN budget is
+    * exhausted — LM mixtures are specified in tokens, not documents (a
+    * 100-token snippet and a 10k-token article are not interchangeable,
+    * which is exactly what [[sourceMixture]]'s row quotas get wrong when
+    * document length correlates with source).
+    *
+    * A document is kept iff the EXCLUSIVE prefix token sum of the docs
+    * before it (md5 order) is still under the budget: each stratum
+    * overshoots by at most one document and is never undershot while
+    * docs remain. Strata absent from `budgets` are dropped; rows are
+    * never replicated (epoch upweighting is [[epochMixture]]'s job).
+    * Token counts are [[TextAnalytics.tokenCount]] (whitespace) so the
+    * whole selection is exact integer arithmetic, oracle-checkable.
+    *
+    * Scale: one shuffle on the stratum key for the running sum; the
+    * budget table is a literal broadcast. A prefix sum cannot truncate
+    * map-side the way a rank can, so for strata far larger than their
+    * budget compose with the [[stratifiedSampleLarge]] md5-prefix
+    * pre-filter (bound the candidate set to ~margin × budget/avg_tokens
+    * rows) before paying the sort.
+    */
+  def tokenMixture(
+      docs: DataFrame,
+      stratumCol: String,
+      budgets: Map[String, Long],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty, "tokenMixture: empty budget map")
+    require(budgets.values.forall(_ >= 0), "tokenMixture: negative budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF(stratumCol, "__budget")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("n_tokens", TextAnalytics.tokenCount(col(textCol)))
+      .join(broadcast(budgetDf), stratumCol)
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("__before") < col("__budget"))
+      .drop("__budget", "__before")
+  }
+
   /** Deterministic train/validation split: a row lands in `val` iff the
     * first 8 hex digits of `md5(id)` fall below `valFrac` of the 32-bit
     * space (lexicographic compare — hex strings of equal length order

@@ -174,6 +174,31 @@ object Drive {
         docs.where(col("doc_id") % 10 === 0).limit(20), n = 3)
       .orderBy(desc("share")).show(3, false)
 
+    println("== corpus line dedup (injected boilerplate dropped) ==")
+    val noisy = docs.select(col("doc_id"),
+      concat_ws("\n", lit("Home | About | Contact"), col("text"),
+        lit("(c) 2026 Example Corp")).as("text"))
+    graft.ops.Dedup.lineDedup(noisy, maxDf = 5)
+      .agg(sum("n_dropped").as("lines_dropped"),
+        sum(when(col("text") === "", 1)).as("emptied_docs"))
+      .show(1, false)
+
+    println("== incremental dedup vs corpus (bloom-prefiltered, exact) ==")
+    val recrawl = docs.where(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .unionByName(docs.where(col("doc_id") >= 480)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" [rev 2]"))))
+    val fresh = graft.ops.Dedup.dedupAgainstCorpus(recrawl, docs)
+    println(s"batch ${recrawl.count()} -> new ${fresh.count()} (expect 20)")
+
+    println("== token-budget mixture (budgets in tokens, md5 order) ==")
+    graft.ops.TrainingData.tokenMixture(
+        docs, "source", Map("src0" -> 500L, "src1" -> 800L, "src2" -> 100000L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .orderBy("source").show(4, false)
+
     spark.stop()
   }
 }

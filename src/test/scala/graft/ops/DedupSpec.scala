@@ -456,4 +456,85 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(r1 == r2)
   }
+
+  // ------------------------------------------------ corpus line dedup
+
+  test("lineDedup: shared boilerplate dropped everywhere, payload and blanks kept") {
+    val d = Seq(
+      (1L, "Menu | Home\nunique payload one\n\n(c) corp"),
+      (2L, "Menu | Home\nunique payload two\n(c) corp"),
+      (3L, "Menu | Home\nunique payload three\n(c) corp"),
+      (4L, "unique payload four\n(c) corp")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, maxDf = 2).orderBy("doc_id").collect()
+    // "Menu | Home" df=3 > 2 and "(c) corp" df=4 > 2 → dropped from every
+    // doc; payload lines df=1 kept; the blank line is structure, kept
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "unique payload one\n", "unique payload two",
+      "unique payload three", "unique payload four"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 3L, 3L, 2L), "n_lines")
+    assert(out.map(_.getLong(3)).toSeq == Seq(2L, 2L, 2L, 1L), "n_dropped")
+  }
+
+  test("lineDedup: df counts distinct documents — within-doc repetition alone survives") {
+    val d = Seq((1L, "echo\necho\necho"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, maxDf = 1).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "echo\necho\necho")
+    assert(out(0).getLong(3) == 0L)
+  }
+
+  test("lineDedup: every instance of a boilerplate line goes, trim-normalized; " +
+    "a fully-boilerplate doc survives with empty text") {
+    val d = Seq(
+      (1L, "echo\npayload\n  echo  "),
+      (2L, "echo\nother"),
+      (3L, "echo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, maxDf = 1).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "payload")
+    assert(out(0).getLong(3) == 2L, "both instances incl. the padded one")
+    assert(out(1).getString(1) == "other")
+    assert(out(2).getString(1) == "" && out(2).getLong(3) == 1L)
+  }
+
+  test("lineDedup plan: the drop list is the broadcast side") {
+    val d = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = Dedup.lineDedup(d, maxDf = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast membership join:\n$plan")
+  }
+
+  // --------------------------------------------- incremental corpus dedup
+
+  test("dedupAgainstCorpus: only genuinely new texts survive") {
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1/2
+      (11L, "a genuinely new document about spark")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L))
+  }
+
+  test("dedupAgainstCorpus: exact under heavy bloom false positives (≡ naive anti join)") {
+    val corpus = spark.range(200)
+      .select(col("id").as("doc_id"), concat(lit("corpus doc "), col("id")).as("text"))
+    val batch = spark.range(150, 250)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 200, concat(lit("corpus doc "), col("id")))
+          .otherwise(concat(lit("fresh doc "), col("id"))).as("text"))
+    // fpp 0.3 forces plenty of bloom false positives through the prefilter;
+    // the confirmation join must still make the result exact
+    val got = Dedup.dedupAgainstCorpus(batch, corpus, fpp = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val naive = batch.join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive && got == (200L until 250L).toSet)
+  }
+
+  test("dedupAgainstCorpus: all-dup batch comes back empty, columns preserved") {
+    val batch = docs.withColumn("doc_id", col("doc_id") + 100)
+    val out = Dedup.dedupAgainstCorpus(batch, docs)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
 }

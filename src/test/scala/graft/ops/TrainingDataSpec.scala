@@ -337,4 +337,43 @@ class TrainingDataSpec extends SparkSpec {
     // k past the corpus returns every weighted doc, ranked
     assert(TrainingData.importanceResample(dsirRaw, dsirTarget, k = 1000).count() == 33)
   }
+
+  // ----------------------------------------------------- token mixture
+
+  test("tokenMixture: exclusive-prefix budget rule, md5 order, strata rules") {
+    val docs = corpus(40) // sources src0..src3, 10 docs each, 10 tokens per doc
+    val out = TrainingData.tokenMixture(docs, "source",
+      Map("src0" -> 25L, "src1" -> 1000L, "src2" -> 0L))
+    val by = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // src0: exclusive prefix sums 0/10/20 < 25 → exactly 3 docs (one-doc
+    // overshoot: 30 tokens against a 25 budget); src1's huge budget keeps
+    // the stratum whole; src2's zero budget and unmapped src3 vanish
+    assert(by == Map("src0" -> ((3L, 30L)), "src1" -> ((10L, 100L))), s"got $by")
+
+    // the three src0 winners are the md5-least ids — recomputed here with
+    // java.security MessageDigest, independent of Spark's md5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0 until 40).filter(_ % 4 == 0).map(_.toLong)
+      .sortBy(id => md5hex(id.toString)).take(3).toSet
+    val got = out.where(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("tokenMixture: deterministic across runs; never replicates; subset of input") {
+    val docs = corpus(60)
+    val m = Map("src0" -> 55L, "src1" -> 70L, "src2" -> 5L, "src3" -> 95L)
+    val a = TrainingData.tokenMixture(docs, "source", m)
+    val b = TrainingData.tokenMixture(docs, "source", m)
+    assert(a.select("doc_id").as[Long].collect().sorted.toSeq ==
+      b.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(a.count() == a.select("doc_id").distinct().count())
+    assert(a.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // a 5-token budget still admits the first doc (exclusive prefix 0 < 5)
+    assert(a.where(col("source") === "src2").count() == 1)
+  }
 }
