@@ -1233,6 +1233,17 @@ object SparkEntry {
         .orderBy("purchase_id", "view_id")
     }
 
+    reg("st8_token_budget_intake") { (s, dir) =>
+      // batch twin of the transformWithState token-budget intake: state
+      // starts empty, one group call per source, doc_id admission order →
+      // deterministic exclusive-prefix-sum semantics DuckDB recomputes
+      StreamingOps.tokenBudgetIntake(
+          T(s, dir, "documents"),
+          Map("src0" -> 700L, "src1" -> 1000L, "src2" -> 100000L))
+        .toDF()
+        .orderBy("doc_id")
+    }
+
     reg("st6_streaming_memory") { (s, dir) =>
       // batch twin of the stateful conversation memory (C1/C4 streaming
       // arm): same flatMapGroupsWithState call, state starts empty, one
@@ -2208,6 +2219,23 @@ object SparkEntry {
         |   OR substr(md5(doc_id || ':' || cp), 1, 8) <
         |      lpad(lower(hex(CAST((ep - floor(ep)) * 4294967296.0 AS BIGINT))), 8, '0')
         |ORDER BY source, doc_id, copy""".stripMargin,
+    "st8_token_budget_intake" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END
+        |      AS n_tokens
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', 700), ('src1', 1000), ('src2', 100000)),
+        |r AS (
+        |  SELECT d.source, d.doc_id, d.n_tokens,
+        |    coalesce(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum,
+        |    b.budget
+        |  FROM d JOIN b USING (source))
+        |SELECT source, doc_id, n_tokens, before_sum + n_tokens AS running_total
+        |FROM r WHERE before_sum < budget
+        |ORDER BY doc_id""".stripMargin,
     "p12_token_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -277,4 +277,92 @@ object StreamingOps {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
+
+  // -------------------- transformWithState token-budget intake (Spark 4)
+
+  /** One admitted document of [[tokenBudgetIntake]]. */
+  case class AdmittedDoc(source: String, doc_id: Long, n_tokens: Long,
+      running_total: Long)
+
+  /** Per-source running token total as Spark 4 `transformWithState` state:
+    * ONE `ValueState[Long]` per live source — O(sources), never O(docs).
+    * Docs within a group call are admitted in doc_id order (a micro-batch
+    * is an unordered set; the sort makes replays of the same batch
+    * deterministic); across batches admission is arrival order, which is
+    * what a live intake means.
+    */
+  class TokenBudgetProcessor(budgets: Map[String, Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), AdmittedDoc] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.OutputMode
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(source: String,
+        rows: Iterator[(String, Long, Long)],
+        timers: TimerValues): Iterator[AdmittedDoc] = {
+      val budget = budgets.getOrElse(source, 0L)
+      var t = if (total.exists()) total.get() else 0L
+      // The sort materializes one source's slice of one micro-batch — on a
+      // stream that is bounded by the trigger (cap it with maxFilesPerTrigger
+      // / maxOffsetsPerTrigger); it is NOT the whole source's history. The
+      // batch twin does hold a full source in one call — at corpus scale use
+      // TrainingData.tokenMixture, which stays in column algebra.
+      // Materialize BEFORE the state update so `t` is final when written.
+      val admitted = rows.toArray.sortBy(_._2).flatMap { case (_, id, toks) =>
+        if (t < budget) { t += toks; Some(AdmittedDoc(source, id, toks, t)) }
+        else None
+      }
+      total.update(t)
+      admitted.iterator
+    }
+  }
+
+  /** Streaming twin of [[TrainingData.tokenMixture]]: admit documents per
+    * source while the source's cumulative TOKEN total is under budget
+    * (exclusive-prefix rule — the doc that crosses the budget is admitted,
+    * later ones are not), built on Spark 4's `transformWithState` — the
+    * arbitrary-state successor to `flatMapGroupsWithState` (typed state
+    * handles, TTL support, RocksDB-backed stores).
+    *
+    * On a STREAM this is the live intake valve: sources stop admitting the
+    * moment their budget fills, state survives across micro-batches, and a
+    * restart resumes from the checkpointed totals (the query needs the
+    * RocksDB state store provider, the only one transformWithState
+    * supports). On a BATCH frame the same operator runs with empty initial
+    * state and one group call per source — doc_id order, exactly one
+    * deterministic answer — which is the `st8` oracle twin. The batch-mode
+    * [[TrainingData.tokenMixture]] differs only in its md5 selection
+    * order: totals and the overshoot-by-at-most-one-doc contract agree.
+    */
+  def tokenBudgetIntake(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): org.apache.spark.sql.Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    // Batch-mode transformWithState loads a state store, and the store's
+    // executor side phones the driver's StateStoreCoordinator RPC endpoint
+    // — which is created lazily by StreamingQueryManager.stateStoreCoordinator
+    // the first time a STREAMING query starts. In a batch-only session the
+    // endpoint doesn't exist and the lookup dies with
+    // CANNOT_LOAD_STATE_STORE (RpcEndpointNotFoundException). Touch the
+    // lazy val up front (bytecode-public, compile-time private[sql] — hence
+    // reflection) so the batch twin runs in any session.
+    locally {
+      val sqm = docs.sparkSession.streams
+      sqm.getClass.getMethod("stateStoreCoordinator").invoke(sqm)
+    }
+    docs.select(col(sourceCol).cast("string").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        TextAnalytics.tokenCount(col(textCol)).as("_3"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TokenBudgetProcessor(budgets),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

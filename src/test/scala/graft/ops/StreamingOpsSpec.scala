@@ -428,4 +428,52 @@ class StreamingOpsSpec extends SparkSpec {
       assert(logged.select("response").as[String].head() == "hello")
     } finally q.stop()
   }
+
+  // ---------------------- transformWithState token-budget intake
+
+  test("tokenBudgetIntake batch twin: exclusive-prefix rule in doc_id order") {
+    val docs = Seq(
+      (1L, "one two three", "a"),        // 3 tokens, total 3
+      (2L, "four five six seven", "a"),  // 4 tokens, total 7 — crosses 6, admitted
+      (3L, "eight nine", "a"),           // before=7 >= 6 → rejected
+      (4L, "only doc", "b"),             // unmapped source → budget 0, rejected
+      (5L, "ten", "c")                   // budget 1: before=0 < 1 → admitted
+    ).toDF("doc_id", "text", "source")
+    val out = StreamingOps.tokenBudgetIntake(
+        docs, Map("a" -> 6L, "c" -> 1L))
+      .collect().map(a => (a.source, a.doc_id, a.n_tokens, a.running_total)).toSet
+    assert(out == Set(("a", 1L, 3L, 3L), ("a", 2L, 4L, 7L), ("c", 5L, 1L, 1L)))
+  }
+
+  test("transformWithState intake: budget state survives across micro-batches") {
+    implicit val sqlC = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState supports only the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingOps.tokenBudgetIntake(docs, Map("a" -> 6L)).toDF()
+      .writeStream.format("memory").queryName("tws_intake")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "one two three", "a"))          // total 3 < 6
+      q.processAllAvailable()
+      mem.addData((2L, "four five six seven", "a"),    // before 3 < 6 → total 7
+                  (3L, "x y", "b"))                    // unmapped → rejected
+      q.processAllAvailable()
+      mem.addData((4L, "late arrival", "a"))           // before 7 >= 6 → rejected
+      q.processAllAvailable()
+      val got = spark.table("tws_intake")
+        .select($"doc_id", $"running_total").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L), (2L, 7L)),
+        s"state must carry the total across batches: $got")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
