@@ -52,5 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("compression_ratio",
         "compression_ratio(text) - deflate ratio; 1.0 for empty/null"),
       (es: Seq[Expression]) => graft.functions.CompressionRatio(es.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      info("cms_merge", "cms_merge(sketch) - merge count-min sketches (binary)"),
+      (es: Seq[Expression]) =>
+        graft.functions.CmsMerge(es.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, item) - point-frequency estimate from a CMS"),
+      (es: Seq[Expression]) => graft.functions.CmsEstimate(es(0), es(1))))
   }
 }

@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.Multimodal
-import graft.ops.{Ann, Dedup, Pq, Relational, Skew, StreamingOps, TextAnalytics}
+import graft.ops.{Ann, Dedup, Layout, Pq, Relational, Skew, StreamingOps, TextAnalytics}
 import graft.search.Knn
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
@@ -93,6 +93,22 @@ object SparkEntry {
       |    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))))""".stripMargin
 
   private val QvSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)"
+
+  // p13/p14 z-order oracle pieces: the same bucket exprs as the Spark
+  // query, and the Morton interleave written out as DuckDB bit algebra
+  // (bit b of x -> output 2b, bit b of y -> output 2b+1 — mirrors
+  // Layout.zValue's layout exactly)
+  private val ZorderXSql = "(user_id % 256)"
+  private val ZorderYSql =
+    "(CAST(floor(floor(epoch(ts)) / 60) AS BIGINT) % 256)"
+  private def mortonSql(x: String, y: String, bits: Int): String =
+    ((0 until bits).map(b => s"(($x & ${1L << b}) << $b)") ++
+      (0 until bits).map(b => s"(($y & ${1L << b}) << ${b + 1})"))
+      .mkString("(", " | ", ")")
+
+  // p15: the same two-level public-suffix set UrlCuration folds
+  private def UrlCurationSuffixSql: String =
+    graft.ops.UrlCuration.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
 
@@ -760,6 +776,23 @@ object SparkEntry {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
     }
 
+    reg("x21_cms_terms") { (s, dir) => // golden-pinned: sketch probing is not SQL
+      // the CMS sketch-table loop: per-source sketches (one corpus pass) →
+      // counter-exact merge → point estimates for the exact top-15 terms,
+      // shown against their true counts (est >= exact always; equality at
+      // this eps on this corpus is what the golden freezes)
+      val d = T(s, dir, "documents")
+      val exact = d
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("term")).limit(15)
+      val sketches = TextAnalytics.termSketches(d, "source")
+      TextAnalytics.cmsTermEstimates(sketches, exact)
+        .select("term", "exact_cnt", "est_cnt")
+        .orderBy(desc("exact_cnt"), col("term"))
+    }
+
     reg("r19_subqueries") { (s, dir) =>
       // correlated scalar subquery + EXISTS/IN through the SQL interface
       T(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -1037,6 +1070,58 @@ object SparkEntry {
         T(s, dir, "documents"), "source",
         Map("src0" -> 800L, "src1" -> 1200L, "src2" -> 100000L, "src3" -> 0L))
         .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }
+    reg("p13_zorder_key") { (s, dir) =>
+      // Morton key over (user bucket, minute-of-epoch bucket) — the
+      // multi-dimensional clustering key for min/max file skipping. Pure
+      // codegen bit algebra, recomputed bit-for-bit by the DuckDB oracle
+      val e = eventsDf(s, dir).select(
+        col("event_id"),
+        pmod(col("user_id"), lit(256)).as("x"),
+        pmod(floor(unix_timestamp(col("ts")) / 60).cast("long"), lit(256)).as("y"))
+      e.withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
+        .orderBy("event_id")
+    }
+    reg("p14_zorder_stats") { (s, dir) =>
+      // per-file bounding boxes of the z-ordered layout (deterministic
+      // ntile stand-in for the range partitioner): the min/max stats a
+      // parquet footer would carry, i.e. what file skipping prunes on
+      val e = eventsDf(s, dir).select(
+        col("event_id"),
+        pmod(col("user_id"), lit(256)).as("x"),
+        pmod(floor(unix_timestamp(col("ts")) / 60).cast("long"), lit(256)).as("y"))
+      val z = e.withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
+      Layout.clusteringStats(z, "z", Seq("x", "y"), nFiles = 16, tieBreak = "event_id")
+        .orderBy("file_id")
+    }
+    reg("p15_domain_cap") { (s, dir) =>
+      // RefinedWeb-style URL curation front gate: registered-domain fold →
+      // blocklist → per-domain cap (anti-SEO: a link-farm domain contributes
+      // maxPerDomain docs, not all of them) → URL shape features. The
+      // fixture ships no URLs, so they are synthesized from doc_id (same
+      // in-query construction pattern as d1/d14); every step is plain
+      // string algebra the DuckDB oracle reruns verbatim
+      import graft.ops.UrlCuration
+      val urled = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 37).cast("string"), lit("."),
+        when(col("doc_id") % 3 === 0, lit("com"))
+          .when(col("doc_id") % 3 === 1, lit("org"))
+          .otherwise(lit("co.uk")),
+        lit("/articles/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?ref=feed")).otherwise(lit("")))
+        .as("url"))
+      val blocklist = {
+        import s.implicits._
+        Seq("site1.com", "site2.org", "site3.co.uk").toDF("domain")
+      }
+      val kept = UrlCuration.domainCap(
+        UrlCuration.applyBlocklist(urled, "url", blocklist), "url", maxPerDomain = 3)
+      UrlCuration.urlFeatures(kept, "url")
+        .select(col("doc_id"), col("url_domain").as("domain"),
+          col("url_depth"), col("url_has_query"))
         .orderBy("doc_id")
     }
     reg("d14_line_dedup") { (s, dir) =>
@@ -1400,6 +1485,8 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/x7_sketches_sf001.parquet')",
     "x7b_sketch_union" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/x7b_sketch_union_sf001.parquet')",
+    "x21_cms_terms" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/x21_cms_terms_sf001.parquet')",
     "q1_knn_top4" ->
       s"""WITH q AS $QvSql
          |SELECT vec_id FROM (
@@ -2253,6 +2340,62 @@ object SparkEntry {
         |  FROM d JOIN b USING (source))
         |SELECT doc_id, source, n_tokens FROM r WHERE before_sum < budget
         |ORDER BY doc_id""".stripMargin,
+    "p13_zorder_key" ->
+      s"""SELECT event_id, $ZorderXSql AS x, $ZorderYSql AS y,
+         |  ${mortonSql(ZorderXSql, ZorderYSql, 8)} AS z
+         |FROM events ORDER BY event_id""".stripMargin,
+    "p14_zorder_stats" ->
+      s"""WITH k AS (
+         |  SELECT event_id, $ZorderXSql AS x, $ZorderYSql AS y,
+         |    ${mortonSql(ZorderXSql, ZorderYSql, 8)} AS z
+         |  FROM events),
+         |filed AS (
+         |  SELECT x, y, CAST(ntile(16) OVER (ORDER BY z, event_id) AS BIGINT) AS file_id
+         |  FROM k)
+         |SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM filed GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "p15_domain_cap" ->
+      s"""WITH urled AS (
+         |  SELECT doc_id,
+         |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+         |         WHEN doc_id % 3 = 1 THEN 'org' ELSE 'co.uk' END ||
+         |    '/articles/' || CAST(doc_id AS VARCHAR) ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '?ref=feed' ELSE '' END AS url
+         |  FROM documents),
+         |hosted AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+         |  FROM urled),
+         |dom AS (
+         |  SELECT doc_id, url, host,
+         |    string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+         |  FROM hosted),
+         |named AS (
+         |  SELECT doc_id, url,
+         |    CASE WHEN n >= 3 AND (parts[n-1] || '.' || parts[n]) IN
+         |           (${UrlCurationSuffixSql})
+         |         THEN parts[n-2] || '.' || parts[n-1] || '.' || parts[n]
+         |         WHEN n >= 2 THEN parts[n-1] || '.' || parts[n]
+         |         ELSE host END AS domain
+         |  FROM dom),
+         |capped AS (
+         |  SELECT doc_id, url, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM named
+         |  WHERE domain NOT IN ('site1.com', 'site2.org', 'site3.co.uk'))
+         |SELECT doc_id, domain,
+         |  CASE WHEN regexp_extract(url,
+         |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)', 1) = '' THEN 0
+         |       ELSE len(string_split(regexp_extract(url,
+         |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)', 1), '/')) - 1
+         |       END AS url_depth,
+         |  contains(url, '?') AS url_has_query
+         |FROM capped WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
     "d14_line_dedup" ->
       """WITH noisy AS (
         |  SELECT doc_id, concat_ws(chr(10), 'Home | About | Contact', text,

@@ -142,6 +142,7 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
     TopKAggregate.register(spark)
+    CmsFunctions.register(spark)
     TextExpressions.register(spark)
   }
 

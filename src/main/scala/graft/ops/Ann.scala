@@ -302,6 +302,20 @@ object Ann {
     * `maxBucketSize` are dropped before the quadratic self-join (mass exact
     * dups belong to exact dedup first).
     *
+    * Selectivity-probe fallback: at loose thresholds the slabs are wide,
+    * most of the index lands in a handful of buckets, and the band
+    * self-join generates nearly ALL pairs anyway — plus the explode,
+    * shuffle, and distinct that the exact broadcast product never pays
+    * (measured: 70 s/run banding vs sub-second exact on 2k×64 at minCos
+    * 0.4). So before joining, ONE aggregate over the (already needed)
+    * bucket counts estimates the candidate mass Σ n·(n−1)/2; if it is at
+    * least `exactFallbackBar` of the full n·(n−1)/2 and the table fits
+    * the broadcast product (`maxExactRows`), the exact path runs instead —
+    * same output, strictly less work, and recall becomes 1.0. Banding is
+    * kept for the regime it exists for: selective buckets on data too big
+    * to cross. `exactFallbackBar <= 0` disables the probe (tests force the
+    * banding branch with it).
+    *
     * Supersedes [[cosinePairsLsh]] (MLlib BRP: ONE projection per table, no
     * AND-amplification — measured ~32% recall at minCos 0.4 on the fixture
     * where this path exceeds 90%).
@@ -315,15 +329,33 @@ object Ann {
       nProjs: Int = 3,
       width: Option[Double] = None,
       seed: Long = 42L,
-      maxBucketSize: Long = 1L << 20): DataFrame = {
+      maxBucketSize: Long = 1L << 20,
+      exactFallbackBar: Double = 0.25,
+      maxExactRows: Int = 1 << 18): DataFrame = {
     val dStar = math.sqrt(math.max(1e-12, 2.0 - 2.0 * minCos))
     val w = width.getOrElse(dStar)
     val unit = unitRows(emb, idCol, vecCol)
     val banded = unit.select(col(idCol), posexplode(
       array((0 until nTables).map(t => rpBandKey(col("__unit"), t, nProjs, w, seed)): _*))
       .as(Seq("band", "__key")))
-    val hot = banded.groupBy("band", "__key")
-      .agg(count(lit(1)).as("n"))
+    val counts = banded.groupBy("band", "__key").agg(count(lit(1)).as("n"))
+    if (exactFallbackBar > 0) {
+      val nRows = emb.limit(maxExactRows + 1).count()
+      if (nRows <= maxExactRows) {
+        val massRow = counts.where(col("n") <= maxBucketSize)
+          .agg(sum(col("n") * (col("n") - 1)).cast("double")).head
+        // candMass double-counts pairs colliding in several tables — that
+        // is deliberate: it is the JOIN-ROW volume the banding path would
+        // actually materialize, the honest cost to compare against one
+        // full product
+        val candMass = if (massRow.isNullAt(0)) 0.0 else massRow.getDouble(0) / 2.0
+        val exactMass = nRows.toDouble * (nRows - 1) / 2.0
+        if (candMass >= exactFallbackBar * exactMass) {
+          return Dedup.cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
+        }
+      }
+    }
+    val hot = counts
       .where(col("n") > maxBucketSize)
       .select("band", "__key")
     val cold = banded.join(broadcast(hot), Seq("band", "__key"), "left_anti")

@@ -529,7 +529,7 @@ object Dedup {
     cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
   }
 
-  private def cosinePairsExactUnchecked(
+  private[ops] def cosinePairsExactUnchecked(
       emb: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
@@ -678,6 +678,10 @@ object Dedup {
     // so the same probe is not paid twice
     val small = emb.limit(maxExactRows + 1).count() <= maxExactRows
     if (small) cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
-    else graft.ops.Ann.cosinePairsRp(emb, idCol, vecCol, minCos, nTables, nProjs)
+    // the caller's cap rides along: rp's own selectivity-probe fallback
+    // must not route back to a broadcast product the caller already ruled
+    // out by escalating here
+    else graft.ops.Ann.cosinePairsRp(emb, idCol, vecCol, minCos, nTables, nProjs,
+      maxExactRows = maxExactRows)
   }
 }

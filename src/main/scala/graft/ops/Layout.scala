@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering for
+  * min/max-stat file skipping.
+  *
+  * At 100 TB a table is thousands of parquet files, and the only scan a
+  * query pays for is the files whose column min/max stats overlap its
+  * predicate. Sorting on ONE column makes that column's file ranges
+  * disjoint but leaves every other column's range per file ≈ the global
+  * range — a second-column predicate skips nothing. Interleaving the bits
+  * of k columns into one Morton key and range-partitioning on IT bounds
+  * every participating column's per-file range at once, so a conjunctive
+  * box predicate (`x BETWEEN … AND y BETWEEN …`) prunes on all k
+  * dimensions — the layout behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
+  *
+  * Two key builders, one write path:
+  *  - [[zValue]] interleaves integer columns directly — pure codegen bit
+  *    algebra, exactly reproducible anywhere (the oracle recomputes it in
+  *    SQL). Use when the columns are already bounded ints (ids, bucketed
+  *    values, date ordinals).
+  *  - [[zValueRanked]] first rank-normalizes each column to `bits`
+  *    quantile buckets (`ntile` over a global order) so arbitrary skewed /
+  *    floating domains interleave uniformly. ntile is ONE total sort per
+  *    dimension — deterministic and exact, the right trade at fit/compact
+  *    time. (Production compaction jobs may swap in sampled range ids —
+  *    Delta does — trading determinism for one pass; the write path below
+  *    does not care which key builder produced the column.)
+  *  - [[writeZOrdered]] range-partitions on the key and sorts within
+  *    partitions, so parquet row-group stats are tight on every z column.
+  *
+  * [[clusteringStats]] measures the thing pruning actually depends on:
+  * per-file bounding boxes of the layout columns. A spec asserts the
+  * z-order layout's average box volume is a fraction of a single-column
+  * sort's on 2-D data.
+  */
+object Layout {
+
+  /** Morton key: interleave the low `bits` bits of each column, first
+    * column in the lowest output bit. Requires `cols.size * bits <= 63`
+    * (sign bit untouched). Inputs must already lie in `[0, 2^bits)` —
+    * values are masked, so out-of-range inputs silently alias; rank or
+    * bucket them first ([[zValueRanked]]) if the domain is unbounded.
+    * Pure column algebra: the expression tree is `k*bits` shift/and/or
+    * terms, all inside whole-stage codegen.
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zValue: no columns")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"zValue: ${cols.size} cols x $bits bits exceeds the 63-bit budget")
+    val k = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield {
+      // bit b of column j lands at output position b*k + j
+      val masked = c.cast("long").bitwiseAND(lit(1L << b))
+      val shiftBy = b * k + j - b // target - source bit position
+      if (shiftBy >= 0) shiftleft(masked, shiftBy) else shiftright(masked, -shiftBy)
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Morton key over arbitrary domains: each column is first mapped to its
+    * `ntile(2^bits)` quantile bucket (global order by the column, ties
+    * broken by `tieBreak` for determinism), then interleaved. One total
+    * sort per dimension — the exact, deterministic variant appropriate for
+    * a compaction job that already rewrites every row.
+    */
+  def zValueRanked(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      tieBreak: String,
+      out: String = "__z"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cols.nonEmpty, "zValueRanked: no columns")
+    val n = 1 << bits
+    val bucketed = cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"__zb_$c",
+        (ntile(n).over(Window.orderBy(col(c), col(tieBreak))) - 1).cast("long"))
+    }
+    bucketed
+      .withColumn(out, zValue(cols.map(c => col(s"__zb_$c")), bits))
+      .drop(cols.map(c => s"__zb_$c"): _*)
+  }
+
+  /** Write `df` clustered by `zCol`: range-partition into `nFiles` tasks
+    * and sort within each, so every file covers a contiguous z range and
+    * the per-file min/max of every interleaved column is tight. This is
+    * the layout step — a query never pays it; the scan-side win is free
+    * file skipping on the parquet stats forever after.
+    */
+  def writeZOrdered(df: DataFrame, zCol: String, nFiles: Int, path: String): Unit =
+    df.repartitionByRange(nFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file bounding boxes under a DETERMINISTIC stand-in for the range
+    * partitioner: file id = `ntile(nFiles)` in `zCol` order (exact
+    * equi-depth ranges; the sampled partitioner approximates this). One
+    * row per file with each layout column's min/max — the exact stats a
+    * parquet footer would carry, and therefore what a pruning estimate
+    * should be computed from.
+    */
+  def clusteringStats(
+      df: DataFrame,
+      zCol: String,
+      statCols: Seq[String],
+      nFiles: Int,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filed = df.withColumn("file_id",
+      ntile(nFiles).over(Window.orderBy(col(zCol), col(tieBreak))).cast("long"))
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    filed.groupBy("file_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** How many of `stats`' files a conjunctive box predicate must read:
+    * a file survives iff every queried dimension's `[min,max]` overlaps
+    * the query interval — the file-skipping arithmetic itself.
+    */
+  def filesOverlapping(stats: DataFrame, box: Map[String, (Long, Long)]): Long = {
+    val pred = box.map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    stats.where(pred).count()
+  }
+}

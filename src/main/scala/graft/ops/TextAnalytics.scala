@@ -176,6 +176,49 @@ object TextAnalytics {
       .orderBy(col(groupCol), col("rnk"))
   }
 
+  // --------------------------------------- CMS term-frequency sketch tables
+
+  /** Per-group term-frequency count-min sketches — the frequency analog of
+    * the x7b HLL pattern: ONE corpus pass builds a sketch per group (Spark's
+    * built-in `count_min_sketch` aggregate — map-side partial sketches,
+    * shuffle carries sketch bytes, never terms); persist the result and all
+    * later frequency questions are answered from the sketch TABLE. Same
+    * eps/confidence/seed across groups so sketches stay mergeable.
+    */
+  def termSketches(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(groupCol))
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed))
+        .as("sketch"))
+
+  /** Point-frequency estimates for `terms` from a sketch table: merge the
+    * group sketches (`cms_merge` — counter-wise exact) and probe once per
+    * term (`cms_estimate`). Touches ONLY sketch bytes — the corpus is not
+    * scanned, which is the entire point at 100 TB. Estimates are upper
+    * bounds within eps·N at the sketch's confidence.
+    */
+  def cmsTermEstimates(
+      sketches: DataFrame,
+      terms: DataFrame,
+      sketchCol: String = "sketch",
+      termCol: String = "term"): DataFrame = {
+    graft.functions.CmsFunctions.register(sketches.sparkSession)
+    sketches
+      .agg(call_function("cms_merge", col(sketchCol)).as("__sk"))
+      .crossJoin(broadcast(terms)) // 1 row × candidate terms
+      .withColumn("est_cnt", call_function("cms_estimate", col("__sk"), col(termCol)))
+      .drop("__sk")
+  }
+
   /** Per-document analysis record: all scalar analytics in one projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -199,6 +199,44 @@ object Drive {
       .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
       .orderBy("source").show(4, false)
 
+    println("== z-order layout: 2-D box file skipping vs single-column sort ==")
+    val pts = spark.range(4096).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(256)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(256)).as("y"))
+    val zed = pts.withColumn("__z",
+      graft.ops.Layout.zValue(Seq(col("x"), col("y")), 8))
+    val box = Map("x" -> (32L, 63L), "y" -> (96L, 127L))
+    val zHit = graft.ops.Layout.filesOverlapping(
+      graft.ops.Layout.clusteringStats(zed, "__z", Seq("x", "y"), 64, "id"), box)
+    val xHit = graft.ops.Layout.filesOverlapping(
+      graft.ops.Layout.clusteringStats(pts, "x", Seq("x", "y"), 64, "id"), box)
+    println(s"1/64 box reads $zHit/64 z-ordered files vs $xHit/64 x-sorted")
+
+    println("== CMS sketch table: merged estimates vs exact counts ==")
+    val sketches = graft.ops.TextAnalytics.termSketches(docs, "source")
+    val topTerms = docs
+      .select(explode(
+        org.apache.spark.sql.functions.split(lower(trim(col("text"))), "\\s+"))
+        .as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("term")).limit(5)
+    graft.ops.TextAnalytics.cmsTermEstimates(sketches, topTerms)
+      .orderBy(desc("exact_cnt")).show(5, false)
+
+    println("== URL curation: blocklist + per-domain cap ==")
+    val urled = docs.select(col("doc_id"), concat(lit("https://site"),
+      (col("doc_id") % 37).cast("string"), lit(".com/articles/"),
+      col("doc_id").cast("string")).as("url"))
+    val blocked = {
+      import spark.implicits._
+      Seq("site1.com", "site2.com").toDF("domain")
+    }
+    val gated = graft.ops.UrlCuration.domainCap(
+      graft.ops.UrlCuration.applyBlocklist(urled, "url", blocked), "url", 3)
+    println(s"${urled.count()} docs -> ${gated.count()} after blocklist + cap 3/domain")
+
     spark.stop()
   }
 }

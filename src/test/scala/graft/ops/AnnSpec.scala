@@ -78,13 +78,24 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall=$mean per-query=$recalls")
   }
 
-  test("cosinePairsRp: recall >= 0.9 vs exact pairs, exact precision, no cartesian") {
-    // the registered a3 configuration (minCos 0.4 — a LOOSE threshold, the
-    // adversarial regime for LSH banding; at dedup thresholds ~0.95 the
-    // banding is strictly sharper)
+  test("cosinePairsRp: loose threshold triggers the exact-product fallback (result == exact)") {
+    // the registered a3 configuration (minCos 0.4): slabs are wide, the
+    // band self-join would materialize ~all pairs plus LSH overhead — the
+    // selectivity probe must route to the exact product, making the result
+    // EQUAL (not approximate) and the work strictly smaller
     val exact = Dedup.cosinePairsExact(emb, minCos = 0.4, maxExactRows = 1 << 20)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val rp = Ann.cosinePairsRp(emb, minCos = 0.4)
+    val got = rp.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"fallback output must equal the exact pairs; " +
+      s"missing=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
+  }
+
+  test("cosinePairsRp: banding branch (probe disabled) — recall >= 0.9, " +
+    "exact precision, no cartesian") {
+    val exact = Dedup.cosinePairsExact(emb, minCos = 0.4, maxExactRows = 1 << 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val rp = Ann.cosinePairsRp(emb, minCos = 0.4, exactFallbackBar = 0.0)
     val got = rp.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // precision is exact by construction: every candidate is verified with
     // the true cosine, so the output must be a subset of the exact pairs
@@ -95,6 +106,21 @@ class AnnSpec extends SparkSpec {
     val plan = rp.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"banded pairs join must not be all-pairs:\n${plan.take(2000)}")
+  }
+
+  test("cosinePairsRp: a table past maxExactRows keeps the banding branch") {
+    // the scale gate: when the table cannot be the build side of a
+    // broadcast product, the probe must short-circuit (ONE limit-count,
+    // no mass aggregate) and band regardless of threshold
+    val rp = Ann.cosinePairsRp(emb, minCos = 0.95, maxExactRows = 100)
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"past maxExactRows the banding branch is mandatory:\n${plan.take(2000)}")
+    // and the pairs it does emit are verified-true pairs
+    val exact = Dedup.cosinePairsExact(emb, minCos = 0.95, maxExactRows = 1 << 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = rp.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact))
   }
 
   test("batch LSH ANN dedups multi-band collisions: ranks are 1..k distinct ids") {

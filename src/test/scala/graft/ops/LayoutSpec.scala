@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: hand-checked Morton interleave") {
+    // x=0b101 (5), y=0b011 (3): morton bits y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 = 0b011011 = 27
+    val r = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .as[Long].head()
+    assert(r == 27L)
+  }
+
+  test("zValue: identity for one column, masks out-of-range bits") {
+    val one = Seq((13L)).toDF("x")
+      .select(Layout.zValue(Seq(col("x")), 8).as("z")).as[Long].head()
+    assert(one == 13L)
+    // value 0b1_0000_0001 with bits=8 keeps only the low 8 bits
+    val masked = Seq((257L)).toDF("x")
+      .select(Layout.zValue(Seq(col("x")), 8).as("z")).as[Long].head()
+    assert(masked == 1L)
+  }
+
+  test("zValue: locality — nearby points share high bits, bounds enforced") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("a"), col("b")), 32) // 64 bits > 63
+    }
+    // the z range of a small box is bounded: all 4 points of a 2x2 box at
+    // (100,200) fall within one 4-aligned z run
+    val zs = Seq((100L, 200L), (101L, 200L), (100L, 201L), (101L, 201L))
+      .toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 10).as("z"))
+      .as[Long].collect().sorted
+    assert(zs.last - zs.head == 3L, s"2x2 aligned box must be one z run: ${zs.toSeq}")
+  }
+
+  test("zValue is pure column algebra (codegen, no UDF)") {
+    val df = spark.range(100).select(col("id").as("x"), (col("id") * 7 % 100).as("y"))
+    val plan = df.select(Layout.zValue(Seq(col("x"), col("y")), 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("z-order layout prunes 2-D boxes; single-column sort does not") {
+    // deterministic pseudo-uniform 2-D points
+    val pts = spark.range(4096).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(256)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(256)).as("y"))
+    val z = pts.withColumn("__z", Layout.zValue(Seq(col("x"), col("y")), 8))
+    val nFiles = 64
+    val box = Map("x" -> (32L, 63L), "y" -> (96L, 127L)) // 1/64 of the plane
+    val zStats = Layout.clusteringStats(z, "__z", Seq("x", "y"), nFiles, "id")
+    val xStats = Layout.clusteringStats(pts, "x", Seq("x", "y"), nFiles, "id")
+    val zHit = Layout.filesOverlapping(zStats, box)
+    val xHit = Layout.filesOverlapping(xStats, box)
+    // x-sorted layout: y min/max spans ~everything per file, so every file
+    // whose x range overlaps survives (~1/8 of files x full y). z-order
+    // confines both dims: a 1/64 box touches a handful of files.
+    assert(zHit * 2 <= xHit,
+      s"z-order must at least halve files read: z=$zHit vs x-sort=$xHit of $nFiles")
+    assert(zHit <= nFiles / 4, s"z-order read $zHit of $nFiles files for a 1/64 box")
+  }
+
+  test("zValueRanked: skewed domains bucket evenly before interleave") {
+    // x heavily skewed (quadratic), y uniform: ranked z still clusters
+    val pts = spark.range(1024).select(
+      col("id"),
+      (col("id") * col("id")).as("x"), // skewed domain
+      pmod(xxhash64(col("id")), lit(1024)).as("y"))
+    val ranked = Layout.zValueRanked(pts, Seq("x", "y"), bits = 4, tieBreak = "id")
+    assert(ranked.columns.contains("__z"))
+    val bounds = ranked.agg(min("__z"), max("__z")).head()
+    assert(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 8))
+    // deterministic: same input -> same keys
+    val again = Layout.zValueRanked(pts, Seq("x", "y"), bits = 4, tieBreak = "id")
+    assert(ranked.select("id", "__z").collect().sortBy(_.getLong(0)).toSeq ==
+      again.select("id", "__z").collect().sortBy(_.getLong(0)).toSeq)
+  }
+
+  test("writeZOrdered: round-trips with nFiles files, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val pts = spark.range(512).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(64)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(64)).as("y"))
+    val z = pts.withColumn("__z", Layout.zValue(Seq(col("x"), col("y")), 6))
+    Layout.writeZOrdered(z, "__z", nFiles = 8, path = s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 512)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (0L until 512L))
+    val files = new java.io.File(s"$dir/t").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 8, s"expected 8 data files, got $files")
+  }
+}

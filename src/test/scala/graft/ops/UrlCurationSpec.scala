@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def domains(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(UrlCuration.registeredDomain(col("url")).as("d"))
+      .as[String].collect().toSeq
+
+  test("registeredDomain: eTLD+1 fold, two-level suffixes, hosts, userinfo/port") {
+    assert(domains(
+      "https://www.example.co.uk/x",
+      "http://a.b.example.com/path?q=1",
+      "https://example.com",
+      "https://localhost/admin",
+      "https://user:pw@www.example.com:8080/p",
+      "HTTPS://UPPER.EXAMPLE.ORG/Y",
+      "not a url at all"
+    ) == Seq(
+      "example.co.uk",
+      "example.com",
+      "example.com",
+      "localhost",
+      "example.com",
+      "example.org",
+      ""))
+  }
+
+  test("domainCap: keeps exactly maxPerDomain md5-least ids per domain, deterministic") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://farm${i % 2}.com/p/$i")).toDF("doc_id", "url")
+    val out = UrlCuration.domainCap(docs, "url", maxPerDomain = 3)
+    assert(out.count() == 6)
+    // winners are the md5-least ids within each domain — recomputed with
+    // java.security MessageDigest, independent of Spark's md5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 40L).groupBy(_ % 2).values.flatMap(ids =>
+      ids.sortBy(id => (md5hex(id.toString), id)).take(3)).toSet
+    val got = out.select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    val again = UrlCuration.domainCap(docs, "url", maxPerDomain = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == again)
+  }
+
+  test("applyBlocklist: registered-domain match, case-insensitive, broadcast plan") {
+    val docs = Seq(
+      (1L, "https://spam.example.com/a"), // registered domain example.com -> blocked
+      (2L, "https://ok.example.org/b"),
+      (3L, "https://WWW.SPAM.NET/c") // blocklist entry given upper-case
+    ).toDF("doc_id", "url")
+    val bl = Seq("example.com", "SPAM.net").toDF("domain")
+    val out = UrlCuration.applyBlocklist(docs, "url", bl)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"blocklist must broadcast:\n$plan")
+  }
+
+  test("urlFeatures: path depth and query flag") {
+    val out = UrlCuration.urlFeatures(Seq(
+      (1L, "https://a.com/x/y/z?q=1"),
+      (2L, "https://a.com/"),
+      (3L, "https://a.com")
+    ).toDF("doc_id", "url"), "url")
+      .select("doc_id", "url_depth", "url_has_query")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 3L, true), (2L, 1L, false), (3L, 0L, false)))
+  }
+}
