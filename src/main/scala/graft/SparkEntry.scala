@@ -1358,6 +1358,13 @@ object SparkEntry {
           round(element_at(col("features"), 1), 6).as("f0"))
         .orderBy("media_id")
     }
+    reg("m4_phash_pairs") { (s, dir) => // oracled: dHash floats are
+      // IEEE-reproducible (m2's argument, 64-wide), and the oracle finds
+      // pairs BRUTE-FORCE — so the hash-match also certifies the banded
+      // hamming join lossless on this corpus
+      Multimodal.phashPairs(
+        Multimodal.fromDocuments(T(s, dir, "documents")), maxHamming = 3)
+    }
     reg("m3_resize_meta") { (s, dir) =>
       Multimodal.resizeMeta(
         Multimodal.fromDocuments(T(s, dir, "documents")), 128, 128)
@@ -2730,6 +2737,29 @@ object SparkEntry {
     "m3_resize_meta" ->
       """SELECT doc_id AS media_id, 128 AS width, 128 AS height,
         |  CAST(length(text) AS BIGINT) * 10 AS duration_ms
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m4_phash_pairs" ->
+      """WITH dgrid AS (SELECT unnest(range(0, 64)) AS d),
+        |feat AS (
+        |  SELECT doc_id, d,
+        |    CASE WHEN len(idx) = 0 THEN CAST(0.0 AS REAL)
+        |         ELSE CAST(list_sum(list_transform(idx,
+        |                i -> CAST(ascii(substring(text, i, 1)) AS DOUBLE)))
+        |              / len(idx) / 255.0 AS REAL) END AS f
+        |  FROM (SELECT doc_id, text, d,
+        |          list_filter(range(1, length(text)+1), i -> (i-1) % 64 = d) AS idx
+        |        FROM documents, dgrid)),
+        |fs AS (SELECT doc_id, list(f ORDER BY d) AS v FROM feat GROUP BY doc_id),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 63),
+        |      i -> CASE WHEN v[i+2] > v[i+1] THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+        |    AS BIGINT) AS phash
+        |  FROM fs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

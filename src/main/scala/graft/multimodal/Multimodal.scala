@@ -91,6 +91,47 @@ object Multimodal {
     media.withColumn("meta",
       struct(lit(w).as("width"), lit(h).as("height"),
         col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec")))
+
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** Difference-hash (dHash) over the decoded feature vector: bit i is the
+    * sign of the gradient `features[i+1] > features[i]` — the standard
+    * perceptual image fingerprint, which survives brightness/scale shifts
+    * that break exact byte hashes. With `dims` = 64 features this packs 63
+    * comparisons into a positive 64-bit signature (bit 63 stays clear:
+    * both engines then agree without signed-shift edge cases).
+    *
+    * The feature source is [[decodeFeatures]] — a real image decoder drops
+    * into that seam and this column does not change; the bit-pack itself
+    * is pure codegen algebra over the feature array.
+    */
+  def dHash(media: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 2 && dims <= 64, s"dHash: dims $dims outside [2, 64]")
+    decodeFeatures(media, dims)
+      .withColumn("phash",
+        aggregate(
+          transform(sequence(lit(0), lit(dims - 2)),
+            i => when(
+              call_function("element_at", col("features"), i + lit(2)) >
+                call_function("element_at", col("features"), i + lit(1)),
+              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc.bitwiseOR(b)))
+      .drop("features")
+  }
+
+  /** Near-duplicate media pairs: [[dHash]] signatures within `maxHamming`
+    * bits, found with the shared band join ([[graft.ops.Dedup.hammingPairs]]
+    * — bucketed, hot-bucket-guarded, never all-pairs). The image analog of
+    * document SimHash dedup, sharing its machinery and its guarantees.
+    */
+  def phashPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      dims: Int = 64,
+      maxBucketSize: Long = 1L << 20): DataFrame =
+    graft.ops.Dedup.hammingPairs(
+      dHash(media, dims).where(col("phash").isNotNull),
+      "media_id", "phash", maxHamming, maxBucketSize)
 }
 
 /** Deterministic decode stub — replace with a real codec binding. */

@@ -234,6 +234,24 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3,
       maxBucketSize: Long = 1L << 20): DataFrame = {
+    val withSig = docs.select(
+      col(idCol),
+      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+    hammingPairs(withSig, idCol, "sig", maxHamming, maxBucketSize)
+  }
+
+  /** Pairs of 64-bit signatures within Hamming distance `maxHamming` —
+    * the band join + exact-verify core shared by [[simhashPairs]] and
+    * [[graft.multimodal.Multimodal.phashPairs]]. See [[simhashPairs]] for
+    * the banding/pigeonhole and hot-bucket-guard discussion; this is that
+    * code, hoisted so any 64-bit signature scheme can use it.
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] for guaranteed banding recall, got $maxHamming")
     val nBands = maxHamming + 1
@@ -243,9 +261,7 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       call_function("shiftright", col("sig"), lit(b * width)).bitwiseAND(mask)
     }
-    val withSig = docs.select(
-      col(idCol),
-      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+    val withSig = sigs.select(col(idCol), col(sigCol).as("sig"))
     val banded = withSig.select(
       col(idCol), col("sig"),
       posexplode(array((0 until nBands).map(bandKey): _*))

@@ -225,6 +225,11 @@ object Drive {
     graft.ops.TextAnalytics.cmsTermEstimates(sketches, topTerms)
       .orderBy(desc("exact_cnt")).show(5, false)
 
+    println("== perceptual-hash media near-dup (dHash + banded hamming join) ==")
+    val phPairs = graft.multimodal.Multimodal.phashPairs(
+      graft.multimodal.Multimodal.fromDocuments(docs), maxHamming = 3)
+    println(s"phash near-dup pairs at hamming<=3: ${phPairs.count()}")
+
     println("== URL curation: blocklist + per-domain cap ==")
     val urled = docs.select(col("doc_id"), concat(lit("https://site"),
       (col("doc_id") % 37).cast("string"), lit(".com/articles/"),

@@ -58,4 +58,38 @@ class MultimodalSpec extends SparkSpec {
       .as[(Int, Int, Long)].head()
     assert(m == ((128, 128, 640L)))
   }
+
+  test("dHash packs gradient signs; matches a driver-side recomputation") {
+    val got = Multimodal.dHash(Multimodal.fromDocuments(docs), dims = 8)
+      .orderBy("media_id").select("phash").as[Long].collect().toSeq
+    val expected = docs.orderBy("doc_id").select("text").as[String].collect().map { t =>
+      val f = FakeDecoder.features(t.getBytes("UTF-8"), 8)
+      (0 until 7).map(i => if (f(i + 1) > f(i)) 1L << i else 0L).reduce(_ | _)
+    }.toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // top bit never set (dims-1 comparisons), so the hash is non-negative
+    assert(got.forall(_ >= 0L))
+  }
+
+  test("phashPairs equals brute force on a corpus with a planted near-dup") {
+    // doc 11 is doc 1 with one byte changed -> tiny gradient flip count;
+    // doc 4 is unrelated noise
+    val corpus = Seq(
+      (1L, "abcdefgh" * 8),
+      (11L, "abcdefgh" * 7 + "abcdefgz"),
+      (4L, "zqwkrtpv" * 8 + "mn")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(corpus)
+    val sigs = Multimodal.dHash(media).select("media_id", "phash")
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 15
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.phashPairs(media, maxHamming = 15)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"banded join must be lossless: got $got brute $brute")
+    assert(got.exists { case (a, b, _) => a == 1L && b == 11L },
+      "planted near-dup must be found")
+  }
 }
