@@ -1137,6 +1137,22 @@ object SparkEntry {
           lit("(c) 2026 Example Corp")).as("text"))
       Dedup.lineDedup(noisy, maxDf = 5).orderBy("doc_id")
     }
+    reg("d16_substr_dedup") { (s, dir) =>
+      // Lee et al. exact-substring span dedup: duplicated >=8-token spans
+      // keep one occurrence corpus-wide. The fixture has no repeated spans,
+      // so a shared intro (every 5th doc) and disclaimer (every 7th) are
+      // injected in-query (d1/d14 pattern); the md5-least carrier keeps
+      // each span, every other carrier is excised token-exactly
+      val intro = "welcome to the official archive of synthetic corpus documents"
+      val disclaimer = "this document is provided as is without warranty " +
+        "of any kind express or implied"
+      val noisy = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ",
+          when(col("doc_id") % 5 === 0, lit(intro)),
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit(disclaimer))).as("text"))
+      Dedup.exactSubstrDedup(noisy, windowTokens = 8).orderBy("doc_id")
+    }
     reg("d15_incremental_dedup") { (s, dir) =>
       // incremental exact dedup via the bloom-prefiltered plan: batch = 50
       // re-crawled copies (new ids, duplicate texts) + 25 revised docs
@@ -2427,6 +2443,41 @@ object SparkEntry {
         |  count(d.key) AS n_dropped
         |FROM keyed l LEFT JOIN dup d USING (key)
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "d16_substr_dedup" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, concat_ws(' ',
+        |    CASE WHEN doc_id % 5 = 0 THEN 'welcome to the official archive of synthetic corpus documents' END,
+        |    text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'this document is provided as is without warranty of any kind express or implied' END) AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM noisy WHERE trim(coalesce(text, '')) <> ''),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS token FROM toks),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(len(t) - 8 + 1)) AS pos,
+        |    unnest(list_transform(range(0, len(t) - 8 + 1),
+        |      i -> md5(array_to_string(t[i+1:i+8], chr(1))))) AS whash
+        |  FROM toks WHERE len(t) >= 8),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY whash
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, pos) AS rk
+        |  FROM wins),
+        |starts AS (
+        |  SELECT DISTINCT doc_id, pos FROM ranked WHERE rk > 1),
+        |flagged AS (
+        |  SELECT p.doc_id, p.pos, p.token,
+        |    max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS cut
+        |  FROM pos p LEFT JOIN starts s ON p.doc_id = s.doc_id AND p.pos = s.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT cut THEN token END, ' ' ORDER BY pos), '') AS text,
+        |  count(*) AS n_tokens,
+        |  count(CASE WHEN cut THEN 1 END) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d15_incremental_dedup" ->
       """WITH batch AS (
         |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars

@@ -284,6 +284,97 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------- exact-substring (span) dedup
+
+  /** Exact duplicated-SPAN removal — the ExactSubstr half of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): any token span of length ≥ `windowTokens` that
+    * occurs more than once in the corpus keeps ONE occurrence and is
+    * excised everywhere else — finer than document dedup (d1/d7: whole
+    * documents) and stronger than the df signal (d11: reports, does not
+    * rewrite). The paper builds a corpus suffix array; this re-expresses
+    * the same contract relationally:
+    *
+    *  1. tokenize (whitespace; rebuild normalizes to single spaces),
+    *  2. hash every `windowTokens`-token rolling window (md5 of the
+    *     joined window — per-doc column algebra, scan-stage),
+    *  3. rank window occurrences per hash — ONE shuffle keyed on the
+    *     hash, the corpus-wide analog of the suffix-array sort; rank 1
+    *     (md5-least doc, then first position) is the keeper, every later
+    *     occurrence is a removal start,
+    *  4. a token is excised iff a removal start lies within the
+    *     preceding `windowTokens` positions — a bounded rows-frame
+    *     window max per doc, no range join,
+    *  5. rebuild surviving tokens in order (same pattern as
+    *     [[lineDedup]]).
+    *
+    * A span of L ≥ W duplicated tokens is covered by ALL its length-W
+    * subwindows, so the whole span is excised from non-keeper docs and
+    * within-doc repeats keep their first occurrence. With 3+ documents
+    * sharing overlapping but non-identical spans the keeper choice is
+    * per-window, so slightly more than the minimal text can be excised —
+    * never text that does not also survive elsewhere (the paper's
+    * guarantee; the relational trade is documented here, tested in
+    * DedupSpec).
+    *
+    * Scale: windows ≈ tokens, so stage 3 shuffles one (hash, doc, pos)
+    * triple per corpus token — the same O(corpus) the suffix array
+    * sorts, with Spark's shuffle machinery instead of external-memory
+    * SA construction. Stages 4–5 shuffle on the doc id. No broadcast of
+    * anything corpus-sized.
+    */
+  def exactSubstrDedup(
+      docs: DataFrame,
+      windowTokens: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, s"exactSubstrDedup: windowTokens $windowTokens < 2")
+    val W = windowTokens
+    val sep = "\u0001" // cannot occur inside a whitespace-split token
+    // empty/whitespace-only docs are dropped (a quality gate owns them);
+    // everything else flows through even when shorter than one window
+    val toks = docs
+      .where(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+    // (id, pos, token) — every position, 0-based
+    val positions = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "token")))
+    // (id, pos, whash) — one row per rolling window start
+    val windows = toks
+      .where(size(col("__toks")) >= W)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - W),
+          i => md5(concat_ws(sep,
+            call_function("slice", col("__toks"), i + lit(1), lit(W)))
+            .cast("binary"))))
+        .as(Seq("pos", "whash")))
+    val starts = windows
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("whash"))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol), col("pos"))))
+      .where(col("__rk") > 1) // every non-keeper occurrence starts an excision
+      .select(col(idCol), col("pos"), lit(1).as("__rm"))
+      .distinct() // several hashes can mark the same start
+    val coverW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(W - 1), 0)
+    positions
+      .join(starts, Seq(idCol, "pos"), "left")
+      .withColumn("__cut",
+        coalesce(max(col("__rm")).over(coverW) === 1, lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__cut"), lit(1L))), lit(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__cut"), struct(col("pos"), col("token"))))),
+            s => s.getField("token")),
+          " ").as(textCol))
+      .select(col(idCol), col(textCol), col("n_tokens"), col("n_removed"))
+  }
+
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** Exact token-set Jaccard pairs ≥ `minSim` via inverted-index join:

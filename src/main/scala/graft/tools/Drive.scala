@@ -225,6 +225,15 @@ object Drive {
     graft.ops.TextAnalytics.cmsTermEstimates(sketches, topTerms)
       .orderBy(desc("exact_cnt")).show(5, false)
 
+    println("== exact-substring span dedup (Lee et al. ExactSubstr) ==")
+    val spanned = docs.select(col("doc_id"), concat_ws(" ", col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("standard legal disclaimer applies to this document in full"))).as("text"))
+    graft.ops.Dedup.exactSubstrDedup(spanned, windowTokens = 8)
+      .agg(sum("n_removed").as("tokens_excised"),
+        sum(when(col("n_removed") > 0, 1)).as("docs_touched"))
+      .show(1, false)
+
     println("== perceptual-hash media near-dup (dHash + banded hamming join) ==")
     val phPairs = graft.multimodal.Multimodal.phashPairs(
       graft.multimodal.Multimodal.fromDocuments(docs), maxHamming = 3)

@@ -537,4 +537,60 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("doc_id", "text"))
   }
+
+  // -------------------------------------------- exact-substring dedup
+
+  private def substrOut(rows: Seq[(Long, String)], w: Int): Map[Long, (String, Long, Long)] =
+    Dedup.exactSubstrDedup(rows.toDF("doc_id", "text"), windowTokens = w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("exactSubstrDedup: shared span excised everywhere but the keeper") {
+    // docs 1 and 2 share the 4-token span "the quick brown fox"; W=3 means
+    // every 3-subwindow of it is duplicated. md5("1") < md5("2"), so doc 1
+    // keeps the span and doc 2 loses exactly those 4 tokens
+    val out = substrOut(Seq(
+      (1L, "intro one the quick brown fox outro one"),
+      (2L, "intro two words the quick brown fox tail")), w = 3)
+    assert(out(1L) == (("intro one the quick brown fox outro one", 8L, 0L)))
+    assert(out(2L) == (("intro two words tail", 8L, 4L)))
+  }
+
+  test("exactSubstrDedup: within-doc repeat keeps the first occurrence") {
+    val out = substrOut(Seq(
+      (7L, "alpha beta gamma delta MID alpha beta gamma delta")), w = 4)
+    assert(out(7L) == (("alpha beta gamma delta MID", 9L, 4L)))
+  }
+
+  test("exactSubstrDedup: spans longer than one window are fully excised") {
+    // a 6-token shared span with W=3: subwindow coverage must remove all 6
+    // tokens from the non-keeper, not just the first window
+    val span = "one two three four five six"
+    val out = substrOut(Seq(
+      (1L, s"keep $span"),
+      (2L, s"drop $span end")), w = 3)
+    val keeperHas = out(1L)._1.contains(span) || out(2L)._1.contains(span)
+    assert(keeperHas, s"one copy must survive: $out")
+    val (kept, lost) = if (out(1L)._1.contains(span)) (out(1L), out(2L)) else (out(2L), out(1L))
+    assert(lost._3 == 6L, s"all 6 span tokens excised from the non-keeper: $out")
+    assert(kept._3 == 0L)
+  }
+
+  test("exactSubstrDedup: docs shorter than a window and unique docs untouched") {
+    val out = substrOut(Seq(
+      (1L, "tiny doc"),
+      (2L, "a perfectly unique sentence with no duplicate spans at all")), w = 5)
+    assert(out(1L) == (("tiny doc", 2L, 0L)))
+    assert(out(2L)._3 == 0L)
+    assert(out(2L)._1 == "a perfectly unique sentence with no duplicate spans at all")
+  }
+
+  test("exactSubstrDedup: whitespace normalization, empty docs dropped, determinism") {
+    val rows = Seq((1L, "  a   b\tc  "), (2L, "   "), (3L, "x y z"))
+    val out = substrOut(rows, w = 2)
+    assert(!out.contains(2L), "whitespace-only doc dropped")
+    assert(out(1L) == (("a b c", 3L, 0L)))
+    val again = substrOut(rows, w = 2)
+    assert(out == again)
+  }
 }
