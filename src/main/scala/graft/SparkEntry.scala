@@ -754,26 +754,56 @@ object SparkEntry {
       val model = graft.ops.Bpe.train(d, numMerges = 200)
       graft.ops.Bpe.tokenize(d, model)
         .select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"),
-          slice(col("tokens"), 1, 5).as("head_tokens"))
+          // string, not array<string>: the driver's comparator sorts on
+          // column values and cannot hash arrays
+          concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
         .orderBy("doc_id")
     }
 
-    reg("x7_sketches") { (s, dir) => // rows-only: sketch algorithms differ per engine
-      T(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    reg("x7_sketches") { (s, dir) =>
+      // Sketch estimates are merge-order-sensitive (partial aggregates
+      // combine in partition order), so raw values must never be pinned —
+      // the x7b round-4 lesson (493 @ 4 cores vs 499 @ 32). The
+      // partition-INVARIANT contract: exact values (oracled in DuckDB)
+      // plus booleans asserting each sketch lands within its error bound.
+      val l = T(s, dir, "lineitem")
+      l.agg(
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .cast("double").as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+            .cast("double").as("p99"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("e50"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.99)").as("e99"))
+        .select(
+          col("exact_orders"), col("exact_parts"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
+            .as("orders_ok"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("parts_ok"),
+          (abs(col("p50") - col("e50")) <= col("e50") * 0.05).as("p50_ok"),
+          (abs(col("p99") - col("e99")) <= col("e99") * 0.05).as("p99_ok"))
     }
 
-    reg("x7b_sketch_union") { (s, dir) => // rows-only: sketch bytes differ per engine
+    reg("x7b_sketch_union") { (s, dir) =>
       // the 100 TB sketch-table pattern: per-group HLL sketches built in
       // one pass and persisted, then MERGED later without rescanning the
-      // corpus — the merged estimate must track the global distinct count
-      val perLang = T(s, dir, "documents")
-        .groupBy("lang").agg(hll_sketch_agg(col("doc_id")).as("sk"))
-      perLang.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
+      // corpus. The merged estimate is merge-order-sensitive (sparse→dense
+      // promotion shifts with partition count: 493 @ local[4] vs 499 @
+      // local[32] on this fixture), so the oracle is partition-invariant:
+      // exact distinct count + a relative-error bound on the estimate.
+      val d = T(s, dir, "documents")
+      val perLang = d.groupBy("lang").agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      val merged = perLang.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = d.agg(count_distinct(col("doc_id")).as("exact_distinct"))
+      exact.crossJoin(merged).select(
+        col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("est_ok"))
     }
 
     reg("x21_cms_terms") { (s, dir) => // golden-pinned: sketch probing is not SQL
@@ -1504,10 +1534,18 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/t6b_embed_w2v_sf001.parquet')",
     "x15_compression" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/x15_compression_sf001.parquet')",
+    // x7/x7b: sketch estimates are merge-order-sensitive, so the oracle
+    // checks exact values + error-bound booleans, never raw estimates
+    // (round-4 lesson: HLL union gave 493 @ 4 cores vs 499 @ 32 cores).
     "x7_sketches" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/x7_sketches_sf001.parquet')",
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS orders_ok, true AS parts_ok,
+        |  true AS p50_ok, true AS p99_ok
+        |FROM lineitem""".stripMargin,
     "x7b_sketch_union" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/x7b_sketch_union_sf001.parquet')",
+      """SELECT count(DISTINCT doc_id) AS exact_distinct, true AS est_ok
+        |FROM documents""".stripMargin,
     "x21_cms_terms" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/x21_cms_terms_sf001.parquet')",
     "q1_knn_top4" ->
@@ -2343,7 +2381,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum,
         |    b.budget
         |  FROM d JOIN b USING (source))
-        |SELECT source, doc_id, n_tokens, before_sum + n_tokens AS running_total
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(before_sum + n_tokens AS BIGINT) AS running_total
         |FROM r WHERE before_sum < budget
         |ORDER BY doc_id""".stripMargin,
     "p12_token_mixture" ->
