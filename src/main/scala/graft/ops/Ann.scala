@@ -339,25 +339,41 @@ object Ann {
       array((0 until nTables).map(t => rpBandKey(col("__unit"), t, nProjs, w, seed)): _*))
       .as(Seq("band", "__key")))
     val counts = banded.groupBy("band", "__key").agg(count(lit(1)).as("n"))
-    if (exactFallbackBar > 0) {
-      val nRows = emb.limit(maxExactRows + 1).count()
-      if (nRows <= maxExactRows) {
-        val massRow = counts.where(col("n") <= maxBucketSize)
-          .agg(sum(col("n") * (col("n") - 1)).cast("double")).head
-        // candMass double-counts pairs colliding in several tables — that
-        // is deliberate: it is the JOIN-ROW volume the banding path would
-        // actually materialize, the honest cost to compare against one
-        // full product
-        val candMass = if (massRow.isNullAt(0)) 0.0 else massRow.getDouble(0) / 2.0
-        val exactMass = nRows.toDouble * (nRows - 1) / 2.0
-        if (candMass >= exactFallbackBar * exactMass) {
-          return Dedup.cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
-        }
-      }
-    }
-    val hot = counts
-      .where(col("n") > maxBucketSize)
-      .select("band", "__key")
+    // When the probe runs, its ONE aggregation job also collects the
+    // hot-bucket key list (bounded: a key only qualifies past
+    // maxBucketSize rows, so there are at most n/maxBucketSize of them) —
+    // the banding branch then reuses that snapshot as a local relation
+    // instead of recomputing the counts shuffle a second time for the
+    // hot filter.
+    val hotSnapshot: Option[DataFrame] =
+      if (exactFallbackBar > 0) {
+        val nRows = emb.limit(maxExactRows + 1).count()
+        if (nRows <= maxExactRows) {
+          val probeRow = counts.agg(
+            sum(when(col("n") <= maxBucketSize, col("n") * (col("n") - 1)))
+              .cast("double"),
+            collect_list(when(col("n") > maxBucketSize,
+              struct(col("band"), col("__key"))))).head
+          // candMass double-counts pairs colliding in several tables — that
+          // is deliberate: it is the JOIN-ROW volume the banding path would
+          // actually materialize, the honest cost to compare against one
+          // full product
+          val candMass = if (probeRow.isNullAt(0)) 0.0 else probeRow.getDouble(0) / 2.0
+          val exactMass = nRows.toDouble * (nRows - 1) / 2.0
+          if (candMass >= exactFallbackBar * exactMass) {
+            return Dedup.cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
+          }
+          val hotRows = probeRow.getSeq[org.apache.spark.sql.Row](1)
+          Some(emb.sparkSession.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(hotRows: _*)),
+            org.apache.spark.sql.types.StructType(
+              counts.schema.fields.take(2))))
+        } else None
+      } else None
+    val hot = hotSnapshot.getOrElse(
+      counts
+        .where(col("n") > maxBucketSize)
+        .select("band", "__key"))
     val cold = banded.join(broadcast(hot), Seq("band", "__key"), "left_anti")
     val candPairs = cold.select(col(idCol).as("id_a"), col("band"), col("__key"))
       .join(cold.select(col(idCol).as("id_b"), col("band"), col("__key")),

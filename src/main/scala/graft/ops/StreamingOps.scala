@@ -355,7 +355,17 @@ object StreamingOps {
     // reflection) so the batch twin runs in any session.
     locally {
       val sqm = docs.sparkSession.streams
-      sqm.getClass.getMethod("stateStoreCoordinator").invoke(sqm)
+      try sqm.getClass.getMethod("stateStoreCoordinator").invoke(sqm)
+      catch {
+        case e: Throwable =>
+          throw new IllegalStateException(
+            "tokenBudgetIntake assumes Spark 4.1.x's private[sql] lazy val " +
+              "StreamingQueryManager.stateStoreCoordinator (reflectively " +
+              "touched so batch-mode transformWithState can reach the state " +
+              "store coordinator). This Spark version appears to have " +
+              "renamed/removed it — update the reflection, or run the " +
+              "intake as a real streaming query instead.", e)
+      }
     }
     docs.select(col(sourceCol).cast("string").as("_1"),
         col(idCol).cast("long").as("_2"),

@@ -61,7 +61,11 @@ object UrlCuration {
       urlCol: String,
       blocklist: DataFrame,
       maxBroadcastDomains: Int = 4000000): DataFrame = {
-    val bl = blocklist.select(lower(col("domain")).as("__bl_domain")).distinct()
+    // '' (the fold of every unparseable URL) is never a blockable domain —
+    // a stray empty blocklist entry would otherwise drop the whole
+    // unparseable slice of the corpus in one anti-join
+    val bl = blocklist.select(lower(col("domain")).as("__bl_domain"))
+      .where(col("__bl_domain") =!= "").distinct()
     val guarded =
       if (bl.limit(maxBroadcastDomains + 1).count() <= maxBroadcastDomains)
         broadcast(bl)
@@ -87,8 +91,16 @@ object UrlCuration {
     require(maxPerDomain >= 1, s"domainCap: maxPerDomain $maxPerDomain must be >= 1")
     val w = Window.partitionBy(col("__domain"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // Schemeless/malformed URLs have no host; grouping them under the ''
+    // domain would silently cap the whole unparseable slice of the corpus
+    // at maxPerDomain. Give each such row its own per-id key instead —
+    // they pass through uncapped (and the distinct keys also mean no hot
+    // partition when a corpus is mostly unparseable).
     docs
-      .withColumn("__domain", registeredDomain(col(urlCol)))
+      .withColumn("__domain",
+        when(coalesce(host(col(urlCol)), lit("")) === "",
+          concat(lit("__unparsed__:"), col(idCol).cast("string")))
+          .otherwise(registeredDomain(col(urlCol))))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxPerDomain)
       .drop("__domain", "__rn")

@@ -62,6 +62,24 @@ class UrlCurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"blocklist must broadcast:\n$plan")
   }
 
+  test("domainCap: unparseable URLs pass through uncapped, not folded into one '' domain") {
+    // 10 schemeless/malformed URLs + one real domain with 5 pages: the cap
+    // must bite only the real domain; the unparseable slice survives intact
+    val docs = ((0L until 10L).map(i => (i, s"not-a-url-$i")) ++
+      (10L until 15L).map(i => (i, s"https://farm.com/p$i"))).toDF("doc_id", "url")
+    val out = UrlCuration.domainCap(docs, "url", maxPerDomain = 2)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(kept.contains), s"unparseable rows were capped: $kept")
+    assert(kept.count(_ >= 10L) == 2, s"real domain not capped at 2: $kept")
+  }
+
+  test("applyBlocklist: empty blocklist entry cannot drop unparseable URLs") {
+    val docs = Seq((1L, "no-scheme-here"), (2L, "https://bad.com/x")).toDF("doc_id", "url")
+    val bl = Seq("", "bad.com").toDF("domain")
+    val out = UrlCuration.applyBlocklist(docs, "url", bl)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("urlFeatures: path depth and query flag") {
     val out = UrlCuration.urlFeatures(Seq(
       (1L, "https://a.com/x/y/z?q=1"),
