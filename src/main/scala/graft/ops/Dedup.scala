@@ -252,20 +252,7 @@ object Dedup {
       sigCol: String,
       maxHamming: Int,
       maxBucketSize: Long = 1L << 20): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] for guaranteed banding recall, got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands // last band absorbs the remainder bits
-    def bandKey(b: Int): Column = {
-      val w = if (b == nBands - 1) 64 - width * (nBands - 1) else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1L
-      call_function("shiftright", col("sig"), lit(b * width)).bitwiseAND(mask)
-    }
-    val withSig = sigs.select(col(idCol), col(sigCol).as("sig"))
-    val banded = withSig.select(
-      col(idCol), col("sig"),
-      posexplode(array((0 until nBands).map(bandKey): _*))
-        .as(Seq("band", "band_key")))
+    val banded = hammingBanded(sigs, idCol, sigCol, maxHamming)
     val hot = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucketSize)
@@ -282,6 +269,64 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** (id, sig, band, band_key) — the banded view [[hammingPairs]] joins on.
+    * Band layout: `maxHamming + 1` bands so the pigeonhole guarantee holds
+    * (≤ h differing bits over h+1 bands ⇒ at least one band untouched).
+    */
+  private def hammingBanded(
+      sigs: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] for guaranteed banding recall, got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // last band absorbs the remainder bits
+    def bandKey(b: Int): Column = {
+      val w = if (b == nBands - 1) 64 - width * (nBands - 1) else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      call_function("shiftright", col("sig"), lit(b * width)).bitwiseAND(mask)
+    }
+    sigs.select(col(idCol), col(sigCol).as("sig"))
+      .select(col(idCol), col("sig"),
+        posexplode(array((0 until nBands).map(bandKey): _*))
+          .as(Seq("band", "band_key")))
+  }
+
+  /** The band buckets [[hammingPairs]] WOULD drop at this `maxBucketSize` —
+    * one row per hot bucket: (band, band_key, n). The guard's observable:
+    * an empty result means the guard is inactive and pigeonhole recall is
+    * exact; a non-empty one quantifies the blind spot (a pair is lost only
+    * when EVERY band it shares is hot, and every id in a listed bucket is
+    * a potential party to a lost pair). Callers that cannot tolerate
+    * silent truncation check this first — typically by running
+    * [[dedupExact]] on the ids in hot buckets (mass exact duplicates are
+    * the usual cause) and re-running the near-dup pass on the survivors.
+    */
+  def hammingHotBuckets(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      maxBucketSize: Long = 1L << 20): DataFrame =
+    hammingBanded(sigs, idCol, sigCol, maxHamming)
+      .groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .orderBy(col("band"), col("band_key"))
+
+  /** [[hammingHotBuckets]] over simhash signatures — the drop-metric
+    * companion of [[simhashPairs]], same signature construction.
+    */
+  def simhashHotBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
+    val withSig = docs.select(
+      col(idCol),
+      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+    hammingHotBuckets(withSig, idCol, "sig", maxHamming, maxBucketSize)
   }
 
   // ------------------------------------- exact-substring (span) dedup
@@ -330,7 +375,6 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(windowTokens >= 2, s"exactSubstrDedup: windowTokens $windowTokens < 2")
     val W = windowTokens
-    val sep = "\u0001" // cannot occur inside a whitespace-split token
     // empty/whitespace-only docs are dropped (a quality gate owns them);
     // everything else flows through even when shorter than one window
     val toks = docs
@@ -344,8 +388,14 @@ object Dedup {
       .where(size(col("__toks")) >= W)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - W),
-          i => md5(concat_ws(sep,
-            call_function("slice", col("__toks"), i + lit(1), lit(W)))
+          // injective window encoding: hash each token to a fixed-width
+          // value first, THEN join — a raw concat_ws(sep, tokens) is not
+          // injective (a token may contain the separator, e.g. binary-ish
+          // corpora), which would alias distinct windows and excise
+          // spurious spans
+          i => md5(concat_ws(",",
+            transform(call_function("slice", col("__toks"), i + lit(1), lit(W)),
+              t => xxhash64(t).cast("string")))
             .cast("binary"))))
         .as(Seq("pos", "whash")))
     val starts = windows
@@ -609,21 +659,44 @@ object Dedup {
     */
   /** Top-N most-similar embedding pairs by cosine — the inspection variant
     * of [[cosinePairsExact]] (useful when no pair clears a dedup threshold).
+    *
+    * Routing: at or under `maxExactRows` this is the exact broadcast
+    * product. Past the cap it does NOT refuse — it routes through
+    * [[Ann.cosinePairsRp]]'s band-bucketed candidates at `bandMinCos`
+    * (exact cosine is re-verified inside, so precision is exact) and takes
+    * the global top-N. The banded route can only miss a top pair whose
+    * cosine is below `bandMinCos` or that RP-LSH fails to band together —
+    * and RP recall is highest exactly where top pairs live (high cosine),
+    * so the routed answer matches the exact product in practice (asserted
+    * on the fixture in DedupSpec). The default cap is deliberately small:
+    * a 1M-row broadcast product is ~5.5×10¹¹ cosine evaluations — a job
+    * that never finishes is worse than one that takes the banded route.
     */
   def cosineTopPairs(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       topN: Int = 20,
-      maxExactRows: Int = 1 << 20): DataFrame = {
-    requireSmall(emb, maxExactRows, "cosineTopPairs")
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      maxExactRows: Int = 1 << 16,
+      bandMinCos: Double = 0.7): DataFrame = {
+    val small = emb.limit(maxExactRows + 1).count() <= maxExactRows
+    val scored =
+      if (small) {
+        val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+        val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      } else {
+        // rp-band candidates → exact re-rank; the caller's cap rides along
+        // so rp's own fallback cannot route back to the broadcast product
+        // this branch just ruled out
+        graft.ops.Ann.cosinePairsRp(emb, idCol, vecCol, minCos = bandMinCos,
+          maxExactRows = maxExactRows)
+      }
+    scored
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topN)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   def cosinePairsExact(
@@ -631,7 +704,7 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       minCos: Double = 0.95,
-      maxExactRows: Int = 1 << 20): DataFrame = {
+      maxExactRows: Int = 1 << 16): DataFrame = {
     requireSmall(emb, maxExactRows, "cosinePairsExact")
     cosinePairsExactUnchecked(emb, idCol, vecCol, minCos)
   }

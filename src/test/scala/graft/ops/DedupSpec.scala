@@ -117,6 +117,51 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hot-bucket guard recall contract: loss is exactly the all-hot-band pairs, " +
+    "and hammingHotBuckets reports the blind spot") {
+    // True near-dups INSIDE a hot bucket are the guard's blind spot: a
+    // pair is lost iff every band it shares is hot. Construct that worst
+    // case deliberately — 20 identical signatures (every shared band hot
+    // at cap 10) plus a cold near pair — and verify the recall loss is
+    // exactly the hot-cluster pairs, no more, and that the drop metric
+    // makes the loss observable rather than silent.
+    val hotCluster = (1L to 20L).map(i => (i, 0x0123456789abcdefL))
+    val coldPair = Seq((101L, 0x7777000011112222L), (102L, 0x7777000011112223L))
+    val loner = Seq((201L, -0x123456789abcdL))
+    val sigs = (hotCluster ++ coldPair ++ loner).toDF("vec_id", "sig")
+
+    def brute(h: Int): Set[(Long, Long)] = {
+      val all = hotCluster ++ coldPair ++ loner
+      (for {
+        (a, sa) <- all; (b, sb) <- all
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (a, b)).toSet
+    }
+    val truth = brute(2)
+    val found = Dedup.hammingPairs(sigs, "vec_id", "sig", maxHamming = 2,
+      maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lost = truth -- found
+    // loss = exactly the 20·19/2 hot-cluster pairs; the cold pair survives
+    assert(lost == truth.filter { case (a, b) => a <= 20L && b <= 20L },
+      s"recall loss must be confined to the hot cluster; lost=$lost")
+    assert(found.contains((101L, 102L)), "cold near pair must survive")
+    assert(lost.size == 190)
+    // the drop metric quantifies the blind spot: 3 bands (maxHamming=2),
+    // each with one 20-member bucket past the cap of 10
+    val hot = Dedup.hammingHotBuckets(sigs, "vec_id", "sig", maxHamming = 2,
+      maxBucketSize = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(hot.length == 3 && hot.forall(_._3 == 20L),
+      s"expected 3 hot 20-member buckets, got ${hot.toSeq}")
+    // and with the guard above the cluster size nothing is dropped:
+    // metric empty, recall exact (the pigeonhole guarantee intact)
+    assert(Dedup.hammingHotBuckets(sigs, "vec_id", "sig", 2, 25).isEmpty)
+    val full = Dedup.hammingPairs(sigs, "vec_id", "sig", 2, 25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == truth)
+  }
+
   // ---- quantitative candidate-quality harness: the approximate detectors
   // measured against the exact token-jaccard ground truth on the real
   // fixture (same corpus slice as the registered d3/d5/d6 queries).
@@ -350,9 +395,24 @@ class DedupSpec extends SparkSpec {
       Dedup.cosinePairsExact(emb, minCos = 0.5, maxExactRows = 10)
     }
     assert(e.getMessage.contains("cosinePairsAuto"))
-    intercept[IllegalArgumentException] {
-      Dedup.cosineTopPairs(emb, topN = 5, maxExactRows = 10)
-    }
+  }
+
+  test("cosineTopPairs past the cap routes to the banded path and matches exact top-N") {
+    // 40 clustered unit-ish vectors: the top pairs are the within-cluster
+    // near-identical ones, i.e. exactly where RP-LSH recall peaks
+    val emb = (1L to 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0.02f * (i % 5), 0f, 0.1f)
+      else Array(0f, 0.1f, 1f, 0.02f * (i % 7))
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.cosineTopPairs(emb, topN = 8, maxExactRows = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val routed = Dedup.cosineTopPairs(emb, topN = 8, maxExactRows = 10)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"past-cap top-pairs must not cross-product:\n$plan")
+    val got = routed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exact, s"banded route diverged:\ngot $got\nexp $exact")
   }
 
   test("cosinePairsAuto past the guard escalates: no all-pairs join in the plan") {
@@ -554,6 +614,18 @@ class DedupSpec extends SparkSpec {
       (2L, "intro two words the quick brown fox tail")), w = 3)
     assert(out(1L) == (("intro one the quick brown fox outro one", 8L, 0L)))
     assert(out(2L) == (("intro two words tail", 8L, 4L)))
+  }
+
+  test("exactSubstrDedup: window encoding is injective for separator-bearing tokens") {
+    // binary-ish corpus: "ab c" and "a bc" are DIFFERENT
+    // 2-token windows, but a raw concat_ws("", tokens) encodes both
+    // as abc — the pre-fix aliasing excised doc 2 spuriously.
+    // Per-token hashing keeps them distinct: nothing is removed.
+    val out = substrOut(Seq(
+      (1L, "ab c"),
+      (2L, "a bc")), w = 2)
+    assert(out(1L)._3 == 0L, s"doc 1 lost tokens: ${out(1L)}")
+    assert(out(2L)._3 == 0L, s"doc 2 lost tokens: ${out(2L)}")
   }
 
   test("exactSubstrDedup: within-doc repeat keeps the first occurrence") {
