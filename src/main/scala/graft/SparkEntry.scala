@@ -3,7 +3,7 @@ package graft
 import graft.functions.VectorFunctions
 import graft.index.VectorIndex
 import graft.ingest.TextSources
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageIoDecoder, Multimodal, SyntheticImages}
 import graft.ops.{Ann, Dedup, Layout, Pq, Relational, Skew, StreamingOps, TextAnalytics}
 import graft.search.Knn
 import graft.serve._
@@ -1418,6 +1418,27 @@ object SparkEntry {
           col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"))
         .orderBy("media_id")
     }
+    reg("m5_real_image_phash") { (s, dir) =>
+      // the REAL decode path (javax.imageio, no stub): PNGs are synthesized
+      // in-executor (the container ships no image files — seed = id % 8
+      // gives 8 scenes, brighten = (id/8 % 3)*10 gives near-dup variants of
+      // each), decoded back to pixels through ImageIoDecoder, dHashed, and
+      // paired with the shared banded hamming join. Golden-pinned (PNG
+      // decode is not DuckDB-expressible); the invariance contracts live in
+      // MultimodalSpec. Same-scene variants pair up; cross-scene pairs stay
+      // far apart.
+      import s.implicits._
+      val media = T(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 48).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, SyntheticImages.png(seed = (id % 8).toInt,
+            brighten = ((id / 8) % 3).toInt * 10))
+        })
+        .toDF("media_id", "bytes")
+        .withColumn("kind", lit("image"))
+      Multimodal.phashPairs(media, maxHamming = 6, decoder = ImageIoDecoder)
+        .orderBy("id_a", "id_b")
+    }
 
     m.result()
   }
@@ -2824,6 +2845,8 @@ object SparkEntry {
         |        list_filter(range(1, length(text)+1), i -> (i-1) % 8 = 0) AS idx
         |      FROM documents)
         |ORDER BY media_id""".stripMargin,
+    "m5_real_image_phash" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/m5_real_image_phash_sf001.parquet')",
     "m3_resize_meta" ->
       """SELECT doc_id AS media_id, 128 AS width, 128 AS height,
         |  CAST(length(text) AS BIGINT) * 10 AS duration_ms

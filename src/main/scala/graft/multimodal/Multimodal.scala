@@ -48,11 +48,14 @@ object Multimodal {
       ).as("meta"))
 
   /** Batch decode → fixed-size feature vector. Runs as `mapPartitions`
-    * over `batchSize`-row groups (the Arrow-batch shape). The feature
-    * function is the stub; everything around it is production plumbing.
+    * over `batchSize`-row groups (the Arrow-batch shape). `decoder` picks
+    * the bytes→features binding: [[ImageIoDecoder]] (real pixels via the
+    * JDK's `javax.imageio` — PNG/JPEG/BMP/GIF, zero extra jars) or
+    * [[FakeDecoder]] (the deterministic stand-in the oracled queries pin,
+    * and the fallback shape for codecs the JDK cannot read).
     */
   def decodeFeatures(media: DataFrame, dims: Int = 8,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, decoder: MediaDecoder = FakeDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -60,11 +63,12 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "kind", "bytes").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // A real decoder would hand `batch` to a vectorized library here.
+        // A vectorized library would take `batch` whole; per-row decode is
+        // the JDK binding's granularity.
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-            FakeDecoder.features(bytes, dims))
+            decoder.features(bytes, dims))
         }
       }
     }(enc)
@@ -105,9 +109,10 @@ object Multimodal {
     * into that seam and this column does not change; the bit-pack itself
     * is pure codegen algebra over the feature array.
     */
-  def dHash(media: DataFrame, dims: Int = 64): DataFrame = {
+  def dHash(media: DataFrame, dims: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(dims >= 2 && dims <= 64, s"dHash: dims $dims outside [2, 64]")
-    decodeFeatures(media, dims)
+    decodeFeatures(media, dims, decoder = decoder)
       .withColumn("phash",
         aggregate(
           transform(sequence(lit(0), lit(dims - 2)),
@@ -128,14 +133,57 @@ object Multimodal {
       media: DataFrame,
       maxHamming: Int = 3,
       dims: Int = 64,
-      maxBucketSize: Long = 1L << 20): DataFrame =
+      maxBucketSize: Long = 1L << 20,
+      decoder: MediaDecoder = FakeDecoder): DataFrame =
     graft.ops.Dedup.hammingPairs(
-      dHash(media, dims).where(col("phash").isNotNull),
+      dHash(media, dims, decoder).where(col("phash").isNotNull),
       "media_id", "phash", maxHamming, maxBucketSize)
 }
 
-/** Deterministic decode stub — replace with a real codec binding. */
-object FakeDecoder {
+/** Deterministic real-PNG synthesis — fixture material for the
+  * [[ImageIoDecoder]] path (this container ships no image files, so the
+  * oracled real-decode query generates its own): per-8×8-block seeded
+  * luminance (structure that survives dHash cell pooling) plus a mild
+  * per-pixel perturbation, encoded through the JDK PNG writer. Same seed
+  * ⇒ same scene; `brighten` gives near-duplicate variants of it.
+  */
+object SyntheticImages {
+  def png(seed: Int, brighten: Int = 0, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def blockLum(bx: Int, by: Int): Int =
+      new scala.util.Random(seed * 1000003 + by * 97 + bx).nextInt(220)
+    val rnd = new scala.util.Random(seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = math.min(255, math.max(0,
+          blockLum(x / 8, y / 8) + rnd.nextInt(8) + brighten))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}
+
+/** bytes → fixed-size feature vector. Implementations must be
+  * Serializable (the instance rides the task closure) and return null for
+  * null/undecodable payloads — [[Multimodal.phashPairs]] filters those out
+  * rather than hashing garbage.
+  */
+trait MediaDecoder extends Serializable {
+  def features(bytes: Array[Byte], dims: Int): Array[Float]
+}
+
+/** Deterministic decode stub — the no-codec fallback and the binding the
+  * oracled queries (m2/m4) pin, so their goldens stay decoder-independent.
+  */
+object FakeDecoder extends MediaDecoder {
   /** Feature i = mean of byte values congruent to i mod dims, scaled. */
   def features(bytes: Array[Byte], dims: Int): Array[Float] = {
     if (bytes == null) return null
@@ -150,5 +198,58 @@ object FakeDecoder {
     }
     Array.tabulate(dims)(d =>
       if (counts(d) == 0) 0.0f else (sums(d).toDouble / counts(d) / 255.0).toFloat)
+  }
+}
+
+/** REAL image decode via the JDK's `javax.imageio` — PNG, JPEG, BMP, GIF
+  * with zero extra jars (offline-container friendly). Features are the
+  * classic dHash preparation: luminance (Rec. 601) average-pooled into a
+  * near-square `dims`-cell grid in [0, 1], row-major — so
+  * [[Multimodal.dHash]]'s adjacent-gradient bit-pack over them IS the
+  * standard perceptual difference hash. Cell pooling (not pixel sampling)
+  * makes the signature stable under resize and mild brightness shifts —
+  * the invariances MultimodalSpec pins on real generated images.
+  *
+  * Undecodable/empty payloads return null (never throw): one corrupt blob
+  * in a 100 TB media table must not fail the stage. `ImageIO.read` is
+  * JVM-local and thread-safe per call; `setUseCache(false)` keeps decode
+  * off executor-local disk.
+  */
+object ImageIoDecoder extends MediaDecoder {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def features(bytes: Array[Byte], dims: Int): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return null
+    // near-square grid: gh rows × gw cols, row-major, first `dims` cells
+    val gh = math.max(1, math.sqrt(dims.toDouble).toInt)
+    val gw = (dims + gh - 1) / gh
+    val sums = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(gw - 1, x * gw / w)
+        val cell = cy * gw + cx
+        if (cell < dims) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          sums(cell) += lum
+          counts(cell) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dims)(d =>
+      if (counts(d) == 0) 0.0f else (sums(d) / counts(d) / 255.0).toFloat)
   }
 }

@@ -92,4 +92,84 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => a == 1L && b == 11L },
       "planted near-dup must be found")
   }
+
+  // ------------------------- real decode path (javax.imageio, no stub)
+
+  /** Deterministic w×h RGB test image: per-8×8-block seeded luminance (so
+    * the structure SURVIVES cell pooling — different seeds give different
+    * cell-scale scenes, unlike pixel noise which averages out) plus a mild
+    * per-pixel perturbation. Reproducible across runs.
+    */
+  private def testImage(w: Int, h: Int, seed: Int,
+      brighten: Int = 0): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def blockLum(bx: Int, by: Int): Int =
+      new scala.util.Random(seed * 1000003 + by * 97 + bx).nextInt(220)
+    val rnd = new scala.util.Random(seed)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = blockLum(x / 8, y / 8) + rnd.nextInt(8) + brighten
+      val v = math.min(255, math.max(0, base))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def scale2x(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth * 2, img.getHeight * 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, out.getWidth, out.getHeight, null)
+    g.dispose()
+    out
+  }
+
+  private def hashOf(bytes: Array[Byte]): Long = {
+    val f = ImageIoDecoder.features(bytes, 64)
+    assert(f != null && f.length == 64)
+    (0 until 63).map(i => if (f(i + 1) > f(i)) 1L << i else 0L).foldLeft(0L)(_ | _)
+  }
+
+  test("ImageIoDecoder: real PNG decode, dHash stable across format/scale/brightness") {
+    val img = testImage(64, 64, seed = 7)
+    val png = hashOf(encode(img, "png"))
+    // codec-invariance: the same pixels through a different LOSSLESS codec
+    assert(hashOf(encode(img, "bmp")) == png, "png and bmp must hash identically")
+    // resize stability: 2x upscale pools back into the same cells
+    val scaled = hashOf(encode(scale2x(img), "png"))
+    assert(java.lang.Long.bitCount(scaled ^ png) <= 3,
+      s"2x upscale must be near-invariant, hamming=${java.lang.Long.bitCount(scaled ^ png)}")
+    // brightness shift preserves gradient SIGNS (the dHash invariance)
+    val bright = hashOf(encode(testImage(64, 64, seed = 7, brighten = 20), "png"))
+    assert(java.lang.Long.bitCount(bright ^ png) <= 3,
+      s"brightness shift must be near-invariant, hamming=${java.lang.Long.bitCount(bright ^ png)}")
+    // a different image is a different hash
+    val other = hashOf(encode(testImage(64, 64, seed = 999), "png"))
+    assert(java.lang.Long.bitCount(other ^ png) > 8, "distinct images must differ")
+    // undecodable payloads yield null, never throw
+    assert(ImageIoDecoder.features("not an image".getBytes, 64) == null)
+    assert(ImageIoDecoder.features(null, 64) == null)
+    assert(ImageIoDecoder.features(Array.empty[Byte], 64) == null)
+  }
+
+  test("phashPairs over REAL images finds the near-dup through the imageio decoder") {
+    // three real PNGs: 1 and 11 are the same scene at different scales
+    // (+ mild brightness), 4 is a different scene
+    val rows = Seq(
+      (1L, encode(testImage(64, 64, seed = 7), "png")),
+      (11L, encode(scale2x(testImage(64, 64, seed = 7, brighten = 10)), "png")),
+      (4L, encode(testImage(64, 64, seed = 999), "png")))
+    val media = rows.toDF("media_id", "bytes")
+      .withColumn("kind", lit("image"))
+    val pairs = Multimodal.phashPairs(media, maxHamming = 6,
+      decoder = ImageIoDecoder)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 11L)), s"got $pairs")
+  }
 }
