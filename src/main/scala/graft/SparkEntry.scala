@@ -935,6 +935,17 @@ object SparkEntry {
       Dedup.minHashPairs(T(s, dir, "documents").where(col("doc_id") < 100),
         shingleSize = 1, threshold = 0.4)
     }
+    reg("d5b_minhash_hashed") { (s, dir) =>
+      // the vocabulary-FREE minhash (the 100 TB shape: hashed shingles,
+      // salted-rehash permutations, band join — no CountVectorizer fit, no
+      // driver-held dictionary). Oracled against the EXACT jaccard SQL:
+      // precision is exact by construction (candidates verified with the
+      // true jaccard), and at minJaccard 0.8 with 32 bands x 4 rows the
+      // banding miss probability is (1-0.8^4)^32 ≈ 5e-8 — so the exact
+      // pair set IS the expected output, independently recomputed.
+      Dedup.minHashPairsHashed(T(s, dir, "documents").where(col("doc_id") < 60),
+        shingleSize = 1, numHashes = 128, bands = 32, minJaccard = 0.8)
+    }
     reg("d6_simhash_pairs") { (s, dir) => // rows-only: xxhash64 is Spark-specific
       Dedup.simhashPairs(T(s, dir, "documents").where(col("doc_id") < 100),
         maxHamming = 8)
@@ -2623,6 +2634,21 @@ object SparkEntry {
         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
         |SELECT count(DISTINCT md5(text)) AS n FROM aug""".stripMargin,
     "d3_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d5b_minhash_hashed" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(
         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

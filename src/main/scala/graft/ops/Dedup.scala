@@ -173,6 +173,117 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Vocabulary-FREE MinHash LSH near-dup pairs — the 100 TB shape of
+    * [[minHashPairs]]. The MLlib path fits a `CountVectorizer` vocabulary,
+    * i.e. a driver-held dictionary of every distinct shingle — fine at
+    * fixture scale, impossible on an open-domain corpus where the shingle
+    * space grows with the data. Production web dedup (Lee et al. 2022,
+    * RefinedWeb) never materializes a vocabulary: shingles are HASHED, the
+    * k-th "permutation" is a k-salted rehash, and the signature is the
+    * per-permutation minimum. Everything here is scan-stage column algebra
+    * (xxhash64 / transform / aggregate — codegen, no fit, no UDF, no
+    * driver state):
+    *
+    *  1. shingle hashes: distinct word `shingleSize`-grams → `xxhash64`,
+    *     EXPLODED to one row per (doc, shingle-hash) — rows, not arrays,
+    *     so every downstream hash is a flat codegen expression (a nested
+    *     `transform(…, p => aggregate(…))` formulation measured 250×
+    *     slower: per-permutation array re-traversal in the interpreter),
+    *  2. signature: one groupBy(id) with `numHashes` partial-aggregated
+    *     `min(xxhash64(h, p))` columns — long-typed mins keep the whole
+    *     aggregate on the codegen HashAggregate path (folding a
+    *     `collect_set` into the same agg was measured 4× slower: one
+    *     object-typed column demotes all 65 to ObjectHashAggregate), and
+    *     map-side combine does the heavy hashing before the shuffle.
+    *     Every signature consumer below shares this one exchange
+    *     (ReuseExchange) — the scan+hash work runs once,
+    *  3. banding: `bands` keys of `numHashes / bands` signature rows each
+    *     (hashed to one long) → explode → hot-bucket-guarded self-join on
+    *     any equal band — same guard discipline as [[hammingPairs]],
+    *  4. verify candidates with the EXACT Jaccard over the distinct
+    *     shingle-hash sets (arrays ride the join; collisions at 64 bits
+    *     are negligible) and keep pairs ≥ `minJaccard` — precision is
+    *     exact, recall is the banding probability 1−(1−j^r)^b (quantified
+    *     against the exact ground truth in DedupSpec). The sets are
+    *     collected ONLY for ids that survive banding (a semi-join on the
+    *     candidate ids ahead of the `collect_set`) — at realistic dup
+    *     density that is ~1% of the corpus, so the object-typed
+    *     aggregation never touches the other 99%.
+    *
+    * One shuffle keyed on id for the signatures, one on (band, key) for
+    * candidates, one on id for the verify joins; nothing all-pairs,
+    * nothing fitted, nothing broadcast but the bounded hot-bucket drop
+    * list.
+    */
+  def minHashPairsHashed(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      minJaccard: Double = 0.8,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
+    require(numHashes % bands == 0,
+      s"minHashPairsHashed: numHashes $numHashes must be a multiple of bands $bands")
+    val r = numHashes / bands
+    // empty tokens dropped — same token-set semantics as [[jaccardPairs]],
+    // so the exact-jaccard SQL can serve as the oracle at high thresholds
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val sh = array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
+        i => when(i + shingleSize <= size(toks),
+          xxhash64(concat_ws(" ",
+            call_function("slice", toks, i + lit(1), lit(shingleSize)))))),
+      h => h.isNotNull))
+    // The explicit repartitions are load-bearing: this DAG fans out (sigs
+    // feeds banding AND the hot-bucket guard AND both self-join sides;
+    // exploded feeds sigs AND the verify sets). Without an Exchange at
+    // the fan-out points Spark re-executes the whole scan+tokenize+hash
+    // subtree once PER consumer (measured 4×); with them, ReuseExchange
+    // runs each map side once and every consumer reads the same shuffle
+    // files — and the band self-join inherits (band, band_key)
+    // partitioning, so it adds no shuffle of its own.
+    val exploded = docs.select(col(idCol), explode(sh).as("__h"))
+      .repartition(col(idCol))
+    val minCols = (0 until numHashes).map(p =>
+      min(xxhash64(col("__h"), lit(p))).as(s"__m$p"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(p => col(s"__m$p")): _*).as("__sig"))
+    val banded = sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(call_function("slice", col("__sig"), b * lit(r) + 1, lit(r)))))
+        .as(Seq("band", "band_key")))
+      .repartition(col("band"), col("band_key"))
+    val hot = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select("band", "band_key")
+    val cold = banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    val cand = cold.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+      .join(cold.select(col(idCol).as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sets = exploded.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("__h")).as("__sh"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val tok = new RegexTokenizer()
       .setInputCol(textCol).setOutputCol("__toks")

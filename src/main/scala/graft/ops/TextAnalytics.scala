@@ -219,6 +219,83 @@ object TextAnalytics {
       .drop("__sk")
   }
 
+  /** Gopher document-level quality rules (Rae et al. 2021, appendix A —
+    * the rule set Dolma/RefinedWeb reuse): per document, the seven
+    * repetition-free structural gates —
+    *
+    *   - `n_words` in [`minWords`, `maxWords`] (default 50..100,000),
+    *   - mean word length in [3, 10] characters,
+    *   - symbol-to-word ratio ≤ 0.1 (symbols: `#`, `...`, `…`),
+    *   - ≤ 90% of lines starting with a bullet (`-`, `*`, `•`, `‣`, `▪`),
+    *   - ≤ 30% of lines ending with an ellipsis,
+    *   - ≥ 80% of words containing at least one alphabetic character,
+    *   - ≥ 2 of the 8 required English stopwords present
+    *     (the/be/to/of/and/that/have/with — the cheap language check).
+    *
+    * Emits the measured metrics, one boolean per rule, and the AND of all
+    * rules as `pass_gopher`. Pure per-row column algebra over `split` /
+    * `filter` / `aggregate` — scan-stage, codegen, zero shuffle; every
+    * regex is in the Java∩RE2∩DuckDB intersection (no lookaround) so an
+    * oracle can recompute all seven rules verbatim. Words are whitespace
+    * tokens with empties dropped (the [[tokenCount]] convention); lines
+    * are `\n` splits kept as-is, so blank lines count in the line
+    * denominators exactly as the paper's reference implementation does.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val text = safe(col(textCol))
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val charSum = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val meanLen = when(nWords > 0, charSum.cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val nSymbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+      .cast("long")
+    val symbolRatio = when(nWords > 0, nSymbols.cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("^[-*•‣▪]"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val lowered = transform(words, w => lower(w))
+    val nStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => when(array_contains(lowered, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(bulletFrac, 6).as("bullet_frac"),
+        round(ellipsisFrac, 6).as("ellipsis_frac"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("pass_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("pass_bullets", col("bullet_frac") <= 0.9)
+      .withColumn("pass_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("pass_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("pass_stop", col("n_stop") >= 2)
+      .withColumn("pass_gopher",
+        col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
+          col("pass_bullets") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("pass_stop"))
+  }
+
   /** Per-document analysis record: all scalar analytics in one projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

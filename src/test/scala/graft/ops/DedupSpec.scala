@@ -188,6 +188,39 @@ class DedupSpec extends SparkSpec {
     assert(precision >= 0.9, s"minhash precision=$precision (|mh|=${mh.size})")
   }
 
+  test("minHashPairsHashed: precision exact, recall vs exact jaccard on the fixture") {
+    // same token-set space as jaccardPairs at shingleSize=1; the exact
+    // pairs at sim >= 0.6 are the ground truth. Precision is exact BY
+    // CONSTRUCTION (candidates are verified with the true jaccard over the
+    // shingle-hash sets), so every returned pair must be in the exact set;
+    // recall is the banding probability 1-(1-j^r)^b — with 32 bands of 4
+    // rows, P(candidate | j=0.6) ≈ 0.99.
+    val exact = Dedup.jaccardPairs(fixtureDocs, minSim = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val got = Dedup.minHashPairsHashed(fixtureDocs, shingleSize = 1,
+      numHashes = 128, bands = 32, minJaccard = 0.6)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs.subsetOf(exact),
+      s"verified pairs must all be exact-true: extras ${gotPairs.diff(exact).take(5)}")
+    val recall = exact.count(gotPairs.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"hashed-minhash recall=$recall " +
+      s"(|exact|=${exact.size}, |got|=${gotPairs.size})")
+    // determinism: no fitted state, so a rerun is value-identical
+    val again = Dedup.minHashPairsHashed(fixtureDocs, shingleSize = 1,
+      numHashes = 128, bands = 32, minJaccard = 0.6)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+    // plan hygiene: band-bucket join, never a cross product
+    val plan = Dedup.minHashPairsHashed(fixtureDocs, shingleSize = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"hashed minhash must stay bucketed:\n$plan")
+  }
+
   test("simhash pairs: lossless banding and discriminative signatures on the fixture") {
     // Simhash's metric is HAMMING distance, not jaccard — on long docs a
     // 10% token change can flip many marginal majority bits, so
