@@ -760,6 +760,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    reg("x22_gopher_rules") { (s, dir) =>
+      // Gopher structural quality gates (Rae et al. 2021 appendix A) with
+      // word-count bounds sized to the fixture prose; every rule is
+      // recomputed verbatim by the DuckDB oracle
+      TextAnalytics.gopherRules(T(s, dir, "documents"), minWords = 20)
+        .orderBy("doc_id")
+    }
+
     reg("x7_sketches") { (s, dir) =>
       // Sketch estimates are merge-order-sensitive (partial aggregates
       // combine in partition order), so raw values must never be pinned —
@@ -1384,6 +1392,25 @@ object SparkEntry {
           Map("src0" -> 700L, "src1" -> 1000L, "src2" -> 100000L))
         .toDF()
         .orderBy("doc_id")
+    }
+
+    reg("st9_streaming_dedup") { (s, dir) =>
+      // batch twin of the watermarked streaming intake dedup
+      // (dropDuplicatesWithinWatermark — batch planner executes it as
+      // plain dedup): the intake stream carries planted EXACT duplicate
+      // rows (every 3rd and 7th event re-delivered, the at-least-once
+      // source shape), so whichever copy wins, downstream is
+      // deterministic and the oracle is the duplicate-free base table
+      val ev = eventsDf(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val dup = ev
+        .unionAll(ev.where(pmod(col("event_id"), lit(3)) === 0))
+        .unionAll(ev.where(pmod(col("event_id"), lit(7)) === 0))
+      StreamingOps.streamingDedup(dup, Seq("event_id"), "2 hours")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
     }
 
     reg("st6_streaming_memory") { (s, dir) =>
@@ -2226,6 +2253,60 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(cleaned) AS BIGINT) AS clean_len,
         |       md5(cleaned) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+    "x22_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') AS tx,
+        |    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |                x -> length(x) > 0) AS words,
+        |    string_split(coalesce(text, ''), chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CASE WHEN len(words) > 0 THEN round(
+        |      CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+        |        / len(words), 6) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(words) > 0 THEN round(
+        |      CAST(len(regexp_extract_all(tx, '#|\.\.\.|…')) AS DOUBLE)
+        |        / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(lines) > 0 THEN round(
+        |      CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS DOUBLE)
+        |        / len(lines), 6) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN round(
+        |      CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |        / len(lines), 6) ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN len(words) > 0 THEN round(
+        |      CAST(len(list_filter(words,
+        |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(words), 6) ELSE 0.0 END AS alpha_frac,
+        |    CAST((CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stop,
+        |  (n_words >= 20 AND n_words <= 100000) AS pass_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+        |  (symbol_ratio <= 0.1) AS pass_symbols,
+        |  (bullet_frac <= 0.9) AS pass_bullets,
+        |  (ellipsis_frac <= 0.3) AS pass_ellipsis,
+        |  (alpha_frac >= 0.8) AS pass_alpha,
+        |  (n_stop >= 2) AS pass_stop,
+        |  (n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND n_stop >= 2) AS pass_gopher
+        |FROM m ORDER BY doc_id""".stripMargin,
     // ---- training-data corpus assembly (TrainingData.*): the md5 order
     // key is portable, so DuckDB recomputes every operator independently
     "p3_stratified_sample" ->
@@ -2714,6 +2795,14 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // the planted duplicates are exact row copies, so post-dedup state is
+    // the base table no matter which copy won — the oracle skips the dup
+    // planting entirely
+    "st9_streaming_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st6_streaming_memory" ->
       """SELECT CAST(user_id AS VARCHAR) AS session_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, role, content) - 1

@@ -265,9 +265,15 @@ object StreamingOps {
     */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
       watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else
+      // batch twin: Spark refuses dropDuplicatesWithinWatermark outside a
+      // stream, and in batch the horizon is vacuous (all data in hand) —
+      // plain key dedup IS the within-watermark semantics
+      events.dropDuplicates(keyCols)
 
   /** C5 streaming variant: append-mode parquet sink with checkpoint. */
   def chatLogSink(rows: DataFrame, path: String,

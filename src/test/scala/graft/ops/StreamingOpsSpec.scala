@@ -234,6 +234,15 @@ class StreamingOpsSpec extends SparkSpec {
       val ids = spark.table("deduped").select($"event_id").as[Long].collect().toSeq
       assert(ids.sorted == Seq(1L, 2L), s"dup survived: $ids")
     } finally q.stop()
+    // batch twin (the st9 arm): same entry point, plain key dedup
+    val batch = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click"),
+      (1L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, ts("2024-01-01 00:06:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+    val got = StreamingOps.streamingDedup(batch, Seq("event_id"))
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L), s"batch twin wrong: $got")
   }
 
   test("streaming session memory: interleaved sessions reproduce the batch table") {

@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions._
 class TextAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRules: each rule trips on its crafted violator, prose passes") {
+    val prose = ("The report shows that revenue and costs have moved " +
+      "together, with analysts expecting the trend to be stable. ") * 3
+    val docs = Seq(
+      (1L, prose),                                  // passes everything
+      (2L, "too few words to be kept here"),        // fails word count
+      (3L, ("a b c d " * 20) + "the and that with have"), // mean len < 3
+      (4L, prose + (" ### ## # " * 20)),            // symbol ratio
+      (5L, (1 to 20).map(i => s"- bullet item $i with the and that")
+        .mkString("\n")),                           // 100% bullet lines
+      (6L, (1 to 20).map(i => s"the and that with line $i trails off...")
+        .mkString("\n")),                           // 100% ellipsis lines
+      (7L, prose + (" 12345 67890 11111 22222 33333 " * 12)), // alpha frac
+      (8L, "lorem ipsum dolor sit amet " * 10),     // no stopwords
+      (9L, ""),
+      (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalytics.gopherRules(docs, minWords = 20).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flag(id: Long, name: String): Boolean =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert(flag(1L, "pass_gopher"), s"prose must pass: ${r(1L)}")
+    assert(!flag(2L, "pass_words") && !flag(2L, "pass_gopher"))
+    assert(!flag(3L, "pass_mean_len"), s"short words: ${r(3L)}")
+    assert(!flag(4L, "pass_symbols"), s"hash spam: ${r(4L)}")
+    assert(!flag(5L, "pass_bullets"), s"all bullets: ${r(5L)}")
+    assert(!flag(6L, "pass_ellipsis"), s"all ellipses: ${r(6L)}")
+    assert(!flag(7L, "pass_alpha"), s"digit flood: ${r(7L)}")
+    assert(!flag(8L, "pass_stop"), s"no stopwords: ${r(8L)}")
+    // empty/null: zero words fails word count, never throws/divides by 0
+    Seq(9L, 10L).foreach { id =>
+      assert(r(id).getLong(r(id).fieldIndex("n_words")) == 0L)
+      assert(!flag(id, "pass_gopher"))
+    }
+    // scan-stage contract: no exchange anywhere in the plan
+    val plan = TextAnalytics.gopherRules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+  }
+
   test("compressionRatio separates boilerplate from prose from noise") {
     val docs = Seq(
       (1L, "spam spam spam spam " * 50),                       // repetitive
