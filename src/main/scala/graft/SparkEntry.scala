@@ -768,6 +768,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    reg("x23_gopher_repetition") { (s, dir) =>
+      // Gopher within-doc repetition gates; the fixture prose is mostly
+      // clean, so deterministic repetition is planted identically in both
+      // engines: ids %7 re-append their own opening twice (dup n-grams),
+      // ids %11 gain a thrice-repeated boilerplate line (dup lines)
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" "), substring(col("text"), 1, 80),
+            lit(" "), substring(col("text"), 1, 80))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nRepeated boilerplate line.\nRepeated boilerplate line." +
+            "\nRepeated boilerplate line.")).otherwise(lit("")))
+      TextAnalytics.gopherRepetition(
+          T(s, dir, "documents").withColumn("text", t2))
+        .orderBy("doc_id")
+    }
+
     reg("x7_sketches") { (s, dir) =>
       // Sketch estimates are merge-order-sensitive (partial aggregates
       // combine in partition order), so raw values must never be pinned —
@@ -2253,6 +2270,81 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(cleaned) AS BIGINT) AS clean_len,
         |       md5(cleaned) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+    "x23_gopher_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '')
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' ' || substr(coalesce(text, ''), 1, 80)
+        |         || ' ' || substr(coalesce(text, ''), 1, 80) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Repeated boilerplate line.'
+        |         || chr(10) || 'Repeated boilerplate line.'
+        |         || chr(10) || 'Repeated boilerplate line.' ELSE '' END AS tx
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(tx, '\s+'), x -> length(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(tx, chr(10)), l -> trim(l)),
+        |                l -> length(l) > 0) AS lines
+        |  FROM t),
+        |lm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(lines) > 0 THEN round(
+        |      CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+        |      ELSE 0.0 END AS dup_line_frac,
+        |    CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+        |      THEN round(CAST(list_sum(list_transform(lines, l -> length(l)))
+        |             - list_sum(list_transform(list_distinct(lines), l -> length(l)))
+        |             AS DOUBLE)
+        |           / list_sum(list_transform(lines, l -> length(l))), 6)
+        |      ELSE 0.0 END AS dup_line_char_frac
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(words) - n + 1),
+        |      i -> array_to_string(words[i:i+n-1], ' '))) AS gram
+        |  FROM w, (SELECT unnest(generate_series(2, 10)) AS n) ns
+        |  WHERE len(words) >= n),
+        |pg AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt,
+        |    count(*) * length(gram) AS mass
+        |  FROM g GROUP BY 1, 2, 3),
+        |pn AS (
+        |  SELECT doc_id, n, sum(mass) AS total_mass, max(mass) AS top_mass,
+        |    sum(CASE WHEN cnt >= 2 THEN mass ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1, 2),
+        |gm AS (
+        |  SELECT doc_id,
+        |    round(coalesce(max(CASE WHEN n = 2 THEN CAST(top_mass AS DOUBLE) / total_mass END), 0.0), 6) AS top_2gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 3 THEN CAST(top_mass AS DOUBLE) / total_mass END), 0.0), 6) AS top_3gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 4 THEN CAST(top_mass AS DOUBLE) / total_mass END), 0.0), 6) AS top_4gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 5 THEN CAST(dup_mass AS DOUBLE) / total_mass END), 0.0), 6) AS dup_5gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 6 THEN CAST(dup_mass AS DOUBLE) / total_mass END), 0.0), 6) AS dup_6gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 7 THEN CAST(dup_mass AS DOUBLE) / total_mass END), 0.0), 6) AS dup_7gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 8 THEN CAST(dup_mass AS DOUBLE) / total_mass END), 0.0), 6) AS dup_8gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 9 THEN CAST(dup_mass AS DOUBLE) / total_mass END), 0.0), 6) AS dup_9gram_frac,
+        |    round(coalesce(max(CASE WHEN n = 10 THEN CAST(dup_mass AS DOUBLE) / total_mass END), 0.0), 6) AS dup_10gram_frac
+        |  FROM pn GROUP BY 1)
+        |SELECT lm.doc_id, lm.dup_line_frac, lm.dup_line_char_frac,
+        |  coalesce(gm.top_2gram_frac, 0.0) AS top_2gram_frac,
+        |  coalesce(gm.top_3gram_frac, 0.0) AS top_3gram_frac,
+        |  coalesce(gm.top_4gram_frac, 0.0) AS top_4gram_frac,
+        |  coalesce(gm.dup_5gram_frac, 0.0) AS dup_5gram_frac,
+        |  coalesce(gm.dup_6gram_frac, 0.0) AS dup_6gram_frac,
+        |  coalesce(gm.dup_7gram_frac, 0.0) AS dup_7gram_frac,
+        |  coalesce(gm.dup_8gram_frac, 0.0) AS dup_8gram_frac,
+        |  coalesce(gm.dup_9gram_frac, 0.0) AS dup_9gram_frac,
+        |  coalesce(gm.dup_10gram_frac, 0.0) AS dup_10gram_frac,
+        |  (lm.dup_line_frac <= 0.30 AND lm.dup_line_char_frac <= 0.20
+        |   AND coalesce(gm.top_2gram_frac, 0.0) <= 0.20
+        |   AND coalesce(gm.top_3gram_frac, 0.0) <= 0.18
+        |   AND coalesce(gm.top_4gram_frac, 0.0) <= 0.16
+        |   AND coalesce(gm.dup_5gram_frac, 0.0) <= 0.15
+        |   AND coalesce(gm.dup_6gram_frac, 0.0) <= 0.14
+        |   AND coalesce(gm.dup_7gram_frac, 0.0) <= 0.13
+        |   AND coalesce(gm.dup_8gram_frac, 0.0) <= 0.12
+        |   AND coalesce(gm.dup_9gram_frac, 0.0) <= 0.11
+        |   AND coalesce(gm.dup_10gram_frac, 0.0) <= 0.10) AS pass_repetition
+        |FROM lm LEFT JOIN gm ON lm.doc_id = gm.doc_id
+        |ORDER BY lm.doc_id""".stripMargin,
     "x22_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -296,6 +296,109 @@ object TextAnalytics {
           col("pass_stop"))
   }
 
+  /** Gopher repetition rules (Rae et al. 2021, appendix A — the
+    * within-document half; [[gopherRules]] owns the structural half):
+    * documents dominated by repeated lines or repeated n-grams are
+    * machine-generated boilerplate. Per document:
+    *
+    *   - `dup_line_frac` = (lines − distinct lines) / lines, over
+    *     non-empty trimmed lines — i.e. every occurrence beyond a line's
+    *     first is a duplicate; gate ≤ 0.30,
+    *   - `dup_line_char_frac` = character mass of those beyond-first
+    *     occurrences / total line characters; gate ≤ 0.20. Both are
+    *     LINEAR per-row array algebra (total minus distinct — no pairwise
+    *     loop), scan-stage, zero shuffle,
+    *   - `top_ngram_frac(n)`, n = 2..4: the heaviest n-gram's character
+    *     mass (count × gram length) over the total n-gram character mass
+    *     of the doc; gates ≤ 0.20 / 0.18 / 0.16,
+    *   - `dup_ngram_frac(n)`, n = 5..10: character mass of n-grams
+    *     occurring ≥ 2 times over total n-gram mass; gates ≤ 0.15 step
+    *     −0.01 down to 0.10.
+    *
+    * The gram tier is ONE exploded `(doc, n, gram)` stream for all nine
+    * n values — one map-side-combined shuffle keyed (doc, n, gram), one
+    * tiny per-(doc, n) aggregate, then a conditional pivot back to one
+    * row per doc; corpora stream through it at any scale. Docs shorter
+    * than n words have no n-grams: their fractions are 0 (no repetition
+    * evidence), via the left join + coalesce — while a doc with only a
+    * handful of words puts most of its mass in one gram and trips the
+    * top-gram gates by construction, exactly as in the paper (the
+    * word-count gate in [[gopherRules]] owns short docs).
+    * `pass_repetition` is the AND of all eleven gates.
+    */
+  def gopherRepetition(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = safe(col(textCol))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val dLines = size(array_distinct(lines)).cast("long")
+    val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val dLineChars = aggregate(array_distinct(lines), lit(0L),
+      (a, l) => a + length(l))
+    val lineMetrics = docs.select(
+      col(idCol),
+      when(nLines > 0, (nLines - dLines).cast("double") / nLines)
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(lineChars > 0, (lineChars - dLineChars).cast("double") / lineChars)
+        .otherwise(lit(0.0)).as("dup_line_char_frac"))
+
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val ns = (2 to 10)
+    // one stream of (doc, n, gram) for every n — explode(map) keeps it a
+    // single generator pass over each document
+    val gramsByN = map_from_arrays(
+      array(ns.map(n => lit(n)): _*),
+      array(ns.map { n =>
+        when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", call_function("slice", words, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      }: _*))
+    val grams = docs
+      .select(col(idCol), explode(gramsByN).as(Seq("n", "grams")))
+      .select(col(idCol), col("n"), explode(col("grams")).as("gram"))
+    val perGram = grams.groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("cnt") * length(col("gram")).cast("long"))
+    val perN = perGram.groupBy(col(idCol), col("n"))
+      .agg(sum(col("mass")).as("total_mass"),
+        max(col("mass")).as("top_mass"),
+        sum(when(col("cnt") >= 2, col("mass")).otherwise(lit(0L))).as("dup_mass"))
+    def frac(n: Int, num: Column): Column =
+      round(coalesce(
+        max(when(col("n") === n, num.cast("double") / col("total_mass"))),
+        lit(0.0)), 6)
+    val gramMetrics = perN.groupBy(col(idCol)).agg(
+      frac(2, col("top_mass")).as("top_2gram_frac"),
+      frac(3, col("top_mass")).as("top_3gram_frac"),
+      frac(4, col("top_mass")).as("top_4gram_frac"),
+      frac(5, col("dup_mass")).as("dup_5gram_frac"),
+      frac(6, col("dup_mass")).as("dup_6gram_frac"),
+      frac(7, col("dup_mass")).as("dup_7gram_frac"),
+      frac(8, col("dup_mass")).as("dup_8gram_frac"),
+      frac(9, col("dup_mass")).as("dup_9gram_frac"),
+      frac(10, col("dup_mass")).as("dup_10gram_frac"))
+    val topGates = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupGates = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val withGram = lineMetrics.join(gramMetrics, Seq(idCol), "left")
+      .select(Seq(col(idCol),
+        round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("dup_line_char_frac"), 6).as("dup_line_char_frac")) ++
+        topGates.map { case (n, _) =>
+          coalesce(col(s"top_${n}gram_frac"), lit(0.0)).as(s"top_${n}gram_frac") } ++
+        dupGates.map { case (n, _) =>
+          coalesce(col(s"dup_${n}gram_frac"), lit(0.0)).as(s"dup_${n}gram_frac") }: _*)
+    val gates =
+      (col("dup_line_frac") <= 0.30) +: (col("dup_line_char_frac") <= 0.20) +:
+        (topGates.map { case (n, g) => col(s"top_${n}gram_frac") <= g } ++
+         dupGates.map { case (n, g) => col(s"dup_${n}gram_frac") <= g })
+    withGram.withColumn("pass_repetition", gates.reduce(_ && _))
+  }
+
   /** Per-document analysis record: all scalar analytics in one projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -49,6 +49,41 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
   }
 
+  test("gopherRepetition: dup lines and repeated n-grams trip their gates") {
+    // all-distinct words arranged 10 per line: no repeated n-gram of any
+    // order, no repeated line (a templated sentence per line would NOT be
+    // clean — 5-grams from the shared template dominate the gram mass)
+    val clean = (0 until 120).map(i => s"word${i}x").grouped(10)
+      .map(_.mkString(" ")).mkString("\n")
+    val dupLines = (Seq.fill(6)("The same boilerplate line repeats here.") ++
+      Seq("One unique closing line appears once.")).mkString("\n")
+    val loop = ("the quick brown fox jumps over the lazy dog again and " * 8).trim
+    val docs = Seq(
+      (1L, clean), (2L, dupLines), (3L, loop), (4L, ""), (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val r = TextAnalytics.gopherRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def d(id: Long, name: String): Double =
+      r(id).getDouble(r(id).fieldIndex(name))
+    def pass(id: Long): Boolean =
+      r(id).getBoolean(r(id).fieldIndex("pass_repetition"))
+    assert(pass(1L), s"clean prose must pass: ${r(1L)}")
+    assert(d(2L, "dup_line_frac") > 0.7 && d(2L, "dup_line_char_frac") > 0.5
+      && !pass(2L), s"dup lines: ${r(2L)}")
+    assert(d(3L, "dup_5gram_frac") > 0.9 && !pass(3L),
+      s"looped 10-gram text must saturate dup gram mass: ${r(3L)}")
+    // empty docs: zero fractions, trivially passing, never a crash
+    assert(d(4L, "dup_line_frac") == 0.0 && pass(4L))
+    // a 2-word doc's only 2-gram IS the top 2-gram (full mass) — short
+    // docs trip the top-gram gates by construction, exactly as in the
+    // paper, where the word-count gate (gopherRules) owns them
+    assert(d(5L, "top_2gram_frac") == 1.0 && !pass(5L))
+    // determinism across runs (agg order must not leak into the fractions)
+    val again = TextAnalytics.gopherRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keys.forall(k => r(k).toSeq == again(k).toSeq))
+  }
+
   test("compressionRatio separates boilerplate from prose from noise") {
     val docs = Seq(
       (1L, "spam spam spam spam " * 50),                       // repetitive
