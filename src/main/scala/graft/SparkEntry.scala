@@ -1052,6 +1052,14 @@ object SparkEntry {
       graft.ops.TrainingData.stratifiedSampleLarge(T(s, dir, "documents"), "lang", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
     }
+    reg("p16_temperature_mixture") { (s, dir) =>
+      // mT5-style alpha-sampling: quotas derived from observed counts at
+      // alpha=0.3; grid-quantized pow + integer div, so DuckDB recomputes
+      // the quota table exactly
+      graft.ops.TrainingData.temperatureMixture(
+        T(s, dir, "documents"), "source", alpha = 0.3, total = 100L)
+        .select("doc_id", "source").orderBy("source", "doc_id")
+    }
     reg("p4_source_mixture") { (s, dir) =>
       graft.ops.TrainingData.sourceMixture(
         T(s, dir, "documents"), "source",
@@ -2415,6 +2423,17 @@ object SparkEntry {
         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "p16_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |q AS (SELECT source, CAST(round(pow(n, 0.3) * 1e6) AS BIGINT) AS w6 FROM c),
+        |t AS (SELECT CAST(sum(w6) AS BIGINT) AS tot6 FROM q),
+        |k AS (SELECT source, CAST((100 * w6) // tot6 AS BIGINT) AS quota FROM q, t)
+        |SELECT doc_id, source FROM (
+        |  SELECT d.doc_id, d.source, k.quota, row_number() OVER (
+        |    PARTITION BY d.source
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN k USING (source))
+        |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin,
     "p4_source_mixture" ->
       """SELECT doc_id, source FROM (
         |  SELECT d.doc_id, d.source, q.quota, row_number() OVER (

@@ -149,6 +149,52 @@ object TrainingData {
       .drop("__rn", "__quota")
   }
 
+  /** Temperature-scaled source mixture (the mT5 / XLM-R α-sampling
+    * recipe, Xue et al. 2021 §3.1): sampling mass per source ∝ p_i^α
+    * where p_i is the source's share of the corpus and α ∈ (0, 1]
+    * flattens the distribution — α = 1 is proportional, α → 0 uniform;
+    * 0.3 is the mT5 setting. Unlike [[sourceMixture]] the weights are
+    * DERIVED from the observed per-source counts, so no weight map is
+    * supplied — just α and the row budget.
+    *
+    * Determinism discipline (the x19 grid rule): the only floating-point
+    * step, `count^α`, is quantized to the 1e-6 integer grid immediately
+    * (`round(pow(n, α) · 1e6)` as a long); quotas are then EXACT integer
+    * algebra — `quota_i = total · w6_i div Σ w6` — so an oracle
+    * recomputes them bit-for-bit and partial-aggregation order cannot
+    * leak in. Selection is the md5-keyed uniform rule shared with
+    * [[stratifiedSample]]. Sources smaller than their quota are kept
+    * whole (never replicated). Σ quota ≤ total by floor; the remainder
+    * (< #sources rows) is deliberately NOT redistributed — a stable
+    * under-fill beats an engine-dependent largest-remainder tiebreak.
+    *
+    * Scale: per-source counts are one map-combined aggregate over a
+    * column; the quota table (#sources rows) broadcasts back; the corpus
+    * pays the same single stratum-keyed shuffle as [[sourceMixture]].
+    */
+  def temperatureMixture(
+      docs: DataFrame,
+      stratumCol: String,
+      alpha: Double,
+      total: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureMixture: alpha $alpha outside (0, 1]")
+    require(total > 0, "temperatureMixture: non-positive total")
+    val w6 = round(pow(col("__n"), alpha) * 1e6).cast("long")
+    val quotas = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w6", w6)
+      .withColumn("__tot6", sum(col("__w6")).over(Window.partitionBy()))
+      .withColumn("__quota", expr(s"$total * __w6 div __tot6"))
+      .select(col(stratumCol), col("__quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderKey(col(idCol)), col(idCol))
+    docs.join(broadcast(quotas), stratumCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Token-budget source mixture: keep documents per stratum, in the
     * deterministic [[orderKey]] order, until the stratum's TOKEN budget is
     * exhausted — LM mixtures are specified in tokens, not documents (a

@@ -64,6 +64,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(counts == Map("src0" -> 2L))
   }
 
+  test("temperatureMixture: alpha flattens toward uniform, quotas exact") {
+    // skewed corpus: src0 has 160 docs, src1 40, src2 10
+    val docs = (0L until 210L).map(i =>
+      (i, if (i < 160) "src0" else if (i < 200) "src1" else "src2", s"d$i"))
+      .toDF("doc_id", "source", "text")
+    def quotas(alpha: Double): Map[String, Long] =
+      TrainingData.temperatureMixture(docs, "source", alpha, total = 100L)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1 ~ proportional: quota_i = floor(100 * n_i / 210)
+    val prop = quotas(1.0)
+    assert(prop == Map("src0" -> 76L, "src1" -> 19L, "src2" -> 4L), s"$prop")
+    // alpha=0.3 flattens: head shrinks, tail grows, order preserved
+    val flat = quotas(0.3)
+    assert(flat("src0") < prop("src0") && flat("src2") > prop("src2"), s"$flat")
+    assert(flat("src0") > flat("src1") && flat("src1") > flat("src2"), s"$flat")
+    assert(flat.values.sum <= 100, s"floor quotas must not exceed total: $flat")
+    // exact quota recomputation: w6 = round(n^0.3 * 1e6), q = 100*w6 div
+    // tot, capped by the stratum size (kept whole, never replicated)
+    val sizes = Map("src0" -> 160L, "src1" -> 40L, "src2" -> 10L)
+    val w6 = sizes.map { case (k, n) =>
+      k -> math.round(math.pow(n.toDouble, 0.3) * 1e6) }
+    val tot6 = w6.values.sum
+    val expect = w6.map { case (k, v) => k -> math.min(100L * v / tot6, sizes(k)) }
+    assert(flat == expect, s"$flat vs $expect")
+    // deterministic selection: same ids both runs
+    val a = TrainingData.temperatureMixture(docs, "source", 0.3, 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TrainingData.temperatureMixture(docs, "source", 0.3, 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hashSplit: partition of the corpus, fraction near target, stable ids") {
     val docs = corpus(2000)
     val out = TrainingData.hashSplit(docs, valFrac = 0.1)
