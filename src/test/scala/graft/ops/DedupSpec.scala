@@ -219,6 +219,11 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"hashed minhash must stay bucketed:\n$plan")
+    // the two explicit repartitions are load-bearing (without an Exchange
+    // at the fan-outs, Spark re-runs the scan+hash subtree per consumer —
+    // measured 4x; see PERF.md round-5): pin their presence
+    assert("REPARTITION_BY_COL".r.findAllIn(plan).size >= 2,
+      s"fan-out repartitions missing — signature subtree no longer shared:\n$plan")
   }
 
   test("simhash pairs: lossless banding and discriminative signatures on the fixture") {
