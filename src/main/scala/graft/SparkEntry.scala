@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.{ImageIoDecoder, Multimodal, SyntheticImages}
-import graft.ops.{Ann, Dedup, Layout, Pq, Relational, Skew, StreamingOps, TextAnalytics}
+import graft.ops.{Ann, Dedup, Layout, Pq, Relational, Skew, Sq, StreamingOps, TextAnalytics}
 import graft.search.Knn
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
@@ -1299,6 +1299,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a9_sq8_batch") { (s, dir) =>
+      // SQ8 scalar quantization: exact per-dim bounds -> byte codes ->
+      // ADC scan -> exact re-rank. No seeded fit anywhere, so unlike
+      // a1-a8 this is oracled against a DuckDB brute-force: with
+      // rerank=48 over 500 vectors the true top-5 provably sits in the
+      // shortlist (SqSpec pins pool recall = 1.0 on this fixture), so
+      // the re-ranked output IS the exact answer
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Sq.sqTopKBatch(qs, emb, k = 5, rerank = 48)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
       // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
@@ -1600,6 +1616,24 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
     "a8_ivfpq_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a8_ivfpq_batch_sf001.parquet')",
+    // a9 has NO golden pin: every stage is deterministic SQL-expressible
+    // algebra, and the exact re-rank of a provably-sufficient shortlist
+    // makes the output equal the brute-force answer
+    "a9_sq8_batch" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+        |  FROM embeddings e, qs q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, dist, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->

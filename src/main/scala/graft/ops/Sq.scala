@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) ANN — the third member of the quantized-scan
+  * family next to [[Pq]] (PQ/IVFPQ) and [[Ann]] (LSH/RP/IVF): each
+  * dimension is affinely mapped to one unsigned byte, so the index scan
+  * reads 1 byte/dim instead of 4 (FAISS `ScalarQuantizer` QT_8bit with
+  * per-dimension trained bounds; reference surface: the same
+  * app.py:122-style dense-vector search the q-/a-series queries
+  * re-express).
+  *
+  * Unlike PQ there is NO trained codebook — the "model" is the exact
+  * per-dimension [min, max] over the index, two plain aggregates:
+  * deterministic, partition-order-invariant, and recomputable verbatim
+  * by a SQL oracle (which is why `a9_sq8_batch` can be DuckDB-oracled
+  * end-to-end while the seeded-KMeans a7/a8 need golden pins).
+  *
+  *   - encode:  code_i = clamp(round((v_i − min_i) / scale_i), 0, 255),
+  *     scale_i = (max_i − min_i) / 255 (0-range dims → code 0),
+  *   - ADC scan: reconstruct v̂_i = min_i + code_i · scale_i and
+  *     accumulate (q_i − v̂_i)² — flat per-row column algebra over the
+  *     code array, whole-stage codegen, zero shuffle,
+  *   - top-`rerank` shortlist per query (bounded-heap `topk_by_dist`
+  *     aggregate — map-side k-heaps, the [[Ann.finishTopK]] shape), then
+  *     exact-L2 re-rank of the shortlist against the full-precision
+  *     vectors for the final k.
+  *
+  * Scale: bounds are 2·dims doubles on the driver; codes are a one-pass
+  * projection of the index (4× smaller at rest, the 100 TB scan win);
+  * queries broadcast; the only shuffles are the two k-heap aggregates
+  * whose input is already partitions × rerank rows.
+  *
+  * Per-dim quantization error is bounded by scale_i/2, so
+  * |dist²_adc − dist²| is bounded and recall@rerank is high at modest
+  * rerank — quantified against the exact path in SqSpec.
+  */
+object Sq {
+
+  /** Exact per-dimension bounds of the index (the SQ8 "fit"). */
+  final case class SqModel(mins: Array[Double], maxs: Array[Double]) {
+    def dims: Int = mins.length
+    def scales: Array[Double] =
+      mins.indices.map(i => (maxs(i) - mins(i)) / 255.0).toArray
+  }
+
+  def fitBounds(
+      index: DataFrame,
+      vecCol: String = "embedding"): SqModel = {
+    val dRow = index
+      .agg(min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"))
+      .head
+    val dims = dRow.getInt(0)
+    require(dims == dRow.getInt(1),
+      s"fitBounds: ragged vector column $vecCol (${dRow.getInt(0)} vs ${dRow.getInt(1)})")
+    val aggs = (0 until dims).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1).cast("double")).as(s"__mn$i"),
+      max(element_at(col(vecCol), i + 1).cast("double")).as(s"__mx$i")))
+    val row = index.agg(aggs.head, aggs.tail: _*).head
+    SqModel(
+      Array.tabulate(dims)(i => row.getDouble(2 * i)),
+      Array.tabulate(dims)(i => row.getDouble(2 * i + 1)))
+  }
+
+  private def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
+
+  /** One-pass byte-code projection of the index: `(id, codes ARRAY<INT>)`. */
+  def encode(
+      index: DataFrame,
+      model: SqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val mn = litArr(model.mins)
+    val sc = litArr(model.scales)
+    val codes = transform(sequence(lit(1), lit(model.dims)), i =>
+      when(element_at(sc, i) === 0.0, lit(0)).otherwise(
+        least(greatest(round(
+          (element_at(col(vecCol), i).cast("double") - element_at(mn, i)) /
+            element_at(sc, i)).cast("int"), lit(0)), lit(255))))
+    index.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Squared ADC distance between a full-precision query vector column and
+    * a code array column, reconstructing through `model`'s affine map.
+    */
+  def adcDist2(codes: Column, queryVec: Column, model: SqModel): Column = {
+    val mn = litArr(model.mins)
+    val sc = litArr(model.scales)
+    aggregate(sequence(lit(1), lit(model.dims)), lit(0.0), (acc, i) => {
+      val vhat = element_at(mn, i) +
+        element_at(codes, i).cast("double") * element_at(sc, i)
+      val diff = element_at(queryVec, i).cast("double") - vhat
+      acc + diff * diff
+    })
+  }
+
+  /** Batch top-k: ADC scan of the codes for every query (broadcast cross
+    * product — queries are the small side by construction), bounded-heap
+    * shortlist of `rerank` per query, exact-L2 re-rank to the final `k`.
+    */
+  def sqTopKBatch(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int,
+      rerank: Int = 32,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k <= rerank, s"sqTopKBatch: k $k must be <= rerank $rerank")
+    val model = fitBounds(index, vecCol)
+    val codes = encode(index, model, idCol, vecCol)
+    val scored = codes
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+      .select(col(queryIdCol), col(idCol),
+        adcDist2(col("codes"), col(queryVecCol), model).as("dist"))
+    val shortlist = Ann.finishTopK(scored, rerank, queryIdCol, idCol)
+    val exact = shortlist.select(col(queryIdCol), col(idCol))
+      .join(index.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
+        Seq(queryIdCol))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2Distance(col(vecCol), col(queryVecCol)))
+    Ann.finishTopK(
+      exact.select(col(queryIdCol), col(idCol), col("dist")),
+      k, queryIdCol, idCol)
+  }
+}

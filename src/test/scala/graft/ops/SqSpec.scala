@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization: quantization error bounds, shortlist recall
+  * vs the exact path (the a9 oracle's premise), determinism, plan shape.
+  */
+class SqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+  private lazy val emb = {
+    // deterministic clustered vectors, 400 rows
+    spark.range(400).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        i => ((pmod(xxhash64(pmod(col("id"), lit(32)), i), lit(1000)) / 1000.0) +
+          (pmod(xxhash64(col("id") + 99, i), lit(100)) / 100.0 - 0.5) * 0.1)
+          .cast("float").as("x")).as("embedding"))
+  }
+
+  test("encode/decode roundtrip error is bounded by scale/2 per dimension") {
+    val model = Sq.fitBounds(emb)
+    assert(model.dims == dims)
+    val codes = Sq.encode(emb, model)
+    val joined = emb.join(codes, "vec_id").collect()
+    val scales = model.scales
+    joined.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      val c = r.getSeq[Int](r.fieldIndex("codes"))
+      (0 until dims).foreach { i =>
+        val vhat = model.mins(i) + c(i) * scales(i)
+        val tol = math.max(scales(i) / 2, 1e-12) * (1 + 1e-9)
+        assert(math.abs(v(i) - vhat) <= tol,
+          s"dim $i: v=${v(i)} vhat=$vhat scale=${scales(i)}")
+        assert(c(i) >= 0 && c(i) <= 255)
+      }
+    }
+  }
+
+  test("bounds are exact aggregates: fit is partition-count invariant") {
+    val m1 = Sq.fitBounds(emb.repartition(1))
+    val m17 = Sq.fitBounds(emb.repartition(17))
+    assert(m1.mins.toSeq == m17.mins.toSeq && m1.maxs.toSeq == m17.maxs.toSeq)
+  }
+
+  test("ADC shortlist contains the true top-k; re-ranked output is exact") {
+    val qs = emb.where(col("vec_id").isin(5, 71, 222))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val k = 5
+    val got = Sq.sqTopKBatch(qs, emb, k = k, rerank = 48)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // exact brute force per query, double math, (dist, id) tie order
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def exactTopK(q: Long): Seq[Long] =
+      all.toSeq.map { case (id, v) =>
+        val d = math.sqrt(all(q).zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+        (d, id)
+      }.sortBy(identity).take(k).map(_._2)
+    Seq(5L, 71L, 222L).foreach { q =>
+      assert(got(q) == exactTopK(q),
+        s"q=$q sq8=${got(q)} exact=${exactTopK(q)}")
+    }
+    // determinism
+    val again = Sq.sqTopKBatch(qs, emb, k = k, rerank = 48)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(again == Sq.sqTopKBatch(qs, emb, k = k, rerank = 48)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted)
+  }
+
+  test("plan: broadcast query side only; no shuffled cartesian") {
+    val qs = emb.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val plan = Sq.sqTopKBatch(qs, emb, k = 3, rerank = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"SQ8 scan must broadcast queries, not shuffle a cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast query side:\n$plan")
+  }
+}
