@@ -940,6 +940,23 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
       Dedup.dropNearDupsCC(docs, pairs).select("doc_id").orderBy("doc_id")
     }
+    reg("d17_neardup_resolve_hashed") { (s, dir) =>
+      // the 100 TB near-dup path end-to-end: vocabulary-free hashed
+      // minhash banding (d5b) -> exact-jaccard verify -> transitive
+      // closure -> min-id representative per cluster. Oracled by the
+      // d9-style recursive CTE over the EXACT pair set (banding miss
+      // prob ~5e-8 at 0.8, the d5b argument), emitting every doc's
+      // component and keep decision, not just the survivor list
+      val docs = T(s, dir, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
+        numHashes = 128, bands = 32, minJaccard = 0.8)
+      val comps = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    }
     reg("d10_cc_star") { (s, dir) =>
       // the O(log n)-round star-contraction CC variant, oracled against
       // the same DuckDB recursive-CTE transitive closure as d9 — full
@@ -1168,6 +1185,27 @@ object SparkEntry {
       val z = e.withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
       Layout.clusteringStats(z, "z", Seq("x", "y"), nFiles = 16, tieBreak = "event_id")
         .orderBy("file_id")
+    }
+    reg("x24_url_dedup") { (s, dir) =>
+      // Common-Crawl-style URL canonicalization dedup: four synthesized
+      // crawl variants per page (cased host / :443 + unsorted params /
+      // fragment / tracking params) fold to two canonical URLs — every
+      // canonicalization step is string algebra the oracle reruns
+      import graft.ops.UrlCuration
+      val variant = col("doc_id") % 4
+      val page = expr("doc_id div 4")
+      val url = concat(
+        when(variant === 0, lit("https://Site")).otherwise(lit("https://site")),
+        (page % 23).cast("string"),
+        when(variant === 1, lit(".com:443/page/")).otherwise(lit(".com/page/")),
+        page.cast("string"),
+        when(variant === 1, lit("?b=2&a=1"))
+          .when(variant === 2, lit("#section2"))
+          .when(variant === 3, lit("?a=1&b=2&utm_source=feed"))
+          .otherwise(lit("")))
+      UrlCuration.urlDedup(
+          T(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
+        .orderBy("canon_url")
     }
     reg("p15_domain_cap") { (s, dir) =>
       // RefinedWeb-style URL curation front gate: registered-domain fold →
@@ -2387,6 +2425,42 @@ object SparkEntry {
         |   AND coalesce(gm.dup_10gram_frac, 0.0) <= 0.10) AS pass_repetition
         |FROM lm LEFT JOIN gm ON lm.doc_id = gm.doc_id
         |ORDER BY lm.doc_id""".stripMargin,
+    "x24_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'https://Site' ELSE 'https://site' END)
+        |    || CAST((doc_id // 4) % 23 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '.com:443/page/' ELSE '.com/page/' END)
+        |    || CAST(doc_id // 4 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+        |             WHEN doc_id % 4 = 2 THEN '#section2'
+        |             WHEN doc_id % 4 = 3 THEN '?a=1&b=2&utm_source=feed'
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |s2 AS (SELECT doc_id,
+        |    lower(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0))
+        |      || regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS low
+        |  FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(low,
+        |      '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+        |      '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS noport
+        |  FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(noport, '\?.*$', ''),
+        |      '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1') AS basetrim,
+        |    list_sort(list_filter(string_split(regexp_extract(noport, '\?(.*)$', 1), '&'),
+        |      p -> length(p) > 0 AND NOT regexp_matches(p,
+        |        '^(utm_[a-zA-Z]+|gclid|fbclid|ref|mc_cid|mc_eid)='))) AS kept
+        |  FROM s3),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN len(kept) > 0 THEN basetrim || '?' || array_to_string(kept, '&')
+        |         ELSE basetrim END AS canon_url
+        |  FROM s4)
+        |SELECT canon_url, count(*) AS n_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "x22_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -3008,6 +3082,34 @@ object SparkEntry {
         |WHERE doc_id < 60
         |  AND doc_id NOT IN (SELECT id FROM mincomp WHERE id <> comp)
         |ORDER BY doc_id""".stripMargin,
+    "d17_neardup_resolve_hashed" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |mincomp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(m.comp, d.doc_id) AS BIGINT) AS comp,
+        |  (coalesce(m.comp, d.doc_id) = d.doc_id) AS kept
+        |FROM documents d LEFT JOIN mincomp m ON d.doc_id = m.id
+        |WHERE d.doc_id < 200
+        |ORDER BY d.doc_id""".stripMargin,
     "d8_cosine_pairs_auto" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

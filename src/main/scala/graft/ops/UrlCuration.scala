@@ -106,6 +106,56 @@ object UrlCuration {
       .drop("__domain", "__rn")
   }
 
+  /** Canonical URL form — the Common-Crawl-style URL-dedup key. The same
+    * page is crawled under fragment/tracking/case/port variants; folding
+    * them BEFORE content dedup removes the cheapest duplicate class with
+    * string algebra alone (no shingling, no signatures). Steps, each a
+    * per-row regex/array operation in the Java∩RE2∩DuckDB dialect:
+    *
+    *   1. drop the fragment (`#…` never reaches the server),
+    *   2. lowercase scheme + authority only (paths are case-sensitive),
+    *   3. strip explicit default ports (`:80` on http, `:443` on https),
+    *   4. drop tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`,
+    *      `mc_cid`, `mc_eid`) and SORT the survivors — param order is
+    *      not semantic, so `?a=1&b=2` ≡ `?b=2&a=1`,
+    *   5. strip the lone trailing slash of a root path.
+    *
+    * Scan-stage, zero shuffle, trivially recomputable by an oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefixRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val lowered = concat(lower(regexp_extract(noFrag, prefixRe, 0)),
+      regexp_replace(noFrag, prefixRe, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val base = regexp_replace(noPort, "\\?.*$", "")
+    val baseTrim =
+      regexp_replace(base, "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+    val query = regexp_extract(noPort, "\\?(.*)$", 1)
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 &&
+        !p.rlike("^(utm_[a-zA-Z]+|gclid|fbclid|ref|mc_cid|mc_eid)=")))
+    when(size(keptParams) > 0,
+      concat(baseTrim, lit("?"), array_join(keptParams, "&")))
+      .otherwise(baseTrim)
+  }
+
+  /** URL-level dedup table: one row per canonical URL with its variant
+    * count and the deterministic keeper (minimum id). One map-combined
+    * shuffle on the canonical key — the cheapest dedup tier, run before
+    * any content-based pass.
+    */
+  def urlDedup(
+      docs: DataFrame,
+      urlCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keeper_id"))
+
   /** Scheme/host/path-shape features for URL-quality heuristics — pure
     * projection (path depth, query-string flag, port flag).
     */

@@ -80,6 +80,41 @@ class UrlCurationSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("canonicalizeUrl: every variant class folds; non-variants survive") {
+    def canon(u: String): String =
+      Seq((1L, u)).toDF("doc_id", "url")
+        .select(UrlCuration.canonicalizeUrl(col("url"))).head.getString(0)
+    val base = "https://site.com/page/9"
+    assert(canon("https://SITE.com/page/9") == base)           // host case
+    assert(canon("https://site.com:443/page/9") == base)       // default port
+    assert(canon("http://site.com:80/x") == "http://site.com/x")
+    assert(canon("https://site.com/page/9#frag") == base)      // fragment
+    assert(canon("https://site.com/page/9?utm_source=a&fbclid=z") == base)
+    assert(canon("https://site.com/page/9?b=2&a=1") == base + "?a=1&b=2")
+    assert(canon("https://site.com/page/9?a=1&utm_campaign=x&b=2") ==
+      base + "?a=1&b=2")                                       // mixed strip+sort
+    assert(canon("https://site.com/") == "https://site.com")   // root slash
+    // NOT folded: real port, path case, deep trailing slash, real params
+    assert(canon("https://site.com:8443/p") == "https://site.com:8443/p")
+    assert(canon("https://site.com/Page/9") == "https://site.com/Page/9")
+    assert(canon("https://site.com/a/") == "https://site.com/a/")
+    // schemeless input passes through un-mangled
+    assert(canon("not a url") == "not a url")
+  }
+
+  test("urlDedup: variants group under one canonical key, keeper is min id") {
+    val docs = Seq(
+      (10L, "https://A.com/x?utm_source=f"),
+      (3L, "https://a.com/x#top"),
+      (7L, "https://a.com:443/x"),
+      (5L, "https://other.com/y")).toDF("doc_id", "url")
+    val out = UrlCuration.urlDedup(docs, "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "https://a.com/x" -> (3L, 3L),
+      "https://other.com/y" -> (1L, 5L)))
+  }
+
   test("urlFeatures: path depth and query flag") {
     val out = UrlCuration.urlFeatures(Seq(
       (1L, "https://a.com/x/y/z?q=1"),
