@@ -31,13 +31,20 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with ts normalized to a microsecond TIMESTAMP. The fixture
-    * stores TIMESTAMP(NANOS) which Spark 4 cannot read natively; sessions
-    * set `spark.sql.legacy.parquet.nanosAsLong` and this truncates ns→µs
-    * exactly like DuckDB's read of the same file.
+  /** events with ts normalized to a microsecond TIMESTAMP, whatever the
+    * fixture's physical encoding. Earlier fixture generations stored
+    * TIMESTAMP(NANOS), which Spark 4 reads as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong` (truncated ns→µs here exactly
+    * like DuckDB's read); current generations store TIMESTAMP(MICROS),
+    * which arrives as TIMESTAMP_NTZ and only needs the LTZ cast (identity
+    * on the wall clock — sessions run in UTC).
     */
-  private def eventsDf(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsDf(s: SparkSession, dir: String): DataFrame = {
+    val raw = T(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Query vector: vec_id 7's embedding (same row both engines). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =

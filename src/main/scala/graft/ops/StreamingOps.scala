@@ -214,7 +214,7 @@ object StreamingOps {
     // to a microsecond timestamp exactly like the batch reader
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Stream-stream interval join: attribute each purchase to the same

@@ -82,8 +82,11 @@ object Drive {
       .show(5, false)
 
     println("== streaming session memory, batch twin (first 6 rows) ==")
-    val msgs = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val msgs = (if (eventsRaw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else eventsRaw.withColumn("ts", col("ts").cast("timestamp")))
       .where(col("user_id").isin(1, 2))
       .select(col("user_id").cast("string").as("session_id"), col("ts"),
         when(col("event_type").isin("click", "view"), "user")
