@@ -1360,6 +1360,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("b1_bm25_topk") { (s, dir) =>
+      // Okapi BM25 keyword retrieval: inverted-index build (postings +
+      // per-term df + denormalized doc lengths) and a 3-query batch scored
+      // in one term-pruned pass. Per-term partial scores are quantized to
+      // a 1e-6 integer grid (the DSIR/x19 recipe) so the per-doc sum is
+      // exact integer algebra the DuckDB oracle re-derives from scratch
+      import graft.search.Bm25
+      import s.implicits._
+      val idx = Bm25.buildIndex(T(s, dir, "documents"), "doc_id", "text")
+      val qs = Seq(
+        (0L, "spark window merge"),
+        (1L, "slow filter vector"),
+        (2L, "customer query scan")).toDF("query_id", "query_text")
+      Bm25.topKBatch(qs, idx, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
+    reg("b2_hybrid_rrf") { (s, dir) =>
+      // Hybrid retrieval: BM25 keyword ranks + exact-L2 embedding ranks
+      // fused by reciprocal-rank fusion (Cormack et al. 2009). Query docs
+      // 3/7/11 supply both channels (their text and their embedding); each
+      // channel contributes floor(1e9/(60+rank)) per hit, so the fused
+      // score is an exact integer sum both engines reproduce bit-for-bit
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val idx = Bm25.buildIndex(docs, "doc_id", "text")
+      val qText = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val sparse = Bm25.topKBatch(qText, idx, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val qVec = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = Knn.topKBatch(qVec, emb, 20, idCol = "vec_id")
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rrf_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
       // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
@@ -1610,6 +1651,56 @@ object SparkEntry {
        |  FROM feats f JOIN ratio r USING (bucket)
        |  GROUP BY 1)""".stripMargin
 
+  /** Shared BM25 oracle core: re-derives the inverted index (tf, dl, df,
+    * N, avgdl) and the 1e-6-grid integer partial scores from the documents
+    * table, mirroring [[graft.search.Bm25]]'s operand sequence exactly
+    * (literals written as the same folded expressions, e.g. `(1.2 + 1.0)`
+    * for Scala's `lit(k1 + 1.0)`). `qsCte` must define `qs(query_id,
+    * query_text)`; emits ranked(query_id, rank, doc_id, score_scaled).
+    */
+  private def bm25OracleCore(qsCte: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+       |    t -> length(t) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |postings AS (
+       |  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+       |  FROM tf),
+       |df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |stats AS (
+       |  SELECT count(DISTINCT doc_id) AS n, sum(tf) AS tot FROM postings),
+       |$qsCte
+       |qt AS (
+       |  SELECT query_id, unnest(list_distinct(list_filter(
+       |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
+       |    t -> length(t) > 0))) AS term
+       |  FROM qs),
+       |qidf AS (
+       |  SELECT qt.query_id, qt.term,
+       |    CAST(round(ln((((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5))
+       |      + 1.0) * 1000000.0) AS BIGINT) AS idf_scaled
+       |  FROM qt JOIN df d USING (term), stats s),
+       |parts AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(round(CAST(q.idf_scaled AS DOUBLE) *
+       |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |       (CAST(p.tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) +
+       |        ((0.75 * CAST(p.dl AS DOUBLE)) /
+       |         (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))))) AS BIGINT)
+       |      AS part
+       |  FROM postings p JOIN qidf q USING (term), stats s),
+       |scored AS (
+       |  -- CAST: DuckDB sum(BIGINT) is HUGEINT (the st8 lesson) — keep the
+       |  -- comparison surface typed BIGINT like Spark's sum(LONG)
+       |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+       |  FROM parts GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_scaled, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+       |  FROM scored)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- golden-parquet oracles (fixtures/, sf0.01 — the fixture Verify
     // runs on): deterministic queries whose semantics are not DuckDB-SQL-
@@ -1664,6 +1755,48 @@ object SparkEntry {
     // a9 has NO golden pin: every stage is deterministic SQL-expressible
     // algebra, and the exact re-rank of a provably-sufficient shortlist
     // makes the output equal the brute-force answer
+    "b1_bm25_topk" ->
+      (bm25OracleCore(
+        """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+          |  FROM (VALUES (0, 'spark window merge'), (1, 'slow filter vector'),
+          |    (2, 'customer query scan')) AS v(query_id, query_text)),""".stripMargin) +
+        """
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "b2_hybrid_rrf" ->
+      (bm25OracleCore(
+        """qs AS (SELECT doc_id AS query_id, text AS query_text
+          |  FROM documents WHERE doc_id IN (3, 7, 11)),""".stripMargin) +
+        """,
+          |sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+          |qv AS (SELECT vec_id AS query_id, embedding AS qv
+          |       FROM embeddings WHERE vec_id IN (3, 7, 11)),
+          |dscored AS (
+          |  SELECT q.query_id, e.vec_id AS doc_id,
+          |    sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+          |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+          |  FROM embeddings e, qv q),
+          |dense AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+          |    FROM dscored) WHERE rank <= 20),
+          |contribs AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM sparse
+          |  UNION ALL
+          |  SELECT query_id, doc_id,
+          |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM dense),
+          |fused AS (
+          |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
+          |  FROM contribs GROUP BY 1, 2),
+          |franked AS (
+          |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+          |  FROM fused)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
+          |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "a9_sq8_batch" ->
       """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
         |            FROM embeddings WHERE vec_id IN (3, 7, 11)),

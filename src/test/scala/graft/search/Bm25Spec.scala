@@ -1,0 +1,122 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "apple banana apple"),
+    (1L, "banana cherry"),
+    (2L, "cherry cherry cherry durian"),
+    (3L, "apple banana cherry durian elderberry")).toDF("doc_id", "text")
+
+  test("index carries tf, denormalized dl, df, and corpus stats") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    assert(idx.nDocs == 4L)
+    assert(idx.avgDl == (3 + 2 + 4 + 5).toDouble / 4)
+    val p = idx.postings.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p((0L, "apple")) == (2L, 3L)) // tf 2, dl 3
+    assert(p((2L, "cherry")) == (3L, 4L))
+    val df = idx.terms.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map(
+      "apple" -> 2L, "banana" -> 3L, "cherry" -> 3L,
+      "durian" -> 2L, "elderberry" -> 1L))
+  }
+
+  test("scores match a driver-side recomputation of the BM25 formula") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val qs = Seq((0L, "apple cherry")).toDF("query_id", "query_text")
+    val got = Bm25.topKBatch(qs, idx, k = 10)
+      .select("doc_id", "score_scaled")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent recomputation, same quantization law
+    val tfdl = Map( // (doc, term) -> (tf, dl)
+      (0L, "apple") -> (2L, 3L), (2L, "cherry") -> (3L, 4L),
+      (1L, "cherry") -> (1L, 2L), (3L, "apple") -> (1L, 5L),
+      (3L, "cherry") -> (1L, 5L))
+    val df = Map("apple" -> 2L, "cherry" -> 3L)
+    val n = 4.0; val avgdl = 14.0 / 4
+    def idfScaled(t: String): Long =
+      math.round(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * 1e6)
+    def part(t: String, doc: Long): Long = {
+      val (tf, dl) = tfdl((doc, t))
+      math.round(idfScaled(t).toDouble *
+        (tf.toDouble * 2.2 / (tf.toDouble + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+    }
+    val want = Map(
+      0L -> part("apple", 0L),
+      1L -> part("cherry", 1L),
+      2L -> part("cherry", 2L),
+      3L -> (part("apple", 3L) + part("cherry", 3L)))
+    assert(got == want)
+  }
+
+  test("rarer terms score higher at equal tf/dl, and k bounds the list") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    // elderberry df=1 vs banana df=3, both tf=1 in doc 3
+    val qs = Seq((0L, "elderberry"), (1L, "banana")).toDF("query_id", "query_text")
+    val byQ = Bm25.topKBatch(qs, idx, k = 1)
+      .select("query_id", "doc_id", "score_scaled")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byQ(0L)._1 == 3L)
+    // doc 3 holds both terms at tf=1 with the same dl — isolate idf ordering
+    val qBanana = Bm25.topKBatch(qs, idx, k = 10)
+      .where(col("query_id") === 1 && col("doc_id") === 3)
+      .select("score_scaled").as[Long].head()
+    assert(byQ(0L)._2 > qBanana,
+      "df=1 term must outscore df=3 term on the same (tf, dl)")
+  }
+
+  test("empty/no-hit queries return no rows, not nulls") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val qs = Seq((0L, "zucchini"), (1L, "")).toDF("query_id", "query_text")
+    assert(Bm25.topKBatch(qs, idx, k = 5).count() == 0)
+  }
+
+  test("topKBatch result is partition-invariant") {
+    val idx7 = Bm25.buildIndex(corpus.repartition(7), "doc_id", "text")
+    val idx1 = Bm25.buildIndex(corpus.coalesce(1), "doc_id", "text")
+    val qs = Seq((0L, "apple cherry durian")).toDF("query_id", "query_text")
+    val a = Bm25.topKBatch(qs, idx7, 10).orderBy("rank").collect().toSeq
+    val b = Bm25.topKBatch(qs, idx1, 10).orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("scoring plan: postings join is broadcast, top-k is a partial heap") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val qs = Seq((0L, "apple")).toDF("query_id", "query_text")
+    val plan = Bm25.topKBatch(qs, idx, k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-term idf table must broadcast to the postings scan")
+    assert(plan.contains("partial_topk_by_dist"),
+      "per-query top-k must run as a partial (map-side) heap aggregate")
+  }
+
+  test("rrfFuse: hand-checked fusion, ties by doc_id, k bound") {
+    val l1 = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Bm25.rrfFuse(Seq(l1, l2), k = 3)
+      .select("rank", "doc_id", "rrf_scaled")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    def c(r: Int): Long = 1000000000L / (60 + r)
+    // 11: ranks 2+1 -> c(2)+c(1); 10: c(1); 13: c(2); 12: c(3) (cut by k=3)
+    assert(got == Seq(
+      (1, 11L, c(2) + c(1)),
+      (2, 10L, c(1)),
+      (3, 13L, c(2))))
+  }
+
+  test("rrfFuse single-list fusion preserves the input order") {
+    val l = Seq((5L, 1L, 1), (5L, 2L, 2), (5L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Bm25.rrfFuse(Seq(l), k = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+}
