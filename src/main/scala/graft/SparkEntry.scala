@@ -1214,6 +1214,21 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
         .orderBy("canon_url")
     }
+    reg("x25_score_calibration") { (s, dir) =>
+      // FineWeb-style per-source calibration: the raw quality score is
+      // percentile-normalized WITHIN each source (desc, doc_id ties) and
+      // gated at the top 40% per source — a global threshold would starve
+      // sources whose score distribution sits lower. Oracle recomputes the
+      // score AND the window
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalytics.qualityScore(col("text")).as("quality"))
+      TextAnalytics.calibrateScores(scored, "source", "quality", "doc_id",
+          keepFrac = 0.4)
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("pct_rank"), 6).as("pct_rank"), col("keep"))
+        .orderBy("doc_id")
+    }
     reg("p15_domain_cap") { (s, dir) =>
       // RefinedWeb-style URL curation front gate: registered-domain fold →
       // blocklist → per-domain cap (anti-SEO: a link-farm domain contributes
@@ -2389,6 +2404,33 @@ object SparkEntry {
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x25_score_calibration" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, round(
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    + (CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         ELSE 0.0 END) * 0.3
+        |    + (1.0 - (CASE WHEN length(text) > 0
+        |         THEN least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |                    / length(text) * 4.0, 1.0)
+        |         ELSE 0.0 END)) * 0.1
+        |    + (CASE WHEN (CASE WHEN ntok > 0 THEN CAST(length(text) AS DOUBLE) / ntok
+        |                       ELSE 0.0 END) BETWEEN 3 AND 12
+        |            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id, source, text,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, source, quality,
+        |    percent_rank() OVER (
+        |      PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
+        |  FROM q)
+        |SELECT doc_id, source, quality, round(pr, 6) AS pct_rank,
+        |  pr < 0.4 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """SELECT doc_id, md5(norm) AS fp_md5,
         |  list_reduce(

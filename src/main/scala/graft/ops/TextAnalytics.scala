@@ -502,4 +502,57 @@ object TextAnalytics {
       .withColumn("cross_entropy",
         -col("logp_q").cast("double") / col("n_scored") / 1e6)
       .withColumn("ppl", exp(col("cross_entropy")))
+
+  /** Per-source score calibration (the FineWeb/Dolma mixing recipe): a
+    * raw quality score is not comparable ACROSS sources — wiki prose and
+    * forum posts sit on different score distributions, so one global
+    * threshold starves whole sources. Normalize each doc's score to its
+    * percentile WITHIN its source (`pct_rank` descending: 0.0 = best of
+    * source) and gate on that, keeping the top `keepFrac` of every source.
+    *
+    * Exact path: one `percent_rank` window per source — a full sort of
+    * each source partition. Ordering is (score desc, id asc), so ties are
+    * deterministic and the emitted percentile is reproducible to the bit.
+    */
+  def calibrateScores(
+      df: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      idCol: String,
+      keepFrac: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep", col("pct_rank") < lit(keepFrac))
+  }
+
+  /** Scale path for [[calibrateScores]]: per-source approximate score
+    * cutoffs (one aggregate pass, driver state = one double per source,
+    * broadcast back as a literal map) and a scan-stage keep flag — no
+    * per-source sort ever happens, so a skewed mega-source costs the same
+    * as a small one. `accuracy` is `approx_percentile`'s knob (default
+    * 1e4 ≈ 0.01% rank error); the keep fraction is approximate by exactly
+    * that error, which is the right trade at corpus scale.
+    */
+  def calibrateScoresApprox(
+      df: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      keepFrac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    val cuts = df
+      .groupBy(col(sourceCol))
+      .agg(percentile_approx(
+        col(scoreCol), lit(1.0 - keepFrac), lit(accuracy)).as("cut"))
+      .collect()
+      .map(r => r.get(0) -> r.getDouble(1))
+      .toMap
+    val cutCol = cuts.foldLeft(lit(Double.NegativeInfinity)) {
+      case (acc, (src, cut)) =>
+        when(col(sourceCol) === lit(src), lit(cut)).otherwise(acc)
+    }
+    df.withColumn("cut", cutCol)
+      .withColumn("keep", col(scoreCol) >= col("cut"))
+  }
 }

@@ -238,4 +238,56 @@ class TextAnalyticsSpec extends SparkSpec {
       .select("ppl").as[Double].head()
     assert(p == p2)
   }
+
+  // two sources with deliberately shifted score distributions: a global
+  // threshold at any value either starves b or floods from a
+  private def calibCorpus = Seq(
+    (0L, "a", 0.9), (1L, "a", 0.8), (2L, "a", 0.7), (3L, "a", 0.6),
+    (4L, "a", 0.5), (10L, "b", 0.4), (11L, "b", 0.3), (12L, "b", 0.2),
+    (13L, "b", 0.1), (14L, "b", 0.05)).toDF("doc_id", "source", "score")
+
+  test("calibrateScores keeps the top fraction of EVERY source") {
+    val kept = TextAnalytics
+      .calibrateScores(calibCorpus, "source", "score", "doc_id", keepFrac = 0.4)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    // top 2 of 5 per source (pct_rank 0.0 and 0.25 < 0.4)
+    assert(kept == Set(0L, 1L, 10L, 11L))
+  }
+
+  test("calibrateScores pct_rank is the (rank-1)/(n-1) law with id ties") {
+    val tied = Seq((0L, "a", 0.5), (1L, "a", 0.5), (2L, "a", 0.5))
+      .toDF("doc_id", "source", "score")
+    val pr = TextAnalytics
+      .calibrateScores(tied, "source", "score", "doc_id", keepFrac = 0.5)
+      .orderBy("doc_id").select("pct_rank").as[Double].collect().toSeq
+    // percent_rank ties share a rank only when the FULL ordering ties;
+    // doc_id breaks them, so ranks are 0, 0.5, 1.0
+    assert(pr == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("calibrateScoresApprox keeps the exact set ± the cut element") {
+    val exact = TextAnalytics
+      .calibrateScores(calibCorpus, "source", "score", "doc_id", keepFrac = 0.4)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    val approx = TextAnalytics
+      .calibrateScoresApprox(calibCorpus, "source", "score", keepFrac = 0.4)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    // the approx cut is an actual element of each source's distribution,
+    // so the inclusive gate may keep that one element beyond the exact set
+    // — never fewer, never more than one extra per source
+    assert(exact.subsetOf(approx), s"approx=$approx must cover exact=$exact")
+    val extraPerSource = (approx -- exact).groupBy(id => if (id < 10) "a" else "b")
+    assert(extraPerSource.values.forall(_.size <= 1),
+      s"at most the cut element itself may be extra, got $extraPerSource")
+  }
+
+  test("calibrateScoresApprox scoring stage adds no shuffle") {
+    val cal = TextAnalytics.calibrateScoresApprox(
+      calibCorpus.repartition(3), "source", "score", keepFrac = 0.4)
+    // the cutoff lookup is a literal CASE column — the keep flag must not
+    // introduce an Exchange beyond the input's own repartition
+    val plan = cal.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scan-stage gate must not shuffle:\n$plan")
+  }
 }
