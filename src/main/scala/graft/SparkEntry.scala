@@ -1214,6 +1214,20 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
         .orderBy("canon_url")
     }
+    reg("p17_domain_rank") { (s, dir) =>
+      // PageRank authority over a synthesized 37-host link graph (host =
+      // doc_id mod 37, link to (7·doc_id+3) mod 37). Integer-grid mass
+      // arithmetic with explicit floor division means the DuckDB oracle —
+      // ten unrolled iterations of the same algebra — reproduces every
+      // rank exactly
+      import graft.ops.HostGraph
+      val edges = T(s, dir, "documents").select(
+        (col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 37).as("dst"))
+      HostGraph.pageRank(edges, iterations = 10)
+        .select(col("node"), col("rank_scaled"))
+        .orderBy("node")
+    }
     reg("x25_score_calibration") { (s, dir) =>
       // FineWeb-style per-source calibration: the raw quality score is
       // percentile-normalized WITHIN each source (desc, doc_id ties) and
@@ -1716,7 +1730,47 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
        |  FROM scored)""".stripMargin
 
+  /** p17's oracle: PageRank as ten unrolled CTE iterations of the exact
+    * integer-grid algebra [[graft.ops.HostGraph.pageRank]] runs (floor
+    * division both sides, damping 85/100, scale 1e12). Generated by loop
+    * so oracle and engine can never drift on the iteration count.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""m$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((85 * r.rank_scaled) // (100 * o.deg)) AS BIGINT) AS in_mass
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |    (SELECT b FROM base) + coalesce(m.in_mass, 0) AS rank_scaled
+         |  FROM nodes n LEFT JOIN m$i m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+       |  FROM documents),
+       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |base AS (
+       |  SELECT CAST((15 * 1000000000000) // (100 * n) AS BIGINT) AS b FROM nn),
+       |r0 AS (
+       |  SELECT node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+       |    AS rank_scaled
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled
+       |FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "p17_domain_rank" -> pageRankOracleSql(10),
     // ---- golden-parquet oracles (fixtures/, sf0.01 — the fixture Verify
     // runs on): deterministic queries whose semantics are not DuckDB-SQL-
     // expressible, oracled against committed parquet instead.
