@@ -1389,6 +1389,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a10_knn_join") { (s, dir) =>
+      // kNN JOIN: top-3 L2 neighbors for EVERY row (self excluded) — the
+      // all-rows primitive under SemDeDup/kNN-LM. Exact guarded path at
+      // fixture scale, DuckDB-brute-force-oracled; knnJoinRp is the banded
+      // scale path whose recall AnnSpec pins against this exact output
+      Ann.knnJoinExact(T(s, dir, "embeddings"), k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
     reg("b1_bm25_topk") { (s, dir) =>
       // Okapi BM25 keyword retrieval: inverted-index build (postings +
       // per-term df + denormalized doc lengths) and a 3-query batch scored
@@ -1824,6 +1834,19 @@ object SparkEntry {
     // a9 has NO golden pin: every stage is deterministic SQL-expressible
     // algebra, and the exact re-rank of a provably-sufficient shortlist
     // makes the output equal the brute-force answer
+    "a10_knn_join" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))) AS dist
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, dist, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "b1_bm25_topk" ->
       (bm25OracleCore(
         """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text

@@ -268,6 +268,96 @@ object Ann {
     finishTopK(cands, k, queryIdCol, idCol)
   }
 
+  // ------------------------------------------------------------ kNN join
+
+  /** Exact k-nearest-neighbor JOIN: the top-k L2 neighbors for EVERY row
+    * (self excluded) — the all-rows primitive under SemDeDup-style
+    * clustering, kNN classification, and kNN-LM datastore builds, distinct
+    * from the query-batch shape ([[rpTopKBatch]]) whose query side is
+    * small. Output: `(query_id, rank, idCol, dist)`, rank 1..k ordered by
+    * (dist, id) — deterministic ties.
+    *
+    * The self-product is broadcast-nested-loop work: O(n²) distance
+    * evaluations. The guard refuses past `maxExactRows` (the d4 lesson: a
+    * job that never finishes is worse than one that refuses) — above it,
+    * use [[knnJoinRp]], which bands first.
+    */
+  def knnJoinExact(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxExactRows: Int = 1 << 16): DataFrame = {
+    requireIntegralId(emb, idCol, "knnJoinExact")
+    val n = emb.limit(maxExactRows + 1).count()
+    require(n <= maxExactRows,
+      s"knnJoinExact would evaluate >${maxExactRows.toLong * maxExactRows} " +
+        s"distances over $n+ rows — use knnJoinRp (banded) for tables past " +
+        s"maxExactRows=$maxExactRows")
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val scored = emb
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("dist", VectorFunctions.l2Distance(col(vecCol), col("__qvec")))
+      .select(col("query_id"), col(idCol), col("dist"))
+    finishTopK(scored, k, "query_id", idCol)
+  }
+
+  /** Banded k-nearest-neighbor JOIN — the scale path of [[knnJoinExact]].
+    *
+    * Every row's RP band keys ([[rpBandKey]]: nProjs projections AND-ed
+    * per table, OR over nTables) self-join on `(band, key)`, so a row only
+    * meets candidates sharing a band — the shuffle moves `(id, band, key)`
+    * rows, never vectors. Candidates then fetch vectors via two id-keyed
+    * joins and reduce through the bounded per-row heap. Recall is the RP
+    * collision bound (see [[cosinePairsRp]]); precision is exact — every
+    * emitted distance is truly computed.
+    *
+    * The `repartition(band, key)` pins an Exchange at the fan-out so both
+    * sides of the self-join reuse ONE banding pass (the measured 4×
+    * re-execution lesson in PERF.md). Hot buckets past `maxBucketSize`
+    * are dropped before the quadratic join with the same cutoff law as
+    * [[graft.ops.Dedup.hammingPairs]]; rows left with no candidates
+    * (possible for isolates in sparse band space) emit nothing — callers
+    * needing total coverage re-probe the missing ids through
+    * [[rpTopKBatch]] with a wider `width`.
+    */
+  def knnJoinRp(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nTables: Int = 8,
+      nProjs: Int = 3,
+      width: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
+    requireIntegralId(emb, idCol, "knnJoinRp")
+    val bands = rpIndexBands(emb, idCol, vecCol, nTables, nProjs, width, seed)
+      .bands
+      .repartition(col("band"), col("__key"))
+    val hot = bands.groupBy("band", "__key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select("band", "__key")
+    val cold = bands.join(broadcast(hot), Seq("band", "__key"), "left_anti")
+    val l = cold.select(col(idCol).as("query_id"), col("band"), col("__key"))
+    val r = cold.select(col(idCol).as("__nid"), col("band"), col("__key"))
+    val candIds = l.join(r, Seq("band", "__key"))
+      .where(col("query_id") =!= col("__nid"))
+      .select(col("query_id"), col("__nid"))
+      .distinct()
+    val scored = candIds
+      .join(emb.select(col(idCol).as("query_id"), col(vecCol).as("__qvec")),
+        Seq("query_id"))
+      .join(emb.select(col(idCol).as("__nid"), col(vecCol).as("__nvec")),
+        Seq("__nid"))
+      .withColumn("dist", VectorFunctions.l2Distance(col("__nvec"), col("__qvec")))
+      .select(col("query_id"), col("__nid").as(idCol), col("dist"))
+    finishTopK(scored, k, "query_id", idCol)
+  }
+
   /** Unit-normalize an `ARRAY<FLOAT>` embedding column to `ARRAY<DOUBLE>`
     * (zero vectors dropped — cosine is undefined for them).
     */

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.search.Knn
+import org.apache.spark.sql.functions.{col, row_number}
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -217,5 +218,70 @@ class AnnSpec extends SparkSpec {
     val recall = exactTop10.count(got.contains).toDouble / 10
     assert(recall >= 0.5, s"recall=$recall")
     assert(assigned.select("centroid_id").distinct().count() > 2)
+  }
+
+  test("knnJoinExact: every row gets k ranked neighbors, never itself") {
+    val joined = Ann.knnJoinExact(emb, k = 3)
+    val rows = joined.collect()
+    val n = emb.count()
+    assert(rows.length == n * 3, s"expected ${n * 3} rows, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self in neighbor list")
+    // per-query ranks are exactly 1..3 with nondecreasing distance
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3), s"ranks for $q")
+      val d = sorted.map(_.getDouble(3))
+      assert(d(0) <= d(1) && d(1) <= d(2), s"distances unordered for $q")
+    }
+  }
+
+  test("knnJoinExact matches the window-rank formulation exactly") {
+    val viaJoin = Ann.knnJoinExact(emb, k = 2)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    val viaWindow = graft.search.Knn.topKBatchWindow(q, emb, 3, idCol = "vec_id")
+      .where(col("vec_id") =!= col("query_id")) // window keeps self at rank 1
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))))
+      .where(col("rank") <= 2)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaJoin == viaWindow)
+  }
+
+  test("knnJoinExact refuses past maxExactRows") {
+    intercept[IllegalArgumentException] {
+      Ann.knnJoinExact(emb, k = 3, maxExactRows = 10)
+    }
+  }
+
+  test("knnJoinRp: recall >= 0.8 vs exact, no cartesian, deterministic") {
+    val exact = Ann.knnJoinExact(emb, k = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = Ann.knnJoinRp(emb, k = 3, nTables = 12, nProjs = 2, width = 4.0)
+    val got = rp.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "banded join must not cross")
+    assert(plan.contains("partial_topk_by_dist"), "heap agg must be partial")
+    val got2 = Ann.knnJoinRp(emb, k = 3, nTables = 12, nProjs = 2, width = 4.0)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == got2, "banded kNN join must be deterministic")
+  }
+
+  test("knnJoinRp hot-bucket guard drops degenerate buckets, not the job") {
+    // identical vectors: every row lands in one bucket per table
+    val dup = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.knnJoinRp(dup, k = 2, nTables = 2, nProjs = 2,
+      width = 1.0, maxBucketSize = 10)
+    assert(out.count() == 0, "all buckets hot -> no candidates, no blowup")
   }
 }
