@@ -1399,6 +1399,21 @@ object SparkEntry {
           col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
     }
+    reg("a11_knn_classify") { (s, dir) =>
+      // kNN classification: every 5th vector plays "unlabeled", the rest
+      // are the labeled index; top-5 exact neighbors vote, ties to the
+      // smallest label. The vote composes over ANY retrieval hit list —
+      // here the exact batch path so DuckDB can brute-force the oracle
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val index = emb.where(col("vec_id") % 5 =!= 0)
+      val hits = Knn.topKBatch(qs, index, 5, idCol = "vec_id")
+      Ann.majorityVote(hits, index.select(col("vec_id"), col("label")))
+        .select(col("query_id"),
+          col("pred_label").cast("long").as("pred_label"), col("votes"))
+        .orderBy("query_id")
+    }
     reg("b1_bm25_topk") { (s, dir) =>
       // Okapi BM25 keyword retrieval: inverted-index build (postings +
       // per-term df + denormalized doc lengths) and a 3-query batch scored
@@ -1847,6 +1862,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "a11_knn_classify" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+        |            FROM embeddings WHERE vec_id % 5 = 0),
+        |idx AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+        |  FROM idx e, qs q),
+        |ranked AS (
+        |  SELECT query_id, label, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS votes
+        |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT query_id, label, votes, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |  FROM votes)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+        |  CAST(votes AS BIGINT) AS votes
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "b1_bm25_topk" ->
       (bm25OracleCore(
         """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text

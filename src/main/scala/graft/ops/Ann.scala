@@ -358,6 +358,40 @@ object Ann {
     finishTopK(scored, k, "query_id", idCol)
   }
 
+  /** kNN classification by majority vote: label each query by the most
+    * common label among its retrieved neighbors — the lightweight
+    * embedding-space classifier behind FineWeb-edu-style quality scoring
+    * and weak-label bootstrapping ([[graft.ops.QualityModel.weakLabels]]'
+    * geometric sibling).
+    *
+    * Deliberately takes a HIT LIST, not vectors: any retrieval path
+    * produces one — [[graft.search.Knn.topKBatch]] (exact),
+    * [[rpTopKBatch]]/[[ivfTopKBatch]] (banded/pruned), [[knnJoinExact]]/
+    * [[knnJoinRp]] (all-rows) — so the vote composes with whichever
+    * recall/cost point the caller already chose.
+    *
+    * Vote law: max votes, ties to the smallest label (deterministic).
+    * The vote aggregate is hits-sized (queries × k), never corpus-sized;
+    * the per-query window sorts at most k distinct labels.
+    */
+  def majorityVote(
+      hits: DataFrame,
+      labels: DataFrame,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("votes").desc, col(labelCol))
+    hits
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(queryIdCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(queryIdCol), col(labelCol).as("pred_label"), col("votes"))
+  }
+
   /** Unit-normalize an `ARRAY<FLOAT>` embedding column to `ARRAY<DOUBLE>`
     * (zero vectors dropped — cosine is undefined for them).
     */

@@ -276,6 +276,28 @@ class AnnSpec extends SparkSpec {
     assert(got == got2, "banded kNN join must be deterministic")
   }
 
+  test("majorityVote: hand-checked votes, ties to the smallest label") {
+    val hits = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), // labels 7, 7, 9 -> 7
+      (1L, 10L, 1), (1L, 12L, 2) //                labels 7, 9 tie -> 7
+    ).toDF("query_id", "vec_id", "rank")
+    val labels = Seq((10L, 7), (11L, 7), (12L, 9)).toDF("vec_id", "label")
+    val got = Ann.majorityVote(hits, labels)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> (7, 2L), 1L -> (7, 1L)))
+  }
+
+  test("majorityVote over the exact batch path labels the fixture sanely") {
+    val qs = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val index = emb.where(col("vec_id") % 5 =!= 0)
+    val hits = Knn.topKBatch(qs, index, 5, idCol = "vec_id")
+    val preds = Ann.majorityVote(hits, index.select("vec_id", "label"))
+    assert(preds.count() == qs.count(), "exactly one prediction per query")
+    // votes are bounded by k and at least ceil(k / #distinct-labels) > 0
+    assert(preds.agg(org.apache.spark.sql.functions.max("votes")).head.getLong(0) <= 5)
+  }
+
   test("knnJoinRp hot-bucket guard drops degenerate buckets, not the job") {
     // identical vectors: every row lands in one bucket per table
     val dup = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(1.0f)))
