@@ -1414,6 +1414,31 @@ object SparkEntry {
           col("pred_label").cast("long").as("pred_label"), col("votes"))
         .orderBy("query_id")
     }
+    reg("b3_retrieval_metrics") { (s, dir) =>
+      // offline retrieval eval: exact L2 top-20 for queries 3/7/11 scored
+      // against label-match relevance (rel 1 when labels agree) at k=10.
+      // Discounted gains ride the 1e-9 integer grid so DCG/IDCG are exact
+      // sums; the oracle re-derives hits, truth, and every metric
+      import graft.search.Eval
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("__qlabel"))
+      // queries live in the index, so the self hit at rank 1 is excised
+      // and the (hits-sized) list re-ranked to stay contiguous 1..20
+      val hits = Knn.topKBatch(
+        qs.select("query_id", "query_vec"), emb, 21, idCol = "vec_id")
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy("rank")))
+        .where(col("rank") <= 20)
+      val truth = emb.select(col("vec_id"), col("label"))
+        .join(broadcast(qs.select(col("query_id"), col("__qlabel"))),
+          col("label") === col("__qlabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), lit(1L).as("rel"))
+      Eval.evaluate(hits, truth, k = 10)
+        .orderBy("query_id")
+    }
     reg("b1_bm25_topk") { (s, dir) =>
       // Okapi BM25 keyword retrieval: inverted-index build (postings +
       // per-term df + denormalized doc lengths) and a 3-query batch scored
@@ -1886,6 +1911,65 @@ object SparkEntry {
         |SELECT query_id, CAST(label AS BIGINT) AS pred_label,
         |  CAST(votes AS BIGINT) AS votes
         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "b3_retrieval_metrics" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+        |  FROM embeddings e, qs q WHERE e.vec_id <> q.query_id),
+        |hk AS (
+        |  SELECT query_id, vec_id, rank FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |truth AS (
+        |  SELECT q.query_id, e.vec_id, 1 AS rel
+        |  FROM embeddings e JOIN qs q
+        |    ON e.label = q.qlabel AND e.vec_id <> q.query_id),
+        |joined AS (
+        |  SELECT h.query_id, h.rank, coalesce(t.rel, 0) AS rel
+        |  FROM hk h LEFT JOIN truth t
+        |    ON t.query_id = h.query_id AND t.vec_id = h.vec_id),
+        |hitagg AS (
+        |  SELECT query_id,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_rel,
+        |    CAST(sum(CASE WHEN rel > 0 THEN
+        |      CAST(round((1000000000.0 * CAST(rel AS DOUBLE))
+        |        / ln(CAST(rank AS DOUBLE) + 1.0)) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS dcg_scaled,
+        |    CAST(min(CASE WHEN rel > 0 THEN rank END) AS BIGINT) AS first_rel_rank
+        |  FROM joined GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id,
+        |    CAST(sum(CAST(round((1000000000.0 * CAST(rel AS DOUBLE))
+        |      / ln(CAST(rank AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT) AS idcg_scaled
+        |  FROM (
+        |    SELECT query_id, rel, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rank
+        |    FROM truth WHERE rel > 0) WHERE rank <= 10 GROUP BY 1),
+        |ta AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS truth_total
+        |  FROM truth WHERE rel > 0 GROUP BY 1)
+        |SELECT ta.query_id,
+        |  coalesce(h.hits_rel, 0) AS hits_rel,
+        |  ta.truth_total,
+        |  round(CAST(coalesce(h.hits_rel, 0) AS DOUBLE)
+        |    / CAST(least(ta.truth_total, 10) AS DOUBLE), 6) AS recall,
+        |  coalesce(h.first_rel_rank, 0) AS first_rel_rank,
+        |  round(CASE WHEN h.first_rel_rank IS NOT NULL
+        |    THEN 1.0 / CAST(h.first_rel_rank AS DOUBLE) ELSE 0.0 END, 6) AS rr,
+        |  coalesce(h.dcg_scaled, 0) AS dcg_scaled,
+        |  coalesce(i.idcg_scaled, 0) AS idcg_scaled,
+        |  round(CASE WHEN coalesce(i.idcg_scaled, 0) > 0
+        |    THEN CAST(coalesce(h.dcg_scaled, 0) AS DOUBLE)
+        |       / CAST(i.idcg_scaled AS DOUBLE) ELSE 0.0 END, 6) AS ndcg
+        |FROM ta
+        |LEFT JOIN ideal i ON i.query_id = ta.query_id
+        |LEFT JOIN hitagg h ON h.query_id = ta.query_id
+        |ORDER BY ta.query_id""".stripMargin,
     "b1_bm25_topk" ->
       (bm25OracleCore(
         """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
