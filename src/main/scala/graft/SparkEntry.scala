@@ -1389,6 +1389,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("t8_index_mor") { (s, dir) =>
+      // merge-on-read index maintenance: the resolution law (a row is dead
+      // iff its doc holds a tombstone with tomb_epoch >= the row's epoch,
+      // pre-epoch files resolving as 0) on synthesized generations — docs
+      // 0-9 re-upserted at epoch 1, docs 0-19 tombstoned at epoch 0, so
+      // 0-9 revive, 10-19 die, 20+ never tombstoned. The FS layer (append-
+      // only tombstone sidecar, compaction) is exercised in VectorIndexSpec
+      val data = T(s, dir, "embeddings").select(
+        col("vec_id").as("chunk_id"),
+        expr("vec_id div 10").as("doc_id"),
+        when(expr("vec_id div 10") < 10, lit(1L))
+          .otherwise(lit(null).cast("long")).as("epoch"))
+      val tombs = s.range(0, 20)
+        .select(col("id").as("doc_id"), lit(0L).as("tomb_epoch"))
+      VectorIndex.resolveActive(data, tombs)
+        .select(col("chunk_id"), col("doc_id"),
+          coalesce(col("epoch"), lit(0L)).as("epoch_resolved"))
+        .orderBy("chunk_id")
+    }
     reg("a10_knn_join") { (s, dir) =>
       // kNN JOIN: top-3 L2 neighbors for EVERY row (self excluded) — the
       // all-rows primitive under SemDeDup/kNN-LM. Exact guarded path at
@@ -1874,6 +1893,18 @@ object SparkEntry {
     // a9 has NO golden pin: every stage is deterministic SQL-expressible
     // algebra, and the exact re-rank of a provably-sufficient shortlist
     // makes the output equal the brute-force answer
+    "t8_index_mor" ->
+      """WITH data AS (
+        |  SELECT vec_id AS chunk_id, vec_id // 10 AS doc_id,
+        |    CASE WHEN vec_id // 10 < 10 THEN 1 ELSE NULL END AS epoch
+        |  FROM embeddings),
+        |tombs AS (SELECT unnest(range(0, 20)) AS doc_id, 0 AS tomb_epoch),
+        |tmax AS (SELECT doc_id, max(tomb_epoch) AS te FROM tombs GROUP BY 1)
+        |SELECT d.chunk_id, d.doc_id,
+        |  CAST(coalesce(d.epoch, 0) AS BIGINT) AS epoch_resolved
+        |FROM data d LEFT JOIN tmax t ON t.doc_id = d.doc_id
+        |WHERE t.te IS NULL OR coalesce(d.epoch, 0) > t.te
+        |ORDER BY d.chunk_id""".stripMargin,
     "a10_knn_join" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, e.vec_id,

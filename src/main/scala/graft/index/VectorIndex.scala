@@ -142,4 +142,104 @@ object VectorIndex {
       n
     } finally delta.unpersist()
   }
+
+  // ------------------------------------------------- merge-on-read (MoR)
+
+  /** Updates and deletes on an append-only Parquet index, the lakehouse
+    * merge-on-read pattern (Iceberg/Delta delete-vector design): writes
+    * only ever APPEND — data files carry an `epoch` (caller-supplied
+    * monotonic batch id, e.g. the streaming batchId), deletes append
+    * `(doc_id, tomb_epoch)` rows to a `_tombstones/` sidecar (the `_`
+    * prefix hides it from the index's own Parquet reader), and readers
+    * resolve. A 100 TB index never rewrites for a deletion; `compact`
+    * folds tombstones in when their count (not the index size) warrants.
+    *
+    * Resolution law ([[resolveActive]]): a row is dead iff its doc has a
+    * tombstone with `tomb_epoch >= ` the row's epoch (rows from files
+    * predating the epoch column resolve as epoch 0). Re-upserting a doc
+    * AFTER deleting it therefore revives it — the new rows carry a higher
+    * epoch — which is exactly upsert: delete-then-append in one batch.
+    */
+  def resolveActive(data: DataFrame, tombstones: DataFrame): DataFrame = {
+    val tmax = tombstones.groupBy("doc_id").agg(max("tomb_epoch").as("__te"))
+    data
+      .join(tmax, Seq("doc_id"), "left")
+      .where(col("__te").isNull ||
+        coalesce(col("epoch"), lit(0L)) > col("__te"))
+      .drop("__te")
+  }
+
+  private def tombPath(path: String) = s"$path/_tombstones"
+
+  private def readTombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(tombPath(path))
+    else spark.range(0)
+      .select(col("id").as("doc_id"), lit(0L).as("tomb_epoch"))
+  }
+
+  /** Tombstone whole docs at `epoch` — O(deleted docs) bytes written, no
+    * data file touched.
+    */
+  def deleteDocs(
+      spark: SparkSession, docIds: Seq[Long], path: String, epoch: Long): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").withColumn("tomb_epoch", lit(epoch))
+      .coalesce(1).write.mode("append").parquet(tombPath(path))
+  }
+
+  /** Upsert docs at `epoch`: tombstone their old rows, append the rebuilt
+    * chunks stamped with the same epoch (which out-lives the tombstone by
+    * the `>` rule). `embedder` must be the index's fitted instance — same
+    * contract as [[append]].
+    */
+  def upsertDocs(
+      spark: SparkSession,
+      docs: DataFrame,
+      path: String,
+      embedder: Embedder,
+      epoch: Long): Long = {
+    val delta = buildWith(docs, embedder)
+      .dropDuplicates("chunk_id")
+      .withColumn("epoch", lit(epoch))
+      .localCheckpoint(true)
+    val ids = delta.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // tombstone strictly below the new rows' epoch: kills every prior
+    // generation, never the rows this batch appends
+    deleteDocs(spark, ids, path, epoch - 1)
+    val n = delta.count()
+    if (n > 0)
+      delta.write.mode("append").partitionBy("section").parquet(path)
+    n
+  }
+
+  /** Read the index with deletes resolved. Old files without the `epoch`
+    * column surface it as null → epoch 0 under the resolution law.
+    */
+  def loadActive(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    val data =
+      if (raw.columns.contains("epoch")) raw
+      else raw.withColumn("epoch", lit(null).cast("long"))
+    resolveActive(data, readTombstones(spark, path))
+  }
+
+  /** Fold tombstones into the data: rewrite active rows, clear the
+    * sidecar. Run when the tombstone table — not the index — grows large;
+    * the rewrite is the only full-index pass in the MoR lifecycle.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val active = loadActive(spark, path).localCheckpoint(true)
+    val n = active.count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    active.write.mode("overwrite").partitionBy("section")
+      .parquet(s"$path.__compact")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path.__compact"),
+      new org.apache.hadoop.fs.Path(path))
+    n
+  }
 }

@@ -129,6 +129,35 @@ object ScaleSmoke {
       time("token_mixture", rows) { out.count() }
     }
 
+    // 6. BM25: index 5M docs x 25 words, score a 64-query batch at k=10.
+    // The term-pruned probe must touch only postings of the queries'
+    // terms — wall-clock is dominated by the one-time index build
+    locally {
+      val rows = n(5000000L)
+      val docs = synthDocs(rows, 25)
+      val idx = graft.search.Bm25.buildIndex(docs, "doc_id", "text")
+      val queries = spark.range(64).select(
+        col("id").as("query_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(4)),
+            i => concat(lit("w"), pmod(xxhash64(col("id") * 37 + 5, i),
+              lit(1000000))))).as("query_text"))
+      val out = graft.search.Bm25.topKBatch(queries, idx, k = 10)
+      assertBucketed(out, "bm25_batch")
+      time("bm25_batch", rows) { out.count() }
+    }
+
+    // 7. banded kNN join: top-5 neighbors for EVERY row of a 2M x 32-d
+    // clustered index — the all-rows shape (a10's scale path)
+    locally {
+      val rows = n(2000000L)
+      val index = clusteredVecs(rows, 32, 7777, "vec_id", "embedding")
+      val out = graft.ops.Ann.knnJoinRp(index, k = 5,
+        nTables = 6, nProjs = 3, width = 0.12, maxBucketSize = 100000)
+      assertBucketed(out, "knn_join_rp")
+      time("knn_join_rp", rows) { out.count() }
+    }
+
     spark.stop()
   }
 }

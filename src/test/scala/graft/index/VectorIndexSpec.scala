@@ -72,4 +72,71 @@ class VectorIndexSpec extends SparkSpec {
     assert(n > 0)
     assert(VectorIndex.load(spark, path).count() == n)
   }
+
+  test("MoR lifecycle: delete hides, upsert revives, compact folds") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_mor").toString + "/idx"
+    val d = docs(0 until 6)
+    val embedder = VectorIndex.fit(d)
+    VectorIndex.append(spark, d, path, embedder)
+    val full = VectorIndex.loadActive(spark, path).count()
+    assert(full > 0)
+
+    // delete docs 0 and 1 — no data file rewritten, rows disappear
+    VectorIndex.deleteDocs(spark, Seq(0L, 1L), path, epoch = 1)
+    val afterDelete = VectorIndex.loadActive(spark, path)
+    assert(afterDelete.where(col("doc_id").isin(0L, 1L)).count() == 0)
+    assert(afterDelete.count() < full)
+    // raw (unresolved) index still holds every row — append-only
+    assert(VectorIndex.load(spark, path).count() == full)
+
+    // upsert doc 0 with NEW text: revived, with the new content only
+    val d0v2 = Seq((0L, "SECTION ALPHA\n\nentirely new second revision text body"))
+      .toDF("doc_id", "text")
+    val up = VectorIndex.upsertDocs(spark, d0v2, path, embedder, epoch = 2)
+    assert(up > 0)
+    val afterUpsert = VectorIndex.loadActive(spark, path)
+    assert(afterUpsert.where(col("doc_id") === 0L).count() == up,
+      "only the revision's rows may be active for doc 0")
+    assert(afterUpsert.where(col("doc_id") === 1L).count() == 0,
+      "doc 1 stays deleted")
+
+    // upserting an existing (never-deleted) doc replaces its rows too
+    val d2v2 = Seq((2L, "SECTION ALPHA\n\nreplacement body for document two"))
+      .toDF("doc_id", "text")
+    val up2 = VectorIndex.upsertDocs(spark, d2v2, path, embedder, epoch = 3)
+    val doc2 = VectorIndex.loadActive(spark, path).where(col("doc_id") === 2L)
+    assert(doc2.count() == up2)
+
+    // compact: same active view, tombstones gone, raw == active
+    val before = VectorIndex.loadActive(spark, path)
+      .select("chunk_id").collect().map(_.getLong(0)).toSet
+    val n = VectorIndex.compact(spark, path)
+    assert(n == before.size)
+    val after = VectorIndex.loadActive(spark, path)
+      .select("chunk_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, "compaction must not change the active view")
+    assert(VectorIndex.load(spark, path).count() == n,
+      "after compaction raw == active")
+  }
+
+  test("resolveActive epoch law: tombstone kills <= epoch, revives above") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val data = Seq(
+      (10L, 1L, Some(0L)), // killed by tomb@1
+      (11L, 1L, Some(1L)), // killed by tomb@1 (>= rule: 1 <= 1)
+      (12L, 1L, Some(2L)), // survives (2 > 1)
+      (13L, 2L, None) //      pre-epoch file (null -> 0), killed by tomb@0
+    ).map { case (c, d, e) => (c, d, e.map(Long.box).orNull) }
+      .toDF("chunk_id", "doc_id", "epoch")
+      .select(col("chunk_id"), col("doc_id"), col("epoch").cast("long"))
+    val tombs = Seq((1L, 1L), (2L, 0L)).toDF("doc_id", "tomb_epoch")
+    val active = VectorIndex.resolveActive(data, tombs)
+      .select("chunk_id").collect().map(_.getLong(0)).toSet
+    assert(active == Set(12L))
+    // no tombstones at all -> everything active
+    val none = tombs.where(lit(false))
+    assert(VectorIndex.resolveActive(data, none).count() == 4)
+  }
 }
