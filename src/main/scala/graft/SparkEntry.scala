@@ -957,7 +957,10 @@ object SparkEntry {
       val docs = T(s, dir, "documents").where(col("doc_id") < 200)
       val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
         numHashes = 128, bands = 32, minJaccard = 0.8)
-      val comps = Dedup.connectedComponents(pairs)
+      // hybrid CC: post-banding pair sets are driver-small even for huge
+      // corpora — union-find below the threshold, distributed loop above
+      // (d9/d10 keep the pure distributed paths under oracle)
+      val comps = Dedup.connectedComponents(pairs, smallGraphCollect = 1L << 20)
       docs.select(col("doc_id"))
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -1545,6 +1548,15 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
+    }
+    reg("st10_trending_terms") { (s, dir) =>
+      // per-6h-window top-3 trending props.k items: incremental streaming
+      // (window, item) counts + sink-side ranking, composed batch-twin
+      StreamingOps.rankTrending(StreamingOps.trendingCounts(eventsDf(s, dir)))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("rank").cast("long").as("rank"), col("term"), col("n"))
+        .orderBy("window_start", "rank")
     }
     reg("st2_sliding") { (s, dir) =>
       StreamingOps.slidingCounts(eventsDf(s, dir))
@@ -3540,6 +3552,20 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st10_trending_terms" ->
+      """WITH c AS (
+        |  SELECT CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 21600) * 21600)
+        |      AS TIMESTAMP) AS ws,
+        |    json_extract_string(props, '$.k') AS term, count(*) AS n
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, term, n, row_number() OVER (
+        |    PARTITION BY ws ORDER BY n DESC, term) AS rank
+        |  FROM c)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
     "st2_sliding" ->
       """WITH g AS (
         |  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:30:00',

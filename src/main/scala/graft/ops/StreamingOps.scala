@@ -25,6 +25,35 @@ object StreamingOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-window trending items ("trending hashtags"): count the JSON
+    * `props.k` item per tumbling window. The (window, item) count is an
+    * incremental streaming aggregate — state is open-windows × distinct
+    * items, watermark-evicted. Ranking is deliberately NOT here: a
+    * row_number window is illegal on a streaming frame, so the top-n
+    * layer ([[rankTrending]]) runs per CLOSED window in the sink
+    * (foreachBatch) — or directly, batch-twin, where the whole composition
+    * is oracle-checkable.
+    */
+  def trendingCounts(events: DataFrame, width: String = "6 hours",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("term", get_json_object(col("props"), "$.k"))
+      .where(col("term").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("term"), col("n"))
+
+  /** Top-n per window over [[trendingCounts]] output (batch side / sink
+    * side). Ties break on the term string — deterministic.
+    */
+  def rankTrending(counts: DataFrame, topN: Int = 3): DataFrame =
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(col("n").desc, col("term"))))
+      .where(col("rank") <= topN)
+
   /** Sliding-window event counts (width/slide). */
   def slidingCounts(events: DataFrame, width: String = "1 hour",
       slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =

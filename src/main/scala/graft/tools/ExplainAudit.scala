@@ -148,6 +148,34 @@ object ExplainAudit {
         (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
       "pure per-row expansion: no window, no aggregate" ->
         (p => !p.contains("Window") && !p.contains("HashAggregate")))
+    audit("b1_bm25_topk")(
+      "query-term idf table broadcast to the postings scan" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no cartesian in the term-pruned probe" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-query top-k is a partial heap aggregate" ->
+        (p => p.contains("partial_topk_by_dist")))
+    audit("b2_hybrid_rrf")(
+      "fusion stays hash-aggregated, never a cross of the rank lists" ->
+        (p => !p.contains("CartesianProduct")),
+      "partial heap on the fused scores" ->
+        (p => p.contains("partial_topk_by_dist")))
+    audit("a10_knn_join")(
+      "self-product is the guarded broadcast form (exact path)" ->
+        (p => p.contains("BroadcastNestedLoopJoin")),
+      "partial heap per row" -> (p => p.contains("partial_topk_by_dist")))
+    audit("a11_knn_classify")(
+      "vote aggregate is hash-based over the hits, no corpus window" ->
+        (p => p.contains("HashAggregate")))
+    audit("p17_domain_rank")(
+      "rank iteration joins stay hash-based (no cartesian across rounds)" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("t8_index_mor")(
+      "tombstone resolution is one doc-keyed join (broadcast at this size)" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
+    audit("x25_score_calibration")(
+      "one exchange for the per-source window, nothing else" ->
+        (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1))
 
     // Section-partitioned index: a filtered search must prune partitions
     // at the scan, not read-then-filter.

@@ -293,6 +293,31 @@ class DedupSpec extends SparkSpec {
     assert(twoLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("hybrid small-graph CC equals the distributed loop exactly") {
+    val pairs = Dedup.jaccardPairs(fixtureDocs, minSim = 0.6)
+    val dist = Dedup.connectedComponents(pairs)
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    val fast = Dedup.connectedComponents(pairs, smallGraphCollect = 1L << 20)
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    assert(fast == dist, s"union-find diverges: ${fast.diff(dist).take(5)}")
+    // chain + disjoint island, the min-label worst cases
+    val chain = ((1L until 50L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, smallGraphCollect = 1L << 20)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert((1L to 50L).forall(got(_) == 1L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+    // a threshold BELOW the edge count must fall through to the loop
+    // (short-diameter graph: the loop converges well inside maxIter)
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val viaLoop = Dedup.connectedComponents(two, smallGraphCollect = 3L)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    val viaFast = Dedup.connectedComponents(two, smallGraphCollect = 1L << 20)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert(viaLoop == viaFast &&
+      viaLoop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dropNearDups keeps the lowest id of each near-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
     val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet

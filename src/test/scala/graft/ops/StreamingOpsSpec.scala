@@ -53,6 +53,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(sw == gi)
   }
 
+  test("trending terms: batch twin ranks per window with term ties") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), """{"k": 7}"""),
+      (2L, ts("2024-01-01 01:10:00"), """{"k": 7}"""),
+      (3L, ts("2024-01-01 02:10:00"), """{"k": 9}"""),
+      (4L, ts("2024-01-01 03:10:00"), """{"k": 9}"""),
+      (5L, ts("2024-01-01 04:10:00"), """{"k": 3}"""),
+      (6L, ts("2024-01-01 06:10:00"), """{"k": 5}"""),
+      (7L, ts("2024-01-01 06:20:00"), null)
+    ).toDF("event_id", "ts", "props")
+    val got = StreamingOps.rankTrending(
+      StreamingOps.trendingCounts(ev), topN = 2)
+      .select(date_format($"window_start", "HH:mm").as("w"), $"rank", $"term", $"n")
+      .as[(String, Int, String, Long)].collect().toSet
+    // window 00:00-06:00: 7x2, 9x2, 3x1 -> top-2 are 7 then 9 (count tie,
+    // term "7" < "9"); window 06:00: only 5x1; null props dropped
+    assert(got == Set(
+      ("00:00", 1, "7", 2L), ("00:00", 2, "9", 2L), ("06:00", 1, "5", 1L)))
+  }
+
+  test("trending counts run as an incremental streaming aggregate") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "props")
+    val agg = StreamingOps.trendingCounts(df, width = "1 hour",
+      watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("trending_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:05:00"), """{"k": 1}"""))
+      mem.addData((2L, ts("2024-01-01 00:25:00"), """{"k": 1}"""))
+      q.processAllAvailable()
+      val counts = spark.table("trending_test")
+        .select($"term", $"n").as[(String, Long)].collect()
+      // incremental: the (window, term) count reflects both micro-batches
+      assert(counts.contains(("1", 2L)), s"got ${counts.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling aggregation over MemoryStream with watermark") {
     implicit val sqlC = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
