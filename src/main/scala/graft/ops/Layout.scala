@@ -129,4 +129,62 @@ object Layout {
     }.reduce(_ && _)
     stats.where(pred).count()
   }
+
+  /** Small-files compaction stats: (files, bytes) under `path`. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Bin-pack a directory of small Parquet files into ~`targetBytes`
+    * files — the lakehouse maintenance pass every streaming/incremental
+    * sink eventually needs (each micro-batch append leaves one file per
+    * partition; a year of 1-minute batches is half a million tiny files
+    * whose footer reads dominate scan time).
+    *
+    * The rewrite uses `coalesce` (narrow, no shuffle): compaction is a
+    * read-concatenate-write, so paying a shuffle to "rebalance" it would
+    * be pure waste. Row order within files may change; Parquet tables
+    * carry no order contract. No-op (returns current stats) when the
+    * directory already meets the target. Not for partitioned layouts —
+    * compact each partition directory separately, which is also what
+    * bounds the unit of work at 100 TB.
+    */
+  def compactFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val leafFiles = {
+      val it = fs.listFiles(hPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) buf += f
+      }
+      buf.toSeq
+    }
+    val totalBytes = leafFiles.map(_.getLen).sum
+    val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (leafFiles.size <= targetFiles)
+      return CompactStats(leafFiles.size, leafFiles.size, totalBytes)
+    // same swap protocol as the MoR compaction: materialize first (the
+    // rewrite's lineage reads the directory it replaces), then swap
+    val data = spark.read.parquet(path).coalesce(targetFiles)
+      .localCheckpoint(true)
+    data.write.mode("overwrite").parquet(s"$path.__compact")
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path.__compact"), hPath)
+    val after = {
+      val it = fs.listFiles(hPath, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+    CompactStats(leafFiles.size, after, totalBytes)
+  }
 }

@@ -95,4 +95,30 @@ class LayoutSpec extends SparkSpec {
     val files = new java.io.File(s"$dir/t").listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 8, s"expected 8 data files, got $files")
   }
+
+  test("compactFiles bin-packs tiny files, preserves rows, no-ops when met") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$dir/t"
+    // 40 single-row appends = 40 tiny files (the streaming-sink shape)
+    spark.range(40).coalesce(1).collect() // warm nothing; keep deterministic
+    (0 until 40).foreach { i =>
+      spark.range(i, i + 1).toDF("id").coalesce(1)
+        .write.mode("append").parquet(path)
+    }
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 40, s"setup expected 40 files, got $before")
+
+    val stats = Layout.compactFiles(spark, path, targetBytes = Long.MaxValue)
+    assert(stats.filesBefore == 40 && stats.filesAfter == 1,
+      s"expected 40 -> 1, got $stats")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 40)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (0L until 40L),
+      "compaction must preserve every row")
+
+    // already met: no rewrite happens (stats echo the current layout)
+    val again = Layout.compactFiles(spark, path, targetBytes = Long.MaxValue)
+    assert(again.filesBefore == 1 && again.filesAfter == 1)
+  }
 }
