@@ -31,7 +31,10 @@ object Bench {
     "d1_exact_dup_groups", "d3_jaccard_pairs", "d5_minhash_pairs",
     "a2_ivf_topk", "a6_rp_batch", "st1_tumbling", "x5_top_terms",
     "p1_curation_funnel", "p7_seq_packing", "d11_repeated_ngrams",
-    "ep3_rag_batch")
+    "ep3_rag_batch",
+    // round-5 retrieval/curation surface
+    "b1_bm25_topk", "b2_hybrid_rrf", "a10_knn_join", "p17_domain_rank",
+    "d17_neardup_resolve_hashed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
