@@ -404,6 +404,13 @@ object SparkEntry {
         .unionByName(SessionMemory.appendRows(s, "1", 3L, "what happened?", "events happened"))
         .orderBy("turn", "role")
     }
+    reg("c9_memory_window") { (s, dir) =>
+      // memory compaction: the reference replays the whole history into
+      // every prompt (app.py:227); production windows it — newest 2 turns
+      // per session within a 4-token budget, whole turns only
+      SessionMemory.windowedMemory(memoryDf(s, dir), maxTurns = 2, tokenBudget = 4)
+        .orderBy("session_id", "turn")
+    }
     reg("c5_chatlog") { (s, dir) =>
       val rows = memoryDf(s, dir).where(col("session_id") === "1" && col("turn") === 0)
       ChatLog.record(rows, col("session_id"), col("content"),
@@ -2330,6 +2337,24 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT) AS query_id,
          |       '[${sqlEsc(Config.AgentName)}] ' || split_part(context, chr(10), 1) AS answer
          |FROM ctx""".stripMargin,
+    "c9_memory_window" ->
+      s"""WITH m AS ($MemorySql),
+         |w AS (
+         |  SELECT session_id, turn, role, content,
+         |    CAST(CASE WHEN length(trim(content)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(content), '\\s+'))
+         |         END AS BIGINT) AS n_tokens,
+         |    row_number() OVER (
+         |      PARTITION BY session_id ORDER BY turn DESC) AS rn
+         |  FROM m),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (
+         |    PARTITION BY session_id ORDER BY turn DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM w)
+         |SELECT session_id, turn, role, content, n_tokens
+         |FROM c WHERE rn <= 2 AND cum <= 4
+         |ORDER BY session_id, turn""".stripMargin,
     "c4_memory_append" ->
       s"""SELECT * FROM (
          |  SELECT session_id, turn, role, content FROM ($MemorySql) WHERE session_id = '1'

@@ -200,14 +200,31 @@ object VectorIndex {
       path: String,
       embedder: Embedder,
       epoch: Long): Long = {
-    val delta = buildWith(docs, embedder)
+    val built = buildWith(docs, embedder)
       .dropDuplicates("chunk_id")
       .withColumn("epoch", lit(epoch))
-      .localCheckpoint(true)
-    val ids = delta.select("doc_id").distinct()
+    // Idempotent under replay (a failed streaming batch re-runs with the
+    // SAME epoch): rows already written AT THIS EPOCH are dropped before
+    // the append. The existing-id scan filters on the epoch column, which
+    // prunes to the replayed batch's own files via parquet column stats —
+    // fresh epochs scan nothing.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val delta0 =
+      if (fs.exists(hPath)) {
+        val sameEpoch = spark.read.option("mergeSchema", "true").parquet(path)
+        if (sameEpoch.columns.contains("epoch"))
+          built.join(
+            sameEpoch.where(col("epoch") === epoch).select("chunk_id"),
+            Seq("chunk_id"), "left_anti")
+        else built
+      } else built
+    val delta = delta0.localCheckpoint(true)
+    val ids = built.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     // tombstone strictly below the new rows' epoch: kills every prior
-    // generation, never the rows this batch appends
+    // generation, never the rows this batch appends; re-appending the
+    // same tombstone on replay is harmless (resolution takes the max)
     deleteDocs(spark, ids, path, epoch - 1)
     val n = delta.count()
     if (n > 0)

@@ -232,4 +232,31 @@ object CorpusPipeline {
         VectorIndex.append(batch.sparkSession, delta, path, embedder)
         ()
       }
+
+  /** Streaming UPSERT maintenance: like [[streamingIndexSink]] but each
+    * arriving doc REPLACES its prior revision via the merge-on-read
+    * tombstone path ([[graft.index.VectorIndex.upsertDocs]]) — the shape
+    * a CDC / re-crawl feed needs, where the same doc_id recurs with new
+    * content. The streaming `batchId` is the MoR epoch: monotonic across
+    * restarts (Spark replays a failed batch with the SAME id), so
+    * re-delivery tombstones and re-appends identically — the resolved
+    * view is exactly-once even under at-least-once delivery.
+    */
+  def streamingUpsertSink(
+      docs: DataFrame,
+      path: String,
+      embedder: graft.embed.Embedder,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        // epoch 2·batchId+1 keeps upsert's internal epoch-1 tombstone
+        // non-negative and strictly increasing across batches
+        VectorIndex.upsertDocs(
+          batch.sparkSession, delta, path, embedder, epoch = 2 * batchId + 1)
+        ()
+      }
 }

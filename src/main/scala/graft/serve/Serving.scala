@@ -102,6 +102,37 @@ object SessionMemory {
       (sessionId, nextTurn + 1, "assistant", answer)
     ).toDF("session_id", "turn", "role", "content")
   }
+
+  /** Memory compaction: the reference's `ConversationBufferMemory` replays
+    * the ENTIRE history into every prompt (app.py:227) — unbounded context
+    * growth. Production serving windows it: keep the most recent
+    * `maxTurns` turns per session AND stay inside `tokenBudget` counting
+    * back from the newest turn (the LangChain token-buffer recipe).
+    * Token accounting uses the same whitespace law as
+    * [[graft.ops.TextAnalytics.tokenCount]], so budgets are integers both
+    * engines reproduce; a turn either fits whole or is cut — no partial
+    * messages, which would corrupt the role alternation.
+    *
+    * One window per session partition — memory tables are sessions × turns,
+    * never corpus-sized.
+    */
+  def windowedMemory(
+      memory: DataFrame,
+      maxTurns: Int,
+      tokenBudget: Long): DataFrame = {
+    val byRecency = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session_id"))
+      .orderBy(col("turn").desc)
+    memory
+      .withColumn("__toks",
+        graft.ops.TextAnalytics.tokenCount(col("content")))
+      .withColumn("__rn", row_number().over(byRecency))
+      .withColumn("__cum", sum(col("__toks")).over(
+        byRecency.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("__rn") <= maxTurns && col("__cum") <= tokenBudget)
+      .select(col("session_id"), col("turn"), col("role"), col("content"),
+        col("__toks").as("n_tokens"))
+  }
 }
 
 /** C2: prompt assembly — system prompt, history replay, user query, and the

@@ -121,6 +121,51 @@ class VectorIndexSpec extends SparkSpec {
       "after compaction raw == active")
   }
 
+  test("upsertDocs is idempotent under same-epoch replay") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_replay").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    VectorIndex.append(spark, d, path, embedder)
+    val rev = Seq((1L, "SECTION BETA\n\nrevised body for document one"))
+      .toDF("doc_id", "text")
+    VectorIndex.upsertDocs(spark, rev, path, embedder, epoch = 5)
+    val once = VectorIndex.loadActive(spark, path)
+      .select("chunk_id").collect().map(_.getLong(0)).sorted.toSeq
+    // streaming replay: the SAME batch re-runs with the SAME epoch
+    val reAppended = VectorIndex.upsertDocs(spark, rev, path, embedder, epoch = 5)
+    assert(reAppended == 0, "replayed rows must not re-append")
+    val twice = VectorIndex.loadActive(spark, path)
+      .select("chunk_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(twice == once, "active view must be identical after replay")
+  }
+
+  test("streamingUpsertSink: later revisions replace earlier ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val path = s"$tmp/idx"
+    val fitted = VectorIndex.fit(docs(0 until 4))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusPipeline.streamingUpsertSink(
+      mem.toDF().toDF("doc_id", "text"), path, fitted, s"$tmp/ckpt").start()
+    try {
+      mem.addData((0L, "SECTION ALPHA\n\nfirst crawl of document zero"))
+      q.processAllAvailable()
+      mem.addData((0L, "SECTION ALPHA\n\nsecond crawl entirely different text"))
+      q.processAllAvailable()
+      val active = VectorIndex.loadActive(spark, path)
+      val texts = active.where(col("doc_id") === 0L)
+        .select("text").collect().map(_.getString(0))
+      assert(texts.nonEmpty && texts.forall(_.contains("second crawl")),
+        s"only the latest revision may be active, got ${texts.toSeq}")
+      // raw retains both generations — append-only
+      assert(VectorIndex.load(spark, path).count() > active.count())
+    } finally q.stop()
+  }
+
   test("resolveActive epoch law: tombstone kills <= epoch, revives above") {
     import org.apache.spark.sql.functions.{col, lit}
     val data = Seq(
