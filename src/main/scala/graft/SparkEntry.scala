@@ -1486,6 +1486,23 @@ object SparkEntry {
           col("doc_id"), col("score_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("b4_bm25_prf") { (s, dir) =>
+      // pseudo-relevance feedback (Rocchio/RM3-lite): first-pass BM25 top-3
+      // docs donate their 5 highest-mass terms, the expanded term set
+      // rescores at k=10. Both passes and the feedback harvest are integer
+      // algebra the oracle re-derives end to end
+      import graft.search.Bm25
+      import s.implicits._
+      val idx = Bm25.buildIndex(T(s, dir, "documents"), "doc_id", "text")
+      val qs = Seq(
+        (0L, "spark window merge"),
+        (1L, "slow filter vector"),
+        (2L, "customer query scan")).toDF("query_id", "query_text")
+      Bm25.topKBatchPrf(qs, idx, k = 10, fbDocs = 3, fbTerms = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("b2_hybrid_rrf") { (s, dir) =>
       // Hybrid retrieval: BM25 keyword ranks + exact-L2 embedding ranks
       // fused by reciprocal-rank fusion (Cormack et al. 2009). Query docs
@@ -1775,31 +1792,17 @@ object SparkEntry {
     * for Scala's `lit(k1 + 1.0)`). `qsCte` must define `qs(query_id,
     * query_text)`; emits ranked(query_id, rank, doc_id, score_scaled).
     */
-  private def bm25OracleCore(qsCte: String): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_filter(
-       |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
-       |    t -> length(t) > 0)) AS term
-       |  FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |postings AS (
-       |  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
-       |  FROM tf),
-       |df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
-       |stats AS (
-       |  SELECT count(DISTINCT doc_id) AS n, sum(tf) AS tot FROM postings),
-       |$qsCte
-       |qt AS (
-       |  SELECT query_id, unnest(list_distinct(list_filter(
-       |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
-       |    t -> length(t) > 0))) AS term
-       |  FROM qs),
-       |qidf AS (
+  /** The scoring chain from an explicit term table `$qtName(query_id,
+    * term)` — emits `qidf$sfx`/`parts$sfx`/`scored$sfx`/`ranked$sfx`, so
+    * PRF oracles can instantiate the chain twice (first pass + rescore).
+    */
+  private def bm25ScoreCtes(qtName: String, sfx: String): String =
+    s"""qidf$sfx AS (
        |  SELECT qt.query_id, qt.term,
        |    CAST(round(ln((((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5))
        |      + 1.0) * 1000000.0) AS BIGINT) AS idf_scaled
-       |  FROM qt JOIN df d USING (term), stats s),
-       |parts AS (
+       |  FROM $qtName qt JOIN df d USING (term), stats s),
+       |parts$sfx AS (
        |  SELECT q.query_id, p.doc_id,
        |    CAST(round(CAST(q.idf_scaled AS DOUBLE) *
        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
@@ -1807,16 +1810,40 @@ object SparkEntry {
        |        ((0.75 * CAST(p.dl AS DOUBLE)) /
        |         (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))))) AS BIGINT)
        |      AS part
-       |  FROM postings p JOIN qidf q USING (term), stats s),
-       |scored AS (
+       |  FROM postings p JOIN qidf$sfx q USING (term), stats s),
+       |scored$sfx AS (
        |  -- CAST: DuckDB sum(BIGINT) is HUGEINT (the st8 lesson) — keep the
        |  -- comparison surface typed BIGINT like Spark's sum(LONG)
        |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
-       |  FROM parts GROUP BY 1, 2),
-       |ranked AS (
+       |  FROM parts$sfx GROUP BY 1, 2),
+       |ranked$sfx AS (
        |  SELECT query_id, doc_id, score_scaled, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored$sfx)""".stripMargin
+
+  private val Bm25IndexCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+      |    t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |postings AS (
+      |  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+      |  FROM tf),
+      |df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+      |stats AS (
+      |  SELECT count(DISTINCT doc_id) AS n, sum(tf) AS tot FROM postings)""".stripMargin
+
+  private def bm25OracleCore(qsCte: String): String =
+    s"""WITH $Bm25IndexCtes,
+       |$qsCte
+       |qt AS (
+       |  SELECT query_id, unnest(list_distinct(list_filter(
+       |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
+       |    t -> length(t) > 0))) AS term
+       |  FROM qs),
+       |${bm25ScoreCtes("qt", "")}""".stripMargin
 
   /** p17's oracle: PageRank as ten unrolled CTE iterations of the exact
     * integer-grid algebra [[graft.ops.HostGraph.pageRank]] runs (floor
@@ -2028,6 +2055,34 @@ object SparkEntry {
         """
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "b4_bm25_prf" ->
+      s"""WITH $Bm25IndexCtes,
+         |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+         |  FROM (VALUES (0, 'spark window merge'), (1, 'slow filter vector'),
+         |    (2, 'customer query scan')) AS v(query_id, query_text)),
+         |qt0 AS (
+         |  SELECT query_id, unnest(list_distinct(list_filter(
+         |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
+         |    t -> length(t) > 0))) AS term
+         |  FROM qs),
+         |${bm25ScoreCtes("qt0", "0")},
+         |fbm AS (
+         |  SELECT r.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS fb_tf
+         |  FROM postings p
+         |  JOIN (SELECT query_id, doc_id FROM ranked0 WHERE rank <= 3) r
+         |    USING (doc_id)
+         |  GROUP BY 1, 2),
+         |fb AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT query_id, term, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY fb_tf DESC, term) AS rn
+         |    FROM fbm) WHERE rn <= 5),
+         |qt AS (SELECT DISTINCT query_id, term FROM
+         |  (SELECT query_id, term FROM qt0
+         |   UNION ALL SELECT query_id, term FROM fb)),
+         |${bm25ScoreCtes("qt", "")}
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "b2_hybrid_rrf" ->
       (bm25OracleCore(
         """qs AS (SELECT doc_id AS query_id, text AS query_text

@@ -89,10 +89,23 @@ object Bm25 {
       index: Index,
       k: Int,
       k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    scoreTermTable(
+      queries.select(
+        col("query_id").cast("long"),
+        explode(array_distinct(tokensCol(col("query_text")))).as("term")),
+      index, k, k1, b)
+
+  /** Score an explicit `(query_id, term)` table — the shared engine under
+    * [[topKBatch]] (terms tokenized from query text) and [[topKBatchPrf]]
+    * (terms expanded by feedback). Scoring law as documented on the class.
+    */
+  def scoreTermTable(
+      qTerms: DataFrame,
+      index: Index,
+      k: Int,
+      k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val qTerms = queries.select(
-      col("query_id").cast("long"),
-      explode(array_distinct(tokensCol(col("query_text")))).as("term"))
     // idf on the query side: terms(df) is corpus-vocabulary-sized, the
     // semi-join against the tiny broadcast query-term set prunes it before
     // anything moves; result is q·t rows, re-broadcast to the postings scan
@@ -125,6 +138,45 @@ object Bm25 {
         col("hit.id").as("doc_id"),
         (-col("hit.dist")).cast("long").as("score_scaled"),
         (-col("hit.dist") / 1e6).as("score"))
+  }
+
+  /** Pseudo-relevance feedback (Rocchio 1971 / RM3-lite): run the query,
+    * harvest the `fbTerms` highest-mass terms from its top `fbDocs`
+    * results, union them with the original terms, rescore. The classic
+    * zero-supervision recall lever for sparse retrieval — vocabulary
+    * mismatch ("car" vs "automobile") is bridged by whatever the first
+    * pass DID find.
+    *
+    * Feedback mass is the summed raw tf over the feedback docs, ties to
+    * the lexicographically smaller term — integers, deterministic, and
+    * cheaply reproducible by the oracle. All intermediates are
+    * query-batch-sized: first-pass hits (q × fbDocs), their postings
+    * (fbDocs docs' worth), the expanded term table (q × (t + fbTerms)).
+    */
+  def topKBatchPrf(
+      queries: DataFrame,
+      index: Index,
+      k: Int,
+      fbDocs: Int = 3,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val origTerms = queries.select(
+      col("query_id").cast("long"),
+      explode(array_distinct(tokensCol(col("query_text")))).as("term"))
+    val first = scoreTermTable(origTerms, index, fbDocs, k1, b)
+      .select("query_id", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("fb_tf").desc, col("term"))
+    val fb = index.postings
+      .join(broadcast(first), Seq("doc_id"))
+      .groupBy("query_id", "term")
+      .agg(sum("tf").as("fb_tf"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= fbTerms)
+      .select("query_id", "term")
+    val expanded = origTerms.unionByName(fb).distinct()
+    scoreTermTable(expanded, index, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of

@@ -112,6 +112,26 @@ class Bm25Spec extends SparkSpec {
       (3, 13L, c(2))))
   }
 
+  test("PRF bridges vocabulary mismatch the plain query cannot") {
+    val c = Seq(
+      (0L, "car engine wheel"),
+      (1L, "automobile engine wheel"),
+      (2L, "automobile garage repair"),
+      (3L, "banana fruit")).toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(c, "doc_id", "text")
+    val qs = Seq((0L, "car")).toDF("query_id", "query_text")
+    val plain = Bm25.topKBatch(qs, idx, k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(0L), "only the literal term matches without feedback")
+    val prf = Bm25.topKBatchPrf(qs, idx, k = 4, fbDocs = 1, fbTerms = 3)
+    val prfDocs = prf.select("doc_id").as[Long].collect().toSet
+    // doc 0's feedback terms (car, engine, wheel) reach doc 1
+    assert(prfDocs.contains(1L), s"feedback must surface doc 1, got $prfDocs")
+    // the original-term match still dominates the expanded ranking
+    val top = prf.where(col("rank") === 1).select("doc_id").as[Long].head()
+    assert(top == 0L)
+  }
+
   test("rrfFuse single-list fusion preserves the input order") {
     val l = Seq((5L, 1L, 1), (5L, 2L, 2), (5L, 3L, 3))
       .toDF("query_id", "doc_id", "rank")
