@@ -155,6 +155,10 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct")),
       "per-query top-k is a partial heap aggregate" ->
         (p => p.contains("partial_topk_by_dist")))
+    audit("b4_bm25_prf")(
+      "both scoring passes broadcast the term tables" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      "no cartesian across expansion" -> (p => !p.contains("CartesianProduct")))
     audit("b2_hybrid_rrf")(
       "fusion stays hash-aggregated, never a cross of the rank lists" ->
         (p => !p.contains("CartesianProduct")),
