@@ -974,6 +974,19 @@ object SparkEntry {
         .withColumn("kept", col("doc_id") === col("comp"))
         .orderBy("doc_id")
     }
+    reg("d18_quality_resolve") { (s, dir) =>
+      // quality-aware keeper: same pair graph as d17, but each component
+      // keeps its highest-quality member (ties -> min id) instead of the
+      // min id — the RefinedWeb/FineWeb "keep the best copy" resolve rule
+      val docs = T(s, dir, "documents").where(col("doc_id") < 200)
+      val scored = docs.select(col("doc_id"),
+        TextAnalytics.qualityScore(col("text")).as("quality"))
+      val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
+        numHashes = 128, bands = 32, minJaccard = 0.8)
+      Dedup.resolveNearDupsBy(scored, pairs, smallGraphCollect = 1L << 20)
+        .select(col("doc_id"), col("comp"), col("quality"), col("kept"))
+        .orderBy("doc_id")
+    }
     reg("d10_cc_star") { (s, dir) =>
       // the O(log n)-round star-contraction CC variant, oracled against
       // the same DuckDB recursive-CTE transitive closure as d9 — full
@@ -3615,6 +3628,54 @@ object SparkEntry {
         |FROM documents d LEFT JOIN mincomp m ON d.doc_id = m.id
         |WHERE d.doc_id < 200
         |ORDER BY d.doc_id""".stripMargin,
+    "d18_quality_resolve" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |mincomp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    + (CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         ELSE 0.0 END) * 0.3
+        |    + (1.0 - (CASE WHEN length(text) > 0
+        |         THEN least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |                    / length(text) * 4.0, 1.0)
+        |         ELSE 0.0 END)) * 0.1
+        |    + (CASE WHEN (CASE WHEN ntok > 0 THEN CAST(length(text) AS DOUBLE) / ntok
+        |                       ELSE 0.0 END) BETWEEN 3 AND 12
+        |            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id, text,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |        FROM documents WHERE doc_id < 200)),
+        |labeled AS (
+        |  SELECT q.doc_id, q.quality,
+        |    CAST(coalesce(m.comp, q.doc_id) AS BIGINT) AS comp
+        |  FROM q LEFT JOIN mincomp m ON q.doc_id = m.id)
+        |SELECT doc_id, comp, quality,
+        |  (row_number() OVER (
+        |    PARTITION BY comp ORDER BY quality DESC, doc_id) = 1) AS kept
+        |FROM labeled ORDER BY doc_id""".stripMargin,
     "d8_cosine_pairs_auto" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

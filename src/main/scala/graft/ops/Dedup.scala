@@ -812,6 +812,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup resolution: one keeper per connected
+    * component, chosen as the HIGHEST-`scoreCol` member (ties → smallest
+    * id) instead of the smallest id. Min-id keepers are arbitrary;
+    * production dedup keeps the best copy — the cleanest extraction of a
+    * page crawled five ways, the highest-quality revision of a forked
+    * document (the RefinedWeb/FineWeb resolve rule).
+    *
+    * Emits EVERY doc with its component, score, and keep decision —
+    * singletons keep themselves — so the caller can audit what a drop
+    * decision cost, not just receive the survivors.
+    */
+  def resolveNearDupsBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "quality",
+      maxIter: Int = 20,
+      smallGraphCollect: Long = 0L): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter, smallGraphCollect)
+    val labeled = docs
+      .select(col(idCol), col(scoreCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("kept", col("__rn") === 1)
+      .drop("__rn")
+  }
+
   // -------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs with cosine ≥ `minCos`. Exact variant: a

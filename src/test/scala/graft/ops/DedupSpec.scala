@@ -318,6 +318,27 @@ class DedupSpec extends SparkSpec {
       viaLoop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("resolveNearDupsBy keeps the best-scoring member, not the min id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // one component, 2 is best
+      (7L, 0.1), //                       singleton keeps itself
+      (8L, 0.4), (9L, 0.4) //             score tie -> min id 8 wins
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveNearDupsBy(docs, pairs)
+      .select("doc_id", "comp", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (7L, 7L, true),
+      (8L, 8L, true), (9L, 8L, false)))
+    // same labels through the union-find fast path
+    val fast = Dedup.resolveNearDupsBy(docs, pairs, smallGraphCollect = 1L << 20)
+      .select("doc_id", "comp", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(fast == got)
+  }
+
   test("dropNearDups keeps the lowest id of each near-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, minSim = 0.5)
     val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet
