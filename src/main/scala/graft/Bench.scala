@@ -34,7 +34,9 @@ object Bench {
     "ep3_rag_batch",
     // round-5 retrieval/curation surface
     "b1_bm25_topk", "b2_hybrid_rrf", "a10_knn_join", "p17_domain_rank",
-    "d17_neardup_resolve_hashed")
+    "d17_neardup_resolve_hashed",
+    // round-6: the at-rest BM25 probe
+    "b5_bm25_at_rest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,7 +80,14 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flaky = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (e.g. SPARK_GRAFT_BENCH_ONLY=q1_knn_top4 to
+    // re-measure one query in isolation from the 150-query suite); the
+    // driver never sets it.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0

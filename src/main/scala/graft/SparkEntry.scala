@@ -1539,6 +1539,34 @@ object SparkEntry {
           col("doc_id"), col("rrf_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("b5_bm25_at_rest") { (s, dir) =>
+      // the at-rest half of BM25: build → writeIndex (term-bucketed
+      // Parquet: postings/ partitioned by hash(term) mod 16, plus terms/,
+      // docs/, stats/ ledgers) → loadIndex → probe. The index is
+      // restricted to the query terms' buckets before scoring, so the
+      // postings scan reads ONLY those bucket directories (static
+      // partition pruning, asserted in ExplainAudit), and the probe joins
+      // on (bucket, term). Scores are the same integer algebra as b1, so
+      // the oracle re-derives them straight from `documents` — the
+      // write/load round-trip must be value-invisible
+      import graft.search.Bm25
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25_idx").toString + "/idx"
+      Bm25.writeIndex(T(s, dir, "documents"), "doc_id", "text", tmp,
+        termBuckets = 16)
+      val idx = Bm25.loadIndex(s, tmp)
+      val qSeq = Seq(
+        (0L, "window scan filter"),
+        (1L, "vector merge customer"),
+        (2L, "query slow spark"))
+      val restricted = Bm25.restrictToTerms(
+        idx, qSeq.flatMap(q => Bm25.tokenize(q._2)).distinct)
+      Bm25.topKBatch(qSeq.toDF("query_id", "query_text"), restricted, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
       // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
@@ -2096,6 +2124,14 @@ object SparkEntry {
          |${bm25ScoreCtes("qt", "")}
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "b5_bm25_at_rest" ->
+      (bm25OracleCore(
+        """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+          |  FROM (VALUES (0, 'window scan filter'), (1, 'vector merge customer'),
+          |    (2, 'query slow spark')) AS v(query_id, query_text)),""".stripMargin) +
+        """
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "b2_hybrid_rrf" ->
       (bm25OracleCore(
         """qs AS (SELECT doc_id AS query_id, text AS query_text

@@ -220,7 +220,12 @@ object VectorIndex {
         else built
       } else built
     val delta = delta0.localCheckpoint(true)
-    val ids = built.select("doc_id").distinct()
+    // Tombstone ids come from the INPUT doc set, not the built chunks: a
+    // revision that chunks to zero rows (empty/whitespace text) must still
+    // kill its prior generation — "arriving doc REPLACES its prior
+    // revision" — and harvesting ids from `built` would re-run the whole
+    // sectionize→chunk→embed pipeline a second time just for the ids.
+    val ids = docs.select(col("doc_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     // tombstone strictly below the new rows' epoch: kills every prior
     // generation, never the rows this batch appends; re-appending the

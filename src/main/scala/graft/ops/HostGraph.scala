@@ -51,10 +51,7 @@ object HostGraph {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    val edges = edges0
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    val edges = prepEdges(edges0, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = edges.select(col("src").as("node"))
@@ -70,17 +67,7 @@ object HostGraph {
       var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
         .localCheckpoint(true)
       for (_ <- 1 to iterations) {
-        val inMass = edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outdeg, "src")
-          .select(col("dst").as("node"),
-            expr(s"($dampingPct * rank_scaled) div (100 * deg)").as("contrib"))
-          .groupBy("node")
-          .agg(sum(col("contrib")).as("in_mass"))
-        val next = nodes
-          .join(inMass, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank_scaled"))
+        val next = iterationStep(edges, nodes, outdeg, ranks, base, dampingPct)
           .localCheckpoint(true)
         freeCkpt(ranks)
         ranks = next
@@ -91,5 +78,45 @@ object HostGraph {
       freeCkpt(outdeg)
       ranks
     } finally edges.unpersist()
+  }
+
+  /** Edge normalization for [[pageRank]]: cast, drop self-loops, dedup —
+    * then one explicit src repartition. distinct() alone leaves the edges
+    * hash-partitioned on (src, dst), which does NOT satisfy the
+    * per-iteration join's src distribution, so every round would
+    * re-exchange the full edge set; partitioned by src, the cached layout
+    * satisfies all `iterations` joins and per-round shuffle cost is
+    * rank-table-sized. Pinned in ExplainAudit (one-iteration plan has no
+    * edge-side Exchange).
+    */
+  private[graft] def prepEdges(
+      edges0: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+
+  /** One PageRank round (pre-checkpoint) — factored out so the plan shape
+    * of an iteration is auditable in isolation.
+    */
+  private[graft] def iterationStep(
+      edges: DataFrame,
+      nodes: DataFrame,
+      outdeg: DataFrame,
+      ranks: DataFrame,
+      base: Long,
+      dampingPct: Int): DataFrame = {
+    val inMass = edges
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(outdeg, "src")
+      .select(col("dst").as("node"),
+        expr(s"($dampingPct * rank_scaled) div (100 * deg)").as("contrib"))
+      .groupBy("node")
+      .agg(sum(col("contrib")).as("in_mass"))
+    nodes
+      .join(inMass, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank_scaled"))
   }
 }

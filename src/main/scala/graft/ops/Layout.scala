@@ -145,7 +145,9 @@ object Layout {
     * carry no order contract. No-op (returns current stats) when the
     * directory already meets the target. Not for partitioned layouts —
     * compact each partition directory separately, which is also what
-    * bounds the unit of work at 100 TB.
+    * bounds the unit of work at 100 TB. Refuses directories holding a
+    * `_tombstones/` merge-on-read sidecar (those compact via
+    * [[graft.index.VectorIndex.compact]], which resolves deletes first).
     */
   def compactFiles(
       spark: org.apache.spark.sql.SparkSession,
@@ -154,6 +156,14 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // A merge-on-read index keeps its deletes in a `_tombstones/` sidecar
+    // that spark.read.parquet hides: rewriting here would re-materialize
+    // every tombstoned row as live data and the delete below would drop
+    // the sidecar — resurrecting deleted docs. That layout compacts via
+    // VectorIndex.compact, which folds tombstones in.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_tombstones")),
+      s"compactFiles: $path has a _tombstones sidecar (merge-on-read " +
+        "index) — use VectorIndex.compact, which resolves deletes")
     val leafFiles = {
       val it = fs.listFiles(hPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
@@ -170,7 +180,11 @@ object Layout {
       return CompactStats(leafFiles.size, leafFiles.size, totalBytes)
     // same swap protocol as the MoR compaction: materialize first (the
     // rewrite's lineage reads the directory it replaces), then swap
-    val data = spark.read.parquet(path).coalesce(targetFiles)
+    // mergeSchema: a directory whose files straddle a schema addition
+    // (e.g. pre-epoch and epoch-stamped appends) must not silently drop
+    // the newer columns in the rewrite
+    val data = spark.read.option("mergeSchema", "true").parquet(path)
+      .coalesce(targetFiles)
       .localCheckpoint(true)
     data.write.mode("overwrite").parquet(s"$path.__compact")
     fs.delete(hPath, true)

@@ -63,36 +63,48 @@ object Sq {
       Array.tabulate(dims)(i => row.getDouble(2 * i + 1)))
   }
 
-  private def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
-
-  /** One-pass byte-code projection of the index: `(id, codes ARRAY<INT>)`. */
+  /** One-pass byte-code projection of the index: `(id, codes ARRAY<INT>)`.
+    *
+    * Unrolled to `dims` flat per-dimension columns (the measured
+    * hashed-minhash lesson, PERF.md: HOF loops run in the expression
+    * interpreter and re-traverse literal arrays per row; flat columns stay
+    * inside whole-stage codegen). Zero-range dimensions fold to `lit(0)`
+    * at PLAN time — the bounds are driver-known, so no per-row branch
+    * survives.
+    */
   def encode(
       index: DataFrame,
       model: SqModel,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val mn = litArr(model.mins)
-    val sc = litArr(model.scales)
-    val codes = transform(sequence(lit(1), lit(model.dims)), i =>
-      when(element_at(sc, i) === 0.0, lit(0)).otherwise(
-        least(greatest(round(
-          (element_at(col(vecCol), i).cast("double") - element_at(mn, i)) /
-            element_at(sc, i)).cast("int"), lit(0)), lit(255))))
-    index.select(col(idCol), codes.as("codes"))
+    val scales = model.scales
+    val codes = Array.tabulate(model.dims) { i =>
+      if (scales(i) == 0.0) lit(0)
+      else least(greatest(round(
+        (element_at(col(vecCol), i + 1).cast("double") - lit(model.mins(i))) /
+          lit(scales(i))).cast("int"), lit(0)), lit(255))
+    }
+    index.select(col(idCol), array(codes.toIndexedSeq: _*).as("codes"))
   }
 
   /** Squared ADC distance between a full-precision query vector column and
     * a code array column, reconstructing through `model`'s affine map.
+    *
+    * Flat codegen sum over `dims` unrolled `(q_i − v̂_i)²` terms — same
+    * left-to-right association as a sequential fold from 0.0, so the
+    * result is bit-identical to the interpreted HOF formulation it
+    * replaced, at codegen throughput (measured in PERF.md / ScaleSmoke).
     */
   def adcDist2(codes: Column, queryVec: Column, model: SqModel): Column = {
-    val mn = litArr(model.mins)
-    val sc = litArr(model.scales)
-    aggregate(sequence(lit(1), lit(model.dims)), lit(0.0), (acc, i) => {
-      val vhat = element_at(mn, i) +
-        element_at(codes, i).cast("double") * element_at(sc, i)
-      val diff = element_at(queryVec, i).cast("double") - vhat
-      acc + diff * diff
-    })
+    require(model.dims > 0, "adcDist2 needs at least one dimension")
+    val scales = model.scales
+    val terms = Array.tabulate(model.dims) { i =>
+      val vhat = lit(model.mins(i)) +
+        element_at(codes, i + 1).cast("double") * lit(scales(i))
+      val diff = element_at(queryVec, i + 1).cast("double") - vhat
+      diff * diff
+    }
+    terms.reduce(_ + _)
   }
 
   /** Batch top-k: ADC scan of the codes for every query (broadcast cross

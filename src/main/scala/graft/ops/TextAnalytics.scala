@@ -541,18 +541,27 @@ object TextAnalytics {
       scoreCol: String,
       keepFrac: Double,
       accuracy: Int = 10000): DataFrame = {
+    // Null-safe on both axes: a null SOURCE is its own calibrated group
+    // (matched with isNull, since `===` never matches null), and a group
+    // whose scores are all null yields a null percentile — those groups
+    // get no cut, and the explicit keep policy is: no cut, or a null
+    // score, means keep = false (a row that cannot be ranked within its
+    // source is not silently admitted).
     val cuts = df
       .groupBy(col(sourceCol))
       .agg(percentile_approx(
         col(scoreCol), lit(1.0 - keepFrac), lit(accuracy)).as("cut"))
       .collect()
-      .map(r => r.get(0) -> r.getDouble(1))
-      .toMap
-    val cutCol = cuts.foldLeft(lit(Double.NegativeInfinity)) {
-      case (acc, (src, cut)) =>
-        when(col(sourceCol) === lit(src), lit(cut)).otherwise(acc)
+      .map(r => r.get(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val cutCol = cuts.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, Some(cut))) =>
+        val matches =
+          if (src == null) col(sourceCol).isNull
+          else col(sourceCol) === lit(src)
+        when(matches, lit(cut)).otherwise(acc)
+      case (acc, (_, None)) => acc
     }
     df.withColumn("cut", cutCol)
-      .withColumn("keep", col(scoreCol) >= col("cut"))
+      .withColumn("keep", coalesce(col(scoreCol) >= col("cut"), lit(false)))
   }
 }

@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 keyword retrieval over an inverted-index table, plus
@@ -15,7 +14,8 @@ import org.apache.spark.sql.functions._
   *
   *   - The index is a TABLE (`postings(doc_id, term, tf, dl)` +
   *     `terms(term, df)`), not a service: built with two keyed shuffles,
-  *     persisted as Parquet, incrementally appendable — the same
+  *     persisted as term-bucketed Parquet ([[writeIndex]]/[[loadIndex]]),
+  *     incrementally appendable ([[appendIndex]]) — the same
   *     "index is a DataFrame" stance as [[graft.index.VectorIndex]].
   *   - Scoring a query batch touches ONLY postings holding the queries'
   *     terms: the per-term stats for the batch are collected onto the
@@ -41,31 +41,43 @@ object Bm25 {
   def tokensCol(text: Column): Column =
     filter(split(lower(coalesce(text, lit(""))), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Inverted index at rest.
+  /** Inverted index.
     *
     * @param postings one row per (doc_id, term): raw term frequency `tf`
     *                 and the document length `dl` denormalized onto every
     *                 row (the "norms" a Lucene segment stores per doc) so
-    *                 scoring needs no join back to a corpus-sized table
+    *                 scoring needs no join back to a corpus-sized table.
+    *                 A loaded at-rest index additionally carries the
+    *                 `bucket` partition column.
     * @param terms    one row per distinct term with its document frequency
     * @param nDocs    corpus document count (scalar)
     * @param avgDl    mean document length in tokens (scalar)
+    * @param termBuckets when the index came from disk ([[loadIndex]]): the
+    *                 term-bucket fan-out of the postings layout — probes
+    *                 then join on (bucket, term) so partition pruning can
+    *                 restrict the scan to the query terms' buckets
     */
-  final case class Index(postings: DataFrame, terms: DataFrame, nDocs: Long, avgDl: Double)
+  final case class Index(
+      postings: DataFrame,
+      terms: DataFrame,
+      nDocs: Long,
+      avgDl: Double,
+      termBuckets: Option[Int] = None)
 
-  /** Build the inverted index: two keyed shuffles (docs×terms → tf, then
-    * term → df) plus one scalar aggregate for (N, avgdl). The `dl` window
-    * runs inside the doc_id shuffle the tf aggregate already did — Spark
-    * plans tf-groupBy and the doc-partitioned window off one Exchange when
-    * the window key is a prefix of the grouping key.
+  /** Build the inverted index: ONE postings-sized keyed shuffle. `dl` is
+    * computed on the un-exploded doc row (`size(tokens)`) and carried
+    * through the explode, so the tf aggregate — grouping on
+    * (doc_id, term, dl), where dl is functionally dependent on doc_id —
+    * is the only exchange the postings need; the doc-partitioned window
+    * this used to run (whose ClusteredDistribution(doc_id) a
+    * HashPartitioning(doc_id, term) does NOT satisfy, costing a second
+    * postings-sized Exchange) is gone. Plan shape pinned in ExplainAudit
+    * (`b1`: no Window in the build) and Bm25Spec.
+    * The term → df aggregate and the scalar (N, avgdl) aggregate read the
+    * postings subtree, term-keyed — second keyed shuffle.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val toks = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      explode(tokensCol(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val postings = tf.withColumn(
-      "dl", sum("tf").over(Window.partitionBy("doc_id")).cast("long"))
+    val postings = rawPostings(docs, idCol, textCol)
     val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // exactly two scalars cross the driver — bounded by construction
     val stats = postings
@@ -74,6 +86,185 @@ object Bm25 {
     val n = stats.getLong(0)
     Index(postings, terms, n, if (n == 0) 0.0 else stats.getLong(1).toDouble / n)
   }
+
+  /** The postings computation shared by [[buildIndex]] (in-memory),
+    * [[writeIndex]], and [[appendIndex]] — see [[buildIndex]] for the
+    * single-exchange shape.
+    */
+  private def rawPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        tokensCol(col(textCol)).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf", "dl")
+
+  // ------------------------------------------------------------- at rest
+
+  /** Term-bucket assignment — the partition key of the at-rest postings
+    * layout. Hash-derived (xxhash64 mod nb), so it needs no vocabulary
+    * coordination and an append lands its postings in the same buckets as
+    * the original build.
+    */
+  private def bucketCol(term: Column, nb: Int): Column =
+    pmod(xxhash64(term), lit(nb.toLong)).cast("int")
+
+  /** Driver-side bucket ids for literal query terms (evaluated through the
+    * SAME Catalyst expression as [[bucketCol]], so they cannot drift from
+    * the written layout).
+    */
+  def bucketsFor(spark: org.apache.spark.sql.SparkSession,
+      terms: Seq[String], nb: Int): Seq[Int] = {
+    import spark.implicits._
+    if (terms.isEmpty) Seq.empty
+    else terms.toDF("term").select(bucketCol(col("term"), nb).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Driver-side mirror of [[tokensCol]]'s token law (lowercase,
+    * `[^a-z0-9]+` split) for literal query strings — the token alphabet is
+    * ASCII, where JVM and Catalyst lowercasing agree.
+    */
+  def tokenize(text: String): Seq[String] =
+    Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** Persist the index under `path` as four Parquet tables — the same
+    * "index is a table" stance as [[graft.index.VectorIndex]]:
+    *
+    *   - `postings/` partitioned by `bucket` = hash(term) mod
+    *     `termBuckets`, so a probe for a known term set is STATIC
+    *     partition pruning over the touched bucket directories;
+    *   - `terms/` append-only (term, df) segments, re-aggregated on load
+    *     (vocabulary-sized, far below postings);
+    *   - `docs/` one (doc_id, dl) row per indexed doc — the append path's
+    *     idempotency ledger;
+    *   - `stats/` one (n_docs, tot_dl) row per write/append segment, so
+    *     load derives (N, avgdl) from segment-count-sized data instead of
+    *     re-aggregating the corpus.
+    *
+    * Build once, probe forever: the 5M-doc tier in PERF.md measures the
+    * build dominating end-to-end latency while probes take seconds — this
+    * is the amortization boundary.
+    */
+  def writeIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Index = {
+    require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one tokenize+aggregate pass feeds all four tables — persist, or
+    // every write below re-runs the corpus build (the double-eval trap)
+    val bucketed = rawPostings(docs, idCol, textCol)
+      .withColumn("bucket", bucketCol(col("term"), termBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = bucketed
+        .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
+        .head()
+      val n = stats.getLong(0)
+      bucketed.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      bucketed.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/terms")
+      bucketed.select("doc_id", "dl").distinct()
+        .write.mode("overwrite").parquet(s"$path/docs")
+      Seq((n, if (n == 0) 0L else stats.getLong(1)))
+        .toDF("n_docs", "tot_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      Seq(termBuckets).toDF("term_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally bucketed.unpersist()
+    loadIndex(spark, path)
+  }
+
+  /** Load a persisted index. Postings stream straight off the bucketed
+    * layout (no shuffle); terms re-aggregate their segments; (N, avgdl)
+    * come from the segment stats — nothing corpus-sized is read until a
+    * probe touches its buckets.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val nb = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val postings = spark.read.parquet(s"$path/postings")
+    val terms = spark.read.parquet(s"$path/terms")
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").cast("long"), sum("tot_dl").cast("long")).head
+    val n = st.getLong(0)
+    Index(postings, terms, n,
+      if (n == 0) 0.0 else st.getLong(1).toDouble / n, Some(nb))
+  }
+
+  /** Incrementally add `newDocs` to a persisted index — appends only, no
+    * rewrite of existing postings (a doc's tf/dl rows are self-contained,
+    * so new docs never touch old files; global stats re-derive at load
+    * from the per-segment ledgers).
+    *
+    * Idempotent at DOC granularity: ids already in `docs/` are dropped
+    * (keep-first, the [[graft.index.VectorIndex.append]] contract), so
+    * re-shipping an overlapping delta cannot double-count tf or df. The
+    * ledger scan is doc-count-sized, never postings-sized.
+    *
+    * Returns the number of newly indexed docs.
+    */
+  def appendIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String): Long = {
+    val nb = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val existing = spark.read.parquet(s"$path/docs").select("doc_id")
+    val fresh = newDocs
+      .withColumn("doc_id", col(idCol).cast("long"))
+      .join(existing, Seq("doc_id"), "left_anti")
+    // materialize ONCE before any write: the delta's lineage reads the
+    // docs/ ledger this append is about to extend (same swap discipline
+    // as VectorIndex.append), and the four writes below must not each
+    // re-run the tokenize+aggregate build
+    val postings = rawPostings(fresh, "doc_id", textCol)
+      .withColumn("bucket", bucketCol(col("term"), nb))
+      .localCheckpoint(true)
+    val stats = postings
+      .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
+      .head()
+    val n = stats.getLong(0)
+    if (n == 0) return 0L
+    postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$path/terms")
+    postings.select("doc_id", "dl").distinct()
+      .write.mode("append").parquet(s"$path/docs")
+    import spark.implicits._
+    Seq((n, stats.getLong(1)))
+      .toDF("n_docs", "tot_dl")
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    n
+  }
+
+  /** Restrict a loaded index to the buckets holding `queryTerms` — a
+    * static partition-pruning filter on the postings scan (the plan's
+    * `PartitionFilters: [bucket IN (...)]`), so a probe reads ONLY the
+    * query terms' bucket directories. No-op on an in-memory index.
+    */
+  def restrictToTerms(index: Index, queryTerms: Seq[String]): Index =
+    index.termBuckets match {
+      case Some(nb) =>
+        val bs = bucketsFor(index.postings.sparkSession, queryTerms, nb)
+        index.copy(postings =
+          if (bs.isEmpty) index.postings.where(lit(false))
+          else index.postings.where(col("bucket").isin(bs.map(x => x: Any): _*)))
+      case None => index
+    }
 
   /** BM25 top-k for a query TABLE in one pass over the (term-pruned)
     * postings. `queries(query_id, query_text)`; returns
@@ -119,8 +310,17 @@ object Bm25 {
     val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(index.avgDl)))
-    val partials = index.postings
-      .join(broadcast(qIdf), Seq("term"))
+    // bucketed (at-rest) postings join on (bucket, term) — the partition
+    // column in the join key lets dynamic partition pruning skip bucket
+    // directories even when the caller didn't restrictToTerms first
+    val pruned = index.termBuckets match {
+      case Some(nb) =>
+        index.postings.join(
+          broadcast(qIdf.withColumn("bucket", bucketCol(col("term"), nb))),
+          Seq("bucket", "term"))
+      case None => index.postings.join(broadcast(qIdf), Seq("term"))
+    }
+    val partials = pruned
       .select(
         col("query_id"), col("doc_id"),
         round(col("idf_scaled").cast("double") * tfNorm).cast("long").as("part"))

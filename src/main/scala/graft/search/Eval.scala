@@ -47,11 +47,23 @@ object Eval {
       queryIdCol: String = "query_id",
       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // The contract accepts ANY caller hit list / truth table, so enforce
+    // (query_id, id) uniqueness here rather than assuming it: a duplicated
+    // hit or truth row would double-count gains and hits_rel (DCG > IDCG,
+    // recall > 1). Hits keep their best (min) rank; truth keeps its max
+    // grade — both deterministic aggregates, not dropDuplicates' arbitrary
+    // row pick. Well-formed inputs pass through value-identical.
+    val hitsU = hits
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(min(col("rank")).as("rank"))
+    val truth0 = truth
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col("rel")).as("rel"))
     val gain = round(lit(1e9) * col("rel").cast("double") /
       log(col("rank").cast("double") + 1.0)).cast("long")
-    val hitAgg = hits
+    val hitAgg = hitsU
       .where(col("rank") <= k)
-      .join(truth, Seq(queryIdCol, idCol), "left")
+      .join(truth0, Seq(queryIdCol, idCol), "left")
       .na.fill(0L, Seq("rel"))
       .groupBy(col(queryIdCol))
       .agg(
@@ -62,13 +74,13 @@ object Eval {
     // same discount law on ranks 1..k gives the per-query ceiling
     val idealW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("rel").desc, col(idCol))
-    val idealAgg = truth
+    val idealAgg = truth0
       .where(col("rel") > 0)
       .withColumn("rank", row_number().over(idealW))
       .where(col("rank") <= k)
       .groupBy(col(queryIdCol))
       .agg(sum(gain).as("idcg_scaled"), count(lit(1)).as("ideal_k"))
-    val truthAgg = truth
+    val truthAgg = truth0
       .where(col("rel") > 0)
       .groupBy(col(queryIdCol))
       .agg(count(lit(1)).as("truth_total"))

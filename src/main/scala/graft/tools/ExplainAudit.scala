@@ -154,6 +154,16 @@ object ExplainAudit {
       "no cartesian in the term-pruned probe" ->
         (p => !p.contains("CartesianProduct")),
       "per-query top-k is a partial heap aggregate" ->
+        (p => p.contains("partial_topk_by_dist")),
+      "index build: dl from size(tokens), no doc-partitioned window" ->
+        (p => !p.contains("Window [")))
+    audit("b5_bm25_at_rest")(
+      "postings scan statically pruned to the query terms' buckets" ->
+        (p => p.linesIterator.exists(l =>
+          l.contains("PartitionFilters:") && l.contains("bucket#"))),
+      "probe joins broadcast, never corpus-shuffled" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
+      "per-query top-k is a partial heap aggregate" ->
         (p => p.contains("partial_topk_by_dist")))
     audit("b4_bm25_prf")(
       "both scoring passes broadcast the term tables" ->
@@ -180,6 +190,66 @@ object ExplainAudit {
     audit("x25_score_calibration")(
       "one exchange for the per-source window, nothing else" ->
         (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1))
+
+    // PageRank iteration shape: the cached edge table (pre-partitioned by
+    // src) must NOT re-exchange inside an iteration — the only shuffles
+    // are rank-table-sized. Audited on one iterationStep with broadcast
+    // joins and AQE off, so the plan is the scale (sort-merge) shape and a
+    // plain (non-adaptive) tree we can walk: any ShuffleExchange with the
+    // edge cache (the plan's only InMemoryTableScan) below it means the
+    // full edge set moves every round.
+    {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val edges = graft.ops.HostGraph.prepEdges(
+          docs.selectExpr("doc_id % 37 AS src", "(doc_id * 7 + 3) % 37 AS dst"),
+          "src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node")))
+          .distinct().localCheckpoint(true)
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val n = nodes.count()
+        val ranks0 = nodes.withColumn("rank_scaled", lit(1000000000000L / n))
+          .localCheckpoint(true)
+        val step = graft.ops.HostGraph.iterationStep(
+          edges, nodes, outdeg, ranks0, base = 1L, dampingPct = 85)
+        val plan = step.queryExecution.executedPlan
+        // An Exchange re-shuffles the EDGES only if the cache scan sits
+        // below it through narrow (1-child, non-aggregate) operators —
+        // an Exchange above a join or aggregate moves derived rank-sized
+        // rows, which is the intended per-iteration cost.
+        def narrowPathToCache(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p match {
+            case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              true
+            case x if x.children.length != 1 => false
+            case x if x.getClass.getSimpleName.contains("Aggregate") => false
+            case x => narrowPathToCache(x.children.head)
+          }
+        val edgeReshuffles = plan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if narrowPathToCache(s.child) => s
+        }
+        if (edgeReshuffles.nonEmpty) {
+          failed += 1
+          println("FAIL p17_iteration_shape: cached edges re-exchange per iteration")
+          println(plan.toString.linesIterator.take(60).mkString("\n"))
+        } else println(
+          "PASS p17_iteration_shape: edge cache feeds the join without re-exchange")
+        edges.unpersist()
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
 
     // Section-partitioned index: a filtered search must prune partitions
     // at the scan, not read-then-filter.

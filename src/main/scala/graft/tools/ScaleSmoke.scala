@@ -147,6 +147,36 @@ object ScaleSmoke {
       time("bm25_batch", rows) { out.count() }
     }
 
+    // 6b. BM25 at rest: persist the 5M-doc index term-bucketed, probe it
+    // FROM DISK with the scan restricted to the query terms' buckets —
+    // the amortization boundary writeIndex exists for (build once, probe
+    // forever; compare bm25_write_index vs bm25_at_rest_probe)
+    locally {
+      val rows = n(5000000L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scale_bm25").toString + "/idx"
+      time("bm25_write_index", rows) {
+        graft.search.Bm25.writeIndex(
+          synthDocs(rows, 25), "doc_id", "text", path, termBuckets = 64)
+        rows
+      }
+      val idx = graft.search.Bm25.loadIndex(spark, path)
+      val queries = spark.range(64).select(
+        col("id").as("query_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(4)),
+            i => concat(lit("w"), pmod(xxhash64(col("id") * 37 + 5, i),
+              lit(1000000))))).as("query_text"))
+      val qTerms = queries.collect()
+        .flatMap(r => graft.search.Bm25.tokenize(r.getString(1))).toSeq.distinct
+      val restricted = graft.search.Bm25.restrictToTerms(idx, qTerms)
+      val out = graft.search.Bm25.topKBatch(queries, restricted, k = 10)
+      assertBucketed(out, "bm25_at_rest_probe")
+      time("bm25_at_rest_probe", rows) { out.count() }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path).getParentFile)
+    }
+
     // 7. banded kNN join: top-5 neighbors for EVERY row of a 1M x 32-d
     // index with ~15-member natural clusters — the all-rows shape (a10's
     // scale path). Candidate volume for a kNN join is tables x N x
@@ -165,6 +195,79 @@ object ScaleSmoke {
         nTables = 4, nProjs = 3, width = 0.12, maxBucketSize = 100000)
       assertBucketed(out, "knn_join_rp")
       time("knn_join_rp", rows) { out.count() }
+    }
+
+    // 8. SQ8 at 1M x 32-d: end-to-end batch (encode + ADC scan + exact
+    // re-rank), then an A/B of the ADC expression itself — flat codegen
+    // columns (current) vs the interpreted-HOF formulation it replaced —
+    // on the same persisted codes. The two sums must agree BITWISE (same
+    // fold association), so the A/B also proves the rewrite is
+    // value-invisible at scale.
+    locally {
+      val rows = n(1000000L)
+      val index = clusteredVecs(rows, 32, 31337, "vec_id", "embedding")
+      val queries = clusteredVecs(64, 32, 424242, "query_id", "query_vec")
+      val out = graft.ops.Sq.sqTopKBatch(queries, index, k = 10, rerank = 32)
+      assertBucketed(out, "sq8_batch")
+      time("sq8_batch", rows) {
+        val c = out.count(); assert(c == 64 * 10, s"expected 640 hits, got $c"); c
+      }
+
+      val model = graft.ops.Sq.fitBounds(index, "embedding")
+      val codes = graft.ops.Sq.encode(index, model, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val scored = codes.crossJoin(
+        broadcast(queries.select(col("query_id"), col("query_vec"))))
+      // the pre-round-6 interpreted shape, reconstructed for measurement
+      def hofAdc(cs: org.apache.spark.sql.Column,
+          qv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val mn = array(model.mins.map(lit).toIndexedSeq: _*)
+        val sc = array(model.scales.map(lit).toIndexedSeq: _*)
+        aggregate(sequence(lit(1), lit(model.dims)), lit(0.0), (acc, i) => {
+          val vhat = element_at(mn, i) +
+            element_at(cs, i).cast("double") * element_at(sc, i)
+          val diff = element_at(qv, i).cast("double") - vhat
+          acc + diff * diff
+        })
+      }
+      var flatSum = 0.0
+      var hofSum = 0.0
+      time("sq8_adc_flat_codegen", rows * 64) {
+        flatSum = scored.select(sum(
+          graft.ops.Sq.adcDist2(col("codes"), col("query_vec"), model)))
+          .head.getDouble(0)
+        rows * 64
+      }
+      time("sq8_adc_interpreted_hof", rows * 64) {
+        hofSum = scored.select(sum(hofAdc(col("codes"), col("query_vec"))))
+          .head.getDouble(0)
+        rows * 64
+      }
+      assert(flatSum == hofSum,
+        s"flat-codegen ADC must be bit-identical to the HOF fold: $flatSum vs $hofSum")
+      codes.unpersist()
+    }
+
+    // 9. host-graph PageRank: ~10M-edge graph over 1M nodes, 10 integer-
+    // grid rounds. 10% of edges point at node 0 (the planted hub), which
+    // must finish with the top rank. With edges pre-partitioned by src
+    // (prepEdges), per-round shuffle volume is rank-table-sized — the
+    // ExplainAudit p17_iteration_shape pin, here timed at scale.
+    locally {
+      val edgeRows = n(10000000L)
+      val nodeCount = math.max(1000L, edgeRows / 10)
+      val e = spark.range(edgeRows).select(
+        pmod(col("id"), lit(nodeCount)).as("src"),
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(nodeCount))).as("dst"))
+      time("pagerank_10_rounds", edgeRows) {
+        val ranks = graft.ops.HostGraph.pageRank(e, iterations = 10)
+        val top = ranks.orderBy(col("rank_scaled").desc).head
+        assert(top.getLong(0) == 0L,
+          s"planted hub (node 0) must rank first, got $top")
+        ranks.count()
+      }
     }
 
     spark.stop()

@@ -166,6 +166,88 @@ class VectorIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert with an empty revision still replaces the prior generation") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_emptyrev").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    VectorIndex.append(spark, d, path, embedder)
+    // the new revision chunks to ZERO rows — the upsert contract is
+    // "arriving doc REPLACES its prior revision", so the old rows must
+    // still be tombstoned even though nothing is appended
+    val rev = Seq((1L, "   ")).toDF("doc_id", "text")
+    val n = VectorIndex.upsertDocs(spark, rev, path, embedder, epoch = 7)
+    assert(n == 0, s"whitespace revision must append nothing, got $n")
+    val active = VectorIndex.loadActive(spark, path)
+    assert(active.where(col("doc_id") === 1L).count() == 0,
+      "empty revision must still kill the prior generation")
+    assert(active.where(col("doc_id") =!= 1L).count() > 0,
+      "other docs must be untouched")
+  }
+
+  test("compact interleaved with upserts preserves epoch fencing") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_ccompact").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    VectorIndex.append(spark, d, path, embedder)
+    val rev5 = Seq((1L, "SECTION BETA\n\nrevision five body for document one"))
+      .toDF("doc_id", "text")
+    VectorIndex.upsertDocs(spark, rev5, path, embedder, epoch = 5)
+    val activeBefore = VectorIndex.loadActive(spark, path)
+      .select("chunk_id").collect().map(_.getLong(0)).toSet
+    VectorIndex.compact(spark, path)
+    // 1. compaction preserves the epoch column: a REPLAY of the epoch-5
+    // batch after an interleaved compaction must still be a no-op (if
+    // compact dropped epochs, the same-epoch anti-join would find
+    // nothing and the replay would double every row)
+    assert(VectorIndex.upsertDocs(spark, rev5, path, embedder, epoch = 5) == 0,
+      "epoch-5 replay after compaction must not re-append")
+    assert(VectorIndex.loadActive(spark, path)
+      .select("chunk_id").collect().map(_.getLong(0)).toSet == activeBefore)
+    // 2. later epochs still fence correctly across the compaction
+    val rev6 = Seq((1L, "SECTION BETA\n\nrevision six entirely new body"))
+      .toDF("doc_id", "text")
+    assert(VectorIndex.upsertDocs(spark, rev6, path, embedder, epoch = 6) > 0)
+    val texts = VectorIndex.loadActive(spark, path)
+      .where(col("doc_id") === 1L).select("text")
+      .collect().map(_.getString(0))
+    assert(texts.nonEmpty && texts.forall(_.contains("revision six")),
+      s"post-compact upsert must replace, got ${texts.toSeq}")
+  }
+
+  test("crash-simulated partial batch + compact + replay converges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_crash").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    VectorIndex.append(spark, d, path, embedder)
+    // simulate a batch that crashed mid-write: the tombstone landed and
+    // PART of the delta (one chunk row) was appended before the failure
+    val rev = Seq((2L, "SECTION ALPHA\n\nrevision body long enough to chunk"))
+      .toDF("doc_id", "text")
+    val fullDelta = VectorIndex.buildWith(rev, embedder)
+      .withColumn("epoch", lit(9L))
+    VectorIndex.deleteDocs(spark, Seq(2L), path, epoch = 8)
+    fullDelta.limit(1).write.mode("append").partitionBy("section").parquet(path)
+    // an out-of-band compaction folds the partial state in
+    VectorIndex.compact(spark, path)
+    // the streaming engine replays the batch at the SAME epoch: the
+    // surviving partial rows are dropped by the same-epoch anti-join and
+    // only the missing remainder appends — the active view converges to
+    // exactly one full revision, no duplicates
+    VectorIndex.upsertDocs(spark, rev, path, embedder, epoch = 9)
+    val active = VectorIndex.loadActive(spark, path).where(col("doc_id") === 2L)
+    val expected = VectorIndex.buildWith(rev, embedder)
+      .select("chunk_id").collect().map(_.getLong(0)).toSet
+    assert(active.select("chunk_id").collect().map(_.getLong(0)).toSet
+      == expected, "replay after crash+compact must converge to the revision")
+    assert(active.count() == expected.size, "no duplicate chunk rows")
+  }
+
   test("resolveActive epoch law: tombstone kills <= epoch, revives above") {
     import org.apache.spark.sql.functions.{col, lit}
     val data = Seq(

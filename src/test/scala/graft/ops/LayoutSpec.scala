@@ -121,4 +121,38 @@ class LayoutSpec extends SparkSpec {
     val again = Layout.compactFiles(spark, path, targetBytes = Long.MaxValue)
     assert(again.filesBefore == 1 && again.filesAfter == 1)
   }
+
+  test("compactFiles refuses a merge-on-read index (tombstone sidecar)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_mor").toString
+    val path = s"$dir/idx"
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).toDF("id").coalesce(1)
+        .write.mode("append").parquet(path)
+    }
+    // a deletion lands in the sidecar; compactFiles would hide it from the
+    // rewrite and delete it with the directory — resurrecting the doc
+    spark.range(1).selectExpr("5 AS doc_id", "1 AS tomb_epoch")
+      .coalesce(1).write.parquet(s"$path/_tombstones")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, path, targetBytes = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("_tombstones"))
+    // the refused directory is untouched: data AND sidecar intact
+    assert(spark.read.parquet(path).count() == 30)
+    assert(spark.read.parquet(s"$path/_tombstones").count() == 1)
+  }
+
+  test("compactFiles mergeSchema: mixed-schema appends keep late columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ms").toString
+    val path = s"$dir/t"
+    spark.range(5).toDF("id").coalesce(1).write.mode("append").parquet(path)
+    spark.range(5, 10).toDF("id").selectExpr("id", "id * 2 AS epoch")
+      .coalesce(1).write.mode("append").parquet(path)
+    Layout.compactFiles(spark, path, targetBytes = Long.MaxValue)
+    val back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(back.columns.toSet == Set("id", "epoch"),
+      s"epoch column must survive compaction, got ${back.columns.toSeq}")
+    assert(back.where(col("epoch").isNotNull).count() == 5)
+    assert(back.count() == 10)
+  }
 }

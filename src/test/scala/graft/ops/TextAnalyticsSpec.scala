@@ -281,6 +281,32 @@ class TextAnalyticsSpec extends SparkSpec {
       s"at most the cut element itself may be extra, got $extraPerSource")
   }
 
+  test("calibrateScoresApprox: null sources and all-null score groups") {
+    val df = Seq[(Long, Option[String], Option[Double])](
+      (0L, Some("a"), Some(0.9)), (1L, Some("a"), Some(0.5)),
+      (2L, Some("a"), Some(0.1)),
+      (3L, None, Some(0.8)), (7L, None, Some(0.4)), // null source = own group
+      (8L, None, Some(0.2)),
+      (4L, Some("z"), None), (5L, Some("z"), None), // all-null scores: no cut
+      (6L, Some("a"), None) //                         null score in a scored group
+    ).toDF("doc_id", "source", "score")
+    val out = TextAnalytics
+      .calibrateScoresApprox(df, "source", "score", keepFrac = 0.4)
+    val kept = out.where(col("keep")).select("doc_id").as[Long].collect().toSet
+    // the null-source group is calibrated like any other source; rows
+    // that cannot be ranked (null score, or a group with no cut) are
+    // explicitly dropped, never crash and never fall through to keep.
+    // Boundary elements follow the documented "± the cut element" law, so
+    // only the clear top/bottom of each group is pinned here.
+    assert(kept.contains(0L) && !kept.contains(2L))
+    assert(kept.contains(3L), "null-source group must keep its top")
+    assert(!kept.contains(8L), "null-source group must drop its bottom")
+    assert(!kept.contains(4L) && !kept.contains(5L),
+      "an all-null-score source has no cut: keep = false")
+    assert(!kept.contains(6L), "a null score cannot pass any cut")
+    assert(out.count() == 9, "no rows lost")
+  }
+
   test("calibrateScoresApprox scoring stage adds no shuffle") {
     val cal = TextAnalytics.calibrateScoresApprox(
       calibCorpus.repartition(3), "source", "score", keepFrac = 0.4)

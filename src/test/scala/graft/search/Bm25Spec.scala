@@ -132,6 +132,87 @@ class Bm25Spec extends SparkSpec {
     assert(top == 0L)
   }
 
+  test("at rest: write/load round-trip is value-invisible") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_rt").toString + "/idx"
+    val mem = Bm25.buildIndex(corpus, "doc_id", "text")
+    val disk = Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    assert(disk.nDocs == mem.nDocs)
+    assert(disk.avgDl == mem.avgDl)
+    assert(disk.termBuckets.contains(4))
+    val pMem = mem.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val pDisk = disk.postings.select("doc_id", "term", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pDisk == pMem)
+    val tMem = mem.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val tDisk = disk.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tDisk == tMem)
+    // probing the loaded index scores identically to the in-memory one
+    val qs = Seq((0L, "apple cherry")).toDF("query_id", "query_text")
+    val a = Bm25.topKBatch(qs, mem, 10).orderBy("rank").collect().toSeq
+    val b = Bm25.topKBatch(qs, Bm25.loadIndex(spark, path), 10)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("at rest: append merges stats/df exactly and is doc-idempotent") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_app").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val delta = Seq(
+      (2L, "overlapping doc must be ignored"),
+      (4L, "fig apple grape"),
+      (5L, "grape grape banana")).toDF("doc_id", "text")
+    assert(Bm25.appendIndex(spark, delta, path, "doc_id", "text") == 2L,
+      "only the two new docs may be indexed")
+    // re-shipping the same delta is a no-op at doc granularity
+    assert(Bm25.appendIndex(spark, delta, path, "doc_id", "text") == 0L)
+    val appended = Bm25.loadIndex(spark, path)
+    // ground truth: a fresh build over the union corpus
+    val full = Bm25.buildIndex(
+      corpus.union(Seq((4L, "fig apple grape"), (5L, "grape grape banana"))
+        .toDF("doc_id", "text")), "doc_id", "text")
+    assert(appended.nDocs == full.nDocs)
+    assert(appended.avgDl == full.avgDl)
+    assert(appended.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == full.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    val qs = Seq((0L, "apple grape")).toDF("query_id", "query_text")
+    assert(Bm25.topKBatch(qs, appended, 10).orderBy("rank").collect().toSeq
+      == Bm25.topKBatch(qs, full, 10).orderBy("rank").collect().toSeq,
+      "scores after append must equal a from-scratch build")
+  }
+
+  test("at rest: probe restricted to query terms prunes bucket partitions") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_prune").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 8)
+    val idx = Bm25.loadIndex(spark, path)
+    val qs = Seq((0L, "apple cherry")).toDF("query_id", "query_text")
+    val restricted = Bm25.restrictToTerms(idx, Bm25.tokenize("apple cherry"))
+    val probe = Bm25.topKBatch(qs, restricted, 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters:") && l.contains("bucket#")),
+      s"postings scan must carry a bucket partition filter:\n$plan")
+    // pruning must be value-invisible
+    assert(probe.orderBy("rank").collect().toSeq
+      == Bm25.topKBatch(qs, idx, 10).orderBy("rank").collect().toSeq)
+    // and restricting to an unindexed vocabulary yields no rows
+    val none = Bm25.restrictToTerms(idx, Seq("zucchini"))
+    assert(Bm25.topKBatch(
+      Seq((0L, "zucchini")).toDF("query_id", "query_text"), none, 5).count() == 0)
+  }
+
+  test("index build plan: no window stage, one postings exchange") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val plan = idx.postings.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["),
+      s"dl must come from size(tokens), not a doc-partitioned window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"postings must need exactly one keyed exchange:\n$plan")
+  }
+
   test("rrfFuse single-list fusion preserves the input order") {
     val l = Seq((5L, 1L, 1), (5L, 2L, 2), (5L, 3L, 3))
       .toDF("query_id", "doc_id", "rank")

@@ -66,4 +66,29 @@ class EvalSpec extends SparkSpec {
     val r = row(Eval.evaluate(hits, truth, k = 5), 0L)
     assert(r.getAs[Long]("hits_rel") == 0, "rank-7 hit must not count at k=5")
   }
+
+  test("duplicated hit/truth rows cannot inflate metrics past 1") {
+    // the same doc listed twice in the hits (ranks 1 and 3) and its truth
+    // row duplicated: without (query_id, id) dedup this double-counts
+    // gains (dcg > idcg -> ndcg > 1) and hits_rel (recall > 1)
+    val hits = Seq((0L, 10L, 1), (0L, 10L, 3), (0L, 11L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val truth = Seq((0L, 10L, 1L), (0L, 10L, 1L), (0L, 11L, 1L))
+      .toDF("query_id", "vec_id", "rel")
+    val r = row(Eval.evaluate(hits, truth, k = 5), 0L)
+    assert(r.getAs[Long]("truth_total") == 2, "truth dedups to 2 docs")
+    assert(r.getAs[Long]("hits_rel") == 2, "doc 10 counts once")
+    assert(r.getAs[Double]("recall") == 1.0)
+    // doc 10 keeps its BEST rank (1), so the dedup is also deterministic
+    assert(r.getAs[Long]("dcg_scaled") == gain(1) + gain(2))
+    assert(r.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("conflicting duplicate truth grades resolve to the max rel") {
+    val hits = Seq((0L, 10L, 1)).toDF("query_id", "vec_id", "rank")
+    val truth = Seq((0L, 10L, 0L), (0L, 10L, 2L)).toDF("query_id", "vec_id", "rel")
+    val r = row(Eval.evaluate(hits, truth, k = 5), 0L)
+    assert(r.getAs[Long]("hits_rel") == 1, "rel 2 wins over the rel-0 duplicate")
+    assert(r.getAs[Double]("ndcg") == 1.0)
+  }
 }
