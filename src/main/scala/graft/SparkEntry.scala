@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.{ImageIoDecoder, Multimodal, SyntheticImages}
-import graft.ops.{Ann, Dedup, Layout, Pq, Relational, Skew, Sq, StreamingOps, TextAnalytics}
+import graft.ops.{Ann, Dedup, Hnsw, Layout, Pq, Relational, Skew, Sq, StreamingOps, TextAnalytics}
 import graft.search.Knn
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
@@ -1412,6 +1412,46 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a12_hnsw_topk") { (s, dir) =>
+      // sharded HNSW (Malkov-Yashunin graph walk — the index Chroma keeps
+      // under app.py:130's similarity_search): 4 independent shard graphs
+      // built in one task each, probed with the broadcast query batch,
+      // merged by the k-heap. Like a9 this is DuckDB-brute-force-oracled,
+      // not pinned: with efSearch=200 ≥ any shard's population (~125 of
+      // 500 vectors) the layer-0 beam cannot terminate before exhausting
+      // the reachable component, and HnswSpec pins recall=1.0 on this
+      // fixture — so the merged output IS the exact top-5
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Hnsw.hnswTopKBatch(qs, emb, 5,
+        Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
+    reg("a13_hnsw_at_rest") { (s, dir) =>
+      // the at-rest half of a12 (the Lucene/FAISS segment law): write the
+      // first 400 vectors as 4 shard segments, APPEND the remaining 100 as
+      // 4 new segments (no graph mutation), then probe — the segment union
+      // must still return the exact global top-5, so the same brute-force
+      // oracle applies and the write/append/probe round-trip is proven
+      // value-invisible
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_idx").toString + "/idx"
+      val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4)
+      Hnsw.write(emb.where(col("vec_id") < 400), tmp, p)
+      Hnsw.append(s, emb.where(col("vec_id") >= 400), tmp)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Hnsw.probe(s, tmp, qs, 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("t8_index_mor") { (s, dir) =>
       // merge-on-read index maintenance: the resolution law (a row is dead
       // iff its doc holds a tombstone with tomb_epoch >= the row's epoch,
@@ -1876,6 +1916,28 @@ object SparkEntry {
       |stats AS (
       |  SELECT count(DISTINCT doc_id) AS n, sum(tf) AS tot FROM postings)""".stripMargin
 
+  /** Exact kNN over `embeddings` for queries 3/7/11 — the oracle for every
+    * ANN query whose output is provably the exact answer at fixture scale
+    * (a9: bounded re-rank covers the true top-k; a12/a13: efSearch ≥ shard
+    * population). Rank ties break on (dist, vec_id), matching the engine's
+    * k-heap order.
+    */
+  private def bruteForceKnnOracle(k: Int): String =
+    s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+       |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+       |  FROM embeddings e, qs q),
+       |ranked AS (
+       |  SELECT query_id, vec_id, dist, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   private def bm25OracleCore(qsCte: String): String =
     s"""WITH $Bm25IndexCtes,
        |$qsCte
@@ -2166,21 +2228,12 @@ object SparkEntry {
           |  FROM fused)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
           |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
-    "a9_sq8_batch" ->
-      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
-        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
-        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
-        |  FROM embeddings e, qs q),
-        |ranked AS (
-        |  SELECT query_id, vec_id, dist, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "a9_sq8_batch" -> bruteForceKnnOracle(5),
+    // a12/a13: exact-by-construction at fixture scale (efSearch >= shard
+    // population — see the registration comments), so the oracle is the
+    // same brute-force top-5 as a9
+    "a12_hnsw_topk" -> bruteForceKnnOracle(5),
+    "a13_hnsw_at_rest" -> bruteForceKnnOracle(5),
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->

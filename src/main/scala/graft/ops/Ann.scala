@@ -29,7 +29,7 @@ object Ann {
   /** ids must be integral: a blind cast("long") would turn e.g. string ids
     * into nulls the top-k heap silently drops.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     val idType = df.schema(idCol).dataType
     require(
       idType == org.apache.spark.sql.types.LongType ||

@@ -1,0 +1,430 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded HNSW graph ANN — the graph-walk member of the ANN family next
+  * to the bucketing/quantization members ([[Ann]] LSH/RP/IVF, [[Pq]],
+  * [[Sq]]). This is the index Chroma actually keeps under the reference's
+  * `collection.query` surface (hnswlib; reference surface:
+  * /root/reference/micro-infobot/app.py:130's similarity_search), so it
+  * closes the one breadth gap the ANN family had left.
+  *
+  * A sequential graph walk does not distribute, so the Spark-first shape is
+  * the segment model every distributed HNSW deployment uses (Vespa, Milvus,
+  * Lucene 9 KNN): shard the corpus into `numShards` independent graphs,
+  * build each graph inside ONE task (`groupByKey(shard).flatMapGroups` —
+  * the build is a single pass over the shard, no shuffle beyond the shard
+  * exchange), probe every shard with the broadcast query batch, and merge
+  * per-shard top-k lists with the bounded-heap `topk_by_dist` aggregate
+  * (map-side k-heaps; the [[Ann.finishTopK]] shape). Probe cost is
+  * queries × shards graph walks of ~ef·log(n/shards) distance evaluations
+  * — each walk is independent, so a 1000-executor cluster runs one shard
+  * per task slot. The only scale constraint is that ONE shard's vectors +
+  * adjacency fit one executor (choose numShards so a shard is ~10–50M
+  * vectors at 100 TB); the merge moves queries × shards × k rows.
+  *
+  * Algorithm: Malkov & Yashunin, "Efficient and robust approximate nearest
+  * neighbor search using Hierarchical Navigable Small World graphs" (2016)
+  * — geometric level assignment (mL = 1/ln M), greedy descent through the
+  * upper layers, beam search (`efConstruction`/`efSearch`) at each target
+  * layer, bidirectional links pruned to Mmax per node (2M at layer 0).
+  * Everything is deterministic: levels come from a splitmix of (seed, id),
+  * shard membership from xxhash64(id) mod numShards, insertion order is
+  * the shard sorted by id, and every heap orders by (dist, id) — so the
+  * whole operator is core-count-invariant and golden-pinnable
+  * (`a12`/`a13`; recall bound vs exact kNN lives in HnswSpec).
+  *
+  * At-rest half ([[write]]/[[probe]]/[[append]]): adjacency rows
+  * `(shard, id, vec, level, links[level][...])` as Parquet partitioned by
+  * shard — a probe rebuilds each shard graph from adjacency (no
+  * re-insertion) inside its task. Appends follow the Lucene/FAISS segment
+  * law: a NEW set of shards built from only the new rows, probed alongside
+  * the old ones and merged by the same top-k — never an in-place graph
+  * mutation (reference analog: Chroma's `add` re-indexes into segments the
+  * same way).
+  */
+object Hnsw {
+
+  /** Graph hyper-parameters. `m`: max links per node per layer (2m at
+    * layer 0); `efConstruction`/`efSearch`: beam widths; `numShards`:
+    * independent graphs (one build/probe task each); `seed`: level PRNG.
+    */
+  final case class Params(
+      m: Int = 8,
+      efConstruction: Int = 80,
+      efSearch: Int = 48,
+      numShards: Int = 4,
+      seed: Long = 42L)
+
+  /** One node's at-rest adjacency: `links(l)` = neighbor ids at layer l. */
+  final case class HnswRow(
+      shard: Int, id: Long, vec: Array[Float], level: Int,
+      links: Seq[Seq[Long]])
+
+  private val MaxLevel = 24
+  private val MaxBatchQueries = 65536
+
+  // ------------------------------------------------------------- graph
+
+  /** In-memory single-shard graph. Internal indexes are Ints; `search`
+    * returns global ids. Not thread-safe; lives inside one task.
+    */
+  private final class ShardGraph(m: Int, efC: Int, seed: Long) {
+    private val mMax0 = 2 * m
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val levels = mutable.ArrayBuffer.empty[Int]
+    // links(node)(layer) = neighbor indexes
+    private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+
+    def size: Int = ids.length
+
+    private def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+
+    /** Deterministic geometric level from (seed, id): splitmix64 → U(0,1]
+      * → floor(−ln U · mL). The standard HNSW distribution with the RNG
+      * replaced by a hash so insertion is order- and replay-invariant.
+      */
+    private def levelOf(id: Long): Int = {
+      var z = id + seed * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+      math.min(MaxLevel, (-math.log(u) * mL).toInt)
+    }
+
+    /** (dist², idx) ascending by (dist, idx) — the deterministic order every
+      * candidate list uses.
+      */
+    private def ordered(c: mutable.ArrayBuffer[(Double, Int)]): mutable.ArrayBuffer[(Double, Int)] =
+      c.sortInPlace()(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+
+    /** Beam search at one layer: returns up to `ef` nearest (dist², idx),
+      * ascending. Classic SEARCH-LAYER with a visited bitset and two heaps;
+      * heap orders include idx so ties resolve identically on every run.
+      */
+    private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, layer: Int)
+        : mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.BitSet(size)
+      // candidates: nearest first; results: farthest first, bounded to ef
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int).reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      eps.foreach { ep =>
+        if (!visited.get(ep)) {
+          visited.set(ep)
+          val d = d2(q, vecs(ep))
+          cand.enqueue((d, ep)); res.enqueue((d, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (res.length >= ef && dc > res.head._1) { cand.clear() }
+        else {
+          val nbrs = links(c)(layer)
+          var i = 0
+          while (i < nbrs.length) {
+            val e = nbrs(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = d2(q, vecs(e))
+              if (res.length < ef || d < res.head._1 ||
+                (d == res.head._1 && e < res.head._2)) {
+                cand.enqueue((d, e)); res.enqueue((d, e))
+                if (res.length > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      ordered(mutable.ArrayBuffer.from(res))
+    }
+
+    private def greedyStep(q: Array[Float], ep: Int, layer: Int): Int = {
+      var cur = ep
+      var curD = d2(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = links(cur)(layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val e = nbrs(i)
+          val d = d2(q, vecs(e))
+          if (d < curD || (d == curD && e < cur)) { curD = d; cur = e; improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    private def capOf(layer: Int): Int = if (layer == 0) mMax0 else m
+
+    /** Keep node's layer links pruned to the cap: nearest-(dist,idx) wins. */
+    private def prune(node: Int, layer: Int): Unit = {
+      val l = links(node)(layer)
+      val cap = capOf(layer)
+      if (l.length > cap) {
+        val scored = l.map(e => (d2(vecs(node), vecs(e)), e))
+        links(node)(layer) = ordered(scored).take(cap).map(_._2)
+      }
+    }
+
+    def insert(id: Long, vec: Array[Float]): Unit = {
+      val lvl = levelOf(id)
+      val idx = size
+      ids += id; vecs += vec; levels += lvl
+      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; maxLevel = lvl; return }
+      var ep = entry
+      var lc = maxLevel
+      while (lc > lvl) { ep = greedyStep(vec, ep, lc); lc -= 1 }
+      lc = math.min(lvl, maxLevel)
+      var eps = Seq(ep)
+      while (lc >= 0) {
+        val cands = searchLayer(vec, eps, efC, lc)
+        val neigh = cands.take(m).map(_._2)
+        neigh.foreach { e =>
+          links(idx)(lc) += e
+          links(e)(lc) += idx
+          prune(e, lc)
+        }
+        eps = cands.map(_._2).toSeq
+        lc -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entry = idx }
+    }
+
+    /** Top-k (id, dist²) for one query, (dist, id)-ordered. */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) { ep = greedyStep(q, ep, lc); lc -= 1 }
+      searchLayer(q, Seq(ep), math.max(ef, k), 0)
+        .take(k).map { case (d, i) => (ids(i), d) }.toSeq
+    }
+
+    /** At-rest adjacency rows for [[write]] (links as global ids). */
+    def toRows(shard: Int): Iterator[HnswRow] =
+      ids.indices.iterator.map { i =>
+        HnswRow(shard, ids(i), vecs(i), levels(i),
+          links(i).map(_.map(ids(_)).toSeq).toSeq)
+      }
+
+    /** Rebuild from at-rest adjacency (no re-insertion). Rows must all
+      * belong to one shard; sorted by id for a stable idx assignment.
+      * Entry point = highest level, smallest id — the same node the
+      * builder ended with, since the builder only promotes on a STRICTLY
+      * higher level and ids insert in ascending order.
+      */
+    def loadRows(rows: Seq[HnswRow]): this.type = {
+      val sorted = rows.sortBy(_.id)
+      val idxOf = sorted.iterator.zipWithIndex.map { case (r, i) => r.id -> i }.toMap
+      sorted.foreach { r =>
+        val i = size
+        ids += r.id; vecs += r.vec; levels += r.level
+        links += r.links.map(ns => mutable.ArrayBuffer.from(ns.map(idxOf))).toArray
+        if (r.level > maxLevel || (r.level == maxLevel && (entry < 0 || r.id < ids(entry)))) {
+          maxLevel = r.level; entry = i
+        }
+      }
+      this
+    }
+  }
+
+  // ----------------------------------------------------------- operators
+
+  private def collectQueries(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String): Array[(Long, Array[Float])] = {
+    val qs = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .limit(MaxBatchQueries + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qs.length <= MaxBatchQueries,
+      s"hnsw batch: more than $MaxBatchQueries queries — shard the query set")
+    qs.sortBy(_._1)
+  }
+
+  /** Per-shard candidates → global (query_id, rank, id, dist) top-k via the
+    * bounded-heap aggregate (dist = true L2, matching the a-family).
+    */
+  private def mergeTopK(cands: DataFrame, k: Int, idCol: String): DataFrame =
+    Ann.finishTopK(
+      cands.select(col("query_id"), col(idCol), sqrt(col("d2")).as("dist")),
+      k, "query_id", idCol)
+
+  /** Build transient shard graphs and answer the query batch in the same
+    * pass: one shard exchange, one graph build + probe task per shard,
+    * then the k-heap merge. For build-once-probe-forever, use
+    * [[write]]/[[probe]].
+    */
+  def hnswTopKBatch(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int,
+      params: Params = Params(),
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    Ann.requireIntegralId(index, idCol, "hnswTopKBatch")
+    val qb = spark.sparkContext.broadcast(
+      collectQueries(queries, queryIdCol, queryVecCol))
+    val p = params
+    val sharded: Dataset[(Int, Long, Array[Float])] = index
+      .select(
+        pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Int, Long, Array[Float])]
+    sharded.groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
+        rows.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+        qb.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, p.efSearch).map { case (id, d2) => (qid, id, d2) }
+        }
+      }
+      .toDF("query_id", idCol, "d2")
+      .transform(mergeTopK(_, k, idCol))
+  }
+
+  /** Single-query convenience (the app.py:130 shape): top-k (vec_id, dist). */
+  def hnswTopK(
+      index: DataFrame,
+      query: Array[Float],
+      k: Int,
+      params: Params = Params(),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    hnswTopKBatch(
+      Seq((0L, query)).toDF("query_id", "query_vec"),
+      index, k, params, idCol = idCol, vecCol = vecCol)
+      .select(col(idCol), col("dist"))
+  }
+
+  // ------------------------------------------------------------- at rest
+
+  private def metaPath(path: String) = s"$path/meta"
+  private def segPath(path: String) = s"$path/segments"
+
+  /** Build shard graphs and persist adjacency as Parquet partitioned by
+    * shard (one directory per shard → a probe's shard task reads exactly
+    * its own files). `meta/` holds the params the probe must reuse (m and
+    * seed are baked into the stored links; efSearch is re-tunable).
+    */
+  def write(
+      index: DataFrame,
+      path: String,
+      params: Params = Params(),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    Ann.requireIntegralId(index, idCol, "hnsw.write")
+    val p = params
+    val rows = index
+      .select(
+        pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
+        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+        g.toRows(shard)
+      }
+    rows.toDF().write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
+    Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
+      .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
+      .write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  /** Append new vectors as NEW segment shards (Lucene/FAISS segment law:
+    * never mutate a written graph). Shard ids continue after the current
+    * maximum, so [[probe]] unions old and new segments transparently.
+    * Idempotence is the caller's contract (append each batch once);
+    * re-appending the same rows would create duplicate segments — the
+    * same stance as [[graft.index.VectorIndex]] pre-epoch appends.
+    */
+  def append(
+      spark: SparkSession,
+      index: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    val meta = loadMeta(spark, path)
+    val base = spark.read.parquet(segPath(path))
+      .agg(max(col("shard").cast("int"))).head.getInt(0) + 1
+    val p = meta
+    val rows = index
+      .select(
+        (pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int") + lit(base)).as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
+        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+        g.toRows(shard)
+      }
+    rows.toDF().write.partitionBy("shard").mode("append").parquet(segPath(path))
+  }
+
+  def loadMeta(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(metaPath(path)).head
+    Params(r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
+      r.getAs[Int]("ef_search"), r.getAs[Int]("num_shards"), r.getAs[Long]("seed"))
+  }
+
+  /** Probe a persisted index: rebuild each shard graph FROM adjacency (no
+    * re-insertion) inside its task and walk it for the broadcast query
+    * batch. Every stored segment participates; the k-heap merge keeps the
+    * global top-k. `efSearch` defaults to the stored value.
+    */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      efSearch: Int = -1,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val meta = loadMeta(spark, path)
+    val ef = if (efSearch > 0) efSearch else meta.efSearch
+    val qb = spark.sparkContext.broadcast(
+      collectQueries(queries, queryIdCol, queryVecCol))
+    spark.read.parquet(segPath(path))
+      .select(col("shard").cast("int"), col("id"), col("vec"), col("level"), col("links"))
+      .as[HnswRow]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val g = new ShardGraph(meta.m, meta.efConstruction, meta.seed)
+          .loadRows(rows.toSeq)
+        qb.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, ef).map { case (id, d2) => (qid, id, d2) }
+        }
+      }
+      .toDF("query_id", idCol, "d2")
+      .transform(mergeTopK(_, k, idCol))
+  }
+}

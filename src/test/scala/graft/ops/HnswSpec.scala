@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sharded HNSW: recall vs exact kNN, determinism / partition invariance,
+  * at-rest round-trip equivalence, segment appends, edge cases.
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+
+  // deterministic clustered vectors (32 planted clusters), 600 rows
+  private def vecs(rows: Int, seedOff: Int) =
+    spark.range(rows).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        i => ((pmod(xxhash64(pmod(col("id"), lit(32)), i), lit(1000)) / 1000.0) +
+          (pmod(xxhash64(col("id") + seedOff, i), lit(100)) / 100.0 - 0.5) * 0.1)
+          .cast("float").as("x")).as("embedding"))
+
+  private lazy val emb = vecs(600, 99).cache()
+  private lazy val qs = emb.where(col("vec_id").isin(3, 77, 191, 404))
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private def exactTopK(k: Int) = {
+    val scored = emb.crossJoin(
+      qs.select(col("query_id"), col("query_vec")))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2Distance(col("embedding"), col("query_vec")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+    Ann.finishTopK(scored, k, "query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("recall@10 vs exact kNN is >= 0.9 on clustered data") {
+    val exact = exactTopK(10)
+    val got = Hnsw.hnswTopKBatch(qs, emb, 10,
+      Hnsw.Params(m = 8, efConstruction = 80, efSearch = 64, numShards = 4))
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    assert(got.size == exact.size, "every query must receive a full k list")
+  }
+
+  test("deterministic and partition-count invariant (the a12 pin premise)") {
+    val p = Hnsw.Params(numShards = 3)
+    def run(parts: Int) =
+      Hnsw.hnswTopKBatch(qs, emb.repartition(parts), 5, p)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(run(1) == run(7) && run(7) == run(4))
+  }
+
+  test("at-rest probe returns exactly the transient build's results") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 64, numShards = 4)
+    Hnsw.write(emb, path, p)
+    val transient =
+      Hnsw.hnswTopKBatch(qs, emb, 10, p).orderBy("query_id", "rank").collect().toSeq
+    val probed =
+      Hnsw.probe(spark, path, qs, 10).orderBy("query_id", "rank").collect().toSeq
+    assert(probed == transient,
+      "adjacency round-trip must be value-invisible")
+  }
+
+  test("append adds new segments: new ids reachable, old results unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_app").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 64, numShards = 2)
+    Hnsw.write(emb, path, p)
+    val before = Hnsw.probe(spark, path, qs, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    // duplicate vec 77 under a fresh id — after append it must tie its twin
+    val twin = emb.where(col("vec_id") === 77)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    Hnsw.append(spark, twin, path)
+
+    val q77 = qs.where(col("query_id") === 77)
+    val after = Hnsw.probe(spark, path, q77, 2).collect()
+      .map(r => r.getLong(2)).toSet
+    assert(after == Set(77L, 10077L), s"twin must surface, got $after")
+
+    // a query far from the appended vector is unaffected
+    val q3before = before.filter(_.getLong(0) == 3L)
+    val q3after = Hnsw.probe(spark, path, qs.where(col("query_id") === 3), 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(q3after == q3before)
+  }
+
+  test("single-query hnswTopK: self is rank 1 at distance 0") {
+    val q = emb.where(col("vec_id") === 191)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val top = Hnsw.hnswTopK(emb, q, 3).collect()
+    assert(top.head.getLong(0) == 191L)
+    assert(top.head.getDouble(1) == 0.0)
+    assert(top.length == 3)
+  }
+
+  test("tiny shards and k > shard size degrade gracefully") {
+    val small = vecs(6, 99)
+    val out = Hnsw.hnswTopKBatch(
+      small.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      small, 10, Hnsw.Params(numShards = 4))
+    // every vector exists somewhere: k capped by corpus size, not by shard
+    val counts = out.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
+    assert(counts == Set(6L), s"expected all 6 per query, got $counts")
+  }
+
+  test("a12 oracle premise: exact vs brute force on the sf0.001 fixture") {
+    // the a12/a13 DuckDB oracle is brute force; this pins the premise that
+    // at efSearch=200 >= any shard's population the walk returns the exact
+    // top-5 on the real fixture (not just the synthetic corpus above)
+    val fx = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fq = fx.where(col("vec_id").isin(3, 7, 11))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = fx.crossJoin(fq)
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2Distance(col("embedding"), col("query_vec")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+    val exact = Ann.finishTopK(scored, 5, "query_id", "vec_id")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = Hnsw.hnswTopKBatch(fq, fx, 5,
+      Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == exact)
+  }
+
+  test("levels follow the geometric law: most nodes at level 0, few high") {
+    // indirect but structural: a corpus of 600 with m=8 should produce a
+    // multi-level graph whose stored max level is small (< 8) and whose
+    // level-0 population dominates
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_lvl").toString + "/idx"
+    Hnsw.write(emb, path, Hnsw.Params(numShards = 1))
+    val levels = spark.read.parquet(s"$path/segments")
+      .groupBy("level").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(levels.keys.max < 8, s"suspicious max level ${levels.keys.max}")
+    assert(levels(0).toDouble / levels.values.sum > 0.7,
+      s"level-0 share ${levels(0).toDouble / levels.values.sum}")
+    // link caps respected at rest: per-layer adjacency <= 2m
+    val overCap = spark.read.parquet(s"$path/segments")
+      .select(explode(col("links")).as("nbrs"))
+      .where(size(col("nbrs")) > 16).count()
+    assert(overCap == 0, "layer adjacency exceeds 2m")
+  }
+}
