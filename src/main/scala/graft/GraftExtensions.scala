@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.CompressionRatio(es.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("xlsx_extract"),
+      info("xlsx_extract", "xlsx_extract(content) - flattened cell text of an xlsx binary"),
+      (es: Seq[Expression]) => graft.functions.XlsxExtract(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xlsx_pack"),
+      info("xlsx_pack", "xlsx_pack(grid) - minimal xlsx binary from ARRAY<ARRAY<STRING>>"),
+      (es: Seq[Expression]) => graft.functions.XlsxPack(es.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("cms_merge"),
       info("cms_merge", "cms_merge(sketch) - merge count-min sketches (binary)"),
       (es: Seq[Expression]) =>

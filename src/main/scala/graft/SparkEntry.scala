@@ -314,6 +314,25 @@ object SparkEntry {
     reg("s5_csv_flatten") { (s, dir) =>
       TextSources.flattenTable(T(s, dir, "region"), "r_regionkey")
     }
+    reg("s6_xlsx_flatten") { (s, dir) =>
+      // S6, EXCEEDING the reference (which accepts xlsx and silently drops
+      // it — app.py:191 vs 194-205): per-doc a genuine xlsx container is
+      // synthesized (xlsx_pack: zip + worksheet XML, inline-string cells)
+      // and extracted back (xlsx_extract: zip + StAX walk), both inside
+      // the scan stage. The oracle predicts the flattened text straight
+      // from the source columns, so the whole container encode/decode
+      // roundtrip — escaping included — must be value-invisible
+      val docs = T(s, dir, "documents").where(col("doc_id") < 50)
+      val grid = array(
+        array(lit("doc_id"), lit("lang"), lit("source"), lit("n_chars")),
+        array(col("doc_id").cast("string"), col("lang"), col("source"),
+          col("n_chars").cast("string")))
+      docs.select(
+        col("doc_id"),
+        graft.functions.TextExpressions.xlsxExtract(
+          graft.functions.TextExpressions.xlsxPack(grid)).as("text"))
+        .orderBy("doc_id")
+    }
     reg("s7_union") { (s, dir) =>
       val d = T(s, dir, "documents")
       TextSources.unionCorpus(
@@ -2430,6 +2449,12 @@ object SparkEntry {
         |  string_agg(CAST(r_regionkey AS VARCHAR) || ' ' || r_name, chr(10)
         |             ORDER BY r_regionkey) AS text
         |FROM region""".stripMargin,
+    "s6_xlsx_flatten" ->
+      """SELECT doc_id,
+        |  'doc_id lang source n_chars' || chr(10) ||
+        |  CAST(doc_id AS VARCHAR) || ' ' || lang || ' ' || source || ' ' ||
+        |  CAST(n_chars AS VARCHAR) AS text
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "s7_union" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang FROM documents WHERE lang = 'en'

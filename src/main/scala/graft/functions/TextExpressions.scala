@@ -68,14 +68,62 @@ object CompressionRatio {
   }
 }
 
+/** XLSX → flattened text ([[graft.ingest.XlsxText.extract]] — the S6 arm
+  * the reference accepts but never processes). Per-row unzip + StAX walk,
+  * pipelined inside the scan stage like [[PdfExtract]].
+  */
+case class XlsxExtract(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "xlsx_extract"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.ingest.XlsxText.extract(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): XlsxExtract =
+    copy(child = newChild)
+}
+
+/** ARRAY<ARRAY<STRING>> cell grid → a minimal real xlsx container
+  * ([[graft.ingest.XlsxText.pack]]). Exists so tests and the s6 roundtrip
+  * query can synthesize genuine workbooks distributively — the encode
+  * twin of [[XlsxExtract]], same stance as the synthetic-image seam the
+  * m-series uses.
+  */
+case class XlsxPack(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def prettyName: String = "xlsx_pack"
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(StringType)))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any = {
+    val grid = input.asInstanceOf[ArrayData]
+    val rows = (0 until grid.numElements()).map { ri =>
+      val r = grid.getArray(ri)
+      (0 until r.numElements()).map { ci =>
+        val v = r.getUTF8String(ci)
+        if (v == null) "" else v.toString
+      }
+    }
+    graft.ingest.XlsxText.pack(rows)
+  }
+  override protected def withNewChildInternal(newChild: Expression): XlsxPack =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("pdf_extract", es => PdfExtract(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "compression_ratio", es => CompressionRatio(es.head), "built-in")
+    reg.createOrReplaceTempFunction("xlsx_extract", es => XlsxExtract(es.head), "built-in")
+    reg.createOrReplaceTempFunction("xlsx_pack", es => XlsxPack(es.head), "built-in")
   }
 
   def pdfExtract(c: Column): Column = call_function("pdf_extract", c)
   def compressionRatio(c: Column): Column = call_function("compression_ratio", c)
+  def xlsxExtract(c: Column): Column = call_function("xlsx_extract", c)
+  def xlsxPack(c: Column): Column = call_function("xlsx_pack", c)
 }

@@ -110,13 +110,24 @@ object TextSources {
         ).as(outCol))
   }
 
-  /** S6 (xlsx) is intentionally absent, matching the reference: the
-    * uploader accepts `.xlsx` and pins openpyxl, but no processing branch
-    * exists, so xlsx uploads are silently dropped
-    * (`/root/reference/micro-infobot/app.py:191` vs 194-205). A real
-    * implementation would slot in beside [[htmlDocs]] as another
-    * extension dispatch arm.
+  /** S6 over raw files: xlsx rows → (doc_id, text, source). NOTE the
+    * reference accepts `.xlsx` and pins openpyxl but has NO processing
+    * branch — uploads are silently dropped
+    * (`/root/reference/micro-infobot/app.py:191` vs 194-205). This arm
+    * therefore EXCEEDS the reference: [[XlsxText]] (pure JVM zip + StAX)
+    * flattens each workbook's cell grid the way the csv arm flattens a
+    * DataFrame (cells space-joined, rows/sheets newline-joined), via the
+    * scan-stage [[graft.functions.XlsxExtract]] expression.
     */
+  def xlsxDocs(raw: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(raw.sparkSession)
+    raw
+      .where(col("ext") === "xlsx")
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        graft.functions.TextExpressions.xlsxExtract(col("content")).as("text"),
+        col("path").as("source"))
+  }
 
   /** S7: multi-source union (`text += ...` app.py:192-205, per-doc rows). */
   def unionCorpus(sources: DataFrame*): DataFrame =

@@ -67,10 +67,16 @@ object ScaleSmoke {
             (pmod(xxhash64(col("id") + seedOff, i), lit(100)) / 100.0 - 0.5) * 0.1)
             .cast("float")).as(vecCol))
 
+    // SPARK_GRAFT_SMOKE_ONLY=sq8,pagerank re-runs a subset of tiers.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_.contains(name))) body
+
     println(s"== ScaleSmoke (scale=$scale) ==")
 
     // 1. rp-batch ANN: 10M x 32-d clustered index, 64 queries, k=10
-    locally {
+    section("rp_batch_ann") {
       val rows = n(10000000L)
       val index = clusteredVecs(rows, 32, 7777, "vec_id", "embedding")
       val queries = clusteredVecs(64, 32, 555001, "query_id", "query_vec")
@@ -81,7 +87,7 @@ object ScaleSmoke {
     }
 
     // 2. vocabulary-free minhash near-dup pairs: 10M docs, ~50k planted pairs
-    locally {
+    section("minhash") {
       val rows = n(10000000L)
       val out = graft.ops.Dedup.minHashPairsHashed(synthDocs(rows, 25),
         shingleSize = 1, numHashes = 64, bands = 16, minJaccard = 0.8)
@@ -96,7 +102,7 @@ object ScaleSmoke {
     }
 
     // 3. exact-substring span dedup: 2M docs x 30 tokens -> 22M windows
-    locally {
+    section("exact_substr") {
       val rows = n(2000000L)
       val out = graft.ops.Dedup.exactSubstrDedup(synthDocs(rows, 30),
         windowTokens = 20)
@@ -105,7 +111,7 @@ object ScaleSmoke {
     }
 
     // 4. stratified sample at 50M rows, 100 strata x 1000 docs
-    locally {
+    section("stratified") {
       val rows = n(50000000L)
       val docs = spark.range(rows).select(col("id").as("doc_id"),
         pmod(col("id"), lit(100)).cast("string").as("stratum"))
@@ -120,7 +126,7 @@ object ScaleSmoke {
     }
 
     // 5. token-budget mixture: 20M docs x 10 tokens across 8 sources
-    locally {
+    section("token_mixture") {
       val rows = n(20000000L)
       val budgets = (0 until 8).map(s => s.toString -> 1000000L).toMap
       val out = graft.ops.TrainingData.tokenMixture(
@@ -132,7 +138,7 @@ object ScaleSmoke {
     // 6. BM25: index 5M docs x 25 words, score a 64-query batch at k=10.
     // The term-pruned probe must touch only postings of the queries'
     // terms — wall-clock is dominated by the one-time index build
-    locally {
+    section("bm25_batch") {
       val rows = n(5000000L)
       val docs = synthDocs(rows, 25)
       val idx = graft.search.Bm25.buildIndex(docs, "doc_id", "text")
@@ -151,7 +157,7 @@ object ScaleSmoke {
     // FROM DISK with the scan restricted to the query terms' buckets —
     // the amortization boundary writeIndex exists for (build once, probe
     // forever; compare bm25_write_index vs bm25_at_rest_probe)
-    locally {
+    section("bm25_at_rest") {
       val rows = n(5000000L)
       val path = java.nio.file.Files
         .createTempDirectory("graft_scale_bm25").toString + "/idx"
@@ -183,7 +189,7 @@ object ScaleSmoke {
     // cluster-size by construction; a coarser cluster structure (the 2k-
     // member clusters of tier 1) makes ANY all-rows join intrinsically
     // quadratic-within-cluster and belongs to semantic dedup, not kNN
-    locally {
+    section("knn_join") {
       val rows = n(1000000L)
       val index = spark.range(rows).select(
         col("id").as("vec_id"),
@@ -203,12 +209,20 @@ object ScaleSmoke {
     // on the same persisted codes. The two sums must agree BITWISE (same
     // fold association), so the A/B also proves the rewrite is
     // value-invisible at scale.
-    locally {
+    section("sq8") {
       val rows = n(1000000L)
       val index = clusteredVecs(rows, 32, 31337, "vec_id", "embedding")
       val queries = clusteredVecs(64, 32, 424242, "query_id", "query_vec")
       val out = graft.ops.Sq.sqTopKBatch(queries, index, k = 10, rerank = 32)
-      assertBucketed(out, "sq8_batch")
+      // NOT assertBucketed: the ADC scan's plan is DELIBERATELY a
+      // BroadcastNestedLoopJoin — the 64-row query batch broadcasts and
+      // every code row streams past it once (that IS the flat scan SQ8
+      // exists for; the broadcast side is query-batch-bounded, never
+      // data-sized). Guard only against the unbounded shape.
+      val sqPlan = out.queryExecution.executedPlan.toString
+      assert(!sqPlan.contains("CartesianProduct"), "sq8_batch: cartesian in plan")
+      assert(sqPlan.contains("BroadcastNestedLoopJoin"),
+        "sq8_batch: expected the broadcast ADC scan shape")
       time("sq8_batch", rows) {
         val c = out.count(); assert(c == 64 * 10, s"expected 640 hits, got $c"); c
       }
@@ -254,7 +268,7 @@ object ScaleSmoke {
     // must finish with the top rank. With edges pre-partitioned by src
     // (prepEdges), per-round shuffle volume is rank-table-sized — the
     // ExplainAudit p17_iteration_shape pin, here timed at scale.
-    locally {
+    section("pagerank") {
       val edgeRows = n(10000000L)
       val nodeCount = math.max(1000L, edgeRows / 10)
       val e = spark.range(edgeRows).select(
@@ -267,6 +281,37 @@ object ScaleSmoke {
         assert(top.getLong(0) == 0L,
           s"planted hub (node 0) must rank first, got $top")
         ranks.count()
+      }
+    }
+
+    // 10. sharded HNSW at 1M x 32-d: at-rest build (16 segment graphs,
+    // one task each — the shard population ~62k is the per-executor
+    // memory unit that must be sized at 100 TB), then a 64-query probe
+    // from adjacency. The planted-cluster check: every query is a member
+    // of a ~1k-member cluster (ids ≡ qid mod 1024), so its top-10 must
+    // come back cluster-pure.
+    section("hnsw") {
+      val rows = n(1000000L)
+      val index = clusteredVecs(rows, 32, 8181, "vec_id", "embedding")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_smoke_hnsw").toString + "/idx"
+      val p = graft.ops.Hnsw.Params(
+        m = 12, efConstruction = 100, efSearch = 80, numShards = 16)
+      time("hnsw_write_index", rows) {
+        graft.ops.Hnsw.write(index, path, p)
+        spark.read.parquet(s"$path/segments").count()
+      }
+      val queries = index.where(col("vec_id") < 64)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val out = graft.ops.Hnsw.probe(spark, path, queries, 10)
+      assertBucketed(out, "hnsw_probe")
+      time("hnsw_at_rest_probe", rows) {
+        val hits = out.select(col("query_id"), col("vec_id")).collect()
+        assert(hits.length == 64 * 10, s"expected 640 hits, got ${hits.length}")
+        val impure = hits.count(r => (r.getLong(1) - r.getLong(0)) % 1024 != 0)
+        assert(impure.toDouble / hits.length <= 0.05,
+          s"cluster purity violated: $impure/${hits.length} off-cluster hits")
+        hits.length
       }
     }
 

@@ -1,0 +1,124 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S6 XLSX: pure-JVM extraction semantics (shared/inline/numeric/boolean
+  * cells, rich-text runs, multiple sheets), the pack→extract roundtrip the
+  * s6 query pins, dispatch integration, and the loud-failure stance.
+  */
+class XlsxSpec extends SparkSpec {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  // hand-built workbook exercising every cell type XlsxText scopes:
+  // sharedStrings (incl. a rich-text <si> with two runs), inline strings,
+  // numeric, boolean, formula-string, an empty row, and two sheets.
+  private def handWorkbook: Array[Byte] = {
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>alpha</t></si>
+        |<si><r><t>ri</t></r><r><t>ch</t></r></si>
+        |<si><t xml:space="preserve">has &amp;amp;</t></si>
+        |</sst>""".stripMargin.getBytes(UTF_8)
+    val sheet1 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1"><v>42.5</v></c></row>
+        |<row r="2"/>
+        |<row r="3"><c r="A3" t="b"><v>1</v></c><c r="B3" t="str"><v>SUMMED</v></c>
+        |<c r="C3" t="inlineStr"><is><t>in</t><t>line</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes(UTF_8)
+    val sheet2 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes(UTF_8)
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"/>""".stripMargin.getBytes(UTF_8)
+    zip(Seq(
+      "xl/workbook.xml" -> workbook,
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet1,
+      "xl/worksheets/sheet2.xml" -> sheet2))
+  }
+
+  private def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (n, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(b); zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("extract: shared/rich/inline/numeric/boolean/formula cells, sheets in order") {
+    val text = XlsxText.extract(handWorkbook)
+    assert(text ==
+      "alpha rich 42.5\nTRUE SUMMED inline\nhas &amp;")
+  }
+
+  test("empty rows vanish; sheet with no rows contributes nothing") {
+    val wb = zip(Seq(
+      "xl/workbook.xml" -> "<workbook/>".getBytes(UTF_8),
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData><row r="1"/></sheetData></worksheet>""".getBytes(UTF_8)))
+    assert(XlsxText.extract(wb) == "")
+  }
+
+  test("non-zip (encrypted/corrupt) input fails loudly, like PdfText") {
+    val err = intercept[IllegalArgumentException] {
+      XlsxText.extract("this is not a zip".getBytes(UTF_8))
+    }
+    assert(err.getMessage.contains("xlsx_extract"))
+  }
+
+  test("zip without workbook.xml fails loudly") {
+    val wb = zip(Seq("mimetype" -> "application/epub".getBytes(UTF_8)))
+    intercept[IllegalArgumentException] { XlsxText.extract(wb) }
+  }
+
+  test("pack -> extract roundtrip is exact (the s6 oracle premise)") {
+    val grid = Seq(
+      Seq("doc_id", "lang", "source"),
+      Seq("7", "de", "src3"),
+      Seq("needs <escaping> & stuff", "", "end"))
+    assert(XlsxText.extract(XlsxText.pack(grid)) ==
+      "doc_id lang source\n7 de src3\nneeds <escaping> & stuff  end")
+  }
+
+  test("pack is byte-deterministic (STORED entries, fixed timestamps)") {
+    val grid = Seq(Seq("a", "b"), Seq("c"))
+    assert(XlsxText.pack(grid).toSeq == XlsxText.pack(grid).toSeq)
+  }
+
+  test("expressions: xlsx_pack/xlsx_extract roundtrip distributively + SQL") {
+    import spark.implicits._
+    graft.functions.TextExpressions.register(spark)
+    val df = Seq((1L, "hello", "world"), (2L, "spark", "xlsx"))
+      .toDF("id", "a", "b")
+      .withColumn("wb", graft.functions.TextExpressions.xlsxPack(
+        array(array(col("a"), col("b")))))
+    val out = df.select(col("id"),
+      graft.functions.TextExpressions.xlsxExtract(col("wb")).as("text"))
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("hello world", "spark xlsx"))
+    df.createOrReplaceTempView("wbs")
+    assert(spark.sql("SELECT xlsx_extract(wb) FROM wbs WHERE id = 1")
+      .head.getString(0) == "hello world")
+  }
+
+  test("xlsxDocs dispatch arm: only .xlsx rows, text extracted") {
+    import spark.implicits._
+    val raw = Seq(
+      ("/in/a.xlsx", "xlsx", XlsxText.pack(Seq(Seq("cell", "grid")))),
+      ("/in/b.pdf", "pdf", Array[Byte](1, 2, 3)))
+      .toDF("path", "ext", "content")
+    val out = TextSources.xlsxDocs(raw).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("text") == "cell grid")
+    assert(out.head.getAs[String]("source") == "/in/a.xlsx")
+  }
+}
