@@ -1270,6 +1270,21 @@ object SparkEntry {
         .select(col("node"), col("rank_scaled"))
         .orderBy("node")
     }
+    reg("p18_host_hits") { (s, dir) =>
+      // HITS hubs/authorities over a synthesized 37-host graph with TWO
+      // out-links per doc (so hub and authority structure differ).
+      // Integer-grid updates with L∞ normalization mean the DuckDB oracle
+      // — eight unrolled auth/hub rounds of the same algebra — reproduces
+      // every score exactly
+      import graft.ops.HostGraph
+      val d = T(s, dir, "documents")
+      val e1 = d.select(
+        (col("doc_id") % 37).as("src"), ((col("doc_id") * 7 + 3) % 37).as("dst"))
+      val e2 = d.select(
+        (col("doc_id") % 37).as("src"), ((col("doc_id") * 5 + 11) % 37).as("dst"))
+      HostGraph.hits(e1.unionAll(e2), iterations = 8)
+        .orderBy("node")
+    }
     reg("x25_score_calibration") { (s, dir) =>
       // FineWeb-style per-source calibration: the raw quality score is
       // percentile-normalized WITHIN each source (desc, doc_id ties) and
@@ -2006,8 +2021,56 @@ object SparkEntry {
        |FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** p18's oracle: HITS as eight unrolled auth→hub rounds of the exact
+    * integer-grid algebra [[graft.ops.HostGraph.hits]] runs (BIGINT sums,
+    * L∞ normalization via floor division by the round's max). Generated by
+    * loop so oracle and engine can never drift on the iteration count.
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    val s = 1000000L
+    val iterCtes = (1 to iterations).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |af$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(r.raw, 0) AS BIGINT) AS raw
+         |  FROM nodes n LEFT JOIN ar$i r ON r.node = n.node),
+         |a$i AS MATERIALIZED (
+         |  SELECT node,
+         |    (raw * $s) // (SELECT greatest(1, max(raw)) FROM af$i) AS auth
+         |  FROM af$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |hf$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(r.raw, 0) AS BIGINT) AS raw
+         |  FROM nodes n LEFT JOIN hr$i r ON r.node = n.node),
+         |h$i AS MATERIALIZED (
+         |  SELECT node,
+         |    (raw * $s) // (SELECT greatest(1, max(raw)) FROM hf$i) AS hub
+         |  FROM hf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 37 AS src, (doc_id * 5 + 11) % 37 AS dst FROM documents),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |h0 AS MATERIALIZED (SELECT node, CAST($s AS BIGINT) AS hub FROM nodes),
+       |$iterCtes
+       |SELECT n.node, CAST(h.hub AS BIGINT) AS hub_scaled,
+       |  CAST(a.auth AS BIGINT) AS auth_scaled
+       |FROM nodes n
+       |JOIN h$iterations h ON h.node = n.node
+       |JOIN a$iterations a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "p17_domain_rank" -> pageRankOracleSql(10),
+    "p18_host_hits" -> hitsOracleSql(8),
     // ---- golden-parquet oracles (fixtures/, sf0.01 — the fixture Verify
     // runs on): deterministic queries whose semantics are not DuckDB-SQL-
     // expressible, oracled against committed parquet instead.

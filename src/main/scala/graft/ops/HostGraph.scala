@@ -35,6 +35,13 @@ object HostGraph {
     * the output is an authority ORDER rather than a probability
     * distribution; ranks still converge and compare.
     */
+  private def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def pageRank(
       edges0: DataFrame,
       iterations: Int = 10,
@@ -45,12 +52,6 @@ object HostGraph {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
-    def freeCkpt(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
     val edges = prepEdges(edges0, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -96,6 +97,94 @@ object HostGraph {
       .where(col("src") =!= col("dst"))
       .distinct()
       .repartition(col("src"))
+
+  /** Integer-grid HITS (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", 1999): hubs point at good authorities,
+    * authorities are pointed at by good hubs — the complementary signal
+    * to [[pageRank]] for crawl curation (a link-farm HUB scores high on
+    * outgoing volume but its authority stays low; gating on authority
+    * resists it, and hub scores expose the farms themselves).
+    *
+    * Per round, on the integer grid:
+    * {{{
+    *   auth_raw(v) = Σ_{u→v} hub(u);   auth(v) = (auth_raw(v)·scale) div max_v auth_raw
+    *   hub_raw(u)  = Σ_{u→v} auth(v);  hub(u)  = (hub_raw(u)·scale) div max_u hub_raw
+    * }}}
+    * L∞ normalization (divide by the max, not the L2 norm) keeps every
+    * step exact integer algebra — partition-invariant and reproducible
+    * verbatim by the unrolled SQL oracle. Overflow bound: `auth_raw ≤
+    * N·scale`, so the rescale multiply needs `N·scale² < 2^63` — the
+    * default `scale`=1e6 is safe to ~9.2M nodes; larger host graphs pass
+    * a smaller scale (the ORDER of scores is what curation consumes).
+    *
+    * Scale shape: TWO persisted edge layouts — src-partitioned for the
+    * auth step, dst-partitioned for the hub step — each exchanged once;
+    * per round both joins reuse their cached layout and only rank-table-
+    * sized aggregates move. Driver-side state per round: the two
+    * normalization maxima (two longs — unavoidable, HITS normalizes
+    * globally). Lineage/storage stay O(1) via the same per-round
+    * localCheckpoint + block-release discipline as [[pageRank]].
+    */
+  def hits(
+      edges0: DataFrame,
+      iterations: Int = 8,
+      scale: Long = 1000000L,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val edgesS = prepEdges(edges0, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgesD = edgesS.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = edgesS.select(col("src").as("node"))
+        .union(edgesS.select(col("dst").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+      require(nodes.limit(1).count() > 0, "hits on an empty graph")
+      var hubs = nodes.withColumn("hub_scaled", lit(scale)).localCheckpoint(true)
+      var auths = nodes.withColumn("auth_scaled", lit(scale)).localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val nextAuth = normalizeStep(
+          edgesS.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("hub_scaled")).as("raw")),
+          nodes, scale, "auth_scaled")
+        freeCkpt(auths)
+        auths = nextAuth
+        val nextHub = normalizeStep(
+          edgesD.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("auth_scaled")).as("raw")),
+          nodes, scale, "hub_scaled")
+        freeCkpt(hubs)
+        hubs = nextHub
+      }
+      val out = hubs.join(auths, "node")
+        .select(col("node"), col("hub_scaled"), col("auth_scaled"))
+        .localCheckpoint(true)
+      freeCkpt(nodes); freeCkpt(hubs); freeCkpt(auths)
+      out
+    } finally { edgesD.unpersist(); edgesS.unpersist() }
+  }
+
+  /** Fill missing nodes with 0, L∞-normalize onto the grid, checkpoint.
+    * The max is exact (no-in-edge nodes contribute 0, never the max on a
+    * nonempty edge set since some raw ≥ scale > 0).
+    */
+  private def normalizeStep(
+      raw: DataFrame, nodes: DataFrame, scale: Long, outCol: String): DataFrame = {
+    val filled = nodes.join(raw, Seq("node"), "left")
+      .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      .localCheckpoint(true)
+    val mx = math.max(1L, filled.agg(max(col("raw"))).head.getLong(0))
+    val out = filled
+      .select(col("node"), expr(s"(raw * $scale) div $mx").as(outCol))
+      .localCheckpoint(true)
+    freeCkpt(filled)
+    out
+  }
 
   /** One PageRank round (pre-checkpoint) — factored out so the plan shape
     * of an iteration is auditable in isolation.

@@ -57,4 +57,50 @@ class HostGraphSpec extends SparkSpec {
       HostGraph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 5, dampingPct = 100)
     }
   }
+
+  // ------------------------------------------------------------- HITS
+
+  private def hubsAuths(edges: Seq[(Long, Long)], iters: Int = 8)
+      : Map[Long, (Long, Long)] =
+    HostGraph.hits(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits: planted authority tops auth, planted hub tops hub") {
+    // node 0 points at everything (pure hub); node 9 is pointed at by
+    // everything (pure authority); 1-8 form a weak ring
+    val edges = (1L to 8L).map(i => (0L, i)) ++
+      (1L to 8L).map(i => (i, 9L)) ++
+      (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1))
+    val m = hubsAuths(edges)
+    val topAuth = m.maxBy { case (n, (_, a)) => (a, -n) }._1
+    val topHub = m.maxBy { case (n, (h, _)) => (h, -n) }._1
+    assert(topAuth == 9L, s"expected node 9 top authority, got $m")
+    assert(topHub == 0L, s"expected node 0 top hub, got $m")
+    // 9 has no out-links: its hub score must be 0; 0 has no in-links
+    assert(m(9L)._1 == 0L && m(0L)._2 == 0L)
+  }
+
+  test("hits: L-infinity grid law — every round's max lands exactly on scale") {
+    val m = hubsAuths(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)))
+    assert(m.values.map(_._1).max == 1000000L)
+    assert(m.values.map(_._2).max == 1000000L)
+  }
+
+  test("hits: exactly partition-invariant (integer-grid law)") {
+    val edges = (0L until 300L).map(i => (i % 29, (i * 11 + 5) % 29))
+    val a = HostGraph.hits(edges.toDF("src", "dst").repartition(13), 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = HostGraph.hits(edges.toDF("src", "dst").coalesce(1), 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b)
+  }
+
+  test("hits: guards refuse empty graphs and bad scales loudly") {
+    intercept[IllegalArgumentException] {
+      HostGraph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"))
+    }
+    intercept[IllegalArgumentException] {
+      HostGraph.hits(Seq((1L, 2L)).toDF("src", "dst"), scale = 0)
+    }
+  }
 }
