@@ -11,6 +11,21 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.tools.ExplainAudit [sfDir]"
   */
 object ExplainAudit {
+
+  /** An Exchange re-shuffles a CACHED table only if the cache scan sits
+    * below it through narrow (1-child, non-aggregate) operators — an
+    * Exchange above a join or aggregate moves derived rows, which is the
+    * intended per-iteration cost in the graph loops.
+    */
+  private def narrowPathToCache(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        true
+      case x if x.children.length != 1 => false
+      case x if x.getClass.getSimpleName.contains("Aggregate") => false
+      case x => narrowPathToCache(x.children.head)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -184,6 +199,24 @@ object ExplainAudit {
     audit("p17_domain_rank")(
       "rank iteration joins stay hash-based (no cartesian across rounds)" ->
         (p => !p.contains("CartesianProduct")))
+    audit("p18_host_hits")(
+      "hub/auth join of the checkpointed results stays hash-based" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("a12_hnsw_topk")(
+      "per-shard candidates merge through the partial heap, no cartesian" ->
+        (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")),
+      "one shard exchange feeds the graph build (groupByKey on shard)" ->
+        (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2))
+    audit("a13_hnsw_at_rest")(
+      "probe reads adjacency from the segment store (parquet scan present)" ->
+        (p => p.contains("Scan parquet") || p.contains("FileScan parquet")),
+      "per-shard candidates merge through the partial heap, no cartesian" ->
+        (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("s6_xlsx_flatten")(
+      "pack+extract run inside the scan-stage project (single pipeline)" ->
+        (p => p.contains("xlsx_extract(xlsx_pack(")),
+      "only the final order-by exchanges (extraction never shuffles)" ->
+        (p => p.linesIterator.count(_.contains("Exchange")) == 1))
     audit("t8_index_mor")(
       "tombstone resolution is one doc-keyed join (broadcast at this size)" ->
         (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
@@ -222,18 +255,6 @@ object ExplainAudit {
         val step = graft.ops.HostGraph.iterationStep(
           edges, nodes, outdeg, ranks0, base = 1L, dampingPct = 85)
         val plan = step.queryExecution.executedPlan
-        // An Exchange re-shuffles the EDGES only if the cache scan sits
-        // below it through narrow (1-child, non-aggregate) operators —
-        // an Exchange above a join or aggregate moves derived rank-sized
-        // rows, which is the intended per-iteration cost.
-        def narrowPathToCache(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-          p match {
-            case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-              true
-            case x if x.children.length != 1 => false
-            case x if x.getClass.getSimpleName.contains("Aggregate") => false
-            case x => narrowPathToCache(x.children.head)
-          }
         val edgeReshuffles = plan.collect {
           case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
               if narrowPathToCache(s.child) => s
@@ -244,6 +265,27 @@ object ExplainAudit {
           println(plan.toString.linesIterator.take(60).mkString("\n"))
         } else println(
           "PASS p17_iteration_shape: edge cache feeds the join without re-exchange")
+
+        // HITS auth-step shape: the src-partitioned edge cache must feed
+        // the hub join without re-exchange (the dst-partitioned twin
+        // covers the hub step symmetrically — same persisted-layout law).
+        val hubs0 = nodes.withColumn("hub_scaled", lit(1000000L))
+          .localCheckpoint(true)
+        val authStep = edges
+          .join(hubs0.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(org.apache.spark.sql.functions.sum(col("hub_scaled")).as("raw"))
+        val authReshuffles = authStep.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if narrowPathToCache(s.child) => s
+        }
+        if (authReshuffles.nonEmpty) {
+          failed += 1
+          println("FAIL p18_iteration_shape: cached edges re-exchange in the auth step")
+          println(authStep.queryExecution.executedPlan.toString
+            .linesIterator.take(60).mkString("\n"))
+        } else println(
+          "PASS p18_iteration_shape: edge cache feeds the auth join without re-exchange")
         edges.unpersist()
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
