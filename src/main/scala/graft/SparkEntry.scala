@@ -1486,6 +1486,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a14_hnsw_routed") { (s, dir) =>
+      // routed HNSW (IVF-HNSW, the 100 TB probe path): shards come from
+      // the seeded coarse quantizer, each query walks only its nProbe=2
+      // nearest shards (segment-directory partition pruning, pinned in
+      // ExplainAudit + HnswSpec). Approximate by design (the true
+      // neighbor must live in a probed cell) -> golden-pinned like a2;
+      // the recall law and the nProbe=all==exact law live in HnswSpec
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_rt").toString + "/idx"
+      Hnsw.writeRouted(emb, tmp,
+        Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Hnsw.probeRouted(s, tmp, qs, 5, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("t8_index_mor") { (s, dir) =>
       // merge-on-read index maintenance: the resolution law (a row is dead
       // iff its doc holds a tombstone with tomb_epoch >= the row's epoch,
@@ -2316,6 +2336,8 @@ object SparkEntry {
     // same brute-force top-5 as a9
     "a12_hnsw_topk" -> bruteForceKnnOracle(5),
     "a13_hnsw_at_rest" -> bruteForceKnnOracle(5),
+    "a14_hnsw_routed" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a14_hnsw_routed_sf001.parquet')",
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->

@@ -173,13 +173,42 @@ object Hnsw {
 
     private def capOf(layer: Int): Int = if (layer == 0) mMax0 else m
 
-    /** Keep node's layer links pruned to the cap: nearest-(dist,idx) wins. */
+    /** Malkov Alg. 4 neighbor selection (keepPrunedConnections variant):
+      * take candidates nearest-first, but admit one only if it is closer
+      * to the base point than to every already-admitted neighbor —
+      * otherwise an admitted node already "covers" it and the slot is
+      * better spent on a BRIDGE edge toward a different region. Plain
+      * nearest-m selection disconnects graphs whose shard holds several
+      * tight clusters (the routed-sharding regime): every link lands
+      * inside the base's own cluster and pruning severs the only
+      * inter-cluster paths. Unfilled slots backfill from the pruned list
+      * in (dist, idx) order, so selection stays deterministic.
+      */
+    private def selectHeuristic(
+        cands: mutable.ArrayBuffer[(Double, Int)], cap: Int): mutable.ArrayBuffer[Int] = {
+      val res = mutable.ArrayBuffer.empty[Int]
+      val pruned = mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < cands.length && res.length < cap) {
+        val (d, e) = cands(i)
+        val covered = res.exists(r => d2(vecs(e), vecs(r)) < d)
+        if (covered) pruned += e else res += e
+        i += 1
+      }
+      var j = 0
+      while (res.length < cap && j < pruned.length) { res += pruned(j); j += 1 }
+      res
+    }
+
+    /** Keep node's layer links within the cap via the same heuristic,
+      * relative to the node itself.
+      */
     private def prune(node: Int, layer: Int): Unit = {
       val l = links(node)(layer)
       val cap = capOf(layer)
       if (l.length > cap) {
-        val scored = l.map(e => (d2(vecs(node), vecs(e)), e))
-        links(node)(layer) = ordered(scored).take(cap).map(_._2)
+        val scored = ordered(l.map(e => (d2(vecs(node), vecs(e)), e)))
+        links(node)(layer) = selectHeuristic(scored, cap)
       }
     }
 
@@ -196,7 +225,7 @@ object Hnsw {
       var eps = Seq(ep)
       while (lc >= 0) {
         val cands = searchLayer(vec, eps, efC, lc)
-        val neigh = cands.take(m).map(_._2)
+        val neigh = selectHeuristic(cands, m)
         neigh.foreach { e =>
           links(idx)(lc) += e
           links(e)(lc) += idx
@@ -386,6 +415,106 @@ object Hnsw {
         g.toRows(shard)
       }
     rows.toDF().write.partitionBy("shard").mode("append").parquet(segPath(path))
+  }
+
+  // ------------------------------------------------- routed (clustered)
+
+  private def routerPath(path: String) = s"$path/router"
+
+  /** Routed sharding — the 100 TB probe path. Hash shards ([[write]])
+    * force every probe to walk ALL shards; here shards come from the same
+    * seeded coarse quantizer IVF uses ([[Ann.buildIvfSampled]]: bounded
+    * deterministic sample, driver Lloyd's), the router (numShards
+    * centroids, KBs) persists beside the segments, and [[probeRouted]]
+    * walks only the `nProbe` shards nearest each query — static partition
+    * pruning of the segment directories, the FAISS IVF-HNSW / Milvus
+    * clustered-segment layout. Probe cost drops from shards× to nProbe×
+    * graph walks; recall follows the IVF probe law (the true neighbor
+    * must live in a probed cell), quantified in HnswSpec.
+    */
+  def writeRouted(
+      index: DataFrame,
+      path: String,
+      params: Params = Params(),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxIter: Int = 20,
+      sampleCap: Int = 65536): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    Ann.requireIntegralId(index, idCol, "hnsw.writeRouted")
+    val p = params
+    val (assigned, centroids) = Ann.buildIvfSampled(
+      index, idCol, vecCol, nLists = p.numShards,
+      maxIter = maxIter, sampleCap = sampleCap, seed = p.seed)
+    val rows = assigned
+      .select(col("centroid_id").cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
+        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+        g.toRows(shard)
+      }
+    rows.toDF().write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
+    centroids.write.mode("overwrite").parquet(routerPath(path))
+    Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
+      .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
+      .write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  /** Probe a routed index: each query walks only its `nProbe` nearest
+    * shards (centroid distance, ties by shard id). The segment scan is
+    * restricted to the UNION of routed shards before the group —
+    * partition pruning at the file level — and inside a shard's task only
+    * the queries routed there are searched.
+    */
+  def probeRouted(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      efSearch: Int = -1,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1, s"probeRouted: nProbe must be >= 1, got $nProbe")
+    val meta = loadMeta(spark, path)
+    val ef = if (efSearch > 0) efSearch else meta.efSearch
+    val cents: Array[(Int, Array[Float])] = spark.read.parquet(routerPath(path))
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val routed: Array[(Long, Array[Float], Array[Int])] =
+      collectQueries(queries, queryIdCol, queryVecCol).map { case (qid, qv) =>
+        val near = cents.map { case (cid, c) =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { val d = qv(i).toDouble - c(i); s += d * d; i += 1 }
+          (s, cid)
+        }.sorted.take(math.min(nProbe, cents.length)).map(_._2)
+        (qid, qv, near)
+      }
+    val wanted = routed.flatMap(_._3).distinct.sorted
+    val qb = spark.sparkContext.broadcast(routed)
+    spark.read.parquet(segPath(path))
+      .where(col("shard").isin(wanted.map(Integer.valueOf).toSeq: _*))
+      .select(col("shard").cast("int"), col("id"), col("vec"), col("level"), col("links"))
+      .as[HnswRow]
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard, rows) =>
+        val g = new ShardGraph(meta.m, meta.efConstruction, meta.seed)
+          .loadRows(rows.toSeq)
+        qb.value.iterator
+          .filter(_._3.contains(shard))
+          .flatMap { case (qid, qv, _) =>
+            g.search(qv, k, ef).map { case (id, d2) => (qid, id, d2) }
+          }
+      }
+      .toDF("query_id", idCol, "d2")
+      .transform(mergeTopK(_, k, idCol))
   }
 
   def loadMeta(spark: SparkSession, path: String): Params = {

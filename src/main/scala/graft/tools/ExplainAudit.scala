@@ -212,6 +212,12 @@ object ExplainAudit {
         (p => p.contains("Scan parquet") || p.contains("FileScan parquet")),
       "per-shard candidates merge through the partial heap, no cartesian" ->
         (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("a14_hnsw_routed")(
+      "segment scan statically pruned to the routed shards" ->
+        (p => p.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("shard"))),
+      "per-shard candidates merge through the partial heap, no cartesian" ->
+        (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")))
     audit("s6_xlsx_flatten")(
       "pack+extract run inside the scan-stage project (single pipeline)" ->
         (p => p.contains("xlsx_extract(xlsx_pack(")),

@@ -131,6 +131,36 @@ class HnswSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("routed: nProbe=all with exhaustive ef is exact; nProbe=1 recalls the cluster") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_rt").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 4)
+    Hnsw.writeRouted(emb, path, p)
+    val exact = exactTopK(10)
+    // all shards probed + ef >= any shard population => exact, the a14 law
+    val all = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 4)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact, "nProbe=all must equal brute force at exhaustive ef")
+    // clustered data: the single nearest cell holds most true neighbors
+    val one = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 1)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = one.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"nProbe=1 recall $recall")
+  }
+
+  test("routed probe scans only the routed shard directories") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_pr").toString + "/idx"
+    Hnsw.writeRouted(emb, path, Hnsw.Params(numShards = 4))
+    val q1 = qs.where(col("query_id") === 3)
+    val out = Hnsw.probeRouted(spark, path, q1, 5, nProbe = 1)
+    val scan = out.queryExecution.executedPlan.toString
+    // partition pruning: the parquet scan's partition filter pins shard
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("shard")), scan.take(800))
+    assert(out.count() == 5)
+  }
+
   test("levels follow the geometric law: most nodes at level 0, few high") {
     // indirect but structural: a corpus of 600 with m=8 should produce a
     // multi-level graph whose stored max level is small (< 8) and whose
