@@ -353,6 +353,24 @@ object Hnsw {
   private def metaPath(path: String) = s"$path/meta"
   private def segPath(path: String) = s"$path/segments"
 
+  /** Shared build: a `(shard, id, vec)` frame → at-rest adjacency rows,
+    * one graph per shard built inside its task (sorted by id for the
+    * deterministic insertion order every path relies on).
+    */
+  private def buildSegments(sharded: DataFrame, p: Params): DataFrame = {
+    val spark = sharded.sparkSession
+    import spark.implicits._
+    sharded
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
+        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+        g.toRows(shard)
+      }
+      .toDF()
+  }
+
   /** Build shard graphs and persist adjacency as Parquet partitioned by
     * shard (one directory per shard → a probe's shard task reads exactly
     * its own files). `meta/` holds the params the probe must reuse (m and
@@ -368,18 +386,11 @@ object Hnsw {
     import spark.implicits._
     Ann.requireIntegralId(index, idCol, "hnsw.write")
     val p = params
-    val rows = index
-      .select(
+    buildSegments(
+      index.select(
         pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int").as("shard"),
-        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
-        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
-        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
-        g.toRows(shard)
-      }
-    rows.toDF().write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      p).write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
     Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
       .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
       .write.mode("overwrite").parquet(metaPath(path))
@@ -403,18 +414,11 @@ object Hnsw {
     val base = spark.read.parquet(segPath(path))
       .agg(max(col("shard").cast("int"))).head.getInt(0) + 1
     val p = meta
-    val rows = index
-      .select(
+    buildSegments(
+      index.select(
         (pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int") + lit(base)).as("shard"),
-        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
-        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
-        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
-        g.toRows(shard)
-      }
-    rows.toDF().write.partitionBy("shard").mode("append").parquet(segPath(path))
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      p).write.partitionBy("shard").mode("append").parquet(segPath(path))
   }
 
   // ------------------------------------------------- routed (clustered)
@@ -447,17 +451,10 @@ object Hnsw {
     val (assigned, centroids) = Ann.buildIvfSampled(
       index, idCol, vecCol, nLists = p.numShards,
       maxIter = maxIter, sampleCap = sampleCap, seed = p.seed)
-    val rows = assigned
-      .select(col("centroid_id").cast("int").as("shard"),
-        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
-        val g = new ShardGraph(p.m, p.efConstruction, p.seed)
-        it.toArray.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
-        g.toRows(shard)
-      }
-    rows.toDF().write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
+    buildSegments(
+      assigned.select(col("centroid_id").cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      p).write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
     centroids.write.mode("overwrite").parquet(routerPath(path))
     Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
       .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
@@ -515,6 +512,58 @@ object Hnsw {
       }
       .toDF("query_id", idCol, "d2")
       .transform(mergeTopK(_, k, idCol))
+  }
+
+  /** Segment merge — the Lucene forceMerge step after a run of appends.
+    * Every append leaves `numShards` NEW segments, so probe cost grows
+    * linearly in the append count; compact re-extracts the vectors from
+    * the at-rest adjacency, re-shards them to the canonical count
+    * (through the persisted router when the index is routed, else by
+    * hash), rebuilds fresh graphs, and swaps the segment directory
+    * atomically-enough (materialize → sibling dir → delete → rename, the
+    * [[Layout.compactFiles]] protocol — the rewrite's lineage reads the
+    * directory it replaces). Meta and router are untouched; the active
+    * view is probe-equivalent (exact-ef probes identical, pinned in
+    * HnswSpec). Returns (segments before, segments after).
+    */
+  def compact(spark: SparkSession, path: String): (Int, Int) = {
+    import spark.implicits._
+    val p = loadMeta(spark, path)
+    val segDir = new org.apache.hadoop.fs.Path(segPath(path))
+    val fs = segDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val segs = spark.read.parquet(segPath(path))
+    val before = segs.select(col("shard")).distinct().count().toInt
+    val vecs = segs.select(col("id"), col("vec"))
+    val routed = fs.exists(new org.apache.hadoop.fs.Path(routerPath(path)))
+    val sharded =
+      if (!routed)
+        vecs.select(
+          pmod(xxhash64(col("id")), lit(p.numShards)).cast("int").as("shard"),
+          col("id"), col("vec"))
+      else {
+        val cents: Array[Array[Float]] = spark.read.parquet(routerPath(path))
+          .select(col("centroid_id").cast("int"), col("centroid"))
+          .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+        val route = udf { v: Seq[Float] =>
+          var best = 0; var bestD = Float.MaxValue; var c = 0
+          while (c < cents.length) {
+            var s = 0.0f; var i = 0
+            val cent = cents(c)
+            while (i < cent.length) { val d = v(i) - cent(i); s += d * d; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          best
+        }
+        vecs.select(route(col("vec")).as("shard"), col("id"), col("vec"))
+      }
+    val rebuilt = buildSegments(sharded, p).localCheckpoint(true)
+    val after = rebuilt.select(col("shard")).distinct().count().toInt
+    rebuilt.write.partitionBy("shard").mode("overwrite")
+      .parquet(s"${segPath(path)}.__compact")
+    fs.delete(segDir, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"${segPath(path)}.__compact"), segDir)
+    (before, after)
   }
 
   def loadMeta(spark: SparkSession, path: String): Params = {

@@ -161,6 +161,37 @@ class HnswSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("compact merges append segments back to the canonical shard count") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_cp").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)
+    Hnsw.write(emb.where(col("vec_id") < 300), path, p)
+    Hnsw.append(spark, emb.where(col("vec_id") >= 300 && col("vec_id") < 450), path)
+    Hnsw.append(spark, emb.where(col("vec_id") >= 450), path)
+    val preCompact = Hnsw.probe(spark, path, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val (before, after) = Hnsw.compact(spark, path)
+    assert(before == 6 && after == 2, s"expected 6 -> 2 segments, got $before -> $after")
+    val postCompact = Hnsw.probe(spark, path, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    // exhaustive ef: both probes are exact, so the view must be identical
+    assert(postCompact == preCompact, "compaction must not change the active view")
+  }
+
+  test("compact re-routes through the persisted router on a routed index") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_cpr").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 4)
+    Hnsw.writeRouted(emb.where(col("vec_id") < 500), path, p)
+    Hnsw.append(spark, emb.where(col("vec_id") >= 500), path)
+    val (before, after) = Hnsw.compact(spark, path)
+    assert(before > 4 && after <= 4, s"got $before -> $after")
+    // routed probing still prunes and the full-probe view stays exact
+    val exact = exactTopK(10)
+    val got = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 4)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
   test("levels follow the geometric law: most nodes at level 0, few high") {
     // indirect but structural: a corpus of 600 with m=8 should produce a
     // multi-level graph whose stored max level is small (< 8) and whose
