@@ -1270,6 +1270,20 @@ object SparkEntry {
         .select(col("node"), col("rank_scaled"))
         .orderBy("node")
     }
+    reg("p19_trust_rank") { (s, dir) =>
+      // TrustRank over the p17 host graph with hosts {0,1,2} as the
+      // trusted seeds: teleport mass lands only on seeds, so rank decays
+      // with link distance from them. Integer grid -> the DuckDB oracle
+      // (ten unrolled iterations, seed-conditional base) is exact
+      import graft.ops.HostGraph
+      import s.implicits._
+      val edges = T(s, dir, "documents").select(
+        (col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 37).as("dst"))
+      HostGraph.trustRank(edges, Seq(0L, 1L, 2L).toDF("node"), iterations = 10)
+        .select(col("node"), col("rank_scaled"))
+        .orderBy("node")
+    }
     reg("p18_host_hits") { (s, dir) =>
       // HITS hubs/authorities over a synthesized 37-host graph with TWO
       // out-links per doc (so hub and authority structure differ).
@@ -2041,6 +2055,51 @@ object SparkEntry {
        |FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** p19's oracle: TrustRank as [[pageRankOracleSql]] with a
+    * seed-conditional base and seed-uniform initial ranks — the same
+    * loop-generated integer-grid recurrence.
+    */
+  private def trustRankOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""m$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((85 * r.rank_scaled) // (100 * o.deg)) AS BIGINT) AS in_mass
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN s.node IS NOT NULL THEN (SELECT b FROM base) ELSE 0 END)
+         |      + coalesce(m.in_mass, 0) AS rank_scaled
+         |  FROM nodes n
+         |  LEFT JOIN seeds s ON s.node = n.node
+         |  LEFT JOIN m$i m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+       |  FROM documents),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |seeds AS MATERIALIZED (
+       |  SELECT node FROM nodes WHERE node IN (0, 1, 2)),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |base AS (
+       |  SELECT CAST((15 * 1000000000000) // (100 * n) AS BIGINT) AS b FROM ns),
+       |r0 AS (
+       |  SELECT n.node,
+       |    CASE WHEN s.node IS NOT NULL
+       |      THEN CAST(1000000000000 // (SELECT n FROM ns) AS BIGINT)
+       |      ELSE 0 END AS rank_scaled
+       |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+       |$iterCtes
+       |SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled
+       |FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   /** p18's oracle: HITS as eight unrolled auth→hub rounds of the exact
     * integer-grid algebra [[graft.ops.HostGraph.hits]] runs (BIGINT sums,
     * L∞ normalization via floor division by the round's max). Generated by
@@ -2091,6 +2150,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "p17_domain_rank" -> pageRankOracleSql(10),
     "p18_host_hits" -> hitsOracleSql(8),
+    "p19_trust_rank" -> trustRankOracleSql(10),
     // ---- golden-parquet oracles (fixtures/, sf0.01 — the fixture Verify
     // runs on): deterministic queries whose semantics are not DuckDB-SQL-
     // expressible, oracled against committed parquet instead.

@@ -65,10 +65,11 @@ object HostGraph {
       val n = nodes.count()
       require(n > 0, "pageRank on an empty graph")
       val base = ((100L - dampingPct) * scale) / (100L * n)
+      val bases = nodes.withColumn("base", lit(base)).localCheckpoint(true)
       var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
         .localCheckpoint(true)
       for (_ <- 1 to iterations) {
-        val next = iterationStep(edges, nodes, outdeg, ranks, base, dampingPct)
+        val next = iterationStep(edges, bases, outdeg, ranks, dampingPct)
           .localCheckpoint(true)
         freeCkpt(ranks)
         ranks = next
@@ -76,7 +77,64 @@ object HostGraph {
       // the returned frame is itself a checkpoint — the loop scaffolding's
       // blocks can go now
       freeCkpt(nodes)
+      freeCkpt(bases)
       freeCkpt(outdeg)
+      ranks
+    } finally edges.unpersist()
+  }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank whose
+    * teleport mass lands ONLY on a trusted seed set, so authority must
+    * flow out of the seeds along links — a spam farm far from any seed
+    * ends near zero no matter how densely it interlinks, which plain
+    * PageRank cannot promise. Same integer grid, same per-iteration plan
+    * shape and lineage discipline as [[pageRank]]; the only differences
+    * are the per-node base vector (seeds split the damped mass, others
+    * get 0) and the initial ranks (uniform over seeds). Seeds outside the
+    * graph are ignored (semi-join); at least one must remain.
+    */
+  def trustRank(
+      edges0: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 10,
+      dampingPct: Int = 85,
+      scale: Long = 1000000000000L,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(iterations >= 1, "trustRank needs at least one iteration")
+    require(dampingPct > 0 && dampingPct < 100,
+      s"dampingPct must be in (0, 100), got $dampingPct")
+    val edges = prepEdges(edges0, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+      val seedNodes = nodes.join(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi")
+        .withColumn("is_seed", lit(true))
+        .localCheckpoint(true)
+      val nSeeds = seedNodes.count()
+      require(nSeeds > 0, "trustRank: no seed appears in the graph")
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val base = ((100L - dampingPct) * scale) / (100L * nSeeds)
+      def seedVector(value: Long, outCol: String): DataFrame =
+        nodes.join(seedNodes, Seq("node"), "left")
+          .select(col("node"),
+            when(col("is_seed"), lit(value)).otherwise(lit(0L)).as(outCol))
+      val bases = seedVector(base, "base").localCheckpoint(true)
+      var ranks = seedVector(scale / nSeeds, "rank_scaled").localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val next = iterationStep(edges, bases, outdeg, ranks, dampingPct)
+          .localCheckpoint(true)
+        freeCkpt(ranks)
+        ranks = next
+      }
+      freeCkpt(nodes); freeCkpt(seedNodes); freeCkpt(bases); freeCkpt(outdeg)
       ranks
     } finally edges.unpersist()
   }
@@ -186,15 +244,16 @@ object HostGraph {
     out
   }
 
-  /** One PageRank round (pre-checkpoint) — factored out so the plan shape
-    * of an iteration is auditable in isolation.
+  /** One PageRank/TrustRank round (pre-checkpoint) — factored out so the
+    * plan shape of an iteration is auditable in isolation. `bases` carries
+    * each node's teleport mass (uniform for PageRank, seed-only for
+    * TrustRank).
     */
   private[graft] def iterationStep(
       edges: DataFrame,
-      nodes: DataFrame,
+      bases: DataFrame,
       outdeg: DataFrame,
       ranks: DataFrame,
-      base: Long,
       dampingPct: Int): DataFrame = {
     val inMass = edges
       .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -203,9 +262,9 @@ object HostGraph {
         expr(s"($dampingPct * rank_scaled) div (100 * deg)").as("contrib"))
       .groupBy("node")
       .agg(sum(col("contrib")).as("in_mass"))
-    nodes
+    bases
       .join(inMass, Seq("node"), "left")
       .select(col("node"),
-        (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank_scaled"))
+        (col("base") + coalesce(col("in_mass"), lit(0L))).as("rank_scaled"))
   }
 }

@@ -199,6 +199,9 @@ object ExplainAudit {
     audit("p17_domain_rank")(
       "rank iteration joins stay hash-based (no cartesian across rounds)" ->
         (p => !p.contains("CartesianProduct")))
+    audit("p19_trust_rank")(
+      "trust iteration joins stay hash-based (no cartesian across rounds)" ->
+        (p => !p.contains("CartesianProduct")))
     audit("p18_host_hits")(
       "hub/auth join of the checkpointed results stays hash-based" ->
         (p => !p.contains("CartesianProduct")))
@@ -258,8 +261,9 @@ object ExplainAudit {
         val n = nodes.count()
         val ranks0 = nodes.withColumn("rank_scaled", lit(1000000000000L / n))
           .localCheckpoint(true)
+        val bases0 = nodes.withColumn("base", lit(1L)).localCheckpoint(true)
         val step = graft.ops.HostGraph.iterationStep(
-          edges, nodes, outdeg, ranks0, base = 1L, dampingPct = 85)
+          edges, bases0, outdeg, ranks0, dampingPct = 85)
         val plan = step.queryExecution.executedPlan
         val edgeReshuffles = plan.collect {
           case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -58,6 +58,48 @@ class HostGraphSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- TrustRank
+
+  private def trusts(edges: Seq[(Long, Long)], seeds: Seq[Long]): Map[Long, Long] =
+    HostGraph.trustRank(edges.toDF("src", "dst"), seeds.toDF("node"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("trustRank: mass decays with link distance from the seed") {
+    // seed 1 -> chain 1->2->3->4; isolated spam clique 10<->11 linking
+    // only to itself scores 0 despite its internal density
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L))
+    val t = trusts(edges, Seq(1L))
+    assert(t(1L) > t(2L) && t(2L) > t(3L) && t(3L) > t(4L))
+    assert(t(10L) == 0L && t(11L) == 0L,
+      s"unreachable spam clique must hold zero trust, got $t")
+  }
+
+  test("trustRank with all nodes as seeds reproduces pageRank ordering") {
+    val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23))
+    val pr = HostGraph.pageRank(edges.toDF("src", "dst"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = trusts(edges, (0L until 23L).toSeq)
+    def order(m: Map[Long, Long]) = m.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1)
+    assert(order(pr) == order(tr),
+      "uniform seeds must recover the PageRank ordering")
+  }
+
+  test("trustRank: exactly partition-invariant; seeds outside the graph ignored") {
+    val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23))
+    val seeds = Seq(0L, 5L, 999L) // 999 not in the graph
+    val a = HostGraph.trustRank(
+      edges.toDF("src", "dst").repartition(13), seeds.toDF("node"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = HostGraph.trustRank(
+      edges.toDF("src", "dst").coalesce(1), seeds.toDF("node"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      HostGraph.trustRank(
+        edges.toDF("src", "dst"), Seq(999L).toDF("node"), 5)
+    }
+  }
+
   // ------------------------------------------------------------- HITS
 
   private def hubsAuths(edges: Seq[(Long, Long)], iters: Int = 8)
