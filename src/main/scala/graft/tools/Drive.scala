@@ -254,6 +254,44 @@ object Drive {
       graft.ops.UrlCuration.applyBlocklist(urled, "url", blocked), "url", 3)
     println(s"${urled.count()} docs -> ${gated.count()} after blocklist + cap 3/domain")
 
+    println("== sharded HNSW: write segments -> append -> compact -> routed probe ==")
+    val hnswPath = java.nio.file.Files
+      .createTempDirectory("graft_drive_hnsw").toString + "/idx"
+    val hp = graft.ops.Hnsw.Params(m = 8, efConstruction = 80,
+      efSearch = 64, numShards = 4)
+    graft.ops.Hnsw.writeRouted(emb.where(col("vec_id") < 400), hnswPath, hp)
+    graft.ops.Hnsw.append(spark, emb.where(col("vec_id") >= 400), hnswPath)
+    val (segsBefore, segsAfter) = graft.ops.Hnsw.compact(spark, hnswPath)
+    val qs3 = emb.where(col("vec_id").isin(3, 7, 11))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    println(s"segments $segsBefore -> $segsAfter after compact")
+    graft.ops.Hnsw.probeRouted(spark, hnswPath, qs3, 3, nProbe = 2)
+      .orderBy("query_id", "rank").show(9, false)
+
+    println("== xlsx roundtrip (S6: pack a grid, extract it back) ==")
+    graft.functions.TextExpressions.register(spark)
+    docs.limit(3).select(col("doc_id"),
+      graft.functions.TextExpressions.xlsxExtract(
+        graft.functions.TextExpressions.xlsxPack(array(
+          array(lit("doc"), lit("lang")),
+          array(col("doc_id").cast("string"), col("lang"))))).as("xlsx_text"))
+      .show(3, false)
+
+    println("== host-graph authority: PageRank / TrustRank(seeds 0-2) / HITS ==")
+    val hostEdges = docs.select((col("doc_id") % 37).as("src"),
+      ((col("doc_id") * 7 + 3) % 37).as("dst"))
+    val pr = graft.ops.HostGraph.pageRank(hostEdges, 10)
+      .orderBy(desc("rank_scaled")).limit(3)
+    val tr = {
+      import spark.implicits._
+      graft.ops.HostGraph.trustRank(hostEdges, Seq(0L, 1L, 2L).toDF("node"), 10)
+        .orderBy(desc("rank_scaled")).limit(3)
+    }
+    pr.show(3, false)
+    tr.show(3, false)
+    graft.ops.HostGraph.hits(hostEdges, 8)
+      .orderBy(desc("auth_scaled")).limit(3).show(3, false)
+
     spark.stop()
   }
 }
