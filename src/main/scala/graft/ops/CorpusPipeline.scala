@@ -242,6 +242,30 @@ object CorpusPipeline {
     * re-delivery tombstones and re-appends identically — the resolved
     * view is exactly-once even under at-least-once delivery.
     */
+  /** Streaming ANN-index maintenance: append each micro-batch of
+    * embedded vectors to a persisted HNSW index as NEW segments
+    * ([[graft.ops.Hnsw.appendBatch]] — the Lucene segment law; the index
+    * must already exist via `Hnsw.write`/`writeRouted` on the seed
+    * corpus). The streaming `batchId` keys the segment ledger, so
+    * at-least-once re-delivery appends nothing on replay and the probe
+    * view converges to exactly-once. Run [[graft.ops.Hnsw.compact]]
+    * between batches (single-writer law, like a Lucene commit lock) when
+    * the segment count grows past taste.
+    */
+  def streamingHnswSink(
+      vectors: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Hnsw.appendBatch(
+          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+        ()
+      }
+
   def streamingUpsertSink(
       docs: DataFrame,
       path: String,

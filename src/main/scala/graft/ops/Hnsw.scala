@@ -288,11 +288,17 @@ object Hnsw {
   }
 
   /** Per-shard candidates → global (query_id, rank, id, dist) top-k via the
-    * bounded-heap aggregate (dist = true L2, matching the a-family).
+    * bounded-heap aggregate (dist = true L2, matching the a-family). A
+    * candidate id can arrive from several segments (replayed appends, or
+    * the same id legitimately re-added before a compact) — fold to
+    * min(d2) per (query, id) first so the top-k never lists an id twice;
+    * the fold input is queries × shards × k rows, never corpus-sized.
     */
   private def mergeTopK(cands: DataFrame, k: Int, idCol: String): DataFrame =
     Ann.finishTopK(
-      cands.select(col("query_id"), col(idCol), sqrt(col("d2")).as("dist")),
+      cands.groupBy(col("query_id"), col(idCol))
+        .agg(min(col("d2")).as("d2"))
+        .select(col("query_id"), col(idCol), sqrt(col("d2")).as("dist")),
       k, "query_id", idCol)
 
   /** Build transient shard graphs and answer the query batch in the same
@@ -421,6 +427,36 @@ object Hnsw {
       p).write.partitionBy("shard").mode("append").parquet(segPath(path))
   }
 
+  /** [[append]] keyed by a batch id for streaming replay: a batch id
+    * already in the `batches/` ledger is a no-op, so `foreachBatch`
+    * re-delivery (at-least-once) converges to exactly-once segments. The
+    * residual crash window (segments written, ledger row not yet) is
+    * benign for correctness: probes fold duplicate ids to one hit
+    * (mergeTopK) and the next [[compact]] folds duplicate rows away.
+    * Returns true when the batch was applied.
+    */
+  def appendBatch(
+      spark: SparkSession,
+      index: DataFrame,
+      path: String,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    import spark.implicits._
+    val ledger = s"$path/batches"
+    val lp = new org.apache.hadoop.fs.Path(ledger)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val applied = fs.exists(lp) &&
+      spark.read.parquet(ledger)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+    if (applied) false
+    else {
+      append(spark, index, path, idCol, vecCol)
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+      true
+    }
+  }
+
   // ------------------------------------------------- routed (clustered)
 
   private def routerPath(path: String) = s"$path/router"
@@ -533,7 +569,9 @@ object Hnsw {
     val fs = segDir.getFileSystem(spark.sessionState.newHadoopConf())
     val segs = spark.read.parquet(segPath(path))
     val before = segs.select(col("shard")).distinct().count().toInt
-    val vecs = segs.select(col("id"), col("vec"))
+    // replay-duplicated rows (appendBatch's crash window) fold away here;
+    // a same-id row with DIFFERENT content is not an upsert and stays
+    val vecs = segs.select(col("id"), col("vec")).dropDuplicates("id", "vec")
     val routed = fs.exists(new org.apache.hadoop.fs.Path(routerPath(path)))
     val sharded =
       if (!routed)

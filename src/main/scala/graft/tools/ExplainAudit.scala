@@ -208,8 +208,8 @@ object ExplainAudit {
     audit("a12_hnsw_topk")(
       "per-shard candidates merge through the partial heap, no cartesian" ->
         (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")),
-      "one shard exchange feeds the graph build (groupByKey on shard)" ->
-        (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2))
+      "shard build + candidate dedup-fold + k-heap: exactly 3 exchanges, all candidate-sized past the first" ->
+        (p => p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3))
     audit("a13_hnsw_at_rest")(
       "probe reads adjacency from the segment store (parquet scan present)" ->
         (p => p.contains("Scan parquet") || p.contains("FileScan parquet")),

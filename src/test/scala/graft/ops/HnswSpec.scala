@@ -192,6 +192,57 @@ class HnswSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("appendBatch is idempotent per batch id; duplicate segments never duplicate hits") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_ab").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)
+    Hnsw.write(emb.where(col("vec_id") < 500), path, p)
+    val batch = emb.where(col("vec_id") >= 500)
+    assert(Hnsw.appendBatch(spark, batch, path, batchId = 1L))
+    val segs = spark.read.parquet(s"$path/segments").count()
+    // replay of the SAME batch id: no-op
+    assert(!Hnsw.appendBatch(spark, batch, path, batchId = 1L))
+    assert(spark.read.parquet(s"$path/segments").count() == segs)
+    // simulate the crash window: the same segment rows appended WITHOUT a
+    // ledger row (batch 2 re-adds batch 1's vectors) — a probe must still
+    // list each id once, at its true rank
+    assert(Hnsw.appendBatch(spark, batch, path, batchId = 2L))
+    val hits = Hnsw.probe(spark, path, qs, 10).collect()
+    assert(hits.length == 4 * 10)
+    val perQuery = hits.groupBy(_.getLong(0)).values
+    assert(perQuery.forall(h => h.map(_.getLong(2)).distinct.length == h.length),
+      "duplicate segments must not produce duplicate hits")
+    // compact folds the duplicated rows away entirely
+    Hnsw.compact(spark, path)
+    val ids = spark.read.parquet(s"$path/segments").select("id")
+    assert(ids.count() == ids.distinct().count())
+  }
+
+  test("streamingHnswSink: micro-batches append segments exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hnsw_sink").toString
+    val path = s"$tmp/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)
+    Hnsw.write(emb.where(col("vec_id") < 550), path, p)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = CorpusPipeline.streamingHnswSink(
+      mem.toDF().toDF("vec_id", "embedding"), path, s"$tmp/ckpt").start()
+    try {
+      val late = emb.where(col("vec_id") >= 550)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      mem.addData(late.take(25).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(late.drop(25).toIndexedSeq)
+      q.processAllAvailable()
+      // the streamed vectors are live: probing for one of them finds it
+      val probe = emb.where(col("vec_id") === 580)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val top = Hnsw.probe(spark, path, probe, 1).head
+      assert(top.getLong(2) == 580L && top.getDouble(3) == 0.0)
+      assert(spark.read.parquet(s"$path/batches").count() == 2)
+    } finally q.stop()
+  }
+
   test("levels follow the geometric law: most nodes at level 0, few high") {
     // indirect but structural: a corpus of 600 with m=8 should produce a
     // multi-level graph whose stored max level is small (< 8) and whose
