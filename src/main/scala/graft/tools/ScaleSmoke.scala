@@ -282,6 +282,25 @@ object ScaleSmoke {
           s"planted hub (node 0) must rank first, got $top")
         ranks.count()
       }
+      // TrustRank from 100 seed hosts: same iteration plan + a seed base
+      // vector; the planted sink (node 0, linked from everywhere incl.
+      // seed out-edges) must still surface. HITS runs 8 auth+hub rounds
+      // over BOTH cached edge layouts.
+      time("trustrank_10_rounds", edgeRows) {
+        val seeds = spark.range(100).select(col("id").as("node"))
+        val ranks = graft.ops.HostGraph.trustRank(e, seeds, iterations = 10)
+        val top = ranks.orderBy(col("rank_scaled").desc).head
+        assert(top.getLong(0) == 0L,
+          s"planted sink must top trustRank, got $top")
+        ranks.count()
+      }
+      time("hits_8_rounds", edgeRows) {
+        val ha = graft.ops.HostGraph.hits(e, iterations = 8)
+        val topAuth = ha.orderBy(col("auth_scaled").desc).head
+        assert(topAuth.getLong(0) == 0L,
+          s"planted sink must top authority, got $topAuth")
+        ha.count()
+      }
     }
 
     // 10. sharded HNSW at 1M x 32-d: at-rest build (16 segment graphs,
@@ -305,13 +324,28 @@ object ScaleSmoke {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val out = graft.ops.Hnsw.probe(spark, path, queries, 10)
       assertBucketed(out, "hnsw_probe")
-      time("hnsw_at_rest_probe", rows) {
-        val hits = out.select(col("query_id"), col("vec_id")).collect()
-        assert(hits.length == 64 * 10, s"expected 640 hits, got ${hits.length}")
+      def purity(hits: Array[org.apache.spark.sql.Row], label: String): Long = {
+        assert(hits.length == 64 * 10, s"$label: expected 640 hits, got ${hits.length}")
         val impure = hits.count(r => (r.getLong(1) - r.getLong(0)) % 1024 != 0)
         assert(impure.toDouble / hits.length <= 0.05,
-          s"cluster purity violated: $impure/${hits.length} off-cluster hits")
+          s"$label: cluster purity violated: $impure/${hits.length} off-cluster")
         hits.length
+      }
+      time("hnsw_at_rest_probe", rows) {
+        purity(out.select(col("query_id"), col("vec_id")).collect(), "hash")
+      }
+
+      // routed twin on the same corpus: probes walk nProbe=4 of 16 shards
+      // instead of all 16 — same planted-purity bar, ~4x less walk work
+      val rpath = java.nio.file.Files
+        .createTempDirectory("graft_smoke_hnsw_rt").toString + "/idx"
+      time("hnsw_routed_write", rows) {
+        graft.ops.Hnsw.writeRouted(index, rpath, p)
+        spark.read.parquet(s"$rpath/segments").count()
+      }
+      time("hnsw_routed_probe_np4", rows) {
+        purity(graft.ops.Hnsw.probeRouted(spark, rpath, queries, 10, nProbe = 4)
+          .select(col("query_id"), col("vec_id")).collect(), "routed")
       }
     }
 
