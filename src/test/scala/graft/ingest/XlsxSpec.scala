@@ -94,6 +94,31 @@ class XlsxSpec extends SparkSpec {
     assert(XlsxText.pack(grid).toSeq == XlsxText.pack(grid).toSeq)
   }
 
+  test("property: 200 random grids roundtrip exactly through pack -> extract") {
+    // deterministic generator over the XML-representable alphabet:
+    // printable ASCII incl. &<>"', plus some multibyte; \n survives inside
+    // a cell; \r is excluded because the XML spec normalizes it to \n
+    val alphabet: IndexedSeq[String] =
+      (' ' to '~').map(_.toString) ++
+        Seq("ä", "ö", "ü", "ß", "é", "ñ", "中", "文", "🙂", "\n")
+    val rnd = new scala.util.Random(42)
+    def randCell(): String =
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 200).foreach { i =>
+      val grid = (0 until 1 + rnd.nextInt(4)).map(_ =>
+        (0 until 1 + rnd.nextInt(5)).map(_ => randCell()))
+      val expected = grid.map(_.mkString(" ")).filter(_.nonEmpty).mkString("\n")
+      val got = XlsxText.extract(XlsxText.pack(grid))
+      // pack emits every row; extract drops rows whose cells are all
+      // empty-joined to "" only when the row has no cells — rows of empty
+      // strings still carry cells, so they survive as runs of spaces
+      val expectedKept = grid.filter(_.nonEmpty).map(_.mkString(" ")).mkString("\n")
+      def esc(s: String) = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString
+      assert(got == expectedKept,
+        s"grid #$i mismatch:\nGRID=${grid.map(_.map(esc))}\nEXP=[${esc(expectedKept)}]\nGOT=[${esc(got)}]")
+    }
+  }
+
   test("expressions: xlsx_pack/xlsx_extract roundtrip distributively + SQL") {
     import spark.implicits._
     graft.functions.TextExpressions.register(spark)
