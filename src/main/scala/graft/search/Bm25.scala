@@ -91,7 +91,7 @@ object Bm25 {
     * [[writeIndex]], and [[appendIndex]] — see [[buildIndex]] for the
     * single-exchange shape.
     */
-  private def rawPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def rawPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(
         col(idCol).cast("long").as("doc_id"),
@@ -111,7 +111,7 @@ object Bm25 {
     * coordination and an append lands its postings in the same buckets as
     * the original build.
     */
-  private def bucketCol(term: Column, nb: Int): Column =
+  private[graft] def bucketCol(term: Column, nb: Int): Column =
     pmod(xxhash64(term), lit(nb.toLong)).cast("int")
 
   /** Driver-side bucket ids for literal query terms (evaluated through the
@@ -157,8 +157,10 @@ object Bm25 {
       idCol: String,
       textCol: String,
       path: String,
-      termBuckets: Int = 64): Index = {
+      termBuckets: Int = 64,
+      filesPerBucket: Int = 1): Index = {
     require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
+    require(filesPerBucket > 0, s"filesPerBucket must be positive, got $filesPerBucket")
     val spark = docs.sparkSession
     import spark.implicits._
     // one tokenize+aggregate pass feeds all four tables — persist, or
@@ -171,7 +173,16 @@ object Bm25 {
         .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
         .head()
       val n = stats.getLong(0)
-      bucketed.write.mode("overwrite").partitionBy("bucket")
+      // bucket-aligned write: without it every one of the shuffle's
+      // partitions opens a file in every bucket directory (measured 448
+      // files and +45% write time at sf0.1 for 16 buckets × 32
+      // partitions). The doc-salted repartition keeps each output file
+      // bucket-pure while letting `filesPerBucket` scale write
+      // parallelism to buckets × filesPerBucket tasks at 100 TB.
+      bucketed
+        .repartition(termBuckets * filesPerBucket, col("bucket"),
+          pmod(xxhash64(col("doc_id")), lit(filesPerBucket)))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings")
       bucketed.groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$path/terms")
@@ -238,7 +249,7 @@ object Bm25 {
       .head()
     val n = stats.getLong(0)
     if (n == 0) return 0L
-    postings.write.mode("append").partitionBy("bucket")
+    postings.repartition(col("bucket")).write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
     postings.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("append").parquet(s"$path/terms")
