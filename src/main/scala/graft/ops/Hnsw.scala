@@ -457,6 +457,40 @@ object Hnsw {
     }
   }
 
+  private def tombPath(path: String) = s"$path/_tombstones"
+  private val MaxTombstones = 1 << 22
+
+  /** Mark ids deleted. Graphs are never rewritten (mark-delete, the
+    * hnswlib/Lucene stance): probes keep TRAVERSING deleted nodes — they
+    * remain useful bridges — but exclude them from results, over-fetching
+    * to keep k filled. Contract: a delete is terminal for that id until a
+    * [[compact]] purges the tombstones (compact drops the dead rows for
+    * real); re-appending a deleted id before compacting leaves it hidden.
+    * Tombstones are capped at ~4M per index — past that the broadcast
+    * stops being free and the index is overdue for a compact anyway
+    * (probes refuse loudly rather than degrade silently).
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF("id").write.mode("append").parquet(tombPath(path))
+  }
+
+  /** The probe-side tombstone set (empty when none). */
+  private def loadTombstones(spark: SparkSession, path: String): Set[Long] = {
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp)) Set.empty
+    else {
+      val rows = spark.read.parquet(tombPath(path))
+        .limit(MaxTombstones + 1).collect()
+      require(rows.length <= MaxTombstones,
+        s"hnsw probe: more than $MaxTombstones tombstones at $path — " +
+          "compact the index before probing")
+      rows.map(_.getLong(0)).toSet
+    }
+  }
+
   // ------------------------------------------------- routed (clustered)
 
   private def routerPath(path: String) = s"$path/router"
@@ -532,6 +566,7 @@ object Hnsw {
       }
     val wanted = routed.flatMap(_._3).distinct.sorted
     val qb = spark.sparkContext.broadcast(routed)
+    val tb = spark.sparkContext.broadcast(loadTombstones(spark, path))
     spark.read.parquet(segPath(path))
       .where(col("shard").isin(wanted.map(Integer.valueOf).toSeq: _*))
       .select(col("shard").cast("int"), col("id"), col("vec"), col("level"), col("links"))
@@ -540,10 +575,14 @@ object Hnsw {
       .flatMapGroups { (shard, rows) =>
         val g = new ShardGraph(meta.m, meta.efConstruction, meta.seed)
           .loadRows(rows.toSeq)
+        val dead = tb.value
+        val fetch = k + dead.size // search caps results at max(ef, k)
         qb.value.iterator
           .filter(_._3.contains(shard))
           .flatMap { case (qid, qv, _) =>
-            g.search(qv, k, ef).map { case (id, d2) => (qid, id, d2) }
+            g.search(qv, fetch, ef)
+              .filter(h => !dead.contains(h._1)).take(k)
+              .map { case (id, d2) => (qid, id, d2) }
           }
       }
       .toDF("query_id", idCol, "d2")
@@ -570,8 +609,17 @@ object Hnsw {
     val segs = spark.read.parquet(segPath(path))
     val before = segs.select(col("shard")).distinct().count().toInt
     // replay-duplicated rows (appendBatch's crash window) fold away here;
-    // a same-id row with DIFFERENT content is not an upsert and stays
-    val vecs = segs.select(col("id"), col("vec")).dropDuplicates("id", "vec")
+    // a same-id row with DIFFERENT content is not an upsert and stays.
+    // Tombstoned ids are purged for real (anti join — scale-safe at any
+    // tombstone count, unlike the probe-side broadcast set).
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val hasTombs = fs.exists(tp)
+    val vecs0 = segs.select(col("id"), col("vec")).dropDuplicates("id", "vec")
+    val vecs =
+      if (!hasTombs) vecs0
+      else vecs0.join(
+        spark.read.parquet(tombPath(path)).select(col("id")).distinct(),
+        Seq("id"), "left_anti")
     val routed = fs.exists(new org.apache.hadoop.fs.Path(routerPath(path)))
     val sharded =
       if (!routed)
@@ -601,6 +649,7 @@ object Hnsw {
       .parquet(s"${segPath(path)}.__compact")
     fs.delete(segDir, true)
     fs.rename(new org.apache.hadoop.fs.Path(s"${segPath(path)}.__compact"), segDir)
+    if (hasTombs) fs.delete(tp, true) // folded into the rebuild — spent
     (before, after)
   }
 
@@ -629,6 +678,7 @@ object Hnsw {
     val ef = if (efSearch > 0) efSearch else meta.efSearch
     val qb = spark.sparkContext.broadcast(
       collectQueries(queries, queryIdCol, queryVecCol))
+    val tb = spark.sparkContext.broadcast(loadTombstones(spark, path))
     spark.read.parquet(segPath(path))
       .select(col("shard").cast("int"), col("id"), col("vec"), col("level"), col("links"))
       .as[HnswRow]
@@ -636,8 +686,12 @@ object Hnsw {
       .flatMapGroups { (_, rows) =>
         val g = new ShardGraph(meta.m, meta.efConstruction, meta.seed)
           .loadRows(rows.toSeq)
+        val dead = tb.value
+        val fetch = k + dead.size // search caps results at max(ef, k)
         qb.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, ef).map { case (id, d2) => (qid, id, d2) }
+          g.search(qv, fetch, ef)
+            .filter(h => !dead.contains(h._1)).take(k)
+            .map { case (id, d2) => (qid, id, d2) }
         }
       }
       .toDF("query_id", idCol, "d2")

@@ -243,6 +243,46 @@ class HnswSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delete hides ids with full k, compact purges, re-append revives") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_del").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)
+    Hnsw.write(emb, path, p)
+    val exact = exactTopK(10)
+    // exact top-13 baseline (exhaustive ef), then delete the top hit of
+    // query 77 (itself) plus two of its neighbors — ranks 8-10 must
+    // backfill from the 11th-13th nearest
+    val q77exact13 = Hnsw.probe(spark, path, qs.where(col("query_id") === 77), 13)
+      .orderBy("rank").collect().map(_.getLong(2))
+    val q77exact = q77exact13.take(10)
+    val dead = q77exact.take(3)
+    Hnsw.delete(spark, path, dead.toSeq)
+    val hits = Hnsw.probe(spark, path, qs.where(col("query_id") === 77), 10)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(hits.length == 10, "k must stay filled past the deletions")
+    assert(hits.toSet.intersect(dead.toSet).isEmpty, "deleted ids must not surface")
+    // exhaustive ef: the post-delete view is exactly the exact view minus dead
+    assert(hits.toSeq == q77exact13.filterNot(dead.contains).take(10).toSeq)
+    // compact purges the rows and the sidecar
+    Hnsw.compact(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    val idsAtRest = spark.read.parquet(s"$path/segments")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dead.forall(!idsAtRest.contains(_)), "compact must purge dead rows")
+    // re-append after compact revives
+    Hnsw.append(spark, emb.where(col("vec_id").isin(dead.map(Long.box).toSeq: _*)), path)
+    val revived = Hnsw.probe(spark, path, qs.where(col("query_id") === 77), 10)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(revived.toSeq == q77exact.take(10).toSeq,
+      "post-revive view must equal the original exact view")
+    // routed probe honors tombstones too
+    val rpath = java.nio.file.Files.createTempDirectory("graft_hnsw_delr").toString + "/idx"
+    Hnsw.writeRouted(emb, rpath, p)
+    Hnsw.delete(spark, rpath, Seq(77L))
+    val rhits = Hnsw.probeRouted(spark, rpath, qs.where(col("query_id") === 77), 5, nProbe = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(!rhits.contains(77L) && rhits.size == 5)
+  }
+
   test("levels follow the geometric law: most nodes at level 0, few high") {
     // indirect but structural: a corpus of 600 with m=8 should produce a
     // multi-level graph whose stored max level is small (< 8) and whose
