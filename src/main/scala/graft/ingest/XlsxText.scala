@@ -44,8 +44,8 @@ object XlsxText {
     * present cells only), empty rows emit no line — the flatten is lossy
     * by design, exactly like the reference's csv arm.
     */
-  def extract(bytes: Array[Byte]): String = {
-    val entries = readZip(bytes)
+  def extract(bytes: Array[Byte], maxEntryBytes: Int = DefaultMaxEntryBytes): String = {
+    val entries = readZip(bytes, maxEntryBytes)
     require(entries.nonEmpty,
       "xlsx_extract: not a zip container (encrypted or corrupt workbook?)")
     val shared = entries.get("xl/sharedStrings.xml")
@@ -58,13 +58,30 @@ object XlsxText {
       .mkString("\n")
   }
 
-  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** Per-entry inflation cap: a zip-bomb workbook (KBs compressed, GBs
+    * inflated) must fail the row loudly, not OOM the executor.
+    */
+  private val DefaultMaxEntryBytes: Int = 256 << 20
+
+  private def readZip(bytes: Array[Byte], maxEntryBytes: Int): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
+        if (!e.isDirectory) {
+          val buf = new ByteArrayOutputStream(math.min(1 << 16, maxEntryBytes))
+          val chunk = new Array[Byte](8192)
+          var n = zin.read(chunk)
+          while (n >= 0) {
+            require(buf.size.toLong + n <= maxEntryBytes,
+              s"xlsx_extract: entry ${e.getName} inflates past $maxEntryBytes " +
+                "bytes (zip bomb or corrupt workbook)")
+            buf.write(chunk, 0, n)
+            n = zin.read(chunk)
+          }
+          out += e.getName -> buf.toByteArray
+        }
         e = zin.getNextEntry
       }
     } catch {

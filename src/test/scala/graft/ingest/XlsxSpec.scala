@@ -94,6 +94,16 @@ class XlsxSpec extends SparkSpec {
     assert(XlsxText.pack(grid).toSeq == XlsxText.pack(grid).toSeq)
   }
 
+  test("an entry inflating past the cap fails loudly (zip-bomb guard)") {
+    val wb = XlsxText.pack(Seq(Seq("a cell comfortably past a tiny cap")))
+    val err = intercept[IllegalArgumentException] {
+      XlsxText.extract(wb, maxEntryBytes = 16)
+    }
+    assert(err.getMessage.contains("inflates past"))
+    // the same workbook is fine at the default cap
+    assert(XlsxText.extract(wb).nonEmpty)
+  }
+
   test("property: 200 random grids roundtrip exactly through pack -> extract") {
     // deterministic generator over the XML-representable alphabet:
     // printable ASCII incl. &<>"', plus some multibyte; \n survives inside
