@@ -36,7 +36,7 @@ object Bench {
     "b1_bm25_topk", "b2_hybrid_rrf", "a10_knn_join", "p17_domain_rank",
     "d17_neardup_resolve_hashed",
     // round-6: the at-rest BM25 probe
-    "b5_bm25_at_rest", "a12_hnsw_topk")
+    "b5_bm25_at_rest", "a12_hnsw_topk", "b6_hybrid_at_rest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1675,6 +1675,39 @@ object SparkEntry {
           col("doc_id"), col("score_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("b6_hybrid_at_rest") { (s, dir) =>
+      // the full hybrid-retrieval stack over PERSISTED indexes — the
+      // production serving shape: term-bucketed BM25 postings (b5's
+      // at-rest layout, probe pruned to the query terms' buckets) fused
+      // with HNSW segment graphs (a13's at-rest layout, efSearch=200 ≥
+      // shard population ⇒ exact top-20). Both probes are value-equal to
+      // their in-memory twins (proven by b5/a13), so the fused output
+      // reuses b2's DuckDB oracle VERBATIM — write/load on either channel
+      // must be value-invisible through the fusion
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hybrid_idx").toString
+      Bm25.writeIndex(docs, "doc_id", "text", s"$root/bm25", termBuckets = 16)
+      val qText = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val qTerms = qText.select("query_text").collect()
+        .flatMap(r => Bm25.tokenize(r.getString(0))).distinct.toSeq
+      val sparse = Bm25.topKBatch(
+        qText, Bm25.restrictToTerms(Bm25.loadIndex(s, s"$root/bm25"), qTerms), k = 20)
+        .select("query_id", "doc_id", "rank")
+      Hnsw.write(emb, s"$root/hnsw",
+        Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
+      val qVec = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = Hnsw.probe(s, s"$root/hnsw", qVec, 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rrf_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
       // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
@@ -2005,6 +2038,46 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** b2/b6's shared oracle: BM25 ranks + brute-force dense ranks + RRF
+    * fusion, all recomputed in DuckDB — the fused integer sum both
+    * engines reproduce bit-for-bit (and, for b6, through the at-rest
+    * round-trip of both channels).
+    */
+  private lazy val hybridRrfOracle: String =
+    bm25OracleCore(
+      """qs AS (SELECT doc_id AS query_id, text AS query_text
+        |  FROM documents WHERE doc_id IN (3, 7, 11)),""".stripMargin) +
+      """,
+        |sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |dscored AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+        |  FROM embeddings e, qv q),
+        |dense AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+        |    FROM dscored) WHERE rank <= 20),
+        |contribs AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM sparse
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM dense),
+        |fused AS (
+        |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
+        |  FROM contribs GROUP BY 1, 2),
+        |franked AS (
+        |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
+        |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def bm25OracleCore(qsCte: String): String =
     s"""WITH $Bm25IndexCtes,
@@ -2356,40 +2429,11 @@ object SparkEntry {
         """
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
-    "b2_hybrid_rrf" ->
-      (bm25OracleCore(
-        """qs AS (SELECT doc_id AS query_id, text AS query_text
-          |  FROM documents WHERE doc_id IN (3, 7, 11)),""".stripMargin) +
-        """,
-          |sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
-          |qv AS (SELECT vec_id AS query_id, embedding AS qv
-          |       FROM embeddings WHERE vec_id IN (3, 7, 11)),
-          |dscored AS (
-          |  SELECT q.query_id, e.vec_id AS doc_id,
-          |    sqrt(list_sum(list_transform(range(1, 65),
-          |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
-          |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
-          |  FROM embeddings e, qv q),
-          |dense AS (
-          |  SELECT query_id, doc_id, rank FROM (
-          |    SELECT query_id, doc_id, row_number() OVER (
-          |      PARTITION BY query_id ORDER BY dist, doc_id) AS rank
-          |    FROM dscored) WHERE rank <= 20),
-          |contribs AS (
-          |  SELECT query_id, doc_id,
-          |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM sparse
-          |  UNION ALL
-          |  SELECT query_id, doc_id,
-          |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM dense),
-          |fused AS (
-          |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
-          |  FROM contribs GROUP BY 1, 2),
-          |franked AS (
-          |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
-          |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
-          |  FROM fused)
-          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
-          |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "b2_hybrid_rrf" -> hybridRrfOracle,
+    // b6 probes the PERSISTED halves of both channels (b5's BM25 layout +
+    // a13's HNSW layout) with value-equality already proven per channel,
+    // so the fused law is the same oracle
+    "b6_hybrid_at_rest" -> hybridRrfOracle,
     "a9_sq8_batch" -> bruteForceKnnOracle(5),
     // a12/a13: exact-by-construction at fixture scale (efSearch >= shard
     // population — see the registration comments), so the oracle is the

@@ -215,6 +215,14 @@ object ExplainAudit {
         (p => p.contains("Scan parquet") || p.contains("FileScan parquet")),
       "per-shard candidates merge through the partial heap, no cartesian" ->
         (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("b6_hybrid_at_rest")(
+      "postings scan statically pruned to the query terms' buckets" ->
+        (p => p.linesIterator.exists(l =>
+          l.contains("PartitionFilters:") && l.contains("bucket#"))),
+      "fusion stays hash-aggregated over candidate-sized rank lists" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-query top-k is a partial heap aggregate" ->
+        (p => p.contains("partial_topk_by_dist")))
     audit("a14_hnsw_routed")(
       "segment scan statically pruned to the routed shards" ->
         (p => p.linesIterator.exists(l =>
