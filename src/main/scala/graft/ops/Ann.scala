@@ -45,8 +45,17 @@ object Ann {
     * down, never a full materialization); past the cap the join falls back
     * to a shuffle — slower, never fatal.
     */
-  private def maybeBroadcast(candIds: DataFrame, cap: Int): DataFrame =
+  private def maybeBroadcast(candIds0: DataFrame, cap: Int): DataFrame = {
+    // materialize the candidate subtree ONCE before the size probe: the
+    // probe is an action, and without this the whole banding subtree runs
+    // twice — once for the count, once for the real join (shuffle output
+    // is not reused across jobs; measured 2.6 → 1.8 s warm on a6 at
+    // sf0.1). The blocks are candidate-volume-sized (what the join must
+    // consume anyway) and ContextCleaner frees them when the result frame
+    // is dropped.
+    val candIds = candIds0.localCheckpoint(true)
     if (candIds.limit(cap + 1).count() <= cap) broadcast(candIds) else candIds
+  }
 
   /** Shared batch finisher: (query_id, id, dist) candidate rows → bounded
     * heap per query → one row per (query, rank ≤ k).
