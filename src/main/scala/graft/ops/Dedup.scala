@@ -115,10 +115,14 @@ object Dedup {
         posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
           .as(Seq("__pos", "__line")))
       .withColumn("__key", trim(col("__line")))
+    // materialized once: the broadcast-size probe below is an action, and
+    // without this the line-frequency shuffle would run twice (the same
+    // double-execution Ann.maybeBroadcast measures at −30%)
     val dropList = lines.where(col("__key") =!= "")
       .groupBy("__key").agg(countDistinct(col(idCol)).as("__df"))
       .where(col("__df") > maxDf)
       .select(col("__key"), lit(true).as("__dup"))
+      .localCheckpoint(true)
     val guarded =
       if (dropList.limit(maxBroadcastLines + 1).count() <= maxBroadcastLines)
         broadcast(dropList)
