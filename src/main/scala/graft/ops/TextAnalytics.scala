@@ -467,10 +467,15 @@ object TextAnalytics {
           .otherwise(array())).as("bg"))
         .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
-    def guarded(df: DataFrame): DataFrame =
-      if (df.limit(maxBroadcastModel + 1).count() <= maxBroadcastModel)
-        broadcast(df)
-      else df
+    // each model table is materialized before its size probe: the probe
+    // is an action and the corpus-sized model aggregate would otherwise
+    // run twice (the maybeBroadcast double-execution class)
+    def guarded(df: DataFrame): DataFrame = {
+      val mat = df.localCheckpoint(true)
+      if (mat.limit(maxBroadcastModel + 1).count() <= maxBroadcastModel)
+        broadcast(mat)
+      else mat
+    }
     val tgtTokens = target.select(explode(toks(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
     val uni = tgtTokens.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))

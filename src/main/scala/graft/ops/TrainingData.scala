@@ -499,8 +499,11 @@ object TrainingData {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxBroadcastGrams: Int = 4000000): DataFrame = {
+    // materialized once: consumed by the size probe (an action), the
+    // gram join, and the per-doc totals — three executions otherwise
     val evalGrams = ngramSets(eval, n, idCol, textCol)
       .withColumnRenamed(idCol, "eval_id")
+      .localCheckpoint(true)
     def guarded(df: DataFrame): DataFrame =
       if (df.limit(maxBroadcastGrams + 1).count() <= maxBroadcastGrams)
         broadcast(df)

@@ -66,6 +66,7 @@ object UrlCuration {
     // unparseable slice of the corpus in one anti-join
     val bl = blocklist.select(lower(col("domain")).as("__bl_domain"))
       .where(col("__bl_domain") =!= "").distinct()
+      .localCheckpoint(true) // probe + anti-join read one materialization
     val guarded =
       if (bl.limit(maxBroadcastDomains + 1).count() <= maxBroadcastDomains)
         broadcast(bl)

@@ -77,7 +77,11 @@ object Bm25 {
     * postings subtree, term-keyed — second keyed shuffle.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val postings = rawPostings(docs, idCol, textCol)
+    // materialized once: the (N, avgdl) scalar probe below is an action,
+    // and terms/df plus every later probe read this same subtree — without
+    // the checkpoint the tokenize+aggregate build re-runs per consumer
+    // (the maybeBroadcast double-execution class, measured −30% there)
+    val postings = rawPostings(docs, idCol, textCol).localCheckpoint(true)
     val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // exactly two scalars cross the driver — bounded by construction
     val stats = postings

@@ -205,12 +205,20 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("index build plan: no window stage, one postings exchange") {
-    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
-    val plan = idx.postings.queryExecution.executedPlan.toString
+    // buildIndex checkpoints the postings (the probe/terms/stats reuse),
+    // which hides the build plan — assert on the raw build subtree, the
+    // plan the checkpoint materializes
+    val raw = Bm25.rawPostings(corpus, "doc_id", "text")
+    val plan = raw.queryExecution.executedPlan.toString
     assert(!plan.contains("Window ["),
       s"dl must come from size(tokens), not a doc-partitioned window:\n$plan")
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"postings must need exactly one keyed exchange:\n$plan")
+    // and the built index serves from the materialization, not a rebuild
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    assert(idx.postings.queryExecution.analyzed.collect {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+    }.nonEmpty, "postings must read the checkpointed build")
   }
 
   test("rrfFuse single-list fusion preserves the input order") {
