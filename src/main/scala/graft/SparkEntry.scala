@@ -1708,6 +1708,43 @@ object SparkEntry {
           col("doc_id"), col("rrf_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("ep4_hybrid_rag") { (s, dir) =>
+      // the COMPLETE reference serving flow over the persisted hybrid
+      // stack: b6's channels (bucket-pruned BM25 postings + exhaustive-ef
+      // HNSW segments) fuse to a top-4, hit texts assemble into the
+      // context (rank order — the fused analog of q6's dist order), and
+      // the echo answerer emits '[agent] ' + first context line. Every
+      // stage's law is already oracled standalone (b6, q6, c3), so the
+      // composition is DuckDB-recomputed end to end
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ep4_idx").toString
+      Bm25.writeIndex(docs, "doc_id", "text", s"$root/bm25", termBuckets = 16)
+      val questions = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id").as("query_id"), col("text").as("question"))
+      val qTerms = questions.select("question").collect()
+        .flatMap(r => Bm25.tokenize(r.getString(0))).distinct.toSeq
+      val sparse = Bm25.topKBatch(
+        questions.withColumnRenamed("question", "query_text"),
+        Bm25.restrictToTerms(Bm25.loadIndex(s, s"$root/bm25"), qTerms), k = 20)
+        .select("query_id", "doc_id", "rank")
+      Hnsw.write(emb, s"$root/hnsw",
+        Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
+      val qVec = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = Hnsw.probe(s, s"$root/hnsw", qVec, 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val hits = Bm25.rrfFuse(Seq(sparse, dense), k = 4)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("query_id"), col("text"),
+          col("rank").cast("double").as("dist"))
+      val ctx = ContextAssembly.assembleAll(questions, hits)
+      EchoAnswerer.answer(ctx, "question", "context")
+        .select("query_id", "question", "answer")
+        .orderBy("query_id")
+    }
     reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
       // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
@@ -2044,7 +2081,7 @@ object SparkEntry {
     * engines reproduce bit-for-bit (and, for b6, through the at-rest
     * round-trip of both channels).
     */
-  private lazy val hybridRrfOracle: String =
+  private lazy val hybridRrfCtes: String =
     bm25OracleCore(
       """qs AS (SELECT doc_id AS query_id, text AS query_text
         |  FROM documents WHERE doc_id IN (3, 7, 11)),""".stripMargin) +
@@ -2075,9 +2112,31 @@ object SparkEntry {
         |franked AS (
         |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
-        |  FROM fused)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
-        |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |  FROM fused)""".stripMargin
+
+  private lazy val hybridRrfOracle: String =
+    hybridRrfCtes + """
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
+      |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** ep4's oracle: the fused top-4 feeds the reference's serving tail —
+    * context assembly (hit texts newline-joined in (rank, text) order)
+    * and the echo answer ('[agent] ' + first context line), both laws
+    * already oracled standalone by q6/c3.
+    */
+  private lazy val hybridRagOracle: String =
+    hybridRrfCtes + s""",
+      |top4 AS (SELECT query_id, doc_id, rank FROM franked WHERE rank <= 4),
+      |ctx AS (
+      |  SELECT t.query_id,
+      |    string_agg(d.text, chr(10) ORDER BY t.rank, d.text) AS context
+      |  FROM top4 t JOIN documents d ON d.doc_id = t.doc_id
+      |  GROUP BY t.query_id)
+      |SELECT c.query_id, qd.text AS question,
+      |  '[${sqlEsc(graft.serve.Config.AgentName)}] ' ||
+      |    split_part(c.context, chr(10), 1) AS answer
+      |FROM ctx c JOIN documents qd ON qd.doc_id = c.query_id
+      |ORDER BY c.query_id""".stripMargin
 
   private def bm25OracleCore(qsCte: String): String =
     s"""WITH $Bm25IndexCtes,
@@ -2434,6 +2493,7 @@ object SparkEntry {
     // a13's HNSW layout) with value-equality already proven per channel,
     // so the fused law is the same oracle
     "b6_hybrid_at_rest" -> hybridRrfOracle,
+    "ep4_hybrid_rag" -> hybridRagOracle,
     "a9_sq8_batch" -> bruteForceKnnOracle(5),
     // a12/a13: exact-by-construction at fixture scale (efSearch >= shard
     // population — see the registration comments), so the oracle is the
