@@ -1708,6 +1708,21 @@ object SparkEntry {
           col("doc_id"), col("rrf_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("b7_phrase_match") { (s, dir) =>
+      // exact phrase search (positional adjacency — the gap a bag-of-words
+      // index leaves): phrases are the first three tokens of docs 3/7/11,
+      // derived identically by the oracle, so every emitted (query, doc,
+      // n_matches) row is recomputed end to end. Plan: rarest-term prune
+      // (broadcast anchor semi-join) then adjacency verify on candidates
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val phrases = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), Bm25.tokenize(r.getString(1)).take(3).mkString(" ")))
+        .toSeq.sortBy(_._1)
+      Bm25.phraseMatches(docs, phrases)
+        .orderBy("query_id", "doc_id")
+    }
     reg("ep4_hybrid_rag") { (s, dir) =>
       // the COMPLETE reference serving flow over the persisted hybrid
       // stack: b6's channels (bucket-pruned BM25 postings + exhaustive-ef
@@ -2494,6 +2509,25 @@ object SparkEntry {
     // so the fused law is the same oracle
     "b6_hybrid_at_rest" -> hybridRrfOracle,
     "ep4_hybrid_rag" -> hybridRagOracle,
+    "b7_phrase_match" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |    t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |qs AS MATERIALIZED (
+        |  SELECT doc_id AS query_id, tk[1:3] AS qt
+        |  FROM toks WHERE doc_id IN (3, 7, 11)),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CASE WHEN len(t.tk) < len(q.qt) THEN 0 ELSE
+        |      len(list_filter(range(1, len(t.tk) - len(q.qt) + 2),
+        |        i -> len(list_filter(range(0, len(q.qt)),
+        |               j -> t.tk[i + j] = q.qt[j + 1])) = len(q.qt)))
+        |    END AS n_matches
+        |  FROM toks t, qs q)
+        |SELECT query_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches
+        |FROM scored WHERE n_matches >= 1 ORDER BY query_id, doc_id""".stripMargin,
     "a9_sq8_batch" -> bruteForceKnnOracle(5),
     // a12/a13: exact-by-construction at fixture scale (efSearch >= shard
     // population — see the registration comments), so the oracle is the

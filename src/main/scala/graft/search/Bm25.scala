@@ -434,4 +434,70 @@ object Bm25 {
         col("hit.id").as("doc_id"),
         (-col("hit.dist")).cast("long").as("rrf_scaled"))
   }
+
+  // ------------------------------------------------------------- phrase
+
+  /** Exact phrase search — the positional gap a bag-of-words index leaves:
+    * `(query_id, phrase)` → `(query_id, doc_id, n_matches)` for every doc
+    * whose token stream contains the phrase's tokens ADJACENTLY in order
+    * ([[tokensCol]] tokenization on both sides, so "data-stream!" matches
+    * "Data stream").
+    *
+    * The scale plan is the classic two-phase phrase query: (1) PRUNE —
+    * each phrase picks its rarest term (min document frequency, ties by
+    * term) and the candidate set is that term's postings rows, a
+    * broadcast semi-join that touches no non-matching doc; (2) VERIFY —
+    * only candidates re-tokenize and count adjacency windows
+    * (`n_matches`). Phrases are a driver-side batch (like every query
+    * batch here); candidate volume is bounded by the rarest term's df —
+    * the reason the rarest term, not the first, anchors the prune.
+    * Empty/stopword-only phrases are refused loudly (a phrase of only
+    * ultra-common terms must degrade to cost, never to wrong results).
+    */
+  def phraseMatches(
+      docs: DataFrame,
+      phrases: Seq[(Long, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(phrases.nonEmpty, "phraseMatches: empty phrase batch")
+    val qtoks: Seq[(Long, Seq[String])] =
+      phrases.map { case (qid, p) => (qid, tokenize(p)) }
+    qtoks.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"phraseMatches: phrase $qid tokenizes to nothing")
+    }
+    val postings = rawPostings(docs, idCol, textCol)
+      .localCheckpoint(true) // df probe + candidate join read one build
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // rarest term per phrase: a driver-side lookup over the phrases' own
+    // terms (|phrases| × phrase-length rows — tiny)
+    val wanted = qtoks.flatMap(_._2).distinct
+    val dfMap = df.where(col("term").isin(wanted: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anchors = qtoks.map { case (qid, ts) =>
+      val anchor = ts.minBy(t => (dfMap.getOrElse(t, 0L), t))
+      (qid, anchor, ts)
+    }
+    val anchorDf = anchors.map { case (qid, a, ts) => (qid, a, ts) }
+      .toDF("query_id", "__anchor", "__qtoks")
+    val cands = postings
+      .join(broadcast(anchorDf), col("term") === col("__anchor"))
+      .select(col("query_id"), col("doc_id"), col("__qtoks"))
+    cands
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        tokensCol(col(textCol)).as("__toks")), Seq("doc_id"))
+      .withColumn("n_matches",
+        // guard: sequence(1, n) with n < 1 would generate DESCENDING
+        when(size(col("__toks")) < size(col("__qtoks")), lit(0)).otherwise(
+          size(filter(
+            sequence(lit(1), size(col("__toks")) - size(col("__qtoks")) + 1),
+            i => size(filter(
+              sequence(lit(0), size(col("__qtoks")) - 1),
+              j => element_at(col("__toks"), (i + j).cast("int")) ===
+                element_at(col("__qtoks"), (j + 1).cast("int"))))
+              === size(col("__qtoks"))))))
+      .where(col("n_matches") >= 1)
+      .select(col("query_id"), col("doc_id"), col("n_matches").cast("long"))
+  }
 }

@@ -228,4 +228,49 @@ class Bm25Spec extends SparkSpec {
       .orderBy("rank").select("doc_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("phraseMatches: adjacency in order, not bag-of-words co-occurrence") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "brown quick the fox"), // all terms present, wrong order
+      (2L, "a Quick-Brown thing and quick brown again"), // 2 matches, mixed case/punct
+      (3L, "quick stop then brown"), // adjacent nowhere
+      (4L, "short")).toDF("doc_id", "text")
+    val out = Bm25.phraseMatches(d, Seq((10L, "Quick Brown!")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 1L), (2L, 2L)), s"got $out")
+  }
+
+  test("phraseMatches: single-token phrase counts term frequency; overlaps counted") {
+    val d = Seq((0L, "go go go"), (1L, "stop")).toDF("doc_id", "text")
+    val single = Bm25.phraseMatches(d, Seq((1L, "go"))).collect()
+    assert(single.length == 1 && single.head.getLong(2) == 3L)
+    // overlapping windows each count: "go go go" contains "go go" twice
+    val overlap = Bm25.phraseMatches(d, Seq((2L, "go go"))).collect()
+    assert(overlap.length == 1 && overlap.head.getLong(2) == 2L)
+  }
+
+  test("phraseMatches: phrase longer than the doc matches nothing; guards refuse") {
+    val d = Seq((0L, "tiny doc")).toDF("doc_id", "text")
+    assert(Bm25.phraseMatches(d, Seq((1L, "tiny doc overflow phrase"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      Bm25.phraseMatches(d, Seq((1L, "!!! ...")))
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.phraseMatches(d, Seq.empty)
+    }
+  }
+
+  test("phraseMatches: multiple phrases route through their own rarest anchors") {
+    val d = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha alpha"),
+      (2L, "beta gamma delta")).toDF("doc_id", "text")
+    val out = Bm25.phraseMatches(d,
+      Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma delta")))
+      .orderBy("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (2L, 2L), (3L, 2L)), s"got $out")
+  }
 }
