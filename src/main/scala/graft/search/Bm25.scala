@@ -467,26 +467,29 @@ object Bm25 {
     qtoks.foreach { case (qid, ts) =>
       require(ts.nonEmpty, s"phraseMatches: phrase $qid tokenizes to nothing")
     }
-    val postings = rawPostings(docs, idCol, textCol)
-      .localCheckpoint(true) // df probe + candidate join read one build
-    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    // rarest term per phrase: a driver-side lookup over the phrases' own
-    // terms (|phrases| × phrase-length rows — tiny)
+    // document frequency of the PHRASES' OWN terms only — a scan-stage
+    // filter before a terms-count-sized aggregate, never the full
+    // postings build (measured: the full rawPostings shuffle tripled the
+    // 2M-doc tier's cost for df values of which only |phrase terms| are
+    // read)
     val wanted = qtoks.flatMap(_._2).distinct
-    val dfMap = df.where(col("term").isin(wanted: _*))
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"), tokensCol(col(textCol)).as("__toks"))
+    val dfMap = toks
+      .select(explode(array_distinct(
+        filter(col("__toks"), t => t.isin(wanted: _*)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val anchors = qtoks.map { case (qid, ts) =>
       val anchor = ts.minBy(t => (dfMap.getOrElse(t, 0L), t))
       (qid, anchor, ts)
     }
-    val anchorDf = anchors.map { case (qid, a, ts) => (qid, a, ts) }
-      .toDF("query_id", "__anchor", "__qtoks")
-    val cands = postings
-      .join(broadcast(anchorDf), col("term") === col("__anchor"))
-      .select(col("query_id"), col("doc_id"), col("__qtoks"))
-    cands
-      .join(docs.select(col(idCol).cast("long").as("doc_id"),
-        tokensCol(col(textCol)).as("__toks")), Seq("doc_id"))
+    val anchorDf = anchors.toDF("query_id", "__anchor", "__qtoks")
+    // candidates: one more scan, anchors broadcast (tiny nested-loop of
+    // |phrases| membership probes per doc); only matches reach the
+    // adjacency count
+    toks
+      .join(broadcast(anchorDf), array_contains(col("__toks"), col("__anchor")))
       .withColumn("n_matches",
         // guard: sequence(1, n) with n < 1 would generate DESCENDING
         when(size(col("__toks")) < size(col("__qtoks")), lit(0)).otherwise(

@@ -309,6 +309,26 @@ object ScaleSmoke {
       }
     }
 
+    // 9b. exact phrase search at 2M docs: planted phrase "p0 p1 p2" in
+    // every 1000th doc; the rarest-term prune must bound the verify side
+    // to those docs (+ hash collisions), so the adjacency HOF never sees
+    // the corpus.
+    section("phrase") {
+      val rows = n(2000000L)
+      val docs = synthDocs(rows, 25).withColumn("text",
+        when(pmod(col("doc_id"), lit(1000)) === 0,
+          concat(col("text"), lit(" zq0phrase zq1marker zq2tail")))
+          .otherwise(col("text")))
+      val expected = (rows + 999) / 1000
+      time("phrase_match_planted", rows) {
+        val out = graft.search.Bm25.phraseMatches(
+          docs, Seq((0L, "zq0phrase zq1marker zq2tail")))
+        val c = out.count()
+        assert(c == expected, s"expected $expected planted matches, got $c")
+        c
+      }
+    }
+
     // 10. sharded HNSW at 1M x 32-d: at-rest build (16 segment graphs,
     // one task each — the shard population ~62k is the per-executor
     // memory unit that must be sized at 100 TB), then a 64-query probe
