@@ -215,6 +215,12 @@ object ExplainAudit {
         (p => p.contains("Scan parquet") || p.contains("FileScan parquet")),
       "per-shard candidates merge through the partial heap, no cartesian" ->
         (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("b7_phrase_match")(
+      "anchor prune is a broadcast membership join over scan-stage tokens" ->
+        (p => (p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+          && !p.contains("CartesianProduct")),
+      "no corpus-sized exchange (df comes from the filtered scan)" ->
+        (p => !p.contains("Exchange hashpartitioning(doc_id")))
     audit("b6_hybrid_at_rest")(
       "postings scan statically pruned to the query terms' buckets" ->
         (p => p.linesIterator.exists(l =>
