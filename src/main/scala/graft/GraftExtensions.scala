@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.XlsxPack(es.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("wav_pack"),
+      info("wav_pack", "wav_pack(samples, rate) - PCM16 mono WAV binary from ARRAY<INT>"),
+      (es: Seq[Expression]) => graft.functions.WavPack(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("wav_rms"),
+      info("wav_rms", "wav_rms(content, frame_size) - per-frame RMS energy of a PCM16 WAV"),
+      (es: Seq[Expression]) => graft.functions.WavRms(es(0), es(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("cms_merge"),
       info("cms_merge", "cms_merge(sketch) - merge count-min sketches (binary)"),
       (es: Seq[Expression]) =>

@@ -1951,6 +1951,27 @@ object SparkEntry {
           col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"))
         .orderBy("media_id")
     }
+    reg("m6_audio_energy") { (s, dir) =>
+      // audio arm of the multimodal seam: a deterministic integer
+      // waveform (s_i = (doc_id·31 + i·17) mod 2000 − 1000) packs into a
+      // REAL PCM16 WAV container (44-byte header + LE shorts), decodes
+      // back through the RIFF chunk walk, and yields per-frame RMS — all
+      // inside the scan stage. The oracle recomputes the SAME waveform
+      // and RMS from the formula, so the container encode/decode
+      // roundtrip and the energy math are both proven bit-for-bit
+      // (integer squares, IEEE sqrt, round 6)
+      import graft.functions.AudioExpressions._
+      val docs = T(s, dir, "documents").where(col("doc_id") < 50)
+      val samples = transform(sequence(lit(0), lit(799)),
+        i => (pmod(col("doc_id") * 31 + i * 17, lit(2000)) - 1000).cast("int"))
+      docs.select(
+        col("doc_id"),
+        posexplode(wavRms(wavPack(samples, lit(16000)), lit(160)))
+          .as(Seq("frame", "rms")))
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("doc_id", "frame")
+    }
     reg("m5_real_image_phash") { (s, dir) =>
       // the REAL decode path (javax.imageio, no stub): PNGs are synthesized
       // in-executor (the container ships no image files — seed = id % 8
@@ -4184,6 +4205,17 @@ object SparkEntry {
         |        list_filter(range(1, length(text)+1), i -> (i-1) % 8 = 0) AS idx
         |      FROM documents)
         |ORDER BY media_id""".stripMargin,
+    "m6_audio_energy" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |cells AS (
+        |  SELECT d.doc_id, f.frame, j.j,
+        |    ((d.doc_id * 31 + (f.frame * 160 + j.j) * 17) % 2000) - 1000 AS s
+        |  FROM d,
+        |    (SELECT unnest(range(0, 5)) AS frame) f,
+        |    (SELECT unnest(range(0, 160)) AS j) j)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  round(sqrt(sum(CAST(s * s AS BIGINT)) / 160.0), 6) AS rms
+        |FROM cells GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
     "m5_real_image_phash" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/m5_real_image_phash_sf001.parquet')",
     "m3_resize_meta" ->

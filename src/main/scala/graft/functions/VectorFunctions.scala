@@ -144,6 +144,7 @@ object VectorFunctions {
     TopKAggregate.register(spark)
     CmsFunctions.register(spark)
     TextExpressions.register(spark)
+    AudioExpressions.register(spark)
   }
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)
