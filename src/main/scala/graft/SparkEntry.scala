@@ -51,6 +51,35 @@ object SparkEntry {
     T(s, dir, "embeddings").where(col("vec_id") === 7)
       .select("embedding").head.getSeq[Float](0).toArray
 
+  /** b6/ep4's shared at-rest hybrid channels: persist both indexes in a
+    * temp dir and return the (sparse, dense) top-`k` rank lists for query
+    * docs 3/7/11 — ONE definition, so the two queries' premises (and the
+    * shared hybridRrf oracle they both feed) can never drift apart.
+    */
+  private def atRestHybridChannels(
+      s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    import graft.search.Bm25
+    val docs = T(s, dir, "documents")
+    val emb = T(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hybrid_idx").toString
+    Bm25.writeIndex(docs, "doc_id", "text", s"$root/bm25", termBuckets = 16)
+    val qText = docs.where(col("doc_id").isin(3, 7, 11))
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val qTerms = qText.select("query_text").collect()
+      .flatMap(r => Bm25.tokenize(r.getString(0))).distinct.toSeq
+    val sparse = Bm25.topKBatch(
+      qText, Bm25.restrictToTerms(Bm25.loadIndex(s, s"$root/bm25"), qTerms), k = k)
+      .select("query_id", "doc_id", "rank")
+    graft.ops.Hnsw.write(emb, s"$root/hnsw",
+      graft.ops.Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
+    val qVec = emb.where(col("vec_id").isin(3, 7, 11))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dense = graft.ops.Hnsw.probe(s, s"$root/hnsw", qVec, k)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    (sparse, dense)
+  }
+
   /** Documents with synthesized title structure: every doc whose id is not
     * ≡0 (mod 10) gets an ALL-CAPS title line + blank line prepended; ids
     * ≡0 keep raw text (exercises the "General" default section).
@@ -1684,26 +1713,8 @@ object SparkEntry {
       // their in-memory twins (proven by b5/a13), so the fused output
       // reuses b2's DuckDB oracle VERBATIM — write/load on either channel
       // must be value-invisible through the fusion
-      import graft.search.Bm25
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_hybrid_idx").toString
-      Bm25.writeIndex(docs, "doc_id", "text", s"$root/bm25", termBuckets = 16)
-      val qText = docs.where(col("doc_id").isin(3, 7, 11))
-        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
-      val qTerms = qText.select("query_text").collect()
-        .flatMap(r => Bm25.tokenize(r.getString(0))).distinct.toSeq
-      val sparse = Bm25.topKBatch(
-        qText, Bm25.restrictToTerms(Bm25.loadIndex(s, s"$root/bm25"), qTerms), k = 20)
-        .select("query_id", "doc_id", "rank")
-      Hnsw.write(emb, s"$root/hnsw",
-        Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
-      val qVec = emb.where(col("vec_id").isin(3, 7, 11))
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val dense = Hnsw.probe(s, s"$root/hnsw", qVec, 20)
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
-      Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20)
+      graft.search.Bm25.rrfFuse(Seq(sparse, dense), k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), col("rrf_scaled"))
         .orderBy("query_id", "rank")
@@ -1733,24 +1744,9 @@ object SparkEntry {
       // composition is DuckDB-recomputed end to end
       import graft.search.Bm25
       val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ep4_idx").toString
-      Bm25.writeIndex(docs, "doc_id", "text", s"$root/bm25", termBuckets = 16)
       val questions = docs.where(col("doc_id").isin(3, 7, 11))
         .select(col("doc_id").as("query_id"), col("text").as("question"))
-      val qTerms = questions.select("question").collect()
-        .flatMap(r => Bm25.tokenize(r.getString(0))).distinct.toSeq
-      val sparse = Bm25.topKBatch(
-        questions.withColumnRenamed("question", "query_text"),
-        Bm25.restrictToTerms(Bm25.loadIndex(s, s"$root/bm25"), qTerms), k = 20)
-        .select("query_id", "doc_id", "rank")
-      Hnsw.write(emb, s"$root/hnsw",
-        Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
-      val qVec = emb.where(col("vec_id").isin(3, 7, 11))
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val dense = Hnsw.probe(s, s"$root/hnsw", qVec, 20)
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20)
       val hits = Bm25.rrfFuse(Seq(sparse, dense), k = 4)
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("query_id"), col("text"),

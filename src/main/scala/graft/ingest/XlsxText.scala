@@ -50,8 +50,15 @@ object XlsxText {
       "xlsx_extract: not a zip container (encrypted or corrupt workbook?)")
     val shared = entries.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+    // numeric sheet order: plain lexicographic sorting would interleave
+    // sheet10..sheet19 between sheet1 and sheet2 on 10+-sheet workbooks
     val sheets = entries.keys.filter(n =>
-      n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")).toSeq.sorted
+      n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")).toSeq
+      .sortBy { n =>
+        val digits = n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml")
+        (if (digits.forall(_.isDigit) && digits.nonEmpty) digits.toLong
+         else Long.MaxValue, n)
+      }
     require(sheets.nonEmpty || entries.contains("xl/workbook.xml"),
       "xlsx_extract: no workbook.xml — not an xlsx container")
     sheets.map(n => parseSheet(entries(n), shared)).filter(_.nonEmpty)

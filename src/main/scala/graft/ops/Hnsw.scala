@@ -247,6 +247,9 @@ object Hnsw {
         .take(k).map { case (d, i) => (ids(i), d) }.toSeq
     }
 
+    /** How many of this shard's ids satisfy `p` (tombstone over-fetch). */
+    def countIds(p: Long => Boolean): Int = ids.count(p)
+
     /** At-rest adjacency rows for [[write]] (links as global ids). */
     def toRows(shard: Int): Iterator[HnswRow] =
       ids.indices.iterator.map { i =>
@@ -403,8 +406,15 @@ object Hnsw {
   }
 
   /** Append new vectors as NEW segment shards (Lucene/FAISS segment law:
-    * never mutate a written graph). Shard ids continue after the current
-    * maximum, so [[probe]] unions old and new segments transparently.
+    * never mutate a written graph — merging adjacency rows from two
+    * builds into one graph would leave two disconnected components).
+    * On a hash index, shard ids continue after the current maximum and
+    * [[probe]] unions all segments transparently. On a ROUTED index, the
+    * new segments are routed through the PERSISTED router and their
+    * shard ids keep `shard mod numShards == centroid_id` (base is
+    * aligned to a numShards multiple), so [[probeRouted]] includes every
+    * generation of a probed cell — an appended vector is visible to
+    * routed probes immediately, not only after a compact.
     * Idempotence is the caller's contract (append each batch once);
     * re-appending the same rows would create duplicate segments — the
     * same stance as [[graft.index.VectorIndex]] pre-epoch appends.
@@ -415,16 +425,26 @@ object Hnsw {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    import spark.implicits._
-    val meta = loadMeta(spark, path)
-    val base = spark.read.parquet(segPath(path))
-      .agg(max(col("shard").cast("int"))).head.getInt(0) + 1
-    val p = meta
-    buildSegments(
-      index.select(
-        (pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int") + lit(base)).as("shard"),
-        col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
-      p).write.partitionBy("shard").mode("append").parquet(segPath(path))
+    val p = loadMeta(spark, path)
+    val maxShard = spark.read.parquet(segPath(path))
+      .agg(max(col("shard").cast("int"))).head.getInt(0)
+    val rp = new org.apache.hadoop.fs.Path(routerPath(path))
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val sharded =
+      if (!fs.exists(rp))
+        index.select(
+          (pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int") +
+            lit(maxShard + 1)).as("shard"),
+          col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      else {
+        val base = (maxShard / p.numShards + 1) * p.numShards
+        val route = routeUdf(loadCentroids(spark, path))
+        index.select(
+          (route(col(vecCol)) + lit(base)).as("shard"),
+          col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      }
+    buildSegments(sharded, p)
+      .write.partitionBy("shard").mode("append").parquet(segPath(path))
   }
 
   /** [[append]] keyed by a batch id for streaming replay: a batch id
@@ -495,6 +515,54 @@ object Hnsw {
 
   private def routerPath(path: String) = s"$path/router"
 
+  /** Float-accumulated squared L2 — deliberately matching
+    * [[Ann.buildIvfSampled]]'s assignment loop, so where a vector LIVES
+    * (its float-assigned cell at write time) and how appends/compacts/
+    * probes rank cells agree bit-for-bit on boundary vectors.
+    */
+  private def l2f(v: Seq[Float], cent: Array[Float]): Float = {
+    var s = 0.0f
+    var i = 0
+    while (i < cent.length) { val d = v(i) - cent(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def loadCentroids(
+      spark: SparkSession, path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(routerPath(path))
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Nearest-centroid assignment, ties to the smallest centroid id. */
+  private def routeUdf(cents: Array[(Int, Array[Float])]) =
+    udf { v: Seq[Float] =>
+      var best = cents.head._1
+      var bestD = Float.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val s = l2f(v, cents(c)._2)
+        if (s < bestD) { bestD = s; best = cents(c)._1 }
+        c += 1
+      }
+      best
+    }
+
+  /** The shard values [[probeRouted]] must read for a routed-cell set:
+    * every segment generation whose `shard mod numShards` is a probed
+    * cell. Shard values come from the partition directory names — no
+    * data scan.
+    */
+  private def shardValues(spark: SparkSession, path: String): Seq[Int] = {
+    val segDir = new org.apache.hadoop.fs.Path(segPath(path))
+    val fs = segDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(segDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard=").toInt)
+      .sorted
+  }
+
   /** Routed sharding — the 100 TB probe path. Hash shards ([[write]])
     * force every probe to walk ALL shards; here shards come from the same
     * seeded coarse quantizer IVF uses ([[Ann.buildIvfSampled]]: bounded
@@ -551,24 +619,25 @@ object Hnsw {
     require(nProbe >= 1, s"probeRouted: nProbe must be >= 1, got $nProbe")
     val meta = loadMeta(spark, path)
     val ef = if (efSearch > 0) efSearch else meta.efSearch
-    val cents: Array[(Int, Array[Float])] = spark.read.parquet(routerPath(path))
-      .select(col("centroid_id").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val cents = loadCentroids(spark, path)
+    // query → nProbe nearest CELLS (float accumulation, matching the
+    // write-side assignment; ties to the smaller centroid id)
     val routed: Array[(Long, Array[Float], Array[Int])] =
       collectQueries(queries, queryIdCol, queryVecCol).map { case (qid, qv) =>
-        val near = cents.map { case (cid, c) =>
-          var s = 0.0; var i = 0
-          while (i < c.length) { val d = qv(i).toDouble - c(i); s += d * d; i += 1 }
-          (s, cid)
-        }.sorted.take(math.min(nProbe, cents.length)).map(_._2)
+        val near = cents.map { case (cid, c) => (l2f(qv, c), cid) }
+          .sorted.take(math.min(nProbe, cents.length)).map(_._2)
         (qid, qv, near)
       }
-    val wanted = routed.flatMap(_._3).distinct.sorted
+    // a probed CELL spans every segment generation with
+    // shard mod numShards == cell (appends add aligned generations)
+    val cells = routed.flatMap(_._3).toSet
+    val wanted = shardValues(spark, path)
+      .filter(s => cells.contains(s % meta.numShards))
+    val nShards = meta.numShards
     val qb = spark.sparkContext.broadcast(routed)
     val tb = spark.sparkContext.broadcast(loadTombstones(spark, path))
     spark.read.parquet(segPath(path))
-      .where(col("shard").isin(wanted.map(Integer.valueOf).toSeq: _*))
+      .where(col("shard").isin(wanted.map(Integer.valueOf): _*))
       .select(col("shard").cast("int"), col("id"), col("vec"), col("level"), col("links"))
       .as[HnswRow]
       .groupByKey(_.shard)
@@ -576,9 +645,13 @@ object Hnsw {
         val g = new ShardGraph(meta.m, meta.efConstruction, meta.seed)
           .loadRows(rows.toSeq)
         val dead = tb.value
-        val fetch = k + dead.size // search caps results at max(ef, k)
+        // over-fetch only by the tombstones PRESENT IN THIS SHARD —
+        // k + |global dead| would widen every shard's beam toward a
+        // brute-force scan on a heavily-deleted index
+        val fetch = k + (if (dead.isEmpty) 0 else g.countIds(dead.contains))
+        val cell = shard % nShards
         qb.value.iterator
-          .filter(_._3.contains(shard))
+          .filter(_._3.contains(cell))
           .flatMap { case (qid, qv, _) =>
             g.search(qv, fetch, ef)
               .filter(h => !dead.contains(h._1)).take(k)
@@ -626,23 +699,10 @@ object Hnsw {
         vecs.select(
           pmod(xxhash64(col("id")), lit(p.numShards)).cast("int").as("shard"),
           col("id"), col("vec"))
-      else {
-        val cents: Array[Array[Float]] = spark.read.parquet(routerPath(path))
-          .select(col("centroid_id").cast("int"), col("centroid"))
-          .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
-        val route = udf { v: Seq[Float] =>
-          var best = 0; var bestD = Float.MaxValue; var c = 0
-          while (c < cents.length) {
-            var s = 0.0f; var i = 0
-            val cent = cents(c)
-            while (i < cent.length) { val d = v(i) - cent(i); s += d * d; i += 1 }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          best
-        }
-        vecs.select(route(col("vec")).as("shard"), col("id"), col("vec"))
-      }
+      else
+        vecs.select(
+          routeUdf(loadCentroids(spark, path))(col("vec")).as("shard"),
+          col("id"), col("vec"))
     val rebuilt = buildSegments(sharded, p).localCheckpoint(true)
     val after = rebuilt.select(col("shard")).distinct().count().toInt
     rebuilt.write.partitionBy("shard").mode("overwrite")
@@ -687,7 +747,8 @@ object Hnsw {
         val g = new ShardGraph(meta.m, meta.efConstruction, meta.seed)
           .loadRows(rows.toSeq)
         val dead = tb.value
-        val fetch = k + dead.size // search caps results at max(ef, k)
+        // over-fetch only by this shard's own tombstones (see probeRouted)
+        val fetch = k + (if (dead.isEmpty) 0 else g.countIds(dead.contains))
         qb.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, fetch, ef)
             .filter(h => !dead.contains(h._1)).take(k)

@@ -202,14 +202,16 @@ object HostGraph {
         .localCheckpoint(true)
       require(nodes.limit(1).count() > 0, "hits on an empty graph")
       var hubs = nodes.withColumn("hub_scaled", lit(scale)).localCheckpoint(true)
-      var auths = nodes.withColumn("auth_scaled", lit(scale)).localCheckpoint(true)
+      // the first round derives auths from hubs alone — no initial auth
+      // frame exists to materialize (or free)
+      var auths: DataFrame = null
       for (_ <- 1 to iterations) {
         val nextAuth = normalizeStep(
           edgesS.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node"))
             .agg(sum(col("hub_scaled")).as("raw")),
           nodes, scale, "auth_scaled")
-        freeCkpt(auths)
+        if (auths != null) freeCkpt(auths)
         auths = nextAuth
         val nextHub = normalizeStep(
           edgesD.join(auths.withColumnRenamed("node", "dst"), "dst")

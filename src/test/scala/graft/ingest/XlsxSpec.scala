@@ -94,6 +94,16 @@ class XlsxSpec extends SparkSpec {
     assert(XlsxText.pack(grid).toSeq == XlsxText.pack(grid).toSeq)
   }
 
+  test("12 sheets flatten in numeric order, not lexicographic (sheet2 before sheet10)") {
+    val sheets = (1 to 12).map { i =>
+      s"xl/worksheets/sheet$i.xml" ->
+        s"""<worksheet><sheetData><row r="1"><c t="inlineStr"><is><t>s$i</t></is></c></row></sheetData></worksheet>"""
+          .getBytes(UTF_8)
+    }
+    val wb = zip(("xl/workbook.xml" -> "<workbook/>".getBytes(UTF_8)) +: sheets)
+    assert(XlsxText.extract(wb) == (1 to 12).map(i => s"s$i").mkString("\n"))
+  }
+
   test("an entry inflating past the cap fails loudly (zip-bomb guard)") {
     val wb = XlsxText.pack(Seq(Seq("a cell comfortably past a tiny cap")))
     val err = intercept[IllegalArgumentException] {

@@ -177,6 +177,35 @@ class HnswSpec extends SparkSpec {
     assert(postCompact == preCompact, "compaction must not change the active view")
   }
 
+  test("routed append: new vectors visible to routed probes BEFORE any compact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_rta").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 4)
+    Hnsw.writeRouted(emb.where(col("vec_id") < 500), path, p)
+    // append a twin of vector 77 under a new id — it must route to 77's
+    // cell and surface at nProbe=1 immediately (round-6 regression: hash
+    // sharding put appended segments outside every routed cell)
+    val twin = emb.where(col("vec_id") === 77)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    Hnsw.append(spark, twin, path)
+    val q77 = qs.where(col("query_id") === 77)
+    val top2 = Hnsw.probeRouted(spark, path, q77, 2, nProbe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(top2 == Set(77L, 20077L), s"appended twin must surface, got $top2")
+    // segment ids stay cell-aligned: shard mod numShards == centroid id
+    val shards = spark.read.parquet(s"$path/segments")
+      .select(col("shard").cast("int")).distinct().collect().map(_.getInt(0))
+    assert(shards.exists(_ >= 4), "append must create NEW segment generations")
+    // nProbe=all across generations: every query still gets its full k
+    // and the appended twin ties its original at the top for query 77
+    val all = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 4)
+    val counts = all.groupBy("query_id").count().collect()
+      .map(_.getLong(1)).toSet
+    assert(counts == Set(10L), s"full k across generations, got $counts")
+    val top77 = all.where(col("query_id") === 77)
+      .orderBy("rank").limit(2).collect().map(_.getLong(2)).toSet
+    assert(top77 == Set(77L, 20077L))
+  }
+
   test("compact re-routes through the persisted router on a routed index") {
     val path = java.nio.file.Files.createTempDirectory("graft_hnsw_cpr").toString + "/idx"
     val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 4)
