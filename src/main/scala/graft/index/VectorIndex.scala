@@ -259,9 +259,10 @@ object VectorIndex {
       .getFileSystem(spark.sessionState.newHadoopConf())
     active.write.mode("overwrite").partitionBy("section")
       .parquet(s"$path.__compact")
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path.__compact"),
-      new org.apache.hadoop.fs.Path(path))
+    // rename-aside swap (shared protocol — see Layout.swapDir). The
+    // `_tombstones` sidecar lives inside the old generation's directory,
+    // so it is swapped out (spent) together with the rows it resolved.
+    graft.ops.Layout.swapDir(fs, path, s"$path.__compact")
     n
   }
 }

@@ -50,19 +50,97 @@ object XlsxText {
       "xlsx_extract: not a zip container (encrypted or corrupt workbook?)")
     val shared = entries.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
-    // numeric sheet order: plain lexicographic sorting would interleave
-    // sheet10..sheet19 between sheet1 and sheet2 on 10+-sheet workbooks
-    val sheets = entries.keys.filter(n =>
-      n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")).toSeq
-      .sortBy { n =>
-        val digits = n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml")
-        (if (digits.forall(_.isDigit) && digits.nonEmpty) digits.toLong
-         else Long.MaxValue, n)
-      }
+    val sheets = sheetParts(entries)
     require(sheets.nonEmpty || entries.contains("xl/workbook.xml"),
       "xlsx_extract: no workbook.xml — not an xlsx container")
     sheets.map(n => parseSheet(entries(n), shared)).filter(_.nonEmpty)
       .mkString("\n")
+  }
+
+  /** Worksheet part names in workbook order. Primary resolution is the
+    * OPC-correct one: `xl/workbook.xml`'s `<sheet r:id=…>` list (document
+    * order = tab order) resolved through `xl/_rels/workbook.xml.rels` —
+    * producers are free to name sheet parts ANYTHING, so the
+    * `xl/worksheets/sheetN.xml` convention is only a FALLBACK (kept for
+    * minimal containers without a rels part, e.g. [[pack]]'s, in numeric
+    * order — plain lexicographic sorting would interleave sheet10..19
+    * between sheet1 and sheet2). A workbook that DECLARES sheets none of
+    * which resolve to a present part fails loudly instead of silently
+    * extracting an empty string (the module's stated stance).
+    */
+  private def sheetParts(entries: Map[String, Array[Byte]]): Seq[String] = {
+    val declared = entries.get("xl/workbook.xml")
+      .map(workbookSheetRelIds).getOrElse(Seq.empty)
+    val rels = entries.get("xl/_rels/workbook.xml.rels")
+      .map(parseRels).getOrElse(Map.empty[String, String])
+    val resolved = declared.flatMap(rels.get).map(resolveTarget)
+      .filter(entries.contains)
+    if (resolved.nonEmpty) resolved
+    else {
+      val byName = entries.keys.filter(n =>
+        n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")).toSeq
+        .sortBy { n =>
+          val digits = n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml")
+          (if (digits.forall(_.isDigit) && digits.nonEmpty) digits.toLong
+           else Long.MaxValue, n)
+        }
+      require(byName.nonEmpty || declared.isEmpty,
+        s"xlsx_extract: workbook.xml declares ${declared.length} sheet(s) " +
+          s"but no worksheet part resolved (${rels.size} relationship(s) " +
+          "parsed) — nonstandard part names without a readable rels part")
+      byName
+    }
+  }
+
+  private val RelNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  /** `<sheet>` elements' `r:id` attributes from workbook.xml, in document
+    * order (= the workbook's tab order).
+    */
+  private def workbookSheetRelIds(xml: Array[Byte]): Seq[String] = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val ids = mutable.ArrayBuffer.empty[String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+          val id = Option(r.getAttributeValue(RelNs, "id"))
+            .orElse(Option(r.getAttributeValue(null, "id")))
+          id.foreach(ids += _)
+        }
+      }
+    } finally r.close()
+    ids.toSeq
+  }
+
+  /** workbook.xml.rels: relationship Id → Target (raw, unresolved). */
+  private def parseRels(xml: Array[Byte]): Map[String, String] = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val out = Map.newBuilder[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          if (id != null && target != null) out += id -> target
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Resolve a rels Target against its base part dir (`xl/`): absolute
+    * targets (`/xl/…`) strip the slash, relative ones prefix `xl/`, and
+    * `.`/`..` segments normalize away.
+    */
+  private def resolveTarget(target: String): String = {
+    val abs = if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
+    abs.split("/").foldLeft(List.empty[String]) {
+      case (acc, "." | "") => acc
+      case (acc, "..") => if (acc.isEmpty) acc else acc.init
+      case (acc, seg) => acc :+ seg
+    }.mkString("/")
   }
 
   /** Per-entry inflation cap: a zip-bomb workbook (KBs compressed, GBs

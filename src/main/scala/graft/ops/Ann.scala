@@ -37,6 +37,26 @@ object Ann {
       s"$op id column '$idCol' must be integral, got $idType")
   }
 
+  /** Materialize a subtree ONCE before multiple consumers (the
+    * double-execution class measured at −30% on a6). Default is
+    * `localCheckpoint` — executor-local blocks, fastest, but the lineage
+    * is truncated so an executor loss (spot nodes, dynamic allocation)
+    * fails the job unrecoverably. Clusters where that trade is wrong set
+    * `graft.resilientMaterialize=true` to switch every such site to
+    * persist(MEMORY_AND_DISK)+count: recomputable lineage, one extra
+    * pass. Blocks are freed by ContextCleaner when the frame is dropped,
+    * either way.
+    */
+  private[graft] def materializeOnce(df: DataFrame): DataFrame = {
+    val resilient = df.sparkSession.conf
+      .getOption("graft.resilientMaterialize").exists(_.toBoolean)
+    if (resilient) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else df.localCheckpoint(true)
+  }
+
   /** Broadcast a data-dependent candidate-id frame only while it provably
     * fits. The candidate set's size is |queries| × banding selectivity — a
     * mistuned bucketLength/width (or skewed data) degenerates the banding
@@ -52,8 +72,9 @@ object Ann {
     // is not reused across jobs; measured 2.6 → 1.8 s warm on a6 at
     // sf0.1). The blocks are candidate-volume-sized (what the join must
     // consume anyway) and ContextCleaner frees them when the result frame
-    // is dropped.
-    val candIds = candIds0.localCheckpoint(true)
+    // is dropped. materializeOnce honors graft.resilientMaterialize for
+    // clusters with dynamic allocation (recomputable lineage).
+    val candIds = materializeOnce(candIds0)
     if (candIds.limit(cap + 1).count() <= cap) broadcast(candIds) else candIds
   }
 

@@ -425,6 +425,7 @@ object Hnsw {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    Ann.requireIntegralId(index, idCol, "hnsw.append")
     val p = loadMeta(spark, path)
     val maxShard = spark.read.parquet(segPath(path))
       .agg(max(col("shard").cast("int"))).head.getInt(0)
@@ -668,9 +669,10 @@ object Hnsw {
     * the at-rest adjacency, re-shards them to the canonical count
     * (through the persisted router when the index is routed, else by
     * hash), rebuilds fresh graphs, and swaps the segment directory
-    * atomically-enough (materialize → sibling dir → delete → rename, the
-    * [[Layout.compactFiles]] protocol — the rewrite's lineage reads the
-    * directory it replaces). Meta and router are untouched; the active
+    * atomically-enough (materialize → sibling dir → rename old ASIDE →
+    * rename new in → drop old; the rewrite's lineage reads the directory
+    * it replaces, hence the up-front materialize). Meta and router are
+    * untouched; the active
     * view is probe-equivalent (exact-ef probes identical, pinned in
     * HnswSpec). Returns (segments before, segments after).
     */
@@ -707,8 +709,12 @@ object Hnsw {
     val after = rebuilt.select(col("shard")).distinct().count().toInt
     rebuilt.write.partitionBy("shard").mode("overwrite")
       .parquet(s"${segPath(path)}.__compact")
-    fs.delete(segDir, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"${segPath(path)}.__compact"), segDir)
+    // rename-aside swap (shared protocol, [[Layout.swapDir]]): a driver
+    // crash at any point leaves either the old or the new generation
+    // intact; the no-segments window is a single rename. Single-writer
+    // contract — an overlapping probe that lists segments/ inside the
+    // rename pair may fail and should retry.
+    Layout.swapDir(fs, segPath(path), s"${segPath(path)}.__compact")
     if (hasTombs) fs.delete(tp, true) // folded into the rebuild — spent
     (before, after)
   }

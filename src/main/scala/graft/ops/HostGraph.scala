@@ -200,7 +200,16 @@ object HostGraph {
         .union(edgesS.select(col("dst").as("node")))
         .distinct()
         .localCheckpoint(true)
-      require(nodes.limit(1).count() > 0, "hits on an empty graph")
+      val n = nodes.count()
+      require(n > 0, "hits on an empty graph")
+      // the L∞ rescale computes raw * scale on Longs with raw ≤ n·scale
+      // (raw sums ≤ n in-edge contributions of ≤ scale each), so
+      // n·scale² must fit a Long — enforced, not just documented: past
+      // the bound the multiply would wrap negative and silently corrupt
+      // hub/auth scores
+      require(n <= Long.MaxValue / scale / scale,
+        s"hits: $n nodes at scale=$scale overflows the integer grid " +
+          "(n*scale*scale > Long.MaxValue) — pass a smaller scale")
       var hubs = nodes.withColumn("hub_scaled", lit(scale)).localCheckpoint(true)
       // the first round derives auths from hubs alone — no initial auth
       // frame exists to materialize (or free)

@@ -187,8 +187,7 @@ object Layout {
       .coalesce(targetFiles)
       .localCheckpoint(true)
     data.write.mode("overwrite").parquet(s"$path.__compact")
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path.__compact"), hPath)
+    swapDir(fs, path, s"$path.__compact")
     val after = {
       val it = fs.listFiles(hPath, true)
       var n = 0
@@ -200,5 +199,28 @@ object Layout {
       n
     }
     CompactStats(leafFiles.size, after, totalBytes)
+  }
+
+  /** Shared directory-swap tail of every compact in the repo (file
+    * compaction here, [[graft.index.VectorIndex.compact]],
+    * [[Hnsw.compact]], [[graft.search.Bm25.compactIndex]]): the staged
+    * rewrite at `staged` replaces `target` by rename-ASIDE — live dir →
+    * `target.__old`, staged → live, drop `__old` — so a driver crash at
+    * any point leaves either the old or the new generation intact and
+    * the no-directory window is a single rename. (The previous
+    * delete-then-rename order had a crash window that stranded the data
+    * in the staged dir with no live view.) Single-writer contract: one
+    * maintainer swaps at a time; an overlapping reader that lists the
+    * target inside the rename pair may fail and should retry.
+    */
+  private[graft] def swapDir(
+      fs: org.apache.hadoop.fs.FileSystem, target: String, staged: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    val op = new org.apache.hadoop.fs.Path(s"$target.__old")
+    if (fs.exists(op)) fs.delete(op, true) // stale leftover from a crash
+    if (fs.exists(tp)) fs.rename(tp, op)
+    fs.rename(sp, tp)
+    fs.delete(op, true)
   }
 }

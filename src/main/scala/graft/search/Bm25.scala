@@ -80,8 +80,9 @@ object Bm25 {
     // materialized once: the (N, avgdl) scalar probe below is an action,
     // and terms/df plus every later probe read this same subtree — without
     // the checkpoint the tokenize+aggregate build re-runs per consumer
-    // (the maybeBroadcast double-execution class, measured −30% there)
-    val postings = rawPostings(docs, idCol, textCol).localCheckpoint(true)
+    // (the maybeBroadcast double-execution class, measured −30% there);
+    // honors graft.resilientMaterialize (see Ann.materializeOnce)
+    val postings = graft.ops.Ann.materializeOnce(rawPostings(docs, idCol, textCol))
     val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // exactly two scalars cross the driver — bounded by construction
     val stats = postings
@@ -252,9 +253,9 @@ object Bm25 {
     // docs/ ledger this append is about to extend (same swap discipline
     // as VectorIndex.append), and the four writes below must not each
     // re-run the tokenize+aggregate build
-    val postings = rawPostings(fresh, "doc_id", textCol)
-      .withColumn("bucket", bucketCol(col("term"), nb))
-      .localCheckpoint(true)
+    val postings = graft.ops.Ann.materializeOnce(
+      rawPostings(fresh, "doc_id", textCol)
+        .withColumn("bucket", bucketCol(col("term"), nb)))
     val stats = postings
       .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
       .head()

@@ -155,6 +155,52 @@ class XlsxSpec extends SparkSpec {
       .head.getString(0) == "hello world")
   }
 
+  test("nonstandard part names resolve through workbook.xml.rels, tab order kept") {
+    // producer names its sheet parts freely (the OPC contract): discovery
+    // must go workbook.xml <sheet r:id> -> rels Target, not the
+    // xl/worksheets/sheetN.xml convention. Tab order (document order of
+    // <sheet> elements) wins over any name ordering: "zz_last" is rId1.
+    val wb =
+      ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="First" sheetId="1" r:id="rId1"/>""" +
+        """<sheet name="Second" sheetId="2" r:id="rId2"/></sheets></workbook>""").getBytes(UTF_8)
+    val rels =
+      ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/zz_last.xml"/>""" +
+        """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="/xl/worksheets/aa_first.xml"/>""" +
+        """</Relationships>""").getBytes(UTF_8)
+    def sheet(v: String) =
+      (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row>""" +
+        """</sheetData></worksheet>""").getBytes(UTF_8)
+    val bytes = zip(Seq(
+      "xl/workbook.xml" -> wb,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/zz_last.xml" -> sheet("one"),
+      "xl/worksheets/aa_first.xml" -> sheet("two")))
+    assert(XlsxText.extract(bytes) == "one\ntwo")
+  }
+
+  test("declared sheets with no resolvable part fail loudly, not empty output") {
+    val wb =
+      ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Only" sheetId="1" r:id="rId1"/></sheets></workbook>""").getBytes(UTF_8)
+    // sheet part named outside the convention AND no rels part: before the
+    // rels resolution this silently extracted "" — now it must refuse
+    val bytes = zip(Seq(
+      "xl/workbook.xml" -> wb,
+      "xl/worksheets/custom_name.xml" ->
+        """<worksheet><sheetData/></worksheet>""".getBytes(UTF_8)))
+    val e = intercept[IllegalArgumentException](XlsxText.extract(bytes))
+    assert(e.getMessage.contains("no worksheet part resolved"))
+  }
+
   test("xlsxDocs dispatch arm: only .xlsx rows, text extracted") {
     import spark.implicits._
     val raw = Seq(

@@ -177,6 +177,25 @@ class HnswSpec extends SparkSpec {
     assert(postCompact == preCompact, "compaction must not change the active view")
   }
 
+  test("compact swap: stale __old crash leftover is cleaned, view stays intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_sw").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)
+    Hnsw.write(emb.where(col("vec_id") < 300), path, p)
+    Hnsw.append(spark, emb.where(col("vec_id") >= 300), path)
+    val pre = Hnsw.probe(spark, path, qs, 10).orderBy("query_id", "rank").collect().toSeq
+    // simulate the crash-leftover of an earlier rename-aside swap: a stale
+    // segments.__old directory must be dropped, never resurrected
+    val stale = new java.io.File(s"$path/segments.__old/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(stale.toPath, "stale")
+    Hnsw.compact(spark, path)
+    assert(!new java.io.File(s"$path/segments.__old").exists(),
+      "stale __old dir must be cleaned by the swap")
+    assert(!new java.io.File(s"$path/segments.__compact").exists())
+    val post = Hnsw.probe(spark, path, qs, 10).orderBy("query_id", "rank").collect().toSeq
+    assert(post == pre, "swap must leave the active view probe-identical")
+  }
+
   test("routed append: new vectors visible to routed probes BEFORE any compact") {
     val path = java.nio.file.Files.createTempDirectory("graft_hnsw_rta").toString + "/idx"
     val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 4)

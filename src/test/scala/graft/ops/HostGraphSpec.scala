@@ -144,5 +144,12 @@ class HostGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HostGraph.hits(Seq((1L, 2L)).toDF("src", "dst"), scale = 0)
     }
+    // overflow guard: n·scale² must fit a Long (the L∞ rescale multiplies
+    // raw ≤ n·scale by scale) — at scale=4e9 even 2 nodes overflow, and
+    // the operator must refuse rather than wrap negative
+    val e = intercept[IllegalArgumentException] {
+      HostGraph.hits(Seq((1L, 2L)).toDF("src", "dst"), scale = 4000000000L)
+    }
+    assert(e.getMessage.contains("smaller scale"))
   }
 }
