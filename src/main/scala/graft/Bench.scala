@@ -36,7 +36,13 @@ object Bench {
     "b1_bm25_topk", "b2_hybrid_rrf", "a10_knn_join", "p17_domain_rank",
     "d17_neardup_resolve_hashed",
     // round-6: the at-rest BM25 probe
-    "b5_bm25_at_rest", "a12_hnsw_topk", "b6_hybrid_at_rest")
+    "b5_bm25_at_rest", "a12_hnsw_topk", "b6_hybrid_at_rest",
+    // round-7: the at-rest SQ8 probe. NOTE the at-rest family's bench
+    // semantics this round: b5/b6/ep4/a9b/a7b/a14 build their persisted
+    // index ONCE per process (SparkEntry.cachedIndex, fixture-keyed), so
+    // the first sample carries the build and the 3-run MEDIAN measures
+    // the probe — the serving economics the at-rest design exists for.
+    "a9b_sq8_at_rest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization for memory-bound ANN (Jégou et al., "Product
@@ -280,6 +280,51 @@ object Pq {
     emb.select(col(idCol), enc(col(vecCol)).as("codes"))
   }
 
+  // ------------------------------------------------------------- at rest
+
+  /** Persist codes + codebooks under `path` — the build-once half
+    * ([[graft.ops.Sq.writeCodes]] is the SQ8 twin; see there for why the
+    * model must travel with the codes). Layout:
+    *   - `codes/`: `(id, codes ARRAY<INT>)` — the m-byte-per-row scan;
+    *   - `codebooks/`: one `(j, c, centroid ARRAY<FLOAT>)` row per
+    *     subspace-centroid (m·k rows, KBs);
+    *   - `meta/`: `(dims, m, k)`.
+    * Rebuild on corpus change — codes are meaningless under re-fitted
+    * codebooks, and FAISS-style re-training invalidates them the same way.
+    */
+  def write(codes: DataFrame, model: PqModel, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for {
+      j <- 0 until model.m
+      c <- 0 until model.k
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((model.dims, model.m, model.k)).toDF("dims", "m", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted PQ index: (codes frame, model). The codebook read
+    * is m·k rows — driver-bounded by construction.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, PqModel) = {
+    val meta = spark.read.parquet(s"$path/meta").select("dims", "m", "k").head
+    val (dims, m, k) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val codebooks = Array.ofDim[Array[Float]](m, k)
+    spark.read.parquet(s"$path/codebooks").select("j", "c", "centroid")
+      .collect()
+      .foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    (0 until m).foreach { j =>
+      (0 until k).foreach { c =>
+        require(codebooks(j)(c) != null,
+          s"pq.load: codebook entry ($j,$c) missing at $path — corrupt index")
+      }
+    }
+    (spark.read.parquet(s"$path/codes"), PqModel(dims, m, k, codebooks))
+  }
+
   /** Batch ANN over PQ codes: one row per (query, rank ≤ k).
     *
     * `rerank = 0` returns ADC-ranked results (`dist` is the APPROXIMATE
@@ -311,11 +356,7 @@ object Pq {
         tablesUdf(col(queryVecCol)).as("__tables")))
     val scored = codes
       .crossJoin(qTables.select(col(queryIdCol), col("__tables")))
-      .withColumn("dist",
-        aggregate(
-          zip_with(col("codes"), col("__tables"),
-            (c, t) => element_at(t, c + 1).cast("double")),
-          lit(0.0), (a, b) => a + b))
+      .withColumn("dist", adcScore(col("codes"), col("__tables"), model.m))
     val shortN = if (rerank > 0) k * rerank else k
     val shortlist = Ann.finishTopK(
       scored.select(col(queryIdCol), col(idCol), col("dist")),
@@ -323,6 +364,21 @@ object Pq {
     if (rerank == 0) shortlist
     else rerankExact(shortlist, queries, emb, k, queryIdCol, queryVecCol, idCol, vecCol)
   }
+
+  /** ADC score Σⱼ tables[j][codes[j]] unrolled to `m` flat codegen terms
+    * — the [[Sq.adcDist2]] recipe (interpreted HOF loops re-traverse the
+    * arrays in the expression interpreter per row; flat columns stay
+    * inside whole-stage codegen, measured 27× on the SQ8 twin). Same
+    * left-to-right association as the `aggregate(zip_with(...))` fold it
+    * replaced, with the fold's `0.0 +` prefix dropped — all terms are
+    * ≥ 0 squared distances, so the sum is bit-identical and the a7/a8
+    * golden pins stand.
+    */
+  private def adcScore(codes: Column, tables: Column, m: Int): Column =
+    (0 until m).map { j =>
+      element_at(element_at(tables, j + 1), element_at(codes, j + 1) + 1)
+        .cast("double")
+    }.reduce(_ + _)
 
   private def rerankExact(
       shortlist: DataFrame,
@@ -391,11 +447,7 @@ object Pq {
     val scored = assigned.select(col(idCol), col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
       .join(codes, Seq(idCol))
-      .withColumn("dist",
-        aggregate(
-          zip_with(col("codes"), col("__tables"),
-            (c, t) => element_at(t, c + 1).cast("double")),
-          lit(0.0), (a, b) => a + b))
+      .withColumn("dist", adcScore(col("codes"), col("__tables"), model.m))
     val shortN = if (rerank > 0) k * rerank else k
     val shortlist = Ann.finishTopK(
       scored.select(col(queryIdCol), col(idCol), col("dist")),

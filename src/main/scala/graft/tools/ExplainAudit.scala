@@ -229,6 +229,31 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct")),
       "per-query top-k is a partial heap aggregate" ->
         (p => p.contains("partial_topk_by_dist")))
+    audit("a9b_sq8_at_rest")(
+      // the at-rest premise: the probe's ADC stage scans the persisted
+      // codes — no bounds re-fit, no re-projection of the corpus (those
+      // would surface as min/max aggregates and the encode's
+      // least/greatest clamp chain over the embedding column)
+      "ADC stage reads persisted codes, never re-encodes the corpus" ->
+        (p => p.contains("codes#") && !p.contains("least(greatest(")),
+      "no bounds aggregate anywhere in the probe plan" ->
+        (p => !p.contains("min(element_at(embedding")),
+      "ADC is flat codegen algebra, no interpreted HOF fold" ->
+        (p => !p.contains("lambdafunction")),
+      "shortlist + re-rank finish in partial heap aggregates" ->
+        (p => p.contains("partial_topk_by_dist")))
+    audit("a7b_pq_at_rest")(
+      // (the per-query ADC-table UDF remains — query-batch-sized by
+      // construction; what must NOT appear is a corpus-sized encode,
+      // which would surface as a UDF project over the embeddings scan
+      // feeding the code column instead of a parquet codes scan)
+      "probe scores the persisted code table off parquet" ->
+        (p => p.contains("codes#") &&
+          (p.contains("Scan parquet") || p.contains("FileScan parquet"))),
+      "ADC is flat codegen algebra, no interpreted HOF fold" ->
+        (p => !p.contains("lambdafunction")),
+      "bounded-heap finish, no cartesian" ->
+        (p => p.contains("topk_by_dist") && !p.contains("CartesianProduct")))
     audit("a14_hnsw_routed")(
       "segment scan statically pruned to the routed shards" ->
         (p => p.linesIterator.exists(l =>

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.search.Knn
+import org.apache.spark.sql.functions._
 
 /** Product quantization: encode shape/determinism, ADC table math vs a
   * driver-side recomputation, recall with and without exact re-rank, and
@@ -93,6 +94,46 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       "query tables must broadcast")
     assert(!plan.contains("CartesianProduct"), s"no shuffled cartesian:\n${plan.take(1500)}")
+  }
+
+  test("at rest: write/load round-trip is value-identical to the transient path") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    Pq.write(codes, model, path)
+    val (loadedCodes, loadedModel) = Pq.load(spark, path)
+    assert(loadedModel.dims == model.dims && loadedModel.m == model.m &&
+      loadedModel.k == model.k)
+    assert(loadedModel.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq,
+      "persisted codebooks must round-trip exactly")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(rows(Pq.topKBatch(queries, loadedCodes, loadedModel,
+        k = 5, emb = emb, rerank = 8)) ==
+      rows(Pq.topKBatch(queries, codes, model, k = 5, emb = emb, rerank = 8)),
+      "probe over persisted codes must equal the transient path")
+  }
+
+  test("ADC flat unroll is bit-identical to the interpreted HOF fold") {
+    // the adcScore rewrite's premise: same operand sequence, same
+    // left-to-right association, so distances (not just ranks) agree
+    // exactly with the aggregate(zip_with(...)) formulation it replaced
+    val m = model // local: the udf must not capture the suite instance
+    val tablesUdf = udf { q: Seq[Float] =>
+      m.adcTables(q.toArray).map(_.toSeq).toSeq
+    }
+    val qt = queries.select(col("query_id"), tablesUdf(col("query_vec")).as("__tables"))
+    val both = codes.crossJoin(broadcast(qt))
+      .withColumn("hof",
+        aggregate(
+          zip_with(col("codes"), col("__tables"),
+            (c, t) => element_at(t, c + 1).cast("double")),
+          lit(0.0), (a, b) => a + b))
+      .join(Pq.topKBatch(queries, codes, model, k = 400, rerank = 0)
+          .withColumnRenamed("dist", "flat"),
+        Seq("query_id", "vec_id"))
+    val mismatches = both.where(col("hof") =!= col("flat")).count()
+    assert(mismatches == 0, s"$mismatches ADC distances drifted from the HOF fold")
   }
 
   test("IVFPQ: probing all lists equals plain PQ; fewer lists prune candidates") {

@@ -74,6 +74,31 @@ class SqSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSeq.sorted)
   }
 
+  test("at rest: writeCodes/loadModel/sqProbe round-trip is value-identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sq").toString + "/idx"
+    val written = Sq.writeCodes(emb, path)
+    val loaded = Sq.loadModel(spark, path)
+    assert(loaded.mins.toSeq == written.mins.toSeq &&
+      loaded.maxs.toSeq == written.maxs.toSeq,
+      "persisted bounds must round-trip exactly")
+    val qs = emb.where(col("vec_id").isin(5, 71, 222))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(rows(Sq.sqProbe(spark, path, qs, emb, k = 5, rerank = 48)) ==
+      rows(Sq.sqTopKBatch(qs, emb, k = 5, rerank = 48)),
+      "persisted-code probe must equal the transient path")
+    // probe plan must not re-encode: the clamp chain (least(greatest(...)
+    // is the encode's signature and may not appear anywhere in the probe
+    val plan = Sq.sqProbe(spark, path, qs, emb, k = 5, rerank = 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("least(greatest("),
+      s"probe re-encodes the corpus:\n${plan.take(1500)}")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan parquet"),
+      "probe must read the at-rest codes")
+  }
+
   test("plan: broadcast query side only; no shuffled cartesian") {
     val qs = emb.limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
