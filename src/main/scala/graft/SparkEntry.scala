@@ -1795,6 +1795,91 @@ object SparkEntry {
       Bm25.phraseMatches(docs, phrases)
         .orderBy("query_id", "doc_id")
     }
+    reg("b8_bm25_delete") { (s, dir) =>
+      // the sparse channel's DELETE path — the one lifecycle asymmetry
+      // round 6 left (VectorIndex and HNSW both had deletes; a revised
+      // doc kept serving stale postings from b6/ep4 forever). This is
+      // the MARK-DELETE phase, the Lucene between-merges contract:
+      // deleted docs vanish from every probe (loadIndex filters their
+      // postings at scan stage) while df/N/avgdl stay STALE — which the
+      // oracle reproduces exactly: full-corpus stats, postings restricted
+      // to live docs. Builds fresh (lifecycle under test, no cache).
+      import graft.search.Bm25
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25_del").toString + "/idx"
+      Bm25.writeIndex(T(s, dir, "documents"), "doc_id", "text", tmp,
+        termBuckets = 16)
+      Bm25.deleteDocs(s, tmp, Seq(3L, 7L))
+      val idx = Bm25.loadIndex(s, tmp)
+      val qSeq = Seq(
+        (0L, "window scan filter"),
+        (1L, "vector merge customer"),
+        (2L, "query slow spark"))
+      val restricted = Bm25.restrictToTerms(
+        idx, qSeq.flatMap(q => Bm25.tokenize(q._2)).distinct)
+      Bm25.topKBatch(qSeq.toDF("query_id", "query_text"), restricted, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
+    reg("b8b_bm25_compact") { (s, dir) =>
+      // the COMPACT phase: folding the tombstones rewrites postings/df/
+      // docs/stats without the dead docs, after which the index must be
+      // VALUE-IDENTICAL to a from-scratch build over the survivors — the
+      // oracle rebuilds exactly that (documents WHERE doc_id NOT IN
+      // (3, 7)), so stats correction (df AND N/avgdl) is hash-checked,
+      // not just asserted
+      import graft.search.Bm25
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25_cp").toString + "/idx"
+      Bm25.writeIndex(T(s, dir, "documents"), "doc_id", "text", tmp,
+        termBuckets = 16)
+      Bm25.deleteDocs(s, tmp, Seq(3L, 7L))
+      Bm25.compactIndex(s, tmp)
+      val idx = Bm25.loadIndex(s, tmp)
+      val qSeq = Seq(
+        (0L, "window scan filter"),
+        (1L, "vector merge customer"),
+        (2L, "query slow spark"))
+      val restricted = Bm25.restrictToTerms(
+        idx, qSeq.flatMap(q => Bm25.tokenize(q._2)).distinct)
+      Bm25.topKBatch(qSeq.toDF("query_id", "query_text"), restricted, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
+    reg("st11_bm25_stream_append") { (s, dir) =>
+      // batch twin of streamingBm25Sink's ledger law (the st10/t8 house
+      // style — the foreachBatch wiring itself is exercised in Bm25Spec):
+      // seed index over a third of the corpus, two appended micro-batches
+      // with batch 1 REPLAYED (at-least-once delivery) — the ledger makes
+      // the replay a no-op, so the converged index must equal the
+      // from-scratch full-corpus build, which is exactly b1's oracle
+      import graft.search.Bm25
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25_st").toString + "/idx"
+      Bm25.writeIndex(docs.where(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text", tmp, termBuckets = 16)
+      Bm25.appendIndexBatch(s,
+        docs.where(pmod(col("doc_id"), lit(3)) === 1), tmp, 1L, "doc_id", "text")
+      Bm25.appendIndexBatch(s, // replayed delivery of batch 1: must no-op
+        docs.where(pmod(col("doc_id"), lit(3)) === 1), tmp, 1L, "doc_id", "text")
+      Bm25.appendIndexBatch(s,
+        docs.where(pmod(col("doc_id"), lit(3)) === 2), tmp, 2L, "doc_id", "text")
+      val idx = Bm25.loadIndex(s, tmp)
+      val qs = Seq(
+        (0L, "spark window merge"),
+        (1L, "slow filter vector"),
+        (2L, "customer query scan")).toDF("query_id", "query_text")
+      Bm25.topKBatch(qs, idx, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("ep4_hybrid_rag") { (s, dir) =>
       // the COMPLETE reference serving flow over the persisted hybrid
       // stack: b6's channels (bucket-pruned BM25 postings + exhaustive-ef
@@ -2108,7 +2193,8 @@ object SparkEntry {
     * term)` — emits `qidf$sfx`/`parts$sfx`/`scored$sfx`/`ranked$sfx`, so
     * PRF oracles can instantiate the chain twice (first pass + rescore).
     */
-  private def bm25ScoreCtes(qtName: String, sfx: String): String =
+  private def bm25ScoreCtes(
+      qtName: String, sfx: String, postingsWhere: String = "TRUE"): String =
     s"""qidf$sfx AS (
        |  SELECT qt.query_id, qt.term,
        |    CAST(round(ln((((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5))
@@ -2122,7 +2208,8 @@ object SparkEntry {
        |        ((0.75 * CAST(p.dl AS DOUBLE)) /
        |         (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))))) AS BIGINT)
        |      AS part
-       |  FROM postings p JOIN qidf$sfx q USING (term), stats s),
+       |  FROM postings p JOIN qidf$sfx q USING (term), stats s
+       |  WHERE $postingsWhere),
        |scored$sfx AS (
        |  -- CAST: DuckDB sum(BIGINT) is HUGEINT (the st8 lesson) — keep the
        |  -- comparison surface typed BIGINT like Spark's sum(LONG)
@@ -2133,12 +2220,16 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
        |  FROM scored$sfx)""".stripMargin
 
-  private val Bm25IndexCtes: String =
-    """toks AS (
+  /** The from-scratch BM25 index CTEs, optionally over a doc subset —
+    * `docWhere` is the oracle analog of a delete+compact (`b8b`) or a
+    * seed-only index.
+    */
+  private def bm25IndexCtes(docWhere: String): String =
+    s"""toks AS (
       |  SELECT doc_id, unnest(list_filter(
       |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
       |    t -> length(t) > 0)) AS term
-      |  FROM documents),
+      |  FROM documents WHERE $docWhere),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |postings AS (
       |  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
@@ -2146,6 +2237,8 @@ object SparkEntry {
       |df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
       |stats AS (
       |  SELECT count(DISTINCT doc_id) AS n, sum(tf) AS tot FROM postings)""".stripMargin
+
+  private val Bm25IndexCtes: String = bm25IndexCtes("TRUE")
 
   /** Exact kNN over `embeddings` for queries 3/7/11 — the oracle for every
     * ANN query whose output is provably the exact answer at fixture scale
@@ -2231,15 +2324,18 @@ object SparkEntry {
       |FROM ctx c JOIN documents qd ON qd.doc_id = c.query_id
       |ORDER BY c.query_id""".stripMargin
 
-  private def bm25OracleCore(qsCte: String): String =
-    s"""WITH $Bm25IndexCtes,
+  private def bm25OracleCore(
+      qsCte: String,
+      docWhere: String = "TRUE",
+      postingsWhere: String = "TRUE"): String =
+    s"""WITH ${bm25IndexCtes(docWhere)},
        |$qsCte
        |qt AS (
        |  SELECT query_id, unnest(list_distinct(list_filter(
        |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
        |    t -> length(t) > 0))) AS term
        |  FROM qs),
-       |${bm25ScoreCtes("qt", "")}""".stripMargin
+       |${bm25ScoreCtes("qt", "", postingsWhere)}""".stripMargin
 
   /** p17's oracle: PageRank as ten unrolled CTE iterations of the exact
     * integer-grid algebra [[graft.ops.HostGraph.pageRank]] runs (floor
@@ -2583,6 +2679,38 @@ object SparkEntry {
         """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
           |  FROM (VALUES (0, 'window scan filter'), (1, 'vector merge customer'),
           |    (2, 'query slow spark')) AS v(query_id, query_text)),""".stripMargin) +
+        """
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // b8: mark-delete — stats/df from the FULL corpus (stale, the Lucene
+    // between-merges contract), postings restricted to live docs
+    "b8_bm25_delete" ->
+      (bm25OracleCore(
+        """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+          |  FROM (VALUES (0, 'window scan filter'), (1, 'vector merge customer'),
+          |    (2, 'query slow spark')) AS v(query_id, query_text)),""".stripMargin,
+        postingsWhere = "p.doc_id NOT IN (3, 7)") +
+        """
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // b8b: post-compact — the index must equal a from-scratch build over
+    // the surviving docs, stats and df corrected
+    "b8b_bm25_compact" ->
+      (bm25OracleCore(
+        """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+          |  FROM (VALUES (0, 'window scan filter'), (1, 'vector merge customer'),
+          |    (2, 'query slow spark')) AS v(query_id, query_text)),""".stripMargin,
+        docWhere = "doc_id NOT IN (3, 7)") +
+        """
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // st11: seed + ledgered appends (one replayed) converge to the
+    // from-scratch full-corpus index — b1's oracle verbatim
+    "st11_bm25_stream_append" ->
+      (bm25OracleCore(
+        """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+          |  FROM (VALUES (0, 'spark window merge'), (1, 'slow filter vector'),
+          |    (2, 'customer query scan')) AS v(query_id, query_text)),""".stripMargin) +
         """
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),

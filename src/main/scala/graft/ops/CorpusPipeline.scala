@@ -266,6 +266,31 @@ object CorpusPipeline {
         ()
       }
 
+  /** Streaming sparse-index maintenance — the BM25 twin of
+    * [[streamingHnswSink]], completing the streaming-maintenance story
+    * for the hybrid stack's keyword channel: each micro-batch of docs
+    * appends to a persisted BM25 index
+    * ([[graft.search.Bm25.appendIndexBatch]], batch-ledgered so
+    * at-least-once re-delivery converges to exactly-once postings; the
+    * index must already exist via `Bm25.writeIndex`). Stats/df re-derive
+    * at load from the per-segment ledgers, so probes see appended docs
+    * immediately. Run [[graft.search.Bm25.compactIndex]] between batches
+    * (single-writer law) when deletes accumulate.
+    */
+  def streamingBm25Sink(
+      docs: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.search.Bm25.appendIndexBatch(
+          batch.sparkSession, batch, path, batchId, idCol, textCol)
+        ()
+      }
+
   def streamingUpsertSink(
       docs: DataFrame,
       path: String,

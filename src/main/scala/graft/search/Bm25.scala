@@ -213,10 +213,29 @@ object Bm25 {
     * layout (no shuffle); terms re-aggregate their segments; (N, avgdl)
     * come from the segment stats — nothing corpus-sized is read until a
     * probe touches its buckets.
+    *
+    * Tombstoned docs ([[deleteDocs]]) are filtered from the postings at
+    * scan stage (bounded id set, a `NOT IN` semi-filter pushed into the
+    * scan subtree) so no probe can return a dead doc; df and (N, avgdl)
+    * stay STALE until [[compactIndex]] — the Lucene between-merges
+    * contract, documented there.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val nb = spark.read.parquet(s"$path/meta").head.getInt(0)
-    val postings = spark.read.parquet(s"$path/postings")
+    val dead = loadTombstones(spark, path)
+    val postings0 = spark.read.parquet(s"$path/postings")
+    val postings =
+      if (dead.isEmpty) postings0
+      else if (dead.length <= 1024)
+        // small sets: a scan-stage NOT IN predicate (pushed to parquet)
+        postings0.where(!col("doc_id").isin(dead.map(x => x: Any): _*))
+      else {
+        // large sets: a literal In of millions of ids is prohibitive to
+        // even CONSTRUCT — broadcast-anti-join instead (hash probe per
+        // row, no shuffle of the postings)
+        import spark.implicits._
+        postings0.join(broadcast(dead.toDF("doc_id")), Seq("doc_id"), "left_anti")
+      }
     val terms = spark.read.parquet(s"$path/terms")
       .groupBy("term").agg(sum("df").cast("long").as("df"))
     val st = spark.read.parquet(s"$path/stats")
@@ -272,6 +291,119 @@ object Bm25 {
       .toDF("n_docs", "tot_dl")
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
     n
+  }
+
+  private def tombPath(path: String) = s"$path/_tombstones"
+  private val MaxTombstones = 1 << 22
+
+  /** Mark docs deleted in a persisted index — the [[Hnsw.delete]] /
+    * Lucene mark-delete stance: no postings file is touched; [[loadIndex]]
+    * filters the dead docs' postings out of every probe, while df / N /
+    * avgdl stay STALE until [[compactIndex]] folds the tombstones in
+    * (exactly Lucene's docFreq-includes-deletes behavior between
+    * deleteDocuments and a segment merge). Contract mirrors the sibling
+    * families: a delete is terminal for that doc_id until a compact —
+    * re-appending it earlier is dropped by the append ledger — and the
+    * probe-side tombstone set is capped (~4M) with a loud refusal, past
+    * which the index is overdue for a compact anyway.
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF("doc_id").write.mode("append").parquet(tombPath(path))
+  }
+
+  /** The probe-side tombstone set (empty when none) — bounded + loud. */
+  private def loadTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp)) Seq.empty
+    else {
+      val rows = spark.read.parquet(tombPath(path))
+        .limit(MaxTombstones + 1).collect()
+      require(rows.length <= MaxTombstones,
+        s"bm25 probe: more than $MaxTombstones tombstones at $path — " +
+          "compact the index before probing")
+      rows.map(_.getLong(0)).toSeq
+    }
+  }
+
+  /** Fold tombstones into the at-rest index: rewrite the four tables
+    * without the dead docs — postings drop their rows, df/docs/stats
+    * recompute exactly — and swap each directory via the shared
+    * rename-aside protocol ([[graft.ops.Layout.swapDir]]; single-writer
+    * contract). After compact the index is VALUE-IDENTICAL to a
+    * from-scratch [[writeIndex]] over the surviving docs (a doc's
+    * postings are self-contained, df/stats are plain re-aggregates) —
+    * oracled end-to-end by `b8` and pinned in Bm25Spec. Returns
+    * (docs before, docs after).
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val dead = if (fs.exists(tp))
+      spark.read.parquet(tombPath(path)).select("doc_id").distinct()
+    else spark.emptyDataset[Long].toDF("doc_id")
+    // anti joins, not broadcast sets: compact is the path that must stay
+    // scale-safe at ANY tombstone count (the probe-side cap does not
+    // apply here — same split as Hnsw.compact vs its probes)
+    val live = graft.ops.Ann.materializeOnce(
+      spark.read.parquet(s"$path/postings")
+        .join(dead, Seq("doc_id"), "left_anti"))
+    val stats = live
+      .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
+      .head()
+    val before = spark.read.parquet(s"$path/docs").select("doc_id").distinct().count()
+    val n = stats.getLong(0)
+    live.repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings.__compact")
+    live.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms.__compact")
+    live.select("doc_id", "dl").distinct()
+      .write.mode("overwrite").parquet(s"$path/docs.__compact")
+    Seq((n, if (n == 0) 0L else stats.getLong(1)))
+      .toDF("n_docs", "tot_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats.__compact")
+    Seq("postings", "terms", "docs", "stats").foreach { t =>
+      graft.ops.Layout.swapDir(fs, s"$path/$t", s"$path/$t.__compact")
+    }
+    if (fs.exists(tp)) fs.delete(tp, true) // folded into the rewrite — spent
+    (before, n)
+  }
+
+  /** [[appendIndex]] keyed by a batch id for streaming replay (the
+    * [[Hnsw.appendBatch]] recipe): a batch id already in the `batches/`
+    * ledger is a no-op, so `foreachBatch` at-least-once re-delivery
+    * converges to exactly-once postings. The residual crash window
+    * (tables appended, ledger row not yet) is closed by [[appendIndex]]'s
+    * own DOC-level ledger — a replayed batch re-ships ids already in
+    * `docs/` and appends nothing. Returns true when the batch applied.
+    */
+  def appendIndexBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      path: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String): Boolean = {
+    import spark.implicits._
+    val ledger = s"$path/batches"
+    val lp = new org.apache.hadoop.fs.Path(ledger)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val applied = fs.exists(lp) &&
+      spark.read.parquet(ledger)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+    if (applied) false
+    else {
+      appendIndex(spark, newDocs, path, idCol, textCol)
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+      true
+    }
   }
 
   /** Restrict a loaded index to the buckets holding `queryTerms` — a

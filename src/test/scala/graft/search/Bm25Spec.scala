@@ -183,6 +183,91 @@ class Bm25Spec extends SparkSpec {
       "scores after append must equal a from-scratch build")
   }
 
+  test("delete hides docs (stale stats — Lucene law); compact equals from-scratch") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_del").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    Bm25.deleteDocs(spark, path, Seq(1L, 2L))
+    val marked = Bm25.loadIndex(spark, path)
+    // mark-delete phase: dead docs' postings filtered, STATS STALE — so
+    // scoring equals "full index scoring minus dead docs, re-topk"
+    val qs = Seq((0L, "banana cherry")).toDF("query_id", "query_text")
+    val got = Bm25.topKBatch(qs, marked, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(1L) && !got.contains(2L), s"dead docs served: $got")
+    val full = Bm25.buildIndex(corpus, "doc_id", "text")
+    val expect = Bm25.topKBatch(qs, full, 10)
+      .where(!col("doc_id").isin(1L, 2L))
+      .select("doc_id", "score_scaled").as[(Long, Long)].collect().toSet
+    val gotScores = Bm25.topKBatch(qs, marked, 10)
+      .select("doc_id", "score_scaled").as[(Long, Long)].collect().toSet
+    assert(gotScores == expect,
+      "mark-delete must score with stale df/N (full-index scores minus dead)")
+    // stats are stale by contract until compact
+    assert(marked.nDocs == 4L)
+    // delete is terminal pre-compact: re-appending doc 1 is dropped by
+    // the doc ledger
+    assert(Bm25.appendIndex(spark,
+      Seq((1L, "banana cherry")).toDF("doc_id", "text"), path, "doc_id", "text") == 0L)
+    // COMPACT phase: postings/df/docs/stats now equal a from-scratch
+    // build over the survivors
+    val (before, after) = Bm25.compactIndex(spark, path)
+    assert(before == 4L && after == 2L, s"expected 4 -> 2 docs, got $before -> $after")
+    val compacted = Bm25.loadIndex(spark, path)
+    val scratch = Bm25.buildIndex(
+      corpus.where(!col("doc_id").isin(1L, 2L)), "doc_id", "text")
+    assert(compacted.nDocs == scratch.nDocs)
+    assert(compacted.avgDl == scratch.avgDl)
+    assert(compacted.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == scratch.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "compact must correct df exactly")
+    assert(Bm25.topKBatch(qs, compacted, 10).orderBy("rank").collect().toSeq
+      == Bm25.topKBatch(qs, scratch, 10).orderBy("rank").collect().toSeq,
+      "post-compact scores must equal a from-scratch build")
+    // compact spends the tombstones: doc 1 can now be re-indexed (revive)
+    assert(Bm25.appendIndex(spark,
+      Seq((1L, "banana cherry")).toDF("doc_id", "text"), path, "doc_id", "text") == 1L)
+    assert(Bm25.topKBatch(qs, Bm25.loadIndex(spark, path), 10)
+      .select("doc_id").as[Long].collect().toSet.contains(1L))
+  }
+
+  test("appendIndexBatch is idempotent per batch id (streaming ledger law)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ab").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val delta = Seq((4L, "fig grape"), (5L, "grape melon")).toDF("doc_id", "text")
+    assert(Bm25.appendIndexBatch(spark, delta, path, 1L, "doc_id", "text"))
+    // replayed delivery: the batch ledger short-circuits before any write
+    assert(!Bm25.appendIndexBatch(spark, delta, path, 1L, "doc_id", "text"))
+    val idx = Bm25.loadIndex(spark, path)
+    assert(idx.nDocs == 6L, "replay must not double-count docs")
+    assert(spark.read.parquet(s"$path/batches").count() == 1L)
+  }
+
+  test("streamingBm25Sink: micro-batches append exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_sink").toString
+    val path = s"$tmp/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusPipeline.streamingBm25Sink(
+      mem.toDF().toDF("doc_id", "text"), path, s"$tmp/ckpt").start()
+    try {
+      mem.addData((4L, "fig grape kiwi"))
+      q.processAllAvailable()
+      mem.addData((5L, "melon grape"))
+      q.processAllAvailable()
+      val idx = Bm25.loadIndex(spark, path)
+      assert(idx.nDocs == 6L)
+      val qs = Seq((0L, "kiwi melon")).toDF("query_id", "query_text")
+      val hits = Bm25.topKBatch(qs, idx, 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits == Set(4L, 5L), s"streamed docs must be searchable: $hits")
+      assert(spark.read.parquet(s"$path/batches").count() == 2L)
+    } finally q.stop()
+  }
+
   test("at rest: probe restricted to query terms prunes bucket partitions") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bm25_prune").toString + "/idx"
