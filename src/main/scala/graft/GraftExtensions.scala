@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.XlsxPack(es.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("phrase_count"),
+      info("phrase_count",
+        "phrase_count(tokens, phrase) - adjacent in-order occurrences of phrase in tokens"),
+      (es: Seq[Expression]) => graft.functions.PhraseCount(es(0), es(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("wav_pack"),
       info("wav_pack", "wav_pack(samples, rate) - PCM16 mono WAV binary from ARRAY<INT>"),
       (es: Seq[Expression]) => graft.functions.WavPack(es(0), es(1))))

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst expressions for the imperative text operators, so SQL-only
@@ -112,6 +113,67 @@ case class XlsxPack(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of ADJACENT in-order occurrences of `phrase` inside `tokens`
+  * (both `ARRAY<STRING>`) — the verify half of
+  * [[graft.search.Bm25.phraseMatches]], as a genuinely codegen'd loop.
+  * The formulation it replaces — a nested
+  * `size(filter(sequence(...), i => size(filter(sequence(...), j => ...))))`
+  * HOF — ran in the EXPRESSION INTERPRETER at O(positions × phrase_len)
+  * per candidate with a materialized index array per row, the exact class
+  * this repo measured at 27× (SQ8 ADC) and 57× (hashed minhash); a phrase
+  * of common terms makes the candidate set huge and every candidate paid
+  * interpreter rates over its full token array. Here the generated code is
+  * one static call per row into a tight JVM loop (the
+  * [[VectorBinaryExpression]] static-forwarder pattern) — A/B'd with a
+  * deliberately common anchor at the 2M-doc tier in ScaleSmoke/PERF.md.
+  * An empty phrase counts 0 (callers refuse it upstream); overlapping
+  * occurrences count individually, matching the HOF law.
+  */
+case class PhraseCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "phrase_count"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(toks: Any, phrase: Any): Any =
+    PhraseCount.count(toks.asInstanceOf[ArrayData], phrase.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PhraseCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PhraseCount =
+    copy(left = l, right = r)
+}
+
+object PhraseCount {
+  /** Shared by the interpreted eval and the generated Java (static call —
+    * no boxing, no per-element expression dispatch).
+    */
+  def count(toks: ArrayData, phrase: ArrayData): Long = {
+    val n = toks.numElements()
+    val m = phrase.numElements()
+    if (m == 0 || m > n) return 0L
+    var cnt = 0L
+    var i = 0
+    val limit = n - m
+    while (i <= limit) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        val x = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        val y = if (phrase.isNullAt(j)) null else phrase.getUTF8String(j)
+        ok = x != null && y != null && x.equals(y)
+        j += 1
+      }
+      if (ok) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+}
+
 object TextExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -120,10 +182,14 @@ object TextExpressions {
       "compression_ratio", es => CompressionRatio(es.head), "built-in")
     reg.createOrReplaceTempFunction("xlsx_extract", es => XlsxExtract(es.head), "built-in")
     reg.createOrReplaceTempFunction("xlsx_pack", es => XlsxPack(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "phrase_count", es => PhraseCount(es.head, es(1)), "built-in")
   }
 
   def pdfExtract(c: Column): Column = call_function("pdf_extract", c)
   def compressionRatio(c: Column): Column = call_function("compression_ratio", c)
   def xlsxExtract(c: Column): Column = call_function("xlsx_extract", c)
   def xlsxPack(c: Column): Column = call_function("xlsx_pack", c)
+  def phraseCount(tokens: Column, phrase: Column): Column =
+    call_function("phrase_count", tokens, phrase)
 }

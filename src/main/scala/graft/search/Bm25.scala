@@ -620,20 +620,16 @@ object Bm25 {
     val anchorDf = anchors.toDF("query_id", "__anchor", "__qtoks")
     // candidates: one more scan, anchors broadcast (tiny nested-loop of
     // |phrases| membership probes per doc); only matches reach the
-    // adjacency count
+    // adjacency count. The count itself is the codegen'd PhraseCount
+    // expression — one static-call loop per candidate row, replacing the
+    // interpreted nested-sequence HOF this repo measured in the 27–57×
+    // class (A/B with a deliberately COMMON anchor in ScaleSmoke, where
+    // the rarest-term prune cannot bound the candidate set)
     toks
       .join(broadcast(anchorDf), array_contains(col("__toks"), col("__anchor")))
       .withColumn("n_matches",
-        // guard: sequence(1, n) with n < 1 would generate DESCENDING
-        when(size(col("__toks")) < size(col("__qtoks")), lit(0)).otherwise(
-          size(filter(
-            sequence(lit(1), size(col("__toks")) - size(col("__qtoks")) + 1),
-            i => size(filter(
-              sequence(lit(0), size(col("__qtoks")) - 1),
-              j => element_at(col("__toks"), (i + j).cast("int")) ===
-                element_at(col("__qtoks"), (j + 1).cast("int"))))
-              === size(col("__qtoks"))))))
+        graft.functions.TextExpressions.phraseCount(col("__toks"), col("__qtoks")))
       .where(col("n_matches") >= 1)
-      .select(col("query_id"), col("doc_id"), col("n_matches").cast("long"))
+      .select(col("query_id"), col("doc_id"), col("n_matches"))
   }
 }

@@ -267,6 +267,23 @@ object ScaleSmoke {
       assert(flatSum == hofSum,
         s"flat-codegen ADC must be bit-identical to the HOF fold: $flatSum vs $hofSum")
       codes.unpersist()
+
+      // at-rest split: write codes once, then the probe-only cost — the
+      // serving economics. The round-6 tier showed fit+encode dominating
+      // the end-to-end (~183 s) while the ADC scan is ~1 s; writeCodes
+      // amortizes exactly that.
+      val sqPath = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sq").toString + "/idx"
+      time("sq8_write_codes", rows) {
+        graft.ops.Sq.writeCodes(index, sqPath, "vec_id", "embedding")
+        rows
+      }
+      time("sq8_probe_at_rest", rows) {
+        val c = graft.ops.Sq.sqProbe(
+          spark, sqPath, queries, index, k = 10, rerank = 32).count()
+        assert(c == 64 * 10, s"expected 640 hits, got $c")
+        c
+      }
     }
 
     // 9. host-graph PageRank: ~10M-edge graph over 1M nodes, 10 integer-
@@ -325,6 +342,49 @@ object ScaleSmoke {
           docs, Seq((0L, "zq0phrase zq1marker zq2tail")))
         val c = out.count()
         assert(c == expected, s"expected $expected planted matches, got $c")
+        c
+      }
+
+      // 9c. A/B the adjacency VERIFY itself under a COMMON anchor — the
+      // regime the rarest-term prune deliberately lets "degrade to cost":
+      // every doc ends in " zqca zqcb", the candidate set is the whole
+      // corpus, and each candidate pays the verify over its full token
+      // array. Old = the interpreted nested-sequence HOF phraseMatches
+      // shipped through round 6; new = the codegen'd PhraseCount static
+      // loop. Same candidates, counts asserted identical.
+      val common = docs.withColumn("text",
+        concat(col("text"), lit(" zqca zqcb")))
+      val cand = common.select(col("doc_id"),
+          graft.search.Bm25.tokensCol(col("text")).as("__toks"))
+        .withColumn("__qtoks", array(lit("zqca"), lit("zqcb")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cand.count() // isolate the verify cost from the tokenize scan
+      var hofTotal = 0L
+      time("phrase_verify_hof", rows) {
+        hofTotal = cand.withColumn("n",
+          when(size(col("__toks")) < size(col("__qtoks")), lit(0)).otherwise(
+            size(filter(
+              sequence(lit(1), size(col("__toks")) - size(col("__qtoks")) + 1),
+              i => size(filter(
+                sequence(lit(0), size(col("__qtoks")) - 1),
+                j => element_at(col("__toks"), (i + j).cast("int")) ===
+                  element_at(col("__qtoks"), (j + 1).cast("int"))))
+                === size(col("__qtoks"))))))
+          .agg(sum(col("n"))).head.getLong(0)
+        hofTotal
+      }
+      time("phrase_verify_codegen", rows) {
+        val c = cand.withColumn("n",
+          graft.functions.TextExpressions.phraseCount(col("__toks"), col("__qtoks")))
+          .agg(sum(col("n"))).head.getLong(0)
+        assert(c == hofTotal, s"codegen verify drifted: $c vs $hofTotal")
+        c
+      }
+      cand.unpersist()
+      time("phrase_match_common_anchor", rows) {
+        val out = graft.search.Bm25.phraseMatches(common, Seq((0L, "zqca zqcb")))
+        val c = out.count()
+        assert(c == rows, s"expected $rows common-anchor matches, got $c")
         c
       }
     }
