@@ -1902,6 +1902,33 @@ object SparkEntry {
         .select("query_id", "question", "answer")
         .orderBy("query_id")
     }
+    reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
+      // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
+      // with BOTH halves persisted: coarse lists from Ann.writeIvf
+      // (centroid-partitioned parquet — probing N lists is partition
+      // pruning) and fine codes + codebooks from Pq.write. The probe
+      // loads both and composes; value-equal to the transient a8 by
+      // construction, so it reuses a8's golden pin VERBATIM — drift in
+      // either round-trip breaks the hash
+      val emb = T(s, dir, "embeddings")
+      val ivfPath = cachedIndex("ivf4", dir) { p =>
+        val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+        Ann.writeIvf(assigned, centroids, p)
+      }
+      val pqPath = cachedIndex("pq", dir) { p =>
+        val model = Pq.fitSampled(emb, dims = 64, m = 8, k = 16, maxIter = 10)
+        Pq.write(Pq.encode(emb, model), model, p)
+      }
+      val (lists, cents) = Ann.loadIvf(s, ivfPath)
+      val (codes, model) = Pq.load(s, pqPath)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pq.ivfPqTopKBatch(qs, lists, cents, codes, model,
+        k = 5, nProbe = 2, emb = emb, rerank = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
     reg("a8_ivfpq_batch") { (s, dir) => // golden-pinned: seeded IVF + PQ
       // the 100 TB ANN layout: IVF prunes WHICH rows are scored (nProbe
       // nearest lists), PQ shrinks WHAT is scanned (codes, not vectors),
@@ -2522,11 +2549,13 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
     "a8_ivfpq_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a8_ivfpq_batch_sf001.parquet')",
-    // a7b probes the PERSISTED codes/codebooks — value-equal to a7 by
-    // construction, so it shares a7's pin verbatim: write/load drift
-    // breaks the hash
+    // a7b/a8b probe the PERSISTED codes/codebooks (+ IVF lists for a8b)
+    // — value-equal to their transient twins by construction, so they
+    // share the twins' pins verbatim: write/load drift breaks the hash
     "a7b_pq_at_rest" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
+    "a8b_ivfpq_at_rest" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a8_ivfpq_batch_sf001.parquet')",
     // a9 has NO golden pin: every stage is deterministic SQL-expressible
     // algebra, and the exact re-rank of a provably-sufficient shortlist
     // makes the output equal the brute-force answer

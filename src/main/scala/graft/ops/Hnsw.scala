@@ -462,21 +462,10 @@ object Hnsw {
       path: String,
       batchId: Long,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Boolean = {
-    import spark.implicits._
-    val ledger = s"$path/batches"
-    val lp = new org.apache.hadoop.fs.Path(ledger)
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
-    val applied = fs.exists(lp) &&
-      spark.read.parquet(ledger)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-    if (applied) false
-    else {
+      vecCol: String = "embedding"): Boolean =
+    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
       append(spark, index, path, idCol, vecCol)
-      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
-      true
     }
-  }
 
   private def tombPath(path: String) = s"$path/_tombstones"
   private val MaxTombstones = 1 << 22

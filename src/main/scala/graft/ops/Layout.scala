@@ -213,6 +213,34 @@ object Layout {
     * maintainer swaps at a time; an overlapping reader that lists the
     * target inside the rename pair may fail and should retry.
     */
+  /** The shared batch-ledger half of the segment-lifecycle protocol
+    * ([[Hnsw.appendBatch]], [[graft.search.Bm25.appendIndexBatch]]): run
+    * `body` only if `batchId` is not yet in the parquet ledger at
+    * `ledgerPath`, then record it — so `foreachBatch` at-least-once
+    * re-delivery converges to exactly-once effects. The residual crash
+    * window (effects applied, ledger row not yet written) is each
+    * caller's responsibility to make benign — both index families do,
+    * via probe-side duplicate folding (HNSW) or the doc-level ledger
+    * (BM25). Returns true when the batch applied.
+    */
+  private[graft] def ledgeredBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      ledgerPath: String,
+      batchId: Long)(body: => Unit): Boolean = {
+    import spark.implicits._
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val applied = fs.exists(lp) &&
+      spark.read.parquet(ledgerPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+    if (applied) false
+    else {
+      body
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerPath)
+      true
+    }
+  }
+
   private[graft] def swapDir(
       fs: org.apache.hadoop.fs.FileSystem, target: String, staged: String): Unit = {
     val tp = new org.apache.hadoop.fs.Path(target)

@@ -390,21 +390,11 @@ object Bm25 {
       path: String,
       batchId: Long,
       idCol: String,
-      textCol: String): Boolean = {
-    import spark.implicits._
-    val ledger = s"$path/batches"
-    val lp = new org.apache.hadoop.fs.Path(ledger)
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
-    val applied = fs.exists(lp) &&
-      spark.read.parquet(ledger)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-    if (applied) false
-    else {
+      textCol: String): Boolean =
+    graft.ops.Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
       appendIndex(spark, newDocs, path, idCol, textCol)
-      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
-      true
+      ()
     }
-  }
 
   /** Restrict a loaded index to the buckets holding `queryTerms` — a
     * static partition-pruning filter on the postings scan (the plan's

@@ -254,6 +254,14 @@ object ExplainAudit {
         (p => !p.contains("lambdafunction")),
       "bounded-heap finish, no cartesian" ->
         (p => p.contains("topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("a8b_ivfpq_at_rest")(
+      "coarse membership is an equi-join on centroid_id over persisted lists" ->
+        (p => p.contains("centroid_id") &&
+          (p.contains("Scan parquet") || p.contains("FileScan parquet"))),
+      "no shuffled cartesian in the composed at-rest path" ->
+        (p => !p.contains("CartesianProduct")),
+      "ADC is flat codegen algebra, no interpreted HOF fold" ->
+        (p => !p.contains("lambdafunction")))
     audit("a14_hnsw_routed")(
       "segment scan statically pruned to the routed shards" ->
         (p => p.linesIterator.exists(l =>
