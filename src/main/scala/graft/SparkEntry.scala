@@ -1795,6 +1795,27 @@ object SparkEntry {
       Bm25.phraseMatches(docs, phrases)
         .orderBy("query_id", "doc_id")
     }
+    reg("b7b_phrase_at_rest") { (s, dir) =>
+      // one-scan phrase search over the PERSISTED index: the df lookup
+      // for anchor selection comes from the index's terms table
+      // (vocabulary-sized, semi-joined to the phrase terms) instead of a
+      // corpus scan, so the only corpus pass left is the candidate
+      // tokenize — the composition PERF.md promised once an at-rest
+      // index exists. Anchors (hence output) are value-equal to b7 by
+      // construction, so b7's oracle applies verbatim
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val bm25Path = cachedIndex("bm25", dir) { p =>
+        Bm25.writeIndex(docs, "doc_id", "text", p, termBuckets = 16)
+      }
+      val idx = Bm25.loadIndex(s, bm25Path)
+      val phrases = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), Bm25.tokenize(r.getString(1)).take(3).mkString(" ")))
+        .toSeq.sortBy(_._1)
+      Bm25.phraseMatchesIndexed(docs, idx, phrases)
+        .orderBy("query_id", "doc_id")
+    }
     reg("b8_bm25_delete") { (s, dir) =>
       // the sparse channel's DELETE path — the one lifecycle asymmetry
       // round 6 left (VectorIndex and HNSW both had deletes; a revised
@@ -2351,6 +2372,29 @@ object SparkEntry {
       |FROM ctx c JOIN documents qd ON qd.doc_id = c.query_id
       |ORDER BY c.query_id""".stripMargin
 
+  /** b7/b7b's shared oracle: phrases re-derived from the fixture, every
+    * adjacency count recomputed brute-force.
+    */
+  private val PhraseOracle: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+      |    t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |qs AS MATERIALIZED (
+      |  SELECT doc_id AS query_id, tk[1:3] AS qt
+      |  FROM toks WHERE doc_id IN (3, 7, 11)),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CASE WHEN len(t.tk) < len(q.qt) THEN 0 ELSE
+      |      len(list_filter(range(1, len(t.tk) - len(q.qt) + 2),
+      |        i -> len(list_filter(range(0, len(q.qt)),
+      |               j -> t.tk[i + j] = q.qt[j + 1])) = len(q.qt)))
+      |    END AS n_matches
+      |  FROM toks t, qs q)
+      |SELECT query_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches
+      |FROM scored WHERE n_matches >= 1 ORDER BY query_id, doc_id""".stripMargin
+
   private def bm25OracleCore(
       qsCte: String,
       docWhere: String = "TRUE",
@@ -2749,25 +2793,10 @@ object SparkEntry {
     // so the fused law is the same oracle
     "b6_hybrid_at_rest" -> hybridRrfOracle,
     "ep4_hybrid_rag" -> hybridRagOracle,
-    "b7_phrase_match" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
-        |    t -> length(t) > 0) AS tk
-        |  FROM documents),
-        |qs AS MATERIALIZED (
-        |  SELECT doc_id AS query_id, tk[1:3] AS qt
-        |  FROM toks WHERE doc_id IN (3, 7, 11)),
-        |scored AS (
-        |  SELECT q.query_id, t.doc_id,
-        |    CASE WHEN len(t.tk) < len(q.qt) THEN 0 ELSE
-        |      len(list_filter(range(1, len(t.tk) - len(q.qt) + 2),
-        |        i -> len(list_filter(range(0, len(q.qt)),
-        |               j -> t.tk[i + j] = q.qt[j + 1])) = len(q.qt)))
-        |    END AS n_matches
-        |  FROM toks t, qs q)
-        |SELECT query_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches
-        |FROM scored WHERE n_matches >= 1 ORDER BY query_id, doc_id""".stripMargin,
+    "b7_phrase_match" -> PhraseOracle,
+    // b7b: same phrases, df served by the persisted index's terms table —
+    // anchors identical by construction, so the same oracle applies
+    "b7b_phrase_at_rest" -> PhraseOracle,
     "a9_sq8_batch" -> bruteForceKnnOracle(5),
     // a9b: same exact-shortlist premise through the persisted codes —
     // the at-rest round-trip must be value-invisible to the brute force

@@ -582,6 +582,55 @@ object Bm25 {
       phrases: Seq[(Long, String)],
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // document frequency of the PHRASES' OWN terms only — a scan-stage
+    // filter before a terms-count-sized aggregate, never the full
+    // postings build (measured: the full rawPostings shuffle tripled the
+    // 2M-doc tier's cost for df values of which only |phrase terms| are
+    // read)
+    def scanDf(wanted: Seq[String]): Map[String, Long] =
+      docs.select(tokensCol(col(textCol)).as("__toks"))
+        .select(explode(array_distinct(
+          filter(col("__toks"), t => t.isin(wanted: _*)))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    phraseMatchesWith(docs, phrases, scanDf, idCol, textCol)
+  }
+
+  /** [[phraseMatches]] with the df lookup served by a persisted index's
+    * `terms` table instead of a corpus scan — the one-scan phrase path
+    * PERF.md promised once an at-rest index exists: anchor selection
+    * reads vocabulary-sized data (semi-joined to the phrase terms, a
+    * driver-bounded handful of rows), so the ONLY corpus pass left is
+    * the candidate tokenize. Anchors are identical to the scan path by
+    * construction (the index's df IS the corpus df for any indexed
+    * term), so output is value-equal — b7's oracle applies verbatim.
+    */
+  def phraseMatchesIndexed(
+      docs: DataFrame,
+      index: Index,
+      phrases: Seq[(Long, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def indexDf(wanted: Seq[String]): Map[String, Long] = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      index.terms
+        .join(broadcast(wanted.toDF("term")), Seq("term"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    phraseMatchesWith(docs, phrases, indexDf, idCol, textCol)
+  }
+
+  /** Shared two-phase engine: PRUNE on the rarest term (df via `dfOf`),
+    * VERIFY adjacency on candidates only — see [[phraseMatches]] for the
+    * scale plan.
+    */
+  private def phraseMatchesWith(
+      docs: DataFrame,
+      phrases: Seq[(Long, String)],
+      dfOf: Seq[String] => Map[String, Long],
+      idCol: String,
+      textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(phrases.nonEmpty, "phraseMatches: empty phrase batch")
@@ -590,19 +639,10 @@ object Bm25 {
     qtoks.foreach { case (qid, ts) =>
       require(ts.nonEmpty, s"phraseMatches: phrase $qid tokenizes to nothing")
     }
-    // document frequency of the PHRASES' OWN terms only — a scan-stage
-    // filter before a terms-count-sized aggregate, never the full
-    // postings build (measured: the full rawPostings shuffle tripled the
-    // 2M-doc tier's cost for df values of which only |phrase terms| are
-    // read)
     val wanted = qtoks.flatMap(_._2).distinct
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"), tokensCol(col(textCol)).as("__toks"))
-    val dfMap = toks
-      .select(explode(array_distinct(
-        filter(col("__toks"), t => t.isin(wanted: _*)))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfMap = dfOf(wanted)
     val anchors = qtoks.map { case (qid, ts) =>
       val anchor = ts.minBy(t => (dfMap.getOrElse(t, 0L), t))
       (qid, anchor, ts)

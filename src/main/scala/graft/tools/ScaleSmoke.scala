@@ -387,6 +387,26 @@ object ScaleSmoke {
         assert(c == rows, s"expected $rows common-anchor matches, got $c")
         c
       }
+
+      // 9d. phrase over the PERSISTED index: df for anchor selection from
+      // the terms table instead of a corpus scan — drops one of the two
+      // tokenizing passes (build timed separately; it amortizes over
+      // every phrase batch)
+      val phIdx = java.nio.file.Files
+        .createTempDirectory("graft_smoke_ph").toString + "/idx"
+      time("phrase_bm25_write_for_df", rows) {
+        graft.search.Bm25.writeIndex(docs, "doc_id", "text", phIdx,
+          termBuckets = 64)
+        rows
+      }
+      time("phrase_match_indexed_df", rows) {
+        val out = graft.search.Bm25.phraseMatchesIndexed(
+          docs, graft.search.Bm25.loadIndex(spark, phIdx),
+          Seq((0L, "zq0phrase zq1marker zq2tail")))
+        val c = out.count()
+        assert(c == expected, s"expected $expected planted matches, got $c")
+        c
+      }
     }
 
     // 10. sharded HNSW at 1M x 32-d: at-rest build (16 segment graphs,

@@ -231,6 +231,24 @@ class Bm25Spec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet.contains(1L))
   }
 
+  test("phraseMatchesIndexed: index-served df is value-identical to the scan path") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ph").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val idx = Bm25.loadIndex(spark, path)
+    // mixed batch: a phrase whose rarest term is unambiguous, one where
+    // the df tie must break lexicographically, and one with a term the
+    // index never saw (df 0 both ways)
+    val phrases = Seq(
+      (0L, "apple banana"), (1L, "cherry cherry"), (2L, "durian zzz-unseen"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Bm25.phraseMatchesIndexed(corpus, idx, phrases)) ==
+      rows(Bm25.phraseMatches(corpus, phrases)),
+      "index-served anchors must reproduce the scan path exactly")
+  }
+
   test("appendIndexBatch is idempotent per batch id (streaming ledger law)") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bm25_ab").toString + "/idx"
