@@ -254,6 +254,14 @@ object ExplainAudit {
         (p => !p.contains("lambdafunction")),
       "bounded-heap finish, no cartesian" ->
         (p => p.contains("topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("b8_bm25_delete")(
+      // mark-delete must exclude dead docs AT SCAN STAGE: the small
+      // tombstone set becomes a NOT IN predicate pushed into the
+      // postings parquet scan, not a post-join filter
+      "tombstone exclusion pushed to the postings scan" ->
+        (p => p.contains("Not(In(doc_id")),
+      "probe still bucket-joined, partial-heap finished" ->
+        (p => p.contains("partial_topk_by_dist") && !p.contains("CartesianProduct")))
     audit("a8b_ivfpq_at_rest")(
       "coarse membership is an equi-join on centroid_id over persisted lists" ->
         (p => p.contains("centroid_id") &&

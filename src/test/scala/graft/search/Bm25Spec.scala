@@ -262,6 +262,35 @@ class Bm25Spec extends SparkSpec {
     assert(spark.read.parquet(s"$path/batches").count() == 1L)
   }
 
+  test("hybrid at-rest serving: a doc deleted in BOTH channels leaves the fusion") {
+    // the b6/ep4 staleness gap round 6 flagged, closed end to end: after
+    // Bm25.deleteDocs + Hnsw.delete, neither channel may resurrect the
+    // doc through the fused rank list
+    val root = java.nio.file.Files.createTempDirectory("graft_hyb_del").toString
+    Bm25.writeIndex(corpus, "doc_id", "text", s"$root/bm25", termBuckets = 4)
+    val emb = corpus.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => (col("doc_id") * 10 + i).cast("float")).as("embedding"))
+    graft.ops.Hnsw.write(emb, s"$root/hnsw",
+      graft.ops.Hnsw.Params(m = 4, efConstruction = 40, efSearch = 100, numShards = 2))
+    def fused(): Set[Long] = {
+      val qText = Seq((1L, "banana cherry")).toDF("query_id", "query_text")
+      val sparse = Bm25.topKBatch(qText, Bm25.loadIndex(spark, s"$root/bm25"), 4)
+        .select("query_id", "doc_id", "rank")
+      val qVec = emb.where(col("vec_id") === 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = graft.ops.Hnsw.probe(spark, s"$root/hnsw", qVec, 4)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Bm25.rrfFuse(Seq(sparse, dense), k = 4)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(fused().contains(1L), "premise: doc 1 serves from both channels")
+    Bm25.deleteDocs(spark, s"$root/bm25", Seq(1L))
+    graft.ops.Hnsw.delete(spark, s"$root/hnsw", Seq(1L))
+    val after = fused()
+    assert(!after.contains(1L), s"deleted doc served through the fusion: $after")
+  }
+
   test("streamingBm25Sink: micro-batches append exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlC = spark.sqlContext
