@@ -1480,6 +1480,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a5b_ivf_at_rest") { (s, dir) => // golden-pinned via a5's fixture
+      // IVF lifecycle symmetry: write the first 300 assignments, APPEND
+      // the rest THROUGH THE PERSISTED quantizer (the FAISS law — the
+      // coarse quantizer is frozen at train time, so appended vectors
+      // route identically and the lists grow in place). The seed+append
+      // index is value-identical to the one-shot build, so a5's golden
+      // pin applies VERBATIM — routing drift through the parquet
+      // round-trip of the centroids breaks the hash
+      val emb = T(s, dir, "embeddings")
+      val path = cachedIndex("ivf8", dir) { p =>
+        val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 8)
+        Ann.writeIvf(assigned.where(col("vec_id") < 300), centroids, p)
+        Ann.appendIvf(s, emb.where(col("vec_id") >= 300), p)
+      }
+      val (lists, cents) = Ann.loadIvf(s, path)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.ivfTopKBatch(lists, cents, qs, 5, nProbe = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
     reg("a7_pq_batch") { (s, dir) => // golden-pinned: seeded PQ codebooks
       // product quantization with exact re-rank: codebook fit (m seeded
       // KMeans) -> byte-code index -> ADC table scoring as pure column
@@ -2589,6 +2612,10 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/a5_ivf_batch_sf001.parquet')",
     "a6_rp_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a6_rp_batch_sf001.parquet')",
+    // a5b: seed + append through the PERSISTED quantizer must equal the
+    // one-shot build — a5's pin verbatim
+    "a5b_ivf_at_rest" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a5_ivf_batch_sf001.parquet')",
     "a7_pq_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
     "a8_ivfpq_batch" ->

@@ -634,7 +634,17 @@ object Ann {
     import spark.implicits._
     val centroids = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "centroid")
-    val assign = udf { v: Seq[Float] =>
+    (index.withColumn("centroid_id", assignUdf(cents)(col(vecCol))), centroids)
+  }
+
+  /** Nearest-centroid assignment (float-accumulated squared L2, ties to
+    * the smallest centroid id) — the single assignment law shared by
+    * [[buildIvfSampled]] and [[appendIvf]] (through the PERSISTED
+    * quantizer), so where a vector lives never depends on which code
+    * path routed it.
+    */
+  private def assignUdf(cents: Array[Array[Float]]) =
+    udf { v: Seq[Float] =>
       var best = 0; var bestD = Float.MaxValue; var c = 0
       while (c < cents.length) {
         var s = 0.0f; var i = 0
@@ -645,8 +655,6 @@ object Ann {
       }
       best
     }
-    (index.withColumn("centroid_id", assign(col(vecCol))), centroids)
-  }
 
   /** Persist an IVF index partitioned by centroid: probing N lists becomes
     * parquet partition pruning — the on-disk layout a 100 TB ANN index
@@ -658,8 +666,82 @@ object Ann {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Load a persisted IVF index: (lists, centroids). Tombstoned ids
+    * ([[deleteIvf]]) are excluded probe-side via the shared bounded
+    * exclusion ([[Layout.excludeTombstoned]]) until a [[compactIvf]]
+    * purges them for real.
+    */
   def loadIvf(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/lists"), spark.read.parquet(s"$path/centroids"))
+    (Layout.excludeTombstoned(
+      spark, spark.read.parquet(s"$path/lists"), s"$path/_tombstones", "vec_id"),
+      spark.read.parquet(s"$path/centroids"))
+
+  /** The stored coarse quantizer, positionally indexed by centroid_id. */
+  private def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("int"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"loadIvf: centroid ids not dense at $path (${r.getInt(0)} at position $i)")
+    }
+    rows.map(_.getSeq[Float](1).toArray)
+  }
+
+  /** Append new vectors to a persisted IVF index THROUGH the stored
+    * quantizer — the FAISS law: the coarse quantizer is FROZEN at train
+    * time, appended vectors route through it and the lists grow, visible
+    * to probes immediately. Assignment is the same float-accumulated
+    * argmin as the build (centroid floats round-trip parquet exactly),
+    * so a seed+append index is value-identical to a one-shot build with
+    * the same centroids — pinned by `a5b` reusing a5's golden verbatim.
+    * Idempotence is the caller's contract; pair with
+    * [[Layout.ledgeredBatch]] for streaming (the Hnsw/Bm25 recipe).
+    */
+  def appendIvf(
+      spark: SparkSession,
+      index: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    requireIntegralId(index, idCol, "appendIvf")
+    val cents = loadIvfCentroids(spark, path)
+    index.withColumn("centroid_id", assignUdf(cents)(col(vecCol)))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
+  /** Mark ids deleted (sidecar append — the Bm25/Hnsw stance: probes
+    * exclude, [[compactIvf]] purges; a delete is terminal until then).
+    */
+  def deleteIvf(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF("vec_id").write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** Fold tombstones into the lists (anti join — scale-safe at any
+    * tombstone count, unlike the probe-side exclusion) and swap via the
+    * shared rename-aside protocol. Centroids are untouched: the
+    * quantizer stays frozen. Returns (rows before, rows after).
+    */
+  def compactIvf(spark: SparkSession, path: String): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val lists = spark.read.parquet(s"$path/lists")
+    val before = lists.count()
+    val live = materializeOnce(
+      if (!fs.exists(tp)) lists
+      else lists.join(
+        spark.read.parquet(s"$path/_tombstones").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti"))
+    val after = live.count()
+    live.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists.__compact")
+    Layout.swapDir(fs, s"$path/lists", s"$path/lists.__compact")
+    if (fs.exists(tp)) fs.delete(tp, true)
+    (before, after)
+  }
 
   /** Batch IVF: a query *table* probed in one pass. Per query, rank the
     * centroids (tiny broadcast cross join: |queries| × nLists rows) and

@@ -213,6 +213,40 @@ object Layout {
     * maintainer swaps at a time; an overlapping reader that lists the
     * target inside the rename pair may fail and should retry.
     */
+  /** Probe-side tombstone exclusion shared by the at-rest index families
+    * ([[graft.search.Bm25.loadIndex]], [[Ann.loadIvf]]): read the
+    * sidecar — bounded by `maxTombstones` with a loud compact-first
+    * refusal — and filter `df`. Small sets become a scan-stage `NOT IN`
+    * predicate (pushed into the parquet scan); past 1024 ids a literal
+    * In is prohibitive to even construct, so a broadcast anti-join takes
+    * over (hash probe per row, no shuffle of the big side). Compaction
+    * paths must NOT use this — they anti-join the raw sidecar
+    * directly, scale-safe at any tombstone count.
+    */
+  private[graft] def excludeTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      tombPath: String,
+      idCol: String,
+      maxTombstones: Int = 1 << 22): DataFrame = {
+    import spark.implicits._
+    val tp = new org.apache.hadoop.fs.Path(tombPath)
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp)) df
+    else {
+      val rows = spark.read.parquet(tombPath)
+        .limit(maxTombstones + 1).collect()
+      require(rows.length <= maxTombstones,
+        s"probe: more than $maxTombstones tombstones at $tombPath — " +
+          "compact the index before probing")
+      val dead = rows.map(_.getLong(0)).toSeq
+      if (dead.isEmpty) df
+      else if (dead.length <= 1024)
+        df.where(!col(idCol).isin(dead.map(x => x: Any): _*))
+      else df.join(broadcast(dead.toDF(idCol)), Seq(idCol), "left_anti")
+    }
+  }
+
   /** The shared batch-ledger half of the segment-lifecycle protocol
     * ([[Hnsw.appendBatch]], [[graft.search.Bm25.appendIndexBatch]]): run
     * `body` only if `batchId` is not yet in the parquet ledger at

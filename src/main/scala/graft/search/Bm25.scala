@@ -222,20 +222,12 @@ object Bm25 {
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val nb = spark.read.parquet(s"$path/meta").head.getInt(0)
-    val dead = loadTombstones(spark, path)
-    val postings0 = spark.read.parquet(s"$path/postings")
-    val postings =
-      if (dead.isEmpty) postings0
-      else if (dead.length <= 1024)
-        // small sets: a scan-stage NOT IN predicate (pushed to parquet)
-        postings0.where(!col("doc_id").isin(dead.map(x => x: Any): _*))
-      else {
-        // large sets: a literal In of millions of ids is prohibitive to
-        // even CONSTRUCT — broadcast-anti-join instead (hash probe per
-        // row, no shuffle of the postings)
-        import spark.implicits._
-        postings0.join(broadcast(dead.toDF("doc_id")), Seq("doc_id"), "left_anti")
-      }
+    // shared probe-side exclusion (Layout.excludeTombstoned): bounded +
+    // loud sidecar read, scan-stage NOT IN for small sets, broadcast
+    // anti-join past 1024 ids
+    val postings = graft.ops.Layout.excludeTombstoned(
+      spark, spark.read.parquet(s"$path/postings"), tombPath(path), "doc_id",
+      MaxTombstones)
     val terms = spark.read.parquet(s"$path/terms")
       .groupBy("term").agg(sum("df").cast("long").as("df"))
     val st = spark.read.parquet(s"$path/stats")
@@ -312,22 +304,6 @@ object Bm25 {
     import spark.implicits._
     if (ids.nonEmpty)
       ids.toDF("doc_id").write.mode("append").parquet(tombPath(path))
-  }
-
-  /** The probe-side tombstone set (empty when none) — bounded + loud. */
-  private def loadTombstones(
-      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tp)) Seq.empty
-    else {
-      val rows = spark.read.parquet(tombPath(path))
-        .limit(MaxTombstones + 1).collect()
-      require(rows.length <= MaxTombstones,
-        s"bm25 probe: more than $MaxTombstones tombstones at $path — " +
-          "compact the index before probing")
-      rows.map(_.getLong(0)).toSeq
-    }
   }
 
   /** Fold tombstones into the at-rest index: rewrite the four tables

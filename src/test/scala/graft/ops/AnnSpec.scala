@@ -63,6 +63,41 @@ class AnnSpec extends SparkSpec {
       s"expected static partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("IVF lifecycle: append through the frozen quantizer; delete hides; compact purges") {
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_lc").toString
+    // seed + append must equal the one-shot build (the a5b premise): the
+    // persisted centroids route appended vectors identically
+    Ann.writeIvf(assigned.where(col("vec_id") < 60), centroids, path)
+    Ann.appendIvf(spark, emb.where(col("vec_id") >= 60), path)
+    val (lists, cents) = Ann.loadIvf(spark, path)
+    val oneShot = assigned.select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    val grown = lists.select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    assert(grown == oneShot, "appended assignments must match the one-shot build")
+    val got = Ann.ivfTopK(lists, cents, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactTop10)
+    // delete hides the top hit; probes over the loaded index exclude it
+    val top = exactTop10.head
+    Ann.deleteIvf(spark, path, Seq(top))
+    val (lists2, cents2) = Ann.loadIvf(spark, path)
+    val afterDel = Ann.ivfTopK(lists2, cents2, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!afterDel.contains(top), s"deleted id $top still served")
+    assert(afterDel == exactTop10.filterNot(_ == top) ++
+      afterDel.filterNot(exactTop10.contains), "remaining order must be undisturbed")
+    // compact purges for real and spends the sidecar
+    val (before, after) = Ann.compactIvf(spark, path)
+    assert(before == 500L && after == 499L, s"expected 500 -> 499 rows, got $before -> $after")
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    val (lists3, cents3) = Ann.loadIvf(spark, path)
+    assert(Ann.ivfTopK(lists3, cents3, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq == afterDel,
+      "compaction must not change the active view")
+  }
+
   test("batch LSH ANN: recall@10 >= 0.9 vs exact batch kNN") {
     val (hashed, model) = Ann.fitLsh(emb, numHashTables = 16)
     val qs = emb.where($"vec_id".isin(3L, 7L, 11L))
