@@ -1652,6 +1652,25 @@ object SparkEntry {
           coalesce(col("epoch"), lit(0L)).as("epoch_resolved"))
         .orderBy("chunk_id")
     }
+    reg("t8b_index_asof") { (s, dir) =>
+      // TIME TRAVEL over the MoR index (the Iceberg/Delta AS OF read):
+      // t8's synthesized generations resolved as of epoch 0 — the
+      // epoch-1 re-upserts of docs 0-9 don't exist yet in that world,
+      // so the epoch-0 tombstones kill ALL of docs 0-19 and only 20+
+      // survive (vs t8's now-view where 0-9 revive). The oracle reruns
+      // the law with the as-of filters
+      val data = T(s, dir, "embeddings").select(
+        col("vec_id").as("chunk_id"),
+        expr("vec_id div 10").as("doc_id"),
+        when(expr("vec_id div 10") < 10, lit(1L))
+          .otherwise(lit(null).cast("long")).as("epoch"))
+      val tombs = s.range(0, 20)
+        .select(col("id").as("doc_id"), lit(0L).as("tomb_epoch"))
+      VectorIndex.resolveActiveAsOf(data, tombs, asOf = 0L)
+        .select(col("chunk_id"), col("doc_id"),
+          coalesce(col("epoch"), lit(0L)).as("epoch_resolved"))
+        .orderBy("chunk_id")
+    }
     reg("a10_knn_join") { (s, dir) =>
       // kNN JOIN: top-3 L2 neighbors for EVERY row (self excluded) — the
       // all-rows primitive under SemDeDup/kNN-LM. Exact guarded path at
@@ -1922,6 +1941,26 @@ object SparkEntry {
       Bm25.topKBatch(qs, idx, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
+    reg("b9_rerank_overlap") { (s, dir) =>
+      // SECOND-STAGE reranking over the persisted hybrid stack — the
+      // retrieve-cheap-then-rescore-expensive production shape the
+      // single-stage reference lacks: fused top-10 candidates rescored
+      // by the deterministic overlap scorer (distinct query tokens
+      // present in the candidate — a unigram cross-encoder baseline),
+      // top-4 kept by (rr_score desc, fused rank, doc_id). The expensive
+      // stage touches q × 10 pairs, never the corpus; the oracle reruns
+      // retrieval, fusion, tokenization, overlap, and the tie law
+      import graft.serve.{OverlapReranker, Reranker}
+      val docs = T(s, dir, "documents")
+      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20)
+      val fused = graft.search.Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+      val queries = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      Reranker.rerankTopK(fused, queries, docs, OverlapReranker, k = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rr_score"))
         .orderBy("query_id", "rank")
     }
     reg("ep4_hybrid_rag") { (s, dir) =>
@@ -2642,6 +2681,20 @@ object SparkEntry {
         |FROM data d LEFT JOIN tmax t ON t.doc_id = d.doc_id
         |WHERE t.te IS NULL OR coalesce(d.epoch, 0) > t.te
         |ORDER BY d.chunk_id""".stripMargin,
+    "t8b_index_asof" ->
+      """WITH data AS (
+        |  SELECT vec_id AS chunk_id, vec_id // 10 AS doc_id,
+        |    CASE WHEN vec_id // 10 < 10 THEN 1 ELSE NULL END AS epoch
+        |  FROM embeddings),
+        |tombs AS (SELECT unnest(range(0, 20)) AS doc_id, 0 AS tomb_epoch),
+        |d0 AS (SELECT * FROM data WHERE coalesce(epoch, 0) <= 0),
+        |t0 AS (SELECT doc_id, max(tomb_epoch) AS te FROM tombs
+        |       WHERE tomb_epoch <= 0 GROUP BY 1)
+        |SELECT d.chunk_id, d.doc_id,
+        |  CAST(coalesce(d.epoch, 0) AS BIGINT) AS epoch_resolved
+        |FROM d0 d LEFT JOIN t0 t ON t.doc_id = d.doc_id
+        |WHERE t.te IS NULL OR coalesce(d.epoch, 0) > t.te
+        |ORDER BY d.chunk_id""".stripMargin,
     "a10_knn_join" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, e.vec_id,
@@ -2820,6 +2873,27 @@ object SparkEntry {
     // so the fused law is the same oracle
     "b6_hybrid_at_rest" -> hybridRrfOracle,
     "ep4_hybrid_rag" -> hybridRagOracle,
+    // b9: fused top-10 → overlap rescore → top-4 by the tie law —
+    // every stage recomputed in SQL
+    "b9_rerank_overlap" ->
+      (hybridRrfCtes + """,
+        |cand AS (SELECT query_id, doc_id, rank FROM franked WHERE rank <= 10),
+        |rtk AS (SELECT doc_id, list_distinct(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |    t -> length(t) > 0)) AS tk FROM documents),
+        |rsc AS (
+        |  SELECT c.query_id, c.doc_id, c.rank,
+        |    CAST(len(list_filter(qt.tk, t -> list_contains(dt.tk, t)))
+        |      AS BIGINT) AS rr_score
+        |  FROM cand c
+        |  JOIN rtk qt ON qt.doc_id = c.query_id
+        |  JOIN rtk dt ON dt.doc_id = c.doc_id),
+        |rr AS (
+        |  SELECT query_id, doc_id, rr_score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rr_score DESC, rank, doc_id) AS rrank
+        |  FROM rsc)
+        |SELECT query_id, CAST(rrank AS BIGINT) AS rank, doc_id, rr_score
+        |FROM rr WHERE rrank <= 4 ORDER BY query_id, rank""".stripMargin),
     "b7_phrase_match" -> PhraseOracle,
     // b7b: same phrases, df served by the persisted index's terms table —
     // anchors identical by construction, so the same oracle applies

@@ -169,6 +169,33 @@ object VectorIndex {
       .drop("__te")
   }
 
+  /** Time travel over the MoR index (the Iceberg/Delta `AS OF` read):
+    * the state the index had when epoch `asOf` was the newest batch.
+    * Because writes only ever APPEND epoch-stamped rows and tombstones,
+    * history is never destroyed until a [[compact]] folds it — so the
+    * as-of view is just the resolution law over the generations with
+    * epoch ≤ asOf (rows AND tombstones from later batches don't exist
+    * yet in that world; pre-epoch files resolve as epoch 0 like
+    * everywhere else). Scan cost: the epoch predicate prunes to the
+    * asked-for generations' files via parquet column stats. Reads after
+    * a compact only see the fold point onward — the usual lakehouse
+    * retention trade, documented on [[compact]].
+    */
+  def resolveActiveAsOf(
+      data: DataFrame, tombstones: DataFrame, asOf: Long): DataFrame =
+    resolveActive(
+      data.where(coalesce(col("epoch"), lit(0L)) <= asOf),
+      tombstones.where(col("tomb_epoch") <= asOf))
+
+  /** [[loadActive]] as of epoch `asOf` — see [[resolveActiveAsOf]]. */
+  def loadActiveAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    val data =
+      if (raw.columns.contains("epoch")) raw
+      else raw.withColumn("epoch", lit(null).cast("long"))
+    resolveActiveAsOf(data, readTombstones(spark, path), asOf)
+  }
+
   private def tombPath(path: String) = s"$path/_tombstones"
 
   private def readTombstones(spark: SparkSession, path: String): DataFrame = {

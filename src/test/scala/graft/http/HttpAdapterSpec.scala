@@ -189,6 +189,36 @@ class HttpAdapterSpec extends SparkSpec {
     assert(chatRequests.get() == 2)
   }
 
+  test("HttpReranker: per-query scoring, index-aligned, 1e-6 grid") {
+    // deterministic stub: relevance = shared-token count / 10, served in
+    // REVERSE order so alignment must come from the index field
+    server.createContext("/v1/rerank", (ex: HttpExchange) => {
+      val req = om.readTree(readBody(ex))
+      val q = req.get("query").asText().split(" ").toSet
+      val docs = req.get("documents")
+      val root = om.createObjectNode()
+      val results = root.putArray("results")
+      for (i <- (docs.size() - 1) to 0 by -1) {
+        val r = results.addObject()
+        r.put("index", i)
+        r.put("relevance_score",
+          docs.get(i).asText().split(" ").count(q.contains) / 10.0)
+      }
+      respond(ex, 200, om.writeValueAsString(root))
+    })
+    val pairs = Seq(
+      (1L, "alpha beta", "alpha beta gamma"), // 2 shared -> 0.2
+      (1L, "alpha beta", "zzz yyy"), //          0 shared -> 0.0
+      (2L, "delta", "delta delta")) //           2 shared -> 0.2
+      .toDF("query_id", "query_text", "text").repartition(1)
+    val rr = new graft.serve.HttpReranker(target("/v1/rerank"), "fake-rerank")
+    val got = rr.score(pairs, "query_text", "text")
+      .select($"text", $"rr_score").as[(String, Long)].collect().toMap
+    assert(got("alpha beta gamma") == 200000L)
+    assert(got("zzz yyy") == 0L)
+    assert(got("delta delta") == 200000L)
+  }
+
   test("HttpAnswerer slots into RagServing.answerBatch behind the Answerer seam") {
     val docs = Seq(
       (1L, "alpha beta gamma\n\ndelta epsilon"),

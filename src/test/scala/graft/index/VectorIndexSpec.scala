@@ -73,6 +73,37 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).count() == n)
   }
 
+  test("time travel: loadActiveAsOf reproduces every epoch's snapshot until compact") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_asof").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("chunk_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    VectorIndex.append(spark, d, path, embedder) // pre-epoch files → epoch 0
+    val atAppend = snap(VectorIndex.loadActive(spark, path))
+    VectorIndex.deleteDocs(spark, Seq(1L), path, epoch = 1)
+    val atDelete = snap(VectorIndex.loadActive(spark, path))
+    VectorIndex.upsertDocs(spark,
+      Seq((1L, "SECTION ALPHA\n\nrevived second revision body"))
+        .toDF("doc_id", "text"), path, embedder, epoch = 2)
+    val atUpsert = snap(VectorIndex.loadActive(spark, path))
+    // every historical view reproduces the snapshot captured at the time
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 0L)) == atAppend,
+      "as-of 0 must predate the delete")
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 1L)) == atDelete,
+      "as-of 1 must see the delete but not the revival")
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 2L)) == atUpsert)
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 99L)) == atUpsert,
+      "as-of past the newest epoch is the current view")
+    // compact folds history: the as-of-0 world is no longer recoverable,
+    // but the CURRENT view is unchanged — the lakehouse retention trade
+    VectorIndex.compact(spark, path)
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 99L)) == atUpsert)
+  }
+
   test("MoR lifecycle: delete hides, upsert revives, compact folds") {
     import org.apache.spark.sql.functions.col
     val path = java.nio.file.Files

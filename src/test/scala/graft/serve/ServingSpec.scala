@@ -109,4 +109,35 @@ class ServingSpec extends SparkSpec {
     val ans = EchoAnswerer.answer(df, "question", "context").select("answer").as[String].head()
     assert(ans == s"[${Config.AgentName}] line one")
   }
+
+  test("OverlapReranker: distinct-token overlap, duplicates and case folded") {
+    val pairs = Seq(
+      (1L, "Apple banana CHERRY", "apple APPLE apple pie"), // {apple} -> 1
+      (1L, "Apple banana CHERRY", "banana cherry durian"), //  {banana,cherry} -> 2
+      (1L, "Apple banana CHERRY", "unrelated words only")) //  {} -> 0
+      .toDF("query_id", "query_text", "text")
+    val got = OverlapReranker.score(pairs, "query_text", "text")
+      .select("text", "rr_score").as[(String, Long)].collect().toMap
+    assert(got("apple APPLE apple pie") == 1L)
+    assert(got("banana cherry durian") == 2L)
+    assert(got("unrelated words only") == 0L)
+  }
+
+  test("rerankTopK: rescored order with the (score, first-stage rank, id) tie law") {
+    val hits = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), (1L, 40L, 4))
+      .toDF("query_id", "doc_id", "rank")
+    val queries = Seq((1L, "apple banana")).toDF("query_id", "query_text")
+    val docs = Seq(
+      (10L, "nothing relevant"), //        score 0
+      (20L, "apple banana both"), //       score 2 -> new rank 1
+      (30L, "apple only here"), //         score 1, first-stage rank 3
+      (40L, "banana only here")) //        score 1, first-stage rank 4 -> ties
+      .toDF("doc_id", "text")
+    val out = Reranker.rerankTopK(hits, queries, docs, OverlapReranker, k = 3)
+      .orderBy("rank")
+      .select("rank", "doc_id", "rr_score").as[(Int, Long, Long)].collect().toSeq
+    // tie between 30 and 40 breaks on the FIRST-STAGE rank (3 before 4)
+    assert(out == Seq((1, 20L, 2L), (2, 30L, 1L), (3, 40L, 1L)), s"got $out")
+  }
 }
