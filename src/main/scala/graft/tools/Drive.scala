@@ -292,6 +292,46 @@ object Drive {
     graft.ops.HostGraph.hits(hostEdges, 8)
       .orderBy(desc("auth_scaled")).limit(3).show(3, false)
 
+    println("== round-7 at-rest lifecycles (SQ8 / BM25 delete+compact / rerank / as-of) ==")
+    locally {
+      import graft.search.Bm25
+      val root = java.nio.file.Files.createTempDirectory("graft_drive_r7").toString
+      // SQ8: write codes once, probe from disk
+      graft.ops.Sq.writeCodes(emb, s"$root/sq8")
+      val qs3 = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.ops.Sq.sqProbe(spark, s"$root/sq8", qs3, emb, k = 3, rerank = 16)
+        .orderBy("query_id", "rank").show(9, false)
+      // BM25: write → delete → mark-delete probe → compact → probe
+      Bm25.writeIndex(docs, "doc_id", "text", s"$root/bm25", termBuckets = 8)
+      Bm25.deleteDocs(spark, s"$root/bm25", Seq(3L))
+      val qt = {
+        import spark.implicits._
+        Seq((0L, "spark window merge")).toDF("query_id", "query_text")
+      }
+      println("mark-delete probe (doc 3 must be absent):")
+      Bm25.topKBatch(qt, Bm25.loadIndex(spark, s"$root/bm25"), 5)
+        .orderBy("rank").show(5, false)
+      val (nb, na) = Bm25.compactIndex(spark, s"$root/bm25")
+      println(s"compact: $nb -> $na docs; post-compact probe:")
+      Bm25.topKBatch(qt, Bm25.loadIndex(spark, s"$root/bm25"), 5)
+        .orderBy("rank").show(5, false)
+      // second-stage rerank over a BM25 first stage
+      val hits = Bm25.topKBatch(qt, Bm25.loadIndex(spark, s"$root/bm25"), 10)
+        .select("query_id", "doc_id", "rank")
+      graft.serve.Reranker.rerankTopK(
+        hits, qt, docs.select("doc_id", "text"), graft.serve.OverlapReranker, k = 3)
+        .orderBy("rank").show(3, false)
+      // MoR time travel: as-of 0 predates an epoch-1 delete
+      val idxPath = s"$root/mor"
+      val d6 = docs.limit(6).select("doc_id", "text")
+      val embedder = VectorIndex.fit(d6)
+      VectorIndex.append(spark, d6, idxPath, embedder)
+      VectorIndex.deleteDocs(spark, Seq(0L, 1L), idxPath, epoch = 1)
+      println(s"now-view rows: ${VectorIndex.loadActive(spark, idxPath).count()}, " +
+        s"as-of-0 rows: ${VectorIndex.loadActiveAsOf(spark, idxPath, 0L).count()}")
+    }
+
     spark.stop()
   }
 }

@@ -254,6 +254,11 @@ object ExplainAudit {
         (p => !p.contains("lambdafunction")),
       "bounded-heap finish, no cartesian" ->
         (p => p.contains("topk_by_dist") && !p.contains("CartesianProduct")))
+    audit("b9_rerank_overlap")(
+      "rerank pair joins are broadcast (candidates are query-batch-sized)" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no cartesian anywhere in the rerank composition" ->
+        (p => !p.contains("CartesianProduct")))
     audit("b8_bm25_delete")(
       // mark-delete must exclude dead docs AT SCAN STAGE: the small
       // tombstone set becomes a NOT IN predicate pushed into the
