@@ -1091,6 +1091,21 @@ object SparkEntry {
       Dedup.minHashPairsHashed(T(s, dir, "documents").where(col("doc_id") < 60),
         shingleSize = 1, numHashes = 128, bands = 32, minJaccard = 0.8)
     }
+    reg("d19_neardup_incremental") { (s, dir) =>
+      // incremental near-dup against the PERSISTED signature store — the
+      // continuous-crawl primitive: corpus (ids % 3 != 0) banded once at
+      // rest, the arriving batch (ids % 3 == 0) shingled in one transient
+      // pass and checked through the band join + exact-jaccard verify.
+      // Same recall premise as d5b (banding miss ≈ 5e-8 at j≥0.8), so
+      // the oracle is the exact cross-split jaccard, recomputed whole
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mh_store").toString + "/idx"
+      Dedup.writeMinhash(docs.where(pmod(col("doc_id"), lit(3)) =!= 0), tmp,
+        shingleSize = 1, numHashes = 128, bands = 32)
+      Dedup.nearDupesAgainstStore(
+        s, docs.where(pmod(col("doc_id"), lit(3)) === 0), tmp, minJaccard = 0.8)
+    }
     reg("d6_simhash_pairs") { (s, dir) => // rows-only: xxhash64 is Spark-specific
       Dedup.simhashPairs(T(s, dir, "documents").where(col("doc_id") < 100),
         maxHamming = 8)
@@ -4251,6 +4266,25 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // d19: exact cross-split jaccard — batch side ids % 3 = 0 probed
+    // against the stored corpus side (% 3 != 0)
+    "d19_neardup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT b.id AS batch_id, c.id AS corpus_id, count(*) AS inter
+        |  FROM toks b JOIN toks c USING (tok)
+        |  WHERE b.id % 3 = 0 AND c.id % 3 <> 0 GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |  round(CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter), 6) AS jaccard
+        |FROM co JOIN sizes sb ON co.batch_id = sb.id
+        |        JOIN sizes sc ON co.corpus_id = sc.id
+        |WHERE CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter) >= 0.8
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "d7_drop_near_dups" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(

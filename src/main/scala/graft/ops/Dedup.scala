@@ -230,17 +230,6 @@ object Dedup {
       maxBucketSize: Long = 1L << 20): DataFrame = {
     require(numHashes % bands == 0,
       s"minHashPairsHashed: numHashes $numHashes must be a multiple of bands $bands")
-    val r = numHashes / bands
-    // empty tokens dropped — same token-set semantics as [[jaccardPairs]],
-    // so the exact-jaccard SQL can serve as the oracle at high thresholds
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      t => length(t) > 0)
-    val sh = array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
-        i => when(i + shingleSize <= size(toks),
-          xxhash64(concat_ws(" ",
-            call_function("slice", toks, i + lit(1), lit(shingleSize)))))),
-      h => h.isNotNull))
     // The explicit repartitions are load-bearing: this DAG fans out (sigs
     // feeds banding AND the hot-bucket guard AND both self-join sides;
     // exploded feeds sigs AND the verify sets). Without an Exchange at
@@ -249,18 +238,9 @@ object Dedup {
     // runs each map side once and every consumer reads the same shuffle
     // files — and the band self-join inherits (band, band_key)
     // partitioning, so it adds no shuffle of its own.
-    val exploded = docs.select(col(idCol), explode(sh).as("__h"))
+    val exploded = shingleExplode(docs, idCol, textCol, shingleSize)
       .repartition(col(idCol))
-    val minCols = (0 until numHashes).map(p =>
-      min(xxhash64(col("__h"), lit(p))).as(s"__m$p"))
-    val sigs = exploded.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(p => col(s"__m$p")): _*).as("__sig"))
-    val banded = sigs.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(call_function("slice", col("__sig"), b * lit(r) + 1, lit(r)))))
-        .as(Seq("band", "band_key")))
+    val banded = bandTable(exploded, idCol, numHashes, bands)
       .repartition(col("band"), col("band_key"))
     val hot = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("n"))
@@ -286,6 +266,174 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Distinct shingle-hash explode `(idCol, __h)` — the shared front of
+    * the transient pair search ([[minHashPairsHashed]]) and the at-rest
+    * signature store ([[writeMinhash]]/[[nearDupesAgainstStore]]). Empty
+    * tokens dropped — same token-set semantics as [[jaccardPairs]], so
+    * the exact-jaccard SQL can serve as the oracle at high thresholds.
+    */
+  private[graft] def shingleExplode(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val sh = array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
+        i => when(i + shingleSize <= size(toks),
+          xxhash64(concat_ws(" ",
+            call_function("slice", toks, i + lit(1), lit(shingleSize)))))),
+      h => h.isNotNull))
+    docs.select(col(idCol), explode(sh).as("__h"))
+  }
+
+  /** `(idCol, band, band_key)` from the exploded shingles — the single
+    * signature/banding law (salted-rehash min-hash columns, slice-hashed
+    * band keys) every minhash consumer shares, so a batch banded today
+    * collides with a corpus banded last month iff their signatures say
+    * so, never because a second implementation drifted.
+    */
+  private[graft] def bandTable(
+      exploded: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val minCols = (0 until numHashes).map(p =>
+      min(xxhash64(col("__h"), lit(p))).as(s"__m$p"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(p => col(s"__m$p")): _*).as("__sig"))
+    sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(call_function("slice", col("__sig"), b * lit(r) + 1, lit(r)))))
+        .as(Seq("band", "band_key")))
+  }
+
+  // --------------------------------------------- at-rest signature store
+
+  /** Persist the corpus's minhash state under `path` — the signature
+    * store a continuous-crawl pipeline keeps so each NEW batch is
+    * near-dup-checked against the corpus WITHOUT recomputing corpus
+    * signatures (the incremental analog of [[dedupAgainstCorpus]]'s
+    * exact path):
+    *
+    *   - `bands/`: `(doc_id, band, band_key)` — the banding join surface
+    *     (numHashes/bands longs per doc, ~KB/doc at the defaults: far
+    *     smaller than the text);
+    *   - `shingles/`: `(doc_id, __h)` distinct shingle hashes — the
+    *     exact-jaccard verify side, touched only for banding survivors;
+    *   - `docs/`: the append idempotency ledger;
+    *   - `meta/`: the (shingle_size, num_hashes, bands) law the batch
+    *     side MUST reuse (probes refuse a drifted law loudly).
+    */
+  def writeMinhash(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    require(numHashes % bands == 0,
+      s"writeMinhash: numHashes $numHashes must be a multiple of bands $bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exploded = Ann.materializeOnce(
+      shingleExplode(docs, idCol, textCol, shingleSize)
+        .repartition(col(idCol)).select(col(idCol).as("doc_id"), col("__h")))
+    bandTable(exploded, "doc_id", numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    exploded.write.mode("overwrite").parquet(s"$path/shingles")
+    exploded.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$path/docs")
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Add a new batch to the store — appends only, doc-idempotent via the
+    * ledger (the [[graft.search.Bm25.appendIndex]] contract; pair with
+    * [[Layout.ledgeredBatch]] for streaming). Returns newly stored docs.
+    */
+  def appendMinhash(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("shingle_size", "num_hashes", "bands").head
+    val existing = spark.read.parquet(s"$path/docs").select("doc_id")
+    val fresh = newDocs.withColumn("doc_id", col(idCol))
+      .join(existing, Seq("doc_id"), "left_anti")
+    val exploded = Ann.materializeOnce(
+      shingleExplode(fresh, "doc_id", textCol, meta.getInt(0))
+        .repartition(col("doc_id")))
+    val n = exploded.select("doc_id").distinct().count()
+    if (n == 0) return 0L
+    bandTable(exploded, "doc_id", meta.getInt(1), meta.getInt(2))
+      .write.mode("append").parquet(s"$path/bands")
+    exploded.write.mode("append").parquet(s"$path/shingles")
+    exploded.select("doc_id").distinct()
+      .write.mode("append").parquet(s"$path/docs")
+    n
+  }
+
+  /** Near-dup pairs of `batch` against the PERSISTED corpus store:
+    * `(batch_id, corpus_id, jaccard)` with jaccard ≥ `minJaccard`.
+    *
+    * The batch's shingles/signatures/bands compute in ONE transient pass
+    * (the batch is the small side by construction); candidates come from
+    * a band-key join of batch bands against the stored bands (hot
+    * stored buckets guarded + dropped, the [[minHashPairsHashed]]
+    * discipline), and only candidate ids' stored shingle sets are read
+    * back for the exact-jaccard verify — so the corpus-sized tables are
+    * touched only through the banding join and a semi-joined verify
+    * read, never re-shingled. Precision is exact; recall is the banding
+    * probability, same law as the transient path.
+    */
+  def nearDupesAgainstStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.8,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("shingle_size", "num_hashes", "bands").head
+    val exploded = Ann.materializeOnce(
+      shingleExplode(batch, idCol, textCol, meta.getInt(0))
+        .repartition(col(idCol)).select(col(idCol).as("batch_id"), col("__h")))
+    val batchBands = bandTable(exploded, "batch_id", meta.getInt(1), meta.getInt(2))
+    val stored = spark.read.parquet(s"$path/bands")
+    val hot = stored.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select("band", "band_key")
+    val cand = batchBands
+      .join(stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+          .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val corpusSets = spark.read.parquet(s"$path/shingles")
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("__h")).as("__shc"))
+    val batchSets = exploded
+      .join(cand.select(col("batch_id")).distinct(), Seq("batch_id"), "left_semi")
+      .groupBy("batch_id").agg(collect_set(col("__h")).as("__shb"))
+    cand
+      .join(batchSets, Seq("batch_id"))
+      .join(corpusSets.select(col("doc_id").as("corpus_id"), col("__shc")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__shb"), col("__shc"))).cast("double") /
+          size(array_union(col("__shb"), col("__shc"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   private def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {

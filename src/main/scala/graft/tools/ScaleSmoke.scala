@@ -99,6 +99,29 @@ object ScaleSmoke {
           s"planted-pair count off: got $c expected ~$expected")
         c
       }
+
+      // 2b. the at-rest split: persist the signatures once, then probe a
+      // 100k ARRIVING BATCH against them — the continuous-crawl shape,
+      // where the alternative is re-running the full pair search per
+      // batch. The batch reuses synthDocs' planted-dup law (ids % 200 <
+      // 2 share a base), so expected hits are the planted twins whose
+      // partner landed in the store.
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_smoke_mh").toString + "/idx"
+      val corpus = synthDocs(rows, 25).where(pmod(col("doc_id"), lit(200)) =!= 1)
+      val batch = synthDocs(rows, 25).where(pmod(col("doc_id"), lit(200)) === 1)
+        .limit(100000)
+      time("minhash_write_store", rows) {
+        graft.ops.Dedup.writeMinhash(corpus, storePath,
+          shingleSize = 1, numHashes = 64, bands = 16)
+        rows
+      }
+      time("minhash_probe_batch_100k", 100000L) {
+        val c = graft.ops.Dedup.nearDupesAgainstStore(
+          spark, batch, storePath, minJaccard = 0.8).count()
+        assert(c > 0, "planted twins must surface from the store")
+        c
+      }
     }
 
     // 3. exact-substring span dedup: 2M docs x 30 tokens -> 22M windows

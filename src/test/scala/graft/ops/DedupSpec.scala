@@ -188,6 +188,38 @@ class DedupSpec extends SparkSpec {
     assert(precision >= 0.9, s"minhash precision=$precision (|mh|=${mh.size})")
   }
 
+  test("signature store: incremental near-dup equals the cross-split exact pairs") {
+    // corpus (ids % 3 != 0) persisted once; the batch (% 3 == 0) probes
+    // the store — output must match the exact cross-split jaccard (the
+    // d19 premise: banding recall ≈ 1 at j >= 0.8 with 32x4 bands)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_store").toString + "/idx"
+    val corpus = fixtureDocs.where($"doc_id" % 3 =!= 0)
+    val batch = fixtureDocs.where($"doc_id" % 3 === 0)
+    Dedup.writeMinhash(corpus, path, shingleSize = 1, numHashes = 128, bands = 32)
+    val got = Dedup.nearDupesAgainstStore(spark, batch, path, minJaccard = 0.8)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // exact ground truth: full-fixture exact pairs restricted to the split
+    val exact = Dedup.jaccardPairs(fixtureDocs, minSim = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (x, y) => x % 3 == 0 && y % 3 != 0 }.toSet
+    assert(exact.nonEmpty, "fixture must contain cross-split near-dups")
+    assert(got == exact, s"store probe drifted: extra ${got.diff(exact).take(5)}, " +
+      s"missing ${exact.diff(got).take(5)}")
+    // append is doc-idempotent: re-shipping stored docs adds nothing,
+    // genuinely new docs extend the store and become findable
+    assert(Dedup.appendMinhash(spark, corpus, path) == 0L)
+    val novel = Seq((9001L, "alpha beta gamma delta epsilon zeta"),
+      (9002L, "totally unrelated content here")).toDF("doc_id", "text")
+    assert(Dedup.appendMinhash(spark, novel, path) == 2L)
+    val probe = Seq((8001L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.nearDupesAgainstStore(spark, probe, path, minJaccard = 0.8)
+      .select("corpus_id").as[Long].collect().toSeq
+    assert(hit == Seq(9001L), s"appended twin must be found: $hit")
+  }
+
   test("minHashPairsHashed: precision exact, recall vs exact jaccard on the fixture") {
     // same token-set space as jaccardPairs at shingleSize=1; the exact
     // pairs at sim >= 0.6 are the ground truth. Precision is exact BY
