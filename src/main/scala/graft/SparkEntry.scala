@@ -1091,6 +1091,28 @@ object SparkEntry {
       Dedup.minHashPairsHashed(T(s, dir, "documents").where(col("doc_id") < 60),
         shingleSize = 1, numHashes = 128, bands = 32, minJaccard = 0.8)
     }
+    reg("st12_neardup_intake") { (s, dir) =>
+      // the continuous-crawl intake, batch-twin style (the foreachBatch
+      // wiring is exercised in StreamingOpsSpec): seed store = ids % 3
+      // != 0; micro-batch 1 = % 3 == 0 & < 30; micro-batch 2 = % 3 == 0
+      // & >= 30. Each batch drops corpus near-dups, resolves within-
+      // batch pairs (keep-smallest-id), and appends its SURVIVORS — so
+      // batch 2 is checked against corpus + batch-1 admissions, the
+      // sequential-state law the oracle re-derives with exact jaccard
+      // (the d5b recall premise makes banding ≡ exact here)
+      import graft.ops.CorpusPipeline
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+        .select("doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mh_intake").toString + "/idx"
+      Dedup.writeMinhash(docs.where(pmod(col("doc_id"), lit(3)) =!= 0), tmp,
+        shingleSize = 1, numHashes = 128, bands = 32)
+      val s1 = CorpusPipeline.nearDupIntakeBatch(s,
+        docs.where(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 30), tmp)
+      val s2 = CorpusPipeline.nearDupIntakeBatch(s,
+        docs.where(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") >= 30), tmp)
+      s1.select("doc_id").unionByName(s2.select("doc_id")).orderBy("doc_id")
+    }
     reg("d19_neardup_incremental") { (s, dir) =>
       // incremental near-dup against the PERSISTED signature store — the
       // continuous-crawl primitive: corpus (ids % 3 != 0) banded once at
@@ -4266,6 +4288,45 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // st12: the sequential intake law with exact jaccard — dup-vs-store,
+    // then keep-smallest-id within the batch, survivors join the store
+    // for the NEXT batch
+    "st12_neardup_intake" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id <> y.id GROUP BY 1, 2),
+        |jp AS MATERIALIZED (
+        |  SELECT a, b FROM co
+        |  JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |corp AS (SELECT doc_id AS id FROM documents
+        |         WHERE doc_id < 60 AND doc_id % 3 <> 0),
+        |b1 AS (SELECT doc_id AS id FROM documents
+        |       WHERE doc_id < 30 AND doc_id % 3 = 0),
+        |sc1 AS (SELECT id FROM b1 WHERE id NOT IN (
+        |  SELECT jp.a FROM jp JOIN corp ON jp.b = corp.id)),
+        |s1 AS (SELECT id FROM sc1 WHERE id NOT IN (
+        |  SELECT jp.b FROM jp
+        |  WHERE jp.a IN (SELECT id FROM sc1) AND jp.b IN (SELECT id FROM sc1)
+        |    AND jp.a < jp.b)),
+        |store2 AS (SELECT id FROM corp UNION SELECT id FROM s1),
+        |b2 AS (SELECT doc_id AS id FROM documents
+        |       WHERE doc_id >= 30 AND doc_id < 60 AND doc_id % 3 = 0),
+        |sc2 AS (SELECT id FROM b2 WHERE id NOT IN (
+        |  SELECT jp.a FROM jp JOIN store2 ON jp.b = store2.id)),
+        |s2 AS (SELECT id FROM sc2 WHERE id NOT IN (
+        |  SELECT jp.b FROM jp
+        |  WHERE jp.a IN (SELECT id FROM sc2) AND jp.b IN (SELECT id FROM sc2)
+        |    AND jp.a < jp.b))
+        |SELECT CAST(id AS BIGINT) AS doc_id
+        |FROM (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+        |ORDER BY doc_id""".stripMargin,
     // d19: exact cross-split jaccard — batch side ids % 3 = 0 probed
     // against the stored corpus side (% 3 != 0)
     "d19_neardup_incremental" ->

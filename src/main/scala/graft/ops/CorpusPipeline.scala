@@ -266,6 +266,82 @@ object CorpusPipeline {
         ()
       }
 
+  /** One intake batch against the persisted MinHash signature store —
+    * the continuous-crawl front door, as a composable unit (the body of
+    * [[streamingNearDupIntake]] and the `st12` batch twin):
+    *
+    *   1. drop arrivals that near-duplicate the CORPUS
+    *      ([[Dedup.nearDupesAgainstStore]]; a re-arriving id never
+    *      matches itself — the store probe excludes same-id pairs);
+    *   2. resolve near-dups WITHIN the remaining batch
+    *      ([[Dedup.minHashPairsHashed]] under the store's own
+    *      shingle/hash/band law from `meta/`), keep-smallest-id: every
+    *      `id_b` of a ≥threshold pair drops. Deliberately simpler than
+    *      the d17 connected-components keeper — an intake batch is
+    *      small, and the law must be cheap and oracle-reproducible;
+    *   3. append the survivors' signatures to the store
+    *      ([[Dedup.appendMinhash]], doc-idempotent), so the NEXT batch
+    *      is checked against corpus + everything admitted before it.
+    *
+    * Returns the surviving docs. Replay-safe even without the ledger:
+    * a replayed batch's docs sit in the store under their own ids
+    * (self-matches excluded), the within-batch resolution recomputes
+    * identically, and the signature append is doc-idempotent.
+    */
+  def nearDupIntakeBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.8): DataFrame = {
+    val meta = spark.read.parquet(s"$storePath/meta")
+      .select("shingle_size", "num_hashes", "bands").head
+    val corpusDups = Dedup.nearDupesAgainstStore(
+      spark, batch, storePath, idCol, textCol, minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    val afterCorpus = batch.join(corpusDups, Seq(idCol), "left_anti")
+    val losers = Dedup.minHashPairsHashed(afterCorpus, idCol, textCol,
+      shingleSize = meta.getInt(0), numHashes = meta.getInt(1),
+      bands = meta.getInt(2), minJaccard = minJaccard)
+      .select(col("id_b").cast(batch.schema(idCol).dataType).as(idCol))
+      .distinct()
+    // materialize before the append below mutates the store this
+    // lineage probes (the VectorIndex.append swap discipline)
+    val survivors = Ann.materializeOnce(
+      afterCorpus.join(losers, Seq(idCol), "left_anti"))
+    Dedup.appendMinhash(spark, survivors, storePath, idCol, textCol)
+    survivors
+  }
+
+  /** Streaming continuous-crawl intake over the signature store: each
+    * micro-batch runs [[nearDupIntakeBatch]] under the batch ledger
+    * ([[Layout.ledgeredBatch]] — at-least-once delivery converges to
+    * exactly-once admissions) and lands its survivors in a per-batch
+    * output directory (`batch=<id>/`, overwritten on replay, so the
+    * residual crash window re-writes idempotently instead of
+    * duplicating rows).
+    */
+  def streamingNearDupIntake(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Layout.ledgeredBatch(batch.sparkSession, s"$storePath/batches", batchId) {
+          nearDupIntakeBatch(batch.sparkSession, batch, storePath,
+            idCol, textCol, minJaccard)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+        ()
+      }
+
   /** Streaming sparse-index maintenance — the BM25 twin of
     * [[streamingHnswSink]], completing the streaming-maintenance story
     * for the hybrid stack's keyword channel: each micro-batch of docs

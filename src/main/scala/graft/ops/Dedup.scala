@@ -390,6 +390,17 @@ object Dedup {
     * touched only through the banding join and a semi-joined verify
     * read, never re-shingled. Precision is exact; recall is the banding
     * probability, same law as the transient path.
+    *
+    * Scale note, stated honestly: the verify read is a columnar SCAN of
+    * `shingles/` (the semi-join filters after the scan — candidate ids
+    * are arbitrary, so no partition layout prunes them). That is the
+    * price of EXACT jaccard precision, and it is a narrow two-column
+    * scan (~16 bytes/shingle), but at the point where it dominates the
+    * probe, the standard trade is to verify by SIGNATURE-estimated
+    * jaccard instead (the stored band source is already the signature) —
+    * approximate precision for a corpus-scan-free probe. This operator
+    * keeps the exact contract; callers at that scale should band tighter
+    * (more bands × fewer rows) so fewer candidates reach the verify.
     */
   def nearDupesAgainstStore(
       spark: org.apache.spark.sql.SparkSession,

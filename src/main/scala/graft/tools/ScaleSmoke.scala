@@ -116,10 +116,24 @@ object ScaleSmoke {
           shingleSize = 1, numHashes = 64, bands = 16)
         rows
       }
-      time("minhash_probe_batch_100k", 100000L) {
+      // dense stress probe: EVERY batch doc is a planted twin, so all
+      // 100k reach the exact verify — the worst-case verify volume
+      time("minhash_probe_dense_100k", 100000L) {
         val c = graft.ops.Dedup.nearDupesAgainstStore(
           spark, batch, storePath, minJaccard = 0.8).count()
         assert(c > 0, "planted twins must surface from the store")
+        c
+      }
+      // realistic probe: ~1% dup density (1k planted twins + 99k novel
+      // docs whose ids lie past the store, so they collide with nothing)
+      // — the verify side shrinks with the candidates, leaving the band
+      // join as the floor; this is the serving-shape number
+      val realistic = batch.limit(1000).unionByName(
+        synthDocs(rows + 99000L, 25).where(col("doc_id") >= rows))
+      time("minhash_probe_1pct_100k", 100000L) {
+        val c = graft.ops.Dedup.nearDupesAgainstStore(
+          spark, realistic, storePath, minJaccard = 0.8).count()
+        assert(c > 0 && c <= 2500, s"expected ~1k planted hits, got $c")
         c
       }
     }

@@ -479,6 +479,43 @@ class StreamingOpsSpec extends SparkSpec {
 
   // ---------------------- transformWithState token-budget intake
 
+  test("streamingNearDupIntake: corpus dups dropped, survivors admitted, state carries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi").toString
+    val store = s"$tmp/store"
+    Dedup.writeMinhash(
+      Seq((100L, "alpha beta gamma delta epsilon"),
+        (101L, "one two three four five six")).toDF("doc_id", "text"),
+      store, shingleSize = 1, numHashes = 128, bands = 32)
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.streamingNearDupIntake(
+      mem.toDF().toDF("doc_id", "text"), store, s"$tmp/out", s"$tmp/ckpt").start()
+    try {
+      // batch 0: one corpus dup (twin of 100), one novel, one in-batch twin
+      // pair (2 < 3 → 3 drops)
+      mem.addData(Seq(
+        (1L, "alpha beta gamma delta epsilon"), // dup of stored 100 → dropped
+        (2L, "completely novel content here"), //  admitted
+        (3L, "completely novel content here"))) // in-batch twin of 2 → dropped
+      q.processAllAvailable()
+      // batch 1: a twin of batch-0 SURVIVOR 2 — the store must already
+      // hold 2's signatures (sequential state), so 4 drops
+      mem.addData(Seq(
+        (4L, "completely novel content here"), // dup of admitted 2 → dropped
+        (5L, "another fresh document entirely"))) // admitted
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(2L, 5L), s"admissions drifted: $admitted")
+      // exactly-once under the ledger: both batch ids recorded once
+      assert(spark.read.parquet(s"$store/batches").count() == 2L)
+      // the store grew by exactly the admissions
+      assert(spark.read.parquet(s"$store/docs").select("doc_id")
+        .as[Long].collect().toSet == Set(100L, 101L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("tokenBudgetIntake batch twin: exclusive-prefix rule in doc_id order") {
     val docs = Seq(
       (1L, "one two three", "a"),        // 3 tokens, total 3
