@@ -1113,6 +1113,22 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") >= 30), tmp)
       s1.select("doc_id").unionByName(s2.select("doc_id")).orderBy("doc_id")
     }
+    reg("d19b_neardup_estimated") { (s, dir) => // golden-pinned: sig estimator
+      // the corpus-scan-FREE store probe: jaccard estimated from matching
+      // minhash positions (stored sigs/, one narrow row per corpus doc)
+      // instead of the exact shingle verify. Deterministic hash algebra
+      // end to end, but the ESTIMATOR is not SQL-reproducible (xxhash64)
+      // → golden-pinned like the other hash-native operators; the
+      // estimator-vs-exact error law lives in DedupSpec
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mh_est").toString + "/idx"
+      Dedup.writeMinhash(docs.where(pmod(col("doc_id"), lit(3)) =!= 0), tmp,
+        shingleSize = 1, numHashes = 128, bands = 32)
+      Dedup.nearDupesAgainstStoreEstimated(
+        s, docs.where(pmod(col("doc_id"), lit(3)) === 0), tmp,
+        minJaccardEst = 0.8)
+    }
     reg("d19_neardup_incremental") { (s, dir) =>
       // incremental near-dup against the PERSISTED signature store — the
       // continuous-crawl primitive: corpus (ids % 3 != 0) banded once at
@@ -4327,6 +4343,8 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS doc_id
         |FROM (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
         |ORDER BY doc_id""".stripMargin,
+    "d19b_neardup_estimated" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/d19b_neardup_estimated_sf001.parquet')",
     // d19: exact cross-split jaccard — batch side ids % 3 = 0 probed
     // against the stored corpus side (% 3 != 0)
     "d19_neardup_incremental" ->

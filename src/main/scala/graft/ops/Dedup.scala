@@ -293,15 +293,29 @@ object Dedup {
     * collides with a corpus banded last month iff their signatures say
     * so, never because a second implementation drifted.
     */
-  private[graft] def bandTable(
-      exploded: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
+  /** `(idCol, __sig ARRAY<LONG>)` minhash signatures — the codegen
+    * min-agg columns folded to one array per doc.
+    */
+  private[graft] def signatureTable(
+      exploded: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val minCols = (0 until numHashes).map(p =>
       min(xxhash64(col("__h"), lit(p))).as(s"__m$p"))
-    val sigs = exploded.groupBy(col(idCol))
+    exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(p => col(s"__m$p")): _*).as("__sig"))
+  }
+
+  private[graft] def bandTable(
+      exploded: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame =
+    bandsOfSigs(signatureTable(exploded, idCol, numHashes), idCol, numHashes, bands)
+
+  /** Band keys from a signature table — split so store paths can derive
+    * bands AND persist the signatures from ONE aggregate pass.
+    */
+  private[graft] def bandsOfSigs(
+      sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
     sigs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(call_function("slice", col("__sig"), b * lit(r) + 1, lit(r)))))
@@ -340,8 +354,14 @@ object Dedup {
     val exploded = Ann.materializeOnce(
       shingleExplode(docs, idCol, textCol, shingleSize)
         .repartition(col(idCol)).select(col(idCol).as("doc_id"), col("__h")))
-    bandTable(exploded, "doc_id", numHashes, bands)
+    // ONE signature aggregate feeds both the band surface and the sigs/
+    // table (the estimated-verify side) — materialized so neither write
+    // re-runs it
+    val sigs = Ann.materializeOnce(
+      signatureTable(exploded, "doc_id", numHashes))
+    bandsOfSigs(sigs, "doc_id", numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
     exploded.write.mode("overwrite").parquet(s"$path/shingles")
     exploded.select("doc_id").distinct()
       .write.mode("overwrite").parquet(s"$path/docs")
@@ -370,8 +390,11 @@ object Dedup {
         .repartition(col("doc_id")))
     val n = exploded.select("doc_id").distinct().count()
     if (n == 0) return 0L
-    bandTable(exploded, "doc_id", meta.getInt(1), meta.getInt(2))
+    val sigs = Ann.materializeOnce(
+      signatureTable(exploded, "doc_id", meta.getInt(1)))
+    bandsOfSigs(sigs, "doc_id", meta.getInt(1), meta.getInt(2))
       .write.mode("append").parquet(s"$path/bands")
+    sigs.write.mode("append").parquet(s"$path/sigs")
     exploded.write.mode("append").parquet(s"$path/shingles")
     exploded.select("doc_id").distinct()
       .write.mode("append").parquet(s"$path/docs")
@@ -444,6 +467,72 @@ object Dedup {
           size(array_union(col("__shb"), col("__shc"))))
       .where(col("jaccard") >= minJaccard)
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** The corpus-scan-FREE probe: jaccard estimated from the stored
+    * SIGNATURES (matching minhash positions / numHashes — the unbiased
+    * MinHash estimator) instead of the exact shingle-set verify. The
+    * verify side reads `sigs/` — ONE narrow row per corpus doc, ~1000×
+    * fewer rows than the shingle store — so this is the probe to run
+    * when [[nearDupesAgainstStore]]'s exact-verify scan dominates.
+    * Trade, stated plainly: precision is approximate (estimator stddev
+    * ≈ sqrt(j(1−j)/numHashes), ~0.035 at j=0.8 with 128 hashes);
+    * the estimate itself is hash-deterministic, so the output is
+    * golden-pinnable and run-invariant. Returns
+    * `(batch_id, corpus_id, est_matches, est_jaccard)` with
+    * est_jaccard ≥ `minJaccardEst`.
+    */
+  def nearDupesAgainstStoreEstimated(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccardEst: Double = 0.8,
+      maxBucketSize: Long = 1L << 20): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("shingle_size", "num_hashes", "bands").head
+    val numHashes = meta.getInt(1)
+    val batchSigs = Ann.materializeOnce(
+      signatureTable(
+        shingleExplode(batch, idCol, textCol, meta.getInt(0))
+          .repartition(col(idCol)),
+        idCol, numHashes)
+        .select(col(idCol).as("batch_id"), col("__sig").as("__sigb")))
+    val batchBands = bandsOfSigs(
+      batchSigs.select(col("batch_id"), col("__sigb").as("__sig")),
+      "batch_id", numHashes, meta.getInt(2))
+    val stored = spark.read.parquet(s"$path/bands")
+    val hot = stored.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .select("band", "band_key")
+    val cand = batchBands
+      .join(stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+          .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val corpusSigs = spark.read.parquet(s"$path/sigs")
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"), col("__sig").as("__sigc"))
+    // matching-position count as FLAT codegen terms (the house unroll —
+    // a zip_with/aggregate HOF here would pay interpreter rates per pair)
+    val matchTerms = (1 to numHashes).map(i =>
+      when(element_at(col("__sigb"), i) === element_at(col("__sigc"), i), 1)
+        .otherwise(0))
+    cand
+      .join(batchSigs, Seq("batch_id"))
+      .join(corpusSigs, Seq("corpus_id"))
+      .withColumn("est_matches", matchTerms.reduce(_ + _).cast("long"))
+      .withColumn("est_jaccard",
+        round(col("est_matches").cast("double") / numHashes, 6))
+      .where(col("est_jaccard") >= minJaccardEst)
+      .select(col("batch_id"), col("corpus_id"),
+        col("est_matches"), col("est_jaccard"))
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 

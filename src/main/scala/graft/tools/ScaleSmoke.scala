@@ -136,6 +136,15 @@ object ScaleSmoke {
         assert(c > 0 && c <= 2500, s"expected ~1k planted hits, got $c")
         c
       }
+      // signature-estimated probe: the corpus-scan-free verify (sigs/ is
+      // one narrow row per doc vs ~25 shingle rows) — the floor when the
+      // exact verify dominates
+      time("minhash_probe_1pct_est", 100000L) {
+        val c = graft.ops.Dedup.nearDupesAgainstStoreEstimated(
+          spark, realistic, storePath, minJaccardEst = 0.8).count()
+        assert(c > 0 && c <= 2500, s"expected ~1k planted hits, got $c")
+        c
+      }
     }
 
     // 3. exact-substring span dedup: 2M docs x 30 tokens -> 22M windows

@@ -220,6 +220,44 @@ class DedupSpec extends SparkSpec {
     assert(hit == Seq(9001L), s"appended twin must be found: $hit")
   }
 
+  test("estimated store probe: exact twins hit all positions, error law holds") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_est").toString + "/idx"
+    val corpus = fixtureDocs.where($"doc_id" % 3 =!= 0)
+    val batch = fixtureDocs.where($"doc_id" % 3 === 0)
+    Dedup.writeMinhash(corpus, path, shingleSize = 1, numHashes = 128, bands = 32)
+    val est = Dedup.nearDupesAgainstStoreEstimated(
+      spark, batch, path, minJaccardEst = 0.8)
+      .select("batch_id", "corpus_id", "est_matches")
+      .as[(Long, Long, Long)].collect()
+    // identical token sets estimate jaccard 1 exactly: every position of
+    // the two signatures is the same min
+    val exactPairs = Dedup.jaccardPairs(fixtureDocs, minSim = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (x, y) => x % 3 == 0 && y % 3 != 0 }.toSet
+    assert(exactPairs.nonEmpty)
+    val full = est.filter(_._3 == 128L).map(p => (p._1, p._2)).toSet
+    assert(exactPairs.subsetOf(full),
+      s"exact twins must match on every position: missing ${exactPairs.diff(full).take(5)}")
+    // every estimated hit is a genuinely similar pair: exact jaccard at
+    // least threshold − 4σ (σ = sqrt(j(1−j)/128) ≈ 0.035)
+    val exactJ = Dedup.jaccardPairs(fixtureDocs, minSim = 0.0)
+      .select("id_a", "id_b", "jaccard").collect()
+      .flatMap(r => Seq(((r.getLong(0), r.getLong(1)), r.getDouble(2)),
+        ((r.getLong(1), r.getLong(0)), r.getDouble(2)))).toMap
+    est.foreach { case (b, c, _) =>
+      val j = exactJ.getOrElse((b, c), 0.0)
+      assert(j >= 0.8 - 0.14, s"estimated hit ($b,$c) has exact jaccard $j")
+    }
+    // hash-deterministic: a rerun is value-identical (the golden premise)
+    val again = Dedup.nearDupesAgainstStoreEstimated(
+      spark, batch, path, minJaccardEst = 0.8)
+      .select("batch_id", "corpus_id", "est_matches")
+      .as[(Long, Long, Long)].collect()
+    assert(est.toSeq == again.toSeq)
+  }
+
   test("minHashPairsHashed: precision exact, recall vs exact jaccard on the fixture") {
     // same token-set space as jaccardPairs at shingleSize=1; the exact
     // pairs at sim >= 0.6 are the ground truth. Precision is exact BY
