@@ -231,6 +231,34 @@ object ScaleSmoke {
       val out = graft.search.Bm25.topKBatch(queries, restricted, k = 10)
       assertBucketed(out, "bm25_at_rest_probe")
       time("bm25_at_rest_probe", rows) { out.count() }
+
+      // 6c. the delete lifecycle at the same scale: tombstone 100k docs
+      // (mark-delete — O(deleted) bytes written, probes exclude at scan
+      // stage via the broadcast anti-join branch), probe the marked
+      // index, then compact (the full-rewrite cost a maintainer pays
+      // ONCE per tombstone accumulation, not per probe)
+      time("bm25_delete_100k_mark", rows) {
+        graft.search.Bm25.deleteDocs(spark, path,
+          (0L until 100000L).map(_ * 7L % rows).distinct)
+        rows
+      }
+      time("bm25_probe_after_delete", rows) {
+        val marked = graft.search.Bm25.restrictToTerms(
+          graft.search.Bm25.loadIndex(spark, path), qTerms)
+        graft.search.Bm25.topKBatch(queries, marked, k = 10).count()
+      }
+      time("bm25_compact_100k_dead", rows) {
+        // filesPerBucket matches the write: keep the 8-file-per-bucket
+        // read parallelism through the rewrite
+        val (b, a) = graft.search.Bm25.compactIndex(spark, path, filesPerBucket = 8)
+        assert(b - a > 90000, s"compact purged too few docs: $b -> $a")
+        rows
+      }
+      time("bm25_probe_after_compact", rows) {
+        val compacted = graft.search.Bm25.restrictToTerms(
+          graft.search.Bm25.loadIndex(spark, path), qTerms)
+        graft.search.Bm25.topKBatch(queries, compacted, k = 10).count()
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(path).getParentFile)
     }
