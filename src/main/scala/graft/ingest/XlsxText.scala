@@ -73,9 +73,22 @@ object XlsxText {
       .map(workbookSheetRelIds).getOrElse(Seq.empty)
     val rels = entries.get("xl/_rels/workbook.xml.rels")
       .map(parseRels).getOrElse(Map.empty[String, String])
-    val resolved = declared.flatMap(rels.get).map(resolveTarget)
-      .filter(entries.contains)
-    if (resolved.nonEmpty) resolved
+    val resolvedPerSheet: Seq[(String, Option[String])] = declared.map { id =>
+      id -> rels.get(id).map(resolveTarget).filter(entries.contains)
+    }
+    val resolved = resolvedPerSheet.flatMap(_._2)
+    if (resolved.nonEmpty) {
+      // PARTIAL resolution is a truncated/corrupt container, not a
+      // smaller workbook: if any declared sheet resolved, every declared
+      // sheet must — silently extracting with sheets missing is exactly
+      // the lossy failure this module refuses
+      val missing = resolvedPerSheet.collect { case (id, None) => id }
+      require(missing.isEmpty,
+        s"xlsx_extract: workbook.xml declares ${declared.length} sheet(s) " +
+          s"but ${missing.length} failed to resolve to a present part " +
+          s"(${missing.take(3).mkString(", ")}) — truncated container?")
+      resolved
+    }
     else {
       val byName = entries.keys.filter(n =>
         n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")).toSeq

@@ -736,6 +736,11 @@ object Ann {
         spark.read.parquet(s"$path/_tombstones").select("vec_id").distinct(),
         Seq("vec_id"), "left_anti"))
     val after = live.count()
+    // same refusal as Bm25.compactIndex: an all-dead compact would swap
+    // in a data-file-less partitioned dir that loadIvf cannot read
+    require(after > 0,
+      s"compactIvf: every vector at $path is tombstoned — delete the " +
+        "index directory instead of compacting to empty")
     live.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/lists.__compact")
     Layout.swapDir(fs, s"$path/lists", s"$path/lists.__compact")

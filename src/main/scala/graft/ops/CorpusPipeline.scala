@@ -283,10 +283,15 @@ object CorpusPipeline {
     *      ([[Dedup.appendMinhash]], doc-idempotent), so the NEXT batch
     *      is checked against corpus + everything admitted before it.
     *
-    * Returns the surviving docs. Replay-safe even without the ledger:
-    * a replayed batch's docs sit in the store under their own ids
-    * (self-matches excluded), the within-batch resolution recomputes
-    * identically, and the signature append is doc-idempotent.
+    * Returns the surviving docs. Replay-safe even without the ledger —
+    * and not just per-id: the corpus-dup decision ignores store matches
+    * against the BATCH'S OWN ids (a replay finds the first delivery's
+    * admissions already stored; counting them as "corpus" would flip
+    * within-batch keep/drop chains and admit docs the first delivery
+    * rejected). With that exclusion the decision depends only on (batch
+    * content, store-minus-this-batch), the within-batch resolution
+    * recomputes identically, and the signature append is doc-idempotent
+    * — so a replayed batch converges to the same survivor set.
     */
   def nearDupIntakeBatch(
       spark: org.apache.spark.sql.SparkSession,
@@ -297,8 +302,10 @@ object CorpusPipeline {
       minJaccard: Double = 0.8): DataFrame = {
     val meta = spark.read.parquet(s"$storePath/meta")
       .select("shingle_size", "num_hashes", "bands").head
+    val ownIds = batch.select(col(idCol).as("corpus_id")).distinct()
     val corpusDups = Dedup.nearDupesAgainstStore(
       spark, batch, storePath, idCol, textCol, minJaccard)
+      .join(broadcast(ownIds), Seq("corpus_id"), "left_anti")
       .select(col("batch_id").as(idCol)).distinct()
     val afterCorpus = batch.join(corpusDups, Seq(idCol), "left_anti")
     val losers = Dedup.minHashPairsHashed(afterCorpus, idCol, textCol,

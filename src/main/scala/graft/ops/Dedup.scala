@@ -287,12 +287,6 @@ object Dedup {
     docs.select(col(idCol), explode(sh).as("__h"))
   }
 
-  /** `(idCol, band, band_key)` from the exploded shingles — the single
-    * signature/banding law (salted-rehash min-hash columns, slice-hashed
-    * band keys) every minhash consumer shares, so a batch banded today
-    * collides with a corpus banded last month iff their signatures say
-    * so, never because a second implementation drifted.
-    */
   /** `(idCol, __sig ARRAY<LONG>)` minhash signatures — the codegen
     * min-agg columns folded to one array per doc.
     */
@@ -306,12 +300,20 @@ object Dedup {
         array((0 until numHashes).map(p => col(s"__m$p")): _*).as("__sig"))
   }
 
+  /** `(idCol, band, band_key)` straight from exploded shingles — the
+    * transient path's composition of [[signatureTable]] + [[bandsOfSigs]].
+    */
   private[graft] def bandTable(
       exploded: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame =
     bandsOfSigs(signatureTable(exploded, idCol, numHashes), idCol, numHashes, bands)
 
-  /** Band keys from a signature table — split so store paths can derive
-    * bands AND persist the signatures from ONE aggregate pass.
+  /** Band keys from a signature table (slice-hashed, `bands` keys of
+    * `numHashes / bands` rows each) — the single banding law every
+    * minhash consumer shares, split from [[signatureTable]] so store
+    * paths can derive bands AND persist the signatures from ONE
+    * aggregate pass: a batch banded today collides with a corpus banded
+    * last month iff their signatures say so, never because a second
+    * implementation drifted.
     */
   private[graft] def bandsOfSigs(
       sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
@@ -371,8 +373,17 @@ object Dedup {
   }
 
   /** Add a new batch to the store — appends only, doc-idempotent via the
-    * ledger (the [[graft.search.Bm25.appendIndex]] contract; pair with
-    * [[Layout.ledgeredBatch]] for streaming). Returns newly stored docs.
+    * ledger (pair with [[Layout.ledgeredBatch]] for streaming). Returns
+    * newly stored docs.
+    *
+    * Crash-window analysis (tables append before the `docs/` ledger; a
+    * crash between them makes the replay re-append): every duplicate is
+    * an EXACT row copy, and every probe folds them — candidates are
+    * `distinct()`, the exact verify aggregates `collect_set`, the
+    * estimated verify `dropDuplicates` its sig rows, and the ledger
+    * itself reads `distinct()` — so replay-duplicated rows are
+    * value-invisible everywhere (the [[graft.ops.Hnsw.appendBatch]]
+    * benign-window recipe; a future compact can fold them physically).
     */
   def appendMinhash(
       spark: org.apache.spark.sql.SparkSession,
@@ -440,12 +451,22 @@ object Dedup {
         .repartition(col(idCol)).select(col(idCol).as("batch_id"), col("__h")))
     val batchBands = bandTable(exploded, "batch_id", meta.getInt(1), meta.getInt(2))
     val stored = spark.read.parquet(s"$path/bands")
-    val hot = stored.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucketSize)
-      .select("band", "band_key")
+    // the hot-bucket guard re-aggregates the stored band surface per
+    // probe — a corpus-sized pass a continuous intake loop may not want
+    // to pay every batch. maxBucketSize <= 0 skips it (the hot set only
+    // changes on append; pipelines that know their corpus has no
+    // degenerate buckets, or precompute the drop list offline, opt out).
+    val guarded =
+      if (maxBucketSize <= 0) stored
+      else {
+        val hot = stored.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucketSize)
+          .select("band", "band_key")
+        stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
     val cand = batchBands
-      .join(stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      .join(guarded
           .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .where(col("batch_id") =!= col("corpus_id"))
@@ -504,20 +525,36 @@ object Dedup {
       batchSigs.select(col("batch_id"), col("__sigb").as("__sig")),
       "batch_id", numHashes, meta.getInt(2))
     val stored = spark.read.parquet(s"$path/bands")
-    val hot = stored.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucketSize)
-      .select("band", "band_key")
+    // the hot-bucket guard re-aggregates the stored band surface per
+    // probe — a corpus-sized pass a continuous intake loop may not want
+    // to pay every batch. maxBucketSize <= 0 skips it (the hot set only
+    // changes on append; pipelines that know their corpus has no
+    // degenerate buckets, or precompute the drop list offline, opt out).
+    val guarded =
+      if (maxBucketSize <= 0) stored
+      else {
+        val hot = stored.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucketSize)
+          .select("band", "band_key")
+        stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
     val cand = batchBands
-      .join(stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      .join(guarded
           .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .where(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()
+    // dropDuplicates: an appendMinhash replay inside its crash window
+    // (tables appended, docs ledger not yet) leaves EXACT duplicate sig
+    // rows; the exact probe is immune (collect_set), this one must fold
+    // them or emit duplicate pairs. Duplicates are always exact row
+    // copies (same doc → same signature), so any copy is the right one.
     val corpusSigs = spark.read.parquet(s"$path/sigs")
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
       .select(col("doc_id").as("corpus_id"), col("__sig").as("__sigc"))
     // matching-position count as FLAT codegen terms (the house unroll —
     // a zip_with/aggregate HOF here would pay interpreter rates per pair)

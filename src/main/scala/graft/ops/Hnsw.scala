@@ -696,6 +696,12 @@ object Hnsw {
           col("id"), col("vec"))
     val rebuilt = buildSegments(sharded, p).localCheckpoint(true)
     val after = rebuilt.select(col("shard")).distinct().count().toInt
+    // same refusal as Bm25.compactIndex/Ann.compactIvf: compacting an
+    // all-tombstoned index would swap in a data-file-less partitioned
+    // dir probes cannot read
+    require(after > 0,
+      s"hnsw compact: every vector at $path is tombstoned — delete the " +
+        "index directory instead of compacting to empty")
     rebuilt.write.partitionBy("shard").mode("overwrite")
       .parquet(s"${segPath(path)}.__compact")
     // rename-aside swap (shared protocol, [[Layout.swapDir]]): a driver

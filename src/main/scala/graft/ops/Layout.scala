@@ -234,7 +234,11 @@ object Layout {
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(tp)) df
     else {
+      // distinct BEFORE the cap: repeated deletes of the same ids append
+      // duplicate rows, which must neither trip the compact-first
+      // refusal nor bloat the driver collect
       val rows = spark.read.parquet(tombPath)
+        .select(col(idCol)).distinct()
         .limit(maxTombstones + 1).collect()
       require(rows.length <= maxTombstones,
         s"probe: more than $maxTombstones tombstones at $tombPath — " +

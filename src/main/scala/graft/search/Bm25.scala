@@ -142,16 +142,26 @@ object Bm25 {
   /** Persist the index under `path` as four Parquet tables — the same
     * "index is a table" stance as [[graft.index.VectorIndex]]:
     *
-    *   - `postings/` partitioned by `bucket` = hash(term) mod
-    *     `termBuckets`, so a probe for a known term set is STATIC
-    *     partition pruning over the touched bucket directories;
-    *   - `terms/` append-only (term, df) segments, re-aggregated on load
+    *   - `postings/` partitioned by `(seg, bucket)` with `bucket` =
+    *     hash(term) mod `termBuckets`, so a probe for a known term set
+    *     is STATIC partition pruning over the touched bucket
+    *     directories;
+    *   - `terms/` per-segment (term, df) rows, re-aggregated on load
     *     (vocabulary-sized, far below postings);
-    *   - `docs/` one (doc_id, dl) row per indexed doc — the append path's
-    *     idempotency ledger;
-    *   - `stats/` one (n_docs, tot_dl) row per write/append segment, so
-    *     load derives (N, avgdl) from segment-count-sized data instead of
+    *   - `docs/` one (doc_id, dl) row per indexed doc — the append
+    *     path's idempotency ledger;
+    *   - `stats/` one (n_docs, tot_dl) row per segment, so load derives
+    *     (N, avgdl) from segment-count-sized data instead of
     *     re-aggregating the corpus.
+    *
+    * Every write/append lands as a SEGMENT (`seg=N` partitions across
+    * all four tables) whose `_commits/N` marker is written LAST — the
+    * Lucene commit law. Readers see only committed segments, so a crash
+    * anywhere between the four table writes leaves an invisible orphan
+    * (reclaimed by [[compactIndex]]) and a replayed append re-ships the
+    * docs cleanly as a NEW segment instead of silently doubling
+    * tf/df/stats — the multi-table crash window the previous layout
+    * documented away is closed structurally.
     *
     * Build once, probe forever: the 5M-doc tier in PERF.md measures the
     * build dominating end-to-end latency while probes take seconds — this
@@ -194,19 +204,92 @@ object Bm25 {
         if (filesPerBucket <= 0) bucketed
         else bucketed.repartition(termBuckets * filesPerBucket, col("bucket"),
           pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
-      postingsOut.write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/postings")
-      bucketed.groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$path/terms")
-      bucketed.select("doc_id", "dl").distinct()
-        .write.mode("overwrite").parquet(s"$path/docs")
-      Seq((n, if (n == 0) 0L else stats.getLong(1)))
-        .toDF("n_docs", "tot_dl")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      writeSegment(spark, path, 0L, postingsOut, bucketed,
+        n, if (n == 0) 0L else stats.getLong(1), overwrite = true)
       Seq(termBuckets).toDF("term_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      commitSeg(spark, path, 0L, reset = true)
     } finally bucketed.unpersist()
     loadIndex(spark, path)
+  }
+
+  // ------------------------------------------------- segment commit law
+
+  private def commitsPath(path: String) = s"$path/_commits"
+
+  /** Committed segment ids, ascending — the reader's view boundary. */
+  private[graft] def committedSegs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val cp = new org.apache.hadoop.fs.Path(commitsPath(path))
+    val fs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(cp)) Seq.empty
+    else fs.listStatus(cp).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** Write the `_commits/<seg>` marker — the LAST write of every
+    * segment; `reset = true` replaces the whole marker set (writeIndex,
+    * compact) via the rename-aside swap.
+    */
+  private def commitSeg(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      seg: Long, reset: Boolean = false): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (reset) {
+      val staged = new org.apache.hadoop.fs.Path(s"${commitsPath(path)}.__staged")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      fs.mkdirs(staged)
+      fs.create(new org.apache.hadoop.fs.Path(staged, seg.toString)).close()
+      graft.ops.Layout.swapDir(fs, commitsPath(path), staged.toString)
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(commitsPath(path)))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"${commitsPath(path)}/$seg")).close()
+    }
+  }
+
+  /** Next segment id: strictly above every committed marker AND every
+    * existing (possibly orphaned, uncommitted) `seg=` partition dir, so
+    * a replayed append never writes into an orphan's directory.
+    */
+  private def nextSegId(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val pp = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirSegs =
+      if (!fs.exists(pp)) Seq.empty
+      else fs.listStatus(pp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("seg=")).map(_.stripPrefix("seg="))
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    ((committedSegs(spark, path) ++ dirSegs) :+ -1L).max + 1
+  }
+
+  /** The four table writes of one segment (postings already bucketed;
+    * marker NOT written here — callers commit last).
+    */
+  private def writeSegment(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      seg: Long,
+      postingsOut: DataFrame,
+      bucketed: DataFrame,
+      nDocs: Long,
+      totDl: Long,
+      overwrite: Boolean): Unit = {
+    import spark.implicits._
+    val mode = if (overwrite) "overwrite" else "append"
+    postingsOut.withColumn("seg", lit(seg))
+      .write.mode(mode).partitionBy("seg", "bucket").parquet(s"$path/postings")
+    bucketed.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("seg", lit(seg))
+      .write.mode(mode).partitionBy("seg").parquet(s"$path/terms")
+    bucketed.select("doc_id", "dl").distinct()
+      .withColumn("seg", lit(seg))
+      .write.mode(mode).partitionBy("seg").parquet(s"$path/docs")
+    Seq((nDocs, totDl)).toDF("n_docs", "tot_dl")
+      .withColumn("seg", lit(seg))
+      .coalesce(1).write.mode(mode).partitionBy("seg").parquet(s"$path/stats")
   }
 
   /** Load a persisted index. Postings stream straight off the bucketed
@@ -222,15 +305,21 @@ object Bm25 {
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val nb = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val segs = committedSegs(spark, path)
+    require(segs.nonEmpty,
+      s"loadIndex: no committed segments at $path — incomplete write?")
+    // readers see COMMITTED segments only (static partition pruning on
+    // seg): an append's crash orphans are invisible here
+    val segFilter = col("seg").isin(segs.map(x => x: Any): _*)
     // shared probe-side exclusion (Layout.excludeTombstoned): bounded +
     // loud sidecar read, scan-stage NOT IN for small sets, broadcast
     // anti-join past 1024 ids
     val postings = graft.ops.Layout.excludeTombstoned(
-      spark, spark.read.parquet(s"$path/postings"), tombPath(path), "doc_id",
-      MaxTombstones)
-    val terms = spark.read.parquet(s"$path/terms")
+      spark, spark.read.parquet(s"$path/postings").where(segFilter),
+      tombPath(path), "doc_id", MaxTombstones)
+    val terms = spark.read.parquet(s"$path/terms").where(segFilter)
       .groupBy("term").agg(sum("df").cast("long").as("df"))
-    val st = spark.read.parquet(s"$path/stats")
+    val st = spark.read.parquet(s"$path/stats").where(segFilter)
       .agg(sum("n_docs").cast("long"), sum("tot_dl").cast("long")).head
     val n = st.getLong(0)
     Index(postings, terms, n,
@@ -256,7 +345,12 @@ object Bm25 {
       idCol: String,
       textCol: String): Long = {
     val nb = spark.read.parquet(s"$path/meta").head.getInt(0)
-    val existing = spark.read.parquet(s"$path/docs").select("doc_id")
+    val committed = committedSegs(spark, path)
+    // the ledger reads COMMITTED docs only: ids shipped by a crashed
+    // (uncommitted) append are re-indexed cleanly as a NEW segment
+    val existing = spark.read.parquet(s"$path/docs")
+      .where(col("seg").isin(committed.map(x => x: Any): _*))
+      .select("doc_id")
     val fresh = newDocs
       .withColumn("doc_id", col(idCol).cast("long"))
       .join(existing, Seq("doc_id"), "left_anti")
@@ -272,16 +366,14 @@ object Bm25 {
       .head()
     val n = stats.getLong(0)
     if (n == 0) return 0L
-    postings.repartition(col("bucket")).write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(s"$path/terms")
-    postings.select("doc_id", "dl").distinct()
-      .write.mode("append").parquet(s"$path/docs")
-    import spark.implicits._
-    Seq((n, stats.getLong(1)))
-      .toDF("n_docs", "tot_dl")
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    // all four tables land under seg=<id>; the commit marker goes LAST,
+    // so a crash anywhere above leaves an invisible orphan, never a
+    // half-applied append readers can see
+    val seg = nextSegId(spark, path)
+    writeSegment(spark, path, seg,
+      postings.repartition(col("bucket")), postings,
+      n, stats.getLong(1), overwrite = false)
+    commitSeg(spark, path, seg)
     n
   }
 
@@ -331,17 +423,31 @@ object Bm25 {
     val dead = if (fs.exists(tp))
       spark.read.parquet(tombPath(path)).select("doc_id").distinct()
     else spark.emptyDataset[Long].toDF("doc_id")
+    val committed = committedSegs(spark, path)
+    require(committed.nonEmpty,
+      s"compactIndex: no committed segments at $path")
+    val segFilter = col("seg").isin(committed.map(x => x: Any): _*)
     // anti joins, not broadcast sets: compact is the path that must stay
     // scale-safe at ANY tombstone count (the probe-side cap does not
-    // apply here — same split as Hnsw.compact vs its probes)
+    // apply here — same split as Hnsw.compact vs its probes). Orphan
+    // (uncommitted) segments are excluded from the rewrite and vanish
+    // with the directory swap — compact is also the orphan reclaimer.
     val live = graft.ops.Ann.materializeOnce(
-      spark.read.parquet(s"$path/postings")
+      spark.read.parquet(s"$path/postings").where(segFilter).drop("seg")
         .join(dead, Seq("doc_id"), "left_anti"))
     val stats = live
       .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
       .head()
-    val before = spark.read.parquet(s"$path/docs").select("doc_id").distinct().count()
+    val before = spark.read.parquet(s"$path/docs").where(segFilter)
+      .select("doc_id").distinct().count()
     val n = stats.getLong(0)
+    // refuse compacting to EMPTY: a dynamically-partitioned write of zero
+    // rows emits no data files, and swapping that in leaves a postings/
+    // dir schema inference cannot read — the index would be bricked, not
+    // empty. Deleting everything means deleting the index.
+    require(n > 0,
+      s"compactIndex: every doc at $path is tombstoned — delete the index " +
+        "directory instead of compacting to empty")
     // same write-parallelism/file-count knob as writeIndex: 1 file per
     // bucket by default; raise filesPerBucket to keep read parallelism
     // after compacting a many-bucket index (5M-doc tier: the 1-file
@@ -350,18 +456,28 @@ object Bm25 {
     live.repartition(nBuckets(spark, path) * math.max(1, filesPerBucket),
         col("bucket"),
         pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
-      .write.mode("overwrite").partitionBy("bucket")
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("seg", "bucket")
       .parquet(s"$path/postings.__compact")
     live.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/terms.__compact")
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$path/terms.__compact")
     live.select("doc_id", "dl").distinct()
-      .write.mode("overwrite").parquet(s"$path/docs.__compact")
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$path/docs.__compact")
     Seq((n, if (n == 0) 0L else stats.getLong(1)))
       .toDF("n_docs", "tot_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats.__compact")
+      .withColumn("seg", lit(0L))
+      .coalesce(1).write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$path/stats.__compact")
     Seq("postings", "terms", "docs", "stats").foreach { t =>
       graft.ops.Layout.swapDir(fs, s"$path/$t", s"$path/$t.__compact")
     }
+    // between the table swaps and this reset, readers filtering on the
+    // OLD committed ids over the new seg=0-only tables still see exactly
+    // the compacted data (seg 0 is always in the committed set; extra
+    // ids match no partitions) — benign window
+    commitSeg(spark, path, 0L, reset = true)
     if (fs.exists(tp)) fs.delete(tp, true) // folded into the rewrite — spent
     (before, n)
   }
@@ -369,10 +485,13 @@ object Bm25 {
   /** [[appendIndex]] keyed by a batch id for streaming replay (the
     * [[Hnsw.appendBatch]] recipe): a batch id already in the `batches/`
     * ledger is a no-op, so `foreachBatch` at-least-once re-delivery
-    * converges to exactly-once postings. The residual crash window
-    * (tables appended, ledger row not yet) is closed by [[appendIndex]]'s
-    * own DOC-level ledger — a replayed batch re-ships ids already in
-    * `docs/` and appends nothing. Returns true when the batch applied.
+    * converges to exactly-once postings. Crash windows compose cleanly
+    * with the segment commit law: a crash INSIDE appendIndex leaves an
+    * uncommitted orphan (invisible, replay re-ships the docs as a new
+    * segment); a crash between the segment COMMIT and the batch-ledger
+    * row makes the replayed appendIndex a doc-ledger no-op (all ids
+    * committed) — neither window can double tf/df/stats. Returns true
+    * when the batch applied.
     */
   def appendIndexBatch(
       spark: org.apache.spark.sql.SparkSession,

@@ -249,6 +249,43 @@ class Bm25Spec extends SparkSpec {
       "index-served anchors must reproduce the scan path exactly")
   }
 
+  test("segment commit law: an uncommitted append is invisible and replays cleanly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_seg").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val delta = Seq((4L, "fig grape"), (5L, "grape melon")).toDF("doc_id", "text")
+    assert(Bm25.appendIndex(spark, delta, path, "doc_id", "text") == 2L)
+    // simulate the crash-before-commit end state: the segment's tables
+    // are on disk but its _commits marker is not
+    val seg = Bm25.committedSegs(spark, path).max
+    assert(seg > 0L)
+    new java.io.File(s"$path/_commits/$seg").delete()
+    // readers see only committed segments: the orphan is invisible
+    val rolled = Bm25.loadIndex(spark, path)
+    assert(rolled.nDocs == 4L, "uncommitted append must not be visible")
+    assert(rolled.terms.where(col("term") === "grape").count() == 0)
+    // the replayed delivery re-ships the docs as a NEW segment — and the
+    // result must equal a from-scratch build: nothing double-counted
+    // even though the orphan's postings rows still sit on disk
+    assert(Bm25.appendIndex(spark, delta, path, "doc_id", "text") == 2L)
+    val healed = Bm25.loadIndex(spark, path)
+    val scratch = Bm25.buildIndex(corpus.union(delta), "doc_id", "text")
+    assert(healed.nDocs == scratch.nDocs)
+    assert(healed.avgDl == scratch.avgDl)
+    assert(healed.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == scratch.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "df must not double-count through the crash+replay")
+    val qs = Seq((0L, "grape apple")).toDF("query_id", "query_text")
+    assert(Bm25.topKBatch(qs, healed, 10).orderBy("rank").collect().toSeq
+      == Bm25.topKBatch(qs, scratch, 10).orderBy("rank").collect().toSeq)
+    // compact reclaims the orphan rows physically
+    Bm25.compactIndex(spark, path)
+    assert(Bm25.committedSegs(spark, path) == Seq(0L))
+    assert(Bm25.topKBatch(qs, Bm25.loadIndex(spark, path), 10)
+      .orderBy("rank").collect().toSeq
+      == Bm25.topKBatch(qs, scratch, 10).orderBy("rank").collect().toSeq)
+  }
+
   test("appendIndexBatch is idempotent per batch id (streaming ledger law)") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bm25_ab").toString + "/idx"
