@@ -664,6 +664,10 @@ object Ann {
     assigned.write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$path/lists")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // rebuild = whole-state replace: drop the previous life's
+    // _tombstones sidecar and batches ledger (Layout.clearIndexSidecars
+    // scaladoc has the failure modes)
+    Layout.clearIndexSidecars(assigned.sparkSession, path)
   }
 
   /** Load a persisted IVF index: (lists, centroids). Tombstoned ids
@@ -727,13 +731,17 @@ object Ann {
   def compactIvf(spark: SparkSession, path: String): (Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    // snapshot sidecar FILES before the anti-join; spend exactly those
+    // at the end, so a deleteIvf concurrent with this compact is kept
+    // for the next one instead of silently revived
+    val tombFiles = Layout.snapshotTombstoneFiles(fs, s"$path/_tombstones")
     val lists = spark.read.parquet(s"$path/lists")
     val before = lists.count()
     val live = materializeOnce(
-      if (!fs.exists(tp)) lists
+      if (tombFiles.isEmpty) lists
       else lists.join(
-        spark.read.parquet(s"$path/_tombstones").select("vec_id").distinct(),
+        spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select(col("vec_id").cast("long").as("vec_id")).distinct(),
         Seq("vec_id"), "left_anti"))
     val after = live.count()
     // same refusal as Bm25.compactIndex: an all-dead compact would swap
@@ -744,7 +752,7 @@ object Ann {
     live.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/lists.__compact")
     Layout.swapDir(fs, s"$path/lists", s"$path/lists.__compact")
-    if (fs.exists(tp)) fs.delete(tp, true)
+    Layout.spendTombstoneFiles(fs, s"$path/_tombstones", tombFiles)
     (before, after)
   }
 

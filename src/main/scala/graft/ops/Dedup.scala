@@ -365,11 +365,19 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     exploded.write.mode("overwrite").parquet(s"$path/shingles")
-    exploded.select("doc_id").distinct()
+    // the docs/ ledger comes from the INPUT ids, not the exploded
+    // shingles: a doc whose text yields zero shingles (empty text,
+    // fewer tokens than shingleSize) has no banding surface but is
+    // still PROCESSED — deriving the ledger from `exploded` would
+    // re-ship it on every append forever
+    docs.select(col(idCol).as("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$path/docs")
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // rebuild = whole-state replace: a stale batches ledger would
+    // silently no-op replayed batch ids against the fresh store
+    Layout.clearIndexSidecars(spark, path)
   }
 
   /** Add a new batch to the store — appends only, doc-idempotent via the
@@ -394,21 +402,27 @@ object Dedup {
     val meta = spark.read.parquet(s"$path/meta")
       .select("shingle_size", "num_hashes", "bands").head
     val existing = spark.read.parquet(s"$path/docs").select("doc_id")
-    val fresh = newDocs.withColumn("doc_id", col(idCol))
-      .join(existing, Seq("doc_id"), "left_anti")
+    // materialize the fresh id set BEFORE any write: it is both the
+    // return count and the ledger delta, and its lineage reads the
+    // docs/ ledger the append below extends
+    val fresh = Ann.materializeOnce(newDocs.withColumn("doc_id", col(idCol))
+      .join(existing, Seq("doc_id"), "left_anti"))
+    // the ledger delta comes from the INPUT ids (see writeMinhash): a
+    // zero-shingle doc must still be recorded as processed, or every
+    // replay re-ships it and the ledger disagrees with the admitted set
+    val freshIds = fresh.select("doc_id").distinct()
+    val n = freshIds.count()
+    if (n == 0) return 0L
     val exploded = Ann.materializeOnce(
       shingleExplode(fresh, "doc_id", textCol, meta.getInt(0))
         .repartition(col("doc_id")))
-    val n = exploded.select("doc_id").distinct().count()
-    if (n == 0) return 0L
     val sigs = Ann.materializeOnce(
       signatureTable(exploded, "doc_id", meta.getInt(1)))
     bandsOfSigs(sigs, "doc_id", meta.getInt(1), meta.getInt(2))
       .write.mode("append").parquet(s"$path/bands")
     sigs.write.mode("append").parquet(s"$path/sigs")
     exploded.write.mode("append").parquet(s"$path/shingles")
-    exploded.select("doc_id").distinct()
-      .write.mode("append").parquet(s"$path/docs")
+    freshIds.write.mode("append").parquet(s"$path/docs")
     n
   }
 

@@ -403,6 +403,10 @@ object Hnsw {
     Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
       .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
       .write.mode("overwrite").parquet(metaPath(path))
+    // rebuild = whole-state replace: drop the previous life's
+    // _tombstones sidecar and batches ledger (Layout.clearIndexSidecars
+    // scaladoc has the failure modes)
+    Layout.clearIndexSidecars(spark, path)
   }
 
   /** Append new vectors as NEW segment shards (Lucene/FAISS segment law:
@@ -492,7 +496,12 @@ object Hnsw {
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(tp)) Set.empty
     else {
+      // distinct BEFORE the cap (repeated deletes of the same ids must
+      // not trip the refusal), id cast to long (an int-id sidecar must
+      // not ClassCastException at probe time) — the
+      // Layout.excludeTombstoned discipline
       val rows = spark.read.parquet(tombPath(path))
+        .select(col("id").cast("long")).distinct()
         .limit(MaxTombstones + 1).collect()
       require(rows.length <= MaxTombstones,
         s"hnsw probe: more than $MaxTombstones tombstones at $path — " +
@@ -587,6 +596,7 @@ object Hnsw {
     Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
       .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
       .write.mode("overwrite").parquet(metaPath(path))
+    Layout.clearIndexSidecars(spark, path) // rebuild = whole-state replace
   }
 
   /** Probe a routed index: each query walks only its `nProbe` nearest
@@ -676,13 +686,16 @@ object Hnsw {
     // a same-id row with DIFFERENT content is not an upsert and stays.
     // Tombstoned ids are purged for real (anti join — scale-safe at any
     // tombstone count, unlike the probe-side broadcast set).
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val hasTombs = fs.exists(tp)
+    // snapshot sidecar FILES before the anti-join; spend exactly those
+    // at the end, so a delete concurrent with this compact is kept for
+    // the next one instead of silently revived
+    val tombFiles = Layout.snapshotTombstoneFiles(fs, tombPath(path))
     val vecs0 = segs.select(col("id"), col("vec")).dropDuplicates("id", "vec")
     val vecs =
-      if (!hasTombs) vecs0
+      if (tombFiles.isEmpty) vecs0
       else vecs0.join(
-        spark.read.parquet(tombPath(path)).select(col("id")).distinct(),
+        spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select(col("id").cast("long").as("id")).distinct(),
         Seq("id"), "left_anti")
     val routed = fs.exists(new org.apache.hadoop.fs.Path(routerPath(path)))
     val sharded =
@@ -710,7 +723,7 @@ object Hnsw {
     // contract — an overlapping probe that lists segments/ inside the
     // rename pair may fail and should retry.
     Layout.swapDir(fs, segPath(path), s"${segPath(path)}.__compact")
-    if (hasTombs) fs.delete(tp, true) // folded into the rebuild — spent
+    Layout.spendTombstoneFiles(fs, tombPath(path), tombFiles)
     (before, after)
   }
 

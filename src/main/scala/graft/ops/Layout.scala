@@ -234,21 +234,100 @@ object Layout {
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(tp)) df
     else {
-      // distinct BEFORE the cap: repeated deletes of the same ids append
-      // duplicate rows, which must neither trip the compact-first
-      // refusal nor bloat the driver collect
-      val rows = spark.read.parquet(tombPath)
-        .select(col(idCol)).distinct()
-        .limit(maxTombstones + 1).collect()
-      require(rows.length <= maxTombstones,
-        s"probe: more than $maxTombstones tombstones at $tombPath — " +
-          "compact the index before probing")
-      val dead = rows.map(_.getLong(0)).toSeq
+      // the collect is memoized on the sidecar's FILE SIGNATURE (names +
+      // lengths + mtimes — a cheap listStatus): repeated loadIndex /
+      // loadIvf calls against an unchanged sidecar reuse the dead set
+      // instead of re-paying an up-to-4M-row driver collect per load,
+      // and a deleteDocs in between (new part file) invalidates the key
+      val sig = fs.listStatus(tp).toSeq
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .sortBy(_._1)
+      val dead = tombCache.get(tombPath) match {
+        case Some((cachedSig, ids)) if cachedSig == sig => ids
+        case _ =>
+          // distinct BEFORE the cap: repeated deletes of the same ids
+          // append duplicate rows, which must neither trip the
+          // compact-first refusal nor bloat the driver collect. The id
+          // column is cast to long so a sidecar written with an int id
+          // column cannot ClassCastException at probe time.
+          val rows = spark.read.parquet(tombPath)
+            .select(col(idCol).cast("long").as(idCol)).distinct()
+            .limit(maxTombstones + 1).collect()
+          require(rows.length <= maxTombstones,
+            s"probe: more than $maxTombstones tombstones at $tombPath — " +
+              "compact the index before probing")
+          val ids = rows.map(_.getLong(0)).toSeq
+          tombCache.put(tombPath, (sig, ids))
+          ids
+      }
       if (dead.isEmpty) df
       else if (dead.length <= 1024)
         df.where(!col(idCol).isin(dead.map(x => x: Any): _*))
       else df.join(broadcast(dead.toDF(idCol)), Seq(idCol), "left_anti")
     }
+  }
+
+  /** (file signature, dead ids) per tombstone sidecar path — see
+    * [[excludeTombstoned]]. Bounded: one entry per live index path, each
+    * capped at `maxTombstones` ids by the loud refusal above.
+    */
+  private val tombCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[(String, Long, Long)], Seq[Long])]
+
+  /** Snapshot the tombstone sidecar's data files at the START of a
+    * compact. The compact's anti-join reads exactly these files, and
+    * [[spendTombstoneFiles]] deletes exactly these files at the end — so
+    * a `deleteDocs` issued while a long compact runs lands NEW part
+    * files that survive the spend and stay excluded by the next probe,
+    * instead of being silently discarded (revived) by a whole-directory
+    * delete.
+    */
+  private[graft] def snapshotTombstoneFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tombPath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val tp = new org.apache.hadoop.fs.Path(tombPath)
+    if (!fs.exists(tp)) Seq.empty
+    else fs.listStatus(tp).toSeq.filter(_.isFile).map(_.getPath)
+      .filter { p =>
+        val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+  }
+
+  /** Delete exactly the snapshotted tombstone files (they were folded
+    * into the compact's rewrite — spent); the directory itself is
+    * removed only if no data file arrived since the snapshot.
+    */
+  private[graft] def spendTombstoneFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tombPath: String,
+      files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    files.foreach(f => fs.delete(f, false))
+    val tp = new org.apache.hadoop.fs.Path(tombPath)
+    if (fs.exists(tp) && snapshotTombstoneFiles(fs, tombPath).isEmpty)
+      fs.delete(tp, true)
+    tombCache.remove(tombPath)
+    ()
+  }
+
+  /** Shared overwrite-semantics tail for every at-rest `write*` rebuild
+    * ([[graft.search.Bm25.writeIndex]], [[Ann.writeIvf]],
+    * [[Hnsw.write]], [[Dedup.writeMinhash]]): a rebuild at `path`
+    * replaces the WHOLE index state, so the `_tombstones` sidecar and
+    * the `batches` streaming ledger from the previous life must go with
+    * it — otherwise loadIndex silently excludes stale doc ids from the
+    * fresh index forever, and appendIndexBatch silently no-ops batch ids
+    * the previous index consumed.
+    */
+  private[graft] def clearIndexSidecars(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("_tombstones", "batches").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(hp, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    tombCache.remove(s"$path/_tombstones")
+    ()
   }
 
   /** The shared batch-ledger half of the segment-lifecycle protocol
@@ -265,18 +344,33 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession,
       ledgerPath: String,
       batchId: Long)(body: => Unit): Boolean = {
-    import spark.implicits._
     val lp = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
-    val applied = fs.exists(lp) &&
-      spark.read.parquet(ledgerPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-    if (applied) false
+    // empty marker files named by batch id (the `_commits` recipe), not
+    // a parquet ledger: a crash during a parquet ledger's very first
+    // write left an existing-but-footerless dir that wedged every
+    // subsequent replay on schema inference; a marker file either
+    // exists or it doesn't. Single-writer contract (the streaming
+    // checkpoint guarantees one driver per sink) — the exists/create
+    // pair is not a cross-driver lock.
+    val marker = new org.apache.hadoop.fs.Path(lp, batchId.toString)
+    if (fs.exists(marker)) false
     else {
       body
-      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerPath)
+      fs.mkdirs(lp)
+      fs.create(marker).close()
       true
     }
+  }
+
+  /** Batch ids recorded in a [[ledgeredBatch]] marker ledger, ascending. */
+  private[graft] def ledgeredBatchIds(
+      spark: org.apache.spark.sql.SparkSession, ledgerPath: String): Seq[Long] = {
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(lp)) Seq.empty
+    else fs.listStatus(lp).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
   }
 
   private[graft] def swapDir(

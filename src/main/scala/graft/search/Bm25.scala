@@ -209,6 +209,11 @@ object Bm25 {
       Seq(termBuckets).toDF("term_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
       commitSeg(spark, path, 0L, reset = true)
+      // a rebuild replaces the WHOLE index state: the previous life's
+      // _tombstones sidecar and batches ledger go with it, or loadIndex
+      // would silently exclude fresh docs whose ids were once deleted
+      // and appendIndexBatch would no-op previously used batch ids
+      graft.ops.Layout.clearIndexSidecars(spark, path)
     } finally bucketed.unpersist()
     loadIndex(spark, path)
   }
@@ -419,9 +424,14 @@ object Bm25 {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val dead = if (fs.exists(tp))
-      spark.read.parquet(tombPath(path)).select("doc_id").distinct()
+    // snapshot the sidecar's FILES before the anti-join: a deleteDocs
+    // issued while this compact runs lands new part files that survive
+    // the spend below, instead of being silently revived by a
+    // whole-directory delete
+    val tombFiles = graft.ops.Layout.snapshotTombstoneFiles(fs, tombPath(path))
+    val dead = if (tombFiles.nonEmpty)
+      spark.read.parquet(tombFiles.map(_.toString): _*)
+        .select(col("doc_id").cast("long").as("doc_id")).distinct()
     else spark.emptyDataset[Long].toDF("doc_id")
     val committed = committedSegs(spark, path)
     require(committed.nonEmpty,
@@ -478,7 +488,9 @@ object Bm25 {
     // the compacted data (seg 0 is always in the committed set; extra
     // ids match no partitions) — benign window
     commitSeg(spark, path, 0L, reset = true)
-    if (fs.exists(tp)) fs.delete(tp, true) // folded into the rewrite — spent
+    // spend exactly the snapshotted files — deleteDocs concurrent with
+    // this compact keeps its (unfolded) tombstones for the next one
+    graft.ops.Layout.spendTombstoneFiles(fs, tombPath(path), tombFiles)
     (before, n)
   }
 

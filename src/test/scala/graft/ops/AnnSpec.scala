@@ -98,6 +98,26 @@ class AnnSpec extends SparkSpec {
       "compaction must not change the active view")
   }
 
+  test("writeIvf rebuild clears the previous life's tombstones and batch ledger") {
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rb").toString
+    Ann.writeIvf(assigned, centroids, path)
+    val top = exactTop10.head
+    Ann.deleteIvf(spark, path, Seq(top))
+    assert(Layout.ledgeredBatch(spark, s"$path/batches", 7L) {})
+    // REBUILD at the same path: the new index must not inherit the old
+    // delete (the top hit is alive again) nor the old batch ledger (a
+    // replayed batch id applies against the fresh index)
+    Ann.writeIvf(assigned, centroids, path)
+    val (lists, cents) = Ann.loadIvf(spark, path)
+    val got = Ann.ivfTopK(lists, cents, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactTop10,
+      s"rebuilt index must serve the once-deleted id $top: $got")
+    assert(Layout.ledgeredBatchIds(spark, s"$path/batches").isEmpty,
+      "the batches ledger must not survive a rebuild")
+  }
+
   test("batch LSH ANN: recall@10 >= 0.9 vs exact batch kNN") {
     val (hashed, model) = Ann.fitLsh(emb, numHashTables = 16)
     val qs = emb.where($"vec_id".isin(3L, 7L, 11L))

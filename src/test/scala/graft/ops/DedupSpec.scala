@@ -819,4 +819,25 @@ class DedupSpec extends SparkSpec {
     val again = substrOut(rows, w = 2)
     assert(out == again)
   }
+
+  test("minhash store ledger records zero-shingle docs (no eternal replay)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_ledger").toString + "/idx"
+    Dedup.writeMinhash(
+      Seq((1L, "alpha beta gamma"), (2L, "")).toDF("doc_id", "text"),
+      path, shingleSize = 3, numHashes = 128, bands = 32)
+    // the EMPTY doc has no shingles at shingleSize=3 but was processed:
+    // the ledger must say so, or every future append re-ships it
+    assert(spark.read.parquet(s"$path/docs")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // append with one zero-shingle doc and one normal doc: both count,
+    // both enter the ledger, and a replay is a full no-op
+    val batch = Seq((3L, "xy"), (4L, "delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.appendMinhash(spark, batch, path) == 2L)
+    assert(spark.read.parquet(s"$path/docs")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(Dedup.appendMinhash(spark, batch, path) == 0L,
+      "replayed batch must be a ledger no-op, including the zero-shingle doc")
+  }
 }

@@ -287,7 +287,7 @@ class HnswSpec extends SparkSpec {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val top = Hnsw.probe(spark, path, probe, 1).head
       assert(top.getLong(2) == 580L && top.getDouble(3) == 0.0)
-      assert(spark.read.parquet(s"$path/batches").count() == 2)
+      assert(graft.ops.Layout.ledgeredBatchIds(spark, s"$path/batches").size == 2)
     } finally q.stop()
   }
 

@@ -155,4 +155,83 @@ class LayoutSpec extends SparkSpec {
     assert(back.where(col("epoch").isNotNull).count() == 5)
     assert(back.count() == 10)
   }
+
+  test("ledgeredBatch: marker ledger survives a crash-left empty dir, replays no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val ledger = s"$dir/batches"
+    // a crash during the old parquet ledger's FIRST write left an
+    // existing-but-footerless dir that wedged every replay on schema
+    // inference; with marker files an empty (or junk-holding) dir is
+    // just "no batches applied yet"
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ledger))
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "_SUCCESS")).close() // junk
+    var applied = 0
+    assert(Layout.ledgeredBatch(spark, ledger, 3L) { applied += 1 })
+    assert(!Layout.ledgeredBatch(spark, ledger, 3L) { applied += 1 })
+    assert(Layout.ledgeredBatch(spark, ledger, 4L) { applied += 1 })
+    assert(applied == 2)
+    assert(Layout.ledgeredBatchIds(spark, ledger) == Seq(3L, 4L))
+  }
+
+  test("excludeTombstoned: int-typed sidecar ids exclude without ClassCastException") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_int").toString
+    val tomb = s"$dir/_tombstones"
+    Seq(1, 3).toDF("id").write.parquet(tomb) // INT id column
+    val df = spark.range(5).toDF("id")
+    val live = Layout.excludeTombstoned(spark, df, tomb, "id")
+      .select("id").as[Long].collect().toSet
+    assert(live == Set(0L, 2L, 4L))
+  }
+
+  test("excludeTombstoned: a delete after a cached load is visible (cache invalidates)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_cache").toString
+    val tomb = s"$dir/_tombstones"
+    Seq(1L).toDF("id").write.mode("append").parquet(tomb)
+    val df = spark.range(5).toDF("id")
+    assert(Layout.excludeTombstoned(spark, df, tomb, "id")
+      .select("id").as[Long].collect().toSet == Set(0L, 2L, 3L, 4L))
+    // second load hits the memoized dead set (same file signature)
+    assert(Layout.excludeTombstoned(spark, df, tomb, "id")
+      .select("id").as[Long].collect().toSet == Set(0L, 2L, 3L, 4L))
+    // a new delete lands a new part file — signature changes, set refreshes
+    Seq(4L).toDF("id").write.mode("append").parquet(tomb)
+    assert(Layout.excludeTombstoned(spark, df, tomb, "id")
+      .select("id").as[Long].collect().toSet == Set(0L, 2L, 3L))
+  }
+
+  test("spendTombstoneFiles: deletes issued mid-compact survive the spend") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_spend").toString
+    val tomb = s"$dir/_tombstones"
+    Seq(1L).toDF("id").coalesce(1).write.mode("append").parquet(tomb)
+    val fs = new org.apache.hadoop.fs.Path(tomb)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // compact starts: snapshots the sidecar's current files
+    val snapshot = Layout.snapshotTombstoneFiles(fs, tomb)
+    assert(snapshot.nonEmpty)
+    // a delete arrives WHILE the compact runs (new part files)
+    Seq(9L).toDF("id").coalesce(1).write.mode("append").parquet(tomb)
+    // compact finishes: spends only what it folded in
+    Layout.spendTombstoneFiles(fs, tomb, snapshot)
+    val remaining = Layout.excludeTombstoned(spark, spark.range(12).toDF("id"), tomb, "id")
+      .select("id").as[Long].collect().toSet
+    assert(!remaining.contains(9L), "the mid-compact delete must survive the spend")
+    assert(remaining.contains(1L), "the folded tombstone is spent")
+    // spending the rest empties and removes the sidecar dir
+    Layout.spendTombstoneFiles(fs, tomb, Layout.snapshotTombstoneFiles(fs, tomb))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tomb)))
+  }
+
+  test("clearIndexSidecars: removes tombstones and batch ledger, tolerates absence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_clear").toString
+    Seq(1L).toDF("id").write.parquet(s"$dir/_tombstones")
+    assert(Layout.ledgeredBatch(spark, s"$dir/batches", 0L) {})
+    Layout.clearIndexSidecars(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches")))
+    Layout.clearIndexSidecars(spark, dir) // idempotent on a clean dir
+  }
 }

@@ -509,7 +509,7 @@ class StreamingOpsSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       assert(admitted == Set(2L, 5L), s"admissions drifted: $admitted")
       // exactly-once under the ledger: both batch ids recorded once
-      assert(spark.read.parquet(s"$store/batches").count() == 2L)
+      assert(graft.ops.Layout.ledgeredBatchIds(spark, s"$store/batches").size == 2)
       // the store grew by exactly the admissions
       assert(spark.read.parquet(s"$store/docs").select("doc_id")
         .as[Long].collect().toSet == Set(100L, 101L, 2L, 5L))

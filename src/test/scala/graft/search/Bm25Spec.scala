@@ -296,7 +296,29 @@ class Bm25Spec extends SparkSpec {
     assert(!Bm25.appendIndexBatch(spark, delta, path, 1L, "doc_id", "text"))
     val idx = Bm25.loadIndex(spark, path)
     assert(idx.nDocs == 6L, "replay must not double-count docs")
-    assert(spark.read.parquet(s"$path/batches").count() == 1L)
+    assert(graft.ops.Layout.ledgeredBatchIds(spark, s"$path/batches").size == 1)
+  }
+
+  test("writeIndex rebuild clears the previous life's tombstones and batch ledger") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_rb").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    Bm25.deleteDocs(spark, path, Seq(0L))
+    val delta = Seq((4L, "fig grape")).toDF("doc_id", "text")
+    assert(Bm25.appendIndexBatch(spark, delta, path, 1L, "doc_id", "text"))
+    // REBUILD at the same path: doc 0 must be alive in the fresh index
+    // (no inherited tombstone) and batch id 1 must apply again (no
+    // inherited ledger)
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val idx = Bm25.loadIndex(spark, path)
+    assert(idx.nDocs == 4L)
+    val qs = Seq((0L, "apple")).toDF("query_id", "query_text")
+    val hits = Bm25.topKBatch(qs, idx, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(0L),
+      s"rebuilt index must serve the once-deleted doc 0: $hits")
+    assert(Bm25.appendIndexBatch(spark, delta, path, 1L, "doc_id", "text"),
+      "a batch id consumed by the previous life must apply to the rebuilt index")
   }
 
   test("hybrid at-rest serving: a doc deleted in BOTH channels leaves the fusion") {
@@ -348,7 +370,7 @@ class Bm25Spec extends SparkSpec {
       val hits = Bm25.topKBatch(qs, idx, 10)
         .select("doc_id").as[Long].collect().toSet
       assert(hits == Set(4L, 5L), s"streamed docs must be searchable: $hits")
-      assert(spark.read.parquet(s"$path/batches").count() == 2L)
+      assert(graft.ops.Layout.ledgeredBatchIds(spark, s"$path/batches").size == 2)
     } finally q.stop()
   }
 
