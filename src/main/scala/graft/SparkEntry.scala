@@ -1966,6 +1966,43 @@ object SparkEntry {
           col("doc_id"), col("score_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("b10_bm25_seg_merge") { (s, dir) =>
+      // tiered segment MERGE (the Lucene merge-policy half compact is
+      // not): seed + three appends leave four committed segments;
+      // mergeSegments folds the smallest three into one — rewriting only
+      // the small tail, never the big head — and flips the commit set in
+      // one rename-aside swap. Merge must be VALUE-INVISIBLE: the probe
+      // reuses b5's full-corpus oracle verbatim. Builds fresh (lifecycle
+      // under test, no cache).
+      import graft.search.Bm25
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25_mrg").toString + "/idx"
+      // seed holds ~2/3 of the corpus (the big head); three small appends
+      Bm25.writeIndex(docs.where(pmod(col("doc_id"), lit(3)) < 2),
+        "doc_id", "text", tmp, termBuckets = 16)
+      Seq(0, 1, 2).foreach { r =>
+        Bm25.appendIndex(s,
+          docs.where(pmod(col("doc_id"), lit(3)) === 2 &&
+            pmod(col("doc_id"), lit(9)).isin(2 + 3 * r)),
+          tmp, "doc_id", "text")
+      }
+      val (segsBefore, segsAfter) = Bm25.mergeSegments(s, tmp, targetSegments = 2)
+      require(segsBefore == 4 && segsAfter == 2,
+        s"merge premise drifted: $segsBefore -> $segsAfter segments")
+      val idx = Bm25.loadIndex(s, tmp)
+      val qSeq = Seq(
+        (0L, "window scan filter"),
+        (1L, "vector merge customer"),
+        (2L, "query slow spark"))
+      val restricted = Bm25.restrictToTerms(
+        idx, qSeq.flatMap(q => Bm25.tokenize(q._2)).distinct)
+      Bm25.topKBatch(qSeq.toDF("query_id", "query_text"), restricted, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("st11_bm25_stream_append") { (s, dir) =>
       // batch twin of streamingBm25Sink's ledger law (the st10/t8 house
       // style — the foreachBatch wiring itself is exercised in Bm25Spec):
@@ -2907,6 +2944,17 @@ object SparkEntry {
           |  FROM (VALUES (0, 'window scan filter'), (1, 'vector merge customer'),
           |    (2, 'query slow spark')) AS v(query_id, query_text)),""".stripMargin,
         docWhere = "doc_id NOT IN (3, 7)") +
+        """
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // b10: tiered segment merge is VALUE-INVISIBLE — seed + appends +
+    // merge must equal the from-scratch full-corpus build, so the oracle
+    // is b5's verbatim
+    "b10_bm25_seg_merge" ->
+      (bm25OracleCore(
+        """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+          |  FROM (VALUES (0, 'window scan filter'), (1, 'vector merge customer'),
+          |    (2, 'query slow spark')) AS v(query_id, query_text)),""".stripMargin) +
         """
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),

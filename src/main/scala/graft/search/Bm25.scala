@@ -239,19 +239,35 @@ object Bm25 {
   private def commitSeg(
       spark: org.apache.spark.sql.SparkSession, path: String,
       seg: Long, reset: Boolean = false): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (reset) {
-      val staged = new org.apache.hadoop.fs.Path(s"${commitsPath(path)}.__staged")
-      if (fs.exists(staged)) fs.delete(staged, true)
-      fs.mkdirs(staged)
-      fs.create(new org.apache.hadoop.fs.Path(staged, seg.toString)).close()
-      graft.ops.Layout.swapDir(fs, commitsPath(path), staged.toString)
-    } else {
+    if (reset) resetCommits(spark, path, Seq(seg))
+    else {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
       fs.mkdirs(new org.apache.hadoop.fs.Path(commitsPath(path)))
       fs.create(new org.apache.hadoop.fs.Path(
         s"${commitsPath(path)}/$seg")).close()
     }
+  }
+
+  /** Replace the WHOLE committed-marker set in one rename-aside swap
+    * ([[graft.ops.Layout.swapDir]] — atomic-enough: readers see either
+    * the old set or the new set, never a partial one). Used by
+    * writeIndex/compactIndex (reset to `{0}`) and [[mergeSegments]]
+    * (merged segments out, the merge result in, in ONE flip — committing
+    * the merged segment and retiring its sources separately would open a
+    * window where probes double-count every merged doc).
+    */
+  private def resetCommits(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      segs: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(s"${commitsPath(path)}.__staged")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    fs.mkdirs(staged)
+    segs.foreach(s =>
+      fs.create(new org.apache.hadoop.fs.Path(staged, s.toString)).close())
+    graft.ops.Layout.swapDir(fs, commitsPath(path), staged.toString)
   }
 
   /** Next segment id: strictly above every committed marker AND every
@@ -492,6 +508,87 @@ object Bm25 {
     // this compact keeps its (unfolded) tombstones for the next one
     graft.ops.Layout.spendTombstoneFiles(fs, tombPath(path), tombFiles)
     (before, n)
+  }
+
+  /** Tiered segment merge — the Lucene merge-policy half [[compactIndex]]
+    * deliberately is not: fold the SMALLEST committed segments into one
+    * new segment until at most `targetSegments` remain, leaving the big
+    * segments' files untouched. A streaming-maintained index accrues one
+    * segment per micro-batch; without merging, every probe pays
+    * per-segment file overhead and the terms/stats re-aggregation
+    * forever, while a full [[compactIndex]] rewrite is O(corpus) — the
+    * wrong maintenance cost for retiring kilobyte-sized tail segments
+    * out of a 100 TB index. Merging by ascending doc count means bytes
+    * rewritten ≈ the small tail, never the big head (Lucene's tiered
+    * policy premise).
+    *
+    * VALUE-INVISIBLE to every probe, by construction: postings rows are
+    * doc-self-contained (re-homed under the new seg id unchanged), the
+    * merged segment's df/docs/stats are exact sums of its sources'
+    * ledgers (doc ids are disjoint across committed segments — the
+    * append ledger's law — so df adds), and the commit flip retires the
+    * sources and admits the merge in ONE rename-aside swap
+    * ([[resetCommits]]): readers see the old segment set or the new one,
+    * never both (which would double-count every merged doc). A crash
+    * before the flip leaves an invisible orphan; the sources' retired
+    * files become garbage reclaimed by the next [[compactIndex]].
+    *
+    * Tombstones are NOT folded here (they are probe-side state shared by
+    * ALL segments; deciding which rows a merge spent would need a
+    * membership check against every unmerged segment) — delete folding
+    * stays [[compactIndex]]'s job, exactly Lucene's expungeDeletes vs
+    * merge split. Returns (segments before, segments after).
+    */
+  def mergeSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetSegments: Int = 8,
+      filesPerBucket: Int = 1): (Int, Int) = {
+    require(targetSegments >= 1,
+      s"mergeSegments: targetSegments must be >= 1, got $targetSegments")
+    import spark.implicits._
+    val committed = committedSegs(spark, path)
+    if (committed.size <= targetSegments) return (committed.size, committed.size)
+    // per-segment doc counts from the stats ledger — segment-count-sized,
+    // nothing postings-sized is read to pick the merge set
+    val committedFilter = col("seg").isin(committed.map(x => x: Any): _*)
+    // seg is a partition column and infers as int — cast before collect
+    val sizes = spark.read.parquet(s"$path/stats").where(committedFilter)
+      .groupBy(col("seg").cast("long").as("seg"))
+      .agg(sum("n_docs").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merge = committed.sortBy(s => (sizes.getOrElse(s, 0L), s))
+      .take(committed.size - targetSegments + 1)
+    val keep = committed.filterNot(merge.contains)
+    val segFilter = col("seg").isin(merge.map(x => x: Any): _*)
+    val newSeg = nextSegId(spark, path)
+    // postings: re-home the merge set's rows under the new seg id — a
+    // partition-pruned read of exactly the merged segments' directories,
+    // re-aligned to the bucket layout (same write-parallelism knob as
+    // writeIndex/compactIndex)
+    spark.read.parquet(s"$path/postings").where(segFilter).drop("seg")
+      .repartition(nBuckets(spark, path) * math.max(1, filesPerBucket),
+        col("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
+      .withColumn("seg", lit(newSeg))
+      .write.mode("append").partitionBy("seg", "bucket").parquet(s"$path/postings")
+    // terms/docs/stats: exact ledger algebra over the merged segments —
+    // no tokenization, no corpus read
+    spark.read.parquet(s"$path/terms").where(segFilter)
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+      .withColumn("seg", lit(newSeg))
+      .write.mode("append").partitionBy("seg").parquet(s"$path/terms")
+    spark.read.parquet(s"$path/docs").where(segFilter).drop("seg")
+      .withColumn("seg", lit(newSeg))
+      .write.mode("append").partitionBy("seg").parquet(s"$path/docs")
+    val st = spark.read.parquet(s"$path/stats").where(segFilter)
+      .agg(sum("n_docs").cast("long"), sum("tot_dl").cast("long")).head
+    Seq((st.getLong(0), st.getLong(1))).toDF("n_docs", "tot_dl")
+      .withColumn("seg", lit(newSeg))
+      .coalesce(1).write.mode("append").partitionBy("seg").parquet(s"$path/stats")
+    // the one-flip commit: sources out, merge result in
+    resetCommits(spark, path, (keep :+ newSeg).sorted)
+    (committed.size, keep.size + 1)
   }
 
   /** [[appendIndex]] keyed by a batch id for streaming replay (the

@@ -151,6 +151,23 @@ object ExplainAudit {
         (p => p.contains("BroadcastHashJoin")),
       "no cartesian in the contamination path" ->
         (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("d15_incremental_dedup")(
+      "corpus-side Bloom probe is Catalyst's native expression, not a UDF" ->
+        (p => p.contains("might_contain") && !p.contains("UDF(")),
+      "bloom prefilter sits on the corpus scan, before any exchange" ->
+        (p => p.linesIterator.exists(l =>
+          l.contains("Filter") && l.contains("might_contain"))),
+      "anti join on the md5 digest stays hash-based" ->
+        (p => (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+          && !p.contains("CartesianProduct")))
+    audit("b10_bm25_seg_merge")(
+      "merged-index probe still statically prunes to the query terms' buckets" ->
+        (p => p.linesIterator.exists(l =>
+          l.contains("PartitionFilters:") && l.contains("bucket#"))),
+      "probe joins broadcast over the pruned postings" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
+      "per-query top-k is a partial heap aggregate" ->
+        (p => p.contains("partial_topk_by_dist")))
     audit("p9_dsir_weights")(
       // the ≤nBuckets-row ratio model is the broadcast side; the raw
       // corpus's feature stream never re-shuffles for the join

@@ -156,6 +156,39 @@ object ScaleSmoke {
       time("exact_substr_dedup", rows) { out.count() }
     }
 
+    // 3b. incremental exact dedup: 100k batch vs 20M corpus — same-run
+    // A/B of the corpus-side Bloom probe, closure-UDF (the old shape) vs
+    // Catalyst's codegen'd BloomFilterMightContain (the current one).
+    // Results must be identical; only the corpus scan's per-row cost
+    // differs.
+    section("bloom") {
+      val rows = n(20000000L)
+      val corpus = synthDocs(rows, 15)
+      // half the batch re-ships corpus texts (dups), half is novel
+      val batch = synthDocs(rows + 50000L, 15)
+        .where(col("doc_id") < 50000 || col("doc_id") >= rows)
+      val native = graft.ops.Dedup.dedupAgainstCorpus(batch, corpus)
+      assertBucketed(native, "bloom_dedup_native")
+      var nNative = 0L
+      time("bloom_dedup_native", rows) {
+        nNative = native.count(); nNative
+      }
+      // the pre-round-8 shape: same bloom bits, probed through a Scala
+      // UDF on the corpus side (per-row boxing + interpreter round-trip)
+      time("bloom_dedup_udf", rows) {
+        val digest = md5(col("text").cast("binary"))
+        val batchD = batch.withColumn("__digest", digest)
+        val bloom = batchD.stat.bloomFilter("__digest", 100000L, 0.01)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightMatch = udf((d: String) => d != null && bc.value.mightContainString(d))
+        val hits = corpus.select(digest.as("__digest"))
+          .where(mightMatch(col("__digest"))).distinct()
+        val c = batchD.join(hits, Seq("__digest"), "left_anti").count()
+        assert(c == nNative, s"UDF twin drifted: $c vs $nNative")
+        c
+      }
+    }
+
     // 4. stratified sample at 50M rows, 100 strata x 1000 docs
     section("stratified") {
       val rows = n(50000000L)
@@ -258,6 +291,63 @@ object ScaleSmoke {
         val compacted = graft.search.Bm25.restrictToTerms(
           graft.search.Bm25.loadIndex(spark, path), qTerms)
         graft.search.Bm25.topKBatch(queries, compacted, k = 10).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path).getParentFile)
+    }
+
+    // 6d. tiered segment merge: a streaming-maintained index accrues one
+    // segment per micro-batch — 64 tail segments here over a 2M-doc seed.
+    // Measure the probe on the fragmented index, the merge itself
+    // (rewrites ONLY the tail — bytes ≈ the appended docs, never the
+    // seed), and the probe after. The delta is the per-probe tax
+    // fragmentation charges until a merge runs.
+    section("bm25_merge") {
+      val rows = n(2000000L)
+      val appended = 64 * 2000L
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scale_bm25m").toString + "/idx"
+      val all = synthDocs(rows + appended, 25)
+      time("bm25m_write_seed", rows) {
+        graft.search.Bm25.writeIndex(
+          all.where(col("doc_id") < rows), "doc_id", "text", path,
+          termBuckets = 64, filesPerBucket = 8)
+        rows
+      }
+      time("bm25m_append_64_batches", appended) {
+        (0 until 64).foreach { b =>
+          graft.search.Bm25.appendIndex(spark,
+            all.where(col("doc_id") >= rows + b * 2000L &&
+              col("doc_id") < rows + (b + 1) * 2000L),
+            path, "doc_id", "text")
+        }
+        appended
+      }
+      val queries = spark.range(64).select(
+        col("id").as("query_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(4)),
+            i => concat(lit("w"), pmod(xxhash64(col("id") * 37 + 5, i),
+              lit(1000000))))).as("query_text"))
+      val qTerms = queries.collect()
+        .flatMap(r => graft.search.Bm25.tokenize(r.getString(1))).toSeq.distinct
+      def probe(label: String): Long = {
+        val idx = graft.search.Bm25.restrictToTerms(
+          graft.search.Bm25.loadIndex(spark, path), qTerms)
+        graft.search.Bm25.topKBatch(queries, idx, k = 10).count()
+      }
+      var fragmented = 0L
+      time("bm25m_probe_65_segments", rows) { fragmented = probe("frag"); fragmented }
+      time("bm25m_merge_to_8", appended) {
+        val (b, a) = graft.search.Bm25.mergeSegments(
+          spark, path, targetSegments = 8, filesPerBucket = 8)
+        assert(b == 65 && a == 8, s"expected 65 -> 8 segments, got $b -> $a")
+        appended
+      }
+      time("bm25m_probe_8_segments", rows) {
+        val c = probe("merged")
+        assert(c == fragmented, s"merge changed probe cardinality: $c vs $fragmented")
+        c
       }
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(path).getParentFile)

@@ -321,6 +321,66 @@ class Bm25Spec extends SparkSpec {
       "a batch id consumed by the previous life must apply to the rebuilt index")
   }
 
+  test("mergeSegments: tiered merge is value-invisible, flips commits atomically") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_mrg").toString + "/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    Bm25.appendIndex(spark, Seq((4L, "fig grape")).toDF("doc_id", "text"),
+      path, "doc_id", "text")
+    Bm25.appendIndex(spark, Seq((5L, "grape melon apple")).toDF("doc_id", "text"),
+      path, "doc_id", "text")
+    Bm25.appendIndex(spark, Seq((6L, "melon cherry")).toDF("doc_id", "text"),
+      path, "doc_id", "text")
+    assert(Bm25.committedSegs(spark, path).size == 4)
+    val qs = Seq((0L, "apple cherry"), (1L, "grape melon"))
+      .toDF("query_id", "query_text")
+    def probe() = Bm25.topKBatch(qs, Bm25.loadIndex(spark, path), 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).sorted.toSeq
+    val preMerge = probe()
+    val preIdx = Bm25.loadIndex(spark, path)
+
+    // the three smallest segments (the appends) fold into one; the seed
+    // segment's files are untouched
+    val (b4, a2) = Bm25.mergeSegments(spark, path, targetSegments = 2)
+    assert((b4, a2) == ((4, 2)), s"expected 4 -> 2 segments, got $b4 -> $a2")
+    val segs = Bm25.committedSegs(spark, path)
+    assert(segs.size == 2 && segs.contains(0L),
+      s"the big seed segment must survive unmerged: $segs")
+    // value-invisible: same hits, same integer scores, same corpus stats
+    assert(probe() == preMerge, "merge changed probe results")
+    val postIdx = Bm25.loadIndex(spark, path)
+    assert(postIdx.nDocs == preIdx.nDocs && postIdx.avgDl == preIdx.avgDl)
+    assert(postIdx.terms.collect().map(_.toString).sorted.toSeq ==
+      preIdx.terms.collect().map(_.toString).sorted.toSeq,
+      "merged df ledger must equal the exact sum of its sources")
+
+    // below the target: no-op
+    assert(Bm25.mergeSegments(spark, path, targetSegments = 2) == ((2, 2)))
+    // deletes compose: mark-delete still hides through the merged segment
+    Bm25.deleteDocs(spark, path, Seq(5L))
+    val hits = Bm25.topKBatch(qs, Bm25.loadIndex(spark, path), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!hits.contains(5L), "tombstone must exclude through a merged segment")
+    // and a later FULL compact (spends tombstones) equals from-scratch
+    Bm25.compactIndex(spark, path)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_mrg_f").toString + "/idx"
+    Bm25.writeIndex(Seq(
+      (0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "cherry cherry cherry durian"),
+      (3L, "apple banana cherry durian elderberry"),
+      (4L, "fig grape"), (6L, "melon cherry")).toDF("doc_id", "text"),
+      "doc_id", "text", fresh, termBuckets = 4)
+    val gotC = Bm25.topKBatch(qs, Bm25.loadIndex(spark, path), 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).sorted.toSeq
+    val wantC = Bm25.topKBatch(qs, Bm25.loadIndex(spark, fresh), 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotC == wantC, "merge + compact must equal a from-scratch build")
+  }
+
   test("hybrid at-rest serving: a doc deleted in BOTH channels leaves the fusion") {
     // the b6/ep4 staleness gap round 6 flagged, closed end to end: after
     // Bm25.deleteDocs + Hnsw.delete, neither channel may resurrect the
