@@ -1144,6 +1144,36 @@ object SparkEntry {
       Dedup.nearDupesAgainstStore(
         s, docs.where(pmod(col("doc_id"), lit(3)) === 0), tmp, minJaccard = 0.8)
     }
+    reg("d19c_neardup_deleted") { (s, dir) =>
+      // the store's DELETE lifecycle (the round-8 symmetry close: the
+      // signature store was the one at-rest family without one): corpus
+      // docs 17/20/22 — near-dup partners of several batch docs — are
+      // tombstoned after the write, then COMPACTED away; the probe must
+      // behave as if they were never stored. The oracle recomputes the
+      // exact cross-split jaccard over the corpus minus the deleted ids,
+      // so both the probe-side exclusion and the compact's physical purge
+      // are hash-checked end to end
+      val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mh_store_del").toString + "/idx"
+      Dedup.writeMinhash(docs.where(pmod(col("doc_id"), lit(3)) =!= 0), tmp,
+        shingleSize = 1, numHashes = 128, bands = 32)
+      Dedup.deleteMinhash(s, tmp, Seq(17L, 20L))
+      Dedup.deleteMinhash(s, tmp, Seq(20L, 22L)) // overlapping re-delete folds
+      // half the probe runs against the MARKED store (probe-side
+      // exclusion), half after the COMPACT (physical purge) — both must
+      // agree with the oracle, so compute the marked result first
+      val marked = Dedup.nearDupesAgainstStore(
+        s, docs.where(pmod(col("doc_id"), lit(3)) === 0), tmp,
+        minJaccard = 0.8).collect()
+      Dedup.compactMinhash(s, tmp)
+      val compacted = Dedup.nearDupesAgainstStore(
+        s, docs.where(pmod(col("doc_id"), lit(3)) === 0), tmp, minJaccard = 0.8)
+      require(marked.map(_.toString).sorted.toSeq ==
+        compacted.collect().map(_.toString).sorted.toSeq,
+        "marked-store and compacted-store probes must agree")
+      compacted
+    }
     reg("d6_simhash_pairs") { (s, dir) => // rows-only: xxhash64 is Spark-specific
       Dedup.simhashPairs(T(s, dir, "documents").where(col("doc_id") < 100),
         maxHamming = 8)
@@ -1658,6 +1688,31 @@ object SparkEntry {
       val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4)
       Hnsw.write(emb.where(col("vec_id") < 400), tmp, p)
       Hnsw.append(s, emb.where(col("vec_id") >= 400), tmp)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Hnsw.probe(s, tmp, qs, 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+    reg("a13b_hnsw_merged") { (s, dir) =>
+      // tiered segment merge for the dense channel (b10's sibling):
+      // seed 4 shards + three 2-shard appends = 10 segments, merge the
+      // tail back to 6. efSearch=200 >= every shard's population, so the
+      // beam exhausts each graph and the probe is EXACT kNN regardless of
+      // graph structure — a13's brute-force oracle applies verbatim, and
+      // the merge is proven value-invisible end to end
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_mrg").toString + "/idx"
+      val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 2)
+      Hnsw.write(emb.where(col("vec_id") < 350), tmp, p)
+      Seq(350, 400, 450).foreach { lo =>
+        Hnsw.append(s, emb.where(col("vec_id") >= lo && col("vec_id") < lo + 50), tmp)
+      }
+      val (segsBefore, segsAfter) = Hnsw.mergeSegments(s, tmp, targetShards = 6)
+      require(segsBefore == 8 && segsAfter <= 6,
+        s"merge premise drifted: $segsBefore -> $segsAfter shards")
       val qs = emb.where(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Hnsw.probe(s, tmp, qs, 5)
@@ -3008,6 +3063,9 @@ object SparkEntry {
     // same brute-force top-5 as a9
     "a12_hnsw_topk" -> bruteForceKnnOracle(5),
     "a13_hnsw_at_rest" -> bruteForceKnnOracle(5),
+    // a13b: merge is value-invisible under the exhaustive-beam regime —
+    // same brute-force oracle
+    "a13b_hnsw_merged" -> bruteForceKnnOracle(5),
     "a14_hnsw_routed" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a14_hnsw_routed_sf001.parquet')",
     "d5_minhash_pairs" ->
@@ -4406,6 +4464,26 @@ object SparkEntry {
         |  SELECT b.id AS batch_id, c.id AS corpus_id, count(*) AS inter
         |  FROM toks b JOIN toks c USING (tok)
         |  WHERE b.id % 3 = 0 AND c.id % 3 <> 0 GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |  round(CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter), 6) AS jaccard
+        |FROM co JOIN sizes sb ON co.batch_id = sb.id
+        |        JOIN sizes sc ON co.corpus_id = sc.id
+        |WHERE CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter) >= 0.8
+        |ORDER BY batch_id, corpus_id""".stripMargin,
+    // d19c: d19's oracle minus the deleted corpus docs — the store must
+    // behave as if 17/20/22 were never written
+    "d19c_neardup_deleted" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT b.id AS batch_id, c.id AS corpus_id, count(*) AS inter
+        |  FROM toks b JOIN toks c USING (tok)
+        |  WHERE b.id % 3 = 0 AND c.id % 3 <> 0
+        |    AND c.id NOT IN (17, 20, 22) GROUP BY 1, 2)
         |SELECT batch_id, corpus_id,
         |  round(CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter), 6) AS jaccard
         |FROM co JOIN sizes sb ON co.batch_id = sb.id

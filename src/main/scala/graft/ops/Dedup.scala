@@ -438,6 +438,72 @@ object Dedup {
     n
   }
 
+  /** The stored band surface with tombstoned docs excluded — every store
+    * probe reads through this, so a deleted corpus doc can never again
+    * count as a near-dup source (shared bounded exclusion,
+    * [[Layout.excludeTombstoned]]).
+    */
+  private def storedBands(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    Layout.excludeTombstoned(spark,
+      spark.read.parquet(s"$path/bands"), s"$path/_tombstones", "doc_id")
+
+  /** Mark corpus docs deleted in the signature store — the
+    * [[graft.search.Bm25.deleteDocs]] / [[Hnsw.delete]] stance,
+    * completing the store's lifecycle: no stored file is touched; every
+    * probe ([[nearDupesAgainstStore]], [[nearDupesAgainstStoreEstimated]]
+    * and through them [[graft.ops.CorpusPipeline.nearDupIntakeBatch]])
+    * excludes the dead ids' bands, so a REMOVED corpus doc stops
+    * suppressing arriving near-twins immediately. A delete is terminal
+    * for that doc id until [[compactMinhash]] purges it (the `docs/`
+    * ledger still holds the id, so a re-append is dropped) — the same
+    * contract as the three index families.
+    */
+  def deleteMinhash(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF("doc_id").write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** Fold tombstones into the store for real: anti-join all four
+    * doc-keyed tables (bands/sigs/shingles/docs — scale-safe at any
+    * tombstone count, unlike the probe-side bounded exclusion) and swap
+    * each via the shared rename-aside protocol. After compact the store
+    * is value-identical to a from-scratch [[writeMinhash]] over the
+    * surviving docs, and the dead ids may be re-appended (they left the
+    * ledger). Tombstone files are snapshot-spent — a delete issued while
+    * the compact runs survives for the next one. Returns
+    * (docs before, docs after).
+    */
+  def compactMinhash(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tombFiles = Layout.snapshotTombstoneFiles(fs, s"$path/_tombstones")
+    val dead =
+      if (tombFiles.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"))
+      else spark.read.parquet(tombFiles.map(_.toString): _*)
+        .select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val before = spark.read.parquet(s"$path/docs").count()
+    val after = before - (
+      if (tombFiles.isEmpty) 0L
+      else spark.read.parquet(s"$path/docs")
+        .join(dead, Seq("doc_id"), "left_semi").count())
+    require(after > 0,
+      s"compactMinhash: every doc at $path is tombstoned — delete the " +
+        "store directory instead of compacting to empty")
+    Seq("bands", "sigs", "shingles", "docs").foreach { t =>
+      spark.read.parquet(s"$path/$t")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/$t.__compact")
+      Layout.swapDir(fs, s"$path/$t", s"$path/$t.__compact")
+    }
+    Layout.spendTombstoneFiles(fs, s"$path/_tombstones", tombFiles)
+    (before, after)
+  }
+
   /** Near-dup pairs of `batch` against the PERSISTED corpus store:
     * `(batch_id, corpus_id, jaccard)` with jaccard ≥ `minJaccard`.
     *
@@ -476,7 +542,7 @@ object Dedup {
       shingleExplode(batch, idCol, textCol, meta.getInt(0))
         .repartition(col(idCol)).select(col(idCol).as("batch_id"), col("__h")))
     val batchBands = bandTable(exploded, "batch_id", meta.getInt(1), meta.getInt(2))
-    val stored = spark.read.parquet(s"$path/bands")
+    val stored = storedBands(spark, path)
     // the hot-bucket guard re-aggregates the stored band surface per
     // probe — a corpus-sized pass a continuous intake loop may not want
     // to pay every batch. maxBucketSize <= 0 skips it (the hot set only
@@ -550,7 +616,7 @@ object Dedup {
     val batchBands = bandsOfSigs(
       batchSigs.select(col("batch_id"), col("__sigb").as("__sig")),
       "batch_id", numHashes, meta.getInt(2))
-    val stored = spark.read.parquet(s"$path/bands")
+    val stored = storedBands(spark, path)
     // the hot-bucket guard re-aggregates the stored band surface per
     // probe — a corpus-sized pass a continuous intake loop may not want
     // to pay every batch. maxBucketSize <= 0 skips it (the hot set only

@@ -471,6 +471,86 @@ object Hnsw {
       append(spark, index, path, idCol, vecCol)
     }
 
+  /** Tiered segment merge — the [[graft.search.Bm25.mergeSegments]]
+    * sibling for the dense channel: re-insert the SMALLEST shard graphs
+    * into one fresh generation (at most numShards new graphs) until at
+    * most `targetShards` remain, leaving the big shards' files
+    * untouched. A streaming-maintained index accrues numShards tiny
+    * graphs per micro-batch; every probe pays a graph load + beam walk
+    * PER SHARD forever, while [[compact]] re-inserts the whole corpus —
+    * the wrong cost for retiring a kilobyte tail. Merge cost is
+    * O(merged vectors × log), never O(corpus).
+    *
+    * Routing law preserved: hash indexes re-shard by `xxhash64(id) mod
+    * numShards` above the current max (probes union all segments);
+    * routed indexes re-route through the PERSISTED router onto a
+    * numShards-aligned base, so `shard mod numShards == centroid_id`
+    * still holds and [[probeRouted]] keeps seeing every generation of a
+    * probed cell.
+    *
+    * Unlike BM25's commit-marker flip, HNSW needs no atomic swap: the
+    * new generation is written BEFORE the merged shard directories are
+    * dropped, and every probe folds duplicate ids to their best hit
+    * (mergeTopK) — so a reader overlapping the merge, or a crash
+    * between write and deletes, sees transient duplicates that are
+    * VALUE-INVISIBLE, and [[compact]] folds stragglers physically
+    * (dropDuplicates). Tombstones are not folded here — delete folding
+    * stays compact's job, the Lucene merge/expungeDeletes split.
+    * Graph-structure caveat, stated plainly: a merged graph is a NEW
+    * graph over the same vectors; recall-at-fixed-efSearch changes
+    * within the usual HNSW tolerance (under an exhaustive beam —
+    * efSearch ≥ shard population, the oracle regime — results are
+    * bit-identical, pinned in HnswSpec). Returns (shards before,
+    * shards after).
+    */
+  def mergeSegments(
+      spark: SparkSession,
+      path: String,
+      targetShards: Int = 32): (Int, Int) = {
+    require(targetShards >= 1,
+      s"hnsw mergeSegments: targetShards must be >= 1, got $targetShards")
+    val p = loadMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val counts = spark.read.parquet(segPath(path))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(x => (x._2, x._1))
+    if (counts.length <= targetShards) return (counts.length, counts.length)
+    // merging k shards yields up to numShards new ones: fold enough of
+    // the smallest to land at (or under) the target
+    val k = math.min(counts.length, counts.length - targetShards + p.numShards)
+    val mergeShards = counts.take(k).map(_._1).toSeq
+    val maxShard = counts.map(_._1).max
+    val vecs = spark.read.parquet(segPath(path))
+      .where(col("shard").isin(mergeShards.map(x => x: Any): _*))
+      .select(col("id"), col("vec"))
+      .dropDuplicates("id", "vec") // replayed-append copies fold here
+    val routed = fs.exists(new org.apache.hadoop.fs.Path(routerPath(path)))
+    val sharded =
+      if (!routed)
+        vecs.select(
+          (pmod(xxhash64(col("id")), lit(p.numShards)).cast("int") +
+            lit(maxShard + 1)).as("shard"),
+          col("id"), col("vec"))
+      else {
+        val base = (maxShard / p.numShards + 1) * p.numShards
+        vecs.select(
+          (routeUdf(loadCentroids(spark, path))(col("vec")) + lit(base)).as("shard"),
+          col("id"), col("vec"))
+      }
+    // write the merged generation FIRST (the write is the barrier: once
+    // it returns, the sources are redundant), then retire the sources
+    buildSegments(sharded, p)
+      .write.partitionBy("shard").mode("append").parquet(segPath(path))
+    mergeShards.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(segPath(path), s"shard=$s"), true)
+    }
+    val after = spark.read.parquet(segPath(path))
+      .select(col("shard")).distinct().count().toInt
+    (counts.length, after)
+  }
+
   private def tombPath(path: String) = s"$path/_tombstones"
   private val MaxTombstones = 1 << 22
 

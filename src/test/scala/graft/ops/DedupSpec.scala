@@ -820,6 +820,49 @@ class DedupSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("minhash store delete hides partners; compact purges and equals from-scratch") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_del").toString + "/idx"
+    val corpus = fixtureDocs.where($"doc_id" % 3 =!= 0)
+    val batch = fixtureDocs.where($"doc_id" % 3 === 0)
+    Dedup.writeMinhash(corpus, path, shingleSize = 1, numHashes = 128, bands = 32)
+    val full = Dedup.nearDupesAgainstStore(spark, batch, path, minJaccard = 0.8)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty, "fixture must contain cross-split near-dups")
+    // delete every corpus doc that partnered a batch doc: the probe must
+    // go silent immediately (probe-side exclusion, no file rewritten)
+    val partners = full.map(_._2).toSeq.sorted
+    Dedup.deleteMinhash(spark, path, partners)
+    val afterDel = Dedup.nearDupesAgainstStore(spark, batch, path, minJaccard = 0.8)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(afterDel.isEmpty, s"deleted partners still matched: ${afterDel.take(5)}")
+    // a deleted id is terminal until compact: re-append is ledger-dropped
+    assert(Dedup.appendMinhash(spark,
+      fixtureDocs.where(col("doc_id") === partners.head), path) == 0L)
+    // compact purges physically and equals a from-scratch store over the
+    // survivors (probe AND table contents)
+    val (before, after) = Dedup.compactMinhash(spark, path)
+    assert(before - after == partners.size.toLong,
+      s"expected ${partners.size} purged, got $before -> $after")
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_mh_del_f").toString + "/idx"
+    Dedup.writeMinhash(corpus.where(!col("doc_id").isin(partners: _*)), fresh,
+      shingleSize = 1, numHashes = 128, bands = 32)
+    def probeAll(p: String) =
+      Dedup.nearDupesAgainstStore(spark, batch, p, minJaccard = 0.8)
+        .collect().map(_.toString).sorted.toSeq
+    assert(probeAll(path) == probeAll(fresh))
+    assert(spark.read.parquet(s"$path/docs").select("doc_id").as[Long]
+      .collect().toSet ==
+      spark.read.parquet(s"$fresh/docs").select("doc_id").as[Long].collect().toSet)
+    // after compact the id left the ledger: a re-append revives it
+    assert(Dedup.appendMinhash(spark,
+      fixtureDocs.where(col("doc_id") === partners.head), path) == 1L)
+    val revived = Dedup.nearDupesAgainstStore(spark, batch, path, minJaccard = 0.8)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(revived.contains(partners.head), "re-appended doc must match again")
+  }
+
   test("minhash store ledger records zero-shingle docs (no eternal replay)") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_mh_ledger").toString + "/idx"

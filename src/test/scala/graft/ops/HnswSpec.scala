@@ -91,6 +91,68 @@ class HnswSpec extends SparkSpec {
     assert(q3after == q3before)
   }
 
+  test("mergeSegments: tail shards fold into one generation, exact under exhaustive beam") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_mrg").toString + "/idx"
+    // exhaustive beam (efSearch >= total population) => probe is exact
+    // kNN regardless of graph structure — the a12/a13 oracle regime, so
+    // merge must be BIT-invisible here
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 2048, numShards = 2)
+    Hnsw.write(emb.where(col("vec_id") < 450), path, p)
+    (0 until 3).foreach { b =>
+      Hnsw.append(spark, emb.where(col("vec_id") >= 450 + b * 50 &&
+        col("vec_id") < 500 + b * 50), path)
+    }
+    val shards0 = spark.read.parquet(s"$path/segments")
+      .select("shard").distinct().count().toInt
+    assert(shards0 == 8, s"expected 2 seed + 3x2 append shards, got $shards0")
+    val before = Hnsw.probe(spark, path, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    val (b8, after) = Hnsw.mergeSegments(spark, path, targetShards = 4)
+    assert(b8 == 8 && after <= 4, s"expected 8 -> <=4 shards, got $b8 -> $after")
+    // the two big seed shards must survive untouched (smallest-first law)
+    val remaining = spark.read.parquet(s"$path/segments")
+      .select(col("shard").cast("int")).distinct().as[Int].collect().toSet
+    assert(remaining.contains(0) && remaining.contains(1),
+      s"seed shards must survive unmerged: $remaining")
+    val afterRows = Hnsw.probe(spark, path, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterRows == before, "merge changed exhaustive-beam results")
+    // below target: no-op
+    assert(Hnsw.mergeSegments(spark, path, targetShards = 4) == ((after, after)))
+    // deletes compose through a merged generation
+    val top = before.head.getLong(2)
+    Hnsw.delete(spark, path, Seq(top))
+    val hits = Hnsw.probe(spark, path, qs, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!hits.contains(top), "tombstone must exclude through merged shards")
+  }
+
+  test("mergeSegments on a routed index keeps the cell-alignment law") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_mrgr").toString + "/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 2048, numShards = 4)
+    Hnsw.writeRouted(emb.where(col("vec_id") < 500), path, p)
+    (0 until 2).foreach { b =>
+      Hnsw.append(spark, emb.where(col("vec_id") >= 500 + b * 50 &&
+        col("vec_id") < 550 + b * 50), path)
+    }
+    val before = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    // nProbe=1 walks ONE cell — its results depend on cell membership,
+    // so it pins that merge re-routes vectors onto the same cells
+    val before1 = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    val (b0, a0) = Hnsw.mergeSegments(spark, path, targetShards = 6)
+    assert(a0 < b0, s"merge must shrink the shard count: $b0 -> $a0")
+    // exhaustive nProbe + exhaustive beam: still exact, so bit-identical
+    val afterRows = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterRows == before, "routed merge changed exhaustive results")
+    val after1 = Hnsw.probeRouted(spark, path, qs, 10, nProbe = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after1 == before1, "merge must keep the cell-alignment law")
+  }
+
   test("single-query hnswTopK: self is rank 1 at distance 0") {
     val q = emb.where(col("vec_id") === 191)
       .select("embedding").head.getSeq[Float](0).toArray
