@@ -78,6 +78,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.WavRms(es(0), es(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("avi_pack"),
+      info("avi_pack",
+        "avi_pack(frames, w, h, fps) - MJPEG AVI binary from ARRAY<BINARY> frames"),
+      (es: Seq[Expression]) => graft.functions.AviPack(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((
+      FunctionIdentifier("avi_frames"),
+      info("avi_frames", "avi_frames(content) - frame payloads of an AVI binary"),
+      (es: Seq[Expression]) => graft.functions.AviFrames(es.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("cms_merge"),
       info("cms_merge", "cms_merge(sketch) - merge count-min sketches (binary)"),
       (es: Seq[Expression]) =>

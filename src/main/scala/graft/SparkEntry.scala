@@ -2369,6 +2369,50 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"))
         .orderBy("doc_id", "frame")
     }
+    reg("m7_video_frames") { (s, dir) =>
+      // video arm of the multimodal seam, container half: three
+      // deterministic text-slice frames pack into a REAL MJPEG-AVI
+      // (RIFF hdrl/strl/movi tree, `avi_pack`) and come back out through
+      // the chunk walk (`avi_frames`) — all inside the scan stage. The
+      // oracle recomputes the same slices directly, so the container
+      // encode/decode roundtrip is proven byte-for-byte (like m6's WAV)
+      import graft.functions.VideoExpressions._
+      val docs = T(s, dir, "documents").where(col("doc_id") < 50)
+      val frames = array(
+        substring(col("text"), 1, 20).cast("binary"),
+        substring(col("text"), 21, 20).cast("binary"),
+        substring(col("text"), 41, 20).cast("binary"))
+      docs.select(
+        col("doc_id"),
+        posexplode(aviFrames(aviPack(frames, lit(64), lit(48), lit(24))))
+          .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame").cast("string").as("frame_text"))
+        .orderBy("doc_id", "frame_idx")
+    }
+    reg("m8_video_near_dups") { (s, dir) =>
+      // video arm, pixel half: 4-frame videos synthesized in-executor
+      // (REAL PNG frames in a REAL AVI container; scene sequence =
+      // id % 6, brightness variant = id / 6), frames extracted by the
+      // chunk walk, pixel-decoded through javax.imageio, per-frame
+      // dHashed, and paired by the shot-aligned law (>= 3 of 4 aligned
+      // frames within hamming 6). Golden-pinned (PNG decode is not
+      // DuckDB-expressible); invariance contracts live in AviVideoSpec
+      import s.implicits._
+      import graft.multimodal.{AviVideo, ImageIoDecoder, Multimodal, SyntheticImages}
+      val vids = T(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 18).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (0 until 4).map(f =>
+            SyntheticImages.png(seed = (id % 6).toInt * 16 + f,
+              brighten = (id / 6).toInt * 10))
+          (id, AviVideo.pack(frames, 64, 64, 24))
+        })
+        .toDF("media_id", "bytes").withColumn("kind", lit("video"))
+      Multimodal.videoNearDupPairs(vids,
+        minMatching = 3, maxHamming = 6, decoder = ImageIoDecoder)
+        .orderBy("id_a", "id_b")
+    }
     reg("m5_real_image_phash") { (s, dir) =>
       // the REAL decode path (javax.imageio, no stub): PNGs are synthesized
       // in-executor (the container ships no image files — seed = id % 8
@@ -4809,6 +4853,21 @@ object SparkEntry {
         |FROM cells GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
     "m5_real_image_phash" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/m5_real_image_phash_sf001.parquet')",
+    // m7: the AVI container roundtrip is byte algebra over text slices —
+    // the oracle recomputes the slices, proving pack->frames identity
+    "m7_video_frames" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+        |  substring(text, 1, 20) AS frame_text
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), substring(text, 21, 20)
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS BIGINT), substring(text, 41, 20)
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m8_video_near_dups" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/m8_video_near_dups_sf001.parquet')",
     "m3_resize_meta" ->
       """SELECT doc_id AS media_id, 128 AS width, 128 AS height,
         |  CAST(length(text) AS BIGINT) * 10 AS duration_ms

@@ -145,6 +145,7 @@ object VectorFunctions {
     CmsFunctions.register(spark)
     TextExpressions.register(spark)
     AudioExpressions.register(spark)
+    VideoExpressions.register(spark)
   }
 
   def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)

@@ -138,6 +138,90 @@ object Multimodal {
     graft.ops.Dedup.hammingPairs(
       dHash(media, dims, decoder).where(col("phash").isNotNull),
       "media_id", "phash", maxHamming, maxBucketSize)
+
+  // --------------------------------------------------------- video (AVI)
+
+  /** Frames per video, extracted by the REAL container walk
+    * ([[AviVideo.decode]] via the `avi_frames` expression — scan-stage
+    * byte work, no offset stub): `(media_id, frame_idx, frame_bytes)`
+    * in file order. Pixel decoding of the payloads stays behind the
+    * [[MediaDecoder]] seam, the cheap-walk / expensive-decode split a
+    * 100 TB media table needs.
+    */
+  def videoFrames(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      posexplode(graft.functions.VideoExpressions.aviFrames(col("bytes")))
+        .as(Seq("frame_idx", "frame_bytes")))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+
+  private val MaxVideoFrames = 1L << 20
+
+  /** Per-frame perceptual signatures: `(media_id, frame_idx, phash)` —
+    * each extracted frame rides the SAME decode→[[dHash]] pipeline as
+    * still images (one composite key through the decoder seam, split
+    * back after), so the image and video arms cannot drift.
+    */
+  def videoFrameHashes(
+      media: DataFrame,
+      dims: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val keyed = videoFrames(media)
+      .select((col("media_id") * MaxVideoFrames + col("frame_idx")).as("media_id"),
+        lit("image").as("kind"), col("frame_bytes").as("bytes"))
+    dHash(keyed, dims, decoder).where(col("phash").isNotNull)
+      .select(floor(col("media_id") / MaxVideoFrames).cast("long").as("media_id"),
+        pmod(col("media_id"), lit(MaxVideoFrames)).as("frame_idx"),
+        col("phash"))
+  }
+
+  /** Near-duplicate VIDEO pairs — the shot-aligned dedup law: two videos
+    * pair when at least `minMatching` aligned frames (same `frame_idx`)
+    * have dHashes within `maxHamming` bits. Candidates come from the
+    * shared pigeonhole banding ([[graft.ops.Dedup.hammingBanded]]) with
+    * `frame_idx` IN the band key — so a frame only ever joins its
+    * aligned counterparts, never every frame of the corpus — and the
+    * per-bucket guard bounds degenerate hashes (black frames, test
+    * cards) exactly like document SimHash. Returns
+    * `(id_a, id_b, n_matching)`.
+    */
+  def videoNearDupPairs(
+      media: DataFrame,
+      minMatching: Int = 3,
+      maxHamming: Int = 3,
+      dims: Int = 64,
+      maxBucketSize: Long = 1L << 20,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    require(minMatching >= 1, s"videoNearDupPairs: minMatching must be >= 1")
+    // band on the composite (video, frame) key, decompose after — keeps
+    // frame_idx attached without a self-join (two same-hash frames of
+    // one video must not cross-multiply)
+    val comp = videoFrameHashes(media, dims, decoder)
+      .select((col("media_id") * MaxVideoFrames + col("frame_idx")).as("fid"),
+        col("phash"))
+    val banded = graft.ops.Dedup.hammingBanded(comp, "fid", "phash", maxHamming)
+      .select(floor(col("fid") / MaxVideoFrames).cast("long").as("media_id"),
+        pmod(col("fid"), lit(MaxVideoFrames)).as("frame_idx"),
+        col("sig"), col("band"), col("band_key"))
+    val hot = banded.groupBy("frame_idx", "band", "band_key")
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select("frame_idx", "band", "band_key")
+    val cold = banded.join(broadcast(hot),
+      Seq("frame_idx", "band", "band_key"), "left_anti")
+    val a = cold.select(col("media_id").as("id_a"), col("sig").as("sig_a"),
+      col("frame_idx"), col("band"), col("band_key"))
+    val b = cold.select(col("media_id").as("id_b"), col("sig").as("sig_b"),
+      col("frame_idx"), col("band"), col("band_key"))
+    a.join(b, Seq("frame_idx", "band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct() // a frame pair found via several bands counts once
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matching"))
+      .where(col("n_matching") >= minMatching)
+      .orderBy("id_a", "id_b")
+  }
 }
 
 /** Deterministic real-PNG synthesis — fixture material for the

@@ -767,7 +767,7 @@ object Dedup {
     * Band layout: `maxHamming + 1` bands so the pigeonhole guarantee holds
     * (≤ h differing bits over h+1 bands ⇒ at least one band untouched).
     */
-  private def hammingBanded(
+  private[graft] def hammingBanded(
       sigs: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] for guaranteed banding recall, got $maxHamming")
