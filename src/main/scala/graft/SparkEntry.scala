@@ -1779,6 +1779,42 @@ object SparkEntry {
           coalesce(col("epoch"), lit(0L)).as("epoch_resolved"))
         .orderBy("chunk_id")
     }
+    reg("t8c_index_retain") { (s, dir) =>
+      // retention-bounded VACUUM over the MoR index (the half t8b's AS OF
+      // needs to be production-true: history cannot be kept forever).
+      // Three synthesized generations land on disk in the MoR layout,
+      // compactRetain folds everything below epoch 1, and the AS OF 1
+      // view AFTER the fold must hash-match the oracle's recomputation of
+      // the resolution law over the ORIGINAL generations — proving the
+      // fold is value-invisible at and above the horizon. Below it, the
+      // query itself asserts the loud refusal. Builds fresh (lifecycle
+      // under test).
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_idx_ret").toString + "/idx"
+      val data = T(s, dir, "embeddings").select(
+        col("vec_id").as("chunk_id"),
+        expr("vec_id div 10").as("doc_id"),
+        concat(lit("s"), pmod(col("vec_id"), lit(3))).as("section"),
+        when(expr("vec_id div 10") < 10, lit(2L))
+          .when(expr("vec_id div 10") < 20, lit(1L))
+          .otherwise(lit(0L)).as("epoch"))
+      data.write.mode("overwrite").partitionBy("section").parquet(tmp)
+      s.range(0, 20).select(col("id").as("doc_id"), lit(0L).as("tomb_epoch"))
+        .coalesce(1).write.parquet(s"$tmp/_tombstones")
+      val preFold = VectorIndex.loadActiveAsOf(s, tmp, 1L)
+        .select("chunk_id").collect().map(_.getLong(0)).toSet
+      VectorIndex.compactRetain(s, tmp, retainFrom = 1L)
+      val refused =
+        try { VectorIndex.loadActiveAsOf(s, tmp, -1L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "reads below the retention horizon must refuse loudly")
+      val folded = VectorIndex.loadActiveAsOf(s, tmp, 1L)
+      require(folded.select("chunk_id").collect().map(_.getLong(0)).toSet
+        == preFold, "the fold changed the AS OF 1 view")
+      folded.select(col("chunk_id"), col("doc_id"),
+          col("epoch").cast("long").as("epoch_resolved"))
+        .orderBy("chunk_id")
+    }
     reg("a10_knn_join") { (s, dir) =>
       // kNN JOIN: top-3 L2 neighbors for EVERY row (self excluded) — the
       // all-rows primitive under SemDeDup/kNN-LM. Exact guarded path at
@@ -2883,6 +2919,23 @@ object SparkEntry {
         |  CAST(coalesce(d.epoch, 0) AS BIGINT) AS epoch_resolved
         |FROM d0 d LEFT JOIN t0 t ON t.doc_id = d.doc_id
         |WHERE t.te IS NULL OR coalesce(d.epoch, 0) > t.te
+        |ORDER BY d.chunk_id""".stripMargin,
+    // t8c: the AS OF 1 view after the retention fold ≡ the resolution
+    // law over the ORIGINAL generations (epochs: docs<10 → 2, 10-19 → 1,
+    // else 0; tombstones 0-19 at epoch 0) with the as-of filters
+    "t8c_index_retain" ->
+      """WITH data AS (
+        |  SELECT vec_id AS chunk_id, vec_id // 10 AS doc_id,
+        |    CASE WHEN vec_id // 10 < 10 THEN 2
+        |         WHEN vec_id // 10 < 20 THEN 1 ELSE 0 END AS epoch
+        |  FROM embeddings),
+        |tombs AS (SELECT unnest(range(0, 20)) AS doc_id, 0 AS tomb_epoch),
+        |d1 AS (SELECT * FROM data WHERE epoch <= 1),
+        |t1 AS (SELECT doc_id, max(tomb_epoch) AS te FROM tombs
+        |       WHERE tomb_epoch <= 1 GROUP BY 1)
+        |SELECT d.chunk_id, d.doc_id, CAST(d.epoch AS BIGINT) AS epoch_resolved
+        |FROM d1 d LEFT JOIN t1 t ON t.doc_id = d.doc_id
+        |WHERE t.te IS NULL OR d.epoch > t.te
         |ORDER BY d.chunk_id""".stripMargin,
     "a10_knn_join" ->
       """WITH scored AS (

@@ -187,13 +187,34 @@ object VectorIndex {
       data.where(coalesce(col("epoch"), lit(0L)) <= asOf),
       tombstones.where(col("tomb_epoch") <= asOf))
 
-  /** [[loadActive]] as of epoch `asOf` — see [[resolveActiveAsOf]]. */
+  /** [[loadActive]] as of epoch `asOf` — see [[resolveActiveAsOf]].
+    * After a [[compactRetain]], reads BELOW the retention horizon refuse
+    * loudly (the folded generations no longer exist; a silent partial
+    * view would be wrong, the Delta
+    * timestamp-before-earliest-version error stance).
+    */
   def loadActiveAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame = {
+    retentionHorizon(spark, path).foreach { h =>
+      require(asOf >= h - 1,
+        s"loadActiveAsOf: epoch $asOf predates the retention horizon $h — " +
+          s"history below it was folded by compactRetain; earliest " +
+          s"readable view is AS OF ${h - 1}")
+    }
     val raw = spark.read.option("mergeSchema", "true").parquet(path)
     val data =
       if (raw.columns.contains("epoch")) raw
       else raw.withColumn("epoch", lit(null).cast("long"))
     resolveActiveAsOf(data, readTombstones(spark, path), asOf)
+  }
+
+  private def retentionPath(path: String) = s"$path/_retention"
+
+  /** The retention horizon written by [[compactRetain]], if any. */
+  def retentionHorizon(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(retentionPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(retentionPath(path)).head.getLong(0))
   }
 
   private def tombPath(path: String) = s"$path/_tombstones"
@@ -291,5 +312,69 @@ object VectorIndex {
     // so it is swapped out (spent) together with the rows it resolved.
     graft.ops.Layout.swapDir(fs, path, s"$path.__compact")
     n
+  }
+
+  /** Retention-bounded compact — the Delta/Iceberg VACUUM analog
+    * [[compact]] is not: fold only the generations OLDER than
+    * `retainFrom` into a resolved base, keep every epoch ≥ `retainFrom`
+    * (rows AND tombstones) untouched — so:
+    *
+    *   - `loadActive` and every `loadActiveAsOf(e)` with
+    *     `e ≥ retainFrom − 1` return EXACTLY what they returned before
+    *     the fold (base rows keep their original epoch stamps; a spent
+    *     tombstone only ever killed rows the fold physically dropped,
+    *     so dropping both together is resolution-invisible — pinned in
+    *     VectorIndexSpec);
+    *   - reads below the horizon REFUSE loudly (`_retention/` marker
+    *     checked by [[loadActiveAsOf]]) instead of serving a silent
+    *     partial view;
+    *   - storage for dead generations and their tombstones is
+    *     reclaimed, bounding what a 100 TB MoR index pays for history —
+    *     the retention trade every lakehouse table makes, here as an
+    *     explicit op instead of [[compact]]'s fold-everything.
+    *
+    * Same staged-dir + rename-aside crash discipline as compact (the
+    * sidecars are staged INSIDE the new generation's directory, so the
+    * swap is one rename). Returns (rows before, rows after).
+    */
+  def compactRetain(
+      spark: SparkSession, path: String, retainFrom: Long): (Long, Long) = {
+    retentionHorizon(spark, path).foreach(h => require(retainFrom >= h,
+      s"compactRetain: retainFrom $retainFrom is below the existing " +
+        s"horizon $h — history there is already folded"))
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    val data =
+      if (raw.columns.contains("epoch")) raw
+      else raw.withColumn("epoch", lit(null).cast("long"))
+    val before = data.count()
+    val tombs = readTombstones(spark, path)
+    // the folded base: rows alive at retainFrom-1, ORIGINAL epochs kept
+    val base = resolveActive(
+      data.where(coalesce(col("epoch"), lit(0L)) < retainFrom),
+      tombs.where(col("tomb_epoch") < retainFrom))
+    val kept = data.where(coalesce(col("epoch"), lit(0L)) >= retainFrom)
+    val folded = base.unionByName(kept).localCheckpoint(true)
+    val after = folded.count()
+    // the compact-to-empty refusal law: a partitioned write of zero rows
+    // emits no data files and the swapped-in dir cannot be read
+    require(after > 0,
+      s"compactRetain: no rows survive the fold at $path — delete the " +
+        "index directory instead of compacting to empty")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = s"$path.__compact"
+    folded.write.mode("overwrite").partitionBy("section").parquet(staged)
+    // surviving tombstones + the horizon marker ride INSIDE the staged
+    // generation (underscore dirs are invisible to the parquet reader),
+    // so the swap replaces data + sidecars in one rename
+    val keptTombs = tombs.where(col("tomb_epoch") >= retainFrom)
+      .localCheckpoint(true)
+    if (keptTombs.count() > 0)
+      keptTombs.coalesce(1).write.parquet(s"$staged/_tombstones")
+    import spark.implicits._
+    Seq(retainFrom).toDF("retain_from")
+      .coalesce(1).write.parquet(s"$staged/_retention")
+    graft.ops.Layout.swapDir(fs, path, staged)
+    (before, after)
   }
 }

@@ -104,6 +104,55 @@ class VectorIndexSpec extends SparkSpec {
     assert(snap(VectorIndex.loadActiveAsOf(spark, path, 99L)) == atUpsert)
   }
 
+  test("compactRetain: history above the horizon exact, below refused, storage folded") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_ret").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("chunk_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    VectorIndex.append(spark, d, path, embedder) // epoch 0 (pre-epoch files)
+    VectorIndex.deleteDocs(spark, Seq(1L), path, epoch = 1)
+    VectorIndex.upsertDocs(spark,
+      Seq((1L, "SECTION ALPHA\n\nrevived second revision body"))
+        .toDF("doc_id", "text"), path, embedder, epoch = 2)
+    VectorIndex.upsertDocs(spark,
+      Seq((2L, "SECTION BETA\n\nthird revision of document two"))
+        .toDF("doc_id", "text"), path, embedder, epoch = 3)
+    val at2 = snap(VectorIndex.loadActiveAsOf(spark, path, 2L))
+    val at3 = snap(VectorIndex.loadActiveAsOf(spark, path, 3L))
+    val now = snap(VectorIndex.loadActive(spark, path))
+    val rawBefore = VectorIndex.load(spark, path).count()
+
+    // fold everything below epoch 3: epochs 0-2 collapse to the resolved
+    // base, epoch-3 rows and any tombstones >= 3 survive untouched
+    val (before, after) = VectorIndex.compactRetain(spark, path, retainFrom = 3L)
+    assert(before == rawBefore && after < before,
+      s"fold must reclaim dead generations: $before -> $after")
+    assert(snap(VectorIndex.loadActive(spark, path)) == now,
+      "current view must survive the fold")
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 3L)) == at3)
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 2L)) == at2,
+      "AS OF horizon-1 is the earliest exact view")
+    // below the horizon: loud refusal, not a silent partial view
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.loadActiveAsOf(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("retention horizon"))
+    // horizon is monotonic: folding below it refuses
+    intercept[IllegalArgumentException] {
+      VectorIndex.compactRetain(spark, path, retainFrom = 2L)
+    }
+    // the lifecycle continues above the horizon: a later delete + as-of
+    VectorIndex.deleteDocs(spark, Seq(2L), path, epoch = 4)
+    assert(snap(VectorIndex.loadActive(spark, path))
+      .forall(_._2 != 2L), "post-fold delete must hide doc 2")
+    assert(snap(VectorIndex.loadActiveAsOf(spark, path, 3L)) == at3,
+      "pre-delete view stays exact above the horizon")
+  }
+
   test("MoR lifecycle: delete hides, upsert revives, compact folds") {
     import org.apache.spark.sql.functions.col
     val path = java.nio.file.Files
