@@ -1697,8 +1697,8 @@ object SparkEntry {
     }
     reg("a13b_hnsw_merged") { (s, dir) =>
       // tiered segment merge for the dense channel (b10's sibling):
-      // seed 4 shards + three 2-shard appends = 10 segments, merge the
-      // tail back to 6. efSearch=200 >= every shard's population, so the
+      // seed 2 shards + three 2-shard appends = 8 segments, merge the
+      // tail back to <= 6. efSearch=200 >= every shard's population, so the
       // beam exhausts each graph and the probe is EXACT kNN regardless of
       // graph structure — a13's brute-force oracle applies verbatim, and
       // the merge is proven value-invisible end to end

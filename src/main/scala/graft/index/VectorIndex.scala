@@ -301,12 +301,30 @@ object VectorIndex {
     * the rewrite is the only full-index pass in the MoR lifecycle.
     */
   def compact(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
     val active = loadActive(spark, path).localCheckpoint(true)
     val n = active.count()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     active.write.mode("overwrite").partitionBy("section")
       .parquet(s"$path.__compact")
+    // a full compact spends EVERY tombstone, so AS OF below the newest
+    // surviving epoch would silently serve a partial view (a doc whose
+    // live row carries epoch 3 vanishes from AS OF 2 instead of showing
+    // its prior revision). Record the fact as a retention horizon — max
+    // surviving epoch + 1, never below an existing horizon — so
+    // loadActiveAsOf refuses those reads loudly, exactly like
+    // compactRetain.
+    val maxEpoch =
+      if (!active.columns.contains("epoch")) 0L
+      else active.agg(max(coalesce(col("epoch"), lit(0L)))).head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val horizon = math.max(
+      retentionHorizon(spark, path).getOrElse(Long.MinValue), maxEpoch + 1)
+    Seq(horizon).toDF("retain_from")
+      .coalesce(1).write.parquet(s"$path.__compact/_retention")
     // rename-aside swap (shared protocol — see Layout.swapDir). The
     // `_tombstones` sidecar lives inside the old generation's directory,
     // so it is swapped out (spent) together with the rows it resolved.

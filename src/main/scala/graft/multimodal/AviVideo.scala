@@ -91,6 +91,7 @@ object AviVideo {
       "avi decode: not a RIFF/AVI container")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var width = -1; var height = -1; var usPerFrame = -1
+    var strhScale = -1; var strhRate = -1
     val frames = Seq.newBuilder[Array[Byte]]
     var sawMovi = false
 
@@ -116,6 +117,14 @@ object AviVideo {
             usPerFrame = buf.getInt(pos + 8)
             width = buf.getInt(pos + 40)
             height = buf.getInt(pos + 44)
+          case "strh" if len >= 56 &&
+              new String(bytes, pos + 8, 4, "US-ASCII") == "vids" &&
+              strhScale <= 0 =>
+            // the video stream's EXACT frame rate: rate/scale — avih's
+            // dwMicroSecPerFrame is integer-truncated at pack time, so
+            // any fps that does not divide 1e6 would drift through it
+            strhScale = buf.getInt(pos + 28)
+            strhRate = buf.getInt(pos + 32)
           case f if inMovi && isFrameChunk(f) =>
             frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
           case _ => () // strh/strf handled via avih; idx1/JUNK/INFO: skip
@@ -127,6 +136,10 @@ object AviVideo {
     require(width > 0 && height > 0 && usPerFrame > 0,
       "avi decode: missing or invalid avih header")
     require(sawMovi, "avi decode: missing movi list")
-    (width, height, math.round(1000000.0 / usPerFrame).toInt, frames.result())
+    val fps =
+      if (strhScale > 0 && strhRate > 0)
+        math.round(strhRate.toDouble / strhScale).toInt // exact: pack writes scale=1
+      else math.round(1000000.0 / usPerFrame).toInt // foreign file without strh
+    (width, height, fps, frames.result())
   }
 }

@@ -165,8 +165,19 @@ object Multimodal {
       media: DataFrame,
       dims: Int = 64,
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    // composite-key bounds enforced loudly (the MaxTombstones stance):
+    // silently aliasing frame 2^20 of video N onto video N+1 would
+    // corrupt attribution with no error
     val keyed = videoFrames(media)
-      .select((col("media_id") * MaxVideoFrames + col("frame_idx")).as("media_id"),
+      .select(
+        when(col("frame_idx") < lit(MaxVideoFrames) &&
+            col("media_id").between(0L, Long.MaxValue / MaxVideoFrames - 1),
+          col("media_id") * MaxVideoFrames + col("frame_idx"))
+          .otherwise(raise_error(concat(
+            lit("videoFrameHashes: composite-key bounds exceeded " +
+              "(frame_idx < 2^20, media_id in [0, 2^43)): media_id="),
+            col("media_id"), lit(" frame_idx="), col("frame_idx"))))
+          .as("media_id"),
         lit("image").as("kind"), col("frame_bytes").as("bytes"))
     dHash(keyed, dims, decoder).where(col("phash").isNotNull)
       .select(floor(col("media_id") / MaxVideoFrames).cast("long").as("media_id"),

@@ -507,18 +507,30 @@ object Hnsw {
       spark: SparkSession,
       path: String,
       targetShards: Int = 32): (Int, Int) = {
-    require(targetShards >= 1,
-      s"hnsw mergeSegments: targetShards must be >= 1, got $targetShards")
     val p = loadMeta(spark, path)
+    // merging k shards yields up to numShards FRESH ones, so a target
+    // below numShards can never be reached — each pass would rewrite the
+    // whole index forever without converging. A full rebuild is compact's
+    // job.
+    require(targetShards >= p.numShards,
+      s"hnsw mergeSegments: targetShards $targetShards is below numShards " +
+        s"${p.numShards} — a merge emits up to numShards fresh graphs and " +
+        "cannot converge; use compact for a full rebuild")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val counts = spark.read.parquet(segPath(path))
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(x => (x._2, x._1))
+    // pick the merge set by ON-DISK bytes from the partition listing — no
+    // data scan anywhere except the merged tail itself (vector rows are
+    // fixed-width, so bytes rank populations faithfully)
+    val segDir = new org.apache.hadoop.fs.Path(segPath(path))
+    val counts = fs.listStatus(segDir).toSeq
+      .filter(_.getPath.getName.startsWith("shard="))
+      .map { st =>
+        val shard = st.getPath.getName.stripPrefix("shard=").toInt
+        val bytes = fs.listStatus(st.getPath).filter(_.isFile).map(_.getLen).sum
+        shard -> bytes
+      }.sortBy(x => (x._2, x._1))
     if (counts.length <= targetShards) return (counts.length, counts.length)
-    // merging k shards yields up to numShards new ones: fold enough of
-    // the smallest to land at (or under) the target
+    // fold enough of the smallest to land at (or under) the target
     val k = math.min(counts.length, counts.length - targetShards + p.numShards)
     val mergeShards = counts.take(k).map(_._1).toSeq
     val maxShard = counts.map(_._1).max
@@ -546,9 +558,8 @@ object Hnsw {
     mergeShards.foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(segPath(path), s"shard=$s"), true)
     }
-    val after = spark.read.parquet(segPath(path))
-      .select(col("shard")).distinct().count().toInt
-    (counts.length, after)
+    // post-merge count from the partition listing — no data scan
+    (counts.length, shardValues(spark, path).size)
   }
 
   private def tombPath(path: String) = s"$path/_tombstones"

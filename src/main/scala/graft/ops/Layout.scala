@@ -257,6 +257,11 @@ object Layout {
             s"probe: more than $maxTombstones tombstones at $tombPath — " +
               "compact the index before probing")
           val ids = rows.map(_.getLong(0)).toSeq
+          // bound the cache: paths whose index was deleted wholesale are
+          // never evicted by spend/clear, so past the cap the whole map
+          // resets (a miss re-collects — cheap next to an unbounded
+          // driver retaining dead indexes' 4M-id sets forever)
+          if (tombCache.size >= 64) tombCache.clear()
           tombCache.put(tombPath, (sig, ids))
           ids
       }
@@ -268,8 +273,10 @@ object Layout {
   }
 
   /** (file signature, dead ids) per tombstone sidecar path — see
-    * [[excludeTombstoned]]. Bounded: one entry per live index path, each
-    * capped at `maxTombstones` ids by the loud refusal above.
+    * [[excludeTombstoned]]. Bounded two ways: each entry is capped at
+    * `maxTombstones` ids by the loud refusal above, and the map resets
+    * at 64 entries (spend/clear evict live paths; wholesale-deleted
+    * index dirs would otherwise pin their dead sets forever).
     */
   private val tombCache =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[(String, Long, Long)], Seq[Long])]

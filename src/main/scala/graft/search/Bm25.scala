@@ -586,9 +586,19 @@ object Bm25 {
     Seq((st.getLong(0), st.getLong(1))).toDF("n_docs", "tot_dl")
       .withColumn("seg", lit(newSeg))
       .coalesce(1).write.mode("append").partitionBy("seg").parquet(s"$path/stats")
-    // the one-flip commit: sources out, merge result in
-    resetCommits(spark, path, (keep :+ newSeg).sorted)
-    (committed.size, keep.size + 1)
+    // the one-flip commit: sources out, merge result in. Segments
+    // committed by an APPEND while this merge rewrote its tail must
+    // survive the flip, so the marker set is re-listed here — everything
+    // committed since entry rides along. The residual window (an append
+    // committing between this re-list and the swap) is the
+    // single-maintainer contract every compact in the repo documents;
+    // unlike them, a lost marker here is silent (the batch ledger
+    // already recorded the batch), so the re-list shrinks that window
+    // from the whole rewrite to one listStatus round-trip.
+    val lateCommits = committedSegs(spark, path)
+      .filterNot(merge.contains).filterNot(keep.contains)
+    resetCommits(spark, path, (keep ++ lateCommits :+ newSeg).sorted.distinct)
+    (committed.size, keep.size + lateCommits.size + 1)
   }
 
   /** [[appendIndex]] keyed by a batch id for streaming replay (the

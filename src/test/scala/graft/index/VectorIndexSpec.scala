@@ -102,6 +102,14 @@ class VectorIndexSpec extends SparkSpec {
     // but the CURRENT view is unchanged — the lakehouse retention trade
     VectorIndex.compact(spark, path)
     assert(snap(VectorIndex.loadActiveAsOf(spark, path, 99L)) == atUpsert)
+    // and the fold is RECORDED: a full compact writes the retention
+    // horizon (max surviving epoch + 1), so reads below it refuse
+    // loudly instead of serving a silent partial view
+    assert(VectorIndex.retentionHorizon(spark, path).contains(3L))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.loadActiveAsOf(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("retention horizon"))
   }
 
   test("compactRetain: history above the horizon exact, below refused, storage folded") {

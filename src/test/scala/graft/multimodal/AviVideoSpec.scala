@@ -34,6 +34,27 @@ class AviVideoSpec extends SparkSpec {
     assert(back.size == 1 && back.head.sameElements(frame(4, 10)))
   }
 
+  test("fps roundtrips exactly through strh rate/scale, even when 1e6 % fps != 0") {
+    // avih's dwMicroSecPerFrame truncates 1e6/9999 to 100, which would
+    // decode as 10000 — the strh (scale=1, rate=fps) pair carries the
+    // exact value
+    for (fps <- Seq(24, 9999, 300000, 1000000)) {
+      val (_, _, got, _) = AviVideo.decode(AviVideo.pack(Seq(frame(1, 8)), 16, 16, fps))
+      assert(got == fps, s"fps $fps decoded as $got")
+    }
+  }
+
+  test("videoFrameHashes refuses composite-key bound violations loudly") {
+    val bad = Seq((-1L, AviVideo.pack(Seq(frame(1, 8)), 16, 16, 24)))
+      .toDF("media_id", "bytes").withColumn("kind", lit("video"))
+    val e = intercept[Exception] {
+      Multimodal.videoFrameHashes(bad).collect()
+    }
+    assert(e.getMessage.contains("composite-key bounds") ||
+      e.getCause != null && e.getCause.getMessage.contains("composite-key bounds"),
+      s"expected the bounds refusal, got: ${e.getMessage}")
+  }
+
   test("decode refuses non-AVI, overruns, and headerless containers loudly") {
     intercept[IllegalArgumentException] {
       AviVideo.decode("not an avi at all".getBytes)

@@ -120,6 +120,12 @@ class HnswSpec extends SparkSpec {
     assert(afterRows == before, "merge changed exhaustive-beam results")
     // below target: no-op
     assert(Hnsw.mergeSegments(spark, path, targetShards = 4) == ((after, after)))
+    // a target below numShards can never converge (each merge emits up
+    // to numShards fresh graphs): loud refusal, not an eternal rewrite
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.mergeSegments(spark, path, targetShards = 1)
+    }
+    assert(e.getMessage.contains("cannot converge"))
     // deletes compose through a merged generation
     val top = before.head.getLong(2)
     Hnsw.delete(spark, path, Seq(top))
