@@ -147,6 +147,53 @@ object CorpusPipeline {
           .as("n_near"))
   }
 
+  /** Per-document disposition audit — the provenance table a training
+    * pipeline persists next to the curated output (data cards, takedown
+    * and contamination audits all ask "why is doc X out, and who kept
+    * its content?"): `(doc_id, verdict, kept_by)` with verdict ∈
+    * `kept | drop_quality | drop_exact_dup | drop_near_dup` and
+    * `kept_by` the surviving carrier of the dropped content (the
+    * keep-first digest keeper for exact dups, the smallest paired
+    * keeper for near-dups; null otherwise). Same single-traversal shape
+    * and exactly the same stage laws as [[funnel]] — the counts of one
+    * are the GROUP BY of the other, which the oracle checks.
+    */
+  def funnelAudit(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      nearDupMinSim: Double = 0.8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Long = AutoDocFreq): DataFrame = {
+    val bound = resolveDocFreq(docs, maxDocFreq)
+    val q = col("__q")
+    val flagged = docs.withColumn(
+      "__q", TextAnalytics.qualityScore(col(textCol)) >= minQuality)
+    val w = Window
+      .partitionBy(q, md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    val staged = flagged
+      .withColumn("__e", q && row_number().over(w) === 1)
+      .withColumn("__keeper",
+        min(col(idCol)).over(Window.partitionBy(q, md5(col(textCol).cast("binary")))))
+    val exact = staged.where(col("__e")).select(col(idCol), col(textCol))
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
+    // a near-dup loser's carrier: its smallest surviving pair partner
+    val nearKeeper = pairs.groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("__nk"))
+    staged.join(nearKeeper, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(!q, lit("drop_quality"))
+          .when(!col("__e"), lit("drop_exact_dup"))
+          .when(col("__nk").isNotNull, lit("drop_near_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(!q, lit(null).cast("long"))
+          .when(!col("__e"), col("__keeper").cast("long"))
+          .when(col("__nk").isNotNull, col("__nk").cast("long"))
+          .otherwise(lit(null).cast("long")).as("kept_by"))
+  }
+
   /** Streaming intake arm of [[curate]]: the gates that can run per-event
     * applied to a live document stream (`docs` must carry an event-time
     * `ts` column).
