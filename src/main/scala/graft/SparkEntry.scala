@@ -1656,6 +1656,74 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a9c_sq8_lifecycle") { (s, dir) =>
+      // the SQ8 lifecycle close (round-8 verdict #1: the quantized-scan
+      // families were the last without append/delete/compact): seed the
+      // codes from the even half, APPEND the odd half THROUGH the frozen
+      // persisted bounds (the appendIvf law for the affine quantizer — no
+      // re-fit, O(batch)), tombstone three served ids (each a rank-2 hit
+      // at sf0.01), then COMPACT. Half the probe runs against the MARKED
+      // codes (probe-side exclusion), half after the physical purge —
+      // both must agree, and the oracle recomputes brute-force kNN over
+      // the corpus minus the deleted ids: same provably-exact shortlist
+      // premise as a9/a9b (rerank=48 over 500 vectors; SqSpec pins pool
+      // recall 1.0), now carried through every lifecycle transition
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sq_lc").toString + "/idx"
+      Sq.writeCodes(emb.where(pmod(col("vec_id"), lit(2)) === 0), tmp)
+      Sq.appendCodes(s, emb.where(pmod(col("vec_id"), lit(2)) === 1), tmp)
+      Sq.deleteCodes(s, tmp, Seq(130L, 340L, 30L))
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def probe() = Sq.sqProbe(s, tmp, qs, emb, k = 5, rerank = 48)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+      val marked = probe().collect()
+      Sq.compactCodes(s, tmp)
+      val compacted = probe()
+      require(marked.map(_.toString).toSeq ==
+        compacted.collect().map(_.toString).toSeq,
+        "marked-codes and compacted-codes probes must agree")
+      compacted
+    }
+
+    reg("a7c_pq_lifecycle") { (s, dir) => // golden-pinned: seeded codebooks
+      // the PQ twin of a9c: codebooks fitted ONCE on the even half
+      // (fitSampled — deterministic), codes seeded, the odd half appended
+      // THROUGH the frozen codebooks (FAISS trains once, add()s forever),
+      // the same three ids tombstoned, then compacted. Marked and
+      // compacted probes must agree; the output is golden-pinned (like
+      // a7/a7b the seeded fit is not SQL-expressible) and recorded AFTER
+      // the full lifecycle, so any drift in append routing, probe-side
+      // exclusion, or the compact's anti-join breaks the hash
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pq_lc").toString + "/idx"
+      val seed = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val model = Pq.fitSampled(seed, dims = 64, m = 8, k = 16, maxIter = 10)
+      Pq.write(Pq.encode(seed, model), model, tmp)
+      Pq.appendCodes(s, emb.where(pmod(col("vec_id"), lit(2)) === 1), tmp)
+      Pq.deleteCodes(s, tmp, Seq(130L, 340L, 30L))
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def probe() = {
+        val (codes, m) = Pq.load(s, tmp)
+        Pq.topKBatch(qs, codes, m, k = 5, emb = emb, rerank = 8)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), round(col("dist"), 4).as("dist"))
+          .orderBy("query_id", "rank")
+      }
+      val marked = probe().collect()
+      Pq.compactCodes(s, tmp)
+      val compacted = probe()
+      require(marked.map(_.toString).toSeq ==
+        compacted.collect().map(_.toString).toSeq,
+        "marked-codes and compacted-codes probes must agree")
+      compacted
+    }
+
     reg("a12_hnsw_topk") { (s, dir) =>
       // sharded HNSW (Malkov-Yashunin graph walk — the index Chroma keeps
       // under app.py:130's similarity_search): 4 independent shard graphs
@@ -2581,7 +2649,10 @@ object SparkEntry {
     * population). Rank ties break on (dist, vec_id), matching the engine's
     * k-heap order.
     */
-  private def bruteForceKnnOracle(k: Int): String =
+  private def bruteForceKnnOracle(k: Int, exclude: Seq[Long] = Nil): String = {
+    val excl =
+      if (exclude.isEmpty) "embeddings"
+      else s"(SELECT * FROM embeddings WHERE vec_id NOT IN (${exclude.mkString(", ")}))"
     s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
        |scored AS (
@@ -2589,13 +2660,14 @@ object SparkEntry {
        |    sqrt(list_sum(list_transform(range(1, 65),
        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
-       |  FROM embeddings e, qs q),
+       |  FROM $excl e, qs q),
        |ranked AS (
        |  SELECT query_id, vec_id, dist, row_number() OVER (
        |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank
        |  FROM scored)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** b2/b6's shared oracle: BM25 ranks + brute-force dense ranks + RRF
     * fusion, all recomputed in DuckDB — the fused integer sum both
@@ -3155,6 +3227,15 @@ object SparkEntry {
     // a9b: same exact-shortlist premise through the persisted codes —
     // the at-rest round-trip must be value-invisible to the brute force
     "a9b_sq8_at_rest" -> bruteForceKnnOracle(5),
+    // a9c: the full lifecycle (seed + append through frozen bounds +
+    // delete + compact) must serve exactly the brute-force answer over
+    // the corpus MINUS the tombstoned ids — both the probe-side
+    // exclusion and the compact's physical purge are hash-checked
+    "a9c_sq8_lifecycle" -> bruteForceKnnOracle(5, exclude = Seq(130L, 340L, 30L)),
+    // a7c: seeded codebooks (not SQL-expressible) + the same lifecycle —
+    // golden-pinned like a7/a7b, recorded AFTER the full cycle
+    "a7c_pq_lifecycle" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a7c_pq_lifecycle_sf001.parquet')",
     // a12/a13: exact-by-construction at fixture scale (efSearch >= shard
     // population — see the registration comments), so the oracle is the
     // same brute-force top-5 as a9

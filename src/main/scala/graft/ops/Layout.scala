@@ -316,6 +316,44 @@ object Layout {
     ()
   }
 
+  /** Shared tombstone-folding compact for an UNPARTITIONED id-keyed
+    * parquet table (the SQ8/PQ `codes/` dirs — [[Sq.compactCodes]],
+    * [[Pq.compactCodes]]; the partitioned variant lives in
+    * [[Ann.compactIvf]] because it must preserve `partitionBy`): snapshot
+    * the sidecar's data files, anti-join exactly those ids out of the
+    * table, refuse-to-empty, rename-aside swap, then spend only the
+    * snapshotted files — a delete issued DURING the compact lands new
+    * part files that survive the spend and stay excluded by the next
+    * probe (the [[snapshotTombstoneFiles]] law). Returns (rows before,
+    * rows after).
+    */
+  private[graft] def compactKeyedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String,
+      tombPath: String,
+      idCol: String,
+      op: String): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tombFiles = snapshotTombstoneFiles(fs, tombPath)
+    val data = spark.read.parquet(dataPath)
+    val before = data.count()
+    val live = Ann.materializeOnce(
+      if (tombFiles.isEmpty) data
+      else data.join(
+        spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select(col(idCol).cast("long").as(idCol)).distinct(),
+        Seq(idCol), "left_anti"))
+    val after = live.count()
+    require(after > 0,
+      s"$op: every row at $dataPath is tombstoned — delete the index " +
+        "directory instead of compacting to empty")
+    live.write.mode("overwrite").parquet(s"$dataPath.__compact")
+    swapDir(fs, dataPath, s"$dataPath.__compact")
+    spendTombstoneFiles(fs, tombPath, tombFiles)
+    (before, after)
+  }
+
   /** Shared overwrite-semantics tail for every at-rest `write*` rebuild
     * ([[graft.search.Bm25.writeIndex]], [[Ann.writeIvf]],
     * [[Hnsw.write]], [[Dedup.writeMinhash]]): a rebuild at `path`
@@ -360,6 +398,7 @@ object Layout {
     // exists or it doesn't. Single-writer contract (the streaming
     // checkpoint guarantees one driver per sink) — the exists/create
     // pair is not a cross-driver lock.
+    migrateLegacyLedger(spark, fs, lp)
     val marker = new org.apache.hadoop.fs.Path(lp, batchId.toString)
     if (fs.exists(marker)) false
     else {
@@ -370,14 +409,52 @@ object Layout {
     }
   }
 
+  /** One-time upgrade of a pre-marker ledger: the previous format was a
+    * parquet table of `batch_id` rows, which the marker-file read
+    * (`fs.exists`) cannot see — an index whose batches were ledgered by
+    * the old format would silently re-apply every one of them on
+    * streaming replay (duplicate segments, doc-id disjointness violated).
+    * On first touch of a ledger dir still holding parquet part files,
+    * read the legacy ids ONCE, materialize each as a marker file, then
+    * drop the parquet files — after which the dir is a pure marker
+    * ledger. Bounded: the read is ledger-sized (one row per batch ever
+    * applied).
+    */
+  private def migrateLegacyLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(lp)) return
+    val parquetFiles = fs.listStatus(lp).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    if (parquetFiles.isEmpty) return
+    val legacy = spark.read.parquet(parquetFiles.map(_.toString): _*)
+    require(legacy.schema.fieldNames.contains("batch_id"),
+      s"ledger at $lp holds parquet files without a batch_id column — " +
+        "not a legacy batch ledger; refusing to migrate")
+    val ids = legacy.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val m = new org.apache.hadoop.fs.Path(lp, id.toString)
+      if (!fs.exists(m)) fs.create(m).close()
+    }
+    // markers exist for every legacy id before any parquet file is
+    // dropped, so a crash mid-migration only re-runs the (idempotent)
+    // marker creation
+    parquetFiles.foreach(f => fs.delete(f, false))
+  }
+
   /** Batch ids recorded in a [[ledgeredBatch]] marker ledger, ascending. */
   private[graft] def ledgeredBatchIds(
       spark: org.apache.spark.sql.SparkSession, ledgerPath: String): Seq[Long] = {
     val lp = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(lp)) Seq.empty
-    else fs.listStatus(lp).toSeq.map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+    else {
+      migrateLegacyLedger(spark, fs, lp)
+      fs.listStatus(lp).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+    }
   }
 
   private[graft] def swapDir(

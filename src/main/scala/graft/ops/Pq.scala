@@ -289,8 +289,12 @@ object Pq {
     *   - `codebooks/`: one `(j, c, centroid ARRAY<FLOAT>)` row per
     *     subspace-centroid (m·k rows, KBs);
     *   - `meta/`: `(dims, m, k)`.
-    * Rebuild on corpus change — codes are meaningless under re-fitted
-    * codebooks, and FAISS-style re-training invalidates them the same way.
+    * Full lifecycle (the [[graft.ops.Sq]]/[[Ann.appendIvf]] symmetry):
+    * [[appendCodes]] encodes new rows through the FROZEN persisted
+    * codebooks, [[deleteCodes]] tombstones, [[compactCodes]] purges.
+    * A rebuild here replaces the whole index state — the previous life's
+    * tombstone sidecar and batch ledger go with it (re-fitted codebooks
+    * invalidate old codes the same way FAISS re-training does).
     */
   def write(codes: DataFrame, model: PqModel, path: String): Unit = {
     val spark = codes.sparkSession
@@ -304,12 +308,15 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     Seq((model.dims, model.m, model.k)).toDF("dims", "m", "k")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Layout.clearIndexSidecars(spark, path)
   }
 
-  /** Load a persisted PQ index: (codes frame, model). The codebook read
-    * is m·k rows — driver-bounded by construction.
+  /** The stored fine quantizer alone — the m·k codebook rows are
+    * driver-bounded by construction. Shared by [[load]] (probe side) and
+    * [[appendCodes]] (which must encode through the FROZEN codebooks
+    * without paying the code-table read).
     */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, PqModel) = {
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
     val meta = spark.read.parquet(s"$path/meta").select("dims", "m", "k").head
     val (dims, m, k) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val codebooks = Array.ofDim[Array[Float]](m, k)
@@ -322,8 +329,78 @@ object Pq {
           s"pq.load: codebook entry ($j,$c) missing at $path — corrupt index")
       }
     }
-    (spark.read.parquet(s"$path/codes"), PqModel(dims, m, k, codebooks))
+    PqModel(dims, m, k, codebooks)
   }
+
+  /** Load a persisted PQ index: (codes frame, model). Tombstoned ids
+    * ([[deleteCodes]]) are excluded probe-side via the shared bounded
+    * exclusion, so every consumer of the loaded codes — [[topKBatch]],
+    * [[ivfPqTopKBatch]] — serves only live docs until a [[compactCodes]]
+    * purges them for real.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, PqModel) = {
+    val model = loadModel(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    // the id column is whatever name the codes were encoded with (first
+    // column by construction of encode's select)
+    val idCol = codes.schema.fields.head.name
+    (Layout.excludeTombstoned(spark, codes, s"$path/_tombstones", idCol), model)
+  }
+
+  /** Append a batch to a persisted PQ index THROUGH the frozen stored
+    * codebooks — the [[Ann.appendIvf]] law for the fine quantizer: FAISS
+    * trains once and `add()`s forever after; appended vectors encode
+    * O(batch × m × k) with no re-fit and the codes stay mutually
+    * comparable. Unlike SQ8 there is no clamp-drift failure mode — every
+    * vector has SOME nearest centroid per subspace; distribution drift
+    * degrades quantization error smoothly, which the exact re-rank
+    * absorbs. The dims guard is loud: [[PqModel.encodeOne]] on a
+    * wrong-width vector would throw row-by-row inside a task otherwise.
+    * Idempotence is the caller's contract; pair with
+    * [[Layout.ledgeredBatch]] for streaming (the Hnsw/Bm25 recipe).
+    */
+  def appendCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val model = loadModel(spark, path)
+    val stats = batch.agg(
+      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
+      count(lit(1)).as("n")).head
+    if (stats.getLong(2) == 0L) return // empty batch: nothing to encode
+    require(stats.getInt(0) == model.dims && stats.getInt(1) == model.dims,
+      s"pq.appendCodes: batch dims [${stats.getInt(0)}, ${stats.getInt(1)}] " +
+        s"!= index dims ${model.dims}")
+    encode(batch, model, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Mark ids deleted (tombstone sidecar append — probes exclude via
+    * [[load]], [[compactCodes]] purges; a delete is terminal until then).
+    */
+  def deleteCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long],
+      idCol: String = "vec_id"): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF(idCol).write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** Fold tombstones into the code table (anti-join — scale-safe at any
+    * tombstone count) and swap via the shared rename-aside protocol. The
+    * codebooks are untouched: the quantizer stays frozen, so surviving
+    * codes remain valid verbatim. Returns (rows before, rows after).
+    */
+  def compactCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "vec_id"): (Long, Long) =
+    Layout.compactKeyedTable(
+      spark, s"$path/codes", s"$path/_tombstones", idCol, "pq.compactCodes")
 
   /** Batch ANN over PQ codes: one row per (query, rank ≤ k).
     *

@@ -179,11 +179,12 @@ object Sq {
     *     every probe must reuse (codes are meaningless under re-fitted
     *     bounds, so the model travels with them).
     *
-    * Returns the fitted model. Rebuild (overwrite) after the corpus
-    * changes; there is no incremental append — an appended batch would
-    * need the ORIGINAL bounds to stay code-compatible, which works until
-    * a new row falls outside them (clamped = silently wrong distances),
-    * so the honest contract is rebuild-on-change.
+    * Returns the fitted model. Full lifecycle (the [[Ann.appendIvf]]/
+    * [[graft.search.Bm25]] symmetry): [[appendCodes]] encodes new rows
+    * through the FROZEN persisted bounds (with a drift guard),
+    * [[deleteCodes]] tombstones, [[compactCodes]] purges. A rebuild here
+    * replaces the whole index state, so the previous life's tombstone
+    * sidecar and batch ledger go with it.
     */
   def writeCodes(
       index: DataFrame,
@@ -198,8 +199,85 @@ object Sq {
       .write.mode("overwrite").parquet(s"$path/codes")
     Seq((model.mins.toSeq, model.maxs.toSeq)).toDF("mins", "maxs")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    Layout.clearIndexSidecars(spark, path)
     model
   }
+
+  /** Append a batch to a persisted SQ8 index THROUGH the frozen stored
+    * bounds — the [[Ann.appendIvf]] law one family over: the quantizer
+    * (here the per-dim affine map) is frozen at build time, so appended
+    * rows encode O(batch) with no corpus re-fit and the codes stay
+    * mutually comparable. Values outside the frozen bounds CLAMP (FAISS's
+    * `ScalarQuantizer` contract), which skews their ADC distances; the
+    * guard measures the batch's out-of-bounds VALUE fraction (cells, not
+    * rows — in high dimensions nearly every new row exceeds SOME dim's
+    * sample max by a hair, which is benign; a batch where whole
+    * distributions moved is not) in one aggregate and refuses past
+    * `maxOutOfBounds` — past that the bounds are stale and the honest
+    * move is a rebuild, not a silent recall cliff. Idempotence is the
+    * caller's contract; pair with [[Layout.ledgeredBatch]] for streaming
+    * (the Hnsw/Bm25 recipe).
+    */
+  def appendCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxOutOfBounds: Double = 0.05): Unit = {
+    Ann.requireIntegralId(batch, idCol, "sq.appendCodes")
+    val model = loadModel(spark, path)
+    // dims check FIRST, as its own action (the fitBounds order): the
+    // out-of-bounds aggregate below indexes every dim with element_at,
+    // which must not be the thing that discovers a short vector
+    val dRow = batch.agg(
+      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
+      count(lit(1)).as("n")).head
+    if (dRow.getLong(2) == 0L) return // empty batch: nothing to encode
+    require(dRow.getInt(0) == model.dims && dRow.getInt(1) == model.dims,
+      s"sq.appendCodes: batch dims [${dRow.getInt(0)}, ${dRow.getInt(1)}] " +
+        s"!= index dims ${model.dims}")
+    val oobCells = (0 until model.dims).map { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      when(x < lit(model.mins(i)) || x > lit(model.maxs(i)), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val stats = batch.agg(
+      count(lit(1)).as("n"), sum(oobCells).as("n_oob")).head
+    val frac = stats.getLong(1).toDouble / (stats.getLong(0) * model.dims)
+    require(frac <= maxOutOfBounds,
+      f"sq.appendCodes: $frac%.3f of the batch's values fall outside the " +
+        f"frozen per-dim bounds (> $maxOutOfBounds%.3f) — the stored " +
+        "quantizer is stale for this data; rebuild via writeCodes instead " +
+        "of appending clamped (silently skewed) codes")
+    encode(batch, model, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Mark ids deleted (tombstone sidecar append — the shared stance:
+    * probes exclude via [[Layout.excludeTombstoned]], [[compactCodes]]
+    * purges; a delete is terminal until then).
+    */
+  def deleteCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long],
+      idCol: String = "vec_id"): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF(idCol).write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** Fold tombstones into the code table (anti-join — scale-safe at any
+    * tombstone count) and swap via the shared rename-aside protocol. The
+    * bounds are untouched: the quantizer stays frozen, so surviving codes
+    * remain valid verbatim. Returns (rows before, rows after).
+    */
+  def compactCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String = "vec_id"): (Long, Long) =
+    Layout.compactKeyedTable(
+      spark, s"$path/codes", s"$path/_tombstones", idCol, "sq.compactCodes")
 
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): SqModel = {
     val r = spark.read.parquet(s"$path/model").select("mins", "maxs").head
@@ -210,7 +288,9 @@ object Sq {
     * NO bounds aggregate, NO re-projection of the corpus anywhere in the
     * plan (asserted in ExplainAudit) — then the usual shortlist + exact
     * re-rank against `index` (the full-precision vectors, touched only
-    * for the queries × rerank shortlisted ids).
+    * for the queries × rerank shortlisted ids). Tombstoned ids
+    * ([[deleteCodes]]) are excluded before the scan, so a deleted doc can
+    * never reach the shortlist, until a [[compactCodes]] purges for real.
     */
   def sqProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -224,7 +304,8 @@ object Sq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val model = loadModel(spark, path)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = Layout.excludeTombstoned(
+      spark, spark.read.parquet(s"$path/codes"), s"$path/_tombstones", idCol)
     adcTopKBatch(queries, codes, model, index, k, rerank,
       queryIdCol, queryVecCol, idCol, vecCol)
   }

@@ -189,6 +189,52 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle: append encodes through the FROZEN codebooks; delete hides; compact purges") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_lc").toString + "/idx"
+    val seed = emb.where(col("vec_id") < 300)
+    val m = Pq.fitSampled(seed, dims = 64, m = 8, k = 8, maxIter = 10)
+    Pq.write(Pq.encode(seed, m), m, path)
+    Pq.appendCodes(spark, emb.where(col("vec_id") >= 300), path)
+    // grown code table == one-shot encode of ALL rows under the SEED
+    // codebooks: appended rows route through the persisted fine
+    // quantizer, never a re-fit (parquet float round-trip is exact)
+    val grown = spark.read.parquet(s"$path/codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val oneShot = Pq.encode(emb, m).as[(Long, Seq[Int])].collect().toMap
+    assert(grown == oneShot, "append must encode through the frozen persisted codebooks")
+    // a wrong-width batch refuses loudly instead of failing inside a task
+    val e = intercept[IllegalArgumentException] {
+      Pq.appendCodes(spark,
+        emb.withColumn("embedding", slice(col("embedding"), 1, 32)), path)
+    }
+    assert(e.getMessage.contains("dims"), s"unexpected: ${e.getMessage}")
+    def probe(): Map[Long, Seq[Long]] = {
+      val (codes2, m2) = Pq.load(spark, path)
+      Pq.topKBatch(queries, codes2, m2, k = 5, emb = emb, rerank = 8)
+        .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    }
+    val full = probe()
+    // delete query 3's top hit (itself): every consumer of load() must
+    // exclude it — it can no longer reach the ADC scan at all
+    val top = full(3L).head
+    Pq.deleteCodes(spark, path, Seq(top))
+    val afterDel = probe()
+    assert(!afterDel.values.exists(_.contains(top)), s"deleted id $top still served")
+    assert(afterDel(3L).take(4) == full(3L).filterNot(_ == top).take(4),
+      "surviving ranks must be the undisturbed tail")
+    // compact purges for real, spends the sidecar, view unchanged
+    val (before, after) = Pq.compactCodes(spark, path)
+    assert(before == 500L && after == 499L, s"expected 500 -> 499, got $before -> $after")
+    assert(!new java.io.File(s"$path/_tombstones").exists(),
+      "compact must spend the tombstone sidecar")
+    assert(probe() == afterDel, "compaction must not change the active view")
+    // rebuild clears the previous life's sidecars: the once-deleted id
+    // serves again
+    Pq.write(Pq.encode(emb, m), m, path)
+    assert(probe() == full, "rebuild must not inherit the old tombstones")
+  }
+
   test("compression: codes are 32x smaller than raw vectors at m=8/64-d") {
     // structural claim pinned as arithmetic so a schema change that widens
     // the code column (e.g. LONG codes) fails loudly

@@ -99,6 +99,75 @@ class SqSpec extends SparkSpec {
       "probe must read the at-rest codes")
   }
 
+  test("lifecycle: append encodes through the FROZEN bounds; delete hides; compact purges") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sq_lc").toString + "/idx"
+    val seed = emb.where(col("vec_id") < 300)
+    val model = Sq.writeCodes(seed, path)
+    Sq.appendCodes(spark, emb.where(col("vec_id") >= 300), path)
+    // grown code table == one-shot encode of ALL rows under the SEED
+    // bounds (the a5b law for the affine quantizer): appended rows route
+    // through the persisted model, never a re-fit
+    val grown = spark.read.parquet(s"$path/codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val oneShot = Sq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+    assert(grown == oneShot, "append must encode through the frozen persisted bounds")
+    val loaded = Sq.loadModel(spark, path)
+    assert(loaded.mins.toSeq == model.mins.toSeq,
+      "append must not touch the stored bounds")
+    val qs = emb.where(col("vec_id").isin(5, 71, 222))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def probe(): Map[Long, Seq[Long]] =
+      Sq.sqProbe(spark, path, qs, emb, k = 5, rerank = 48)
+        .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val full = probe()
+    // delete query 5's top hit (itself): the probe must exclude it and
+    // leave the remaining order undisturbed
+    val top = full(5L).head
+    Sq.deleteCodes(spark, path, Seq(top))
+    val afterDel = probe()
+    assert(!afterDel.values.exists(_.contains(top)), s"deleted id $top still served")
+    assert(afterDel(5L).take(4) == full(5L).filterNot(_ == top).take(4),
+      "surviving ranks must be the undisturbed tail")
+    // compact purges for real, spends the sidecar, and the view is unchanged
+    val (before, after) = Sq.compactCodes(spark, path)
+    assert(before == 400L && after == 399L, s"expected 400 -> 399, got $before -> $after")
+    assert(!new java.io.File(s"$path/_tombstones").exists(),
+      "compact must spend the tombstone sidecar")
+    assert(probe() == afterDel, "compaction must not change the active view")
+  }
+
+  test("appendCodes refuses a batch drifted outside the frozen bounds") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sq_oob").toString + "/idx"
+    Sq.writeCodes(emb.where(col("vec_id") < 300), path)
+    val drifted = emb.where(col("vec_id") >= 300)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(10.0f)).cast("float")))
+    val e = intercept[IllegalArgumentException] {
+      Sq.appendCodes(spark, drifted, path)
+    }
+    assert(e.getMessage.contains("outside the frozen"),
+      s"unexpected message: ${e.getMessage}")
+    // and an empty batch is a clean no-op
+    Sq.appendCodes(spark, emb.where(lit(false)), path)
+    assert(spark.read.parquet(s"$path/codes").count() == 300L)
+  }
+
+  test("writeCodes rebuild clears the previous life's tombstones and batch ledger") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sq_rb").toString + "/idx"
+    Sq.writeCodes(emb, path)
+    Sq.deleteCodes(spark, path, Seq(5L))
+    assert(Layout.ledgeredBatch(spark, s"$path/batches", 7L) {})
+    Sq.writeCodes(emb, path)
+    val qs = emb.where(col("vec_id") === 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Sq.sqProbe(spark, path, qs, emb, k = 1, rerank = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(5L), s"rebuilt index must serve the once-deleted id: $got")
+    assert(Layout.ledgeredBatchIds(spark, s"$path/batches").isEmpty,
+      "the batches ledger must not survive a rebuild")
+  }
+
   test("plan: broadcast query side only; no shuffled cartesian") {
     val qs = emb.limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
