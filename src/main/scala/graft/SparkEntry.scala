@@ -1234,6 +1234,33 @@ object SparkEntry {
       graft.ops.CorpusPipeline.funnel(
         withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L)
     }
+    reg("p20_funnel_audit") { (s, dir) =>
+      // p1's funnel exploded to per-doc dispositions — the provenance
+      // table (data cards, takedowns, contamination audits) on the SAME
+      // corpus and knobs. Two laws are checked: the oracle recomputes
+      // every (doc_id, verdict, kept_by) row in DuckDB, and the
+      // registration ASSERTS on every run that GROUP BY(verdict) equals
+      // the funnel's stage counts — the two views can never drift apart
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(
+        d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
+      val audit = graft.ops.Ann.materializeOnce(
+        graft.ops.CorpusPipeline.funnelAudit(
+          withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L))
+      val counts = audit.groupBy("verdict").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val f = graft.ops.CorpusPipeline.funnel(
+        withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L).head
+      val (nIn, nQ, nE, nN) = (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
+      require(counts.values.sum == nIn &&
+        counts.getOrElse("drop_quality", 0L) == nIn - nQ &&
+        counts.getOrElse("drop_exact_dup", 0L) == nQ - nE &&
+        counts.getOrElse("drop_near_dup", 0L) == nE - nN &&
+        counts.getOrElse("kept", 0L) == nN,
+        s"funnelAudit dispositions $counts inconsistent with funnel " +
+          s"counts (input=$nIn quality=$nQ exact=$nE near=$nN)")
+      audit.orderBy("doc_id")
+    }
     reg("p2_curated_index") { (s, dir) => // rows-only: includes chunk+embed
       val d = T(s, dir, "documents").where(col("doc_id") < 200)
       graft.ops.CorpusPipeline.curateAndIndex(d, minQuality = 0.7)
@@ -3944,6 +3971,76 @@ object SparkEntry {
         |  (SELECT count(*) FROM exact) AS n_exact,
         |  (SELECT count(*) FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers))
         |    AS n_near""".stripMargin,
+    // p20: p1's funnel CTEs re-emitted as the per-doc disposition table.
+    // Keeper laws: exact-dup kept_by = min(doc_id) over the quality-
+    // surviving digest group (provably dedupExact's row_number-first
+    // survivor); near-dup kept_by = smallest pair partner that itself
+    // survives the near-dup stage, falling back to the smallest partner
+    // on strict similarity chains (see CorpusPipeline.funnelAudit).
+    "p20_funnel_audit" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |scored AS (
+        |  SELECT doc_id, text, round(
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    + (CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         ELSE 0.0 END) * 0.3
+        |    + (1.0 - (CASE WHEN length(text) > 0
+        |         THEN least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |                    / length(text) * 4.0, 1.0)
+        |         ELSE 0.0 END)) * 0.1
+        |    + (CASE WHEN (CASE WHEN ntok > 0 THEN CAST(length(text) AS DOUBLE) / ntok
+        |                       ELSE 0.0 END) BETWEEN 3 AND 12
+        |            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id, text,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |        FROM aug)),
+        |quality AS (SELECT doc_id, text FROM scored WHERE quality >= 0.7),
+        |ek AS (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM quality),
+        |exact AS (SELECT doc_id, text FROM ek WHERE rn = 1),
+        |toks0 AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                t -> length(t) > 0))) AS tok
+        |  FROM exact),
+        |dfreq AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+        |toks AS (SELECT id, tok FROM toks0 JOIN dfreq USING (tok) WHERE df <= 300),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |co AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y USING (tok) WHERE x.id < y.id GROUP BY 1, 2),
+        |ndp AS (
+        |  SELECT id_a, id_b FROM co
+        |  JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |losers AS (SELECT DISTINCT id_b FROM ndp),
+        |nk AS (
+        |  SELECT id_b, coalesce(
+        |    min(CASE WHEN id_a NOT IN (SELECT id_b FROM losers) THEN id_a END),
+        |    min(id_a)) AS nk
+        |  FROM ndp GROUP BY id_b)
+        |SELECT a.doc_id,
+        |  CASE WHEN q.doc_id IS NULL THEN 'drop_quality'
+        |       WHEN e.rn > 1 THEN 'drop_exact_dup'
+        |       WHEN n.nk IS NOT NULL THEN 'drop_near_dup'
+        |       ELSE 'kept' END AS verdict,
+        |  CASE WHEN q.doc_id IS NULL THEN CAST(NULL AS BIGINT)
+        |       WHEN e.rn > 1 THEN e.keeper
+        |       ELSE n.nk END AS kept_by
+        |FROM aug a
+        |LEFT JOIN quality q ON a.doc_id = q.doc_id
+        |LEFT JOIN ek e ON a.doc_id = e.doc_id
+        |LEFT JOIN nk n ON a.doc_id = n.id_b
+        |ORDER BY a.doc_id""".stripMargin,
     "x16_redaction" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -151,12 +151,28 @@ object CorpusPipeline {
     * pipeline persists next to the curated output (data cards, takedown
     * and contamination audits all ask "why is doc X out, and who kept
     * its content?"): `(doc_id, verdict, kept_by)` with verdict ∈
-    * `kept | drop_quality | drop_exact_dup | drop_near_dup` and
-    * `kept_by` the surviving carrier of the dropped content (the
-    * keep-first digest keeper for exact dups, the smallest paired
-    * keeper for near-dups; null otherwise). Same single-traversal shape
-    * and exactly the same stage laws as [[funnel]] — the counts of one
-    * are the GROUP BY of the other, which the oracle checks.
+    * `kept | drop_quality | drop_exact_dup | drop_near_dup`.
+    *
+    * `kept_by` laws, stage by stage:
+    *  - exact-dup loser → the keep-first digest keeper, `min(id)` over
+    *    its quality-surviving digest group — PROVABLY the id
+    *    [[Dedup.dedupExact]] keeps (its `row_number() = 1` under
+    *    `orderBy(id)` IS the group minimum), pinned in DedupSpec;
+    *  - near-dup loser → its smallest pair partner that itself SURVIVES
+    *    the near-dup stage (so the named carrier is genuinely in the
+    *    curated output); when every partner was also dropped (a strict
+    *    similarity chain like (1,2),(2,3) without (1,3)), the smallest
+    *    partner — itself dropped, where the carrier chain continues.
+    *    One extra loser-set join, no transitive iteration: a full
+    *    closure would re-run connected components, which the funnel's
+    *    greedy keeper law deliberately does not use ([[curate]]'s
+    *    `exactComponents` variant owns that trade);
+    *  - quality drop / kept → null.
+    *
+    * Same single-traversal shape and exactly the same stage laws as
+    * [[funnel]] — the GROUP BY(verdict) of this table equals the
+    * funnel's stage counts (`p20`'s registration asserts it on every
+    * run, and DedupSpec pins it).
     */
   def funnelAudit(
       docs: DataFrame,
@@ -178,9 +194,20 @@ object CorpusPipeline {
         min(col(idCol)).over(Window.partitionBy(q, md5(col(textCol).cast("binary")))))
     val exact = staged.where(col("__e")).select(col(idCol), col(textCol))
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, nearDupMinSim, bound)
-    // a near-dup loser's carrier: its smallest surviving pair partner
-    val nearKeeper = pairs.groupBy(col("id_b").as(idCol))
-      .agg(min(col("id_a")).as("__nk"))
+    // a near-dup loser's carrier: smallest SURVIVING pair partner, then
+    // smallest partner as the chain fallback (see scaladoc). The loser
+    // set is joined back onto the partner side to mark partners that are
+    // themselves dropped.
+    val loserAs = pairs.select(col("id_b").as("id_a")).distinct()
+      .withColumn("__aLoser", lit(true))
+    val nearKeeper = pairs
+      .join(loserAs, Seq("id_a"), "left")
+      .groupBy(col("id_b").as(idCol))
+      .agg(
+        min(when(col("__aLoser").isNull, col("id_a"))).as("__nkKept"),
+        min(col("id_a")).as("__nkAny"))
+      .withColumn("__nk", coalesce(col("__nkKept"), col("__nkAny")))
+      .select(col(idCol), col("__nk"))
     staged.join(nearKeeper, Seq(idCol), "left")
       .select(
         col(idCol),

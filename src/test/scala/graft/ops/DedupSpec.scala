@@ -451,6 +451,65 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("funnelAudit: dispositions match funnel counts; keeper laws hold stage by stage") {
+    // token sets engineered so the near-dup pairs are EXACTLY
+    // (1,2), (2,4), (3,4) at jaccard >= 0.8 (each adjacent pair shares
+    // 18 of 22 distinct tokens = 0.818; every other pair is <= 0.667):
+    // losers {2, 4}; doc 4's partners are {2 (itself dropped), 3 (kept)}
+    val t = (1 to 20).map(i => s"t$i")
+    val u = (1 to 6).map(i => s"u$i")
+    def txt(ts: Seq[String]) = ts.mkString(" ")
+    val corpus = Seq(
+      1L -> txt(t.take(20)),
+      2L -> txt(t.take(18) ++ u.take(2)),
+      4L -> txt(t.take(16) ++ u.slice(2, 4) ++ u.take(2)),
+      3L -> txt(t.take(14) ++ u.slice(4, 6) ++ u.slice(2, 4) ++ u.take(2)),
+      10L -> txt(t.take(20)), // exact dup of 1
+      11L -> txt(t.take(20))  // exact dup of 1
+    ).toDF("doc_id", "text")
+    val audit = CorpusPipeline
+      .funnelAudit(corpus, minQuality = 0.0, nearDupMinSim = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // exact-dup kept_by IS dedupExact's survivor (row_number-first == min id)
+    val exactKept = Dedup.dedupExact(corpus.where($"doc_id".isin(1L, 10L, 11L)))
+      .select("doc_id").as[Long].head()
+    assert(audit(10L) == ("drop_exact_dup", Some(exactKept)))
+    assert(audit(11L) == ("drop_exact_dup", Some(exactKept)))
+    // near-dup keeper law: doc 2's only partner (1) is kept; doc 4 must
+    // name its smallest SURVIVING partner (3), not the smaller dropped
+    // one (2) — the advisor's chain critique
+    assert(audit(1L) == ("kept", None))
+    assert(audit(3L) == ("kept", None))
+    assert(audit(2L) == ("drop_near_dup", Some(1L)))
+    assert(audit(4L) == ("drop_near_dup", Some(3L)))
+    // strict chain (1,2),(2,3)-shaped fallback: drop doc 3's pair with 4
+    // by removing doc 3 — then 4's only partner is the dropped 2, and
+    // kept_by falls back to it (the carrier chain continues there)
+    val chained = CorpusPipeline
+      .funnelAudit(corpus.where($"doc_id" =!= 3L), minQuality = 0.0,
+        nearDupMinSim = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(chained(4L) == ("drop_near_dup", Some(2L)),
+      s"chain fallback must name the dropped partner: ${chained(4L)}")
+    // GROUP BY(verdict) == the funnel's stage counts, including a
+    // quality-failing doc
+    val withBad = corpus.unionByName(Seq(20L -> "??!").toDF("doc_id", "text"))
+    val audited = CorpusPipeline
+      .funnelAudit(withBad, minQuality = 0.5, nearDupMinSim = 0.8)
+      .groupBy("verdict").count()
+      .as[(String, Long)].collect().toMap
+    val (in, q, ex, near) = CorpusPipeline
+      .funnel(withBad, minQuality = 0.5, nearDupMinSim = 0.8)
+      .as[(Long, Long, Long, Long)].head()
+    assert(audited.values.sum == in)
+    assert(audited.getOrElse("drop_quality", 0L) == in - q)
+    assert(audited.getOrElse("drop_exact_dup", 0L) == q - ex)
+    assert(audited.getOrElse("drop_near_dup", 0L) == ex - near)
+    assert(audited.getOrElse("kept", 0L) == near)
+  }
+
   test("funnel runs as one traversal (bounded job count, not 4 chained actions)") {
     // AQE materializes every exchange as its own job, which hides the
     // action count; with it off, jobs ≈ actions + broadcast builds.
