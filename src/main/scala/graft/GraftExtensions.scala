@@ -88,6 +88,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.AviFrames(es.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => graft.functions.SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vector_norm"),
+      info("vector_norm", "vector_norm(vec) - L2 norm of a float vector"),
+      (es: Seq[Expression]) => graft.functions.VectorNorm(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("unit_vector"),
+      info("unit_vector",
+        "unit_vector(vec) - unit-normalized copy of a float vector as ARRAY<DOUBLE>"),
+      (es: Seq[Expression]) => graft.functions.UnitVector(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_d"),
+      info("dot_product_d", "dot_product_d(a, b) - dot product of two double vectors"),
+      (es: Seq[Expression]) => graft.functions.DotProductDouble(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rp_band_key"),
+      info("rp_band_key",
+        "rp_band_key(vec, dims, table, nProjs, width, seed) - multi-projection RP-LSH band key"),
+      graft.functions.VectorFunctions.buildRpBandKey _))
+
+    ext.injectFunction((
       FunctionIdentifier("cms_merge"),
       info("cms_merge", "cms_merge(sketch) - merge count-min sketches (binary)"),
       (es: Seq[Expression]) =>

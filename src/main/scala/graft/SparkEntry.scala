@@ -2219,6 +2219,87 @@ object SparkEntry {
           col("doc_id"), col("score_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("st13_ivf_stream_append") { (s, dir) =>
+      // batch twin of streamingIvfSink's ledger law (the st11 house
+      // style — the foreachBatch wiring itself is exercised in AnnSpec):
+      // seed lists over the first vectors, two ledgered micro-batches
+      // routed through the FROZEN persisted quantizer, with batch 1
+      // REPLAYED (at-least-once delivery). The ledger no-ops the replay
+      // — a double append would duplicate list rows and the window rank
+      // would serve the same vec_id twice — so the converged index is
+      // value-identical to the one-shot build and a5's golden pin
+      // applies verbatim (the a5b/st11 symmetry law, now with the
+      // ledger in the loop)
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_st").toString + "/idx"
+      val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 8)
+      Ann.writeIvf(assigned.where(col("vec_id") < 200), centroids, tmp)
+      Ann.appendIvfBatch(s,
+        emb.where(col("vec_id") >= 200 && col("vec_id") < 400), tmp, 1L)
+      Ann.appendIvfBatch(s, // replayed delivery of batch 1: must no-op
+        emb.where(col("vec_id") >= 200 && col("vec_id") < 400), tmp, 1L)
+      Ann.appendIvfBatch(s, emb.where(col("vec_id") >= 400), tmp, 2L)
+      val (lists, cents) = Ann.loadIvf(s, tmp)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Ann.ivfTopKBatch(lists, cents, qs, 5, nProbe = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+    reg("st14_sq8_stream_append") { (s, dir) =>
+      // batch twin of streamingSqSink's ledger law (st13's shape for the
+      // affine quantizer; the foreachBatch wiring is exercised in
+      // SqSpec): seed the codes from the even half, two ledgered
+      // micro-batches of the odd half encoded through the FROZEN
+      // persisted bounds, with batch 1 REPLAYED — the marker no-ops it
+      // (a double append would duplicate code rows and serve the same
+      // vec_id twice). Converged codes ≡ a9c's pre-delete state, so the
+      // same brute-force oracle applies: rerank=48 keeps the shortlist
+      // provably exact regardless of the (bounded, guard-checked) clamp
+      // drift on appended values
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sq_st").toString + "/idx"
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      Sq.writeCodes(emb.where(pmod(col("vec_id"), lit(2)) === 0), tmp)
+      Sq.appendCodesBatch(s, odd.where(col("vec_id") < 250), tmp, 1L)
+      Sq.appendCodesBatch(s, odd.where(col("vec_id") < 250), tmp, 1L) // replay: no-op
+      Sq.appendCodesBatch(s, odd.where(col("vec_id") >= 250), tmp, 2L)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Sq.sqProbe(s, tmp, qs, emb, k = 5, rerank = 48)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+    reg("st15_pq_stream_append") { (s, dir) =>
+      // the PQ arm: codebooks fit ONCE over the full corpus (a7b's exact
+      // deterministic fit), codes seeded from the first 300 vectors, the
+      // tail arriving as two ledgered micro-batches encoded through the
+      // FROZEN codebooks with batch 1 replayed. Converged codes are
+      // value-identical to the one-shot a7b encode, so a7's golden pin
+      // applies VERBATIM — routing drift, a ledger miss, or a replay
+      // double-append all break the hash
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pq_st").toString + "/idx"
+      val model = Pq.fitSampled(emb, dims = 64, m = 8, k = 16, maxIter = 10)
+      Pq.write(Pq.encode(emb.where(col("vec_id") < 300), model), model, tmp)
+      Pq.appendCodesBatch(s,
+        emb.where(col("vec_id") >= 300 && col("vec_id") < 400), tmp, 1L)
+      Pq.appendCodesBatch(s, // replayed delivery of batch 1: must no-op
+        emb.where(col("vec_id") >= 300 && col("vec_id") < 400), tmp, 1L)
+      Pq.appendCodesBatch(s, emb.where(col("vec_id") >= 400), tmp, 2L)
+      val (codes, m2) = Pq.load(s, tmp)
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pq.topKBatch(qs, codes, m2, k = 5, emb = emb, rerank = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
     reg("b9_rerank_overlap") { (s, dir) =>
       // SECOND-STAGE reranking over the persisted hybrid stack — the
       // retrieve-cheap-then-rescore-expensive production shape the
@@ -3219,6 +3300,18 @@ object SparkEntry {
         """
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // st13: seed + ledgered appends (one replayed, no-op'd by the
+    // marker) through the frozen quantizer ≡ the one-shot a5 build —
+    // so a5's golden pin applies verbatim
+    "st13_ivf_stream_append" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a5_ivf_batch_sf001.parquet')",
+    // st14: converged SQ8 codes ≡ a9c's pre-delete state (seed + append
+    // through frozen bounds) — the same brute-force oracle, nothing
+    // excluded; st15: converged PQ codes ≡ the one-shot a7b encode —
+    // a7's golden pin verbatim, with the ledger (and a replay) in the loop
+    "st14_sq8_stream_append" -> bruteForceKnnOracle(5),
+    "st15_pq_stream_append" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
     "b2_hybrid_rrf" -> hybridRrfOracle,
     // b6 probes the PERSISTED halves of both channels (b5's BM25 layout +
     // a13's HNSW layout) with value-equality already proven per channel,

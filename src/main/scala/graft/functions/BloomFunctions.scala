@@ -48,16 +48,25 @@ object BloomFunctions {
     lit(bos.toByteArray)
   }
 
-  /** Loud cap on the planned filter size (the plan-inlined bytes live on
-    * the driver and in every task): refuse absurd (expectedItems, fpp)
-    * pairs instead of OOMing the driver. ~1.2 GB/1e9 keys at 1% fpp.
+  /** Loud cap on the planned filter size. The inlined literal does NOT
+    * ride the broadcast (torrent) path: it is serialized into the task
+    * binary of EVERY task and printed in plan strings, so the real cost
+    * is `bytes × tasks` on the wire plus a driver-resident copy — which
+    * is why the default cap is 32 MB (≈ 27M keys at 1% fpp), far below
+    * what a broadcast variable could carry. Above it, raise fpp, shard
+    * the reference set, or switch the probe to a broadcast-hash
+    * semi-join (Spark's own runtime filters make the same size trade:
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` defaults to
+    * 64 MB of bits).
     */
   def requireBounded(
-      expectedItems: Long, fpp: Double, maxBytes: Long = 256L << 20): Unit = {
+      expectedItems: Long, fpp: Double, maxBytes: Long = 32L << 20): Unit = {
     val ln2 = math.log(2)
     val bytes = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong / 8
     require(bytes <= maxBytes,
       s"bloom filter over $expectedItems keys at fpp=$fpp needs ~$bytes bytes " +
-        s"(cap $maxBytes) — raise fpp, shard the reference set, or raise maxBytes")
+        s"(cap $maxBytes) — these bytes ship inline in EVERY task binary, " +
+        "not over broadcast; raise fpp, shard the reference set, or probe " +
+        "via a broadcast semi-join instead")
   }
 }

@@ -174,6 +174,68 @@ object PhraseCount {
   }
 }
 
+/** 64-bit SimHash of a token array (Charikar 2002 — the near-dup
+  * signature under [[graft.ops.Dedup.simhash]]): per bit, the majority
+  * vote of that bit over the tokens' xxhash64 values; ties and empty
+  * input → 0. Token hash is Spark's OWN xxhash64 law
+  * (`XxHash64Function`, seed 42; null token → the seed, exactly like
+  * `xxhash64(NULL)`), so the result is bit-identical to the
+  * `transform`/`aggregate` higher-order formulation it replaced — which
+  * ran 64 interpreted `aggregate` passes per document in the expression
+  * interpreter (HOFs do not participate in whole-stage codegen; the
+  * class this repo measured at 27–57×). Here the whole signature is ONE
+  * static call per row from generated Java: one pass over the tokens,
+  * 64 integer vote counters, no per-element expression dispatch.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(tokens: Any): Any =
+    SimHash64.compute(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Shared by the interpreted eval and the generated Java. The bit vote
+    * uses `(h >> b) & 1`, which equals the logical-shift formulation for
+    * every b in [0, 64) — same law as the SQL `shiftright` the HOF
+    * version used.
+    */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (tokens.isNullAt(i)) 42L // xxhash64(NULL) returns the seed
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tokens.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) r |= 1L << b
+      b += 1
+    }
+    r
+  }
+}
+
 object TextExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -184,6 +246,7 @@ object TextExpressions {
     reg.createOrReplaceTempFunction("xlsx_pack", es => XlsxPack(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "phrase_count", es => PhraseCount(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
   }
 
   def pdfExtract(c: Column): Column = call_function("pdf_extract", c)

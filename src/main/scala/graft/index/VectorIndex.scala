@@ -311,18 +311,28 @@ object VectorIndex {
     // a full compact spends EVERY tombstone, so AS OF below the newest
     // surviving epoch would silently serve a partial view (a doc whose
     // live row carries epoch 3 vanishes from AS OF 2 instead of showing
-    // its prior revision). Record the fact as a retention horizon — max
-    // surviving epoch + 1, never below an existing horizon — so
-    // loadActiveAsOf refuses those reads loudly, exactly like
-    // compactRetain.
+    // its prior revision). SPENT TOMBSTONE epochs bound the horizon too:
+    // if the newest batch was a pure delete (tomb_epoch T above every
+    // surviving row), AS OF epochs in [maxSurvivingEpoch, T-1] included
+    // the doc pre-compact but would silently miss it after — exactly the
+    // partial view the horizon exists to refuse. Record
+    // max(maxSurvivingEpoch, max spent tomb_epoch) + 1, never below an
+    // existing horizon, so loadActiveAsOf refuses those reads loudly,
+    // exactly like compactRetain.
     val maxEpoch =
       if (!active.columns.contains("epoch")) 0L
       else active.agg(max(coalesce(col("epoch"), lit(0L)))).head match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+    val maxTombEpoch =
+      readTombstones(spark, path).agg(max(col("tomb_epoch"))).head match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      }
     val horizon = math.max(
-      retentionHorizon(spark, path).getOrElse(Long.MinValue), maxEpoch + 1)
+      retentionHorizon(spark, path).getOrElse(Long.MinValue),
+      math.max(maxEpoch, maxTombEpoch) + 1)
     Seq(horizon).toDF("retain_from")
       .coalesce(1).write.parquet(s"$path.__compact/_retention")
     // rename-aside swap (shared protocol — see Layout.swapDir). The

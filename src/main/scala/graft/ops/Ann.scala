@@ -191,30 +191,66 @@ object Ann {
 
   // --------------------------------------------- multi-projection RP-LSH
 
-  /** Deterministic pseudo-random projection coefficient in [-0.5, 0.5):
-    * r(table, proj, dim) from xxhash64 — no fitted model, no broadcast
-    * weights, reproducible across sessions.
-    */
-  private def rCoef(seed: Long, table: Int, proj: Int, dim: Column): Column =
-    pmod(xxhash64(lit(seed), lit(table), lit(proj), dim), lit(100000L)) /
-      lit(100000.0) - lit(0.5)
-
   /** One table's band key: AND-combination of `nProjs` quantized
-    * projections, `floor(⟨x, r⟩ / width)` each, concatenated. Pure column
-    * algebra (codegen) — each added projection multiplies bucket
-    * selectivity, which is the AND-amplification MLlib's
-    * BucketedRandomProjectionLSH (one projection per table) cannot express.
+    * projections, `floor(⟨x, r⟩ / width)` each, concatenated — each added
+    * projection multiplies bucket selectivity, the AND-amplification
+    * MLlib's BucketedRandomProjectionLSH (one projection per table)
+    * cannot express.
+    *
+    * Native codegen since round 9: ONE static call per row through
+    * [[graft.functions.RpBandKeyExpr]] — deterministic coefficients
+    * (same xxhash64 law the per-row HOF recomputed) built once per plan
+    * into a flat `double[]`, so nothing hashes per row and the generated
+    * bytes per call site are O(1) regardless of dims. (A per-dim
+    * unrolled column tree was tried first and REJECTED: at
+    * `dims × nProjs × nTables` Add nodes per select it crossed janino's
+    * 64 KB method limit and the whole stage silently fell back to the
+    * interpreter.) Bit-identical keys, pinned against the HOF twin in
+    * AnnSpec.
+    *
+    * `dims` must be the vector width; vectors shorter than `dims` refuse
+    * loudly at key time, longer ones band on their first `dims`
+    * components — callers probe it once via [[probeDims]].
     */
-  def rpBandKey(vec: Column, table: Int, nProjs: Int, width: Double,
-      seed: Long = 42L): Column = {
+  def rpBandKey(vec: Column, dims: Int, table: Int, nProjs: Int, width: Double,
+      seed: Long = 42L): Column =
+    graft.functions.VectorFunctions.rpBandKey(vec, dims, table, nProjs, width, seed)
+
+  /** The pre-round-9 interpreted-HOF band key, kept ONLY as the
+    * bit-equality twin for AnnSpec/ScaleSmoke A/Bs of [[rpBandKey]].
+    */
+  private[graft] def rpBandKeyHof(vec: Column, table: Int, nProjs: Int,
+      width: Double, seed: Long = 42L): Column = {
+    def rCoef(p: Int, dim: Column): Column =
+      pmod(xxhash64(lit(seed), lit(table), lit(p), dim), lit(100000L)) /
+        lit(100000.0) - lit(0.5)
     val projs = (0 until nProjs).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * rCoef(seed, table, p, d)),
+          (x, d) => x.cast("double") * rCoef(p, d)),
         lit(0.0), (acc, v) => acc + v)
       floor(dot / lit(width)).cast("long").cast("string")
     }
     concat_ws(",", projs: _*)
+  }
+
+  /** Vector width probe for the native banding: min/max of `size(vecCol)`
+    * over a bounded sample (1024 rows — one tiny job, not a corpus
+    * pass). Uniform widths (every sane embedding table) resolve from any
+    * sample; a ragged column either refuses here or fails loudly at key
+    * time ([[graft.functions.RpBandKeyExpr]] refuses rows shorter than
+    * `dims`). Empty frame → 0 dims (the banding of zero rows).
+    */
+  private[ops] def probeDims(df: DataFrame, vecCol: String, op: String): Int = {
+    val r = df.select(size(col(vecCol)).as("__n")).limit(1024)
+      .agg(min(col("__n")), max(col("__n"))).head
+    if (r.isNullAt(0)) 0
+    else {
+      require(r.getInt(0) == r.getInt(1),
+        s"$op: ragged vector column $vecCol (${r.getInt(0)} vs ${r.getInt(1)} " +
+          "dims in the probe sample) — the flat banding indexes every dim")
+      r.getInt(0)
+    }
   }
 
   /** Batch ANN via multi-projection random-projection LSH — the fully
@@ -246,12 +282,14 @@ object Ann {
       nTables: Int = 8,
       nProjs: Int = 3,
       width: Double = 0.5,
-      seed: Long = 42L): RpBands =
+      seed: Long = 42L): RpBands = {
+    val dims = probeDims(index, vecCol, "rpIndexBands")
     RpBands(
       index.select(col(idCol), posexplode(
         array((0 until nTables).map(t =>
-          rpBandKey(col(vecCol), t, nProjs, width, seed)): _*)).as(Seq("band", "__key"))),
+          rpBandKey(col(vecCol), dims, t, nProjs, width, seed)): _*)).as(Seq("band", "__key"))),
       nTables, nProjs, width, seed)
+  }
 
   def rpTopKBatch(
       queries: DataFrame,
@@ -278,9 +316,13 @@ object Ann {
           s"nProjs=${b.nProjs}, width=${b.width}, seed=${b.seed}) but the " +
           s"probe asked for ($nTables, $nProjs, $width, $seed)")
     }
+    // query keys must live in the index's band space: same dims (the
+    // distance step enforces equality anyway — shorter queries fail at
+    // key time, which is earlier and louder)
+    val qDims = probeDims(index, vecCol, "rpTopKBatch")
     val qBands = queries.select(col(queryIdCol), posexplode(
       array((0 until nTables).map(t =>
-        rpBandKey(col(queryVecCol), t, nProjs, width, seed)): _*))
+        rpBandKey(col(queryVecCol), qDims, t, nProjs, width, seed)): _*))
       .as(Seq("band", "__key")))
     val iBands = indexBands.map(_.bands).getOrElse(
       rpIndexBands(index, idCol, vecCol, nTables, nProjs, width, seed).bands)
@@ -423,15 +465,14 @@ object Ann {
   }
 
   /** Unit-normalize an `ARRAY<FLOAT>` embedding column to `ARRAY<DOUBLE>`
-    * (zero vectors dropped — cosine is undefined for them).
+    * (zero vectors dropped — cosine is undefined for them). Codegen since
+    * round 9 ([[VectorFunctions.vectorNorm]]/[[VectorFunctions.unitVector]]
+    * — bit-identical to the `transform`/`aggregate` folds they replaced;
+    * this corpus-wide pass paid the interpreted-HOF tax on every row).
     */
   private def unitRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.withColumn("__norm",
-      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (a, b) => a + b)))
-      .where(col("__norm") > 0)
-      .select(col(idCol),
-        transform(col(vecCol), x => x.cast("double") / col("__norm")).as("__unit"))
+    emb.where(VectorFunctions.vectorNorm(col(vecCol)) > 0)
+      .select(col(idCol), VectorFunctions.unitVector(col(vecCol)).as("__unit"))
 
   /** Cosine near-dup pairs via multi-projection RP-LSH banding — the scale
     * path [[graft.ops.Dedup.cosinePairsAuto]] escalates to.
@@ -489,8 +530,9 @@ object Ann {
     val dStar = math.sqrt(math.max(1e-12, 2.0 - 2.0 * minCos))
     val w = width.getOrElse(dStar)
     val unit = unitRows(emb, idCol, vecCol)
+    val dims = probeDims(emb, vecCol, "cosinePairsRp")
     val banded = unit.select(col(idCol), posexplode(
-      array((0 until nTables).map(t => rpBandKey(col("__unit"), t, nProjs, w, seed)): _*))
+      array((0 until nTables).map(t => rpBandKey(col("__unit"), dims, t, nProjs, w, seed)): _*))
       .as(Seq("band", "__key")))
     val counts = banded.groupBy("band", "__key").agg(count(lit(1)).as("n"))
     // When the probe runs, its ONE aggregation job also collects the
@@ -535,11 +577,13 @@ object Ann {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // exact verify — PERF.md's "the exact-verify step carries the cost"
+    // regime: codegen dot product (bit-identical to the zip_with fold),
+    // not an interpreted HOF per candidate pair
     candPairs
       .join(unit.select(col(idCol).as("id_a"), col("__unit").as("__ua")), Seq("id_a"))
       .join(unit.select(col(idCol).as("id_b"), col("__unit").as("__ub")), Seq("id_b"))
-      .withColumn("cos", aggregate(zip_with(col("__ua"), col("__ub"), _ * _),
-        lit(0.0), (a, b) => a + b))
+      .withColumn("cos", VectorFunctions.dotProductD(col("__ua"), col("__ub")))
       .where(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
@@ -754,6 +798,58 @@ object Ann {
     Layout.swapDir(fs, s"$path/lists", s"$path/lists.__compact")
     Layout.spendTombstoneFiles(fs, s"$path/_tombstones", tombFiles)
     (before, after)
+  }
+
+  /** [[appendIvf]] under the batch ledger ([[Layout.ledgeredBatch]]) —
+    * the streaming-maintenance wrapper, completing the trio with
+    * [[graft.search.Bm25.appendIndexBatch]] and [[Hnsw.appendBatch]]:
+    * at-least-once micro-batch delivery converges to exactly-once list
+    * growth (a replayed batch id no-ops against the marker). Returns
+    * true iff the batch was applied (false = already ledgered).
+    */
+  def appendIvfBatch(
+      spark: SparkSession,
+      index: DataFrame,
+      path: String,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean =
+    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+      appendIvf(spark, index, path, idCol, vecCol)
+      ()
+    }
+
+  /** Small-file maintenance for the IVF lists — the [[graft.search.Bm25
+    * .mergeSegments]]/[[Hnsw.mergeSegments]] analog this layout needs
+    * once a streaming sink feeds it: every [[appendIvf]] leaves one file
+    * per touched centroid partition, and a year of micro-batches is a
+    * footer-read tax on every probe. Each `centroid_id=` partition
+    * directory is bin-packed INDEPENDENTLY via [[Layout.compactFiles]]
+    * (merge set chosen from the file LISTING — partitions already at
+    * target are untouched without a data scan; this per-partition unit
+    * of work is also what bounds a 100 TB maintenance pass). The
+    * `_tombstones` sidecar lives at `path/`, not inside the partitions,
+    * and the rewrite preserves rows verbatim — probe-side exclusion is
+    * unaffected, and [[compactIvf]] remains the pass that folds deletes
+    * for real. Single-writer, same rename-aside window as every compact
+    * here. Returns per-centroid (filesBefore, filesAfter) for the
+    * partitions that were rewritten.
+    */
+  def compactIvfLists(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): Map[Int, (Int, Int)] = {
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(lists).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .flatMap { p =>
+        val st = Layout.compactFiles(spark, p.getPath.toString, targetBytes)
+        if (st.filesAfter < st.filesBefore)
+          Some(p.getPath.getName.stripPrefix("centroid_id=").toInt ->
+            (st.filesBefore, st.filesAfter))
+        else None
+      }.toMap
   }
 
   /** Batch IVF: a query *table* probed in one pass. Per query, rank the

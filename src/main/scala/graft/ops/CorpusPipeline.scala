@@ -373,25 +373,77 @@ object CorpusPipeline {
       storePath: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      storeMaxBucketSize: Long = 0L): DataFrame = {
     val meta = spark.read.parquet(s"$storePath/meta")
       .select("shingle_size", "num_hashes", "bands").head
+    val (shingleSize, numHashes, bands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // ONE shingle-explode and ONE signature aggregate for the whole
+    // batch, materialized up front and shared by all three stages. The
+    // unfused composition (probe → resolve → append as standalone calls)
+    // re-derived explode+signatures per stage with its own checkpoint
+    // each — at micro-batch scale that cascade of tiny jobs (~35/batch,
+    // ~12 s of pure scheduling at sf0.1) IS the intake latency, not the
+    // data. Checkpointing before the append also severs lineage from the
+    // store this batch mutates (the VectorIndex.append swap discipline).
+    val exploded = Ann.materializeOnce(
+      Dedup.shingleExplode(batch, idCol, textCol, shingleSize)
+        .repartition(col(idCol)))
+    val sigs = Ann.materializeOnce(
+      Dedup.signatureTable(exploded, idCol, numHashes))
+    val batchBands = Dedup.bandsOfSigs(sigs, idCol, numHashes, bands)
+    // 1. corpus near-dups. storeMaxBucketSize defaults to the documented
+    // hot-bucket OPT-OUT: the guard re-aggregates the stored corpus band
+    // surface, a corpus-sized pass per micro-batch that an intake loop
+    // should not pay (the hot set only changes on append). Pass > 0 to
+    // re-enable on corpora with degenerate buckets.
+    // Each intermediate id SET below is materialized before reuse: these
+    // batch-bounded sets sit at fan-out points (corpusDups feeds the
+    // within-batch restriction AND the survivor anti-join; afterCorpusIds
+    // restricts two part tables), and an unmaterialized reference
+    // re-executes its ENTIRE upstream DAG per consumer — at micro-batch
+    // scale, where every join side auto-broadcasts, that replication is
+    // a cascade of broadcast-build jobs (measured: the probe/resolve DAG
+    // re-ran ~4x, 167 jobs/batch). Checkpointed, each DAG runs once.
     val ownIds = batch.select(col(idCol).as("corpus_id")).distinct()
-    val corpusDups = Dedup.nearDupesAgainstStore(
-      spark, batch, storePath, idCol, textCol, minJaccard)
-      .join(broadcast(ownIds), Seq("corpus_id"), "left_anti")
-      .select(col("batch_id").as(idCol)).distinct()
-    val afterCorpus = batch.join(corpusDups, Seq(idCol), "left_anti")
-    val losers = Dedup.minHashPairsHashed(afterCorpus, idCol, textCol,
-      shingleSize = meta.getInt(0), numHashes = meta.getInt(1),
-      bands = meta.getInt(2), minJaccard = minJaccard)
-      .select(col("id_b").cast(batch.schema(idCol).dataType).as(idCol))
-      .distinct()
-    // materialize before the append below mutates the store this
-    // lineage probes (the VectorIndex.append swap discipline)
+    val corpusDups = Ann.materializeOnce(
+      Dedup.storeProbeExact(spark, storePath,
+        exploded.select(col(idCol).as("batch_id"), col("__h")),
+        batchBands.select(col(idCol).as("batch_id"), col("band"), col("band_key")),
+        minJaccard, storeMaxBucketSize)
+        .join(broadcast(ownIds), Seq("corpus_id"), "left_anti")
+        .select(col("batch_id").as(idCol)).distinct())
+    // 2. within-batch resolve over the SAME parts, restricted to the
+    // corpus survivors (shingling/signatures are per-doc, so filtering
+    // the batch-wide tables is exactly re-deriving them from afterCorpus)
+    val afterCorpusIds = Ann.materializeOnce(
+      batch.select(idCol).distinct()
+        .join(corpusDups, Seq(idCol), "left_anti"))
+    val losers = Ann.materializeOnce(
+      Dedup.pairsFromBanded(
+        exploded.join(afterCorpusIds, Seq(idCol), "left_semi"),
+        batchBands.join(afterCorpusIds, Seq(idCol), "left_semi")
+          .repartition(col("band"), col("band_key")),
+        idCol, minJaccard, maxBucketSize = 1L << 20)
+        .select(col("id_b").cast(batch.schema(idCol).dataType).as(idCol))
+        .distinct())
     val survivors = Ann.materializeOnce(
-      afterCorpus.join(losers, Seq(idCol), "left_anti"))
-    Dedup.appendMinhash(spark, survivors, storePath, idCol, textCol)
+      batch.join(corpusDups, Seq(idCol), "left_anti")
+        .join(losers, Seq(idCol), "left_anti"))
+    // 3. append the survivors through the docs/ ledger — the same parts
+    // again, filtered to fresh ids (doc-idempotent, data before ledger)
+    val existing = spark.read.parquet(s"$storePath/docs").select("doc_id")
+    val freshIds = Ann.materializeOnce(
+      survivors.select(col(idCol).as("doc_id")).distinct()
+        .join(existing, Seq("doc_id"), "left_anti"))
+    if (freshIds.count() > 0)
+      Dedup.appendPartsToStore(storePath, freshIds,
+        exploded.select(col(idCol).as("doc_id"), col("__h"))
+          .join(freshIds, Seq("doc_id"), "left_semi"),
+        sigs.select(col(idCol).as("doc_id"), col("__sig"))
+          .join(freshIds, Seq("doc_id"), "left_semi"),
+        numHashes, bands)
     survivors
   }
 
@@ -445,6 +497,77 @@ object CorpusPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.search.Bm25.appendIndexBatch(
           batch.sparkSession, batch, path, batchId, idCol, textCol)
+        ()
+      }
+
+  /** Streaming IVF maintenance — the dense-vector twin of
+    * [[streamingBm25Sink]], closing the last index family that could
+    * not be stream-maintained: each micro-batch of vectors routes
+    * through the PERSISTED frozen coarse quantizer
+    * ([[graft.ops.Ann.appendIvfBatch]], batch-ledgered so at-least-once
+    * re-delivery converges to exactly-once list growth; the index must
+    * already exist via `Ann.writeIvf`). Appended vectors are visible to
+    * probes immediately (list reads are plain parquet scans). Run
+    * [[graft.ops.Ann.compactIvfLists]] between batches (single-writer
+    * law) when per-partition small files accrue, and
+    * [[graft.ops.Ann.compactIvf]] when deletes do.
+    */
+  def streamingIvfSink(
+      vecs: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Ann.appendIvfBatch(
+          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+        ()
+      }
+
+  /** Streaming SQ8-code maintenance — with this and [[streamingPqSink]],
+    * EVERY index family in the engine is stream-maintainable
+    * (BM25/HNSW/IVF/SQ8/PQ + the minhash store and the MoR index): each
+    * micro-batch of vectors encodes O(batch) through the PERSISTED
+    * frozen per-dim bounds ([[graft.ops.Sq.appendCodesBatch]],
+    * batch-ledgered so at-least-once re-delivery converges to
+    * exactly-once code growth; the index must already exist via
+    * `Sq.writeCodes`). A bounds-drift refusal fails the query loudly —
+    * the correct outcome when the stream's distribution has left the
+    * frozen quantizer behind. Appended codes are visible to
+    * [[graft.ops.Sq.sqProbe]] immediately (the ADC scan is a plain
+    * parquet read).
+    */
+  def streamingSqSink(
+      vecs: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sq.appendCodesBatch(
+          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+        ()
+      }
+
+  /** Streaming PQ-code maintenance — see [[streamingSqSink]]; encodes
+    * each micro-batch through the PERSISTED frozen codebooks
+    * ([[graft.ops.Pq.appendCodesBatch]]).
+    */
+  def streamingPqSink(
+      vecs: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Pq.appendCodesBatch(
+          batch.sparkSession, batch, path, batchId, idCol, vecCol)
         ()
       }
 

@@ -254,6 +254,24 @@ object Dedup {
       .repartition(col(idCol))
     val banded = bandTable(exploded, idCol, numHashes, bands)
       .repartition(col("band"), col("band_key"))
+    pairsFromBanded(exploded, banded, idCol, minJaccard, maxBucketSize)
+  }
+
+  /** The band→guard→candidate→exact-verify core of [[minHashPairsHashed]],
+    * over PRE-BUILT parts — `exploded` is `(idCol, __h)` and `banded` is
+    * `(idCol, band, band_key)` already repartitioned on (band, band_key).
+    * Split out so the fused intake path
+    * ([[graft.ops.CorpusPipeline.nearDupIntakeBatch]]) can run the
+    * within-batch resolve over the ONE materialized explode/signature
+    * pass it shares with the store probe and the append, instead of
+    * re-deriving all three per stage.
+    */
+  private[graft] def pairsFromBanded(
+      exploded: DataFrame,
+      banded: DataFrame,
+      idCol: String,
+      minJaccard: Double,
+      maxBucketSize: Long): DataFrame = {
     val hot = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucketSize)
@@ -430,12 +448,29 @@ object Dedup {
         .repartition(col("doc_id")))
     val sigs = Ann.materializeOnce(
       signatureTable(exploded, "doc_id", meta.getInt(1)))
-    bandsOfSigs(sigs, "doc_id", meta.getInt(1), meta.getInt(2))
+    appendPartsToStore(path, freshIds, exploded, sigs,
+      meta.getInt(1), meta.getInt(2))
+    n
+  }
+
+  /** The four store appends of [[appendMinhash]] over PRE-BUILT,
+    * ledger-filtered parts (`freshIds` = `doc_id`s not yet in `docs/`;
+    * `exploded`/`sigs` restricted to them). Same crash-window discipline:
+    * data tables append BEFORE the `docs/` ledger, so a crash between
+    * them replays to exact row copies every probe folds.
+    */
+  private[graft] def appendPartsToStore(
+      path: String,
+      freshIds: DataFrame,
+      exploded: DataFrame,
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int): Unit = {
+    bandsOfSigs(sigs, "doc_id", numHashes, bands)
       .write.mode("append").parquet(s"$path/bands")
     sigs.write.mode("append").parquet(s"$path/sigs")
     exploded.write.mode("append").parquet(s"$path/shingles")
     freshIds.write.mode("append").parquet(s"$path/docs")
-    n
   }
 
   /** The stored band surface with tombstoned docs excluded — every store
@@ -504,6 +539,33 @@ object Dedup {
     (before, after)
   }
 
+  /** Small-file maintenance for the minhash store — the
+    * [[graft.ops.Ann.compactIvfLists]] analog this layout needs once a
+    * streaming intake feeds it: every [[appendMinhash]] (and every
+    * intake batch through
+    * [[graft.ops.CorpusPipeline.nearDupIntakeBatch]]) leaves one file
+    * set per batch in each of the four tables, and a year of
+    * micro-batches is a footer-read tax on every probe's band join and
+    * verify scan. Each table is bin-packed INDEPENDENTLY via
+    * [[Layout.compactFiles]] (merge set from the file LISTING — tables
+    * already at target are untouched without a data scan). Rows are
+    * preserved verbatim: the `_tombstones` sidecar lives at `path/`,
+    * outside the four table dirs, so probe-side exclusion is unaffected
+    * and [[compactMinhash]] remains the pass that folds deletes for
+    * real. Single-writer, same rename-aside window as every compact
+    * here. Returns per-table (filesBefore, filesAfter) for tables that
+    * were rewritten.
+    */
+  def compactMinhashFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    Seq("bands", "sigs", "shingles", "docs").flatMap { t =>
+      val st = Layout.compactFiles(spark, s"$path/$t", targetBytes)
+      if (st.filesAfter < st.filesBefore) Some(t -> (st.filesBefore, st.filesAfter))
+      else None
+    }.toMap
+
   /** Near-dup pairs of `batch` against the PERSISTED corpus store:
     * `(batch_id, corpus_id, jaccard)` with jaccard ≥ `minJaccard`.
     *
@@ -542,6 +604,23 @@ object Dedup {
       shingleExplode(batch, idCol, textCol, meta.getInt(0))
         .repartition(col(idCol)).select(col(idCol).as("batch_id"), col("__h")))
     val batchBands = bandTable(exploded, "batch_id", meta.getInt(1), meta.getInt(2))
+    storeProbeExact(spark, path, exploded, batchBands, minJaccard, maxBucketSize)
+  }
+
+  /** The band-join + exact-verify core of [[nearDupesAgainstStore]], over
+    * PRE-BUILT batch parts — `exploded` is `(batch_id, __h)` and
+    * `batchBands` is `(batch_id, band, band_key)`. Split out so the fused
+    * intake path ([[graft.ops.CorpusPipeline.nearDupIntakeBatch]]) shares
+    * ONE materialized explode/signature pass across the store probe, the
+    * within-batch resolve and the append.
+    */
+  private[graft] def storeProbeExact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      exploded: DataFrame,
+      batchBands: DataFrame,
+      minJaccard: Double,
+      maxBucketSize: Long): DataFrame = {
     val stored = storedBands(spark, path)
     // the hot-bucket guard re-aggregates the stored band surface per
     // probe — a corpus-sized pass a continuous intake loop may not want
@@ -677,16 +756,29 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the token multiset. Deterministic: token hash is
-    * xxhash64 via Spark's own expression. Implemented as column algebra:
-    * per-row loop over 64 bits of per-token hashes — no UDF, stays in
-    * codegen.
+  /** 64-bit SimHash of the token multiset, as the native codegen
+    * expression [[graft.functions.SimHash64]]: one static call per row —
+    * one pass over the tokens, 64 integer vote counters. Deterministic:
+    * token hash is Spark's own xxhash64 law (seed 42, null token → the
+    * seed), and the expression is bit-identical to the
+    * `transform`/`aggregate` HOF formulation it replaced (pinned in
+    * DedupSpec) for every non-null token array. ONE deliberate
+    * deviation: a NULL array now hashes to NULL (standard null
+    * propagation) where the HOF emitted 0 as a `when(null > 0)`
+    * artifact — which silently collided null-text docs with empty-text
+    * docs at signature 0. The old shape ran 64 interpreted `aggregate` passes per
+    * document: Spark higher-order functions evaluate in the expression
+    * interpreter, NOT in whole-stage codegen, the exact shape the
+    * round-5 minhash rewrite measured at 57×. Runs per-document in `d6`
+    * and per-event in [[CorpusPipeline.streamingIntake]].
     */
-  def simhash(tokens: Column): Column = {
+  def simhash(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** The pre-round-9 interpreted-HOF formulation, kept ONLY as the
+    * bit-equality twin for DedupSpec/ScaleSmoke A/Bs of [[simhash]].
+    */
+  private[graft] def simhashHof(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
-    // bit i of result = majority of bit i over token hashes
-    // The Scala shiftright/shiftleft helpers take literal bit counts only;
-    // the SQL functions accept a column, so go through call_function.
     val bitVotes = transform(
       sequence(lit(0), lit(63)),
       i => {

@@ -377,6 +377,25 @@ object Pq {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** [[appendCodes]] under the batch ledger ([[Layout.ledgeredBatch]]) —
+    * the streaming-maintenance wrapper (the [[Ann.appendIvfBatch]] law):
+    * at-least-once micro-batch delivery converges to exactly-once code
+    * growth; a replayed batch id no-ops against the marker. The frozen
+    * codebooks make replays idempotent-in-value — the same batch always
+    * encodes to the same codes. Returns true when the batch applied.
+    */
+  def appendCodesBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean =
+    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+      appendCodes(spark, batch, path, idCol, vecCol)
+      ()
+    }
+
   /** Mark ids deleted (tombstone sidecar append — probes exclude via
     * [[load]], [[compactCodes]] purges; a delete is terminal until then).
     */

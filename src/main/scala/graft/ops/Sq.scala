@@ -253,6 +253,29 @@ object Sq {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** [[appendCodes]] under the batch ledger ([[Layout.ledgeredBatch]]) —
+    * the streaming-maintenance wrapper (the [[Ann.appendIvfBatch]] law):
+    * at-least-once micro-batch delivery converges to exactly-once code
+    * growth; a replayed batch id no-ops against the marker. The frozen
+    * bounds make replays trivially idempotent-in-value too — the same
+    * batch always encodes to the same bytes. A bounds-drift refusal
+    * inside [[appendCodes]] fails the streaming query loudly (correct:
+    * the quantizer is stale for the stream and must be re-fit). Returns
+    * true when the batch applied.
+    */
+  def appendCodesBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxOutOfBounds: Double = 0.05): Boolean =
+    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+      appendCodes(spark, batch, path, idCol, vecCol, maxOutOfBounds)
+      ()
+    }
+
   /** Mark ids deleted (tombstone sidecar append — the shared stance:
     * probes exclude via [[Layout.excludeTombstoned]], [[compactCodes]]
     * purges; a delete is terminal until then).

@@ -674,6 +674,81 @@ object ScaleSmoke {
       }
     }
 
+    // 11. round-9 codegen A/Bs: the three interpreted-HOF hot paths
+    // rewritten onto codegen expressions, measured against their HOF
+    // twins SAME-RUN on identical synthesized data. Equality is asserted
+    // in-tier (checksum of every produced value), bit-identity is pinned
+    // row-by-row in AnnSpec/DedupSpec. HOFs evaluate in the expression
+    // interpreter (never whole-stage codegen) — the 27–57× class.
+    section("codegen_ab") {
+      // 11a. rp banding: 10M x 32-d, 8 tables x 3 projs — the banding
+      // engine under a6/a3/cosinePairsRp/rpTopKBatch. The flat form
+      // inlines driver-computed coefficients; the HOF form re-hashed
+      // every (table, proj, dim) per row inside an interpreted fold.
+      val rows = n(10000000L)
+      val vecs = clusteredVecs(rows, 32, 7777, "vec_id", "embedding")
+        .localCheckpoint(true) // isolate the A/B from synthesis cost
+      def bandChecksum(key: Int => org.apache.spark.sql.Column): Long =
+        vecs.select(xxhash64(
+          (0 until 8).map(t => key(t)): _*).as("h"))
+          .agg(sum("h")).head.getLong(0)
+      var flatSum = 0L; var hofSum = 0L
+      time("rp_band_flat_8x3", rows) {
+        flatSum = bandChecksum(t =>
+          graft.ops.Ann.rpBandKey(col("embedding"), 32, t, 3, 0.12)); rows
+      }
+      time("rp_band_hof_8x3", rows) {
+        hofSum = bandChecksum(t =>
+          graft.ops.Ann.rpBandKeyHof(col("embedding"), t, 3, 0.12)); rows
+      }
+      assert(flatSum == hofSum, "flat banding diverged from the HOF twin")
+
+      // 11b. simhash: 10M docs x 25 tokens — one static call per row vs
+      // 64 interpreted aggregate passes per document.
+      val docs = synthDocs(rows, 25)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .localCheckpoint(true)
+      var fastSum = 0L; var hofSimSum = 0L
+      time("simhash_expr", rows) {
+        fastSum = docs.select(graft.ops.Dedup.simhash(col("toks")).as("s"))
+          .agg(sum("s")).head.getLong(0); rows
+      }
+      time("simhash_hof", rows) {
+        hofSimSum = docs.select(graft.ops.Dedup.simhashHof(col("toks")).as("s"))
+          .agg(sum("s")).head.getLong(0); rows
+      }
+      assert(fastSum == hofSimSum, "simhash expression diverged from the HOF twin")
+
+      // 11c. the RP cosine pipeline's per-row normalize + per-pair
+      // verify dot: 5M unit pairs — the wide-slab regime where PERF.md
+      // says the exact verify carries the cost.
+      val prows = n(5000000L)
+      val pairs = clusteredVecs(prows, 32, 91, "id", "va")
+        .withColumn("vb", col("va"))
+        .localCheckpoint(true)
+      def unitHof(c: org.apache.spark.sql.Column) = {
+        val norm = sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, b) => a + b))
+        transform(c, x => x.cast("double") / norm)
+      }
+      var dSum = 0.0; var dHofSum = 0.0
+      time("unit_dot_expr", prows) {
+        dSum = pairs.select(graft.functions.VectorFunctions.dotProductD(
+          graft.functions.VectorFunctions.unitVector(col("va")),
+          graft.functions.VectorFunctions.unitVector(col("vb"))).as("d"))
+          .agg(sum("d")).head.getDouble(0); prows
+      }
+      time("unit_dot_hof", prows) {
+        dHofSum = pairs.select(aggregate(
+          zip_with(unitHof(col("va")), unitHof(col("vb")), _ * _),
+          lit(0.0), (a, b) => a + b).as("d"))
+          .agg(sum("d")).head.getDouble(0); prows
+      }
+      assert(math.abs(dSum - dHofSum) < 1e-6 * prows,
+        s"codegen unit/dot diverged from the HOF twin: $dSum vs $dHofSum")
+    }
+
     spark.stop()
   }
 }

@@ -112,6 +112,29 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("retention horizon"))
   }
 
+  test("compact horizon covers a pure-delete newest epoch") {
+    // if the newest batch was a delete (tomb_epoch above every surviving
+    // row's epoch), the horizon must be tombEpoch + 1, not
+    // maxSurvivingEpoch + 1: AS OF epochs in [maxSurviving, tombEpoch-1]
+    // included the doc pre-compact, so admitting them after the fold
+    // would serve exactly the silent partial view the guard refuses
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_deltomb").toString + "/idx"
+    val d = docs(0 until 4)
+    val embedder = VectorIndex.fit(d)
+    VectorIndex.append(spark, d, path, embedder) // pre-epoch files → epoch 0
+    VectorIndex.deleteDocs(spark, Seq(1L), path, epoch = 5)
+    val atDelete = VectorIndex.loadActive(spark, path).count()
+    VectorIndex.compact(spark, path)
+    assert(VectorIndex.loadActive(spark, path).count() == atDelete)
+    assert(VectorIndex.retentionHorizon(spark, path).contains(6L),
+      "horizon must spend the tombstone's epoch, not just surviving rows'")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.loadActiveAsOf(spark, path, 3L) // pre-compact: doc 1 alive
+    }
+    assert(e.getMessage.contains("retention horizon"))
+  }
+
   test("compactRetain: history above the horizon exact, below refused, storage folded") {
     import org.apache.spark.sql.functions.col
     val path = java.nio.file.Files

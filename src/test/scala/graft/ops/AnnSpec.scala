@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.search.Knn
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{aggregate, col, lit, row_number, sqrt, transform, zip_with}
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -96,6 +96,64 @@ class AnnSpec extends SparkSpec {
     assert(Ann.ivfTopK(lists3, cents3, qv, 10, nProbe = 4)
       .select("vec_id").as[Long].collect().toSeq == afterDel,
       "compaction must not change the active view")
+  }
+
+  test("appendIvfBatch: ledgered replay no-ops; compactIvfLists bin-packs value-invisibly") {
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_lb").toString
+    Ann.writeIvf(assigned.where(col("vec_id") < 60), centroids, path)
+    assert(Ann.appendIvfBatch(spark,
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 200), path, 1L))
+    assert(!Ann.appendIvfBatch(spark, // at-least-once redelivery
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 200), path, 1L),
+      "replayed batch id must no-op against the marker ledger")
+    assert(Ann.appendIvfBatch(spark, emb.where(col("vec_id") >= 200), path, 2L))
+    val (lists, cents) = Ann.loadIvf(spark, path)
+    assert(lists.count() == 500L, "a replayed append must not duplicate rows")
+    val oneShot = assigned.select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    assert(lists.select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+      == oneShot, "ledgered appends must route like the one-shot build")
+    // small-file maintenance: seed + two appends leave several files per
+    // touched centroid partition; bin-packing folds them per partition
+    // (merge set from the listing) and the probe is value-invisible
+    val before = Ann.ivfTopK(lists, cents, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val packed = Ann.compactIvfLists(spark, path)
+    assert(packed.nonEmpty, "expected at least one partition to need packing")
+    assert(packed.forall { case (_, (b, a)) => a < b })
+    val (lists2, cents2) = Ann.loadIvf(spark, path)
+    assert(lists2.count() == 500L)
+    assert(Ann.ivfTopK(lists2, cents2, qv, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq == before,
+      "file packing must not change any probe value")
+  }
+
+  test("streamingIvfSink: micro-batches route through the frozen quantizer exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sink").toString
+    val path = s"$tmp/idx"
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    Ann.writeIvf(assigned.where(col("vec_id") < 400), centroids, path)
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.ops.CorpusPipeline.streamingIvfSink(
+      mem.toDF().toDF("vec_id", "embedding", "label"), path, s"$tmp/ckpt").start()
+    try {
+      val tail = emb.where(col("vec_id") >= 400)
+        .select("vec_id", "embedding", "label")
+        .as[(Long, Array[Float], Int)].collect()
+      mem.addData(tail.filter(_._1 < 450).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(tail.filter(_._1 >= 450).toSeq: _*)
+      q.processAllAvailable()
+      val (lists, _) = Ann.loadIvf(spark, path)
+      assert(lists.count() == 500L)
+      assert(lists.select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+        == assigned.select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap,
+        "streamed vectors must route like the one-shot build")
+      assert(graft.ops.Layout.ledgeredBatchIds(spark, s"$path/batches").size == 2)
+    } finally q.stop()
   }
 
   test("writeIvf rebuild clears the previous life's tombstones and batch ledger") {
@@ -351,6 +409,48 @@ class AnnSpec extends SparkSpec {
     assert(preds.count() == qs.count(), "exactly one prediction per query")
     // votes are bounded by k and at least ceil(k / #distinct-labels) > 0
     assert(preds.agg(org.apache.spark.sql.functions.max("votes")).head.getLong(0) <= 5)
+  }
+
+  test("flat rpBandKey is bit-identical to the interpreted HOF twin") {
+    // the round-9 unroll (driver-computed coefficients inlined as
+    // literals, fold-left from 0.0) must reproduce the
+    // aggregate(zip_with(...)) formulation EXACTLY — the a6/a3 goldens
+    // rest on it. Swept across tables, projection counts and widths.
+    val dims = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .head().getInt(0)
+    for (t <- Seq(0, 3, 11); nProjs <- Seq(1, 3); width <- Seq(0.5, 1.0)) {
+      val diverged = emb.select(
+        Ann.rpBandKey($"embedding", dims, t, nProjs, width).as("flat"),
+        Ann.rpBandKeyHof($"embedding", t, nProjs, width).as("hof"))
+        .where(!($"flat" <=> $"hof")).count()
+      assert(diverged == 0, s"t=$t nProjs=$nProjs width=$width")
+    }
+  }
+
+  test("codegen vector_norm / unit_vector / dot_product_d equal the HOF folds bitwise") {
+    import graft.functions.VectorFunctions
+    val hofNorm = sqrt(aggregate(
+      transform($"embedding", x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, b) => a + b))
+    assert(emb.select(VectorFunctions.vectorNorm($"embedding").as("a"),
+        hofNorm.as("b")).where(!($"a" <=> $"b")).count() == 0,
+      "vector_norm diverged from the fold")
+    val hofUnit = transform($"embedding", x => x.cast("double") / hofNorm)
+    assert(emb.where(VectorFunctions.vectorNorm($"embedding") > 0)
+        .select(VectorFunctions.unitVector($"embedding").as("a"), hofUnit.as("b"))
+        .where(!($"a" <=> $"b")).count() == 0,
+      "unit_vector diverged from the transform")
+    // dot over unit pairs: compare against the zip_with fold on a small
+    // cross of unit vectors
+    val u = emb.limit(20)
+      .select($"vec_id", VectorFunctions.unitVector($"embedding").as("u"))
+    val pairs = u.select($"vec_id".as("ia"), $"u".as("ua"))
+      .crossJoin(u.select($"vec_id".as("ib"), $"u".as("ub")))
+    assert(pairs.select(
+        VectorFunctions.dotProductD($"ua", $"ub").as("a"),
+        aggregate(zip_with($"ua", $"ub", _ * _), lit(0.0), (x, y) => x + y).as("b"))
+        .where(!($"a" <=> $"b")).count() == 0,
+      "dot_product_d diverged from the zip_with fold")
   }
 
   test("knnJoinRp hot-bucket guard drops degenerate buckets, not the job") {

@@ -64,6 +64,34 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }
 
+  test("simhash codegen expression is bit-identical to the interpreted HOF twin") {
+    // the round-9 rewrite (one static call per row) must reproduce the
+    // 64-interpreted-aggregates formulation EXACTLY — including empty
+    // token arrays (0), null tokens inside the array (hash = the seed,
+    // like xxhash64(NULL)), and a null array (null)
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+      .unionByName(Seq(
+        (9001L, Seq.empty[String]),
+        (9002L, Seq("a", null, "b")),
+        (9003L, null)
+      ).toDF("doc_id", "toks"))
+    val both = fixture.select(
+      $"doc_id",
+      Dedup.simhash($"toks").as("fast"),
+      Dedup.simhashHof($"toks").as("hof"))
+    assert(both.where($"toks".isNotNull && !($"fast" <=> $"hof")).count() == 0,
+      "codegen simhash diverged from the HOF formulation")
+    // deliberate deviation: a NULL array hashes to NULL (standard null
+    // propagation) where the HOF emitted 0 as a when(null > 0) artifact —
+    // which silently COLLIDED null-text docs with empty-text docs (sig 0)
+    val nulls = both.where($"doc_id" === 9003L).select("fast").collect()
+    assert(nulls.head.isNullAt(0), "null token array must hash to null")
+    assert(both.where($"doc_id" === 9001L).select("fast")
+      .as[Long].head() == 0L, "empty token array must hash to 0")
+  }
+
   test("simhash banded pairs find the identical pair with hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -218,6 +246,36 @@ class DedupSpec extends SparkSpec {
     val hit = Dedup.nearDupesAgainstStore(spark, probe, path, minJaccard = 0.8)
       .select("corpus_id").as[Long].collect().toSeq
     assert(hit == Seq(9001L), s"appended twin must be found: $hit")
+  }
+
+  test("compactMinhashFiles bin-packs the four tables value-invisibly") {
+    // seed + several appends leave one file set per batch in each table;
+    // packing folds them per table (merge set from the listing) without
+    // moving a single probe value — deletes stay in the sidecar, so the
+    // tombstoned exclusion survives the rewrite verbatim
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_pack").toString + "/idx"
+    Dedup.writeMinhash(fixtureDocs.where($"doc_id" % 3 =!= 0), path,
+      shingleSize = 1, numHashes = 128, bands = 32)
+    for (b <- 0 until 3)
+      Dedup.appendMinhash(spark,
+        Seq((9100L + b, s"novel content batch $b words here")).toDF("doc_id", "text"),
+        path)
+    Dedup.deleteMinhash(spark, path, Seq(9101L))
+    val batch = fixtureDocs.where($"doc_id" % 3 === 0)
+    def probe(): Set[(Long, Long)] =
+      Dedup.nearDupesAgainstStore(spark, batch, path, minJaccard = 0.8)
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val before = probe()
+    val packed = Dedup.compactMinhashFiles(spark, path, targetBytes = Long.MaxValue)
+    assert(packed.nonEmpty, "expected at least one table to need packing")
+    assert(packed.forall { case (_, (b, a)) => a < b })
+    assert(probe() == before, "file packing must not change any probe value")
+    // the sidecar is untouched: the tombstoned doc still cannot suppress
+    val twin = Seq((8101L, "novel content batch 1 words here")).toDF("doc_id", "text")
+    assert(Dedup.nearDupesAgainstStore(spark, twin, path, minJaccard = 0.8)
+      .where($"corpus_id" === 9101L).count() == 0,
+      "deleted corpus doc must stay excluded after packing")
   }
 
   test("estimated store probe: exact twins hit all positions, error law holds") {
@@ -528,6 +586,44 @@ class DedupSpec extends SparkSpec {
     // losers); the old shape was 4 full-pipeline actions (quality ×4,
     // dedup ×3, jaccard ×2), i.e. 4 aggregate actions before broadcasts
     assert(jobs <= 6, s"funnel used $jobs jobs")
+  }
+
+  test("nearDupIntakeBatch runs fused (bounded job count, shared parts)") {
+    // the round-9 fusion: ONE shingle-explode + ONE signature aggregate
+    // shared by store probe, within-batch resolve and append, and every
+    // batch-bounded id set CHECKPOINTED at its fan-out point. The unfused
+    // composition re-executed the probe/resolve DAGs per consumer — at
+    // micro-batch scale each replica is a cascade of broadcast-build
+    // jobs (measured same-run in JobCountProbe: 156 jobs / ~31 s per
+    // batch unfused vs 59 / ~7 s fused). AQE off so exchange
+    // materialization doesn't hide the action count.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ndi_jobs").toString + "/store"
+    Dedup.writeMinhash(
+      Seq((100L, "alpha beta gamma delta epsilon"),
+        (101L, "one two three four five six")).toDF("doc_id", "text"),
+      tmp, shingleSize = 1, numHashes = 128, bands = 32)
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // corpus dup → dropped
+      (2L, "completely novel content here"),
+      (3L, "completely novel content here")   // in-batch twin of 2 → dropped
+    ).toDF("doc_id", "text")
+    val group = "intake-job-count"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, "intake", interruptOnCancel = false)
+    val survivors =
+      try CorpusPipeline.nearDupIntakeBatch(spark, batch, tmp)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    assert(jobs <= 80, s"intake used $jobs jobs — the fused path regressed " +
+      "(59 at fusion time; the unfused shape was 156)")
+    assert(survivors.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(spark.read.parquet(s"$tmp/docs").select("doc_id")
+      .as[Long].collect().toSet == Set(100L, 101L, 2L))
   }
 
   test("connected components resolve transitive near-dup chains exactly") {

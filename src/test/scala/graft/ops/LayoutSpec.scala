@@ -175,6 +175,28 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.ledgeredBatchIds(spark, ledger) == Seq(3L, 4L))
   }
 
+  test("ledgeredBatch: legacy parquet ledger migrates to markers, no silent replay") {
+    // pre-round-8 ledgers were a parquet table of batch_id rows; the
+    // marker read (fs.exists) cannot see them, so without migration a
+    // streaming replay would re-apply every previously applied batch —
+    // duplicate segments, doc-id disjointness violated
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_mig").toString
+    val ledger = s"$dir/batches"
+    Seq(7L, 9L).toDF("batch_id").coalesce(1).write.parquet(ledger)
+    var applied = 0
+    assert(!Layout.ledgeredBatch(spark, ledger, 7L) { applied += 1 },
+      "a batch id ledgered by the LEGACY format must no-op after migration")
+    assert(!Layout.ledgeredBatch(spark, ledger, 9L) { applied += 1 })
+    assert(Layout.ledgeredBatch(spark, ledger, 10L) { applied += 1 })
+    assert(applied == 1)
+    assert(Layout.ledgeredBatchIds(spark, ledger) == Seq(7L, 9L, 10L))
+    // the dir is now a pure marker ledger: no parquet files remain
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(ledger))
+      .forall(!_.getPath.getName.endsWith(".parquet")))
+  }
+
   test("excludeTombstoned: int-typed sidecar ids exclude without ClassCastException") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tomb_int").toString
     val tomb = s"$dir/_tombstones"

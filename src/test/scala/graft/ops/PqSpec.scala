@@ -235,6 +235,37 @@ class PqSpec extends SparkSpec {
     assert(probe() == full, "rebuild must not inherit the old tombstones")
   }
 
+  test("streamingPqSink: micro-batches encode through the frozen codebooks exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_sink").toString
+    val path = s"$tmp/idx"
+    val seed = emb.where(col("vec_id") < 300)
+    val m = Pq.fitSampled(seed, dims = 64, m = 8, k = 8, maxIter = 10)
+    Pq.write(Pq.encode(seed, m), m, path)
+    assert(Pq.appendCodesBatch(spark,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 320), path, 7L))
+    assert(!Pq.appendCodesBatch(spark, // at-least-once redelivery
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 320), path, 7L),
+      "replayed batch id must no-op against the marker ledger")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.CorpusPipeline.streamingPqSink(
+      mem.toDF().toDF("vec_id", "embedding"), path, s"$tmp/ckpt").start()
+    try {
+      val tail = emb.where(col("vec_id") >= 320)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      mem.addData(tail.filter(_._1 < 400).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(tail.filter(_._1 >= 400).toSeq: _*)
+      q.processAllAvailable()
+      val (codes2, _) = Pq.load(spark, path)
+      val grown = codes2.as[(Long, Seq[Int])].collect().toMap
+      val oneShot = Pq.encode(emb, m).as[(Long, Seq[Int])].collect().toMap
+      assert(grown == oneShot,
+        "streamed codes must equal the one-shot encode under the seed codebooks")
+    } finally q.stop()
+  }
+
   test("compression: codes are 32x smaller than raw vectors at m=8/64-d") {
     // structural claim pinned as arithmetic so a schema change that widens
     // the code column (e.g. LONG codes) fails loudly

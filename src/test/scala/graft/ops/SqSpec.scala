@@ -137,6 +137,37 @@ class SqSpec extends SparkSpec {
     assert(probe() == afterDel, "compaction must not change the active view")
   }
 
+  test("streamingSqSink: micro-batches encode through the frozen bounds exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sq_sink").toString
+    val path = s"$tmp/idx"
+    val seed = emb.where(col("vec_id") < 300)
+    val model = Sq.writeCodes(seed, path)
+    // ledgered replay no-ops before the sink even enters the picture
+    assert(Sq.appendCodesBatch(spark,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 320), path, 99L))
+    assert(!Sq.appendCodesBatch(spark,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 320), path, 99L),
+      "replayed batch id must no-op against the marker ledger")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.CorpusPipeline.streamingSqSink(
+      mem.toDF().toDF("vec_id", "embedding"), path, s"$tmp/ckpt").start()
+    try {
+      val tail = emb.where(col("vec_id") >= 320)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      mem.addData(tail.filter(_._1 < 360).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(tail.filter(_._1 >= 360).toSeq: _*)
+      q.processAllAvailable()
+      val grown = spark.read.parquet(s"$path/codes")
+        .as[(Long, Seq[Int])].collect().toMap
+      val oneShot = Sq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+      assert(grown == oneShot,
+        "streamed codes must equal the one-shot encode under the seed bounds")
+    } finally q.stop()
+  }
+
   test("appendCodes refuses a batch drifted outside the frozen bounds") {
     val path = java.nio.file.Files.createTempDirectory("graft_sq_oob").toString + "/idx"
     Sq.writeCodes(emb.where(col("vec_id") < 300), path)
