@@ -196,7 +196,13 @@ object SparkEntry {
   // ------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val m = Map.newBuilder[String, (SparkSession, String) => DataFrame]
+    // ListMap: registration order IS execution order. A plain immutable Map
+    // hash-scrambles iteration, so adding one key reshuffled which queries
+    // the bench ran early (3 warm samples) vs late (1 cold sample), making
+    // round-over-round totals incomparable (round-9 lesson). Lookup is O(n)
+    // but n≈190 and lookups are per-query-name, never hot.
+    val m = scala.collection.immutable.ListMap
+      .newBuilder[String, (SparkSession, String) => DataFrame]
 
     def reg(name: String)(fn: (SparkSession, String) => DataFrame): Unit =
       m += name -> ((s: SparkSession, dir: String) => {
@@ -1237,29 +1243,18 @@ object SparkEntry {
     reg("p20_funnel_audit") { (s, dir) =>
       // p1's funnel exploded to per-doc dispositions — the provenance
       // table (data cards, takedowns, contamination audits) on the SAME
-      // corpus and knobs. Two laws are checked: the oracle recomputes
-      // every (doc_id, verdict, kept_by) row in DuckDB, and the
-      // registration ASSERTS on every run that GROUP BY(verdict) equals
-      // the funnel's stage counts — the two views can never drift apart
+      // corpus and knobs. The DuckDB oracle recomputes every
+      // (doc_id, verdict, kept_by) row; the GROUP BY(verdict) ==
+      // funnel-stage-counts cross-law is pinned in DedupSpec ("funnelAudit:
+      // dispositions match funnel counts"), NOT here — recomputing the
+      // whole funnel inside the benched closure doubled p20's bench cost
+      // for a law the test suite already guarantees (round-9 advice).
       val d = T(s, dir, "documents")
       val withDups = d.unionByName(
         d.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
-      val audit = graft.ops.Ann.materializeOnce(
-        graft.ops.CorpusPipeline.funnelAudit(
-          withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L))
-      val counts = audit.groupBy("verdict").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val f = graft.ops.CorpusPipeline.funnel(
-        withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L).head
-      val (nIn, nQ, nE, nN) = (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
-      require(counts.values.sum == nIn &&
-        counts.getOrElse("drop_quality", 0L) == nIn - nQ &&
-        counts.getOrElse("drop_exact_dup", 0L) == nQ - nE &&
-        counts.getOrElse("drop_near_dup", 0L) == nE - nN &&
-        counts.getOrElse("kept", 0L) == nN,
-        s"funnelAudit dispositions $counts inconsistent with funnel " +
-          s"counts (input=$nIn quality=$nQ exact=$nE near=$nN)")
-      audit.orderBy("doc_id")
+      graft.ops.CorpusPipeline.funnelAudit(
+          withDups, minQuality = 0.7, nearDupMinSim = 0.8, maxDocFreq = 300L)
+        .orderBy("doc_id")
     }
     reg("p2_curated_index") { (s, dir) => // rows-only: includes chunk+embed
       val d = T(s, dir, "documents").where(col("doc_id") < 200)

@@ -288,7 +288,7 @@ object Ann {
       index.select(col(idCol), posexplode(
         array((0 until nTables).map(t =>
           rpBandKey(col(vecCol), dims, t, nProjs, width, seed)): _*)).as(Seq("band", "__key"))),
-      nTables, nProjs, width, seed)
+      nTables, nProjs, width, seed, dims)
   }
 
   def rpTopKBatch(
@@ -308,18 +308,25 @@ object Ann {
     requireIntegralId(index, idCol, "rpTopKBatch")
     // mismatched quantization would band-join almost nothing and silently
     // return near-empty results — refuse instead
-    indexBands.foreach { b =>
-      require(
-        b.nTables == nTables && b.nProjs == nProjs &&
-          b.width == width && b.seed == seed,
-        s"precomputed index bands were built with (nTables=${b.nTables}, " +
-          s"nProjs=${b.nProjs}, width=${b.width}, seed=${b.seed}) but the " +
-          s"probe asked for ($nTables, $nProjs, $width, $seed)")
-    }
     // query keys must live in the index's band space: same dims (the
     // distance step enforces equality anyway — shorter queries fail at
     // key time, which is earlier and louder)
-    val qDims = probeDims(index, vecCol, "rpTopKBatch")
+    val probedDims = probeDims(index, vecCol, "rpTopKBatch")
+    indexBands.foreach { b =>
+      // dims gets the same loud refusal as the other four quantization
+      // params: bands built from a different-width index would put the
+      // query keys in a silently DISJOINT band space (empty results)
+      require(
+        b.nTables == nTables && b.nProjs == nProjs &&
+          b.width == width && b.seed == seed && b.dims == probedDims,
+        s"precomputed index bands were built with (nTables=${b.nTables}, " +
+          s"nProjs=${b.nProjs}, width=${b.width}, seed=${b.seed}, " +
+          s"dims=${b.dims}) but the probe asked for " +
+          s"($nTables, $nProjs, $width, $seed, dims=$probedDims)")
+    }
+    // the band space's dims: the precomputed bands' if supplied (they are
+    // the space the query keys must land in), else the probed index's
+    val qDims = indexBands.map(_.dims).getOrElse(probedDims)
     val qBands = queries.select(col(queryIdCol), posexplode(
       array((0 until nTables).map(t =>
         rpBandKey(col(queryVecCol), qDims, t, nProjs, width, seed)): _*))
@@ -602,12 +609,15 @@ object Ann {
       minCos: Double = 0.95,
       bucketLength: Double = 0.5,
       numHashTables: Int = 4): DataFrame = {
-    val normed = emb.withColumn("__norm",
-      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (a, b) => a + b)))
-      .where(col("__norm") > 0)
-      .withColumn("__unit", transform(col(vecCol), x => x.cast("double") / col("__norm")))
-      .withColumn("__ml", udf { a: Seq[Double] => Vectors.dense(a.toArray) }.apply(col("__unit")))
+    // normalize via the codegen UnitVector (bit-identical to the
+    // transform/aggregate HOF pair it replaced — PERF.md §11c's 27-57×
+    // regime); the Vectors.dense closure UDF survives only at the MLlib
+    // model boundary, whose VectorUDT input the API forces
+    val normed = emb
+      .where(VectorFunctions.vectorNorm(col(vecCol)) > 0)
+      .select(col(idCol),
+        udf { a: Seq[Double] => Vectors.dense(a.toArray) }
+          .apply(VectorFunctions.unitVector(col(vecCol))).as("__ml"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__ml").setOutputCol("__hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
@@ -804,8 +814,13 @@ object Ann {
     * the streaming-maintenance wrapper, completing the trio with
     * [[graft.search.Bm25.appendIndexBatch]] and [[Hnsw.appendBatch]]:
     * at-least-once micro-batch delivery converges to exactly-once list
-    * growth (a replayed batch id no-ops against the marker). Returns
-    * true iff the batch was applied (false = already ledgered).
+    * growth (a replayed batch id no-ops against the marker). The residual
+    * crash window (lists appended, marker not yet written) is closed by
+    * [[Layout.freshBatchRows]]: the replay's rows anti-join against the
+    * ids already in the lists (id-range-pushed scan, micro-batch-bounded)
+    * so re-applying the batch appends nothing — the probe hot path needs
+    * no duplicate folding. Returns true iff the batch was applied
+    * (false = already ledgered).
     */
   def appendIvfBatch(
       spark: SparkSession,
@@ -815,7 +830,9 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean =
     Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
-      appendIvf(spark, index, path, idCol, vecCol)
+      appendIvf(spark,
+        Layout.freshBatchRows(spark, index, s"$path/lists", idCol),
+        path, idCol, vecCol)
       ()
     }
 
@@ -928,4 +945,4 @@ class BucketedRandomProjectionLSHModelWrapper(
   * a parquet sidecar next to the index) to amortize the banding cost.
   */
 case class RpBands(bands: org.apache.spark.sql.DataFrame,
-    nTables: Int, nProjs: Int, width: Double, seed: Long)
+    nTables: Int, nProjs: Int, width: Double, seed: Long, dims: Int)

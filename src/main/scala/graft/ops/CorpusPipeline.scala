@@ -374,7 +374,7 @@ object CorpusPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minJaccard: Double = 0.8,
-      storeMaxBucketSize: Long = 0L): DataFrame = {
+      storeMaxBucketSize: Long = 1L << 20): DataFrame = {
     val meta = spark.read.parquet(s"$storePath/meta")
       .select("shingle_size", "num_hashes", "bands").head
     val (shingleSize, numHashes, bands) =
@@ -393,11 +393,12 @@ object CorpusPipeline {
     val sigs = Ann.materializeOnce(
       Dedup.signatureTable(exploded, idCol, numHashes))
     val batchBands = Dedup.bandsOfSigs(sigs, idCol, numHashes, bands)
-    // 1. corpus near-dups. storeMaxBucketSize defaults to the documented
-    // hot-bucket OPT-OUT: the guard re-aggregates the stored corpus band
-    // surface, a corpus-sized pass per micro-batch that an intake loop
-    // should not pay (the hot set only changes on append). Pass > 0 to
-    // re-enable on corpora with degenerate buckets.
+    // 1. corpus near-dups. The hot-bucket guard is ON by default again
+    // (it silently flipped off in round 9): since Dedup.guardHotBuckets
+    // the size aggregate is restricted to the buckets THIS batch probes —
+    // O(touched), not the corpus-wide pass that originally justified the
+    // opt-out — so a degenerate stored bucket can no longer blow up the
+    // candidate join on every intake batch. Pass <= 0 to opt out.
     // Each intermediate id SET below is materialized before reuse: these
     // batch-bounded sets sit at fan-out points (corpusDups feeds the
     // within-batch restriction AND the survivor anti-join; afterCorpusIds

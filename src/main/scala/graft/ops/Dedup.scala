@@ -614,6 +614,33 @@ object Dedup {
     * ONE materialized explode/signature pass across the store probe, the
     * within-batch resolve and the append.
     */
+  /** Stored band surface with degenerate (hot) buckets dropped, computed
+    * O(touched) not O(corpus): a hot stored bucket only matters if THIS
+    * batch probes it, so the size aggregate is restricted to the batch's
+    * own (band, band_key) set — tiny broadcast semi-join, map-side filter
+    * on the band scan, only touched groups shuffle. The probe pays ~one
+    * extra read of the bands table its candidate join scans anyway, never
+    * the corpus-wide groupBy the earlier guard paid (which is why intake
+    * used to opt out, leaving the candidate join exposed to blowup on
+    * every micro-batch). `maxBucketSize <= 0` still skips entirely for
+    * pipelines that precompute the drop list offline.
+    */
+  private def guardHotBuckets(
+      stored: DataFrame,
+      batchBands: DataFrame,
+      maxBucketSize: Long): DataFrame =
+    if (maxBucketSize <= 0) stored
+    else {
+      val probed = batchBands.select("band", "band_key").distinct()
+      val hot = stored
+        .join(broadcast(probed), Seq("band", "band_key"), "left_semi")
+        .groupBy("band", "band_key")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > maxBucketSize)
+        .select("band", "band_key")
+      stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    }
+
   private[graft] def storeProbeExact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -622,20 +649,7 @@ object Dedup {
       minJaccard: Double,
       maxBucketSize: Long): DataFrame = {
     val stored = storedBands(spark, path)
-    // the hot-bucket guard re-aggregates the stored band surface per
-    // probe — a corpus-sized pass a continuous intake loop may not want
-    // to pay every batch. maxBucketSize <= 0 skips it (the hot set only
-    // changes on append; pipelines that know their corpus has no
-    // degenerate buckets, or precompute the drop list offline, opt out).
-    val guarded =
-      if (maxBucketSize <= 0) stored
-      else {
-        val hot = stored.groupBy("band", "band_key")
-          .agg(count(lit(1)).as("n"))
-          .where(col("n") > maxBucketSize)
-          .select("band", "band_key")
-        stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
-      }
+    val guarded = guardHotBuckets(stored, batchBands, maxBucketSize)
     val cand = batchBands
       .join(guarded
           .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),
@@ -696,20 +710,7 @@ object Dedup {
       batchSigs.select(col("batch_id"), col("__sigb").as("__sig")),
       "batch_id", numHashes, meta.getInt(2))
     val stored = storedBands(spark, path)
-    // the hot-bucket guard re-aggregates the stored band surface per
-    // probe — a corpus-sized pass a continuous intake loop may not want
-    // to pay every batch. maxBucketSize <= 0 skips it (the hot set only
-    // changes on append; pipelines that know their corpus has no
-    // degenerate buckets, or precompute the drop list offline, opt out).
-    val guarded =
-      if (maxBucketSize <= 0) stored
-      else {
-        val hot = stored.groupBy("band", "band_key")
-          .agg(count(lit(1)).as("n"))
-          .where(col("n") > maxBucketSize)
-          .select("band", "band_key")
-        stored.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
-      }
+    val guarded = guardHotBuckets(stored, batchBands, maxBucketSize)
     val cand = batchBands
       .join(guarded
           .select(col("doc_id").as("corpus_id"), col("band"), col("band_key")),

@@ -186,8 +186,18 @@ object Layout {
     val data = spark.read.option("mergeSchema", "true").parquet(path)
       .coalesce(targetFiles)
       .localCheckpoint(true)
-    data.write.mode("overwrite").parquet(s"$path.__compact")
-    swapDir(fs, path, s"$path.__compact")
+    // Stage under a DOT-prefixed sibling: compactFiles runs on partition
+    // directories INSIDE a partitioned read root (compactIvfLists compacts
+    // `lists/centroid_id=N`), and a visible `centroid_id=N.__compact`
+    // sibling would be picked up by partition discovery for the whole
+    // rewrite duration — parsed as a partition VALUE, widening the column
+    // to string or double-counting rows. Spark's FileIndex filters any
+    // path segment starting with `_` or `.`, so the hidden name makes the
+    // staging invisible; readers race only the swap renames.
+    val staged = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.__compact").toString
+    data.write.mode("overwrite").parquet(staged)
+    swapDir(fs, path, staged)
     val after = {
       val it = fs.listFiles(hPath, true)
       var n = 0
@@ -205,7 +215,8 @@ object Layout {
     * compaction here, [[graft.index.VectorIndex.compact]],
     * [[Hnsw.compact]], [[graft.search.Bm25.compactIndex]]): the staged
     * rewrite at `staged` replaces `target` by rename-ASIDE — live dir →
-    * `target.__old`, staged → live, drop `__old` — so a driver crash at
+    * hidden `.{name}.__old` sibling, staged → live, drop old — so a
+    * driver crash at
     * any point leaves either the old or the new generation intact and
     * the no-directory window is a single rename. (The previous
     * delete-then-rename order had a crash window that stranded the data
@@ -420,14 +431,25 @@ object Layout {
     * ledger. Bounded: the read is ledger-sized (one row per batch ever
     * applied).
     */
+  /** Ledger dirs already checked for legacy parquet files this process —
+    * the migration is one-time by construction, so re-listing the dir on
+    * every `ledgeredBatch` call (once per micro-batch, forever) pays a
+    * filesystem listing for a fact that can never change back. Keyed by
+    * URI string; single-writer contract means no other process can
+    * re-introduce legacy files behind the memo.
+    */
+  private val migratedLedgers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def migrateLegacyLedger(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       lp: org.apache.hadoop.fs.Path): Unit = {
-    if (!fs.exists(lp)) return
+    if (migratedLedgers.contains(lp.toString)) return
+    if (!fs.exists(lp)) { migratedLedgers.add(lp.toString); return }
     val parquetFiles = fs.listStatus(lp).toSeq.filter(_.isFile)
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    if (parquetFiles.isEmpty) return
+    if (parquetFiles.isEmpty) { migratedLedgers.add(lp.toString); return }
     val legacy = spark.read.parquet(parquetFiles.map(_.toString): _*)
     require(legacy.schema.fieldNames.contains("batch_id"),
       s"ledger at $lp holds parquet files without a batch_id column — " +
@@ -442,6 +464,46 @@ object Layout {
     // dropped, so a crash mid-migration only re-runs the (idempotent)
     // marker creation
     parquetFiles.foreach(f => fs.delete(f, false))
+    // memo only on SUCCESS: a refused migration (non-ledger parquet in the
+    // dir) must refuse again on retry, not silently proceed
+    migratedLedgers.add(lp.toString)
+  }
+
+  /** Rows of `batch` whose `idCol` is not already present in the parquet
+    * table at `existingPath` — the idempotent-append prefilter for the
+    * ledgered streaming wrappers ([[graft.ops.Ann.appendIvfBatch]],
+    * [[Sq.appendCodesBatch]], [[Pq.appendCodesBatch]]).
+    * [[ledgeredBatch]]'s residual crash window (data appended, marker not
+    * yet written) replays the batch on restart; without this filter the
+    * replay appends exact duplicate rows and a probe serves the same id
+    * at two ranks, silently displacing a real neighbor. BM25 closes the
+    * window with its doc-level ledger and HNSW folds duplicates
+    * probe-side; the flat code/list tables close it at APPEND time so the
+    * probe hot path stays untouched. Scale shape: one O(batch) aggregate
+    * computes the batch's [min,max] id range, the existing side is read
+    * with that range PUSHED into the parquet scan (row-group skipping on
+    * the id column — never a full index pass), and the survivors are
+    * micro-batch-bounded so AQE broadcasts the anti join. Also dedups ids
+    * WITHIN the batch (two rows with one id would be two probe ranks
+    * forever). Returns `batch` unchanged when the table doesn't exist yet.
+    */
+  private[graft] def freshBatchRows(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      existingPath: String,
+      idCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(existingPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val deduped = batch.dropDuplicates(Seq(idCol))
+    if (!fs.exists(p)) return deduped
+    val r = batch.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head
+    if (r.isNullAt(0)) return deduped // empty batch
+    val existing = spark.read.parquet(existingPath)
+      .select(col(idCol).cast("long").as("__existing_id"))
+      .where(col("__existing_id").between(r.getLong(0), r.getLong(1)))
+    deduped.join(existing,
+      deduped(idCol).cast("long") === col("__existing_id"), "left_anti")
   }
 
   /** Batch ids recorded in a [[ledgeredBatch]] marker ledger, ascending. */
@@ -461,7 +523,15 @@ object Layout {
       fs: org.apache.hadoop.fs.FileSystem, target: String, staged: String): Unit = {
     val tp = new org.apache.hadoop.fs.Path(target)
     val sp = new org.apache.hadoop.fs.Path(staged)
-    val op = new org.apache.hadoop.fs.Path(s"$target.__old")
+    // The retired copy parks under a DOT-prefixed name so that when the
+    // target is a partition directory inside a read root (e.g.
+    // `lists/centroid_id=N`), the rename window never exposes a visible
+    // `...__old` sibling to partition discovery (Spark's FileIndex hides
+    // `_`/`.`-prefixed paths). Legacy visible `.__old` leftovers from a
+    // pre-round-10 crash are still swept.
+    val op = new org.apache.hadoop.fs.Path(tp.getParent, s".${tp.getName}.__old")
+    val legacyOp = new org.apache.hadoop.fs.Path(s"$target.__old")
+    if (fs.exists(legacyOp)) fs.delete(legacyOp, true) // stale pre-r10 leftover
     if (fs.exists(op)) fs.delete(op, true) // stale leftover from a crash
     if (fs.exists(tp)) fs.rename(tp, op)
     fs.rename(sp, tp)

@@ -365,6 +365,11 @@ object Pq {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    // mirror sq.appendCodes: deleteCodes writes tombstones as LONGS and
+    // load/compactCodes anti-join them against this column — with a
+    // non-integral id, appends would succeed but deletes silently never
+    // match, so refuse the append loudly instead
+    Ann.requireIntegralId(batch, idCol, "pq.appendCodes")
     val model = loadModel(spark, path)
     val stats = batch.agg(
       min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
@@ -382,7 +387,11 @@ object Pq {
     * at-least-once micro-batch delivery converges to exactly-once code
     * growth; a replayed batch id no-ops against the marker. The frozen
     * codebooks make replays idempotent-in-value — the same batch always
-    * encodes to the same codes. Returns true when the batch applied.
+    * encodes to the same codes. The residual crash window (codes appended,
+    * marker not yet written) is closed by [[Layout.freshBatchRows]]: a
+    * replayed batch anti-joins against ids already in `codes/`
+    * (id-range-pushed scan) and appends nothing. Returns true when the
+    * batch applied.
     */
   def appendCodesBatch(
       spark: org.apache.spark.sql.SparkSession,
@@ -392,7 +401,9 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean =
     Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
-      appendCodes(spark, batch, path, idCol, vecCol)
+      appendCodes(spark,
+        Layout.freshBatchRows(spark, batch, s"$path/codes", idCol),
+        path, idCol, vecCol)
       ()
     }
 

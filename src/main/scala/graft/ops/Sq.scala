@@ -260,8 +260,12 @@ object Sq {
     * bounds make replays trivially idempotent-in-value too — the same
     * batch always encodes to the same bytes. A bounds-drift refusal
     * inside [[appendCodes]] fails the streaming query loudly (correct:
-    * the quantizer is stale for the stream and must be re-fit). Returns
-    * true when the batch applied.
+    * the quantizer is stale for the stream and must be re-fit). The
+    * residual crash window (codes appended, marker not yet written) is
+    * closed by [[Layout.freshBatchRows]]: a replayed batch anti-joins
+    * against ids already in `codes/` (id-range-pushed scan) and appends
+    * nothing, so probes never see one id at two ranks. Returns true when
+    * the batch applied.
     */
   def appendCodesBatch(
       spark: org.apache.spark.sql.SparkSession,
@@ -272,7 +276,9 @@ object Sq {
       vecCol: String = "embedding",
       maxOutOfBounds: Double = 0.05): Boolean =
     Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
-      appendCodes(spark, batch, path, idCol, vecCol, maxOutOfBounds)
+      appendCodes(spark,
+        Layout.freshBatchRows(spark, batch, s"$path/codes", idCol),
+        path, idCol, vecCol, maxOutOfBounds)
       ()
     }
 
