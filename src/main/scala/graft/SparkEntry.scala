@@ -2295,6 +2295,39 @@ object SparkEntry {
           col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
     }
+    reg("st16_hnsw_stream_append") { (s, dir) =>
+      // the HNSW arm — the last streaming-ledger asymmetry closed
+      // (st11 BM25 / st13 IVF / st14 SQ8 / st15 PQ house style): seed 4
+      // shard graphs from the first 300 vectors, the tail arriving as
+      // two ledgered micro-batches appended as NEW segments (the Lucene
+      // law: written graphs never mutate), batch 1 REPLAYED. Because
+      // HNSW probes fold duplicate ids (mergeTopK), a replay that DID
+      // double-append would still probe correctly — so the physical law
+      // is asserted directly: exactly one node row per vector. With
+      // efSearch=200 ≥ every segment's population the beam exhausts each
+      // graph, so a13's brute-force oracle applies verbatim
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_st").toString + "/idx"
+      val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4)
+      Hnsw.write(emb.where(col("vec_id") < 300), tmp, p)
+      Hnsw.appendBatch(s,
+        emb.where(col("vec_id") >= 300 && col("vec_id") < 400), tmp, 1L)
+      Hnsw.appendBatch(s, // replayed delivery of batch 1: must no-op
+        emb.where(col("vec_id") >= 300 && col("vec_id") < 400), tmp, 1L)
+      Hnsw.appendBatch(s, emb.where(col("vec_id") >= 400), tmp, 2L)
+      val nodes = s.read.parquet(s"$tmp/segments")
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).head
+      require(nodes.getLong(0) == nodes.getLong(1),
+        s"replayed HNSW batch duplicated segments: ${nodes.getLong(0)} " +
+          s"node rows over ${nodes.getLong(1)} distinct ids")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Hnsw.probe(s, tmp, qs, 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
     reg("b9_rerank_overlap") { (s, dir) =>
       // SECOND-STAGE reranking over the persisted hybrid stack — the
       // retrieve-cheap-then-rescore-expensive production shape the
@@ -2379,6 +2412,51 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
           round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
+    }
+    reg("a8c_ivfpq_lifecycle") { (s, dir) =>
+      // the COMPOSITE lifecycle a7c/a9c prove per half, now proven for
+      // the composed index: both quantizers frozen on the even half, the
+      // odd half appended through both (coarse routing AND fine codes),
+      // the same three ids tombstoned in BOTH sidecars, probed marked,
+      // compacted on both halves, probed again — marked and compacted
+      // must agree. Exhaustive regime (nProbe = all 4 lists, ADC
+      // shortlist k×rerank ≥ corpus) makes the composed probe EXACT kNN
+      // over the live set, so a9c's brute-force-with-exclusions oracle
+      // applies — a delete that leaks through either half's probe-side
+      // exclusion, or a compact that revives/loses rows, breaks it
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_lc").toString
+      val (ivfPath, pqPath) = (s"$tmp/ivf", s"$tmp/pq")
+      val seed = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val (assigned, centroids) = Ann.buildIvfSampled(seed, nLists = 4)
+      Ann.writeIvf(assigned, centroids, ivfPath)
+      Ann.appendIvf(s, odd, ivfPath)
+      val model = Pq.fitSampled(seed, dims = 64, m = 8, k = 16, maxIter = 10)
+      Pq.write(Pq.encode(seed, model), model, pqPath)
+      Pq.appendCodes(s, odd, pqPath)
+      Ann.deleteIvf(s, ivfPath, Seq(130L, 340L, 30L))
+      Pq.deleteCodes(s, pqPath, Seq(130L, 340L, 30L))
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def probe() = {
+        val (lists, cents) = Ann.loadIvf(s, ivfPath)
+        val (codes, m2) = Pq.load(s, pqPath)
+        Pq.ivfPqTopKBatch(qs, lists, cents, codes, m2,
+          k = 5, nProbe = 4, emb = emb, rerank = 100)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), round(col("dist"), 4).as("dist"))
+          .orderBy("query_id", "rank")
+      }
+      val marked = probe().collect()
+      Ann.compactIvf(s, ivfPath)
+      Pq.compactCodes(s, pqPath)
+      val compacted = probe()
+      require(marked.map(_.toString).toSeq ==
+        compacted.collect().map(_.toString).toSeq,
+        "marked and compacted composite probes must agree")
+      compacted
     }
 
     reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate
@@ -3305,6 +3383,11 @@ object SparkEntry {
     // excluded; st15: converged PQ codes ≡ the one-shot a7b encode —
     // a7's golden pin verbatim, with the ledger (and a replay) in the loop
     "st14_sq8_stream_append" -> bruteForceKnnOracle(5),
+    // st16: seed + two ledgered segment appends (one replayed, no-op'd
+    // by the marker; physical non-duplication require'd in the query
+    // itself since probes fold duplicates) under the exhaustive-beam
+    // regime — exact kNN, a13's brute-force oracle verbatim
+    "st16_hnsw_stream_append" -> bruteForceKnnOracle(5),
     "st15_pq_stream_append" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a7_pq_batch_sf001.parquet')",
     "b2_hybrid_rrf" -> hybridRrfOracle,
@@ -3347,6 +3430,10 @@ object SparkEntry {
     // the corpus MINUS the tombstoned ids — both the probe-side
     // exclusion and the compact's physical purge are hash-checked
     "a9c_sq8_lifecycle" -> bruteForceKnnOracle(5, exclude = Seq(130L, 340L, 30L)),
+    // a8c: exhaustive composed probe (nProbe = all lists, shortlist ≥
+    // corpus) over the post-lifecycle live set — exact kNN minus the
+    // three tombstoned ids, same oracle as a9c
+    "a8c_ivfpq_lifecycle" -> bruteForceKnnOracle(5, exclude = Seq(130L, 340L, 30L)),
     // a7c: seeded codebooks (not SQL-expressible) + the same lifecycle —
     // golden-pinned like a7/a7b, recorded AFTER the full cycle
     "a7c_pq_lifecycle" ->
