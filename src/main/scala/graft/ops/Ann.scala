@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *   layout a 100 TB index wants on disk: `partitionBy(centroid_id)` makes
   *   probing = partition pruning at the parquet scan.
   */
-object Ann {
+object Ann extends IndexLifecycle {
+  protected def lifecycleIdCol: String = "vec_id"
+
 
   private val toMl = udf { a: Seq[Float] =>
     Vectors.dense(a.map(_.toDouble).toArray)
@@ -771,11 +773,8 @@ object Ann {
   /** Mark ids deleted (sidecar append — the Bm25/Hnsw stance: probes
     * exclude, [[compactIvf]] purges; a delete is terminal until then).
     */
-  def deleteIvf(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    if (ids.nonEmpty)
-      ids.toDF("vec_id").write.mode("append").parquet(s"$path/_tombstones")
-  }
+  def deleteIvf(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    markDeleted(spark, path, ids)
 
   /** Fold tombstones into the lists (anti join — scale-safe at any
     * tombstone count, unlike the probe-side exclusion) and swap via the
@@ -829,7 +828,7 @@ object Ann {
       batchId: Long,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean =
-    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+    ledgered(spark, path, batchId) {
       appendIvf(spark,
         Layout.freshBatchRows(spark, index, s"$path/lists", idCol),
         path, idCol, vecCol)

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * content hash; MinHash/SimHash shuffle on band keys; Jaccard shuffles on
   * tokens with a document-frequency cutoff to bound the hottest key.
   */
-object Dedup {
+object Dedup extends IndexLifecycle {
+  protected def lifecycleIdCol: String = "doc_id"
+
 
   // ---------------------------------------------------------------- exact
 
@@ -495,11 +497,8 @@ object Dedup {
     * contract as the three index families.
     */
   def deleteMinhash(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    if (ids.nonEmpty)
-      ids.toDF("doc_id").write.mode("append").parquet(s"$path/_tombstones")
-  }
+      path: String, ids: Seq[Long]): Unit =
+    markDeleted(spark, path, ids)
 
   /** Fold tombstones into the store for real: anti-join all four
     * doc-keyed tables (bands/sigs/shingles/docs — scale-safe at any

@@ -46,7 +46,9 @@ import org.apache.spark.sql.functions._
   * mutation (reference analog: Chroma's `add` re-indexes into segments the
   * same way).
   */
-object Hnsw {
+object Hnsw extends IndexLifecycle {
+  protected def lifecycleIdCol: String = "id"
+
 
   /** Graph hyper-parameters. `m`: max links per node per layer (2m at
     * layer 0); `efConstruction`/`efSearch`: beam widths; `numShards`:
@@ -467,7 +469,7 @@ object Hnsw {
       batchId: Long,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean =
-    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+    ledgered(spark, path, batchId) {
       append(spark, index, path, idCol, vecCol)
     }
 
@@ -562,7 +564,7 @@ object Hnsw {
     (counts.length, shardValues(spark, path).size)
   }
 
-  private def tombPath(path: String) = s"$path/_tombstones"
+  private def tombPath(path: String) = tombstonesPath(path)
   private val MaxTombstones = 1 << 22
 
   /** Mark ids deleted. Graphs are never rewritten (mark-delete, the
@@ -575,11 +577,8 @@ object Hnsw {
     * stops being free and the index is overdue for a compact anyway
     * (probes refuse loudly rather than degrade silently).
     */
-  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    if (ids.nonEmpty)
-      ids.toDF("id").write.mode("append").parquet(tombPath(path))
-  }
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    markDeleted(spark, path, ids)
 
   /** The probe-side tombstone set (empty when none). */
   private def loadTombstones(spark: SparkSession, path: String): Set[Long] = {

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   *    Optional re-rank fetches true vectors for only `rerank × k`
   *    candidates per query and re-scores exactly.
   */
-object Pq {
+object Pq extends IndexLifecycle {
+  protected def lifecycleIdCol: String = "vec_id"
+
 
   /** `codebooks(j)(c)` = centroid `c` of subspace `j`, length `dims/m`. */
   final case class PqModel(
@@ -400,7 +402,7 @@ object Pq {
       batchId: Long,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean =
-    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+    ledgered(spark, path, batchId) {
       appendCodes(spark,
         Layout.freshBatchRows(spark, batch, s"$path/codes", idCol),
         path, idCol, vecCol)
@@ -414,11 +416,8 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       ids: Seq[Long],
-      idCol: String = "vec_id"): Unit = {
-    import spark.implicits._
-    if (ids.nonEmpty)
-      ids.toDF(idCol).write.mode("append").parquet(s"$path/_tombstones")
-  }
+      idCol: String = "vec_id"): Unit =
+    markDeleted(spark, path, ids, idCol)
 
   /** Fold tombstones into the code table (anti-join — scale-safe at any
     * tombstone count) and swap via the shared rename-aside protocol. The

@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   * |dist²_adc − dist²| is bounded and recall@rerank is high at modest
   * rerank — quantified against the exact path in SqSpec.
   */
-object Sq {
+object Sq extends IndexLifecycle {
+  protected def lifecycleIdCol: String = "vec_id"
+
 
   /** Exact per-dimension bounds of the index (the SQ8 "fit"). */
   final case class SqModel(mins: Array[Double], maxs: Array[Double]) {
@@ -275,7 +277,7 @@ object Sq {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxOutOfBounds: Double = 0.05): Boolean =
-    Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+    ledgered(spark, path, batchId) {
       appendCodes(spark,
         Layout.freshBatchRows(spark, batch, s"$path/codes", idCol),
         path, idCol, vecCol, maxOutOfBounds)
@@ -290,11 +292,8 @@ object Sq {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       ids: Seq[Long],
-      idCol: String = "vec_id"): Unit = {
-    import spark.implicits._
-    if (ids.nonEmpty)
-      ids.toDF(idCol).write.mode("append").parquet(s"$path/_tombstones")
-  }
+      idCol: String = "vec_id"): Unit =
+    markDeleted(spark, path, ids, idCol)
 
   /** Fold tombstones into the code table (anti-join — scale-safe at any
     * tombstone count) and swap via the shared rename-aside protocol. The

@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * (terms, idf, rank lists) is driver-bounded by construction: a query
   * batch of q queries with ≤t terms each contributes q·t broadcast rows.
   */
-object Bm25 {
+object Bm25 extends graft.ops.IndexLifecycle {
+  protected def lifecycleIdCol: String = "doc_id"
+
 
   /** Lowercase word tokens; the same closed token law the oracle reruns
     * (`[^a-z0-9]+` split on the lowercased text).
@@ -398,7 +400,7 @@ object Bm25 {
     n
   }
 
-  private def tombPath(path: String) = s"$path/_tombstones"
+  private def tombPath(path: String) = tombstonesPath(path)
   private val MaxTombstones = 1 << 22
 
   private def nBuckets(
@@ -417,11 +419,8 @@ object Bm25 {
     * which the index is overdue for a compact anyway.
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    if (ids.nonEmpty)
-      ids.toDF("doc_id").write.mode("append").parquet(tombPath(path))
-  }
+      path: String, ids: Seq[Long]): Unit =
+    markDeleted(spark, path, ids)
 
   /** Fold tombstones into the at-rest index: rewrite the four tables
     * without the dead docs — postings drop their rows, df/docs/stats
@@ -619,7 +618,7 @@ object Bm25 {
       batchId: Long,
       idCol: String,
       textCol: String): Boolean =
-    graft.ops.Layout.ledgeredBatch(spark, s"$path/batches", batchId) {
+    ledgered(spark, path, batchId) {
       appendIndex(spark, newDocs, path, idCol, textCol)
       ()
     }
