@@ -691,7 +691,9 @@ object ScaleSmoke {
       def bandChecksum(key: Int => org.apache.spark.sql.Column): Long =
         vecs.select(xxhash64(
           (0 until 8).map(t => key(t)): _*).as("h"))
-          .agg(sum("h")).head.getLong(0)
+          // bit_xor, not sum: summing 10M xxhash64 longs overflows under
+          // ANSI; xor is an exact, overflow-free equality checksum
+          .agg(expr("bit_xor(h)")).head.getLong(0)
       var flatSum = 0L; var hofSum = 0L
       time("rp_band_flat_8x3", rows) {
         flatSum = bandChecksum(t =>
@@ -712,11 +714,11 @@ object ScaleSmoke {
       var fastSum = 0L; var hofSimSum = 0L
       time("simhash_expr", rows) {
         fastSum = docs.select(graft.ops.Dedup.simhash(col("toks")).as("s"))
-          .agg(sum("s")).head.getLong(0); rows
+          .agg(expr("bit_xor(s)")).head.getLong(0); rows
       }
       time("simhash_hof", rows) {
         hofSimSum = docs.select(graft.ops.Dedup.simhashHof(col("toks")).as("s"))
-          .agg(sum("s")).head.getLong(0); rows
+          .agg(expr("bit_xor(s)")).head.getLong(0); rows
       }
       assert(fastSum == hofSimSum, "simhash expression diverged from the HOF twin")
 

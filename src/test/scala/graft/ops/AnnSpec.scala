@@ -129,6 +129,34 @@ class AnnSpec extends SparkSpec {
       "file packing must not change any probe value")
   }
 
+  test("appendIvfBatch: crash-window replay (data written, marker missing) appends nothing") {
+    // the residual ledgeredBatch window: the append's data write landed
+    // but the driver died before the marker. The streaming restart
+    // redelivers the batch under a NEW attempt — freshBatchRows must
+    // drop the already-present ids so the replay is row-exact idempotent,
+    // while genuinely new ids in the same delivery still land
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cw").toString
+    Ann.writeIvf(assigned.where(col("vec_id") < 60), centroids, path)
+    // simulate the crash: raw append (the data half), no ledger marker
+    Ann.appendIvf(spark, emb.where(col("vec_id") >= 60 && col("vec_id") < 200), path)
+    // replayed delivery: same rows PLUS the next range, one ledgered batch
+    assert(Ann.appendIvfBatch(spark,
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 300), path, 1L))
+    val (lists, _) = Ann.loadIvf(spark, path)
+    assert(lists.count() == 300L,
+      "crash-window rows must not duplicate; fresh rows must still append")
+    assert(lists.select("vec_id").distinct().count() == 300L)
+    // and a second crash window whose replay carries ONLY dead rows:
+    // the ledgered re-delivery must mark the batch applied yet add nothing
+    assert(Ann.appendIvfBatch(spark,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 450), path, 2L))
+    Ann.appendIvf(spark, emb.where(col("vec_id") >= 450), path) // second crash
+    assert(Ann.appendIvfBatch(spark, emb.where(col("vec_id") >= 450), path, 3L))
+    val (lists2, _) = Ann.loadIvf(spark, path)
+    assert(lists2.count() == 500L && lists2.select("vec_id").distinct().count() == 500L)
+  }
+
   test("streamingIvfSink: micro-batches route through the frozen quantizer exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlC = spark.sqlContext

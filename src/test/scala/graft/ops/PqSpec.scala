@@ -266,6 +266,20 @@ class PqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendCodesBatch: crash-window replay (codes written, marker missing) appends nothing") {
+    // ledgeredBatch's residual window, PQ arm (the SqSpec twin)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_cw").toString + "/idx"
+    val seed = emb.where(col("vec_id") < 300)
+    val m = Pq.fitSampled(seed, dims = 64, m = 8, k = 8, maxIter = 10)
+    Pq.write(Pq.encode(seed, m), m, path)
+    Pq.appendCodes(spark, emb.where(col("vec_id") >= 300 && col("vec_id") < 400), path)
+    assert(Pq.appendCodesBatch(spark, emb.where(col("vec_id") >= 300), path, 1L))
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == emb.count() &&
+      codes.select("vec_id").distinct().count() == emb.count(),
+      "crash-window rows must not duplicate; fresh rows must still append")
+  }
+
   test("compression: codes are 32x smaller than raw vectors at m=8/64-d") {
     // structural claim pinned as arithmetic so a schema change that widens
     // the code column (e.g. LONG codes) fails loudly

@@ -168,6 +168,19 @@ class SqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendCodesBatch: crash-window replay (codes written, marker missing) appends nothing") {
+    // ledgeredBatch's residual window: the codes landed but the marker
+    // didn't. The redelivered batch must fold to zero new rows
+    // (freshBatchRows) while genuinely new ids in the same delivery land
+    val path = java.nio.file.Files.createTempDirectory("graft_sq_cw").toString + "/idx"
+    Sq.writeCodes(emb.where(col("vec_id") < 200), path)
+    Sq.appendCodes(spark, emb.where(col("vec_id") >= 200 && col("vec_id") < 300), path)
+    assert(Sq.appendCodesBatch(spark, emb.where(col("vec_id") >= 200), path, 1L))
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == 400L && codes.select("vec_id").distinct().count() == 400L,
+      "crash-window rows must not duplicate; fresh rows must still append")
+  }
+
   test("appendCodes refuses a batch drifted outside the frozen bounds") {
     val path = java.nio.file.Files.createTempDirectory("graft_sq_oob").toString + "/idx"
     Sq.writeCodes(emb.where(col("vec_id") < 300), path)
