@@ -1267,6 +1267,17 @@ object SparkEntry {
     // ---- training-data corpus assembly (TrainingData: sampling, mixing,
     // splitting, sharding, packing, decontamination) — all md5-keyed
     // deterministic, all recomputed independently by the DuckDB oracle
+    reg("p21_cluster_sample") { (s, dir) =>
+      // cluster-balanced diversity sampling: 8 seeded embedding clusters
+      // (a5's pinned coarse-quantizer fit), md5-deterministic quota of 20
+      // per cluster — golden-pinned (seeded Lloyd's is not
+      // SQL-expressible); the quota law itself is p3's, independently
+      // MessageDigest-verified in TrainingDataSpec
+      graft.ops.TrainingData.clusterBalancedSample(
+        T(s, dir, "embeddings"), k = 8, perCluster = 20)
+        .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"))
+        .orderBy("vec_id")
+    }
     reg("p3_stratified_sample") { (s, dir) =>
       graft.ops.TrainingData.stratifiedSample(T(s, dir, "documents"), "lang", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
@@ -2497,6 +2508,21 @@ object SparkEntry {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("rank").cast("long").as("rank"), col("term"), col("n"))
         .orderBy("window_start", "rank")
+    }
+    reg("st17_distribution_drift") { (s, dir) =>
+      // PSI drift monitor over the daily `value` histogram vs the
+      // earliest window (the post-quality-scorer intake check): the
+      // (window, bin) count half is a streaming-legal incremental
+      // aggregate, the PSI fold runs sink-side — composed batch-twin
+      // here so DuckDB recomputes the WHOLE pipeline (grid completion,
+      // Laplace smoothing, 1e-6/1e-9 integer-grid quantization)
+      // hash-exactly
+      StreamingOps.psiFromCounts(
+        StreamingOps.driftCounts(eventsDf(s, dir)))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("psi"))
+        .orderBy("window_start")
     }
     reg("st2_sliding") { (s, dir) =>
       StreamingOps.slidingCounts(eventsDf(s, dir))
@@ -4414,6 +4440,10 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
     // ---- training-data corpus assembly (TrainingData.*): the md5 order
     // key is portable, so DuckDB recomputes every operator independently
+    // p21: the cluster fit is seeded Lloyd's (not SQL-expressible) →
+    // determinism pin; the quota law is p3's, spec-verified independently
+    "p21_cluster_sample" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/p21_cluster_sample_sf001.parquet')",
     "p3_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
@@ -5152,6 +5182,41 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // st17: the full PSI pipeline recomputed — fixed-width bins, grid
+    // completion, Laplace smoothing, and the DSIR-style integer-grid
+    // quantization (log ratios at 1e-6, probability diffs at 1e-9) that
+    // makes the per-window sum exact integer algebra in both engines
+    "st17_distribution_drift" ->
+      """WITH binned AS (
+        |  SELECT CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 86400) * 86400)
+        |      AS TIMESTAMP) AS ws,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS bin
+        |  FROM events),
+        |counts AS (SELECT ws, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+        |bins AS (SELECT DISTINCT bin FROM counts),
+        |nb AS (SELECT count(*) AS nb FROM bins),
+        |grid AS (SELECT w.ws, b.bin
+        |  FROM (SELECT DISTINCT ws FROM counts) w CROSS JOIN bins b),
+        |full_g AS (
+        |  SELECT g.ws, g.bin, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN counts c ON g.ws = c.ws AND g.bin = c.bin),
+        |tot AS (SELECT ws, CAST(sum(c) AS BIGINT) AS t FROM full_g GROUP BY 1),
+        |refw AS (SELECT min(ws) AS rws FROM counts),
+        |ref AS (SELECT f.bin, f.c AS c_ref, t.t AS t_ref
+        |  FROM full_g f JOIN tot t ON f.ws = t.ws JOIN refw r ON f.ws = r.rws),
+        |terms AS (
+        |  SELECT f.ws,
+        |    CAST(round(((f.c + 1) / CAST(t.t + nb.nb AS DOUBLE)
+        |        - (r.c_ref + 1) / CAST(r.t_ref + nb.nb AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT)
+        |    * CAST(round((ln(f.c + 1) - ln(t.t + nb.nb)
+        |        - ln(r.c_ref + 1) + ln(r.t_ref + nb.nb)) * 1e6, 0) AS BIGINT)
+        |      AS term_q
+        |  FROM full_g f JOIN tot t ON f.ws = t.ws
+        |    JOIN ref r ON f.bin = r.bin CROSS JOIN nb)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  round(sum(term_q) / 1e15, 6) AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "st10_trending_terms" ->
       """WITH c AS (
         |  SELECT CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 21600) * 21600)

@@ -54,6 +54,78 @@ object StreamingOps {
           .partitionBy("window_start").orderBy(col("n").desc, col("term"))))
       .where(col("rank") <= topN)
 
+  /** Per-(window, bin) metric histogram — the incremental half of the
+    * distribution-drift monitor ([[psiFromCounts]]). Streaming-legal:
+    * state is open-windows × occupied bins, watermark-evicted; the PSI
+    * layer runs per CLOSED window in the sink (foreachBatch) — or
+    * directly, batch-twin, where the whole composition is
+    * oracle-checkable (`st17`). Bins are fixed-width (`floor(metric /
+    * binWidth)`), so the bin id needs no fitted model and two engines
+    * agree bit-for-bit.
+    */
+  def driftCounts(events: DataFrame, metricCol: String = "value",
+      width: String = "1 day", binWidth: Double = 50.0,
+      watermark: String = "2 hours"): DataFrame = {
+    require(binWidth > 0, s"driftCounts: binWidth $binWidth must be > 0")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"),
+        floor(col(metricCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("bin"), col("c"))
+  }
+
+  /** Population Stability Index per window vs the EARLIEST window — the
+    * data-quality drift monitor a continuous intake pipeline puts after
+    * its quality scorer (is this week's crawl still distributed like the
+    * reference?). PSI = Σ_bins (p_w − p_ref) · ln(p_w / p_ref) over
+    * Laplace-smoothed bin probabilities p = (c+1)/(T+B); the reference
+    * window scores exactly 0 by construction, and the usual reading is
+    * <0.1 stable / 0.1–0.25 drifting / >0.25 shifted.
+    *
+    * Oracle-exactness (the DSIR p9 recipe): every ln() input is an exact
+    * integer and each factor is quantized to an integer grid immediately
+    * (log-ratio at 1e-6, probability diff at 1e-9), so the per-window sum
+    * is EXACT integer algebra — partition-order-invariant and
+    * recomputable verbatim by DuckDB (`st17`'s oracle). PSI =
+    * Σ dp_q·lr_q / 1e15 rounded to 6 decimals.
+    *
+    * Batch-twin caveat, stated plainly: here the bin universe and the
+    * reference histogram come from the DATA (earliest window, observed
+    * bins). A production stream freezes both at deploy time — the same
+    * frozen-quantizer stance as the index families — and feeds each
+    * closed window through this per batch.
+    *
+    * Scale: one shuffle to (window, bin) counts; windows × bins is tiny
+    * by construction (bins ≤ metric range / binWidth), so every join
+    * below is broadcast and the grid completion never touches the events
+    * again.
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val bins = counts.select("bin").distinct()
+    val grid = counts.select("window_start").distinct()
+      .crossJoin(broadcast(bins))
+    // complete the grid: a bin absent from a window still carries
+    // smoothed mass (that asymmetry IS the drift signal)
+    val full = grid.join(counts, Seq("window_start", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val totals = full.groupBy("window_start").agg(sum(col("c")).as("t"))
+    val withT = full.join(broadcast(totals), Seq("window_start"))
+    val refStart = counts.agg(min(col("window_start")).as("__ref"))
+    val ref = withT.join(broadcast(refStart), col("window_start") === col("__ref"))
+      .select(col("bin"), col("c").as("c_ref"), col("t").as("t_ref"))
+    val nb = bins.agg(count(lit(1)).as("nb"))
+    withT.join(broadcast(ref), Seq("bin")).crossJoin(broadcast(nb))
+      .select(col("window_start"),
+        (round(((col("c") + 1) / (col("t") + col("nb"))
+          - (col("c_ref") + 1) / (col("t_ref") + col("nb"))) * 1e9, 0).cast("long") *
+          round((log(col("c") + 1) - log(col("t") + col("nb"))
+            - log(col("c_ref") + 1) + log(col("t_ref") + col("nb"))) * 1e6, 0)
+            .cast("long")).as("__term_q"))
+      .groupBy("window_start")
+      .agg(round(sum(col("__term_q")) / 1e15, 6).as("psi"))
+  }
+
   /** Sliding-window event counts (width/slide). */
   def slidingCounts(events: DataFrame, width: String = "1 hour",
       slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =

@@ -62,6 +62,38 @@ object TrainingData {
       .drop("__rn")
   }
 
+  /** Cluster-balanced (diversity) sampling: k embedding clusters from the
+    * bounded seeded fit ([[Ann.buildIvfSampled]]'s coarse quantizer —
+    * hash-chosen sample, RNG-free restarted Lloyd's), then the
+    * md5-deterministic per-stratum quota over the CLUSTER id
+    * ([[stratifiedSample]]'s exact law). The diversity-sampling shape
+    * SemDeDup/DataComp-era pipelines put between dedup and mixing:
+    * uniform sampling over-represents dense regions of embedding space;
+    * per-cluster quotas keep the tails (rare languages, rare formats,
+    * rare topics) in the training mix. Returns the selected rows with
+    * their `centroid_id`.
+    *
+    * Scale: the fit is driver-bounded (`sampleCap` vectors, KB of
+    * parameters), assignment is one scan-stage pass, and the quota is
+    * the per-stratum rank — no corpus-sized collect anywhere.
+    * Deterministic end to end, so `p21` golden-pins it (seeded KMeans is
+    * not SQL-expressible; the quota law is re-proven in
+    * TrainingDataSpec against an independent MessageDigest md5).
+    */
+  def clusterBalancedSample(
+      emb: DataFrame,
+      k: Int,
+      perCluster: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxIter: Int = 20,
+      sampleCap: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    val (assigned, _) =
+      Ann.buildIvfSampled(emb, idCol, vecCol, k, maxIter, sampleCap, seed)
+    stratifiedSample(assigned, "centroid_id", perCluster, idCol)
+  }
+
   /** [[stratifiedSample]] for strata too large to sort: same md5-keyed
     * sample, computed without ever ranking a full stratum.
     *

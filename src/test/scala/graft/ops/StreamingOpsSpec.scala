@@ -29,6 +29,55 @@ class StreamingOpsSpec extends SparkSpec {
       ("01:00", "click", 1L), ("02:00", "click", 1L)))
   }
 
+  test("distribution drift: ref window scores 0; shifted window outranks stable; hand PSI") {
+    // three daily windows over one metric: day 1 = reference
+    // (8 low / 2 high), day 2 same shape (stable), day 3 inverted
+    // (2 low / 8 high — the drifted crawl)
+    def day(d: Int, lows: Int, highs: Int) =
+      (0 until lows).map(i => (ts(f"2024-01-0$d 01:00:0$i"), 10.0)) ++
+        (0 until highs).map(i => (ts(f"2024-01-0$d 02:00:0$i"), 90.0))
+    val ev = (day(1, 8, 2) ++ day(2, 8, 2) ++ day(3, 2, 8))
+      .toDF("ts", "value")
+    val psi = StreamingOps.psiFromCounts(
+      StreamingOps.driftCounts(ev, binWidth = 50.0))
+      .select(date_format($"window_start", "dd").as("d"), $"psi")
+      .as[(String, Double)].collect().toMap
+    assert(psi("01") == 0.0, "reference window must score exactly 0")
+    assert(psi("02") == 0.0, "identically-shaped window must score exactly 0")
+    assert(psi("03") > 0.25, s"inverted window must read as shifted: ${psi("03")}")
+    // hand recomputation of day 3 through the same quantized algebra:
+    // bins {0, 1}, B=2, smoothed p = (c+1)/(T+B) with T=10
+    def psiOf(cs: Seq[Long], rs: Seq[Long]): Double = {
+      val b = cs.size
+      val (t, tr) = (cs.sum, rs.sum)
+      val q = cs.zip(rs).map { case (c, r) =>
+        val dp = math.round(((c + 1).toDouble / (t + b) -
+          (r + 1).toDouble / (tr + b)) * 1e9)
+        val lr = math.round((math.log(c + 1.0) - math.log(t + b.toDouble) -
+          math.log(r + 1.0) + math.log(tr + b.toDouble)) * 1e6)
+        dp * lr
+      }.sum
+      BigDecimal(q / 1e15).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(psi("03") == psiOf(Seq(2L, 8L), Seq(8L, 2L)),
+      "engine PSI must equal the hand-quantized recomputation")
+  }
+
+  test("driftCounts is a legal incremental streaming aggregate") {
+    implicit val sqlC = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingOps.driftCounts(mem.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData((ts("2024-01-01 01:00:00"), 10.0), (ts("2024-01-01 02:00:00"), 90.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_counts")
+        .select($"bin", $"c").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 1L), (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("sliding windows produce overlapping membership") {
     val got = StreamingOps.slidingCounts(events)
       .select(date_format($"window_start", "HH:mm").as("w"), $"n")

@@ -29,6 +29,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(s1.join(docs, Seq("doc_id"), "left_anti").count() == 0, "subset of input")
   }
 
+  test("clusterBalancedSample: quota per cluster, md5-least law, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s1 = TrainingData.clusterBalancedSample(emb, k = 4, perCluster = 10)
+    // exact quota wherever the cluster is big enough; never exceeded
+    val (assigned, _) = Ann.buildIvfSampled(emb, nLists = 4)
+    val sizes = assigned.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = s1.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (c, n) =>
+      assert(got(c) == math.min(n, 10L), s"cluster $c: ${got(c)} of $n")
+    }
+    // the selected ids ARE the md5-least of each cluster — recomputed with
+    // an independent MessageDigest, not Spark's md5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val byCluster = assigned.select("vec_id", "centroid_id").as[(Long, Int)]
+      .collect().groupBy(_._2)
+    val want = byCluster.flatMap { case (_, rows) =>
+      rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(10)
+    }.toSet
+    assert(s1.select("vec_id").as[Long].collect().toSet == want)
+    // deterministic across invocations
+    val s2 = TrainingData.clusterBalancedSample(emb, k = 4, perCluster = 10)
+    assert(s2.select("vec_id").as[Long].collect().toSet == want)
+  }
+
   test("stratifiedSample: stratum smaller than quota kept whole") {
     val counts = TrainingData.stratifiedSample(corpus(9), "lang", 10)
       .groupBy("lang").count().collect().map(_.getLong(1))
