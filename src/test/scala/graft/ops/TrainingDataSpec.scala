@@ -48,8 +48,8 @@ class TrainingDataSpec extends SparkSpec {
         .map("%02x".format(_)).mkString
     val byCluster = assigned.select("vec_id", "centroid_id").as[(Long, Int)]
       .collect().groupBy(_._2)
-    val want = byCluster.flatMap { case (_, rows) =>
-      rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(10)
+    val want = byCluster.values.flatMap { rows =>
+      rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(10).toSeq
     }.toSet
     assert(s1.select("vec_id").as[Long].collect().toSet == want)
     // deterministic across invocations
