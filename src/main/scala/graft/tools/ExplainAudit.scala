@@ -88,6 +88,18 @@ object ExplainAudit {
     audit("st1_tumbling")(
       "single aggregate, no sort before it" ->
         (p => p.contains("HashAggregate")))
+    audit("st17_distribution_drift")(
+      "grid completion and PSI joins all broadcast (windows × bins is tiny)" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "no all-pairs degradation on the grid cross join" ->
+        (p => !p.contains("CartesianProduct")),
+      "events shuffled once into (window, bin) counts (partial agg)" ->
+        (p => p.contains("HashAggregate")))
+    audit("p21_cluster_sample")(
+      "quota rank runs as WindowGroupLimit (per-cluster k-heap, not a full rank)" ->
+        (p => p.contains("WindowGroupLimit")),
+      "cluster assignment reaches the rank through ONE cluster-keyed exchange" ->
+        (p => "Exchange hashpartitioning\\(centroid_id".r.findAllIn(p).size == 1))
     audit("a4_lsh_batch")(
       "band-bucket candidate join is broadcast-hash" ->
         (p => p.contains("BroadcastHashJoin")),
