@@ -72,6 +72,11 @@ object Bench {
     // measured query doesn't absorb startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // the fixture tables the first registered queries touch — without
+    // these the ListMap-first query (q1) absorbs their footer reads and
+    // first-broadcast costs into even its warm samples
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
 
     // Sub-5s timings carry ±50% variance on a shared box; per-query numbers
     // are medians over `runs` repeats so round-over-round regressions are

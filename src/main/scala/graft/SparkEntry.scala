@@ -1966,6 +1966,32 @@ object SparkEntry {
       Eval.evaluate(hits, truth, k = 10)
         .orderBy("query_id")
     }
+    reg("b11_bm25f_fielded") { (s, dir) =>
+      // BM25F fielded retrieval over title/body split from docs2's
+      // synthesized structure (the t1 title law): per-field tf
+      // length-normalized and weight-scaled BEFORE the ONE k1 saturation
+      // (Robertson/Zaragoza/Taylor 2004 — summing per-field BM25 breaks
+      // the eliteness model), whole-document df, title weighted 2.5× at
+      // b=0.6. Scores quantized on the house integer grid; DuckDB
+      // recomputes field split, tf/df/dl and every double hash-exactly
+      import graft.search.Bm25
+      import s.implicits._
+      val lines = split(col("text2"), "\n")
+      def isT(l: Column): Column =
+        trim(l).rlike("^[A-Z\\s]+$") && length(trim(l)) > 5
+      val fielded = docs2(s, dir).select(col("doc_id"),
+        array_join(filter(lines, l => isT(l)), " ").as("title"),
+        array_join(filter(lines, l => !isT(l)), " ").as("body"))
+      val qs = Seq(
+        (0L, "section de window"),
+        (1L, "slow filter vector"),
+        (2L, "section zh customer scan")).toDF("query_id", "query_text")
+      Bm25.bm25fTopKBatch(qs, fielded,
+        Seq(Bm25.Field("title", 2.5, 0.6), Bm25.Field("body", 1.0, 0.75)), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("b1_bm25_topk") { (s, dir) =>
       // Okapi BM25 keyword retrieval: inverted-index build (postings +
       // per-term df + denormalized doc lengths) and a 3-query batch scored
@@ -3312,6 +3338,79 @@ object SparkEntry {
         |LEFT JOIN ideal i ON i.query_id = ta.query_id
         |LEFT JOIN hitagg h ON h.query_id = ta.query_id
         |ORDER BY ta.query_id""".stripMargin,
+    // b11: the whole BM25F pipeline recomputed — docs2 synthesis, the t1
+    // title-line law splitting title/body, per-field tf/dl, whole-doc df,
+    // the combined-before-saturation pseudo-frequency, and the house
+    // integer-grid quantization, every double in the same association
+    // order as the engine
+    "b11_bm25f_fielded" ->
+      s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents),
+         |fielded AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_filter(string_split(text2, chr(10)),
+         |      l -> regexp_matches(trim(l), '^[A-Z\\s]+$$')
+         |        AND length(trim(l)) > 5), ' ') AS title,
+         |    array_to_string(list_filter(string_split(text2, chr(10)),
+         |      l -> NOT (regexp_matches(trim(l), '^[A-Z\\s]+$$')
+         |        AND length(trim(l)) > 5)), ' ') AS body
+         |  FROM d2),
+         |base AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(coalesce(title, '')),
+         |      '[^a-z0-9]+'), t -> length(t) > 0) AS ts0,
+         |    list_filter(regexp_split_to_array(lower(coalesce(body, '')),
+         |      '[^a-z0-9]+'), t -> length(t) > 0) AS ts1
+         |  FROM fielded),
+         |dls AS (SELECT doc_id, len(ts0) AS dl0, len(ts1) AS dl1 FROM base),
+         |stats AS (SELECT count(*) AS n,
+         |  CAST(sum(len(ts0)) AS BIGINT) AS t0,
+         |  CAST(sum(len(ts1)) AS BIGINT) AS t1 FROM base),
+         |tf AS (
+         |  SELECT doc_id, term,
+         |    CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+         |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1
+         |  FROM (
+         |    SELECT doc_id, unnest(ts0) AS term, 0 AS f FROM base
+         |    UNION ALL
+         |    SELECT doc_id, unnest(ts1) AS term, 1 AS f FROM base)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+         |  FROM (VALUES (0, 'section de window'), (1, 'slow filter vector'),
+         |    (2, 'section zh customer scan')) AS v(query_id, query_text)),
+         |qt AS (
+         |  SELECT query_id, unnest(list_distinct(list_filter(
+         |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
+         |    t -> length(t) > 0))) AS term
+         |  FROM qs),
+         |qidf AS (
+         |  SELECT qt.query_id, qt.term,
+         |    CAST(round(ln((((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5))
+         |      + 1.0) * 1000000.0) AS BIGINT) AS idf_scaled
+         |  FROM qt JOIN df d USING (term), stats s),
+         |tt AS (
+         |  SELECT t.doc_id, t.term,
+         |    (2.5 * CAST(t.tf0 AS DOUBLE) /
+         |      ((1.0 - 0.6) + (0.6 * CAST(l.dl0 AS DOUBLE))
+         |        / (CAST(s.t0 AS DOUBLE) / CAST(s.n AS DOUBLE))))
+         |    + (1.0 * CAST(t.tf1 AS DOUBLE) /
+         |      ((1.0 - 0.75) + (0.75 * CAST(l.dl1 AS DOUBLE))
+         |        / (CAST(s.t1 AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS tt
+         |  FROM tf t JOIN dls l USING (doc_id), stats s),
+         |parts AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(round(CAST(q.idf_scaled AS DOUBLE)
+         |      * (t.tt * (1.2 + 1.0) / (1.2 + t.tt))) AS BIGINT) AS part
+         |  FROM tt t JOIN qidf q USING (term)),
+         |scored AS (
+         |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+         |  FROM parts GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_scaled, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "b1_bm25_topk" ->
       (bm25OracleCore(
         """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text

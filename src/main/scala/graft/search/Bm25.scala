@@ -889,4 +889,119 @@ object Bm25 extends graft.ops.IndexLifecycle {
       .where(col("n_matches") >= 1)
       .select(col("query_id"), col("doc_id"), col("n_matches"))
   }
+
+  // ---------------------------------------------------------------- BM25F
+
+  /** One retrieval field for [[bm25fTopKBatch]]: its text column, its
+    * weight (title ≫ body is the classic setting), and its own length
+    * normalization `b` (titles are short and uniform → lower b).
+    */
+  final case class Field(textCol: String, weight: Double, b: Double = 0.75)
+
+  /** BM25F fielded ranking (Robertson/Zaragoza/Taylor, CIKM 2004 — the
+    * "simple BM25F"): per-field term frequencies are length-normalized
+    * and weight-scaled FIRST, then the k1 saturation curve is applied
+    * ONCE to the combined pseudo-frequency —
+    *
+    *   tf̃(t,d) = Σ_f w_f · tf_f / (1 − b_f + b_f · dl_f/avgdl_f)
+    *   score(q,d) = Σ_t idf(t) · tf̃·(k1+1) / (k1 + tf̃)
+    *
+    * which is the paper's point: summing per-field BM25 scores saturates
+    * each field separately, so two weak field matches outscore one strong
+    * one; combining frequencies BEFORE saturation preserves the
+    * eliteness model. idf uses WHOLE-document df (a doc counts once if
+    * the term appears in any field). With one field at weight 1 this
+    * reduces exactly to [[topKBatch]]'s law (pinned in Bm25Spec).
+    *
+    * Determinism/oracle shape (the house BM25 recipe): idf is quantized
+    * to the 1e-6 integer grid, per-term parts round to longs, the
+    * per-doc score is an exact integer sum — `b11`'s DuckDB oracle
+    * recomputes field splitting, tf/df/dl, and every double in the same
+    * association order, hash-exactly.
+    *
+    * Scale: one scan of the fielded docs (token arrays + per-field dl
+    * computed BEFORE the explode and carried through — the
+    * [[rawPostings]] single-exchange shape, field-tagged), per-field tfs
+    * pivoted by exact conditional sums, query side broadcast; the only
+    * shuffles are the (doc, term) tf aggregate, the df aggregate, and
+    * the final per-query k-heap.
+    */
+  def bm25fTopKBatch(
+      queries: DataFrame,
+      docs: DataFrame,
+      fields: Seq[Field],
+      k: Int,
+      idCol: String = "doc_id",
+      k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopKBatch needs at least one field")
+    val nf = fields.size
+    // token arrays + per-field dl on the unexploded row
+    val base = graft.ops.Ann.materializeOnce(docs.select(
+      (col(idCol).cast("long").as("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          tokensCol(col(f.textCol)).as(s"__ts$i") }): _*)
+      .select(
+        (col("doc_id") +:
+          (0 until nf).map(i => col(s"__ts$i")) ++:
+          (0 until nf).map(i => size(col(s"__ts$i")).cast("long").as(s"__dl$i"))): _*))
+    // exactly 2·nf+1 scalars cross the driver — bounded by construction
+    val statsRow = base.agg(
+      count(lit(1)).as("n"),
+      (0 until nf).map(i => sum(col(s"__dl$i")).as(s"t$i")): _*).head
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "bm25fTopKBatch: empty corpus")
+    val avgDl = (0 until nf).map(i => statsRow.getLong(i + 1).toDouble / nDocs)
+    // field-tagged explode; (doc, dl*) carried through so the tf pivot is
+    // the single postings-sized exchange (the rawPostings shape)
+    val dlCols = (0 until nf).map(i => col(s"__dl$i"))
+    val tagged = base.select(
+      (col("doc_id") +: dlCols) :+
+        posexplode(array((0 until nf).map(i => col(s"__ts$i")): _*))
+          .as(Seq("__f", "__ftoks")): _*)
+      .select((col("doc_id") +: dlCols) :+ col("__f") :+
+        explode(col("__ftoks")).as("term"): _*)
+    val grid = tagged
+      .groupBy((col("doc_id") +: dlCols) :+ col("term"): _*)
+      .agg(
+        coalesce(sum(when(col("__f") === 0, 1L)), lit(0L)).as("__tf0"),
+        (1 until nf).map(i =>
+          coalesce(sum(when(col("__f") === i, 1L)), lit(0L)).as(s"__tf$i")): _*)
+    val postings = graft.ops.Ann.materializeOnce(grid)
+    // whole-document df → 1e-6-grid idf, computed only for query terms
+    val qTerms = queries.select(
+      col("query_id").cast("long"),
+      explode(array_distinct(tokensCol(col("query_text")))).as("term"))
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qIdf = df
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("idf_scaled",
+        round(log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6)
+          .cast("long"))
+      .select("query_id", "term", "idf_scaled")
+    // tf̃ as a FIXED fold over fields (field 0 first) — both engines sum
+    // the same expression tree, no aggregation-order float hazard
+    val tfTilde = (0 until nf).map { i =>
+      val f = fields(i)
+      lit(f.weight) * col(s"__tf$i").cast("double") /
+        (lit(1.0 - f.b) + lit(f.b) * col(s"__dl$i").cast("double") / lit(avgDl(i)))
+    }.reduce(_ + _)
+    val sat = tfTilde * lit(k1 + 1.0) / (lit(k1) + tfTilde)
+    val parts = postings
+      .join(broadcast(qIdf), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf_scaled").cast("double") * sat).cast("long").as("part"))
+    parts
+      .groupBy("query_id", "doc_id")
+      .agg(sum("part").as("score_scaled"))
+      .groupBy("query_id")
+      .agg(call_function("topk_by_dist",
+        -col("score_scaled").cast("double"), col("doc_id"), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(
+        col("query_id"),
+        (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as("doc_id"),
+        (-col("hit.dist")).cast("long").as("score_scaled"),
+        (-col("hit.dist") / 1e6).as("score"))
+  }
 }

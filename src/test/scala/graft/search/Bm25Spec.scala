@@ -524,4 +524,50 @@ class Bm25Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 0L), (2L, 0L), (2L, 2L), (3L, 2L)), s"got $out")
   }
+
+  test("bm25f with one field at weight 1 reduces exactly to plain BM25") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val qs = Seq((0L, "apple cherry"), (1L, "banana durian"))
+      .toDF("query_id", "query_text")
+    val plain = Bm25.topKBatch(qs, idx, k = 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).sorted.toSeq
+    val fielded = Bm25.bm25fTopKBatch(qs, corpus,
+      Seq(Bm25.Field("text", 1.0, 0.75)), k = 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fielded == plain,
+      "single-field BM25F must be bit-identical to the BM25 law")
+  }
+
+  test("bm25f: title weight promotes a title match over a longer body match") {
+    // doc 10 has the term only in its (short, weighted) title; doc 11 only
+    // in a long body. Combined-before-saturation + weight must rank 10 first
+    val docs = Seq(
+      (10L, "quantum widgets", "a body about unrelated filler words here"),
+      (11L, "other things", "quantum appears within a much longer body " +
+        "of prose that mentions quantum twice among many other words"),
+      (12L, "nothing", "completely unrelated text")
+    ).toDF("doc_id", "title", "body")
+    val qs = Seq((0L, "quantum")).toDF("query_id", "query_text")
+    val got = Bm25.bm25fTopKBatch(qs, docs,
+      Seq(Bm25.Field("title", 2.5, 0.6), Bm25.Field("body", 1.0, 0.75)), k = 3)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toMap
+    assert(got(1) == 10L, s"title match must outrank body match: $got")
+    assert(got(2) == 11L)
+    assert(!got.values.toSet.contains(12L), "no-match doc must not appear")
+  }
+
+  test("bm25f: a doc matching in BOTH fields outranks either single-field match") {
+    val docs = Seq(
+      (1L, "alpha topic", "alpha discussed in the body as well"),
+      (2L, "alpha topic", "body about something else entirely"),
+      (3L, "other title", "alpha discussed in the body as well")
+    ).toDF("doc_id", "title", "body")
+    val qs = Seq((0L, "alpha")).toDF("query_id", "query_text")
+    val got = Bm25.bm25fTopKBatch(qs, docs,
+      Seq(Bm25.Field("title", 2.5, 0.6), Bm25.Field("body", 1.0, 0.75)), k = 3)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toMap
+    assert(got(1) == 1L, s"both-fields match must rank first: $got")
+  }
 }
