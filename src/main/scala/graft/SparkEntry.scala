@@ -490,6 +490,20 @@ object SparkEntry {
       SessionMemory.windowedMemory(memoryDf(s, dir), maxTurns = 2, tokenBudget = 4)
         .orderBy("session_id", "turn")
     }
+    reg("c10_semantic_cache") { (s, dir) =>
+      // serving-tier memoization (the GPTCache pattern): queries within
+      // cos 0.95 of an already-answered query are HITs served from the
+      // cache (here the self-overlap ids, cos = 1), the rest are MISS
+      // rows routed to the full pipeline. Exact cosine top-1 with a
+      // min-of-struct fold — DuckDB recomputes every disposition
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(pmod(col("vec_id"), lit(11)) === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cache = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"))
+      graft.serve.SemanticCache.lookup(qs, cache, minCos = 0.95)
+        .orderBy("query_id")
+    }
     reg("c5_chatlog") { (s, dir) =>
       val rows = memoryDf(s, dir).where(col("session_id") === "1" && col("turn") === 0)
       ChatLog.record(rows, col("session_id"), col("content"),
@@ -3839,6 +3853,30 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT) AS query_id,
          |       '[${sqlEsc(Config.AgentName)}] ' || split_part(context, chr(10), 1) AS answer
          |FROM ctx""".stripMargin,
+    // c10: hit/miss disposition recomputed — exact cosine, best per query
+    // by (cos desc, cache_id asc), threshold 0.95, misses kept as null rows
+    "c10_semantic_cache" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id % 11 = 3),
+        |cache AS (SELECT vec_id AS cache_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.cache_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cos
+        |  FROM qs q, cache c),
+        |best AS (
+        |  SELECT query_id, cache_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+        |  FROM scored WHERE cos >= 0.95)
+        |SELECT q.query_id, b.cache_id, round(b.cos, 6) AS cos,
+        |  b.cache_id IS NOT NULL AS hit
+        |FROM qs q LEFT JOIN best b ON q.query_id = b.query_id AND b.rn = 1
+        |ORDER BY q.query_id""".stripMargin,
     "c9_memory_window" ->
       s"""WITH m AS ($MemorySql),
          |w AS (

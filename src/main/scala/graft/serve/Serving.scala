@@ -303,3 +303,57 @@ object Costing {
   def latencySec(start: Column, end: Column): Column =
     (unix_micros(end) - unix_micros(start)).cast("double") / 1e6
 }
+
+/** Semantic cache — the serving-tier memoization modern RAG stacks put in
+  * front of the LLM (the GPTCache pattern): an incoming query whose
+  * embedding lands within `minCos` of a previously ANSWERED query is
+  * served from the cache, skipping retrieval + generation entirely —
+  * [[Costing]] prices exactly what a hit avoids. The reference re-answers
+  * every turn from scratch (app.py:246-250); this is the production
+  * economization of that loop.
+  */
+object SemanticCache {
+
+  /** Per query, the single best cache entry by exact cosine — a HIT row
+    * `(query_id, cache_id, cos, hit=true)` when best-cos ≥ `minCos`,
+    * else a MISS row (null cache_id/cos) so the caller routes the query
+    * through the full pipeline and then inserts it. Deterministic: best
+    * = (cos desc, cache_id asc), folded with an exact min-of-struct
+    * aggregate (no float-sum ordering anywhere).
+    *
+    * Scale: the CACHE side broadcasts (a cache is a working set by
+    * definition — bounded, hot); the query table streams through one
+    * scan. Cosine is the codegen `cosine_similarity` expression, so the
+    * scoring loop is whole-stage codegen. A cache too big to broadcast
+    * is an ANN serving problem: band it with [[graft.ops.Ann
+    * .rpTopKBatch]] and threshold the result — this exact variant is the
+    * oracle-comparable registered path (`c10`).
+    */
+  def lookup(
+      queries: DataFrame,
+      cache: DataFrame,
+      minCos: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      cacheIdCol: String = "cache_id",
+      cacheVecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+    val c = cache.select(
+      col(cacheIdCol).cast("long").as("__cid"), col(cacheVecCol).as("__cv"))
+    val scored = q.crossJoin(broadcast(c))
+      .withColumn("__cos",
+        graft.functions.VectorFunctions.cosineSimilarity(col("__qv"), col("__cv")))
+      .where(col("__cos") >= minCos)
+    // exact top-1 per query: min of (−cos, id) — struct comparison is
+    // lexicographic, so this is (cos desc, cache_id asc) with no heap
+    val best = scored
+      .groupBy("query_id")
+      .agg(min(struct((-col("__cos")).as("__nc"), col("__cid"))).as("__best"))
+      .select(col("query_id"),
+        col("__best.__cid").as("cache_id"),
+        round(-col("__best.__nc"), 6).as("cos"))
+    q.select("query_id").join(best, Seq("query_id"), "left")
+      .withColumn("hit", col("cache_id").isNotNull)
+  }
+}

@@ -140,4 +140,22 @@ class ServingSpec extends SparkSpec {
     // tie between 30 and 40 breaks on the FIRST-STAGE rank (3 before 4)
     assert(out == Seq((1, 20L, 2L), (2, 30L, 1L), (3, 40L, 1L)), s"got $out")
   }
+
+  test("semantic cache: exact hit, tie on smallest cache_id, sub-threshold miss, empty cache") {
+    import org.apache.spark.sql.functions.col
+    val v1 = Array(1.0f, 0.0f)
+    val v2 = Array(0.0f, 1.0f)
+    val vm = Array(1.0f, 1.0f) // cos 0.7071 to both axes — below 0.95
+    val qs = Seq((100L, v1), (101L, vm)).toDF("query_id", "query_vec")
+    // two cache entries IDENTICAL to v1 (ids 7 and 3): tie must break to 3
+    val cache = Seq((7L, v1), (3L, v1), (9L, v2)).toDF("cache_id", "embedding")
+    val got = SemanticCache.lookup(qs, cache, minCos = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3))).toMap
+    assert(got(100L) == (Some(3L), true), s"tie must break to smallest id: $got")
+    assert(got(101L) == (None, false), "sub-threshold query must be a MISS row")
+    // empty cache: every query is a miss, none dropped
+    val none = SemanticCache.lookup(qs, cache.where(col("cache_id") < 0), minCos = 0.95)
+    assert(none.count() == 2 && none.where(col("hit")).count() == 0)
+  }
 }
