@@ -2006,6 +2006,39 @@ object SparkEntry {
           col("doc_id"), col("score_scaled"))
         .orderBy("query_id", "rank")
     }
+    reg("b11b_bm25f_at_rest") { (s, dir) =>
+      // b11's law through the PERSISTED per-field layouts (the Lucene
+      // stance: each field is its own full-lifecycle writeIndex index;
+      // the fielded probe composes them at query time) with two docs
+      // TOMBSTONED in both field indexes: stats stay stale until compact
+      // (the b8 contract), tf/df/dl are live-only. Build set restricted
+      // to docs with nonempty titles (every-field-nonempty contract)
+      import graft.search.Bm25
+      import s.implicits._
+      val lines = split(col("text2"), "\n")
+      def isT(l: Column): Column =
+        trim(l).rlike("^[A-Z\\s]+$") && length(trim(l)) > 5
+      val fielded = docs2(s, dir).where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          array_join(filter(lines, l => isT(l)), " ").as("title"),
+          array_join(filter(lines, l => !isT(l)), " ").as("body"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25f").toString
+      Bm25.writeIndex(fielded, "doc_id", "title", s"$tmp/title")
+      Bm25.writeIndex(fielded, "doc_id", "body", s"$tmp/body")
+      Bm25.deleteDocs(s, s"$tmp/title", Seq(13L, 27L))
+      Bm25.deleteDocs(s, s"$tmp/body", Seq(13L, 27L))
+      val qs = Seq(
+        (0L, "section de window"),
+        (1L, "slow filter vector"),
+        (2L, "section zh customer scan")).toDF("query_id", "query_text")
+      Bm25.bm25fProbeAtRest(s,
+        Seq(Bm25.FieldIndex(s"$tmp/title", 2.5, 0.6),
+          Bm25.FieldIndex(s"$tmp/body", 1.0, 0.75)), qs, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }
     reg("b1_bm25_topk") { (s, dir) =>
       // Okapi BM25 keyword retrieval: inverted-index build (postings +
       // per-term df + denormalized doc lengths) and a 3-query batch scored
@@ -3001,6 +3034,85 @@ object SparkEntry {
       |SELECT query_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches
       |FROM scored WHERE n_matches >= 1 ORDER BY query_id, doc_id""".stripMargin
 
+  /** b11/b11b's oracle: the whole BM25F pipeline — docs2 synthesis, the
+    * t1 title-line law splitting title/body, per-field tf/dl, whole-doc
+    * df, combined-before-saturation pseudo-frequency, house integer-grid
+    * quantization, every double in the engine's association order.
+    * `buildWhere` bounds the indexed doc set (stats/dls stay on it — the
+    * b8/Lucene stale-stats-until-compact contract); `liveWhere` is the
+    * tombstone exclusion applied to tf (and through it df).
+    */
+  private def bm25fOracleSql(buildWhere: String, liveWhere: String): String =
+    s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents
+       |  WHERE $buildWhere),
+       |fielded AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_filter(string_split(text2, chr(10)),
+       |      l -> regexp_matches(trim(l), '^[A-Z\\s]+$$')
+       |        AND length(trim(l)) > 5), ' ') AS title,
+       |    array_to_string(list_filter(string_split(text2, chr(10)),
+       |      l -> NOT (regexp_matches(trim(l), '^[A-Z\\s]+$$')
+       |        AND length(trim(l)) > 5)), ' ') AS body
+       |  FROM d2),
+       |base AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(coalesce(title, '')),
+       |      '[^a-z0-9]+'), t -> length(t) > 0) AS ts0,
+       |    list_filter(regexp_split_to_array(lower(coalesce(body, '')),
+       |      '[^a-z0-9]+'), t -> length(t) > 0) AS ts1
+       |  FROM fielded),
+       |dls AS (SELECT doc_id, len(ts0) AS dl0, len(ts1) AS dl1 FROM base),
+       |stats AS (SELECT count(*) AS n,
+       |  CAST(sum(len(ts0)) AS BIGINT) AS t0,
+       |  CAST(sum(len(ts1)) AS BIGINT) AS t1 FROM base),
+       |tf AS (
+       |  SELECT doc_id, term,
+       |    CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+       |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1
+       |  FROM (
+       |    SELECT doc_id, unnest(ts0) AS term, 0 AS f FROM base
+       |    UNION ALL
+       |    SELECT doc_id, unnest(ts1) AS term, 1 AS f FROM base)
+       |  WHERE $liveWhere
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+       |  FROM (VALUES (0, 'section de window'), (1, 'slow filter vector'),
+       |    (2, 'section zh customer scan')) AS v(query_id, query_text)),
+       |qt AS (
+       |  SELECT query_id, unnest(list_distinct(list_filter(
+       |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
+       |    t -> length(t) > 0))) AS term
+       |  FROM qs),
+       |qidf AS (
+       |  SELECT qt.query_id, qt.term,
+       |    CAST(round(ln((((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5))
+       |      + 1.0) * 1000000.0) AS BIGINT) AS idf_scaled
+       |  FROM qt JOIN df d USING (term), stats s),
+       |tt AS (
+       |  SELECT t.doc_id, t.term,
+       |    (2.5 * CAST(t.tf0 AS DOUBLE) /
+       |      ((1.0 - 0.6) + (0.6 * CAST(l.dl0 AS DOUBLE))
+       |        / (CAST(s.t0 AS DOUBLE) / CAST(s.n AS DOUBLE))))
+       |    + (1.0 * CAST(t.tf1 AS DOUBLE) /
+       |      ((1.0 - 0.75) + (0.75 * CAST(l.dl1 AS DOUBLE))
+       |        / (CAST(s.t1 AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS tt
+       |  FROM tf t JOIN dls l USING (doc_id), stats s),
+       |parts AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(round(CAST(q.idf_scaled AS DOUBLE)
+       |      * (t.tt * (1.2 + 1.0) / (1.2 + t.tt))) AS BIGINT) AS part
+       |  FROM tt t JOIN qidf q USING (term)),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+       |  FROM parts GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_scaled, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def bm25OracleCore(
       qsCte: String,
       docWhere: String = "TRUE",
@@ -3357,74 +3469,12 @@ object SparkEntry {
     // the combined-before-saturation pseudo-frequency, and the house
     // integer-grid quantization, every double in the same association
     // order as the engine
-    "b11_bm25f_fielded" ->
-      s"""WITH d2 AS (SELECT doc_id, $Docs2Sql AS text2 FROM documents),
-         |fielded AS (
-         |  SELECT doc_id,
-         |    array_to_string(list_filter(string_split(text2, chr(10)),
-         |      l -> regexp_matches(trim(l), '^[A-Z\\s]+$$')
-         |        AND length(trim(l)) > 5), ' ') AS title,
-         |    array_to_string(list_filter(string_split(text2, chr(10)),
-         |      l -> NOT (regexp_matches(trim(l), '^[A-Z\\s]+$$')
-         |        AND length(trim(l)) > 5)), ' ') AS body
-         |  FROM d2),
-         |base AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(coalesce(title, '')),
-         |      '[^a-z0-9]+'), t -> length(t) > 0) AS ts0,
-         |    list_filter(regexp_split_to_array(lower(coalesce(body, '')),
-         |      '[^a-z0-9]+'), t -> length(t) > 0) AS ts1
-         |  FROM fielded),
-         |dls AS (SELECT doc_id, len(ts0) AS dl0, len(ts1) AS dl1 FROM base),
-         |stats AS (SELECT count(*) AS n,
-         |  CAST(sum(len(ts0)) AS BIGINT) AS t0,
-         |  CAST(sum(len(ts1)) AS BIGINT) AS t1 FROM base),
-         |tf AS (
-         |  SELECT doc_id, term,
-         |    CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
-         |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1
-         |  FROM (
-         |    SELECT doc_id, unnest(ts0) AS term, 0 AS f FROM base
-         |    UNION ALL
-         |    SELECT doc_id, unnest(ts1) AS term, 1 AS f FROM base)
-         |  GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
-         |  FROM (VALUES (0, 'section de window'), (1, 'slow filter vector'),
-         |    (2, 'section zh customer scan')) AS v(query_id, query_text)),
-         |qt AS (
-         |  SELECT query_id, unnest(list_distinct(list_filter(
-         |    regexp_split_to_array(lower(coalesce(query_text, '')), '[^a-z0-9]+'),
-         |    t -> length(t) > 0))) AS term
-         |  FROM qs),
-         |qidf AS (
-         |  SELECT qt.query_id, qt.term,
-         |    CAST(round(ln((((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5))
-         |      + 1.0) * 1000000.0) AS BIGINT) AS idf_scaled
-         |  FROM qt JOIN df d USING (term), stats s),
-         |tt AS (
-         |  SELECT t.doc_id, t.term,
-         |    (2.5 * CAST(t.tf0 AS DOUBLE) /
-         |      ((1.0 - 0.6) + (0.6 * CAST(l.dl0 AS DOUBLE))
-         |        / (CAST(s.t0 AS DOUBLE) / CAST(s.n AS DOUBLE))))
-         |    + (1.0 * CAST(t.tf1 AS DOUBLE) /
-         |      ((1.0 - 0.75) + (0.75 * CAST(l.dl1 AS DOUBLE))
-         |        / (CAST(s.t1 AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS tt
-         |  FROM tf t JOIN dls l USING (doc_id), stats s),
-         |parts AS (
-         |  SELECT q.query_id, t.doc_id,
-         |    CAST(round(CAST(q.idf_scaled AS DOUBLE)
-         |      * (t.tt * (1.2 + 1.0) / (1.2 + t.tt))) AS BIGINT) AS part
-         |  FROM tt t JOIN qidf q USING (term)),
-         |scored AS (
-         |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
-         |  FROM parts GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, doc_id, score_scaled, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "b11_bm25f_fielded" -> bm25fOracleSql("TRUE", "TRUE"),
+    // b11b: the same law through the PERSISTED per-field layouts with two
+    // docs tombstoned — stats/avgdl stay stale (full build set, the
+    // b8/Lucene between-merges contract), tf/df/dl are live-only
+    "b11b_bm25f_at_rest" ->
+      bm25fOracleSql("doc_id % 10 <> 0", "doc_id NOT IN (13, 27)"),
     "b1_bm25_topk" ->
       (bm25OracleCore(
         """qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text

@@ -967,26 +967,45 @@ object Bm25 extends graft.ops.IndexLifecycle {
         (1 until nf).map(i =>
           coalesce(sum(when(col("__f") === i, 1L)), lit(0L)).as(s"__tf$i")): _*)
     val postings = graft.ops.Ann.materializeOnce(grid)
-    // whole-document df → 1e-6-grid idf, computed only for query terms
+    scoreFieldedGrid(queries, postings, nDocs, avgDl,
+      fields.map(f => (f.weight, f.b)), k, k1)
+  }
+
+  /** The shared BM25F scorer over a fielded grid `(doc_id, term,
+    * __tf0.., __dl0..)` — fed the FULL grid by [[bm25fTopKBatch]]
+    * (transient build) and the query-term-pruned grid by
+    * [[bm25fProbeAtRest]]. df comes from the grid itself, so the pruned
+    * path yields the same per-term values as the full one. tf̃ is a
+    * FIXED fold over fields (field 0 first): both engines sum the same
+    * expression tree, no aggregation-order float hazard; parts land on
+    * the house 1e-6 integer grid so per-doc sums are exact.
+    */
+  private def scoreFieldedGrid(
+      queries: DataFrame,
+      grid: DataFrame,
+      nDocs: Long,
+      avgDl: Seq[Double],
+      fields: Seq[(Double, Double)],
+      k: Int,
+      k1: Double): DataFrame = {
+    val nf = fields.size
     val qTerms = queries.select(
       col("query_id").cast("long"),
       explode(array_distinct(tokensCol(col("query_text")))).as("term"))
-    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = grid.groupBy("term").agg(count(lit(1)).as("df"))
     val qIdf = df
       .join(broadcast(qTerms), Seq("term"))
       .withColumn("idf_scaled",
         round(log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6)
           .cast("long"))
       .select("query_id", "term", "idf_scaled")
-    // tf̃ as a FIXED fold over fields (field 0 first) — both engines sum
-    // the same expression tree, no aggregation-order float hazard
     val tfTilde = (0 until nf).map { i =>
-      val f = fields(i)
-      lit(f.weight) * col(s"__tf$i").cast("double") /
-        (lit(1.0 - f.b) + lit(f.b) * col(s"__dl$i").cast("double") / lit(avgDl(i)))
+      val (w, b) = fields(i)
+      lit(w) * col(s"__tf$i").cast("double") /
+        (lit(1.0 - b) + lit(b) * col(s"__dl$i").cast("double") / lit(avgDl(i)))
     }.reduce(_ + _)
     val sat = tfTilde * lit(k1 + 1.0) / (lit(k1) + tfTilde)
-    val parts = postings
+    val parts = grid
       .join(broadcast(qIdf), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         round(col("idf_scaled").cast("double") * sat).cast("long").as("part"))
@@ -1003,5 +1022,73 @@ object Bm25 extends graft.ops.IndexLifecycle {
         col("hit.id").as("doc_id"),
         (-col("hit.dist")).cast("long").as("score_scaled"),
         (-col("hit.dist") / 1e6).as("score"))
+  }
+
+  /** One at-rest field for [[bm25fProbeAtRest]]: a [[writeIndex]] layout
+    * path plus this probe's (weight, b).
+    */
+  final case class FieldIndex(path: String, weight: Double, b: Double = 0.75)
+
+  /** BM25F over PERSISTED per-field indexes — the Lucene stance realized
+    * with the existing segmented layout: each field is its own
+    * [[writeIndex]] index (so the FULL lifecycle — ledgered appends,
+    * tombstone deletes, tiered merges, compacts — is inherited verbatim,
+    * per field), and the fielded probe composes them at query time:
+    * per-field postings pruned to the query terms (bucket partition
+    * pruning when laid out), tf pivot by exact conditional sums, dl per
+    * (doc, field) from the live postings, the combined-before-saturation
+    * scoring of [[bm25fTopKBatch]] via [[scoreFieldedGrid]].
+    *
+    * Contract, loudly checked where cheap: every field index must be
+    * built over the SAME doc set (equal committed nDocs), and a doc must
+    * have ≥1 token in EVERY field (the dl joins are inner — a doc with
+    * an empty field has no dl row and silently drops; filter such docs
+    * out upstream or give them a placeholder token). Delete semantics
+    * follow [[deleteDocs]]/`b8`: stats stay stale until compact (the
+    * Lucene between-merges contract), postings — and therefore tf, df
+    * and dl here — are live-only.
+    *
+    * Scale: the per-field postings scans are term-pruned; the dl joins
+    * stream the corpus-sized postings past a BROADCAST of the (tiny,
+    * query-term-bounded) grid; a serving deployment would additionally
+    * cache the per-field dl frames across query batches.
+    */
+  def bm25fProbeAtRest(
+      spark: org.apache.spark.sql.SparkSession,
+      fields: Seq[FieldIndex],
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "bm25fProbeAtRest needs at least one field")
+    val idxs = fields.map(f => loadIndex(spark, f.path))
+    require(idxs.map(_.nDocs).distinct.size == 1,
+      s"bm25fProbeAtRest: field indexes disagree on corpus size " +
+        s"(${idxs.map(_.nDocs).mkString(", ")}) — every field index must " +
+        "be built over the SAME doc set")
+    val termSet = queries.select(
+      explode(array_distinct(tokensCol(col("query_text")))).as("term")).distinct()
+    val tagged = idxs.zipWithIndex.map { case (idx, i) =>
+      val pruned = idx.termBuckets match {
+        case Some(nb) => idx.postings.join(
+          broadcast(termSet.withColumn("bucket", bucketCol(col("term"), nb))),
+          Seq("bucket", "term"))
+        case None => idx.postings.join(broadcast(termSet), Seq("term"))
+      }
+      pruned.select(col("doc_id"), col("term"), lit(i).as("__f"), col("tf"))
+    }.reduce(_ unionByName _)
+    val slim = tagged
+      .groupBy("doc_id", "term")
+      .agg(
+        coalesce(sum(when(col("__f") === 0, col("tf"))), lit(0L)).as("__tf0"),
+        (1 until idxs.size).map(i =>
+          coalesce(sum(when(col("__f") === i, col("tf"))), lit(0L)).as(s"__tf$i")): _*)
+    // per-field dl joined from the live postings: corpus-sized scans
+    // streamed past the broadcast query-term-bounded grid
+    val grid = idxs.indices.foldLeft(slim) { (g, i) =>
+      idxs(i).postings.select(col("doc_id"), col("dl").as(s"__dl$i")).distinct()
+        .join(broadcast(g), Seq("doc_id"))
+    }
+    scoreFieldedGrid(queries, grid, idxs.head.nDocs, idxs.map(_.avgDl),
+      fields.map(f => (f.weight, f.b)), k, k1)
   }
 }

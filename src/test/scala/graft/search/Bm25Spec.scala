@@ -570,4 +570,55 @@ class Bm25Spec extends SparkSpec {
       .select("rank", "doc_id").as[(Int, Long)].collect().toMap
     assert(got(1) == 1L, s"both-fields match must rank first: $got")
   }
+
+  test("bm25f at rest: probe over per-field indexes equals the transient build; deletes are live-only") {
+    val docs = Seq(
+      (1L, "alpha topic", "alpha discussed in the body as well"),
+      (2L, "alpha topic", "body about something else entirely"),
+      (3L, "other title", "alpha discussed in the body as well"),
+      (4L, "gamma title", "unrelated body prose entirely")
+    ).toDF("doc_id", "title", "body")
+    val specs = Seq(("title", 2.5, 0.6), ("body", 1.0, 0.75))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25f_ar").toString
+    Bm25.writeIndex(docs, "doc_id", "title", s"$tmp/title")
+    Bm25.writeIndex(docs, "doc_id", "body", s"$tmp/body")
+    val qs = Seq((0L, "alpha body")).toDF("query_id", "query_text")
+    val transient = Bm25.bm25fTopKBatch(qs, docs,
+      specs.map(f => Bm25.Field(f._1, f._2, f._3)), k = 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).toSeq
+    val atRest = Bm25.bm25fProbeAtRest(spark,
+      Seq(Bm25.FieldIndex(s"$tmp/title", 2.5, 0.6),
+        Bm25.FieldIndex(s"$tmp/body", 1.0, 0.75)), qs, k = 10)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(_.toString).toSeq
+    assert(atRest == transient,
+      "at-rest fielded probe must be value-identical to the transient build")
+    // tombstone doc 1 in BOTH field indexes: it vanishes from results,
+    // df/tf re-derive live, stats stay stale (b8 contract)
+    Bm25.deleteDocs(spark, s"$tmp/title", Seq(1L))
+    Bm25.deleteDocs(spark, s"$tmp/body", Seq(1L))
+    val afterDel = Bm25.bm25fProbeAtRest(spark,
+      Seq(Bm25.FieldIndex(s"$tmp/title", 2.5, 0.6),
+        Bm25.FieldIndex(s"$tmp/body", 1.0, 0.75)), qs, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!afterDel.contains(1L), "tombstoned doc must not be served")
+    assert(afterDel.contains(2L) && afterDel.contains(3L))
+  }
+
+  test("bm25f at rest refuses field indexes built over different doc sets") {
+    val a = Seq((1L, "alpha", "beta")).toDF("doc_id", "title", "body")
+    val b = Seq((1L, "alpha", "beta"), (2L, "gamma", "delta"))
+      .toDF("doc_id", "title", "body")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25f_ref").toString
+    Bm25.writeIndex(a, "doc_id", "title", s"$tmp/title")
+    Bm25.writeIndex(b, "doc_id", "body", s"$tmp/body")
+    val qs = Seq((0L, "alpha")).toDF("query_id", "query_text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.bm25fProbeAtRest(spark,
+        Seq(Bm25.FieldIndex(s"$tmp/title", 2.5, 0.6),
+          Bm25.FieldIndex(s"$tmp/body", 1.0, 0.75)), qs, k = 10)
+    }
+    assert(e.getMessage.contains("SAME doc set"))
+  }
 }
