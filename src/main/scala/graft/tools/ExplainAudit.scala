@@ -100,6 +100,23 @@ object ExplainAudit {
         (p => p.contains("WindowGroupLimit")),
       "cluster assignment reaches the rank through ONE cluster-keyed exchange" ->
         (p => "Exchange hashpartitioning\\(centroid_id".r.findAllIn(p).size == 1))
+    audit("b11_bm25f_fielded")(
+      "query-idf and scoring joins broadcast (query side tiny)" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "single field-tagged tf pivot, no Window in the build" ->
+        (p => !p.contains("WindowExec") && p.contains("HashAggregate")))
+    audit("b11b_bm25f_at_rest")(
+      "per-field postings pruned to query-term buckets (DPP-able join key)" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "term-bounded grid broadcast past the corpus-sized dl scans" ->
+        (p => "BroadcastExchange".r.findAllIn(p).size >= 3),
+      "no cartesian anywhere in the composition" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("c10_semantic_cache")(
+      "cache side broadcast (BNLJ over the broadcast cache, never shuffled)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "codegen cosine in the scan (no UDF in the scoring loop)" ->
+        (p => p.contains("cosine_similarity") && !p.contains("UDF(")))
     audit("a4_lsh_batch")(
       "band-bucket candidate join is broadcast-hash" ->
         (p => p.contains("BroadcastHashJoin")),
