@@ -75,6 +75,75 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("bin"), col("c"))
   }
 
+  /** PSI per window against an EXPLICIT frozen reference histogram
+    * `(bin, c)` — the streaming-deployment half of the drift monitor
+    * (the batch twin [[psiFromCounts]] derives its reference from the
+    * data's earliest window; a production stream freezes the reference
+    * at deploy time, the index families' frozen-quantizer stance).
+    * Per-window semantics differ from the batch twin deliberately: the
+    * smoothing universe is (reference bins ∪ THAT window's bins), so a
+    * closed window's PSI depends only on itself and the reference —
+    * windows alert independently, batch composition can't shift scores.
+    * Same integer-grid quantized algebra (log ratios at 1e-6, diffs at
+    * 1e-9, exact integer sums).
+    */
+  def psiVsReference(counts: DataFrame, reference: DataFrame): DataFrame = {
+    val ref = reference.select(
+      col("bin").cast("long").as("bin"), col("c").cast("long").as("c_ref"))
+    val refTot = ref.agg(sum(col("c_ref")).as("t_ref"))
+    val windows = counts.select("window_start").distinct()
+    val universe = counts.select("window_start", "bin")
+      .unionByName(windows.crossJoin(broadcast(ref.select("bin"))))
+      .distinct()
+    val full = universe
+      .join(counts, Seq("window_start", "bin"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(ref), Seq("bin"), "left").na.fill(0L, Seq("c_ref"))
+    val perW = full.groupBy("window_start")
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("nb"))
+    full.join(broadcast(perW), Seq("window_start"))
+      .crossJoin(broadcast(refTot))
+      .select(col("window_start"),
+        (round(((col("c") + 1) / (col("t") + col("nb"))
+          - (col("c_ref") + 1) / (col("t_ref") + col("nb"))) * 1e9, 0).cast("long") *
+          round((log(col("c") + 1) - log(col("t") + col("nb"))
+            - log(col("c_ref") + 1) + log(col("t_ref") + col("nb"))) * 1e6, 0)
+            .cast("long")).as("__term_q"))
+      .groupBy("window_start")
+      .agg(round(sum(col("__term_q")) / 1e15, 6).as("psi"))
+  }
+
+  /** Streaming drift alerting — the deployed composition: [[driftCounts]]
+    * in APPEND mode (a window's histogram is emitted once, when the
+    * watermark closes it), then per micro-batch [[psiVsReference]]
+    * against the frozen reference and an append of the windows whose PSI
+    * crosses `threshold` to the alerts table. At-least-once: a replayed
+    * batch re-appends its alert rows — alerts are idempotent to act on
+    * (keyed by window_start), matching the chat-log sink's stance.
+    */
+  def streamingDriftAlerts(
+      events: DataFrame,
+      reference: DataFrame,
+      alertsPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.25,
+      metricCol: String = "value",
+      width: String = "1 day",
+      binWidth: Double = 50.0,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ref = reference.select(
+      col("bin").cast("long").as("bin"), col("c").cast("long").as("c"))
+    driftCounts(events, metricCol, width, binWidth, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        psiVsReference(batch, ref)
+          .where(col("psi") >= threshold)
+          .write.mode("append").parquet(alertsPath)
+        ()
+      }
+  }
+
   /** Population Stability Index per window vs the EARLIEST window — the
     * data-quality drift monitor a continuous intake pipeline puts after
     * its quality scorer (is this week's crawl still distributed like the

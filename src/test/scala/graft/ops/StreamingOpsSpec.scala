@@ -63,6 +63,49 @@ class StreamingOpsSpec extends SparkSpec {
       "engine PSI must equal the hand-quantized recomputation")
   }
 
+  test("streamingDriftAlerts: closed shifted window alerts, stable window stays silent") {
+    implicit val sqlC = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_drift_sink").toString
+    // frozen reference: 8 low / 2 high (the deploy-time histogram)
+    val ref = Seq((0L, 8L), (1L, 2L)).toDF("bin", "c")
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingOps.streamingDriftAlerts(
+      mem.toDF().toDF("ts", "value"), ref, s"$tmp/alerts", s"$tmp/ckpt",
+      threshold = 0.25, watermark = "0 seconds").start()
+    try {
+      def day(d: Int, lows: Int, highs: Int) =
+        (0 until lows).map(i => (ts(f"2024-01-0$d 01:00:0$i"), 10.0)) ++
+          (0 until highs).map(i => (ts(f"2024-01-0$d 02:00:0$i"), 90.0))
+      mem.addData(day(1, 8, 2) ++ day(2, 2, 8): _*) // day1 stable, day2 inverted
+      q.processAllAvailable()
+      mem.addData(day(3, 1, 0): _*) // advances the watermark past day 1+2
+      q.processAllAvailable()
+      val alerts = spark.read.parquet(s"$tmp/alerts")
+        .select(date_format($"window_start", "dd").as("d"), $"psi")
+        .as[(String, Double)].collect().toMap
+      assert(alerts.contains("02"), s"inverted day must alert: $alerts")
+      assert(alerts("02") > 0.25)
+      assert(!alerts.contains("01"), s"reference-shaped day must not alert: $alerts")
+    } finally q.stop()
+  }
+
+  test("psiVsReference: window scoring is batch-composition-independent") {
+    // the same window scores identically whether it arrives alone or
+    // alongside others — the per-window universe law
+    val w1 = Seq((ts("2024-01-01 00:00:00"), 0L, 2L), (ts("2024-01-01 00:00:00"), 1L, 8L))
+      .toDF("window_start", "bin", "c")
+    val w2 = Seq((ts("2024-01-02 00:00:00"), 5L, 4L))
+      .toDF("window_start", "bin", "c")
+    val ref = Seq((0L, 8L), (1L, 2L)).toDF("bin", "c")
+    val alone = StreamingOps.psiVsReference(w1, ref)
+      .select($"psi").as[Double].head()
+    val together = StreamingOps.psiVsReference(w1.unionByName(w2), ref)
+      .where($"window_start" === ts("2024-01-01 00:00:00"))
+      .select($"psi").as[Double].head()
+    assert(alone == together,
+      "a window's PSI must not depend on which other windows share the batch")
+  }
+
   test("driftCounts is a legal incremental streaming aggregate") {
     implicit val sqlC = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double)]
