@@ -193,6 +193,39 @@ object UnitVector {
   }
 }
 
+/** [[UnitVector]] with FLOAT output — for feeding unit-normalized
+  * vectors back into the ARRAY<FLOAT> operator surface (rpTopKBatch,
+  * l2Distance) where the double variant would change the element type.
+  * Precision note, stated plainly: each element rounds to float once
+  * (IEEE nearest), so distances downstream are float-grade — the
+  * callers re-verify with exact math on the shortlist.
+  */
+case class UnitVectorF(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def prettyName: String = "unit_vector_f"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    UnitVectorF.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.UnitVectorF.compute($a);")
+  override protected def withNewChildInternal(newChild: Expression): UnitVectorF =
+    copy(child = newChild)
+}
+
+object UnitVectorF {
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val norm = VectorNorm.compute(a)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = (a.getFloat(i).toDouble / norm).toFloat; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Dot product of two DOUBLE vectors (the unit-vector verify in
   * [[graft.ops.Ann.cosinePairsRp]]): fold-left from 0.0 — bit-identical
   * to `aggregate(zip_with(a, b, _*_), 0.0, +)`, except mismatched
@@ -365,6 +398,7 @@ object VectorFunctions {
       "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("unit_vector", es => UnitVector(es.head), "built-in")
+    reg.createOrReplaceTempFunction("unit_vector_f", es => UnitVectorF(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product_d", es => DotProductDouble(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("rp_band_key", buildRpBandKey, "built-in")
@@ -401,5 +435,6 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
   def vectorNorm(a: Column): Column = call_function("vector_norm", a)
   def unitVector(a: Column): Column = call_function("unit_vector", a)
+  def unitVectorF(a: Column): Column = call_function("unit_vector_f", a)
   def dotProductD(a: Column, b: Column): Column = call_function("dot_product_d", a, b)
 }

@@ -356,4 +356,45 @@ object SemanticCache {
     q.select("query_id").join(best, Seq("query_id"), "left")
       .withColumn("hit", col("cache_id").isNotNull)
   }
+
+  /** [[lookup]]'s scale path — a cache too big to broadcast: both sides
+    * unit-normalized (codegen `unit_vector_f`, so cos ⇔ L2:
+    * ‖a−b‖² = 2−2cos), banded top-1 via [[graft.ops.Ann.rpTopKBatch]]
+    * (AND/OR-amplified RP-LSH — the cache never shuffles per batch),
+    * then the threshold on the candidate's EXACT distance. Precision is
+    * exact (rpTopKBatch verifies candidates with true L2); only recall
+    * is approximate — EXCEPT for exact-duplicate hits (cos = 1), whose
+    * identical band keys collide in every table, so a re-asked question
+    * is always served. Same output contract as [[lookup]].
+    */
+  def lookupBanded(
+      queries: DataFrame,
+      cache: DataFrame,
+      minCos: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      cacheIdCol: String = "cache_id",
+      cacheVecCol: String = "embedding",
+      nTables: Int = 12,
+      nProjs: Int = 3,
+      width: Option[Double] = None): DataFrame = {
+    import graft.functions.VectorFunctions.unitVectorF
+    val dStar = math.sqrt(math.max(1e-12, 2.0 - 2.0 * minCos))
+    val q = queries.select(
+      col(queryIdCol).as("query_id"),
+      unitVectorF(col(queryVecCol)).as("query_vec"))
+    val c = cache.select(
+      col(cacheIdCol).cast("long").as("cache_id"),
+      unitVectorF(col(cacheVecCol)).as("embedding"))
+    val hits = graft.ops.Ann.rpTopKBatch(q, c, k = 1,
+      nTables = nTables, nProjs = nProjs,
+      width = width.getOrElse(dStar),
+      idCol = "cache_id")
+      .withColumn("cos", round(lit(1.0) - col("dist") * col("dist") / 2.0, 6))
+      .where(col("cos") >= minCos)
+      .select(col("query_id"), col("cache_id"), col("cos"))
+    queries.select(col(queryIdCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("hit", col("cache_id").isNotNull)
+  }
 }

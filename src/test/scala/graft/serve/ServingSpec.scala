@@ -158,4 +158,29 @@ class ServingSpec extends SparkSpec {
     val none = SemanticCache.lookup(qs, cache.where(col("cache_id") < 0), minCos = 0.95)
     assert(none.count() == 2 && none.where(col("hit")).count() == 0)
   }
+
+  test("semantic cache banded scale path: exact-duplicate hits guaranteed, dispositions match exact lookup") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.where(col("vec_id") % 11 === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cache = emb.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("cache_id"), col("embedding"))
+    def dispositions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3))).toMap
+    val exact = dispositions(SemanticCache.lookup(qs, cache, minCos = 0.95))
+    val banded = dispositions(SemanticCache.lookupBanded(qs, cache, minCos = 0.95))
+    // precision: every banded hit is an exact hit with the same cache id
+    banded.foreach { case (q, (cid, hit)) =>
+      if (hit) assert(exact(q) == ((cid, true)), s"banded false positive at $q") }
+    // cos=1 hits (exact duplicates) MUST all be found — identical band
+    // keys collide in every table, the re-asked-question guarantee
+    val selfHits = exact.collect { case (q, (Some(cid), true)) if q == cid => q }
+    selfHits.foreach { q =>
+      assert(banded(q)._2, s"exact-duplicate hit $q must never be missed") }
+    // on this fixture every exact hit IS a self-duplicate, so the full
+    // disposition maps agree
+    assert(banded == exact)
+  }
 }
