@@ -101,6 +101,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "unit_vector(vec) - unit-normalized copy of a float vector as ARRAY<DOUBLE>"),
       (es: Seq[Expression]) => graft.functions.UnitVector(es.head)))
     ext.injectFunction((
+      FunctionIdentifier("unit_vector_f"),
+      info("unit_vector_f",
+        "unit_vector_f(vec) - unit-normalized copy of a float vector as ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => graft.functions.UnitVectorF(es.head)))
+    ext.injectFunction((
       FunctionIdentifier("dot_product_d"),
       info("dot_product_d", "dot_product_d(a, b) - dot product of two double vectors"),
       (es: Seq[Expression]) => graft.functions.DotProductDouble(es(0), es(1))))

@@ -1029,6 +1029,22 @@ object Bm25 extends graft.ops.IndexLifecycle {
     */
   final case class FieldIndex(path: String, weight: Double, b: Double = 0.75)
 
+  /** The per-doc `(doc_id, dl)` rows of a persisted index — committed
+    * segments only, tombstones excluded (the same read discipline as
+    * [[loadIndex]]'s postings). One row per doc by the `docs/` ledger's
+    * idempotency contract.
+    */
+  private def loadDocDls(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val segs = committedSegs(spark, path)
+    graft.ops.Layout.excludeTombstoned(
+      spark,
+      spark.read.parquet(s"$path/docs")
+        .where(col("seg").isin(segs.map(x => x: Any): _*)),
+      tombPath(path), "doc_id", MaxTombstones)
+      .select("doc_id", "dl")
+  }
+
   /** BM25F over PERSISTED per-field indexes — the Lucene stance realized
     * with the existing segmented layout: each field is its own
     * [[writeIndex]] index (so the FULL lifecycle — ledgered appends,
@@ -1067,7 +1083,14 @@ object Bm25 extends graft.ops.IndexLifecycle {
         "be built over the SAME doc set")
     val termSet = queries.select(
       explode(array_distinct(tokensCol(col("query_text")))).as("term")).distinct()
-    val tagged = idxs.zipWithIndex.map { case (idx, i) =>
+    // driver-side bucket restriction (restrictToTerms' literal pruning):
+    // the query batch is bounded by contract, so its distinct terms are a
+    // driver-sized collect, and the resulting `bucket IN (...)` is STATIC
+    // partition pruning — without it each field probe scanned all bucket
+    // directories (measured 2/3 of the 1M-doc fielded probe)
+    val termSeq = termSet.collect().map(_.getString(0)).toSeq
+    val tagged = idxs.zipWithIndex.map { case (idx0, i) =>
+      val idx = restrictToTerms(idx0, termSeq)
       val pruned = idx.termBuckets match {
         case Some(nb) => idx.postings.join(
           broadcast(termSet.withColumn("bucket", bucketCol(col("term"), nb))),
@@ -1076,18 +1099,26 @@ object Bm25 extends graft.ops.IndexLifecycle {
       }
       pruned.select(col("doc_id"), col("term"), lit(i).as("__f"), col("tf"))
     }.reduce(_ unionByName _)
-    val slim = tagged
+    // materialized ONCE: slim is term-bounded tiny, but its subtree holds
+    // BOTH postings scans, and every consumer below (each dl fold's
+    // broadcast build, the scorer's df aggregate, the scorer's parts
+    // join) would re-execute it — measured 4 postings scans per probe
+    // before the checkpoint (the maybeBroadcast double-execution class)
+    val slim = graft.ops.Ann.materializeOnce(tagged
       .groupBy("doc_id", "term")
       .agg(
         coalesce(sum(when(col("__f") === 0, col("tf"))), lit(0L)).as("__tf0"),
         (1 until idxs.size).map(i =>
-          coalesce(sum(when(col("__f") === i, col("tf"))), lit(0L)).as(s"__tf$i")): _*)
-    // per-field dl joined from the live postings: corpus-sized scans
-    // streamed past the broadcast query-term-bounded grid
-    val grid = idxs.indices.foldLeft(slim) { (g, i) =>
-      idxs(i).postings.select(col("doc_id"), col("dl").as(s"__dl$i")).distinct()
-        .join(broadcast(g), Seq("doc_id"))
-    }
+          coalesce(sum(when(col("__f") === i, col("tf"))), lit(0L)).as(s"__tf$i")): _*))
+    // per-field dl from the at-rest `docs/` ledger (one committed,
+    // tombstone-excluded row per doc — doc-sized scan, NO postings
+    // distinct: the first cut's postings-sized dedup shuffle was 2/3 of
+    // the 1M-doc probe), streamed past the broadcast term-bounded grid
+    val grid = graft.ops.Ann.materializeOnce(
+      fields.zipWithIndex.foldLeft(slim) { case (g, (f, i)) =>
+        loadDocDls(spark, f.path).select(col("doc_id"), col("dl").as(s"__dl$i"))
+          .join(broadcast(g), Seq("doc_id"))
+      })
     scoreFieldedGrid(queries, grid, idxs.head.nDocs, idxs.map(_.avgDl),
       fields.map(f => (f.weight, f.b)), k, k1)
   }

@@ -680,6 +680,82 @@ object ScaleSmoke {
     // in-tier (checksum of every produced value), bit-identity is pinned
     // row-by-row in AnnSpec/DedupSpec. HOFs evaluate in the expression
     // interpreter (never whole-stage codegen) — the 27–57× class.
+    // 12. round-10 additions at scale: BM25F fielded (per-field at-rest
+    // layouts composed at probe time) and the semantic cache's exact-vs-
+    // banded A/B — hits are planted exact duplicates, so banded recall on
+    // them is guaranteed (identical band keys) and the two paths must
+    // agree on every hit disposition.
+    section("round10") {
+      // 12a. BM25F: 1M two-field docs (short weighted title, long body),
+      // both field indexes persisted, fielded probe composed from disk.
+      val rows = n(1000000L)
+      val docs = synthDocs(rows, 25)
+        .select(col("doc_id"),
+          concat(lit("title w"),
+            pmod(xxhash64(col("doc_id") + 11), lit(1000000))).as("title"),
+          col("text").as("body"))
+      val bPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_bm25f").toString
+      time("bm25f_write_2_fields", rows) {
+        graft.search.Bm25.writeIndex(docs, "doc_id", "title", s"$bPath/title")
+        graft.search.Bm25.writeIndex(docs, "doc_id", "body", s"$bPath/body")
+        rows
+      }
+      // one title-field token (the title hash of doc id*151) + 3 body-family
+      // tokens per query. Deliberately NO corpus-wide stopword: an
+      // every-doc term is legitimate BM25F work (idf ≈ 0) but measures a
+      // degenerate query, not the fielded probe (first cut measured 15 s
+      // of scoring the literal token "title" against all 1M titles)
+      val queries = spark.range(64).select(
+        col("id").as("query_id"),
+        concat_ws(" ",
+          concat(lit("w"), pmod(xxhash64(col("id") * 151 + 11), lit(1000000))),
+          transform(sequence(lit(0), lit(2)),
+            i => concat(lit("w"), pmod(xxhash64(col("id") * 37 + 5, i),
+              lit(1000000))))).as("query_text"))
+      var fieldedOut: DataFrame = null
+      time("bm25f_probe_construct", rows) {
+        fieldedOut = graft.search.Bm25.bm25fProbeAtRest(spark,
+          Seq(graft.search.Bm25.FieldIndex(s"$bPath/title", 2.5, 0.6),
+            graft.search.Bm25.FieldIndex(s"$bPath/body", 1.0, 0.75)),
+          queries, k = 10)
+        rows
+      }
+      assertBucketed(fieldedOut, "bm25f_probe")
+      time("bm25f_probe_at_rest", rows) { fieldedOut.count() }
+
+      // 12b. semantic cache: 1M-entry cache, 64 queries of which half are
+      // planted EXACT duplicates of cache entries (the re-asked-question
+      // case) — exact broadcast scan vs banded RP path, same-run.
+      val cacheRows = n(1000000L)
+      val cache = clusteredVecs(cacheRows, 32, 4242, "cache_id", "embedding")
+        .localCheckpoint(true)
+      val dup = cache.where(pmod(col("cache_id"), lit(31250)) === 0)
+        .select((col("cache_id") + 10000000L).as("query_id"),
+          col("embedding").as("query_vec"))
+      val fresh = clusteredVecs(32, 32, 99991, "query_id", "query_vec")
+        .select(col("query_id") + 20000000L, col("query_vec"))
+        .toDF("query_id", "query_vec")
+      val qs = dup.unionByName(fresh).localCheckpoint(true)
+      var exactHits = Set.empty[Long]
+      var bandedHits = Set.empty[Long]
+      time("semcache_exact_1m", cacheRows) {
+        val r = graft.serve.SemanticCache.lookup(qs, cache, minCos = 0.999)
+          .where(col("hit")).select("query_id").collect().map(_.getLong(0))
+        exactHits = r.toSet; r.length
+      }
+      time("semcache_banded_1m", cacheRows) {
+        val r = graft.serve.SemanticCache.lookupBanded(qs, cache, minCos = 0.999)
+          .where(col("hit")).select("query_id").collect().map(_.getLong(0))
+        bandedHits = r.toSet; r.length
+      }
+      assert(dup.select("query_id").collect().map(_.getLong(0))
+        .forall(bandedHits.contains),
+        "banded path must find every planted exact duplicate")
+      assert(bandedHits.subsetOf(exactHits),
+        "banded hits must be a subset of exact hits (precision law)")
+    }
+
     section("codegen_ab") {
       // 11a. rp banding: 10M x 32-d, 8 tables x 3 projs — the banding
       // engine under a6/a3/cosinePairsRp/rpTopKBatch. The flat form
