@@ -106,10 +106,12 @@ object ExplainAudit {
       "single field-tagged tf pivot, no Window in the build" ->
         (p => !p.contains("WindowExec") && p.contains("HashAggregate")))
     audit("b11b_bm25f_at_rest")(
-      "per-field postings pruned to query-term buckets (DPP-able join key)" ->
-        (p => p.contains("BroadcastHashJoin")),
-      "term-bounded grid broadcast past the corpus-sized dl scans" ->
-        (p => "BroadcastExchange".r.findAllIn(p).size >= 3),
+      // the postings scans + dl joins live BEHIND the grid's materializeOnce
+      // (they run once, eagerly, at probe construction); the final plan is
+      // scorer-only: checkpoint scan + broadcast idf join + heap
+      "scorer reads the checkpointed grid, not files" ->
+        (p => p.contains("ExistingRDD") && !p.contains("FileScan")),
+      "query-idf join broadcast" -> (p => p.contains("BroadcastHashJoin")),
       "no cartesian anywhere in the composition" ->
         (p => !p.contains("CartesianProduct")))
     audit("c10_semantic_cache")(
