@@ -504,6 +504,32 @@ object SparkEntry {
       graft.serve.SemanticCache.lookup(qs, cache, minCos = 0.95)
         .orderBy("query_id")
     }
+    reg("c11_cache_intake") { (s, dir) =>
+      // the full memoization LOOP with sequential state (st12's shape
+      // for the serving tier): batch 1 hits the seed cache on the 7
+      // self-overlap ids and INSERTS its 39 misses; batch 2 re-asks the
+      // same questions under new ids and must hit on EVERY row — the
+      // self-dups against the seed cache, the rest against batch 1's
+      // insertions. DuckDB replays both batches sequentially in CTEs,
+      // so a lookup drift, an insertion miss, or a replayed-own-id leak
+      // all break the hash
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cache_intake").toString + "/cache"
+      emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"))
+        .write.parquet(tmp)
+      val b1 = emb.where(pmod(col("vec_id"), lit(11)) === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val d1 = graft.serve.SemanticCache.intakeBatch(s, b1, tmp, minCos = 0.95)
+        .withColumn("batch", lit(1L))
+      val b2 = b1.select((col("query_id") + 5000).as("query_id"), col("query_vec"))
+      val d2 = graft.serve.SemanticCache.intakeBatch(s, b2, tmp, minCos = 0.95)
+        .withColumn("batch", lit(2L))
+      d1.unionByName(d2)
+        .select(col("batch"), col("query_id"), col("cache_id"), col("cos"), col("hit"))
+        .orderBy("batch", "query_id")
+    }
     reg("c5_chatlog") { (s, dir) =>
       val rows = memoryDf(s, dir).where(col("session_id") === "1" && col("turn") === 0)
       ChatLog.record(rows, col("session_id"), col("content"),
@@ -3903,6 +3929,51 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT) AS query_id,
          |       '[${sqlEsc(Config.AgentName)}] ' || split_part(context, chr(10), 1) AS answer
          |FROM ctx""".stripMargin,
+    // c11: both intake batches replayed sequentially — batch 1 vs the
+    // seed cache, its misses inserted at query_id + 1e6, batch 2 vs
+    // seed ∪ insertions; dispositions and the inserted cache ids are all
+    // hash-compared
+    "c11_cache_intake" -> {
+      def cosExpr(q: String, c: String): String =
+        s"""list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
+      s"""WITH cache0 AS (SELECT vec_id AS cache_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |b1 AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 11 = 3),
+         |s1 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b1 q, cache0 c),
+         |best1 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM s1 WHERE cos >= 0.95),
+         |d1 AS (SELECT q.query_id,
+         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
+         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
+         |  FROM b1 q LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1),
+         |cache1 AS (SELECT cache_id, cv FROM cache0 UNION ALL
+         |  SELECT d.cache_id, q.qv AS cv FROM d1 d JOIN b1 q USING (query_id)
+         |  WHERE NOT d.hit),
+         |b2 AS (SELECT query_id + 5000 AS query_id, qv FROM b1),
+         |s2 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b2 q, cache1 c),
+         |best2 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM s2 WHERE cos >= 0.95),
+         |d2 AS (SELECT q.query_id,
+         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
+         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
+         |  FROM b2 q LEFT JOIN best2 b ON q.query_id = b.query_id AND b.rn = 1)
+         |SELECT CAST(1 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d2
+         |ORDER BY batch, query_id""".stripMargin
+    },
     // c10: hit/miss disposition recomputed — exact cosine, best per query
     // by (cos desc, cache_id asc), threshold 0.95, misses kept as null rows
     "c10_semantic_cache" ->

@@ -357,6 +357,58 @@ object SemanticCache {
       .withColumn("hit", col("cache_id").isNotNull)
   }
 
+  /** One intake batch against a PERSISTED cache — the full memoization
+    * loop as a composable unit (the [[graft.ops.CorpusPipeline
+    * .nearDupIntakeBatch]] shape for the serving tier):
+    *
+    *   1. look the batch up against the stored cache ([[lookup]] law:
+    *      best entry by (cos desc, cache_id asc), HIT at ≥ `minCos`);
+    *   2. INSERT the misses as new cache entries under
+    *      `query_id + idOffset` (the answered-and-cached contract — the
+    *      caller runs its pipeline on the misses before or after; the
+    *      entry is the query embedding either way), so the NEXT batch is
+    *      served against cache + everything admitted before it;
+    *   3. return every disposition: `(query_id, cache_id, cos, hit)`
+    *      with miss rows carrying their OWN new cache id.
+    *
+    * Replay-safe without a ledger: the insert anti-joins on cache_id
+    * (id-idempotent, the appendMinhash recipe), and a replayed batch
+    * re-derives the same dispositions from (batch, cache-minus-own-ids)
+    * — own insertions are EXCLUDED from the lookup so a replay's
+    * admissions don't flip earlier hit/miss decisions (a query would
+    * otherwise "hit" its own first-delivery insertion at cos 1).
+    *
+    * Scale: one bounded batch vs the broadcast/banded cache read; the
+    * insert is O(misses).
+    */
+  def intakeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      cachePath: String,
+      minCos: Double,
+      idOffset: Long = 1000000L,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val stored = spark.read.parquet(cachePath)
+    // exclude this batch's OWN (replayed) insertions from the lookup
+    val ownIds = batch.select((col(queryIdCol) + idOffset).as("cache_id"))
+    val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
+    val out = graft.ops.Ann.materializeOnce(
+      lookup(batch, visible, minCos, queryIdCol, queryVecCol)
+        .join(batch.select(col(queryIdCol).as("query_id"), col(queryVecCol)),
+          Seq("query_id")))
+    val inserts = out.where(!col("hit"))
+      .select((col("query_id") + idOffset).as("cache_id"),
+        col(queryVecCol).as("embedding"))
+      // id-idempotent: a replayed batch (or an id collision) never
+      // duplicates a cache entry
+      .join(stored.select("cache_id"), Seq("cache_id"), "left_anti")
+    inserts.write.mode("append").parquet(cachePath)
+    out.select(col("query_id"),
+      coalesce(col("cache_id"), col("query_id") + idOffset).as("cache_id"),
+      col("cos"), col("hit"))
+  }
+
   /** [[lookup]]'s scale path — a cache too big to broadcast: both sides
     * unit-normalized (codegen `unit_vector_f`, so cos ⇔ L2:
     * ‖a−b‖² = 2−2cos), banded top-1 via [[graft.ops.Ann.rpTopKBatch]]

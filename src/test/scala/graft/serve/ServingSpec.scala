@@ -183,4 +183,33 @@ class ServingSpec extends SparkSpec {
     // disposition maps agree
     assert(banded == exact)
   }
+
+  test("cache intake: misses inserted, replay converges, next batch hits admissions") {
+    import org.apache.spark.sql.functions.col
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f); val v3 = Array(0.6f, 0.8f)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci").toString + "/cache"
+    Seq((7L, v1)).toDF("cache_id", "embedding").write.parquet(tmp)
+    val b1 = Seq((100L, v1), (101L, v2)).toDF("query_id", "query_vec")
+    val d1 = SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(d1(100L) == (7L, true), "exact dup must hit the seed cache")
+    assert(d1(101L) == (1000101L, false), "miss must carry its new cache id")
+    // replay of batch 1: SAME dispositions (own insertions excluded from
+    // the lookup), no duplicate cache rows
+    val d1r = SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(d1r == d1, "a replayed batch must re-derive identical dispositions")
+    val stored = spark.read.parquet(tmp)
+    assert(stored.count() == 2 && stored.select("cache_id").distinct().count() == 2,
+      "replay must not duplicate cache entries")
+    // batch 2: the re-asked question hits batch 1's admission; a novel
+    // one misses and is admitted in turn
+    val b2 = Seq((200L, v2), (201L, v3)).toDF("query_id", "query_vec")
+    val d2 = SemanticCache.intakeBatch(spark, b2, tmp, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(d2(200L) == (1000101L, true), s"re-asked question must hit the admission: $d2")
+    assert(d2(201L) == (1000201L, false))
+    assert(spark.read.parquet(tmp).count() == 3)
+  }
 }
