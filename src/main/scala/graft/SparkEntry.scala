@@ -771,6 +771,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }
 
+    reg("r21_exact_percentiles") { (s, dir) =>
+      // exact grouped quantiles (percentile_cont interpolation) — the
+      // OLAP complement to x7's sketch quantiles. Scale trade, stated
+      // plainly: Spark's exact `percentile` buffers each GROUP's values,
+      // so this is the right tool when groups are bounded (per-flag,
+      // per-day, per-tenant); corpus-wide quantiles at 100 TB use the
+      // approx sketches (x7), which are mergeable and bounded-memory
+      val li = T(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }
     reg("r20_range_join") { (s, dir) =>
       import s.implicits._
       // three maintenance windows; count events landing in each
@@ -4272,6 +4288,15 @@ object SparkEntry {
         |  split_part(o_orderpriority, '-', 1) AS pri_head,
         |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
         |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    // r21: quantile_cont is the same (n-1)·p linear interpolation over the
+    // exact sorted values as Spark's percentile — identical doubles
+    "r21_exact_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "r20_range_join" ->
       """WITH w AS (
         |  SELECT 'w1' AS win, TIMESTAMP '2024-01-03 00:00:00' AS w_start,
