@@ -504,15 +504,37 @@ object SparkEntry {
       graft.serve.SemanticCache.lookup(qs, cache, minCos = 0.95)
         .orderBy("query_id")
     }
+    reg("c10b_semantic_cache_banded") { (s, dir) =>
+      // c10's declared scale path, now with its own CORRECTNESS row
+      // (round-10 verdict item 2): a cache too big to broadcast is
+      // RP-banded on unit vectors (cos ⇔ L2), candidates verified on
+      // EXACT distance, so precision is exact and only recall is
+      // approximate — except cos-1 duplicates, whose identical band keys
+      // collide in every table (the re-asked-question guarantee). Same
+      // fixture and output contract as c10; seeded RP hashes aren't
+      // SQL-expressible → golden-pinned (the a14 recipe), with the
+      // banded-vs-exact disposition parity law in ServingSpec
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(pmod(col("vec_id"), lit(11)) === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cache = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"))
+      graft.serve.SemanticCache.lookupBanded(qs, cache, minCos = 0.95)
+        .orderBy("query_id")
+    }
     reg("c11_cache_intake") { (s, dir) =>
       // the full memoization LOOP with sequential state (st12's shape
       // for the serving tier): batch 1 hits the seed cache on the 7
-      // self-overlap ids and INSERTS its 39 misses; batch 2 re-asks the
-      // same questions under new ids and must hit on EVERY row — the
-      // self-dups against the seed cache, the rest against batch 1's
-      // insertions. DuckDB replays both batches sequentially in CTEs,
-      // so a lookup drift, an insertion miss, or a replayed-own-id leak
-      // all break the hash
+      // self-overlap ids, resolves its ONE in-batch duplicate pair
+      // (synthetic query 4990 re-asks query 3's question inside the same
+      // batch — the loser must HIT the winner's new entry at cos 1 and
+      // insert NOTHING), and INSERTS the surviving misses; batch 2
+      // re-asks everything under new ids and must hit on EVERY row —
+      // the self-dups against the seed cache, the rest against batch 1's
+      // insertions (4990's twin lands on WINNER 3's entry). DuckDB
+      // replays both batches sequentially in CTEs, so a lookup drift, an
+      // insertion miss, a replayed-own-id leak, or a within-batch
+      // resolve drift all break the hash
       val emb = T(s, dir, "embeddings")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_cache_intake").toString + "/cache"
@@ -521,6 +543,8 @@ object SparkEntry {
         .write.parquet(tmp)
       val b1 = emb.where(pmod(col("vec_id"), lit(11)) === 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .unionByName(emb.where(col("vec_id") === 3)
+          .select(lit(4990L).as("query_id"), col("embedding").as("query_vec")))
       val d1 = graft.serve.SemanticCache.intakeBatch(s, b1, tmp, minCos = 0.95)
         .withColumn("batch", lit(1L))
       val b2 = b1.select((col("query_id") + 5000).as("query_id"), col("query_vec"))
@@ -3946,9 +3970,11 @@ object SparkEntry {
          |       '[${sqlEsc(Config.AgentName)}] ' || split_part(context, chr(10), 1) AS answer
          |FROM ctx""".stripMargin,
     // c11: both intake batches replayed sequentially — batch 1 vs the
-    // seed cache, its misses inserted at query_id + 1e6, batch 2 vs
-    // seed ∪ insertions; dispositions and the inserted cache ids are all
-    // hash-compared
+    // seed cache WITH the within-batch resolve (winner = miss with no
+    // smaller qualifying partner; loser hits its best winner partner and
+    // inserts nothing), its surviving misses inserted at query_id + 1e6,
+    // batch 2 vs seed ∪ insertions; dispositions and the inserted cache
+    // ids are all hash-compared
     "c11_cache_intake" -> {
       def cosExpr(q: String, c: String): String =
         s"""list_sum(list_transform(range(1, 65),
@@ -3960,20 +3986,40 @@ object SparkEntry {
       s"""WITH cache0 AS (SELECT vec_id AS cache_id, embedding AS cv
          |  FROM embeddings WHERE vec_id % 7 = 0),
          |b1 AS (SELECT vec_id AS query_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id % 11 = 3),
+         |  FROM embeddings WHERE vec_id % 11 = 3
+         |  UNION ALL SELECT 4990, embedding FROM embeddings WHERE vec_id = 3),
          |s1 AS (SELECT q.query_id, c.cache_id,
          |    ${cosExpr("q.qv", "c.cv")} AS cos
          |  FROM b1 q, cache0 c),
          |best1 AS (SELECT query_id, cache_id, cos, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
          |  FROM s1 WHERE cos >= 0.95),
+         |miss1 AS (SELECT q.query_id, q.qv FROM b1 q
+         |  WHERE NOT EXISTS (SELECT 1 FROM best1 b
+         |    WHERE b.query_id = q.query_id AND b.rn = 1)),
+         |wscore AS (SELECT w.query_id AS wq, q.query_id,
+         |    ${cosExpr("q.qv", "w.qv")} AS bcos
+         |  FROM miss1 q JOIN miss1 w ON w.query_id < q.query_id),
+         |wpairs AS (SELECT * FROM wscore WHERE bcos >= 0.95),
+         |winners1 AS (SELECT query_id FROM miss1
+         |  WHERE query_id NOT IN (SELECT query_id FROM wpairs)),
+         |ibb1 AS (SELECT query_id, wq, bcos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bcos DESC, wq) AS rn
+         |  FROM wpairs WHERE wq IN (SELECT query_id FROM winners1)),
          |d1 AS (SELECT q.query_id,
-         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
-         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
-         |  FROM b1 q LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1),
+         |    COALESCE(b.cache_id, i.wq + 1000000, q.query_id + 1000000) AS cache_id,
+         |    COALESCE(round(b.cos, 6), round(i.bcos, 6)) AS cos,
+         |    (b.cache_id IS NOT NULL OR i.wq IS NOT NULL) AS hit
+         |  FROM b1 q
+         |  LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1
+         |  LEFT JOIN ibb1 i ON q.query_id = i.query_id AND i.rn = 1),
          |cache1 AS (SELECT cache_id, cv FROM cache0 UNION ALL
          |  SELECT d.cache_id, q.qv AS cv FROM d1 d JOIN b1 q USING (query_id)
          |  WHERE NOT d.hit),
+         |-- batch 2's within-batch resolve is provably vacuous: every b2
+         |-- embedding (exact copy of a b1 row) is in cache1 by then —
+         |-- b1 hits live in the seed, b1 survivors were inserted, and the
+         |-- in-batch loser's twin IS its winner's entry — so misses2 = {}
          |b2 AS (SELECT query_id + 5000 AS query_id, qv FROM b1),
          |s2 AS (SELECT q.query_id, c.cache_id,
          |    ${cosExpr("q.qv", "c.cv")} AS cos
@@ -3990,6 +4036,10 @@ object SparkEntry {
          |SELECT CAST(2 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d2
          |ORDER BY batch, query_id""".stripMargin
     },
+    // c10b: seeded RP banding isn't SQL-expressible — determinism pin
+    // (pin_sweep-verified); the banded-vs-exact parity law is ServingSpec's
+    "c10b_semantic_cache_banded" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/c10b_semantic_cache_banded_sf001.parquet')",
     // c10: hit/miss disposition recomputed — exact cosine, best per query
     // by (cos desc, cache_id asc), threshold 0.95, misses kept as null rows
     "c10_semantic_cache" ->

@@ -363,23 +363,50 @@ object SemanticCache {
     *
     *   1. look the batch up against the stored cache ([[lookup]] law:
     *      best entry by (cos desc, cache_id asc), HIT at ≥ `minCos`);
-    *   2. INSERT the misses as new cache entries under
+    *   2. resolve near-dups WITHIN the batch's misses (a batch of
+    *      identical questions must insert ONE cache entry): a miss with
+    *      a qualifying (cos ≥ `minCos`) smaller-query_id miss partner is
+    *      an in-batch LOSER; if its best partner (cos desc, query_id
+    *      asc) among the first-pass WINNERS (misses with no smaller
+    *      partner at all) exists, the loser HITS that winner's new
+    *      entry. A loser whose qualifying partners are all losers
+    *      themselves (a chain a~b, b~c, a!~c) is PROMOTED and inserts —
+    *      every served hit stays within `minCos` of its entry, the
+    *      semantic-cache contract a transitive keep-smallest law would
+    *      break;
+    *   3. INSERT the surviving misses as new cache entries under
     *      `query_id + idOffset` (the answered-and-cached contract — the
     *      caller runs its pipeline on the misses before or after; the
     *      entry is the query embedding either way), so the NEXT batch is
     *      served against cache + everything admitted before it;
-    *   3. return every disposition: `(query_id, cache_id, cos, hit)`
-    *      with miss rows carrying their OWN new cache id.
+    *   4. return every disposition: `(query_id, cache_id, cos, hit)` —
+    *      in-batch losers are HIT rows on the winner's new id; surviving
+    *      miss rows carry their OWN new cache id.
     *
     * Replay-safe without a ledger: the insert anti-joins on cache_id
     * (id-idempotent, the appendMinhash recipe), and a replayed batch
     * re-derives the same dispositions from (batch, cache-minus-own-ids)
     * — own insertions are EXCLUDED from the lookup so a replay's
     * admissions don't flip earlier hit/miss decisions (a query would
-    * otherwise "hit" its own first-delivery insertion at cos 1).
+    * otherwise "hit" its own first-delivery insertion at cos 1). The
+    * within-batch resolve is a pure function of (batch, visible cache),
+    * so replays re-derive it too.
+    *
+    * The `query_id + idOffset` id scheme assumes batch query ids never
+    * reuse an earlier batch's ids (or land on seed-cache ids) except as
+    * exact replays — an insert dropped by the id anti-join whose stored
+    * embedding DIFFERS from the incoming one is a collision, not a
+    * replay, and fails loudly instead of silently serving another
+    * query's entry.
+    *
+    * A missing `cachePath` is an empty cache (batch 1 bootstraps the
+    * store by inserting all its misses). `carryCols` names batch columns
+    * (e.g. an `answer`) persisted alongside each inserted entry —
+    * they ride the cache row so hits can be served from the store.
     *
     * Scale: one bounded batch vs the broadcast/banded cache read; the
-    * insert is O(misses).
+    * within-batch resolve is a miss×miss broadcast product (bounded by
+    * the micro-batch, never the cache); the insert is O(misses).
     */
   def intakeBatch(
       spark: SparkSession,
@@ -388,25 +415,68 @@ object SemanticCache {
       minCos: Double,
       idOffset: Long = 1000000L,
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
-    val stored = spark.read.parquet(cachePath)
+      queryVecCol: String = "query_vec",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    import graft.ops.Ann.materializeOnce
+    require(!carryCols.exists(Set("query_id", "cache_id", "cos", "hit")),
+      s"carryCols ${carryCols.mkString(",")} clash with the disposition schema")
+    val p = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val stored =
+      if (fs.exists(p)) spark.read.parquet(cachePath)
+      else // bootstrap: an absent store is an empty cache with the batch's schema
+        batch.select(col(queryIdCol).cast("long").as("cache_id"),
+          col(queryVecCol).as("embedding")).limit(0)
     // exclude this batch's OWN (replayed) insertions from the lookup
-    val ownIds = batch.select((col(queryIdCol) + idOffset).as("cache_id"))
+    val ownIds = batch.select((col(queryIdCol) + idOffset).cast("long").as("cache_id"))
     val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
-    val out = graft.ops.Ann.materializeOnce(
+    val looked = materializeOnce(
       lookup(batch, visible, minCos, queryIdCol, queryVecCol)
-        .join(batch.select(col(queryIdCol).as("query_id"), col(queryVecCol)),
-          Seq("query_id")))
-    val inserts = out.where(!col("hit"))
-      .select((col("query_id") + idOffset).as("cache_id"),
-        col(queryVecCol).as("embedding"))
-      // id-idempotent: a replayed batch (or an id collision) never
-      // duplicates a cache entry
-      .join(stored.select("cache_id"), Seq("cache_id"), "left_anti")
-    inserts.write.mode("append").parquet(cachePath)
-    out.select(col("query_id"),
-      coalesce(col("cache_id"), col("query_id") + idOffset).as("cache_id"),
-      col("cos"), col("hit"))
+        .join(batch.select((col(queryIdCol).as("query_id") +:
+          col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")))
+    // within-batch resolve over the misses (step 2)
+    val misses = looked.where(!col("hit")).select(col("query_id"), col("__qv"))
+    val partners = misses.select(col("query_id").as("__wq"), col("__qv").as("__wv"))
+    val pairs = materializeOnce(
+      misses.join(broadcast(partners), col("__wq") < col("query_id"))
+        .withColumn("__bcos",
+          graft.functions.VectorFunctions.cosineSimilarity(col("__qv"), col("__wv")))
+        .where(col("__bcos") >= minCos)
+        .select(col("query_id"), col("__wq"), col("__bcos")))
+    val winnerIds = misses.select("query_id")
+      .join(pairs.select("query_id").distinct(), Seq("query_id"), "left_anti")
+    val inBatch = materializeOnce(
+      pairs.join(broadcast(winnerIds.select(col("query_id").as("__wq"))), Seq("__wq"))
+        .groupBy("query_id")
+        .agg(min(struct((-col("__bcos")).as("__nc"), col("__wq").as("__wid"))).as("__b"))
+        .select(col("query_id"),
+          (col("__b.__wid") + idOffset).cast("long").as("__in_cid"),
+          round(-col("__b.__nc"), 6).as("__in_cos")))
+    // inserts = misses minus in-batch losers (winners AND promoted chain tails)
+    val inserts = materializeOnce(
+      looked.where(!col("hit"))
+        .join(inBatch.select("query_id"), Seq("query_id"), "left_anti")
+        .select(((col("query_id") + idOffset).cast("long").as("cache_id") +:
+          col("__qv").as("embedding") +: carryCols.map(col)): _*))
+    // id reuse is legal ONLY as an exact replay: a dropped insert whose
+    // stored embedding differs is a collision — fail loudly (ADVICE r10)
+    val dupKeys = materializeOnce(
+      stored.select(col("cache_id"), col("embedding").as("__old"))
+        .join(broadcast(inserts.select(col("cache_id"), col("embedding").as("__new"))),
+          Seq("cache_id")))
+    val nCollisions = dupKeys.where(!(col("__old") <=> col("__new"))).count()
+    require(nCollisions == 0,
+      s"$nCollisions cache_id collision(s): batch query ids map onto existing " +
+        "cache entries holding DIFFERENT embeddings — ids may only be reused " +
+        "by exact replays of the original row")
+    inserts.join(broadcast(dupKeys.select("cache_id")), Seq("cache_id"), "left_anti")
+      .write.mode("append").parquet(cachePath)
+    looked.join(broadcast(inBatch), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("cache_id"), col("__in_cid"),
+          (col("query_id") + idOffset).cast("long")).as("cache_id"),
+        coalesce(col("cos"), col("__in_cos")).as("cos"),
+        (col("hit") || col("__in_cid").isNotNull).as("hit"))
   }
 
   /** [[lookup]]'s scale path — a cache too big to broadcast: both sides

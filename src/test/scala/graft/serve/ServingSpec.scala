@@ -212,4 +212,97 @@ class ServingSpec extends SparkSpec {
     assert(d2(201L) == (1000201L, false))
     assert(spark.read.parquet(tmp).count() == 3)
   }
+
+  test("cache intake: a batch of identical questions inserts ONE entry, losers hit the winner") {
+    import org.apache.spark.sql.functions.col
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_wb").toString + "/cache"
+    Seq((7L, v2)).toDF("cache_id", "embedding").write.parquet(tmp)
+    // three copies of the same novel question + one distinct novel one
+    val b1 = Seq((100L, v1), (101L, v1), (102L, v1), (103L, Array(0.8f, -0.6f)))
+      .toDF("query_id", "query_vec")
+    def disp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val d1 = disp(SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95))
+    assert(d1(100L) == (1000100L, false), "smallest id wins and inserts")
+    assert(d1(101L) == (1000100L, true), s"in-batch dup must hit the winner's entry: $d1")
+    assert(d1(102L) == (1000100L, true))
+    assert(d1(103L) == (1000103L, false))
+    val stored = spark.read.parquet(tmp)
+    assert(stored.count() == 3, "ONE entry for the triplet, one for the novel, one seed")
+    // replay re-derives identical dispositions and inserts nothing
+    assert(disp(SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95)) == d1)
+    assert(spark.read.parquet(tmp).count() == 3)
+    // in-batch cos is reported for the losers (exact dup -> 1.0)
+    val cos101 = SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95)
+      .where(col("query_id") === 101).select("cos").head.getDouble(0)
+    assert(cos101 == 1.0)
+  }
+
+  test("cache intake: chain tails promote (served hits always within minCos of their entry)") {
+    // a ~ b, b ~ c, but a !~ c: keep-smallest would point c at a's entry
+    // below threshold; the law promotes c to its own insert instead
+    val a = Array(1.0f, 0.0f)
+    val deg = math.toRadians(14.0) // cos 14deg ~ .970 >= .95; cos 28deg ~ .883 < .95
+    val b = Array(math.cos(deg).toFloat, math.sin(deg).toFloat)
+    val c = Array(math.cos(2 * deg).toFloat, math.sin(2 * deg).toFloat)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_chain").toString + "/cache"
+    val batch = Seq((1L, a), (2L, b), (3L, c)).toDF("query_id", "query_vec")
+    val d = SemanticCache.intakeBatch(spark, batch, tmp, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(d(1L) == (1000001L, false), "no smaller partner: winner")
+    assert(d(2L) == (1000001L, true), "direct pair: hits the winner")
+    assert(d(3L) == (1000003L, false), s"chain tail must PROMOTE, not hit sub-threshold: $d")
+    assert(spark.read.parquet(tmp).count() == 2)
+  }
+
+  test("cache intake: bootstraps an absent store path (no pre-seeding required)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_boot").toString + "/cache"
+    val b1 = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val d1 = SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(d1(1L) == (1000001L, false))
+    assert(spark.read.parquet(tmp).count() == 1, "batch 1 must insert into the fresh store")
+  }
+
+  test("cache intake: id collision with a DIFFERENT embedding fails loudly, replays don't") {
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_clash").toString + "/cache"
+    // seed an entry squatting on the id batch query 500 would mint
+    Seq((1000500L, v1)).toDF("cache_id", "embedding").write.parquet(tmp)
+    // replay-shaped reuse (same embedding) is legal and converges
+    val ok = SemanticCache.intakeBatch(spark,
+      Seq((500L, v1)).toDF("query_id", "query_vec"), tmp, minCos = 0.95)
+    assert(ok.count() == 1 && spark.read.parquet(tmp).count() == 1)
+    // a different embedding under the same minted id is a collision
+    val err = intercept[IllegalArgumentException] {
+      SemanticCache.intakeBatch(spark,
+        Seq((500L, v2)).toDF("query_id", "query_vec"), tmp, minCos = 0.95)
+    }
+    assert(err.getMessage.contains("collision"))
+  }
+
+  test("cache intake: carryCols persist payload columns on inserted entries") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_carry").toString + "/cache"
+    val b1 = Seq((1L, Array(1.0f, 0.0f), "ans one"), (2L, Array(0.0f, 1.0f), "ans two"))
+      .toDF("query_id", "query_vec", "answer")
+    SemanticCache.intakeBatch(spark, b1, tmp, minCos = 0.95, carryCols = Seq("answer"))
+    val stored = spark.read.parquet(tmp)
+    assert(stored.columns.toSet == Set("cache_id", "embedding", "answer"))
+    val got = stored.select("cache_id", "answer")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1000001L -> "ans one", 1000002L -> "ans two"))
+    // a later batch HIT can be served from the stored payload
+    val d2 = SemanticCache.intakeBatch(spark,
+      Seq((10L, Array(1.0f, 0.0f), "unused")).toDF("query_id", "query_vec", "answer"),
+      tmp, minCos = 0.95, carryCols = Seq("answer"))
+    val hit = d2.where(col("hit")).select("cache_id").head.getLong(0)
+    assert(hit == 1000001L)
+  }
 }
