@@ -80,14 +80,15 @@ object SparkEntry {
     * never drift apart.
     */
   private def atRestHybridChannels(
-      s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String, k: Int,
+      queryIds: Seq[Long] = Seq(3L, 7L, 11L)): (DataFrame, DataFrame) = {
     import graft.search.Bm25
     val docs = T(s, dir, "documents")
     val emb = T(s, dir, "embeddings")
     val bm25Path = cachedIndex("bm25", dir) { p =>
       Bm25.writeIndex(docs, "doc_id", "text", p, termBuckets = 16)
     }
-    val qText = docs.where(col("doc_id").isin(3, 7, 11))
+    val qText = docs.where(col("doc_id").isInCollection(queryIds))
       .select(col("doc_id").as("query_id"), col("text").as("query_text"))
     val qTerms = qText.select("query_text").collect()
       .flatMap(r => Bm25.tokenize(r.getString(0))).distinct.toSeq
@@ -98,7 +99,7 @@ object SparkEntry {
       graft.ops.Hnsw.write(emb, p,
         graft.ops.Hnsw.Params(m = 8, efConstruction = 80, efSearch = 200, numShards = 4))
     }
-    val qVec = emb.where(col("vec_id").isin(3, 7, 11))
+    val qVec = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val dense = graft.ops.Hnsw.probe(s, hnswPath, qVec, k)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
@@ -2466,11 +2467,10 @@ object SparkEntry {
       Hnsw.appendBatch(s, // replayed delivery of batch 1: must no-op
         emb.where(col("vec_id") >= 300 && col("vec_id") < 400), tmp, 1L)
       Hnsw.appendBatch(s, emb.where(col("vec_id") >= 400), tmp, 2L)
-      val nodes = s.read.parquet(s"$tmp/segments")
-        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).head
-      require(nodes.getLong(0) == nodes.getLong(1),
-        s"replayed HNSW batch duplicated segments: ${nodes.getLong(0)} " +
-          s"node rows over ${nodes.getLong(1)} distinct ids")
+      // the replay-no-op physical law (one node row per id) is asserted
+      // in HnswSpec, NOT here — the p20 lesson: value-invisible laws
+      // (probes fold duplicates, so the oracle can't see them) live in
+      // specs, never as extra aggregates inside the benched closure
       val qs = emb.where(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Hnsw.probe(s, tmp, qs, 5)
@@ -2519,6 +2519,105 @@ object SparkEntry {
       EchoAnswerer.answer(ctx, "question", "context")
         .select("query_id", "question", "answer")
         .orderBy("query_id")
+    }
+    reg("ep5_cached_rag") { (s, dir) =>
+      // the FLAGSHIP production serving loop (round-10 verdict item 1) —
+      // every tier composed end to end with sequential state:
+      //   batch 1: SemanticCache.lookup vs the seed cache (query 7 was
+      //   answered before — HIT, served from the stored payload at zero
+      //   marginal cost, the whole pipeline short-circuited); the misses
+      //   (3, 11) run the persisted hybrid stack (b6's bucket-pruned
+      //   BM25 + HNSW channels, RRF-fused), second-stage rerank (b9's
+      //   law, top-4), context assembly in rerank order (ep4's law), the
+      //   echo answerer, and are PRICED (c6's pricing over the c9
+      //   whitespace token law: prompt = question + context, completion
+      //   = answer); the answered misses insert back through intakeBatch
+      //   (carryCols persists the answer on the cache row);
+      //   batch 2: the same three questions re-asked under new ids must
+      //   ALL hit — 107 on the seed, 103/111 on batch 1's insertions —
+      //   and be served from the STORED answers at cost 0.
+      // Every stage law is oracled standalone (c10/c11, b6, b9, q6, c3,
+      // c6, c9); the oracle replays the entire disposition chain
+      import graft.serve.{OverlapReranker, Reranker, SemanticCache}
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val seedAnswer = s"[${Config.AgentName}] precomputed answer for doc 7"
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ep5").toString + "/cache"
+      emb.where(col("vec_id") === 7)
+        .select(lit(500007L).as("cache_id"), col("embedding"),
+          lit(seedAnswer).as("answer"))
+        .write.parquet(tmp)
+      val queries = docs.where(col("doc_id").isin(3, 7, 11))
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("query_id"), col("text").as("question"),
+          col("embedding").as("query_vec"))
+      val cache0 = s.read.parquet(tmp)
+      val disp = Ann.materializeOnce(
+        SemanticCache.lookup(queries, cache0, minCos = 0.95))
+      // misses run the full stack (bounded serving batch: the id collect
+      // drives the term-pruned postings probe, the restrictToTerms house
+      // pattern)
+      val missIds = disp.where(!col("hit")).select("query_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val missQ = queries.where(col("query_id").isInCollection(missIds))
+      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20, missIds)
+      val fused = Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+      val reranked = Reranker.rerankTopK(fused,
+        missQ.select(col("query_id"), col("question").as("query_text")),
+        docs, OverlapReranker, k = 4)
+      val hits4 = reranked
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("query_id"), col("text"), col("rank").cast("double").as("dist"))
+      val ctx = ContextAssembly.assembleAll(missQ.select("query_id", "question"), hits4)
+      val answered = EchoAnswerer.answer(ctx, "question", "context")
+      val priced = Ann.materializeOnce(Costing.withCost(
+        answered
+          .withColumn("prompt_tokens",
+            graft.ops.TextAnalytics.tokenCount(col("question")) +
+              graft.ops.TextAnalytics.tokenCount(col("context")))
+          .withColumn("completion_tokens",
+            graft.ops.TextAnalytics.tokenCount(col("answer"))),
+        col("prompt_tokens"), col("completion_tokens"))
+        .withColumn("cost", round(col("cost"), 8))
+        .select("query_id", "question", "answer", "cost"))
+      // the memoization leg: answered misses become cache entries
+      val intake = SemanticCache.intakeBatch(s,
+        priced.join(queries.select("query_id", "query_vec"), Seq("query_id"))
+          .select(col("query_id"), col("query_vec"), col("answer")),
+        tmp, minCos = 0.95, carryCols = Seq("answer"))
+      val missRows = priced
+        .join(intake.select("query_id", "cache_id", "hit"), Seq("query_id"))
+        .select(col("query_id"), col("question"), col("answer"),
+          col("hit"), col("cache_id"), col("cost"))
+      // ONE post-intake read serves every answer join in the final plan:
+      // a separate pre-insert read of the same path canonicalizes equal,
+      // and ReuseExchange then serves b2's answers from the STALE
+      // seed-only broadcast (measured: batch-2 hits on batch-1 entries
+      // came back with NULL answers). Seed answers are identical through
+      // either view, so batch 1's hit rows read the post-intake store too
+      val stored = s.read.parquet(tmp)
+      val hitRows = disp.where(col("hit"))
+        .join(stored.select(col("cache_id"), col("answer")), Seq("cache_id"))
+        .join(queries.select("query_id", "question"), Seq("query_id"))
+        .select(col("query_id"), col("question"), col("answer"),
+          col("hit"), col("cache_id"), lit(0.0).as("cost"))
+      val b1 = hitRows.unionByName(missRows).withColumn("batch", lit(1L))
+      // batch 2: re-asked questions served entirely from the store
+      // (cost 0 — all-hit by construction: every batch-1 embedding is in
+      // the cache now, seed or insertion)
+      val b2q = queries.select((col("query_id") + 100).as("query_id"),
+        col("question"), col("query_vec"))
+      val b2 = SemanticCache.lookup(b2q, stored, minCos = 0.95)
+        .join(stored.select(col("cache_id"), col("answer")), Seq("cache_id"), "left")
+        .join(b2q.select("query_id", "question"), Seq("query_id"))
+        .select(col("query_id"), col("question"), col("answer"),
+          col("hit"), col("cache_id"), lit(0.0).as("cost"))
+        .withColumn("batch", lit(2L))
+      b1.unionByName(b2)
+        .select("batch", "query_id", "question", "answer", "hit", "cache_id", "cost")
+        .orderBy("batch", "query_id")
     }
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
       // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
@@ -3076,6 +3175,138 @@ object SparkEntry {
       |    split_part(c.context, chr(10), 1) AS answer
       |FROM ctx c JOIN documents qd ON qd.doc_id = c.query_id
       |ORDER BY c.query_id""".stripMargin
+
+  /** ep5's oracle: the ENTIRE cached-RAG disposition chain replayed —
+    * batch-1 lookup vs the seed cache (c10's recipe), the surviving
+    * misses routed through BM25+dense RRF fusion (b6's recipe), overlap
+    * rerank (b9's tie law), context assembly in rerank order + echo
+    * answer (ep4's recipe), pricing on the whitespace token law (c6 over
+    * c9), the insert set (c11's recipe, answers carried), then batch-2
+    * lookups vs seed ∪ insertions with answers served from the store.
+    * The within-batch resolve is vacuous here (cross-query cosines are
+    * ≤ 0.19 at every SF — measured; c11 owns that law's oracle).
+    */
+  private lazy val cachedRagOracle: String = {
+    def cosE(q: String, c: String): String =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
+    def tok(x: String): String =
+      s"""CASE WHEN length(trim($x)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim($x), '\\s+')) END""".stripMargin
+    val seedAns = s"[${sqlEsc(graft.serve.Config.AgentName)}] precomputed answer for doc 7"
+    bm25OracleCore(
+      s"""q0 AS (SELECT d.doc_id AS query_id, d.text AS question, e.embedding AS qv
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.doc_id IN (3, 7, 11)),
+         |seed AS (SELECT CAST(500007 AS BIGINT) AS cache_id, embedding AS cv,
+         |    '$seedAns' AS answer
+         |  FROM embeddings WHERE vec_id = 7),
+         |l1 AS (SELECT q.query_id, s.cache_id,
+         |    ${cosE("q.qv", "s.cv")} AS cos
+         |  FROM q0 q, seed s),
+         |h1 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM l1 WHERE cos >= 0.95),
+         |qs AS (SELECT doc_id AS query_id, text AS query_text FROM documents
+         |  WHERE doc_id IN (3, 7, 11)
+         |    AND doc_id NOT IN (SELECT query_id FROM h1 WHERE rn = 1)),""".stripMargin) +
+      s""",
+         |sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+         |qv2 AS (SELECT query_id, qv FROM q0
+         |  WHERE query_id IN (SELECT query_id FROM qs)),
+         |dscored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+         |  FROM embeddings e, qv2 q),
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+         |    FROM dscored) WHERE rank <= 20),
+         |contribs AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM sparse
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM dense),
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
+         |  FROM contribs GROUP BY 1, 2),
+         |franked AS (
+         |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+         |  FROM fused),
+         |cand AS (SELECT query_id, doc_id, rank FROM franked WHERE rank <= 10),
+         |rtk AS (SELECT doc_id, list_distinct(list_filter(
+         |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+         |    t -> length(t) > 0)) AS tk FROM documents),
+         |rsc AS (
+         |  SELECT c.query_id, c.doc_id, c.rank,
+         |    CAST(len(list_filter(qt.tk, t -> list_contains(dt.tk, t)))
+         |      AS BIGINT) AS rr_score
+         |  FROM cand c
+         |  JOIN rtk qt ON qt.doc_id = c.query_id
+         |  JOIN rtk dt ON dt.doc_id = c.doc_id),
+         |rr AS (
+         |  SELECT query_id, doc_id, rr_score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rr_score DESC, rank, doc_id) AS rrank
+         |  FROM rsc),
+         |top4 AS (SELECT query_id, doc_id, rrank FROM rr WHERE rrank <= 4),
+         |ctx AS (
+         |  SELECT t.query_id,
+         |    string_agg(d.text, chr(10) ORDER BY t.rrank, d.text) AS context
+         |  FROM top4 t JOIN documents d ON d.doc_id = t.doc_id
+         |  GROUP BY t.query_id),
+         |ansd AS (
+         |  SELECT c.query_id, q.question,
+         |    '[${sqlEsc(graft.serve.Config.AgentName)}] ' ||
+         |      split_part(c.context, chr(10), 1) AS answer, c.context
+         |  FROM ctx c JOIN q0 q USING (query_id)),
+         |priced AS (
+         |  SELECT query_id, question, answer,
+         |    round(CAST(${tok("question")} + ${tok("context")} AS BIGINT) * 0.00001
+         |        + CAST(${tok("answer")} AS BIGINT) * 0.00003, 8) AS cost
+         |  FROM ansd),
+         |b1hits AS (
+         |  SELECT h.query_id, q.question, s.answer, TRUE AS hit, h.cache_id,
+         |    0.0 AS cost
+         |  FROM h1 h JOIN q0 q USING (query_id)
+         |  JOIN seed s ON s.cache_id = h.cache_id
+         |  WHERE h.rn = 1),
+         |b1miss AS (
+         |  SELECT query_id, question, answer, FALSE AS hit,
+         |    query_id + 1000000 AS cache_id, cost
+         |  FROM priced),
+         |cache1 AS (SELECT cache_id, cv, answer FROM seed UNION ALL
+         |  SELECT p.query_id + 1000000, q.qv, p.answer
+         |  FROM priced p JOIN q0 q USING (query_id)),
+         |b2q AS (SELECT query_id + 100 AS query_id, question, qv FROM q0),
+         |l2 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosE("q.qv", "c.cv")} AS cos
+         |  FROM b2q q, cache1 c),
+         |h2 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM l2 WHERE cos >= 0.95),
+         |b2rows AS (
+         |  SELECT q.query_id, q.question, c.answer,
+         |    h.cache_id IS NOT NULL AS hit, h.cache_id, 0.0 AS cost
+         |  FROM b2q q
+         |  LEFT JOIN (SELECT * FROM h2 WHERE rn = 1) h USING (query_id)
+         |  LEFT JOIN cache1 c ON c.cache_id = h.cache_id)
+         |SELECT CAST(1 AS BIGINT) AS batch, query_id, question, answer, hit,
+         |  cache_id, CAST(cost AS DOUBLE) AS cost FROM b1hits
+         |UNION ALL SELECT CAST(1 AS BIGINT), query_id, question, answer, hit,
+         |  cache_id, CAST(cost AS DOUBLE) FROM b1miss
+         |UNION ALL SELECT CAST(2 AS BIGINT), query_id, question, answer, hit,
+         |  cache_id, CAST(cost AS DOUBLE) FROM b2rows
+         |ORDER BY batch, query_id""".stripMargin
+  }
 
   /** b7/b7b's shared oracle: phrases re-derived from the fixture, every
     * adjacency count recomputed brute-force.
@@ -3651,6 +3882,7 @@ object SparkEntry {
     // so the fused law is the same oracle
     "b6_hybrid_at_rest" -> hybridRrfOracle,
     "ep4_hybrid_rag" -> hybridRagOracle,
+    "ep5_cached_rag" -> cachedRagOracle,
     // b9: fused top-10 → overlap rescore → top-4 by the tie law —
     // every stage recomputed in SQL
     "b9_rerank_overlap" ->

@@ -818,8 +818,11 @@ object Ann extends IndexLifecycle {
     * [[Layout.freshBatchRows]]: the replay's rows anti-join against the
     * ids already in the lists (id-range-pushed scan, micro-batch-bounded)
     * so re-applying the batch appends nothing — the probe hot path needs
-    * no duplicate folding. Returns true iff the batch was applied
-    * (false = already ledgered).
+    * no duplicate folding. Same append-only contract as every ledgered
+    * family: a known id re-sent with an UPDATED vector is silently kept
+    * at its ORIGINAL value (see [[Layout.freshBatchRows]]) — updates are
+    * tombstone + compact + re-append, never a blind re-send. Returns
+    * true iff the batch was applied (false = already ledgered).
     */
   def appendIvfBatch(
       spark: SparkSession,

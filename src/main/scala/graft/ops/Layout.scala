@@ -359,8 +359,17 @@ object Layout {
     require(after > 0,
       s"$op: every row at $dataPath is tombstoned — delete the index " +
         "directory instead of compacting to empty")
-    live.write.mode("overwrite").parquet(s"$dataPath.__compact")
-    swapDir(fs, dataPath, s"$dataPath.__compact")
+    // Stage under the same DOT-prefixed hidden sibling convention as
+    // compactFiles: today's callers compact dirs read directly (codes/),
+    // but a future caller compacting a dir inside a partitioned read
+    // root would have its visible `.__compact` sibling parsed as a
+    // partition value for the whole rewrite — one staging convention for
+    // every swapDir caller (ADVICE r10).
+    val dPath = new org.apache.hadoop.fs.Path(dataPath)
+    val staging = new org.apache.hadoop.fs.Path(
+      dPath.getParent, s".${dPath.getName}.__compact").toString
+    live.write.mode("overwrite").parquet(staging)
+    swapDir(fs, dataPath, staging)
     spendTombstoneFiles(fs, tombPath, tombFiles)
     (before, after)
   }
@@ -486,6 +495,15 @@ object Layout {
     * micro-batch-bounded so AQE broadcasts the anti join. Also dedups ids
     * WITHIN the batch (two rows with one id would be two probe ranks
     * forever). Returns `batch` unchanged when the table doesn't exist yet.
+    *
+    * APPEND-ONLY CONTRACT — as terminal as the tombstone law: an id
+    * already in the table keeps its ORIGINAL row; a producer that
+    * re-sends that id with an UPDATED embedding in a later batch has the
+    * new vector silently dropped while the ledger still marks the batch
+    * applied (exactly what makes crash replays benign — the filter
+    * cannot tell an update from a replay). An update is delete (tombstone)
+    * + re-append under the same id after compact, or an append under a
+    * new id; never a blind re-send.
     */
   private[graft] def freshBatchRows(
       spark: org.apache.spark.sql.SparkSession,

@@ -392,8 +392,10 @@ object Pq extends IndexLifecycle {
     * encodes to the same codes. The residual crash window (codes appended,
     * marker not yet written) is closed by [[Layout.freshBatchRows]]: a
     * replayed batch anti-joins against ids already in `codes/`
-    * (id-range-pushed scan) and appends nothing. Returns true when the
-    * batch applied.
+    * (id-range-pushed scan) and appends nothing. Append-only: a known id
+    * re-sent with an UPDATED vector keeps its original codes silently
+    * ([[Layout.freshBatchRows]]) — update = tombstone + compact +
+    * re-append. Returns true when the batch applied.
     */
   def appendCodesBatch(
       spark: org.apache.spark.sql.SparkSession,

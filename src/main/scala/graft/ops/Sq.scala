@@ -266,8 +266,10 @@ object Sq extends IndexLifecycle {
     * residual crash window (codes appended, marker not yet written) is
     * closed by [[Layout.freshBatchRows]]: a replayed batch anti-joins
     * against ids already in `codes/` (id-range-pushed scan) and appends
-    * nothing, so probes never see one id at two ranks. Returns true when
-    * the batch applied.
+    * nothing, so probes never see one id at two ranks. Append-only: a
+    * known id re-sent with an UPDATED vector keeps its original code
+    * silently ([[Layout.freshBatchRows]]) — update = tombstone + compact
+    * + re-append. Returns true when the batch applied.
     */
   def appendCodesBatch(
       spark: org.apache.spark.sql.SparkSession,

@@ -132,6 +132,13 @@ object StreamingOps {
       watermark: String = "2 hours"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val ref = reference.select(
       col("bin").cast("long").as("bin"), col("c").cast("long").as("c"))
+    // fail at WIRING time, not silently at runtime: an empty reference
+    // makes t_ref NULL inside psiVsReference, every psi NULL, and the
+    // threshold filter then never alerts — a monitor that monitors
+    // nothing (ADVICE r10). One tiny count on a deploy-time table.
+    require(!ref.isEmpty,
+      "streamingDriftAlerts: the frozen reference histogram is empty — " +
+        "an empty reference yields NULL psi and a monitor that never alerts")
     driftCounts(events, metricCol, width, binWidth, watermark)
       .writeStream
       .outputMode("append")

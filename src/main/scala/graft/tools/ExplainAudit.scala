@@ -119,6 +119,25 @@ object ExplainAudit {
         (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
       "codegen cosine in the scan (no UDF in the scoring loop)" ->
         (p => p.contains("cosine_similarity") && !p.contains("UDF(")))
+    audit("c10b_semantic_cache_banded")(
+      "band-bucket candidate join is broadcast-hash (cache never reshuffled per batch)" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no all-pairs degradation on the banded path" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "normalize is the codegen unit_vector_f, no UDF anywhere" ->
+        (p => p.contains("unit_vector_f") && !p.contains("UDF(")))
+    audit("ep5_cached_rag")(
+      // the final plan is the composed serving loop: checkpointed lookup
+      // dispositions + store answer joins + the b2 lookup; the expensive
+      // per-stage shapes (term-pruned postings, HNSW probe, rerank) are
+      // audited standalone (b5/b11b, a13, b9) and run behind
+      // materializeOnce here
+      "cache scoring is codegen cosine, no UDF in the loop" ->
+        (p => p.contains("cosine_similarity") && !p.contains("UDF(")),
+      "no shuffled cartesian in the composed serving loop" ->
+        (p => !p.contains("CartesianProduct")),
+      "answer serving joins are broadcast (store is the working set)" ->
+        (p => p.contains("BroadcastHashJoin")))
     audit("a4_lsh_batch")(
       "band-bucket candidate join is broadcast-hash" ->
         (p => p.contains("BroadcastHashJoin")),

@@ -318,6 +318,14 @@ class HnswSpec extends SparkSpec {
     // replay of the SAME batch id: no-op
     assert(!Hnsw.appendBatch(spark, batch, path, batchId = 1L))
     assert(spark.read.parquet(s"$path/segments").count() == segs)
+    // the st16 physical-duplication law, asserted HERE instead of inside
+    // the benched registration (the p20 lesson): after a replayed
+    // delivery the graph holds exactly one node row per vector id
+    val nodes = spark.read.parquet(s"$path/segments")
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).head
+    assert(nodes.getLong(0) == nodes.getLong(1),
+      s"replayed HNSW batch duplicated segments: ${nodes.getLong(0)} node " +
+        s"rows over ${nodes.getLong(1)} distinct ids")
     // simulate the crash window: the same segment rows appended WITHOUT a
     // ledger row (batch 2 re-adds batch 1's vectors) — a probe must still
     // list each id once, at its true rank
