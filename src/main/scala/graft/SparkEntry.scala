@@ -2762,6 +2762,41 @@ object SparkEntry {
           col("psi"))
         .orderBy("window_start")
     }
+    reg("st18_cache_intake") { (s, dir) =>
+      // the streaming serving loop's batch twin (the st12 recipe for the
+      // semantic cache): two micro-batches run the EXACT foreachBatch
+      // body CorpusPipeline.streamingCacheIntake runs (shared
+      // cacheIntakeBatchBody — wrapper and twin can't drift; the
+      // MemoryStream wiring + replay law is StreamingOpsSpec's), each
+      // landing dispositions at batch=<id>/, and the registered output
+      // is the partition-discovered read-back of the sink dir. Batch 1
+      // carries a synthetic re-ask (8000 = batch-0 miss 2's question) so
+      // the sequential state — batch 1 served against cache ∪ batch-0
+      // insertions — is observable, not incidental. In-batch resolve is
+      // vacuous on this fixture (cross-id cosines ≪ 0.95; c11 owns that
+      // law's oracle)
+      import graft.ops.CorpusPipeline
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st18").toString
+      val cachePath = s"$root/cache"
+      val out = s"$root/disp"
+      emb.where(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"))
+        .write.parquet(cachePath)
+      val b0 = emb.where(pmod(col("vec_id"), lit(9)) === 2 && col("vec_id") < 250)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val b1 = emb.where(pmod(col("vec_id"), lit(9)) === 2 && col("vec_id") >= 250)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .unionByName(emb.where(col("vec_id") === 2)
+          .select(lit(8000L).as("query_id"), col("embedding").as("query_vec")))
+      CorpusPipeline.cacheIntakeBatchBody(s, b0, cachePath, out, 0L, minCos = 0.95)
+      CorpusPipeline.cacheIntakeBatchBody(s, b1, cachePath, out, 1L, minCos = 0.95)
+      s.read.parquet(out)
+        .select(col("batch").cast("long").as("batch"), col("query_id"),
+          col("cache_id"), col("cos"), col("hit"))
+        .orderBy("batch", "query_id")
+    }
     reg("st2_sliding") { (s, dir) =>
       StreamingOps.slidingCounts(eventsDf(s, dir))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -4266,6 +4301,54 @@ object SparkEntry {
          |SELECT CAST(1 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d1
          |UNION ALL
          |SELECT CAST(2 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d2
+         |ORDER BY batch, query_id""".stripMargin
+    },
+    // st18: the streaming cache-intake twin — both micro-batches replayed
+    // sequentially (batch 0 vs the seed cache, batch 1 vs seed ∪ batch-0
+    // insertions, with the synthetic re-ask 8000 proving the state
+    // carry); same recipe as c11 minus the within-batch CTEs (vacuous on
+    // this split — c11 owns that law)
+    "st18_cache_intake" -> {
+      def cosExpr(q: String, c: String): String =
+        s"""list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
+      s"""WITH cache0 AS (SELECT vec_id AS cache_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |b0 AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 9 = 2 AND vec_id < 250),
+         |s0 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b0 q, cache0 c),
+         |best0 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM s0 WHERE cos >= 0.95),
+         |d0 AS (SELECT q.query_id,
+         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
+         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
+         |  FROM b0 q LEFT JOIN best0 b ON q.query_id = b.query_id AND b.rn = 1),
+         |cache1 AS (SELECT cache_id, cv FROM cache0 UNION ALL
+         |  SELECT d.cache_id, q.qv AS cv FROM d0 d JOIN b0 q USING (query_id)
+         |  WHERE NOT d.hit),
+         |b1 AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 9 = 2 AND vec_id >= 250
+         |  UNION ALL SELECT 8000, embedding FROM embeddings WHERE vec_id = 2),
+         |s1 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b1 q, cache1 c),
+         |best1 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM s1 WHERE cos >= 0.95),
+         |d1 AS (SELECT q.query_id,
+         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
+         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
+         |  FROM b1 q LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1)
+         |SELECT CAST(0 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d1
          |ORDER BY batch, query_id""".stripMargin
     },
     // c10b: seeded RP banding isn't SQL-expressible — determinism pin

@@ -476,6 +476,52 @@ object CorpusPipeline {
         ()
       }
 
+  /** One streaming cache-intake micro-batch: [[graft.serve.SemanticCache
+    * .intakeBatch]] against the persisted cache, dispositions landed at
+    * `outPath/batch=<id>/` (overwritten on replay). Shared by
+    * [[streamingCacheIntake]] and its registered batch twin (`st18`) so
+    * the wrapper and the oracle-checked body can never drift.
+    */
+  def cacheIntakeBatchBody(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      cachePath: String,
+      outPath: String,
+      batchId: Long,
+      minCos: Double,
+      idOffset: Long = 1000000L): Unit = {
+    graft.serve.SemanticCache
+      .intakeBatch(spark, batch, cachePath, minCos, idOffset)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    ()
+  }
+
+  /** Streaming semantic-cache intake — the serving tier's continuous
+    * memoization loop (the [[streamingNearDupIntake]] shape): each
+    * micro-batch of `(query_id, query_vec)` rows looks up against the
+    * persisted cache, inserts its misses, and lands every disposition at
+    * `outPath/batch=<id>/`. Deliberately NO batch ledger: intakeBatch is
+    * replay-safe by construction (id-idempotent inserts + own-insertion
+    * exclusion + the loud collision guard), so a re-delivered micro-batch
+    * re-derives identical dispositions, appends nothing, and overwrites
+    * its own output dir — at-least-once delivery converges to
+    * exactly-once admissions without marker state. The cache bootstraps
+    * from an absent `cachePath` (batch 0 inserts all its misses).
+    */
+  def streamingCacheIntake(
+      queries: DataFrame,
+      cachePath: String,
+      outPath: String,
+      checkpoint: String,
+      minCos: Double = 0.95,
+      idOffset: Long = 1000000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cacheIntakeBatchBody(batch.sparkSession, batch, cachePath, outPath,
+          batchId, minCos, idOffset)
+      }
+
   /** Streaming sparse-index maintenance — the BM25 twin of
     * [[streamingHnswSink]], completing the streaming-maintenance story
     * for the hybrid stack's keyword channel: each micro-batch of docs

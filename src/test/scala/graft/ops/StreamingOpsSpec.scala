@@ -571,6 +571,44 @@ class StreamingOpsSpec extends SparkSpec {
 
   // ---------------------- transformWithState token-budget intake
 
+  test("streamingCacheIntake: hits short-circuit, misses admitted, replayed micro-batch converges") {
+    implicit val sqlC = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_sci").toString
+    val (cache, out) = (s"$tmp/cache", s"$tmp/out")
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f); val v3 = Array(0.6f, 0.8f)
+    // no pre-seeding: batch 0 bootstraps the store
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.CorpusPipeline.streamingCacheIntake(
+      mem.toDF().toDF("query_id", "query_vec"), cache, out, s"$tmp/ckpt").start()
+    try {
+      mem.addData(Seq((1L, v1), (2L, v2))) // batch 0: both admitted
+      q.processAllAvailable()
+      mem.addData(Seq((10L, v1), (11L, v3))) // batch 1: 10 hits 1's entry, 11 admitted
+      q.processAllAvailable()
+      val disp = spark.read.parquet(out)
+        .select("batch", "query_id", "cache_id", "hit")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+        .toMap
+      assert(disp((0, 1L)) == (1000001L, false) && disp((0, 2L)) == (1000002L, false))
+      assert(disp((1, 10L)) == (1000001L, true),
+        s"batch 1 must hit batch 0's admission: $disp")
+      assert(disp((1, 11L)) == (1000011L, false))
+      assert(spark.read.parquet(cache).count() == 3)
+      // at-least-once redelivery: re-run batch 1's EXACT foreachBatch body
+      // (no ledger — intakeBatch itself must converge): dispositions
+      // re-derived identically, the sink dir overwritten, no new entries
+      graft.ops.CorpusPipeline.cacheIntakeBatchBody(spark,
+        Seq((10L, v1), (11L, v3)).toDF("query_id", "query_vec"),
+        cache, out, 1L, minCos = 0.95)
+      val replayed = spark.read.parquet(out)
+        .select("batch", "query_id", "cache_id", "hit")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+        .toMap
+      assert(replayed == disp, "a replayed micro-batch must re-derive identical dispositions")
+      assert(spark.read.parquet(cache).count() == 3, "replay must not grow the cache")
+    } finally q.stop()
+  }
+
   test("streamingNearDupIntake: corpus dups dropped, survivors admitted, state carries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlC = spark.sqlContext
