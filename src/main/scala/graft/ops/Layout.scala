@@ -234,26 +234,26 @@ object Layout {
     * paths must NOT use this — they anti-join the raw sidecar
     * directly, scale-safe at any tombstone count.
     */
-  private[graft] def excludeTombstoned(
+  /** The distinct dead-id set of a tombstone sidecar (empty when the
+    * sidecar doesn't exist), memoized on the sidecar's FILE SIGNATURE
+    * (names + lengths + mtimes — a cheap listStatus): repeated loadIndex
+    * / loadIvf calls against an unchanged sidecar reuse the dead set
+    * instead of re-paying an up-to-4M-row driver collect per load, and a
+    * deleteDocs in between (new part file) invalidates the key.
+    */
+  private[graft] def tombstonedIds(
       spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame,
       tombPath: String,
       idCol: String,
-      maxTombstones: Int = 1 << 22): DataFrame = {
-    import spark.implicits._
+      maxTombstones: Int = 1 << 22): Seq[Long] = {
     val tp = new org.apache.hadoop.fs.Path(tombPath)
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tp)) df
+    if (!fs.exists(tp)) Seq.empty
     else {
-      // the collect is memoized on the sidecar's FILE SIGNATURE (names +
-      // lengths + mtimes — a cheap listStatus): repeated loadIndex /
-      // loadIvf calls against an unchanged sidecar reuse the dead set
-      // instead of re-paying an up-to-4M-row driver collect per load,
-      // and a deleteDocs in between (new part file) invalidates the key
       val sig = fs.listStatus(tp).toSeq
         .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
         .sortBy(_._1)
-      val dead = tombCache.get(tombPath) match {
+      tombCache.get(tombPath) match {
         case Some((cachedSig, ids)) if cachedSig == sig => ids
         case _ =>
           // distinct BEFORE the cap: repeated deletes of the same ids
@@ -276,11 +276,21 @@ object Layout {
           tombCache.put(tombPath, (sig, ids))
           ids
       }
-      if (dead.isEmpty) df
-      else if (dead.length <= 1024)
-        df.where(!col(idCol).isin(dead.map(x => x: Any): _*))
-      else df.join(broadcast(dead.toDF(idCol)), Seq(idCol), "left_anti")
     }
+  }
+
+  private[graft] def excludeTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      tombPath: String,
+      idCol: String,
+      maxTombstones: Int = 1 << 22): DataFrame = {
+    import spark.implicits._
+    val dead = tombstonedIds(spark, tombPath, idCol, maxTombstones)
+    if (dead.isEmpty) df
+    else if (dead.length <= 1024)
+      df.where(!col(idCol).isin(dead.map(x => x: Any): _*))
+    else df.join(broadcast(dead.toDF(idCol)), Seq(idCol), "left_anti")
   }
 
   /** (file signature, dead ids) per tombstone sidecar path — see

@@ -558,15 +558,45 @@ object TextAnalytics {
         col(scoreCol), lit(1.0 - keepFrac), lit(accuracy)).as("cut"))
       .collect()
       .map(r => r.get(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-    val cutCol = cuts.foldLeft(lit(null).cast("double")) {
-      case (acc, (src, Some(cut))) =>
-        val matches =
-          if (src == null) col(sourceCol).isNull
-          else col(sourceCol) === lit(src)
-        when(matches, lit(cut)).otherwise(acc)
-      case (acc, (_, None)) => acc
-    }
-    df.withColumn("cut", cutCol)
-      .withColumn("keep", coalesce(col(scoreCol) >= col("cut"), lit(false)))
+    // Two physically different cut-lookup shapes, same semantics (a
+    // null-safe exact match on the source): up to the threshold the cuts
+    // fold into a literal when-chain (scan-stage column algebra, zero
+    // joins — the audited x25 plan); past it that chain would be an
+    // O(#sources)-deep expression tree (analyzer and codegen walk it per
+    // row — a 10k-source corpus would pay a 10k-deep tree), so the cut
+    // table broadcast-joins instead: one tiny build side, still no
+    // per-source sort anywhere.
+    val withCut =
+      if (cuts.length <= MaxLiteralCutSources) {
+        val cutCol = cuts.foldLeft(lit(null).cast("double")) {
+          case (acc, (src, Some(cut))) =>
+            val matches =
+              if (src == null) col(sourceCol).isNull
+              else col(sourceCol) === lit(src)
+            when(matches, lit(cut)).otherwise(acc)
+          case (acc, (_, None)) => acc
+        }
+        df.withColumn("cut", cutCol)
+      } else {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "__cal_src", df.schema(sourceCol).dataType, nullable = true),
+          org.apache.spark.sql.types.StructField(
+            "cut", org.apache.spark.sql.types.DoubleType, nullable = true)))
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](cuts.length)
+        cuts.foreach { case (src, cut) =>
+          rows.add(org.apache.spark.sql.Row(src, cut.map(Double.box).orNull))
+        }
+        df.join(broadcast(df.sparkSession.createDataFrame(rows, schema)),
+            col(sourceCol) <=> col("__cal_src"), "left")
+          .drop("__cal_src")
+      }
+    withCut.withColumn("keep",
+      coalesce(col(scoreCol) >= col("cut"), lit(false)))
   }
+
+  /** Literal-chain bound for [[calibrateScoresApprox]]'s cut lookup —
+    * past this many distinct sources the cuts broadcast-join instead.
+    */
+  private[graft] val MaxLiteralCutSources = 256
 }

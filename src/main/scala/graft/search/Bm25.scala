@@ -1081,6 +1081,24 @@ object Bm25 extends graft.ops.IndexLifecycle {
       s"bm25fProbeAtRest: field indexes disagree on corpus size " +
         s"(${idxs.map(_.nDocs).mkString(", ")}) — every field index must " +
         "be built over the SAME doc set")
+    // cross-field tombstone consistency (round-10 advice): a doc deleted
+    // in SOME field indexes but not all would silently vanish from every
+    // probe through the inner dl join — not as a delete, as a dropped
+    // row indistinguishable from an empty-field doc. The sidecar id sets
+    // are MaxTombstones-bounded (and memoized on file signature), so the
+    // comparison is a cheap driver set-diff; refuse loudly instead.
+    val deadSets = fields.map(f =>
+      graft.ops.Layout.tombstonedIds(spark, tombPath(f.path), "doc_id",
+        MaxTombstones).toSet)
+    if (deadSets.distinct.size > 1) {
+      val union = deadSets.reduce(_ union _)
+      val partial = union.filterNot(id => deadSets.forall(_.contains(id)))
+      throw new IllegalArgumentException(
+        s"bm25fProbeAtRest: doc(s) ${partial.toSeq.sorted.take(10).mkString(", ")} " +
+          "are tombstoned in some field indexes but not all — delete every " +
+          "doc in EVERY field (deleteDocs per field path) or compact the " +
+          "fields to a consistent state before probing")
+    }
     val termSet = queries.select(
       explode(array_distinct(tokensCol(col("query_text")))).as("term")).distinct()
     // driver-side bucket restriction (restrictToTerms' literal pruning):

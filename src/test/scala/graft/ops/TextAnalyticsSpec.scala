@@ -307,6 +307,37 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out.count() == 9, "no rows lost")
   }
 
+  test("calibrateScoresApprox past the literal bound: broadcast cut join, same keep law") {
+    // a few thousand sources would make the literal when-chain an
+    // O(#sources)-deep expression tree (round-10 advice); past the bound
+    // the cuts must broadcast-join with UNCHANGED semantics — including
+    // the null-source group and an all-null-score group
+    val n = graft.ops.TextAnalytics.MaxLiteralCutSources * 12 // 3072 sources
+    val rows = (0 until n).flatMap { s =>
+      val src = if (s == 0) None else Some(s"src_$s")
+      if (s == 1) Seq((s * 10L, src, Option.empty[Double]),
+        (s * 10L + 1, src, Option.empty[Double]))
+      else Seq((s * 10L, src, Some(0.9)), (s * 10L + 1, src, Some(0.1)))
+    }
+    val df = rows.toDF("doc_id", "source", "score").repartition(8)
+    val out = graft.ops.TextAnalytics
+      .calibrateScoresApprox(df, "source", "score", keepFrac = 0.4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "past the bound the cut lookup must be a broadcast join, not a literal chain")
+    val kept = out.where(col("keep")).select("doc_id").as[Long].collect().toSet
+    // every scored source keeps exactly its top element (keepFrac 0.4 of 2)
+    assert(kept == (0 until n).filter(_ != 1).map(_ * 10L).toSet,
+      s"keep law drifted at scale: ${kept.size} kept")
+    assert(out.count() == rows.size.toLong, "no rows lost through the join path")
+    // below the bound the plan is STILL the join-free literal chain
+    val small = Seq((0L, "a", 0.9), (1L, "a", 0.1)).toDF("doc_id", "source", "score")
+    val smallPlan = graft.ops.TextAnalytics
+      .calibrateScoresApprox(small, "source", "score", keepFrac = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"), "bounded regime must keep the scan-stage literal chain")
+  }
+
   test("calibrateScoresApprox scoring stage adds no shuffle") {
     val cal = TextAnalytics.calibrateScoresApprox(
       calibCorpus.repartition(3), "source", "score", keepFrac = 0.4)

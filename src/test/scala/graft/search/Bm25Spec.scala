@@ -606,6 +606,34 @@ class Bm25Spec extends SparkSpec {
     assert(afterDel.contains(2L) && afterDel.contains(3L))
   }
 
+  test("bm25f at rest refuses a doc tombstoned in SOME but not ALL field indexes") {
+    val docs = Seq(
+      (1L, "alpha topic", "alpha discussed in the body as well"),
+      (2L, "alpha topic", "body about something else entirely"),
+      (3L, "other title", "alpha discussed in the body as well")
+    ).toDF("doc_id", "title", "body")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25f_xdel").toString
+    Bm25.writeIndex(docs, "doc_id", "title", s"$tmp/title")
+    Bm25.writeIndex(docs, "doc_id", "body", s"$tmp/body")
+    val qs = Seq((0L, "alpha body")).toDF("query_id", "query_text")
+    def fieldIdxs = Seq(Bm25.FieldIndex(s"$tmp/title", 2.5, 0.6),
+      Bm25.FieldIndex(s"$tmp/body", 1.0, 0.75))
+    // delete doc 1 in ONE field only: the probe must refuse loudly — the
+    // inner dl join would otherwise drop the doc silently, which reads
+    // as a delete nobody issued
+    Bm25.deleteDocs(spark, s"$tmp/title", Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.bm25fProbeAtRest(spark, fieldIdxs, qs, k = 10)
+    }
+    assert(e.getMessage.contains("not all") && e.getMessage.contains("1"))
+    // completing the delete in the other field restores the live-only
+    // probe (the existing b11b law)
+    Bm25.deleteDocs(spark, s"$tmp/body", Seq(1L))
+    val served = Bm25.bm25fProbeAtRest(spark, fieldIdxs, qs, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == Set(2L, 3L), s"consistent tombstones must probe live-only: $served")
+  }
+
   test("bm25f at rest refuses field indexes built over different doc sets") {
     val a = Seq((1L, "alpha", "beta")).toDF("doc_id", "title", "body")
     val b = Seq((1L, "alpha", "beta"), (2L, "gamma", "delta"))
