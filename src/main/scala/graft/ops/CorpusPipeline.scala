@@ -522,6 +522,53 @@ object CorpusPipeline {
           batchId, minCos, idOffset)
       }
 
+  /** The auto-maintenance policy loop — the last gap between "has the
+    * primitives" and "runs itself" at 100 TB: evaluate
+    * [[Layout.maintenanceDue]] on an index path and run the family's own
+    * actions for whatever the policy says is due, in the safe order —
+    * MERGE first (folds small segments; value-invisible by the b10/a13b
+    * contracts), COMPACT second (folds tombstones AND resets the segment
+    * ledger in every family, so it subsumes a due merge it follows;
+    * value-equal to a from-scratch build over the survivors by b8b/a9c),
+    * file-compact last (bin-packs whatever small files remain; many
+    * callers pass `None` because their compact already rewrites files).
+    * Returns (status before, status after) so a scheduler can assert the
+    * loop actually converged — a policy whose action doesn't clear its
+    * own signal (e.g. a merge target above `maxSegments`) would
+    * otherwise re-fire forever, silently.
+    *
+    * Wire it per index family with its own primitives, e.g. BM25:
+    * {{{
+    * CorpusPipeline.maintainIndex(spark, path,
+    *   merge = Some(() => { Bm25.mergeSegments(spark, path); () }),
+    *   compact = Some(() => Bm25.compactIndex(spark, path)))
+    * }}}
+    * and schedule it after each streaming micro-batch or on a timer —
+    * the signals read layout metadata only, so an all-clear poll costs a
+    * few listStatus calls.
+    */
+  def maintainIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      policy: Layout.MaintenancePolicy = Layout.MaintenancePolicy(),
+      totalIds: Option[Long] = None,
+      idCol: String = "doc_id",
+      segmentCount: Option[() => Int] = None,
+      merge: Option[() => Unit] = None,
+      compact: Option[() => Unit] = None,
+      compactFiles: Option[() => Unit] = None): (Layout.MaintenanceStatus, Layout.MaintenanceStatus) = {
+    // segmentCount is a THUNK: the family's own count must be re-read for
+    // the after-status, or a caller-supplied snapshot would claim the
+    // merge never converged
+    def status() = Layout.maintenanceDue(
+      spark, path, policy, totalIds, idCol, segmentCount.map(_.apply()))
+    val before = status()
+    if (before.mergeDue) merge.foreach(_.apply())
+    if (before.compactDue) compact.foreach(_.apply())
+    if (before.fileCompactDue) compactFiles.foreach(_.apply())
+    (before, status())
+  }
+
   /** Streaming sparse-index maintenance — the BM25 twin of
     * [[streamingHnswSink]], completing the streaming-maintenance story
     * for the hybrid stack's keyword channel: each micro-batch of docs

@@ -565,4 +565,112 @@ object Layout {
     fs.rename(sp, tp)
     fs.delete(op, true)
   }
+
+  /** When is maintenance due — the thresholds that close the gap between
+    * "has the primitives" (merge/compact/compactFiles exist in every
+    * family) and "runs itself" at 100 TB. All knobs are per-index-path;
+    * defaults are the Lucene-ish shape: ≤8 segments, ≤10% dead docs,
+    * bounded small-file count.
+    */
+  final case class MaintenancePolicy(
+      maxSegments: Int = 8,
+      maxTombstones: Long = 1L << 20,
+      maxTombstoneFraction: Double = 0.10,
+      maxSmallFiles: Int = 64,
+      smallFileBytes: Long = 16L << 20) {
+    require(maxSegments >= 1 && maxTombstones >= 0 &&
+      maxTombstoneFraction >= 0 && maxSmallFiles >= 0 && smallFileBytes > 0,
+      s"nonsensical MaintenancePolicy: $this")
+  }
+
+  /** One index path's maintenance signals + the policy verdicts. */
+  final case class MaintenanceStatus(
+      segments: Int,
+      tombstones: Long,
+      smallFiles: Int,
+      mergeDue: Boolean,
+      compactDue: Boolean,
+      fileCompactDue: Boolean) {
+    def anyDue: Boolean = mergeDue || compactDue || fileCompactDue
+  }
+
+  /** Evaluate [[MaintenancePolicy]] against an at-rest index directory
+    * from LAYOUT METADATA ONLY — no data-file scan, so a scheduler can
+    * poll it per micro-batch:
+    *
+    *  - segments: `segmentCount` when the caller supplies the family's
+    *    own notion, else `_commits/` markers (the BM25 segment
+    *    convention), else the `segments/shard=N` partition-dir count (the
+    *    HNSW convention); families without segment accumulation (IVF
+    *    lists, SQ/PQ codes — appends land inside fixed partitions or as
+    *    flat files) default to 1 and are governed by the tombstone and
+    *    small-file signals instead. `mergeDue` past `maxSegments`.
+    *  - tombstones: the `_tombstones/` sidecar's distinct dead-id count
+    *    (the same signature-memoized collect every probe pays, bounded by
+    *    the probe-side refusal); `compactDue` past `maxTombstones`, or
+    *    past `maxTombstoneFraction` of `totalIds` when the caller knows
+    *    the live cardinality (index stats carry it: Bm25 nDocs, HNSW
+    *    segment counts).
+    *  - small files: data files under the path (skipping `_`/`.` names —
+    *    sidecars, ledgers, staging) smaller than `smallFileBytes`;
+    *    `fileCompactDue` past `maxSmallFiles`. Listing is the same
+    *    recursive listStatus a Spark read performs.
+    *
+    * The ACTIONS stay family-specific and value-invisible by the proven
+    * contracts (b10/a13b merge, b8b/a9c compact) —
+    * [[CorpusPipeline.maintainIndex]] is the policy loop that runs them.
+    */
+  def maintenanceDue(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      totalIds: Option[Long] = None,
+      idCol: String = "doc_id",
+      segmentCount: Option[Int] = None): MaintenanceStatus = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def markerCount(dir: String): Option[Int] = {
+      val p = new org.apache.hadoop.fs.Path(hp, dir)
+      if (!fs.exists(p)) None
+      else Some(fs.listStatus(p).count(s =>
+        s.getPath.getName.nonEmpty && s.getPath.getName.forall(_.isDigit)))
+    }
+    def shardDirCount: Option[Int] = {
+      val p = new org.apache.hadoop.fs.Path(hp, "segments")
+      if (!fs.exists(p)) None
+      else Some(fs.listStatus(p).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("shard=")))
+    }
+    val segments = segmentCount
+      .orElse(markerCount("_commits"))
+      .orElse(shardDirCount)
+      .getOrElse(1)
+    val tombstones =
+      tombstonedIds(spark, s"$path/_tombstones", idCol).length.toLong
+    val smallFiles =
+      if (!fs.exists(hp)) 0
+      else {
+        val it = fs.listFiles(hp, true)
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          // skip sidecars/ledgers/staging the same way Spark's FileIndex
+          // does: any path SEGMENT under the root starting with _ or .
+          val rel = f.getPath.toString.stripPrefix(fs.makeQualified(hp).toString)
+          val hidden = rel.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+          if (!hidden && f.getLen < policy.smallFileBytes) n += 1
+        }
+        n
+      }
+    val fracDue = totalIds.exists(t =>
+      t > 0 && tombstones.toDouble / t >= policy.maxTombstoneFraction)
+    MaintenanceStatus(
+      segments = segments,
+      tombstones = tombstones,
+      smallFiles = smallFiles,
+      mergeDue = segments > policy.maxSegments,
+      compactDue = tombstones > policy.maxTombstones || fracDue,
+      fileCompactDue = smallFiles > policy.maxSmallFiles)
+  }
 }

@@ -245,6 +245,93 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(tomb)))
   }
 
+  test("maintenanceDue: threshold laws are exact boundaries, metadata-only signals") {
+    import java.nio.file.Files
+    val fsOf = (d: String) => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val policy = Layout.MaintenancePolicy(
+      maxSegments = 3, maxTombstones = 4, maxTombstoneFraction = 0.5,
+      maxSmallFiles = 2, smallFileBytes = 1L << 20)
+    // a bare dir: nothing due
+    val clean = Files.createTempDirectory("graft_mx_clean").toString
+    val s0 = Layout.maintenanceDue(spark, clean, policy)
+    assert(!s0.anyDue && s0.segments == 1 && s0.tombstones == 0)
+    // segments via _commits markers: due strictly PAST the max
+    val seg = Files.createTempDirectory("graft_mx_seg").toString
+    val fs = fsOf(seg)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$seg/_commits"))
+    (0 until 3).foreach(i =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$seg/_commits/$i")).close())
+    assert(!Layout.maintenanceDue(spark, seg, policy).mergeDue, "at max: not due")
+    fs.create(new org.apache.hadoop.fs.Path(s"$seg/_commits/3")).close()
+    val s1 = Layout.maintenanceDue(spark, seg, policy)
+    assert(s1.mergeDue && s1.segments == 4, "past max: merge due")
+    // the HNSW convention: segments/shard=N partition dirs
+    val hn = Files.createTempDirectory("graft_mx_hnsw").toString
+    (0 until 5).foreach(i =>
+      fsOf(hn).mkdirs(new org.apache.hadoop.fs.Path(s"$hn/segments/shard=$i")))
+    assert(Layout.maintenanceDue(spark, hn, policy).segments == 5)
+    // the caller's own count wins over every heuristic
+    assert(Layout.maintenanceDue(spark, hn, policy,
+      segmentCount = Some(2)).segments == 2)
+    // tombstones: absolute budget, then the fraction law when totalIds known
+    val tb = Files.createTempDirectory("graft_mx_tomb").toString
+    Seq(1L, 2L, 3L, 4L).toDF("doc_id").write.parquet(s"$tb/_tombstones")
+    assert(!Layout.maintenanceDue(spark, tb, policy).compactDue, "at budget: not due")
+    assert(Layout.maintenanceDue(spark, tb, policy,
+      totalIds = Some(8L)).compactDue, "4/8 dead >= 0.5: fraction law fires")
+    Seq(5L).toDF("doc_id").write.mode("append").parquet(s"$tb/_tombstones")
+    assert(Layout.maintenanceDue(spark, tb, policy).compactDue, "past budget: due")
+    // small files: sidecars/ledgers/staging don't count
+    val sf = Files.createTempDirectory("graft_mx_files").toString
+    Seq(1L).toDF("x").repartition(2).write.parquet(s"$sf/data")
+    assert(!Layout.maintenanceDue(spark, sf, policy).fileCompactDue)
+    Seq(2L).toDF("x").write.parquet(s"$sf/data2")
+    val s2 = Layout.maintenanceDue(spark, sf, policy)
+    assert(s2.fileCompactDue && s2.smallFiles > 2, s"small files: $s2")
+    Seq(9L).toDF("doc_id").write.parquet(s"$sf/_tombstones") // hidden: not counted
+    assert(Layout.maintenanceDue(spark, sf, policy).smallFiles == s2.smallFiles)
+  }
+
+  test("maintainIndex policy loop on a real BM25 index: actions fire and converge") {
+    import graft.search.Bm25
+    val docs = (1L to 40L).map(i => (i, s"token$i shared corpus words"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mx_loop").toString + "/idx"
+    Bm25.writeIndex(docs.where(col("doc_id") <= 10), "doc_id", "text", path)
+    (1 to 3).foreach { b =>
+      Bm25.appendIndexBatch(spark,
+        docs.where(col("doc_id") > b * 10 && col("doc_id") <= (b + 1) * 10),
+        path, b.toLong, "doc_id", "text")
+    }
+    // small-file signal parked out of the way: a term-BUCKETED index at
+    // toy scale is legitimately many tiny files — this test pins the
+    // merge/compact laws
+    val policy = Layout.MaintenancePolicy(
+      maxSegments = 3, maxTombstones = 2, maxSmallFiles = 100000)
+    val (before, after) = graft.ops.CorpusPipeline.maintainIndex(
+      spark, path, policy,
+      merge = Some(() => { Bm25.mergeSegments(spark, path, targetSegments = 2); () }),
+      compact = Some(() => Bm25.compactIndex(spark, path)))
+    assert(before.mergeDue && before.segments == 4)
+    assert(!after.anyDue && after.segments <= 3, s"merge must converge: $after")
+    // now trip the tombstone budget: compact fires and folds the ledger
+    Bm25.deleteDocs(spark, path, Seq(1L, 2L, 3L))
+    val (b2, a2) = graft.ops.CorpusPipeline.maintainIndex(
+      spark, path, policy,
+      merge = Some(() => { Bm25.mergeSegments(spark, path, targetSegments = 2); () }),
+      compact = Some(() => Bm25.compactIndex(spark, path)))
+    assert(b2.compactDue && b2.tombstones == 3)
+    assert(!a2.anyDue && a2.tombstones == 0, s"compact must converge: $a2")
+    // the maintained index still serves, minus the deleted docs
+    val idx = Bm25.loadIndex(spark, path)
+    val hits = Bm25.topKBatch(Seq((0L, "token5 token1 shared")).toDF("query_id", "query_text"),
+      Bm25.restrictToTerms(idx, Seq("token5", "token1", "shared")), k = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(5L) && !hits.contains(1L))
+  }
+
   test("clearIndexSidecars: removes tombstones and batch ledger, tolerates absence") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_clear").toString
     Seq(1L).toDF("id").write.parquet(s"$dir/_tombstones")
