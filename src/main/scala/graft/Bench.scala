@@ -42,7 +42,9 @@ object Bench {
     // index ONCE per process (SparkEntry.cachedIndex, fixture-keyed), so
     // the first sample carries the build and the 3-run MEDIAN measures
     // the probe — the serving economics the at-rest design exists for.
-    "a9b_sq8_at_rest")
+    "a9b_sq8_at_rest",
+    // round-11: the composed cached-RAG serving loop
+    "ep5_cached_rag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

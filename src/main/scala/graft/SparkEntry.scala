@@ -4267,7 +4267,10 @@ object SparkEntry {
          |wscore AS (SELECT w.query_id AS wq, q.query_id,
          |    ${cosExpr("q.qv", "w.qv")} AS bcos
          |  FROM miss1 q JOIN miss1 w ON w.query_id < q.query_id),
-         |wpairs AS (SELECT * FROM wscore WHERE bcos >= 0.95),
+         |-- the engine's pair law (cosinePairsAuto): threshold on the RAW
+         |-- cosine, output (and hence best-pair ordering) on the rounded one
+         |wpairs AS (SELECT wq, query_id, round(bcos, 6) AS bcos
+         |  FROM wscore WHERE bcos >= 0.95),
          |winners1 AS (SELECT query_id FROM miss1
          |  WHERE query_id NOT IN (SELECT query_id FROM wpairs)),
          |ibb1 AS (SELECT query_id, wq, bcos, row_number() OVER (
@@ -4275,7 +4278,7 @@ object SparkEntry {
          |  FROM wpairs WHERE wq IN (SELECT query_id FROM winners1)),
          |d1 AS (SELECT q.query_id,
          |    COALESCE(b.cache_id, i.wq + 1000000, q.query_id + 1000000) AS cache_id,
-         |    COALESCE(round(b.cos, 6), round(i.bcos, 6)) AS cos,
+         |    COALESCE(round(b.cos, 6), i.bcos) AS cos,
          |    (b.cache_id IS NOT NULL OR i.wq IS NOT NULL) AS hit
          |  FROM b1 q
          |  LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1

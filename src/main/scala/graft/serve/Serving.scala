@@ -405,8 +405,10 @@ object SemanticCache {
     * they ride the cache row so hits can be served from the store.
     *
     * Scale: one bounded batch vs the broadcast/banded cache read; the
-    * within-batch resolve is a miss×miss broadcast product (bounded by
-    * the micro-batch, never the cache); the insert is O(misses).
+    * within-batch resolve generates pairs via the d8 selectivity law
+    * (exact product for small miss sets, RP-banded candidates + exact
+    * verify above 10k — never a quadratic nested loop); the insert is
+    * O(misses).
     */
   def intakeBatch(
       spark: SparkSession,
@@ -434,15 +436,20 @@ object SemanticCache {
       lookup(batch, visible, minCos, queryIdCol, queryVecCol)
         .join(batch.select((col(queryIdCol).as("query_id") +:
           col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")))
-    // within-batch resolve over the misses (step 2)
+    // within-batch resolve over the misses (step 2). Pair generation is
+    // the d8 selectivity law ([[graft.ops.Dedup.cosinePairsAuto]]): an
+    // exact broadcast product under 10k misses, RP-banded candidates
+    // with exact-cosine verify above — a 100k-query micro-batch must
+    // never pay a 10^10-pair nested loop. Precision stays exact; recall
+    // above the cutover is approximate EXCEPT exact duplicates (identical
+    // band keys collide in every table), which is the dominant in-batch
+    // case — and a missed near-pair only inserts both entries, never
+    // serves a wrong one.
     val misses = looked.where(!col("hit")).select(col("query_id"), col("__qv"))
-    val partners = misses.select(col("query_id").as("__wq"), col("__qv").as("__wv"))
     val pairs = materializeOnce(
-      misses.join(broadcast(partners), col("__wq") < col("query_id"))
-        .withColumn("__bcos",
-          graft.functions.VectorFunctions.cosineSimilarity(col("__qv"), col("__wv")))
-        .where(col("__bcos") >= minCos)
-        .select(col("query_id"), col("__wq"), col("__bcos")))
+      graft.ops.Dedup.cosinePairsAuto(misses, "query_id", "__qv", minCos)
+        .select(col("id_b").as("query_id"), col("id_a").as("__wq"),
+          col("cos").as("__bcos")))
     val winnerIds = misses.select("query_id")
       .join(pairs.select("query_id").distinct(), Seq("query_id"), "left_anti")
     val inBatch = materializeOnce(
@@ -451,7 +458,7 @@ object SemanticCache {
         .agg(min(struct((-col("__bcos")).as("__nc"), col("__wq").as("__wid"))).as("__b"))
         .select(col("query_id"),
           (col("__b.__wid") + idOffset).cast("long").as("__in_cid"),
-          round(-col("__b.__nc"), 6).as("__in_cos")))
+          (-col("__b.__nc")).as("__in_cos")))
     // inserts = misses minus in-batch losers (winners AND promoted chain tails)
     val inserts = materializeOnce(
       looked.where(!col("hit"))

@@ -756,6 +756,63 @@ object ScaleSmoke {
         "banded hits must be a subset of exact hits (precision law)")
     }
 
+    section("round11") {
+      // 13a. semantic-cache INTAKE at micro-batch scale: persisted 1M
+      // cache, one 100k-query batch with 1% planted in-batch duplicate
+      // pairs. The within-batch resolve must ride the banded pair path
+      // (the d8 law) — the pre-round-11 miss×miss nested loop would be
+      // 10^10 cosine evals here.
+      val cacheRows = n(1000000L)
+      val scPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_intake").toString + "/cache"
+      clusteredVecs(cacheRows, 32, 4242, "cache_id", "embedding")
+        .write.parquet(scPath)
+      val batchRows = n(100000L)
+      // rows with id % 100 == 1 are exact twins of id - 1 (loser, winner)
+      val eff = when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+        .otherwise(col("id"))
+      val intakeBatchDf = spark.range(batchRows).select(
+        (col("id") + 10000000L).as("query_id"),
+        transform(sequence(lit(0), lit(31)),
+          i => ((pmod(xxhash64(pmod(eff, lit(1024)), i), lit(1000)) / 1000.0) +
+            (pmod(xxhash64(eff + 777, i), lit(100)) / 100.0 - 0.5) * 0.1)
+            .cast("float")).as("query_vec"))
+        .localCheckpoint(true)
+      var disp: DataFrame = null
+      time("semcache_intake_100k", batchRows) {
+        disp = graft.serve.SemanticCache.intakeBatch(
+          spark, intakeBatchDf, scPath, minCos = 0.999)
+          .localCheckpoint(true)
+        disp.count()
+      }
+      val twinHits = disp.where(col("hit") &&
+        pmod(col("query_id"), lit(100)) === 1).count()
+      assert(twinHits == batchRows / 100,
+        s"every planted in-batch twin must hit its winner: $twinHits of ${batchRows / 100}")
+      val stored1 = spark.read.parquet(scPath).count()
+      time("semcache_intake_replay", batchRows) {
+        graft.serve.SemanticCache.intakeBatch(
+          spark, intakeBatchDf, scPath, minCos = 0.999).count()
+      }
+      assert(spark.read.parquet(scPath).count() == stored1,
+        "a replayed intake batch must not grow the cache")
+
+      // 13b. per-source calibration at 5M rows × 5k sources — the regime
+      // the literal when-chain made pathological (a 5000-deep expression
+      // tree); the broadcast cut join must make it one aggregate + one
+      // broadcast join.
+      val calRows = n(5000000L)
+      time("calibrate_5m_5k_sources", calRows) {
+        val df = spark.range(calRows).select(
+          col("id").as("doc_id"),
+          pmod(xxhash64(col("id")), lit(5000)).cast("string").as("source"),
+          (pmod(xxhash64(col("id"), lit(7)), lit(1000000)) / 1e6).as("score"))
+        graft.ops.TextAnalytics
+          .calibrateScoresApprox(df, "source", "score", keepFrac = 0.5)
+          .where(col("keep")).count()
+      }
+    }
+
     section("codegen_ab") {
       // 11a. rp banding: 10M x 32-d, 8 tables x 3 projs — the banding
       // engine under a6/a3/cosinePairsRp/rpTopKBatch. The flat form
