@@ -404,11 +404,13 @@ object SemanticCache {
     * (e.g. an `answer`) persisted alongside each inserted entry —
     * they ride the cache row so hits can be served from the store.
     *
-    * Scale: one bounded batch vs the broadcast/banded cache read; the
-    * within-batch resolve generates pairs via the d8 selectivity law
-    * (exact product for small miss sets, RP-banded candidates + exact
-    * verify above 10k — never a quadratic nested loop); the insert is
-    * O(misses).
+    * Scale: the lookup auto-routes on the batch × cache product —
+    * exact broadcast scan up to [[MaxExactLookupProduct]] pairs, the
+    * [[lookupBanded]] RP path above it (exact-duplicate re-asks always
+    * hit either way); the within-batch resolve generates pairs via the
+    * d8 selectivity law (exact product for small miss sets, RP-banded
+    * candidates + exact verify above 10k — never a quadratic nested
+    * loop); the insert is O(misses).
     */
   def intakeBatch(
       spark: SparkSession,
@@ -432,8 +434,29 @@ object SemanticCache {
     // exclude this batch's OWN (replayed) insertions from the lookup
     val ownIds = batch.select((col(queryIdCol) + idOffset).cast("long").as("cache_id"))
     val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
+    // lookup-path selectivity (the cosinePairsAuto law applied to the
+    // batch × cache product): the exact broadcast scan is 10^7-ish pairs
+    // for a chat-sized batch, but a 100k-query micro-batch against a 1M
+    // cache is 10^11 cosine evals — route big products through the
+    // banded path (precision exact; recall approximate EXCEPT cos-1
+    // re-asked questions, whose identical band keys always collide; a
+    // banding-missed near-hit re-answers and re-inserts — never serves a
+    // wrong entry). Both counts are cheap: the batch is micro-batch
+    // bounded, the cache count is a parquet metadata sum.
+    val exactProduct = batch.count() * math.max(1L, stored.count())
+    // the banded route runs DEEPER AND-amplification than lookupBanded's
+    // serving default (8 tables × 6 projs vs 12 × 3): a bulk intake's
+    // minCos sits near 1, where d* is far below the corpus's typical
+    // pair distance and 3-proj keys admit ~1e-4 of RANDOM pairs — at
+    // 100k × 1M that was 1e8 candidates through the verify join
+    // (measured 709 s; 6 projs: 7.6 s, 93×). Exact-duplicate re-asks
+    // collide at ANY depth, so the law the route exists for is unharmed.
     val looked = materializeOnce(
-      lookup(batch, visible, minCos, queryIdCol, queryVecCol)
+      (if (exactProduct <= MaxExactLookupProduct)
+        lookup(batch, visible, minCos, queryIdCol, queryVecCol)
+      else
+        lookupBanded(batch, visible, minCos, queryIdCol, queryVecCol,
+          nTables = 8, nProjs = 6))
         .join(batch.select((col(queryIdCol).as("query_id") +:
           col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")))
     // within-batch resolve over the misses (step 2). Pair generation is
@@ -496,6 +519,15 @@ object SemanticCache {
     * identical band keys collide in every table, so a re-asked question
     * is always served. Same output contract as [[lookup]].
     */
+  /** [[intakeBatch]]'s exact-vs-banded lookup cutover: the largest
+    * batch × cache cosine product the broadcast scan pays before the
+    * intake routes through [[lookupBanded]]. Sized from the measured
+    * BNLJ pair rate (~2×10⁷ pairs/s on the 32-core box — semcache_exact_1m
+    * did 6.4×10⁷ pairs in 3.2 s): 1e8 ≈ a five-second scan. A 64-query
+    * chat batch vs a 1M cache stays exact; a 100k bulk batch goes banded.
+    */
+  private[graft] val MaxExactLookupProduct: Long = 100000000L
+
   def lookupBanded(
       queries: DataFrame,
       cache: DataFrame,

@@ -759,24 +759,33 @@ object ScaleSmoke {
     section("round11") {
       // 13a. semantic-cache INTAKE at micro-batch scale: persisted 1M
       // cache, one 100k-query batch with 1% planted in-batch duplicate
-      // pairs. The within-batch resolve must ride the banded pair path
-      // (the d8 law) — the pre-round-11 miss×miss nested loop would be
-      // 10^10 cosine evals here.
+      // pairs and 1% exact re-asks of cache entries. The pre-round-11
+      // shape would pay a 10^11-pair exact lookup plus a 10^10-pair
+      // within-batch nested loop; both now auto-route through the banded
+      // paths. Vectors are RANDOM per distinct question (the realistic
+      // cache shape — a clustered synthetic at cos 0.999 floods the band
+      // join with same-cluster candidates banding cannot separate, which
+      // is an ANN-threshold mismatch, not a serving workload).
+      def randVec(idExpr: org.apache.spark.sql.Column, seed: Long) =
+        transform(sequence(lit(0), lit(31)),
+          i => (pmod(xxhash64(idExpr, i, lit(seed)), lit(1000000)) / 1000000.0)
+            .cast("float"))
       val cacheRows = n(1000000L)
       val scPath = java.nio.file.Files
         .createTempDirectory("graft_scale_intake").toString + "/cache"
-      clusteredVecs(cacheRows, 32, 4242, "cache_id", "embedding")
+      spark.range(cacheRows).select(
+        col("id").as("cache_id"), randVec(col("id"), 4242L).as("embedding"))
         .write.parquet(scPath)
       val batchRows = n(100000L)
-      // rows with id % 100 == 1 are exact twins of id - 1 (loser, winner)
+      // id % 100 == 1: exact twin of id - 1 (in-batch loser, winner);
+      // id % 100 == 2: exact re-ask of cache entry id % cacheRows
       val eff = when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
         .otherwise(col("id"))
       val intakeBatchDf = spark.range(batchRows).select(
         (col("id") + 10000000L).as("query_id"),
-        transform(sequence(lit(0), lit(31)),
-          i => ((pmod(xxhash64(pmod(eff, lit(1024)), i), lit(1000)) / 1000.0) +
-            (pmod(xxhash64(eff + 777, i), lit(100)) / 100.0 - 0.5) * 0.1)
-            .cast("float")).as("query_vec"))
+        when(pmod(col("id"), lit(100)) === 2,
+          randVec(pmod(col("id"), lit(cacheRows)), 4242L))
+          .otherwise(randVec(eff + 777000000L, 20252025L)).as("query_vec"))
         .localCheckpoint(true)
       var disp: DataFrame = null
       time("semcache_intake_100k", batchRows) {
@@ -789,6 +798,10 @@ object ScaleSmoke {
         pmod(col("query_id"), lit(100)) === 1).count()
       assert(twinHits == batchRows / 100,
         s"every planted in-batch twin must hit its winner: $twinHits of ${batchRows / 100}")
+      val cacheHits = disp.where(col("hit") &&
+        pmod(col("query_id"), lit(100)) === 2).count()
+      assert(cacheHits == batchRows / 100,
+        s"every planted re-asked question must hit the cache: $cacheHits")
       val stored1 = spark.read.parquet(scPath).count()
       time("semcache_intake_replay", batchRows) {
         graft.serve.SemanticCache.intakeBatch(
