@@ -555,6 +555,35 @@ object SparkEntry {
         .select(col("batch"), col("query_id"), col("cache_id"), col("cos"), col("hit"))
         .orderBy("batch", "query_id")
     }
+    reg("c11b_cache_intake_banded") { (s, dir) =>
+      // c11's exact shape forced down the BANDED lookup route
+      // (maxExactProduct = 0 — the path a bulk batch × big cache takes at
+      // 100 TB, measured 93× over the 3-proj default in PERF.md §13).
+      // On this fixture every hit is a cos-1 duplicate, which identical
+      // band keys find in every table, so dispositions are value-equal
+      // to c11's and its full DuckDB recompute applies verbatim — the
+      // deep-AND route gets a CORRECTNESS row without a golden pin
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cache_intake_b").toString + "/cache"
+      emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"))
+        .write.parquet(tmp)
+      val b1 = emb.where(pmod(col("vec_id"), lit(11)) === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .unionByName(emb.where(col("vec_id") === 3)
+          .select(lit(4990L).as("query_id"), col("embedding").as("query_vec")))
+      val d1 = graft.serve.SemanticCache.intakeBatch(s, b1, tmp, minCos = 0.95,
+        maxExactProduct = 0L)
+        .withColumn("batch", lit(1L))
+      val b2 = b1.select((col("query_id") + 5000).as("query_id"), col("query_vec"))
+      val d2 = graft.serve.SemanticCache.intakeBatch(s, b2, tmp, minCos = 0.95,
+        maxExactProduct = 0L)
+        .withColumn("batch", lit(2L))
+      d1.unionByName(d2)
+        .select(col("batch"), col("query_id"), col("cache_id"), col("cos"), col("hit"))
+        .orderBy("batch", "query_id")
+    }
     reg("c5_chatlog") { (s, dir) =>
       val rows = memoryDf(s, dir).where(col("session_id") === "1" && col("turn") === 0)
       ChatLog.record(rows, col("session_id"), col("content"),
@@ -3211,6 +3240,74 @@ object SparkEntry {
       |FROM ctx c JOIN documents qd ON qd.doc_id = c.query_id
       |ORDER BY c.query_id""".stripMargin
 
+  /** c11/c11b's shared oracle: the full sequential-state intake
+    * recompute (both batches, within-batch resolve, inserted ids).
+    */
+  private lazy val cacheIntakeOracle: String = {
+      def cosExpr(q: String, c: String): String =
+        s"""list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
+      s"""WITH cache0 AS (SELECT vec_id AS cache_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |b1 AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 11 = 3
+         |  UNION ALL SELECT 4990, embedding FROM embeddings WHERE vec_id = 3),
+         |s1 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b1 q, cache0 c),
+         |best1 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM s1 WHERE cos >= 0.95),
+         |miss1 AS (SELECT q.query_id, q.qv FROM b1 q
+         |  WHERE NOT EXISTS (SELECT 1 FROM best1 b
+         |    WHERE b.query_id = q.query_id AND b.rn = 1)),
+         |wscore AS (SELECT w.query_id AS wq, q.query_id,
+         |    ${cosExpr("q.qv", "w.qv")} AS bcos
+         |  FROM miss1 q JOIN miss1 w ON w.query_id < q.query_id),
+         |-- the engine's pair law (cosinePairsAuto): threshold on the RAW
+         |-- cosine, output (and hence best-pair ordering) on the rounded one
+         |wpairs AS (SELECT wq, query_id, round(bcos, 6) AS bcos
+         |  FROM wscore WHERE bcos >= 0.95),
+         |winners1 AS (SELECT query_id FROM miss1
+         |  WHERE query_id NOT IN (SELECT query_id FROM wpairs)),
+         |ibb1 AS (SELECT query_id, wq, bcos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bcos DESC, wq) AS rn
+         |  FROM wpairs WHERE wq IN (SELECT query_id FROM winners1)),
+         |d1 AS (SELECT q.query_id,
+         |    COALESCE(b.cache_id, i.wq + 1000000, q.query_id + 1000000) AS cache_id,
+         |    COALESCE(round(b.cos, 6), i.bcos) AS cos,
+         |    (b.cache_id IS NOT NULL OR i.wq IS NOT NULL) AS hit
+         |  FROM b1 q
+         |  LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1
+         |  LEFT JOIN ibb1 i ON q.query_id = i.query_id AND i.rn = 1),
+         |cache1 AS (SELECT cache_id, cv FROM cache0 UNION ALL
+         |  SELECT d.cache_id, q.qv AS cv FROM d1 d JOIN b1 q USING (query_id)
+         |  WHERE NOT d.hit),
+         |-- batch 2's within-batch resolve is provably vacuous: every b2
+         |-- embedding (exact copy of a b1 row) is in cache1 by then —
+         |-- b1 hits live in the seed, b1 survivors were inserted, and the
+         |-- in-batch loser's twin IS its winner's entry — so misses2 = {}
+         |b2 AS (SELECT query_id + 5000 AS query_id, qv FROM b1),
+         |s2 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b2 q, cache1 c),
+         |best2 AS (SELECT query_id, cache_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM s2 WHERE cos >= 0.95),
+         |d2 AS (SELECT q.query_id,
+         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
+         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
+         |  FROM b2 q LEFT JOIN best2 b ON q.query_id = b.query_id AND b.rn = 1)
+         |SELECT CAST(1 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d2
+         |ORDER BY batch, query_id""".stripMargin
+  }
+
   /** ep5's oracle: the ENTIRE cached-RAG disposition chain replayed —
     * batch-1 lookup vs the seed cache (c10's recipe), the surviving
     * misses routed through BM25+dense RRF fusion (b6's recipe), overlap
@@ -4242,70 +4339,15 @@ object SparkEntry {
     // inserts nothing), its surviving misses inserted at query_id + 1e6,
     // batch 2 vs seed ∪ insertions; dispositions and the inserted cache
     // ids are all hash-compared
-    "c11_cache_intake" -> {
-      def cosExpr(q: String, c: String): String =
-        s"""list_sum(list_transform(range(1, 65),
-           |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
-           |    (sqrt(list_sum(list_transform(range(1, 65),
-           |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
-           |     sqrt(list_sum(list_transform(range(1, 65),
-           |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
-      s"""WITH cache0 AS (SELECT vec_id AS cache_id, embedding AS cv
-         |  FROM embeddings WHERE vec_id % 7 = 0),
-         |b1 AS (SELECT vec_id AS query_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id % 11 = 3
-         |  UNION ALL SELECT 4990, embedding FROM embeddings WHERE vec_id = 3),
-         |s1 AS (SELECT q.query_id, c.cache_id,
-         |    ${cosExpr("q.qv", "c.cv")} AS cos
-         |  FROM b1 q, cache0 c),
-         |best1 AS (SELECT query_id, cache_id, cos, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
-         |  FROM s1 WHERE cos >= 0.95),
-         |miss1 AS (SELECT q.query_id, q.qv FROM b1 q
-         |  WHERE NOT EXISTS (SELECT 1 FROM best1 b
-         |    WHERE b.query_id = q.query_id AND b.rn = 1)),
-         |wscore AS (SELECT w.query_id AS wq, q.query_id,
-         |    ${cosExpr("q.qv", "w.qv")} AS bcos
-         |  FROM miss1 q JOIN miss1 w ON w.query_id < q.query_id),
-         |-- the engine's pair law (cosinePairsAuto): threshold on the RAW
-         |-- cosine, output (and hence best-pair ordering) on the rounded one
-         |wpairs AS (SELECT wq, query_id, round(bcos, 6) AS bcos
-         |  FROM wscore WHERE bcos >= 0.95),
-         |winners1 AS (SELECT query_id FROM miss1
-         |  WHERE query_id NOT IN (SELECT query_id FROM wpairs)),
-         |ibb1 AS (SELECT query_id, wq, bcos, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY bcos DESC, wq) AS rn
-         |  FROM wpairs WHERE wq IN (SELECT query_id FROM winners1)),
-         |d1 AS (SELECT q.query_id,
-         |    COALESCE(b.cache_id, i.wq + 1000000, q.query_id + 1000000) AS cache_id,
-         |    COALESCE(round(b.cos, 6), i.bcos) AS cos,
-         |    (b.cache_id IS NOT NULL OR i.wq IS NOT NULL) AS hit
-         |  FROM b1 q
-         |  LEFT JOIN best1 b ON q.query_id = b.query_id AND b.rn = 1
-         |  LEFT JOIN ibb1 i ON q.query_id = i.query_id AND i.rn = 1),
-         |cache1 AS (SELECT cache_id, cv FROM cache0 UNION ALL
-         |  SELECT d.cache_id, q.qv AS cv FROM d1 d JOIN b1 q USING (query_id)
-         |  WHERE NOT d.hit),
-         |-- batch 2's within-batch resolve is provably vacuous: every b2
-         |-- embedding (exact copy of a b1 row) is in cache1 by then —
-         |-- b1 hits live in the seed, b1 survivors were inserted, and the
-         |-- in-batch loser's twin IS its winner's entry — so misses2 = {}
-         |b2 AS (SELECT query_id + 5000 AS query_id, qv FROM b1),
-         |s2 AS (SELECT q.query_id, c.cache_id,
-         |    ${cosExpr("q.qv", "c.cv")} AS cos
-         |  FROM b2 q, cache1 c),
-         |best2 AS (SELECT query_id, cache_id, cos, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
-         |  FROM s2 WHERE cos >= 0.95),
-         |d2 AS (SELECT q.query_id,
-         |    COALESCE(b.cache_id, q.query_id + 1000000) AS cache_id,
-         |    round(b.cos, 6) AS cos, b.cache_id IS NOT NULL AS hit
-         |  FROM b2 q LEFT JOIN best2 b ON q.query_id = b.query_id AND b.rn = 1)
-         |SELECT CAST(1 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d1
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d2
-         |ORDER BY batch, query_id""".stripMargin
-    },
+    "c11_cache_intake" -> cacheIntakeOracle,
+    // c11b: the BANDED intake route (the 100 TB lookup path, forced at
+    // fixture scale via maxExactProduct = 0) — every hit on this fixture
+    // is an exact duplicate (cos 1), which identical band keys find in
+    // every table, so the banded dispositions are VALUE-EQUAL to the
+    // exact route and c11's full sequential-state recompute applies
+    // verbatim (the a12/a13 exact-by-construction stance; the
+    // banded-vs-exact parity law itself is ServingSpec's)
+    "c11b_cache_intake_banded" -> cacheIntakeOracle,
     // st18: the streaming cache-intake twin — both micro-batches replayed
     // sequentially (batch 0 vs the seed cache, batch 1 vs seed ∪ batch-0
     // insertions, with the synthetic re-ask 8000 proving the state

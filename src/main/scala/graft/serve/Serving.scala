@@ -420,7 +420,8 @@ object SemanticCache {
       idOffset: Long = 1000000L,
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      maxExactProduct: Long = MaxExactLookupProduct): DataFrame = {
     import graft.ops.Ann.materializeOnce
     require(!carryCols.exists(Set("query_id", "cache_id", "cos", "hit")),
       s"carryCols ${carryCols.mkString(",")} clash with the disposition schema")
@@ -452,7 +453,7 @@ object SemanticCache {
     // (measured 709 s; 6 projs: 7.6 s, 93×). Exact-duplicate re-asks
     // collide at ANY depth, so the law the route exists for is unharmed.
     val looked = materializeOnce(
-      (if (exactProduct <= MaxExactLookupProduct)
+      (if (exactProduct <= maxExactProduct)
         lookup(batch, visible, minCos, queryIdCol, queryVecCol)
       else
         lookupBanded(batch, visible, minCos, queryIdCol, queryVecCol,

@@ -286,6 +286,28 @@ class ServingSpec extends SparkSpec {
     assert(err.getMessage.contains("collision"))
   }
 
+  test("cache intake: forced banded route derives the same dispositions as the exact route") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def freshCache(): String = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ci_route").toString + "/cache"
+      emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding")).write.parquet(tmp)
+      tmp
+    }
+    val batch = emb.where(col("vec_id") % 11 === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def disp(maxExact: Long) = SemanticCache
+      .intakeBatch(spark, batch, freshCache(), minCos = 0.95,
+        maxExactProduct = maxExact)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val exact = disp(Long.MaxValue)
+    val banded = disp(0L) // every pair product exceeds 0: banded lookup
+    assert(banded == exact,
+      "the banded intake route must serve every exact-duplicate hit and admit the same misses")
+  }
+
   test("cache intake: carryCols persist payload columns on inserted entries") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files
