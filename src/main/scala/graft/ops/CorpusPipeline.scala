@@ -331,12 +331,30 @@ object CorpusPipeline {
       path: String,
       checkpoint: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      vecCol: String = "embedding",
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.ops.Hnsw.appendBatch(
-          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+          spark, batch, path, batchId, idCol, vecCol)
+        // runs-itself wiring (see streamingBm25Sink): HNSW's merge can
+        // only converge to >= numShards fresh graphs, so the effective
+        // merge target is clamped there — a policy maxSegments below
+        // numShards still converges (to numShards) instead of looping
+        maintenance.foreach { pol =>
+          val shards = graft.ops.Hnsw.loadMeta(spark, path).numShards
+          // the HNSW tombstone sidecar's own id column is "id" (not the
+          // sink's vector id column)
+          maintainIndex(spark, path, pol, idCol = "id",
+            merge = Some(() => {
+              graft.ops.Hnsw.mergeSegments(spark, path,
+                math.max(pol.maxSegments, shards)); ()
+            }),
+            compact = Some(() => { graft.ops.Hnsw.compact(spark, path); () }))
+          ()
+        }
         ()
       }
 
@@ -585,12 +603,30 @@ object CorpusPipeline {
       path: String,
       checkpoint: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      textCol: String = "text",
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.search.Bm25.appendIndexBatch(
-          batch.sparkSession, batch, path, batchId, idCol, textCol)
+          spark, batch, path, batchId, idCol, textCol)
+        // the RUNS-ITSELF wiring: after the batch applies, the policy
+        // loop runs the family's own primitives when due — legal here
+        // because foreachBatch is the index's single writer (the same
+        // single-writer law every between-batches compact already
+        // required). An all-clear poll is a few listStatus calls.
+        maintenance.foreach { pol =>
+          // the BM25 layout's tombstone sidecar column is always doc_id
+          maintainIndex(spark, path, pol, idCol = "doc_id",
+            merge = Some(() => {
+              graft.search.Bm25.mergeSegments(spark, path, pol.maxSegments); ()
+            }),
+            compact = Some(() => {
+              graft.search.Bm25.compactIndex(spark, path); ()
+            }))
+          ()
+        }
         ()
       }
 

@@ -367,6 +367,39 @@ class HnswSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHnswSink with a maintenance policy folds shard generations") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hnsw_selfmx").toString
+    val path = s"$tmp/idx"
+    val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)
+    Hnsw.write(emb.where(col("vec_id") < 550), path, p)
+    // each appended micro-batch adds numShards fresh graphs; the policy
+    // folds back toward max(maxSegments, numShards)
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 3, maxTombstones = 1L << 20, maxSmallFiles = 100000)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = CorpusPipeline.streamingHnswSink(
+      mem.toDF().toDF("vec_id", "embedding"), path, s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      val late = emb.where(col("vec_id") >= 550)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      mem.addData(late.take(25).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(late.drop(25).toIndexedSeq)
+      q.processAllAvailable()
+      val status = graft.ops.Layout.maintenanceDue(spark, path, policy)
+      assert(status.segments <= 3,
+        s"the sink must have folded its shard generations: $status")
+      // exhaustive-beam probe: every vector, seed or streamed, still found
+      val probe = emb.where(col("vec_id") === 580)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val top = Hnsw.probe(spark, path, probe, 1).head
+      assert(top.getLong(2) == 580L && top.getDouble(3) == 0.0)
+    } finally q.stop()
+  }
+
   test("delete hides ids with full k, compact purges, re-append revives") {
     val path = java.nio.file.Files.createTempDirectory("graft_hnsw_del").toString + "/idx"
     val p = Hnsw.Params(m = 8, efConstruction = 80, efSearch = 400, numShards = 2)

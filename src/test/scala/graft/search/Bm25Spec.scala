@@ -434,6 +434,40 @@ class Bm25Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBm25Sink with a maintenance policy merges itself under segment growth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_selfmx").toString
+    val path = s"$tmp/idx"
+    Bm25.writeIndex(corpus, "doc_id", "text", path, termBuckets = 4)
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 2, maxTombstones = 1L << 20, maxSmallFiles = 100000)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusPipeline.streamingBm25Sink(
+      mem.toDF().toDF("doc_id", "text"), path, s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      // three appended segments on top of the seed: without maintenance
+      // this leaves 4; the policy loop must fold to <= 2 by the end
+      mem.addData((4L, "fig grape kiwi"))
+      q.processAllAvailable()
+      mem.addData((5L, "melon grape"))
+      q.processAllAvailable()
+      mem.addData((6L, "papaya kiwi"))
+      q.processAllAvailable()
+      val status = graft.ops.Layout.maintenanceDue(spark, path, policy)
+      assert(!status.mergeDue && status.segments <= 2,
+        s"the sink must have maintained itself: $status")
+      // every streamed doc survives the merges and serves
+      val idx = Bm25.loadIndex(spark, path)
+      assert(idx.nDocs == 7L)
+      val hits = Bm25.topKBatch(
+        Seq((0L, "kiwi melon papaya")).toDF("query_id", "query_text"), idx, 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits == Set(4L, 5L, 6L), s"maintained index must serve streamed docs: $hits")
+    } finally q.stop()
+  }
+
   test("at rest: probe restricted to query terms prunes bucket partitions") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bm25_prune").toString + "/idx"
