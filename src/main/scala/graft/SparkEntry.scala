@@ -106,6 +106,60 @@ object SparkEntry {
     (sparse, dense)
   }
 
+  /** ep5/st19's shared serving-loop fixture: a FRESH answer-bearing seed
+    * cache (query 7 answered before), the three query-doc rows, and the
+    * miss pipeline (persisted hybrid stack → b9 rerank → ep4 context +
+    * echo answer → c6 pricing over the c9 token law) as the
+    * `answerMisses` closure [[graft.serve.CachedRag.cachedAnswerBatch]]
+    * takes. ONE definition so the batch query and its streaming twin
+    * (and the shared DuckDB oracle's premises) can never drift.
+    */
+  private def cachedRagFixture(s: SparkSession, dir: String)
+      : (String, DataFrame, DataFrame => DataFrame) = {
+    import graft.serve.{Config, ContextAssembly, Costing, EchoAnswerer, OverlapReranker, Reranker}
+    import graft.search.Bm25
+    val docs = T(s, dir, "documents")
+    val emb = T(s, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ep5").toString + "/cache"
+    emb.where(col("vec_id") === 7)
+      .select(lit(500007L).as("cache_id"), col("embedding"),
+        lit(s"[${Config.AgentName}] precomputed answer for doc 7").as("answer"))
+      .write.parquet(tmp)
+    val queries = docs.where(col("doc_id").isin(3, 7, 11))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("query_id"), col("text").as("question"),
+        col("embedding").as("query_vec"))
+    val answerMisses: DataFrame => DataFrame = missQ => {
+      // bounded serving batch: the id collect drives the term-pruned
+      // postings probe (the restrictToTerms house pattern)
+      val missIds = missQ.select("query_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20, missIds)
+      val fused = Bm25.rrfFuse(Seq(sparse, dense), k = 10)
+      val reranked = Reranker.rerankTopK(fused,
+        missQ.select(col("query_id"), col("question").as("query_text")),
+        docs, OverlapReranker, k = 4)
+      val hits4 = reranked
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("query_id"), col("text"), col("rank").cast("double").as("dist"))
+      val ctx = ContextAssembly.assembleAll(
+        missQ.select("query_id", "question"), hits4)
+      val answered = EchoAnswerer.answer(ctx, "question", "context")
+      Costing.withCost(
+        answered
+          .withColumn("prompt_tokens",
+            graft.ops.TextAnalytics.tokenCount(col("question")) +
+              graft.ops.TextAnalytics.tokenCount(col("context")))
+          .withColumn("completion_tokens",
+            graft.ops.TextAnalytics.tokenCount(col("answer"))),
+        col("prompt_tokens"), col("completion_tokens"))
+        .withColumn("cost", round(col("cost"), 8))
+        .select("query_id", "question", "answer", "cost")
+    }
+    (tmp, queries, answerMisses)
+  }
+
   /** Documents with synthesized title structure: every doc whose id is not
     * ≡0 (mod 10) gets an ALL-CAPS title line + blank line prepended; ids
     * ≡0 keep raw text (exercises the "General" default section).
@@ -2550,104 +2604,62 @@ object SparkEntry {
         .orderBy("query_id")
     }
     reg("ep5_cached_rag") { (s, dir) =>
-      // the FLAGSHIP production serving loop (round-10 verdict item 1) —
-      // every tier composed end to end with sequential state:
-      //   batch 1: SemanticCache.lookup vs the seed cache (query 7 was
-      //   answered before — HIT, served from the stored payload at zero
-      //   marginal cost, the whole pipeline short-circuited); the misses
-      //   (3, 11) run the persisted hybrid stack (b6's bucket-pruned
-      //   BM25 + HNSW channels, RRF-fused), second-stage rerank (b9's
-      //   law, top-4), context assembly in rerank order (ep4's law), the
-      //   echo answerer, and are PRICED (c6's pricing over the c9
-      //   whitespace token law: prompt = question + context, completion
-      //   = answer); the answered misses insert back through intakeBatch
-      //   (carryCols persists the answer on the cache row);
+      // the FLAGSHIP production serving loop (round-10 verdict item 1),
+      // now expressed through the LIBRARY composition
+      // (serve.CachedRag.cachedAnswerBatch — same laws, one definition):
+      //   batch 1: cache hits short-circuit (query 7 was answered before
+      //   — served from the stored payload at cost 0); the misses (3,
+      //   11) run the persisted hybrid stack (b6's bucket-pruned BM25 +
+      //   HNSW channels, RRF-fused), second-stage rerank (b9's law,
+      //   top-4), context assembly in rerank order (ep4's law), the echo
+      //   answerer, c6 pricing over the c9 whitespace token law, and
+      //   insert back (intakeBatch, answers carried on the cache rows);
       //   batch 2: the same three questions re-asked under new ids must
       //   ALL hit — 107 on the seed, 103/111 on batch 1's insertions —
-      //   and be served from the STORED answers at cost 0.
+      //   served from the STORED answers at cost 0.
       // Every stage law is oracled standalone (c10/c11, b6, b9, q6, c3,
-      // c6, c9); the oracle replays the entire disposition chain
-      import graft.serve.{OverlapReranker, Reranker, SemanticCache}
-      import graft.search.Bm25
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
-      val seedAnswer = s"[${Config.AgentName}] precomputed answer for doc 7"
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ep5").toString + "/cache"
-      emb.where(col("vec_id") === 7)
-        .select(lit(500007L).as("cache_id"), col("embedding"),
-          lit(seedAnswer).as("answer"))
-        .write.parquet(tmp)
-      val queries = docs.where(col("doc_id").isin(3, 7, 11))
-        .join(emb, col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("query_id"), col("text").as("question"),
-          col("embedding").as("query_vec"))
-      val cache0 = s.read.parquet(tmp)
-      val disp = Ann.materializeOnce(
-        SemanticCache.lookup(queries, cache0, minCos = 0.95))
-      // misses run the full stack (bounded serving batch: the id collect
-      // drives the term-pruned postings probe, the restrictToTerms house
-      // pattern)
-      val missIds = disp.where(!col("hit")).select("query_id")
-        .collect().map(_.getLong(0)).toSeq.sorted
-      val missQ = queries.where(col("query_id").isInCollection(missIds))
-      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20, missIds)
-      val fused = Bm25.rrfFuse(Seq(sparse, dense), k = 10)
-      val reranked = Reranker.rerankTopK(fused,
-        missQ.select(col("query_id"), col("question").as("query_text")),
-        docs, OverlapReranker, k = 4)
-      val hits4 = reranked
-        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-        .select(col("query_id"), col("text"), col("rank").cast("double").as("dist"))
-      val ctx = ContextAssembly.assembleAll(missQ.select("query_id", "question"), hits4)
-      val answered = EchoAnswerer.answer(ctx, "question", "context")
-      val priced = Ann.materializeOnce(Costing.withCost(
-        answered
-          .withColumn("prompt_tokens",
-            graft.ops.TextAnalytics.tokenCount(col("question")) +
-              graft.ops.TextAnalytics.tokenCount(col("context")))
-          .withColumn("completion_tokens",
-            graft.ops.TextAnalytics.tokenCount(col("answer"))),
-        col("prompt_tokens"), col("completion_tokens"))
-        .withColumn("cost", round(col("cost"), 8))
-        .select("query_id", "question", "answer", "cost"))
-      // the memoization leg: answered misses become cache entries
-      val intake = SemanticCache.intakeBatch(s,
-        priced.join(queries.select("query_id", "query_vec"), Seq("query_id"))
-          .select(col("query_id"), col("query_vec"), col("answer")),
-        tmp, minCos = 0.95, carryCols = Seq("answer"))
-      val missRows = priced
-        .join(intake.select("query_id", "cache_id", "hit"), Seq("query_id"))
-        .select(col("query_id"), col("question"), col("answer"),
-          col("hit"), col("cache_id"), col("cost"))
-      // ONE post-intake read serves every answer join in the final plan:
-      // a separate pre-insert read of the same path canonicalizes equal,
-      // and ReuseExchange then serves b2's answers from the STALE
-      // seed-only broadcast (measured: batch-2 hits on batch-1 entries
-      // came back with NULL answers). Seed answers are identical through
-      // either view, so batch 1's hit rows read the post-intake store too
-      val stored = s.read.parquet(tmp)
-      val hitRows = disp.where(col("hit"))
-        .join(stored.select(col("cache_id"), col("answer")), Seq("cache_id"))
-        .join(queries.select("query_id", "question"), Seq("query_id"))
-        .select(col("query_id"), col("question"), col("answer"),
-          col("hit"), col("cache_id"), lit(0.0).as("cost"))
-      val b1 = hitRows.unionByName(missRows).withColumn("batch", lit(1L))
-      // batch 2: re-asked questions served entirely from the store
-      // (cost 0 — all-hit by construction: every batch-1 embedding is in
-      // the cache now, seed or insertion)
+      // c6, c9); the oracle replays the entire disposition chain.
+      // (A pre-insert and post-insert read of the same cache path
+      // canonicalize equal, and ReuseExchange once served batch-2
+      // answers from the stale seed-only broadcast — cachedAnswerBatch
+      // reads the store ONCE, post-intake, for every answer join.)
+      import graft.serve.CachedRag
+      val (tmp, queries, answerMisses) = cachedRagFixture(s, dir)
+      val b1 = CachedRag.cachedAnswerBatch(s, queries, tmp, minCos = 0.95,
+        answerMisses).withColumn("batch", lit(1L))
       val b2q = queries.select((col("query_id") + 100).as("query_id"),
         col("question"), col("query_vec"))
-      val b2 = SemanticCache.lookup(b2q, stored, minCos = 0.95)
-        .join(stored.select(col("cache_id"), col("answer")), Seq("cache_id"), "left")
-        .join(b2q.select("query_id", "question"), Seq("query_id"))
-        .select(col("query_id"), col("question"), col("answer"),
-          col("hit"), col("cache_id"), lit(0.0).as("cost"))
-        .withColumn("batch", lit(2L))
+      val b2 = CachedRag.cachedAnswerBatch(s, b2q, tmp, minCos = 0.95,
+        answerMisses).withColumn("batch", lit(2L))
       b1.unionByName(b2)
         .select("batch", "query_id", "question", "answer", "hit", "cache_id", "cost")
         .orderBy("batch", "query_id")
     }
+    reg("st19_cached_rag_stream") { (s, dir) =>
+      // ep5 through the STREAMING body (CachedRag.cachedRagBatchBody —
+      // shared with streamingCachedRag, so wrapper and twin cannot
+      // drift; the MemoryStream wiring + redelivery law is
+      // ServingSpec's): two micro-batches land dispositions at
+      // batch=1/2 dirs and the registered output is the
+      // partition-discovered read-back — value-equal to ep5 row for
+      // row, so ep5's full-chain oracle applies verbatim
+      import graft.serve.CachedRag
+      val (tmp, queries, answerMisses) = cachedRagFixture(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st19").toString + "/disp"
+      CachedRag.cachedRagBatchBody(s, queries, tmp, out, 1L,
+        minCos = 0.95, answerMisses)
+      val b2q = queries.select((col("query_id") + 100).as("query_id"),
+        col("question"), col("query_vec"))
+      CachedRag.cachedRagBatchBody(s, b2q, tmp, out, 2L,
+        minCos = 0.95, answerMisses)
+      s.read.parquet(out)
+        .select(col("batch").cast("long").as("batch"), col("query_id"),
+          col("question"), col("answer"), col("hit"), col("cache_id"),
+          col("cost"))
+        .orderBy("batch", "query_id")
+    }
+
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
       // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
       // with BOTH halves persisted: coarse lists from Ann.writeIvf
@@ -4015,6 +4027,10 @@ object SparkEntry {
     "b6_hybrid_at_rest" -> hybridRrfOracle,
     "ep4_hybrid_rag" -> hybridRagOracle,
     "ep5_cached_rag" -> cachedRagOracle,
+    // st19: the same loop through the streaming body — value-equal to
+    // ep5 (shared fixture + shared cachedAnswerBatch), read back through
+    // the partitioned sink layout, so the same full-chain recompute holds
+    "st19_cached_rag_stream" -> cachedRagOracle,
     // b9: fused top-10 → overlap rescore → top-4 by the tie law —
     // every stage recomputed in SQL
     "b9_rerank_overlap" ->

@@ -250,6 +250,124 @@ object RagServing {
       }
 }
 
+/** The composed cached-RAG serving loop — the production upgrade of the
+  * reference's chat path (app.py:214-260): cache hits short-circuit the
+  * whole pipeline and are served from the STORED answer at zero marginal
+  * cost; misses run the caller's retrieval/answer pipeline, get priced,
+  * and insert back so the next batch is served against them. The
+  * registered `ep5_cached_rag` proves the loop end to end against a
+  * DuckDB replay of the entire disposition chain; `st19` proves the
+  * streaming twin.
+  */
+object CachedRag {
+
+  /** One serving batch `(query_id, question, query_vec)` against an
+    * answer-bearing persisted cache `(cache_id, embedding, answer)`:
+    *
+    *   1. [[SemanticCache.lookup]] against the store (minus this batch's
+    *      OWN minted ids, so a replayed micro-batch re-derives its
+    *      original dispositions instead of hitting its own insertions);
+    *   2. misses run `answerMisses` — the caller's retrieval + answer +
+    *      pricing pipeline, `(query_id, question, query_vec) →
+    *      (query_id, question, answer, cost)` (deterministic by
+    *      contract, or replays produce different answers);
+    *   3. the answered misses insert back through
+    *      [[SemanticCache.intakeBatch]] (`carryCols = answer`), which
+    *      also resolves within-batch duplicates;
+    *   4. hits are served from the STORE's answer at cost 0.
+    *
+    * Returns `(query_id, question, answer, hit, cache_id, cost)`. The
+    * store is read ONCE after the intake for every answer join in the
+    * returned plan — a pre-insert read of the same path canonicalizes
+    * equal and ReuseExchange then serves stale answers (measured, see
+    * `ep5`'s registration note); the lookup's pre-insert view lives
+    * behind its own checkpoint.
+    */
+  def cachedAnswerBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      cachePath: String,
+      minCos: Double,
+      answerMisses: DataFrame => DataFrame,
+      idOffset: Long = 1000000L): DataFrame = {
+    import graft.ops.Ann.materializeOnce
+    val p = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def emptyStore = batch.select(
+      col("query_id").cast("long").as("cache_id"),
+      col("query_vec").as("embedding"),
+      lit(null).cast("string").as("answer")).limit(0)
+    val stored0 = if (fs.exists(p)) spark.read.parquet(cachePath) else emptyStore
+    val ownIds = batch.select((col("query_id") + idOffset).cast("long").as("cache_id"))
+    val visible = stored0.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
+    val disp = materializeOnce(SemanticCache.lookup(batch, visible, minCos))
+    val missQ = materializeOnce(
+      disp.where(!col("hit")).select("query_id").join(batch, Seq("query_id")))
+    val missRows =
+      if (missQ.isEmpty) None
+      else {
+        val priced = materializeOnce(answerMisses(missQ))
+        val intake = SemanticCache.intakeBatch(spark,
+          priced.join(batch.select("query_id", "query_vec"), Seq("query_id"))
+            .select(col("query_id"), col("query_vec"), col("answer")),
+          cachePath, minCos, idOffset, carryCols = Seq("answer"))
+        Some(priced
+          .join(intake.select("query_id", "cache_id", "hit"), Seq("query_id"))
+          .select(col("query_id"), col("question"), col("answer"),
+            col("hit"), col("cache_id"), col("cost")))
+      }
+    val storedAfter = if (fs.exists(p)) spark.read.parquet(cachePath) else emptyStore
+    val hitRows = disp.where(col("hit"))
+      .join(storedAfter.select(col("cache_id"), col("answer")), Seq("cache_id"))
+      .join(batch.select("query_id", "question"), Seq("query_id"))
+      .select(col("query_id"), col("question"), col("answer"),
+        col("hit"), col("cache_id"), lit(0.0).as("cost"))
+    missRows.map(hitRows.unionByName(_)).getOrElse(hitRows)
+  }
+
+  /** One streaming micro-batch: [[cachedAnswerBatch]] landed at
+    * `outPath/batch=<id>/` (overwritten on replay). Shared by
+    * [[streamingCachedRag]] and the registered twin (`st19`) so wrapper
+    * and oracle-checked body cannot drift.
+    */
+  def cachedRagBatchBody(
+      spark: SparkSession,
+      batch: DataFrame,
+      cachePath: String,
+      outPath: String,
+      batchId: Long,
+      minCos: Double,
+      answerMisses: DataFrame => DataFrame,
+      idOffset: Long = 1000000L): Unit = {
+    cachedAnswerBatch(spark, batch, cachePath, minCos, answerMisses, idOffset)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    ()
+  }
+
+  /** The streaming serving loop: a stream of
+    * `(query_id, question, query_vec)` served per micro-batch through
+    * [[cachedAnswerBatch]]. Ledger-free for the same reason as
+    * [[graft.ops.CorpusPipeline.streamingCacheIntake]]: the own-id
+    * exclusion + id-idempotent inserts make a re-delivered micro-batch
+    * re-derive identical dispositions (given a deterministic
+    * `answerMisses`) and overwrite its own output dir.
+    */
+  def streamingCachedRag(
+      questions: DataFrame,
+      cachePath: String,
+      outPath: String,
+      checkpoint: String,
+      answerMisses: DataFrame => DataFrame,
+      minCos: Double = 0.95,
+      idOffset: Long = 1000000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    questions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cachedRagBatchBody(batch.sparkSession, batch, cachePath, outPath,
+          batchId, minCos, answerMisses, idOffset)
+      }
+}
+
 /** The LLM boundary (reference `ChatCompletion.create`, app.py:246-250).
   * [[HttpAnswerer]] is the remote-API binding; [[EchoAnswerer]] the
   * deterministic offline stub the oracled queries run on.

@@ -308,6 +308,49 @@ class ServingSpec extends SparkSpec {
       "the banded intake route must serve every exact-duplicate hit and admit the same misses")
   }
 
+  test("streamingCachedRag: hits served from store, misses answered + admitted, redelivery converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrag").toString
+    val (cache, out) = (s"$tmp/cache", s"$tmp/out")
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f)
+    Seq((7L, v1, "stored answer one")).toDF("cache_id", "embedding", "answer")
+      .write.parquet(cache)
+    // deterministic miss pipeline: echo the question as the answer, flat cost
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = CachedRag.streamingCachedRag(
+      mem.toDF().toDF("query_id", "question", "query_vec"),
+      cache, out, s"$tmp/ckpt", answerMisses).start()
+    try {
+      mem.addData(Seq((1L, "q one", v1), (2L, "q two", v2))) // hit seed, miss
+      q.processAllAvailable()
+      mem.addData(Seq((10L, "q two again", v2))) // hits batch 0's admission
+      q.processAllAvailable()
+      def disp() = spark.read.parquet(out)
+        .select("batch", "query_id", "answer", "hit", "cache_id", "cost")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getString(2), r.getBoolean(3), r.getLong(4), r.getDouble(5))).toMap
+      val d = disp()
+      assert(d((0, 1L)) == ("stored answer one", true, 7L, 0.0),
+        s"hit must serve the STORED answer at cost 0: $d")
+      assert(d((0, 2L)) == ("computed: q two", false, 1000002L, 0.5))
+      assert(d((1, 10L)) == ("computed: q two", true, 1000002L, 0.0),
+        s"a re-asked question must be served batch 0's stored answer: $d")
+      // redelivery of batch 0's EXACT body: dispositions re-derived
+      // identically (own-id exclusion), sink dir overwritten, no growth
+      CachedRag.cachedRagBatchBody(spark,
+        Seq((1L, "q one", v1), (2L, "q two", v2))
+          .toDF("query_id", "question", "query_vec"),
+        cache, out, 0L, minCos = 0.95, answerMisses)
+      assert(disp() == d, "a redelivered micro-batch must converge")
+      assert(spark.read.parquet(cache).count() == 2)
+    } finally q.stop()
+  }
+
   test("cache intake: carryCols persist payload columns on inserted entries") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files
