@@ -647,12 +647,27 @@ object CorpusPipeline {
       path: String,
       checkpoint: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      vecCol: String = "embedding",
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.ops.Ann.appendIvfBatch(
-          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+          spark, batch, path, batchId, idCol, vecCol)
+        // runs-itself wiring (see streamingBm25Sink). IVF has no segment
+        // growth (appends land inside the fixed centroid partitions), so
+        // only the tombstone and small-file signals act: compactIvf folds
+        // deletes, compactIvfLists bin-packs per-partition files
+        maintenance.foreach { pol =>
+          maintainIndex(spark, path, pol, idCol = "vec_id",
+            compact = Some(() => { graft.ops.Ann.compactIvf(spark, path); () }),
+            compactFiles = Some(() => {
+              graft.ops.Ann.compactIvfLists(spark, path,
+                targetBytes = pol.smallFileBytes * 8); ()
+            }))
+          ()
+        }
         ()
       }
 
@@ -674,12 +689,26 @@ object CorpusPipeline {
       path: String,
       checkpoint: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      vecCol: String = "embedding",
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.ops.Sq.appendCodesBatch(
-          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+          spark, batch, path, batchId, idCol, vecCol)
+        // runs-itself wiring (see streamingBm25Sink): a flat codes table
+        // has no segments — the tombstone signal drives compactCodes
+        // (which also rewrites the small files its own appends accrue)
+        maintenance.foreach { pol =>
+          maintainIndex(spark, path, pol, idCol = "vec_id",
+            compact = Some(() => { graft.ops.Sq.compactCodes(spark, path); () }),
+            compactFiles = Some(() => {
+              Layout.compactFiles(spark, s"$$path/codes",
+                targetBytes = pol.smallFileBytes * 8); ()
+            }))
+          ()
+        }
         ()
       }
 
@@ -692,12 +721,26 @@ object CorpusPipeline {
       path: String,
       checkpoint: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      vecCol: String = "embedding",
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.ops.Pq.appendCodesBatch(
-          batch.sparkSession, batch, path, batchId, idCol, vecCol)
+          spark, batch, path, batchId, idCol, vecCol)
+        // runs-itself wiring (see streamingBm25Sink): a flat codes table
+        // has no segments — the tombstone signal drives compactCodes
+        // (which also rewrites the small files its own appends accrue)
+        maintenance.foreach { pol =>
+          maintainIndex(spark, path, pol, idCol = "vec_id",
+            compact = Some(() => { graft.ops.Pq.compactCodes(spark, path); () }),
+            compactFiles = Some(() => {
+              Layout.compactFiles(spark, s"$$path/codes",
+                targetBytes = pol.smallFileBytes * 8); ()
+            }))
+          ()
+        }
         ()
       }
 

@@ -184,6 +184,39 @@ class AnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIvfSink with a maintenance policy compacts tombstones away mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_selfmx").toString
+    val path = s"$tmp/idx"
+    val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
+    Ann.writeIvf(assigned.where(col("vec_id") < 450), centroids, path)
+    // an out-of-band delete lands in the sidecar; the NEXT micro-batch's
+    // policy pass must fold it physically (maxTombstones = 0: any dead
+    // id makes compact due)
+    Ann.deleteIvf(spark, path, Seq(7L, 11L))
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 1000, maxTombstones = 0, maxSmallFiles = 100000)
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.ops.CorpusPipeline.streamingIvfSink(
+      mem.toDF().toDF("vec_id", "embedding", "label"), path, s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      mem.addData(emb.where(col("vec_id") >= 450)
+        .select("vec_id", "embedding", "label")
+        .as[(Long, Array[Float], Int)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val status = graft.ops.Layout.maintenanceDue(spark, path, policy, idCol = "vec_id")
+      assert(status.tombstones == 0 && !status.compactDue,
+        s"the sink must have compacted the sidecar away: $status")
+      val (lists, _) = Ann.loadIvf(spark, path)
+      val ids = lists.select("vec_id").as[Long].collect().toSet
+      assert(!ids.contains(7L) && !ids.contains(11L), "dead ids physically purged")
+      assert(ids.contains(499L), "the streamed batch survives the compact")
+      assert(lists.count() == 498L) // 450 seed - 2 dead + 50 streamed
+    } finally q.stop()
+  }
+
   test("writeIvf rebuild clears the previous life's tombstones and batch ledger") {
     val (assigned, centroids) = Ann.buildIvfSampled(emb, nLists = 4)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_rb").toString
