@@ -127,13 +127,13 @@ object ExplainAudit {
       "normalize is the codegen unit_vector_f, no UDF anywhere" ->
         (p => p.contains("unit_vector_f") && !p.contains("UDF(")))
     audit("ep5_cached_rag")(
-      // the final plan is the composed serving loop: checkpointed lookup
-      // dispositions + store answer joins + the b2 lookup; the expensive
-      // per-stage shapes (term-pruned postings, HNSW probe, rerank) are
-      // audited standalone (b5/b11b, a13, b9) and run behind
-      // materializeOnce here
-      "cache scoring is codegen cosine, no UDF in the loop" ->
-        (p => p.contains("cosine_similarity") && !p.contains("UDF(")),
+      // the final plan is the composed serving loop's TAIL: the lookup
+      // dispositions, miss pipeline, and intake all run behind
+      // checkpoints at construction (their shapes are audited standalone
+      // — c10's codegen cosine, b5/b11b's pruned postings, b9's rerank),
+      // so what remains is checkpoint scans + the store answer joins
+      "dispositions and priced answers read from checkpoints, no UDF in the serving tail" ->
+        (p => p.contains("ExistingRDD") && !p.contains("UDF(")),
       "no shuffled cartesian in the composed serving loop" ->
         (p => !p.contains("CartesianProduct")),
       "answer serving joins are broadcast (store is the working set)" ->
