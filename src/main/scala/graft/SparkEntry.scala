@@ -638,6 +638,36 @@ object SparkEntry {
         .select(col("batch"), col("query_id"), col("cache_id"), col("cos"), col("hit"))
         .orderBy("batch", "query_id")
     }
+    reg("c12_cache_evict") { (s, dir) =>
+      // the cache's missing lifecycle half (every index family had one —
+      // the cache inserted forever): FIFO size-cap eviction by minted id
+      // + takedown delete, both physical rewrites through the
+      // hidden-staging swap. Seed (72 answers) + one intake batch (39
+      // admissions at query_id + 1e6), evicted to the 50 highest ids
+      // (all insertions + the 11 newest seed entries), then 1000003 (an
+      // admission) and 490 (a surviving seed entry) taken down. DuckDB
+      // re-derives the insert set (c11's recipe), the rank-by-id
+      // eviction law, and the delete — every surviving (cache_id,
+      // answer) row is hash-compared
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cache_evict").toString + "/cache"
+      emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"),
+          concat(lit("seed "), col("vec_id")).as("answer"))
+        .write.parquet(tmp)
+      val b1 = emb.where(pmod(col("vec_id"), lit(11)) === 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"),
+          concat(lit("new "), col("vec_id")).as("answer"))
+      graft.serve.SemanticCache.intakeBatch(s, b1, tmp, minCos = 0.95,
+        carryCols = Seq("answer"))
+      graft.serve.SemanticCache.evictCache(s, tmp, maxEntries = 50)
+      graft.serve.SemanticCache.deleteCacheEntries(s, tmp, Seq(1000003L, 490L))
+      s.read.parquet(tmp)
+        .select(col("cache_id").cast("long").as("cache_id"), col("answer"))
+        .orderBy("cache_id")
+    }
     reg("c5_chatlog") { (s, dir) =>
       val rows = memoryDf(s, dir).where(col("session_id") === "1" && col("turn") === 0)
       ChatLog.record(rows, col("session_id"), col("content"),
@@ -4411,6 +4441,37 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(1 AS BIGINT) AS batch, query_id, cache_id, cos, hit FROM d1
          |ORDER BY batch, query_id""".stripMargin
+    },
+    // c12: the full cache-lifecycle recompute — insert set (c11's recipe;
+    // within-batch resolve vacuous on this split), rank-by-id FIFO
+    // eviction, takedown deletes, surviving rows hash-compared
+    "c12_cache_evict" -> {
+      def cosExpr(q: String, c: String): String =
+        s"""list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
+      s"""WITH cache0 AS (SELECT vec_id AS cache_id, embedding AS cv,
+         |    'seed ' || vec_id AS answer
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |b1 AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    'new ' || vec_id AS answer
+         |  FROM embeddings WHERE vec_id % 11 = 3),
+         |s1 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosExpr("q.qv", "c.cv")} AS cos
+         |  FROM b1 q, cache0 c),
+         |hit1 AS (SELECT DISTINCT query_id FROM s1 WHERE cos >= 0.95),
+         |inserts AS (SELECT q.query_id + 1000000 AS cache_id, q.answer
+         |  FROM b1 q WHERE q.query_id NOT IN (SELECT query_id FROM hit1)),
+         |all1 AS (SELECT cache_id, answer FROM cache0
+         |  UNION ALL SELECT cache_id, answer FROM inserts),
+         |ranked AS (SELECT cache_id, answer,
+         |    row_number() OVER (ORDER BY cache_id DESC) AS rn FROM all1)
+         |SELECT CAST(cache_id AS BIGINT) AS cache_id, answer FROM ranked
+         |WHERE rn <= 50 AND cache_id NOT IN (1000003, 490)
+         |ORDER BY cache_id""".stripMargin
     },
     // c10b: seeded RP banding isn't SQL-expressible — determinism pin
     // (pin_sweep-verified); the banded-vs-exact parity law is ServingSpec's

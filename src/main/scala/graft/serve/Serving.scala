@@ -628,6 +628,77 @@ object SemanticCache {
         (col("hit") || col("__in_cid").isNotNull).as("hit"))
   }
 
+  /** Size-cap EVICTION — the lifecycle half every index family already
+    * has and the cache was missing (an intake loop inserts forever; a
+    * working set must not). FIFO by cache_id: [[intakeBatch]] mints
+    * `query_id + idOffset` and production query ids grow with stream
+    * position, so the LOWEST ids are the oldest entries — keep the
+    * `maxEntries` highest. No recency/hit counters are tracked (the
+    * GPTCache-style LRU upgrade would carry a last-hit column); FIFO is
+    * the policy the minted-id scheme supports exactly, and an evicted
+    * question that returns simply misses, re-answers, and re-admits —
+    * the loop heals itself.
+    *
+    * Physical rewrite through the house swap discipline (materialize →
+    * hidden dot-prefixed staging → [[graft.ops.Layout.swapDir]]), no
+    * tombstone sidecar: cache lookups are plain scans that consult no
+    * sidecar, and a cache is bounded by definition (`maxEntries` is an
+    * Int for the same reason the broadcast path exists). Single-writer
+    * contract, like every compact. Returns (entries before, after).
+    */
+  def evictCache(
+      spark: SparkSession,
+      cachePath: String,
+      maxEntries: Int): (Long, Long) = {
+    require(maxEntries > 0, s"evictCache: maxEntries $maxEntries must be > 0")
+    val stored = spark.read.parquet(cachePath)
+    val before = stored.count()
+    if (before <= maxEntries) return (before, before)
+    val keepIds = stored.select(col("cache_id").cast("long").as("cache_id"))
+      .orderBy(col("cache_id").desc).limit(maxEntries)
+    val kept = graft.ops.Ann.materializeOnce(
+      stored.join(broadcast(keepIds), Seq("cache_id"), "left_semi"))
+    swapInto(spark, cachePath, kept)
+    (before, maxEntries.toLong)
+  }
+
+  /** Takedown DELETE: physically remove entries by id (an answer citing
+    * a removed document must not keep being served). Same swap
+    * discipline as [[evictCache]]; unknown ids are a no-op. A deleted
+    * question re-asked is a miss → re-answered against the current
+    * corpus → re-admitted under its new query's id. Returns (before,
+    * after).
+    */
+  def deleteCacheEntries(
+      spark: SparkSession,
+      cachePath: String,
+      ids: Seq[Long]): (Long, Long) = {
+    import spark.implicits._
+    val stored = spark.read.parquet(cachePath)
+    val before = stored.count()
+    if (ids.isEmpty) return (before, before)
+    val kept = graft.ops.Ann.materializeOnce(
+      stored.where(!col("cache_id").cast("long")
+        .isin(ids.map(x => x: Any): _*)))
+    val after = kept.count()
+    require(after > 0,
+      s"deleteCacheEntries: every entry at $cachePath would be deleted — " +
+        "remove the cache directory instead")
+    swapInto(spark, cachePath, kept)
+    (before, after)
+  }
+
+  /** Shared rewrite tail: materialized rows → hidden staging → swap. */
+  private def swapInto(
+      spark: SparkSession, cachePath: String, rows: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.__compact").toString
+    rows.write.mode("overwrite").parquet(staging)
+    graft.ops.Layout.swapDir(fs, cachePath, staging)
+  }
+
   /** [[lookup]]'s scale path — a cache too big to broadcast: both sides
     * unit-normalized (codegen `unit_vector_f`, so cos ⇔ L2:
     * ‖a−b‖² = 2−2cos), banded top-1 via [[graft.ops.Ann.rpTopKBatch]]

@@ -351,6 +351,47 @@ class ServingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cache eviction: FIFO by minted id, at-cap no-op, evicted question re-admits") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_evict").toString + "/cache"
+    val vecs = (1L to 6L).map(i =>
+      (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat), s"ans $i"))
+    vecs.toDF("cache_id", "embedding", "answer").write.parquet(tmp)
+    // at cap: no rewrite
+    assert(SemanticCache.evictCache(spark, tmp, maxEntries = 6) == ((6L, 6L)))
+    assert(spark.read.parquet(tmp).count() == 6)
+    // over cap: the LOWEST (oldest-minted) ids go
+    assert(SemanticCache.evictCache(spark, tmp, maxEntries = 4) == ((6L, 4L)))
+    val kept = spark.read.parquet(tmp).select("cache_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L), s"FIFO must keep the highest ids: $kept")
+    // the swapped store still SERVES (lookup + intake both read it)
+    val reAsk = Seq((100L, vecs(0)._2)).toDF("query_id", "query_vec") // evicted 1
+    val d = SemanticCache.intakeBatch(spark, reAsk, tmp, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(d(100L) == (1000100L, false),
+      "an evicted question must MISS and re-admit — the loop heals itself")
+    assert(spark.read.parquet(tmp).count() == 5)
+  }
+
+  test("cache delete: takedown removes entries physically, refuses to empty, no-ops on unknown ids") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_del").toString + "/cache"
+    Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "b"))
+      .toDF("cache_id", "embedding", "answer").write.parquet(tmp)
+    assert(SemanticCache.deleteCacheEntries(spark, tmp, Seq(2L, 99L)) == ((2L, 1L)))
+    val left = spark.read.parquet(tmp).select("cache_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L))
+    assert(SemanticCache.deleteCacheEntries(spark, tmp, Nil) == ((1L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      SemanticCache.deleteCacheEntries(spark, tmp, Seq(1L))
+    }
+    assert(e.getMessage.contains("every entry"))
+    assert(spark.read.parquet(tmp).count() == 1, "a refused delete leaves the store intact")
+  }
+
   test("cache intake: carryCols persist payload columns on inserted entries") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files
