@@ -507,10 +507,15 @@ object CorpusPipeline {
       outPath: String,
       batchId: Long,
       minCos: Double,
-      idOffset: Long = 1000000L): Unit = {
+      idOffset: Long = 1000000L,
+      cacheMaxEntries: Option[Int] = None): Unit = {
     graft.serve.SemanticCache
       .intakeBatch(spark, batch, cachePath, minCos, idOffset)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    // optional size cap, applied AFTER the insert (the runs-itself
+    // stance): FIFO eviction by minted id; an at/below-cap pass costs
+    // one count. Legal under the sink's single-writer law.
+    cacheMaxEntries.foreach(graft.serve.SemanticCache.evictCache(spark, cachePath, _))
     ()
   }
 
@@ -532,12 +537,13 @@ object CorpusPipeline {
       outPath: String,
       checkpoint: String,
       minCos: Double = 0.95,
-      idOffset: Long = 1000000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      idOffset: Long = 1000000L,
+      cacheMaxEntries: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cacheIntakeBatchBody(batch.sparkSession, batch, cachePath, outPath,
-          batchId, minCos, idOffset)
+          batchId, minCos, idOffset, cacheMaxEntries)
       }
 
   /** The auto-maintenance policy loop — the last gap between "has the

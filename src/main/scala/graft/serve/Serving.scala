@@ -338,9 +338,13 @@ object CachedRag {
       batchId: Long,
       minCos: Double,
       answerMisses: DataFrame => DataFrame,
-      idOffset: Long = 1000000L): Unit = {
+      idOffset: Long = 1000000L,
+      cacheMaxEntries: Option[Int] = None): Unit = {
     cachedAnswerBatch(spark, batch, cachePath, minCos, answerMisses, idOffset)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    // optional size cap AFTER serving the batch: FIFO by minted id, the
+    // evicted questions simply miss + re-admit on their next ask
+    cacheMaxEntries.foreach(SemanticCache.evictCache(spark, cachePath, _))
     ()
   }
 
@@ -359,12 +363,13 @@ object CachedRag {
       checkpoint: String,
       answerMisses: DataFrame => DataFrame,
       minCos: Double = 0.95,
-      idOffset: Long = 1000000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      idOffset: Long = 1000000L,
+      cacheMaxEntries: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cachedRagBatchBody(batch.sparkSession, batch, cachePath, outPath,
-          batchId, minCos, answerMisses, idOffset)
+          batchId, minCos, answerMisses, idOffset, cacheMaxEntries)
       }
 }
 

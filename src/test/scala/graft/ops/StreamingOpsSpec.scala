@@ -609,6 +609,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCacheIntake cacheMaxEntries: the store stays capped, FIFO by minted id") {
+    implicit val sqlC = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_sci_cap").toString
+    val (cache, out) = (s"$tmp/cache", s"$tmp/out")
+    val vs = (1 to 5).map(i =>
+      Array(math.cos(i * 0.9).toFloat, math.sin(i * 0.9).toFloat))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.CorpusPipeline.streamingCacheIntake(
+      mem.toDF().toDF("query_id", "query_vec"), cache, out, s"$tmp/ckpt",
+      cacheMaxEntries = Some(3)).start()
+    try {
+      mem.addData(Seq((1L, vs(0)), (2L, vs(1)), (3L, vs(2))))
+      q.processAllAvailable()
+      assert(spark.read.parquet(cache).count() == 3)
+      mem.addData(Seq((4L, vs(3)), (5L, vs(4))))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(cache).select("cache_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1000003L, 1000004L, 1000005L),
+        s"cap must evict the oldest-minted entries: $ids")
+    } finally q.stop()
+  }
+
   test("streamingNearDupIntake: corpus dups dropped, survivors admitted, state carries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlC = spark.sqlContext
