@@ -330,6 +330,33 @@ object Drive {
       VectorIndex.deleteDocs(spark, Seq(0L, 1L), idxPath, epoch = 1)
       println(s"now-view rows: ${VectorIndex.loadActive(spark, idxPath).count()}, " +
         s"as-of-0 rows: ${VectorIndex.loadActiveAsOf(spark, idxPath, 0L).count()}")
+
+      // round 11: the cached-RAG serving loop end to end — batch 1 seeds
+      // the answer cache through the miss pipeline, batch 2 re-asks the
+      // same questions and is served ENTIRELY from the store at cost 0,
+      // then the cache is capped (FIFO) and a takedown delete lands
+      val cache = s"$root/anscache"
+      val askTwice = emb.where(col("vec_id").isin(3, 7, 11))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("query_id"), col("text").as("question"),
+          col("embedding").as("query_vec"))
+      val echoMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        m => graft.serve.EchoAnswerer
+          .answer(m.withColumn("context", col("question")), "question", "context")
+          .withColumn("cost", lit(0.01))
+          .select("query_id", "question", "answer", "cost")
+      println("cached-RAG batch 1 (all miss -> answered + admitted):")
+      graft.serve.CachedRag
+        .cachedAnswerBatch(spark, askTwice, cache, 0.95, echoMisses)
+        .select("query_id", "hit", "cache_id", "cost").orderBy("query_id").show(3)
+      println("cached-RAG batch 2 (re-asked -> served from the store at cost 0):")
+      graft.serve.CachedRag.cachedAnswerBatch(spark,
+        askTwice.select((col("query_id") + 100).as("query_id"),
+          col("question"), col("query_vec")),
+        cache, 0.95, echoMisses)
+        .select("query_id", "hit", "cache_id", "cost").orderBy("query_id").show(3)
+      val (cb, ca) = graft.serve.SemanticCache.evictCache(spark, cache, maxEntries = 2)
+      println(s"cache evicted (FIFO by minted id): $cb -> $ca entries")
     }
 
     spark.stop()
