@@ -2694,6 +2694,62 @@ object SparkEntry {
           col("cost"))
         .orderBy("batch", "query_id")
     }
+    reg("ep6_chat_rag") { (s, dir) =>
+      // the reference's full CHAT shape (app.py:227-256: memory load →
+      // prompt → answer → memory append) composed AROUND the cached loop
+      // (round-11 verdict item 7 — every stage was oracled standalone
+      // via c1/c2/c4/ep5 but never composed): two sessions × two turns
+      // over ep5's fixture —
+      //   turn 0: session 1 asks doc 3's question (miss → answered +
+      //     inserted at 1000003), session 2 asks doc 7's (hits the SEED);
+      //   turn 1: session 1 asks doc 11's (miss against seed + turn-0
+      //     insertions), session 2 RE-ASKS doc 3's question under id 203
+      //     → hits 1000003 at cos 1, served from the store at cost 0.
+      // The memory composes OBSERVABLY: n_prompt_msgs = 3 on turn 0
+      // (empty history) and 7 on turn 1 (2 remembered rows × the
+      // faithful duplicated-role replay, +2 each). The oracle replays
+      // the entire sequential state — cache AND memory — in CTEs.
+      import graft.serve.ChatRag
+      val (tmp, queries, answerMisses) = cachedRagFixture(s, dir)
+      val mem = java.nio.file.Files
+        .createTempDirectory("graft_ep6").toString + "/memory"
+      val t0 = ChatRag.chatTurn(s,
+        queries.where(col("query_id").isin(3, 7))
+          .withColumn("session_id",
+            when(col("query_id") === 3, "1").otherwise("2")),
+        mem, tmp, minCos = 0.95, answerMisses)
+      val q1 = queries.where(col("query_id") === 11)
+        .withColumn("session_id", lit("1"))
+        .unionByName(queries.where(col("query_id") === 3)
+          .select((col("query_id") + 200).as("query_id"), col("question"),
+            col("query_vec"))
+          .withColumn("session_id", lit("2")))
+      val t1 = ChatRag.chatTurn(s, q1, mem, tmp, minCos = 0.95, answerMisses)
+      t0.unionByName(t1)
+        .select("session_id", "turn", "query_id", "question", "answer",
+          "hit", "cache_id", "cost", "n_prompt_msgs")
+        .orderBy("turn", "session_id")
+    }
+    reg("c13_cache_report") { (s, dir) =>
+      // cache OBSERVABILITY (round-11 missing #3 — a cache you can't
+      // measure is a cache you can't size): hit rate and cost
+      // paid/avoided per batch over the disposition chain the serving
+      // loop lands. ep5's two batches re-run through the library loop,
+      // then ONE aggregate + a cache-bounded mint-cost join (a hit is
+      // valued at what its entry's original answer cost). Costs ride the
+      // nano-dollar integer grid — associative sums, partition-order
+      // proof (the DSIR recipe) — so DuckDB recomputes the whole chain
+      // AND the report bit-for-bit
+      import graft.serve.{CachedRag, SemanticCache}
+      val (tmp, queries, answerMisses) = cachedRagFixture(s, dir)
+      val b1 = CachedRag.cachedAnswerBatch(s, queries, tmp, minCos = 0.95,
+        answerMisses).withColumn("batch", lit(1L))
+      val b2q = queries.select((col("query_id") + 100).as("query_id"),
+        col("question"), col("query_vec"))
+      val b2 = CachedRag.cachedAnswerBatch(s, b2q, tmp, minCos = 0.95,
+        answerMisses).withColumn("batch", lit(2L))
+      SemanticCache.cacheReport(b1.unionByName(b2)).orderBy("batch")
+    }
 
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
       // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
@@ -3365,17 +3421,23 @@ object SparkEntry {
     * The within-batch resolve is vacuous here (cross-query cosines are
     * ≤ 0.19 at every SF — measured; c11 owns that law's oracle).
     */
+  /** Exact 64-dim cosine in DuckDB list algebra — shared by the cache
+    * oracles (c10/c11/ep5/ep6).
+    */
+  private def cosE(q: String, c: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
+
+  /** The c9 whitespace token-count law in DuckDB. */
+  private def tok(x: String): String =
+    s"""CASE WHEN length(trim($x)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim($x), '\\s+')) END""".stripMargin
+
   private lazy val cachedRagOracle: String = {
-    def cosE(q: String, c: String): String =
-      s"""list_sum(list_transform(range(1, 65),
-         |      i -> CAST($q[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))) /
-         |    (sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)))) *
-         |     sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)))))""".stripMargin
-    def tok(x: String): String =
-      s"""CASE WHEN length(trim($x)) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(trim($x), '\\s+')) END""".stripMargin
     val seedAns = s"[${sqlEsc(graft.serve.Config.AgentName)}] precomputed answer for doc 7"
     bm25OracleCore(
       s"""q0 AS (SELECT d.doc_id AS query_id, d.text AS question, e.embedding AS qv
@@ -3485,6 +3547,146 @@ object SparkEntry {
          |UNION ALL SELECT CAST(2 AS BIGINT), query_id, question, answer, hit,
          |  cache_id, CAST(cost AS DOUBLE) FROM b2rows
          |ORDER BY batch, query_id""".stripMargin
+  }
+
+  /** ep6's oracle: the WHOLE chat composition replayed sequentially in
+    * CTEs — cache state AND memory state. The priced answer pipeline
+    * (hybrid retrieve → rerank → context → echo answer → c6 pricing) is
+    * computed once per candidate QUESTION keyed by its backing doc
+    * (answerMisses is deterministic by contract, so a re-asked question
+    * prices identically); turn 0 looks up against the seed, its misses
+    * mint `query_id + 1e6` entries into cache1; turn 1 looks up against
+    * cache1 (session 2's re-ask must hit turn 0's insertion at cos 1).
+    * `n_prompt_msgs` is DERIVED from the replayed memory state: 1 system
+    * + 2 faithful duplicated-role replays per remembered row + 1 user +
+    * 1 context, with each turn 0 row appending exactly 2 memory rows.
+    */
+  private lazy val chatRagOracle: String = {
+    val seedAns = s"[${sqlEsc(graft.serve.Config.AgentName)}] precomputed answer for doc 7"
+    bm25OracleCore(
+      s"""q0 AS (SELECT d.doc_id AS src_doc, d.text AS question, e.embedding AS qv
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.doc_id IN (3, 7, 11)),
+         |seed AS (SELECT CAST(500007 AS BIGINT) AS cache_id, embedding AS cv,
+         |    '$seedAns' AS answer
+         |  FROM embeddings WHERE vec_id = 7),
+         |qs AS (SELECT src_doc AS query_id, question AS query_text FROM q0),""".stripMargin) +
+      s""",
+         |sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+         |qv2 AS (SELECT src_doc AS query_id, qv FROM q0),
+         |dscored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+         |  FROM embeddings e, qv2 q),
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+         |    FROM dscored) WHERE rank <= 20),
+         |contribs AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM sparse
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM dense),
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
+         |  FROM contribs GROUP BY 1, 2),
+         |franked AS (
+         |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+         |  FROM fused),
+         |cand AS (SELECT query_id, doc_id, rank FROM franked WHERE rank <= 10),
+         |rtk AS (SELECT doc_id, list_distinct(list_filter(
+         |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+         |    t -> length(t) > 0)) AS tk FROM documents),
+         |rsc AS (
+         |  SELECT c.query_id, c.doc_id, c.rank,
+         |    CAST(len(list_filter(qt.tk, t -> list_contains(dt.tk, t)))
+         |      AS BIGINT) AS rr_score
+         |  FROM cand c
+         |  JOIN rtk qt ON qt.doc_id = c.query_id
+         |  JOIN rtk dt ON dt.doc_id = c.doc_id),
+         |rr AS (
+         |  SELECT query_id, doc_id, rr_score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rr_score DESC, rank, doc_id) AS rrank
+         |  FROM rsc),
+         |top4 AS (SELECT query_id, doc_id, rrank FROM rr WHERE rrank <= 4),
+         |ctx AS (
+         |  SELECT t.query_id,
+         |    string_agg(d.text, chr(10) ORDER BY t.rrank, d.text) AS context
+         |  FROM top4 t JOIN documents d ON d.doc_id = t.doc_id
+         |  GROUP BY t.query_id),
+         |ansd AS (
+         |  SELECT c.query_id AS src_doc, q.question,
+         |    '[${sqlEsc(graft.serve.Config.AgentName)}] ' ||
+         |      split_part(c.context, chr(10), 1) AS answer, c.context
+         |  FROM ctx c JOIN q0 q ON q.src_doc = c.query_id),
+         |priced AS (
+         |  SELECT src_doc, question, answer,
+         |    round(CAST(${tok("question")} + ${tok("context")} AS BIGINT) * 0.00001
+         |        + CAST(${tok("answer")} AS BIGINT) * 0.00003, 8) AS cost
+         |  FROM ansd),
+         |t0q AS (SELECT * FROM (VALUES ('1', 3, 3), ('2', 7, 7))
+         |  AS v(session_id, query_id, src_doc)),
+         |t0l AS (
+         |  SELECT q.session_id, q.query_id, s.cache_id,
+         |    ${cosE("q0.qv", "s.cv")} AS cos
+         |  FROM t0q q JOIN q0 ON q0.src_doc = q.src_doc, seed s),
+         |t0h AS (SELECT query_id, cache_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM t0l WHERE cos >= 0.95),
+         |t0rows AS (
+         |  SELECT q.session_id, CAST(0 AS BIGINT) AS turn,
+         |    CAST(q.query_id AS BIGINT) AS query_id, p.question,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN s.answer ELSE p.answer END AS answer,
+         |    h.cache_id IS NOT NULL AS hit,
+         |    coalesce(h.cache_id, CAST(q.query_id + 1000000 AS BIGINT)) AS cache_id,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN 0.0 ELSE p.cost END AS cost,
+         |    CAST(3 AS BIGINT) AS n_prompt_msgs -- 1 sys + 2*0 history + user + ctx
+         |  FROM t0q q
+         |  JOIN priced p ON p.src_doc = q.src_doc
+         |  LEFT JOIN (SELECT * FROM t0h WHERE rn = 1) h ON h.query_id = q.query_id
+         |  LEFT JOIN seed s ON s.cache_id = h.cache_id),
+         |cache1 AS (SELECT cache_id, cv, answer FROM seed
+         |  UNION ALL
+         |  SELECT t.cache_id, q0.qv, p.answer
+         |  FROM t0rows t JOIN t0q q ON q.query_id = t.query_id
+         |  JOIN q0 ON q0.src_doc = q.src_doc
+         |  JOIN priced p ON p.src_doc = q.src_doc
+         |  WHERE NOT t.hit),
+         |memc AS (SELECT session_id, CAST(2 * count(*) AS BIGINT) AS hist_rows
+         |  FROM t0rows GROUP BY 1), -- each turn-0 row appended 2 memory rows
+         |t1q AS (SELECT * FROM (VALUES ('1', 11, 11), ('2', 203, 3))
+         |  AS v(session_id, query_id, src_doc)),
+         |t1l AS (
+         |  SELECT q.session_id, q.query_id, c.cache_id,
+         |    ${cosE("q0.qv", "c.cv")} AS cos
+         |  FROM t1q q JOIN q0 ON q0.src_doc = q.src_doc, cache1 c),
+         |t1h AS (SELECT query_id, cache_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM t1l WHERE cos >= 0.95),
+         |t1rows AS (
+         |  SELECT q.session_id, CAST(2 AS BIGINT) AS turn,
+         |    CAST(q.query_id AS BIGINT) AS query_id, p.question,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN c.answer ELSE p.answer END AS answer,
+         |    h.cache_id IS NOT NULL AS hit,
+         |    coalesce(h.cache_id, CAST(q.query_id + 1000000 AS BIGINT)) AS cache_id,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN 0.0 ELSE p.cost END AS cost,
+         |    -- 1 sys + 2 faithful duplicated-role replays PER remembered row
+         |    -- + 1 user + 1 ctx
+         |    CAST(3 AS BIGINT) + 2 * m.hist_rows AS n_prompt_msgs
+         |  FROM t1q q
+         |  JOIN priced p ON p.src_doc = q.src_doc
+         |  JOIN memc m ON m.session_id = q.session_id
+         |  LEFT JOIN (SELECT * FROM t1h WHERE rn = 1) h ON h.query_id = q.query_id
+         |  LEFT JOIN cache1 c ON c.cache_id = h.cache_id)
+         |SELECT session_id, turn, query_id, question, answer, hit, cache_id,
+         |  CAST(cost AS DOUBLE) AS cost, n_prompt_msgs
+         |FROM (SELECT * FROM t0rows UNION ALL SELECT * FROM t1rows)
+         |ORDER BY turn, session_id""".stripMargin
   }
 
   /** b7/b7b's shared oracle: phrases re-derived from the fixture, every
@@ -4066,6 +4268,30 @@ object SparkEntry {
     // ep5 (shared fixture + shared cachedAnswerBatch), read back through
     // the partitioned sink layout, so the same full-chain recompute holds
     "st19_cached_rag_stream" -> cachedRagOracle,
+    // ep6: the chat composition's sequential state (cache AND memory)
+    // replayed in CTEs — see chatRagOracle's scaladoc
+    "ep6_chat_rag" -> chatRagOracle,
+    // c13: the whole ep5 disposition chain re-derived (cachedRagOracle
+    // as a subquery), then the report aggregate — hit rate is an exact
+    // int ratio, costs are nano-grid integer sums (associative, the
+    // DSIR recipe), so the recompute is bit-exact end to end
+    "c13_cache_report" ->
+      s"""WITH disp AS MATERIALIZED (SELECT * FROM ($cachedRagOracle) AS t),
+         |mint AS (SELECT cache_id, max(cost) AS mint_cost
+         |  FROM disp WHERE NOT hit GROUP BY 1)
+         |SELECT d.batch,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN d.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN d.hit THEN 0 ELSE 1 END) AS BIGINT) AS n_misses,
+         |  round(avg(CASE WHEN d.hit THEN 1.0 ELSE 0.0 END), 6) AS hit_rate,
+         |  CAST(sum(CASE WHEN NOT d.hit
+         |    THEN CAST(round(d.cost * 1000000000.0) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS cost_paid_nano,
+         |  CAST(sum(CASE WHEN d.hit
+         |    THEN coalesce(CAST(round(m.mint_cost * 1000000000.0) AS BIGINT), 0)
+         |    ELSE 0 END) AS BIGINT) AS cost_avoided_nano
+         |FROM disp d LEFT JOIN mint m USING (cache_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // b9: fused top-10 → overlap rescore → top-4 by the tie law —
     // every stage recomputed in SQL
     "b9_rerank_overlap" ->

@@ -481,14 +481,32 @@ object CorpusPipeline {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      minJaccard: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      minJaccard: Double = 0.8,
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Layout.ledgeredBatch(batch.sparkSession, s"$storePath/batches", batchId) {
-          nearDupIntakeBatch(batch.sparkSession, batch, storePath,
+        val spark = batch.sparkSession
+        Layout.ledgeredBatch(spark, s"$storePath/batches", batchId) {
+          nearDupIntakeBatch(spark, batch, storePath,
             idCol, textCol, minJaccard)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+        }
+        // runs-itself wiring (see streamingBm25Sink) — the 6th of the
+        // seven maintained stores (round-11 missing #1): the signature
+        // store has no segments, so the tombstone signal drives
+        // compactMinhash (folds deletes across all four tables, d19c's
+        // primitive) and the small-file signal drives compactMinhashFiles
+        // (bin-packs the per-batch appends). Single-writer law holds:
+        // foreachBatch is the store's only writer.
+        maintenance.foreach { pol =>
+          maintainIndex(spark, storePath, pol, idCol = "doc_id",
+            compact = Some(() => { Dedup.compactMinhash(spark, storePath); () }),
+            compactFiles = Some(() => {
+              Dedup.compactMinhashFiles(spark, storePath,
+                targetBytes = pol.smallFileBytes * 8); ()
+            }))
           ()
         }
         ()
@@ -499,6 +517,13 @@ object CorpusPipeline {
     * `outPath/batch=<id>/` (overwritten on replay). Shared by
     * [[streamingCacheIntake]] and its registered batch twin (`st18`) so
     * the wrapper and the oracle-checked body can never drift.
+    *
+    * `cacheMaxEntries` weakens redelivery from identical to SELF-HEALING
+    * convergence (see [[graft.serve.CachedRag.cachedRagBatchBody]]): a
+    * replayed batch whose entries were evicted re-derives misses where
+    * the first delivery saw hits, re-inserts them, and overwrites its
+    * output dir with the new dispositions. Leave the cap `None` and
+    * evict while quiesced when replays must be byte-identical.
     */
   def cacheIntakeBatchBody(
       spark: org.apache.spark.sql.SparkSession,
@@ -710,7 +735,7 @@ object CorpusPipeline {
           maintainIndex(spark, path, pol, idCol = "vec_id",
             compact = Some(() => { graft.ops.Sq.compactCodes(spark, path); () }),
             compactFiles = Some(() => {
-              Layout.compactFiles(spark, s"$$path/codes",
+              Layout.compactFiles(spark, s"$path/codes",
                 targetBytes = pol.smallFileBytes * 8); ()
             }))
           ()
@@ -742,7 +767,7 @@ object CorpusPipeline {
           maintainIndex(spark, path, pol, idCol = "vec_id",
             compact = Some(() => { graft.ops.Pq.compactCodes(spark, path); () }),
             compactFiles = Some(() => {
-              Layout.compactFiles(spark, s"$$path/codes",
+              Layout.compactFiles(spark, s"$path/codes",
                 targetBytes = pol.smallFileBytes * 8); ()
             }))
           ()
@@ -756,15 +781,33 @@ object CorpusPipeline {
       embedder: graft.embed.Embedder,
       checkpoint: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      textCol: String = "text",
+      maintenance: Option[Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         val delta = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         // epoch 2·batchId+1 keeps upsert's internal epoch-1 tombstone
         // non-negative and strictly increasing across batches
-        VectorIndex.upsertDocs(
-          batch.sparkSession, delta, path, embedder, epoch = 2 * batchId + 1)
+        val epoch = 2 * batchId + 1
+        VectorIndex.upsertDocs(spark, delta, path, embedder, epoch = epoch)
+        // runs-itself wiring (see streamingBm25Sink) — the 7th and last
+        // maintained store (round-11 missing #1): the MoR index's
+        // tombstone signal drives compactRetain AT THE CURRENT EPOCH
+        // (t8c's primitive) — every generation strictly below this batch
+        // folds into the resolved base, this batch's own rows and the
+        // AS OF view at `epoch` stay readable, and the spent tombstones
+        // clear the signal. History below the horizon refuses loudly,
+        // the documented retention trade. No file-compact arm: the
+        // retention fold already rewrites the data files it keeps.
+        maintenance.foreach { pol =>
+          maintainIndex(spark, path, pol, idCol = "doc_id",
+            compact = Some(() => {
+              VectorIndex.compactRetain(spark, path, retainFrom = epoch); ()
+            }))
+          ()
+        }
         ()
       }
 }

@@ -194,8 +194,7 @@ object Layout {
     // to string or double-counting rows. Spark's FileIndex filters any
     // path segment starting with `_` or `.`, so the hidden name makes the
     // staging invisible; readers race only the swap renames.
-    val staged = new org.apache.hadoop.fs.Path(
-      hPath.getParent, s".${hPath.getName}.__compact").toString
+    val staged = compactStaging(fs, path)
     data.write.mode("overwrite").parquet(staged)
     swapDir(fs, path, staged)
     val after = {
@@ -375,9 +374,7 @@ object Layout {
     // root would have its visible `.__compact` sibling parsed as a
     // partition value for the whole rewrite — one staging convention for
     // every swapDir caller (ADVICE r10).
-    val dPath = new org.apache.hadoop.fs.Path(dataPath)
-    val staging = new org.apache.hadoop.fs.Path(
-      dPath.getParent, s".${dPath.getName}.__compact").toString
+    val staging = compactStaging(fs, dataPath)
     live.write.mode("overwrite").parquet(staging)
     swapDir(fs, dataPath, staging)
     spendTombstoneFiles(fs, tombPath, tombFiles)
@@ -547,6 +544,24 @@ object Layout {
     }
   }
 
+  /** The shared hidden staging path for a compact rewrite of `dataPath`
+    * (`.{name}.__compact` sibling), sweeping the LEGACY VISIBLE
+    * `<dataPath>.__compact` a pre-round-11 crash may have stranded —
+    * without the sweep it would sit next to the data dir forever and,
+    * inside a partitioned read root, be parsed as a partition value
+    * (mirrors [[swapDir]]'s legacyOp handling for `.__old`). The hidden
+    * staging itself needs no sweep: the writer opens it with
+    * mode=overwrite.
+    */
+  private[graft] def compactStaging(
+      fs: org.apache.hadoop.fs.FileSystem, dataPath: String): String = {
+    val legacy = new org.apache.hadoop.fs.Path(s"$dataPath.__compact")
+    if (fs.exists(legacy)) fs.delete(legacy, true) // stale pre-r11 leftover
+    val dPath = new org.apache.hadoop.fs.Path(dataPath)
+    new org.apache.hadoop.fs.Path(
+      dPath.getParent, s".${dPath.getName}.__compact").toString
+  }
+
   private[graft] def swapDir(
       fs: org.apache.hadoop.fs.FileSystem, target: String, staged: String): Unit = {
     val tp = new org.apache.hadoop.fs.Path(target)
@@ -659,7 +674,11 @@ object Layout {
           val rel = f.getPath.toString.stripPrefix(fs.makeQualified(hp).toString)
           val hidden = rel.split('/').exists(seg =>
             seg.startsWith("_") || seg.startsWith("."))
-          if (!hidden && f.getLen < policy.smallFileBytes) n += 1
+          // zero-byte files are ledger MARKERS (`batches/<id>`), not data
+          // files — no compaction can remove them, so counting them made
+          // fileCompactDue latch permanently once a stream outlived the
+          // budget and the sink re-ran its file compact every batch
+          if (!hidden && f.getLen > 0 && f.getLen < policy.smallFileBytes) n += 1
         }
         n
       }

@@ -552,12 +552,21 @@ object TextAnalytics {
     // get no cut, and the explicit keep policy is: no cut, or a null
     // score, means keep = false (a row that cannot be ranked within its
     // source is not silently admitted).
+    require(sourceCol != "cut" && scoreCol != "cut" &&
+      sourceCol != "keep" && scoreCol != "keep",
+      "calibrateScoresApprox emits `cut` and `keep` — rename the input column")
     val cuts = df
       .groupBy(col(sourceCol))
       .agg(percentile_approx(
         col(scoreCol), lit(1.0 - keepFrac), lit(accuracy)).as("cut"))
       .collect()
       .map(r => r.get(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // One output contract across BOTH lookup regimes: a caller whose frame
+    // already carries a `cut` column gets it REPLACED (withColumn's law) —
+    // without the drop, the broadcast join would emit a duplicate,
+    // ambiguous `cut` and behavior would silently diverge across the
+    // MaxLiteralCutSources boundary (ADVICE r11).
+    val base = df.drop("cut")
     // Two physically different cut-lookup shapes, same semantics (a
     // null-safe exact match on the source): up to the threshold the cuts
     // fold into a literal when-chain (scan-stage column algebra, zero
@@ -576,7 +585,7 @@ object TextAnalytics {
             when(matches, lit(cut)).otherwise(acc)
           case (acc, (_, None)) => acc
         }
-        df.withColumn("cut", cutCol)
+        base.withColumn("cut", cutCol)
       } else {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(
@@ -587,7 +596,7 @@ object TextAnalytics {
         cuts.foreach { case (src, cut) =>
           rows.add(org.apache.spark.sql.Row(src, cut.map(Double.box).orNull))
         }
-        df.join(broadcast(df.sparkSession.createDataFrame(rows, schema)),
+        base.join(broadcast(df.sparkSession.createDataFrame(rows, schema)),
             col(sourceCol) <=> col("__cal_src"), "left")
           .drop("__cal_src")
       }

@@ -357,6 +357,45 @@ object Drive {
         .select("query_id", "hit", "cache_id", "cost").orderBy("query_id").show(3)
       val (cb, ca) = graft.serve.SemanticCache.evictCache(spark, cache, maxEntries = 2)
       println(s"cache evicted (FIFO by minted id): $cb -> $ca entries")
+
+      // round 12: the CHAT composition around the cached loop, the
+      // observability report, and LRU eviction from the disposition
+      // history. Turn 0: two sessions miss and admit; turn 1: session 1
+      // RE-ASKS — served from the store at cost 0 with a prompt that
+      // carries the remembered turn (3 -> 7 messages). The report prices
+      // what the hit avoided; LRU keeps the REFRESHED entry where FIFO
+      // would have kept the younger minted id.
+      println("== round-12: chat-RAG turns + cache report + LRU eviction ==")
+      val chatCache = s"$root/chatcache"
+      val chatMem = s"$root/chatmem"
+      val chatDisp = s"$root/chatdisp"
+      val ask2 = emb.where(col("vec_id").isin(3, 7))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(when(col("vec_id") === 3, "s1").otherwise("s2").as("session_id"),
+          col("vec_id").as("query_id"), col("text").as("question"),
+          col("embedding").as("query_vec"))
+      val t0 = graft.serve.ChatRag.chatTurn(
+        spark, ask2, chatMem, chatCache, 0.95, echoMisses)
+      t0.select("session_id", "turn", "hit", "cost", "n_prompt_msgs")
+        .orderBy("session_id").show(2)
+      val t1 = graft.serve.ChatRag.chatTurn(
+        spark, ask2.where(col("session_id") === "s1")
+          .select(col("session_id"), (col("query_id") + 100).as("query_id"),
+            col("question"), col("query_vec")),
+        chatMem, chatCache, 0.95, echoMisses)
+      t1.select("session_id", "turn", "hit", "cost", "n_prompt_msgs").show(1)
+      val dispCols = Seq("query_id", "cache_id", "hit", "cost")
+      t0.select(dispCols.map(col): _*).write.parquet(s"$chatDisp/batch=0")
+      t1.select(dispCols.map(col): _*).write.parquet(s"$chatDisp/batch=1")
+      println("cache report over the landed dispositions:")
+      graft.serve.SemanticCache.cacheReport(
+        spark.read.parquet(chatDisp)).orderBy("batch").show(2, false)
+      val (lb, la) = graft.serve.SemanticCache
+        .evictCacheLru(spark, chatCache, chatDisp, maxEntries = 1)
+      val survivor = spark.read.parquet(chatCache)
+        .select("cache_id").head.getLong(0)
+      println(s"LRU evicted $lb -> $la: survivor $survivor " +
+        "(the REFRESHED entry; FIFO would have kept 1000007)")
     }
 
     spark.stop()

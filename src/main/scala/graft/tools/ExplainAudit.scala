@@ -137,7 +137,30 @@ object ExplainAudit {
       "no shuffled cartesian in the composed serving loop" ->
         (p => !p.contains("CartesianProduct")),
       "answer serving joins are broadcast (store is the working set)" ->
-        (p => p.contains("BroadcastHashJoin")))
+        (p => p.contains("BroadcastHashJoin")),
+      // round-11 verdict #2: the hit-answer fetch must push the
+      // micro-batch-bounded hit ids into the post-intake store SCAN (the
+      // b11b term-set discipline) — without it the join shuffles the
+      // full store per micro-batch at banded scale
+      "hit-answer fetch pushes cache_id IN (...) into the store scan" ->
+        (p => p.contains("In(cache_id") || p.contains("EqualTo(cache_id")))
+    audit("ep6_chat_rag")(
+      // the chat composition's heavy stages (lookup, miss pipeline,
+      // intake, prompt counting) all run behind checkpoints at
+      // construction; the registered tail is checkpoint scans + the
+      // final projection
+      "chat tail reads checkpoints, no UDF anywhere" ->
+        (p => p.contains("ExistingRDD") && !p.contains("UDF(")),
+      "no cartesian in the chat composition" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("c13_cache_report")(
+      "one hash aggregate over the dispositions (map-side partials)" ->
+        (p => p.contains("HashAggregate")),
+      "mint-cost join broadcast (cache-bounded build side)" ->
+        (p => p.contains("BroadcastHashJoin")),
+      "no cartesian in the report" -> (p => !p.contains("CartesianProduct")),
+      "the underlying hit fetches carry the IN pushdown" ->
+        (p => p.contains("In(cache_id") || p.contains("EqualTo(cache_id")))
     audit("a4_lsh_batch")(
       "band-bucket candidate join is broadcast-hash" ->
         (p => p.contains("BroadcastHashJoin")),

@@ -826,6 +826,79 @@ object ScaleSmoke {
       }
     }
 
+    section("round12") {
+      def randVec(idExpr: org.apache.spark.sql.Column, seed: Long) =
+        transform(sequence(lit(0), lit(31)),
+          i => (pmod(xxhash64(idExpr, i, lit(seed)), lit(1000000)) / 1000000.0)
+            .cast("float"))
+      // 14a. the COMPOSED cached-RAG loop at the banded regime (round-11
+      // verdict #1's done-criterion): 100k-query batch against a
+      // persisted 1M answer-bearing cache — 10^11 batch × cache pairs,
+      // the product the pre-round-12 exact-pinned lookup was measured to
+      // OOM on. The shared router sends the loop's lookup AND its
+      // intake down the deep-AND banded path; the hit-answer fetch rides
+      // the IN pushdown. 1% exact re-asks of cache entries must be
+      // served from the STORE at cost 0.
+      val cacheRows = n(1000000L)
+      val ragCache = java.nio.file.Files
+        .createTempDirectory("graft_scale_crag").toString + "/cache"
+      spark.range(cacheRows).select(
+        col("id").as("cache_id"), randVec(col("id"), 4242L).as("embedding"),
+        concat(lit("stored answer "), col("id")).as("answer"))
+        .write.parquet(ragCache)
+      val batchRows = n(100000L)
+      val ragBatch = spark.range(batchRows).select(
+        (col("id") + 10000000L).as("query_id"),
+        concat(lit("question "), col("id")).as("question"),
+        when(pmod(col("id"), lit(100)) === 2,
+          randVec(pmod(col("id"), lit(cacheRows)), 4242L))
+          .otherwise(randVec(col("id") + 777000000L, 20252025L)).as("query_vec"))
+        .localCheckpoint(true)
+      val answerMisses: DataFrame => DataFrame = missQ =>
+        missQ.select(col("query_id"), col("question"),
+          concat(lit("computed: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      var served: DataFrame = null
+      time("cachedrag_100k_x_1m", batchRows) {
+        served = graft.serve.CachedRag.cachedAnswerBatch(
+          spark, ragBatch, ragCache, minCos = 0.999, answerMisses)
+          .localCheckpoint(true)
+        served.count()
+      }
+      val reAsks = served.where(pmod(col("query_id"), lit(100)) === 2)
+      val servedFromStore = reAsks.where(col("hit") && col("cost") === 0.0 &&
+        col("answer").startsWith("stored answer")).count()
+      assert(servedFromStore == batchRows / 100,
+        s"every planted re-ask must be served from the store at cost 0: " +
+          s"$servedFromStore of ${batchRows / 100}")
+
+      // 14b. cutoff eviction at a multi-million cap (round-11 verdict
+      // #3's done-criterion): the orderBy+limit shape funneled the WHOLE
+      // store through a single-partition GlobalLimit and broadcast
+      // `cap` ids; the cutoff shape is one percentile + one exact count
+      // + a scan-stage filter.
+      val evictRows = n(4000000L)
+      val evPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_evict").toString + "/cache"
+      spark.range(evictRows).select(
+        col("id").as("cache_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => (pmod(xxhash64(col("id"), i), lit(1000)) / 1000.0).cast("float"))
+          .as("embedding"),
+        concat(lit("ans "), col("id")).as("answer"))
+        .write.parquet(evPath)
+      val cap = (evictRows * 3 / 4).toInt
+      time("evict_cutoff_4m_to_3m", evictRows) {
+        val (b, a) = graft.serve.SemanticCache.evictCache(spark, evPath, cap)
+        assert(b == evictRows && a == cap, s"evict law drifted: $b -> $a")
+        a
+      }
+      val minKept = spark.read.parquet(evPath)
+        .agg(min(col("cache_id"))).head.getLong(0)
+      assert(minKept == evictRows - cap,
+        s"FIFO keep law: min kept id must be ${evictRows - cap}, got $minKept")
+    }
+
     section("codegen_ab") {
       // 11a. rp banding: 10M x 32-d, 8 tables x 3 projs — the banding
       // engine under a6/a3/cosinePairsRp/rpTopKBatch. The flat form

@@ -277,6 +277,51 @@ class VectorIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsertSink with a maintenance policy folds history as it streams") {
+    // the 7th and last maintained store (round-11 missing #1): each
+    // upsert batch writes tombstones; maxTombstones = 0 makes the sink's
+    // policy pass run compactRetain at the batch's own epoch — the
+    // resolved view is unchanged, the sidecar is spent, dead generations
+    // are reclaimed, and reads below the horizon refuse loudly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsink_mx").toString
+    val path = s"$tmp/idx"
+    val fitted = VectorIndex.fit(docs(0 until 4))
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 1000, maxTombstones = 0, maxSmallFiles = 100000)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusPipeline.streamingUpsertSink(
+      mem.toDF().toDF("doc_id", "text"), path, fitted, s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      mem.addData((0L, "SECTION ALPHA\n\nfirst crawl of document zero"))
+      q.processAllAvailable()
+      mem.addData((0L, "SECTION ALPHA\n\nsecond crawl entirely different text"))
+      q.processAllAvailable()
+      val active = VectorIndex.loadActive(spark, path)
+      val texts = active.where(col("doc_id") === 0L)
+        .select("text").collect().map(_.getString(0))
+      assert(texts.nonEmpty && texts.forall(_.contains("second crawl")),
+        s"only the latest revision may be active, got ${texts.toSeq}")
+      val status = graft.ops.Layout.maintenanceDue(
+        spark, path, policy, idCol = "doc_id")
+      assert(status.tombstones == 0 && !status.compactDue,
+        s"the sink must have folded its own tombstones: $status")
+      // history below the fold is physically gone: raw == active
+      assert(VectorIndex.load(spark, path).count() == active.count(),
+        "dead generations must be reclaimed by the retention fold")
+      // the horizon refuses a pre-fold AS OF instead of a partial view
+      val h = VectorIndex.retentionHorizon(spark, path)
+      assert(h.contains(3L), s"horizon must sit at the last batch's epoch: $h")
+      val e = intercept[IllegalArgumentException] {
+        VectorIndex.loadActiveAsOf(spark, path, 1L).count()
+      }
+      assert(e.getMessage.contains("retention horizon"))
+    } finally q.stop()
+  }
+
   test("upsert with an empty revision still replaces the prior generation") {
     import org.apache.spark.sql.functions.col
     val path = java.nio.file.Files

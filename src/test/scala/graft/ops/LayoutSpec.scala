@@ -343,4 +343,25 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches")))
     Layout.clearIndexSidecars(spark, dir) // idempotent on a clean dir
   }
+
+  test("compactStaging sweeps a legacy VISIBLE .__compact leftover before staging") {
+    // ADVICE r11: round 11 moved staging to the hidden dot-prefixed
+    // sibling, but a pre-round-11 crash could have stranded a visible
+    // `<dataPath>.__compact` — unswept, it would sit there forever and be
+    // parsed as a partition value inside a partitioned read root
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_legacy_stg").toString
+    val data = s"$tmp/codes"
+    (1L to 40L).map(i => (i, s"row $i")).toDF("vec_id", "payload")
+      .repartition(8).write.parquet(data)
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val legacy = new org.apache.hadoop.fs.Path(s"$data.__compact")
+    fs.mkdirs(legacy)
+    fs.create(new org.apache.hadoop.fs.Path(legacy, "stranded")).close()
+    val stats = Layout.compactFiles(spark, data, targetBytes = 1L << 30)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(!fs.exists(legacy), "the legacy visible staging must be swept")
+    assert(spark.read.parquet(data).count() == 40L)
+  }
 }

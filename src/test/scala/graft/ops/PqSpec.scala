@@ -266,6 +266,47 @@ class PqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPqSink maintenance: a firing file-compact signal bin-packs codes/ mid-stream") {
+    // PQ arm of the SqSpec regression for the s"$$path/codes"
+    // literal-dollar bug: maxSmallFiles is small enough that the
+    // file-compact action actually RUNS (the prior sink tests never
+    // fired it, so the relative-path target was untested).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_fcx").toString
+    val path = s"$tmp/idx"
+    val seed = emb.where(col("vec_id") < 300)
+    val m = Pq.fitSampled(seed, dims = 64, m = 8, k = 8, maxIter = 10)
+    Pq.write(Pq.encode(seed, m), m, path)
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 1000, maxTombstones = 1L << 20, maxSmallFiles = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.CorpusPipeline.streamingPqSink(
+      mem.toDF().toDF("vec_id", "embedding"), path, s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      val tail = emb.where(col("vec_id") >= 300)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      mem.addData(tail.filter(_._1 < 400).toSeq: _*)
+      q.processAllAvailable() // with the bug: dies HERE on "$path/codes"
+      mem.addData(tail.filter(_._1 >= 400).toSeq: _*)
+      q.processAllAvailable()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val codeFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+        .count { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      assert(codeFiles <= 2,
+        s"the fired file-compact must have bin-packed codes/ ($codeFiles files)")
+      val (codes2, _) = Pq.load(spark, path)
+      val grown = codes2.as[(Long, Seq[Int])].collect().toMap
+      val oneShot = Pq.encode(emb, m).as[(Long, Seq[Int])].collect().toMap
+      assert(grown == oneShot, "file compaction must not change the encoded rows")
+    } finally q.stop()
+  }
+
   test("appendCodesBatch: crash-window replay (codes written, marker missing) appends nothing") {
     // ledgeredBatch's residual window, PQ arm (the SqSpec twin)
     val path = java.nio.file.Files.createTempDirectory("graft_pq_cw").toString + "/idx"

@@ -168,6 +168,50 @@ class SqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSqSink maintenance: a firing file-compact signal bin-packs codes/ mid-stream") {
+    // Regression for the s"$$path/codes" literal-dollar interpolation bug:
+    // the file-compact action targeted the RELATIVE path "$path/codes", so
+    // the first micro-batch whose fileCompactDue fired threw on listFiles
+    // and killed the streaming query. The prior sink tests parked the
+    // signal at maxSmallFiles = 100000; this one makes it FIRE.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sq_fcx").toString
+    val path = s"$tmp/idx"
+    val model = Sq.writeCodes(emb.where(col("vec_id") < 300), path)
+    // every parquet file here is tiny, so smallFiles counts ALL data files
+    // under the index root (codes + model): with maxSmallFiles = 2 the
+    // signal is due as soon as appends accrue a third file
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 1000, maxTombstones = 1L << 20, maxSmallFiles = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.CorpusPipeline.streamingSqSink(
+      mem.toDF().toDF("vec_id", "embedding"), path, s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      val tail = emb.where(col("vec_id") >= 300)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      mem.addData(tail.filter(_._1 < 350).toSeq: _*)
+      q.processAllAvailable() // with the bug: dies HERE on "$path/codes"
+      mem.addData(tail.filter(_._1 >= 350).toSeq: _*)
+      q.processAllAvailable()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val codeFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+        .count { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      assert(codeFiles <= 2,
+        s"the fired file-compact must have bin-packed codes/ ($codeFiles files)")
+      val grown = spark.read.parquet(s"$path/codes")
+        .as[(Long, Seq[Int])].collect().toMap
+      val oneShot = Sq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+      assert(grown == oneShot,
+        "file compaction must not change the encoded rows")
+    } finally q.stop()
+  }
+
   test("appendCodesBatch: crash-window replay (codes written, marker missing) appends nothing") {
     // ledgeredBatch's residual window: the codes landed but the marker
     // didn't. The redelivered batch must fold to zero new rows

@@ -669,6 +669,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupIntake with a maintenance policy compacts the store mid-stream") {
+    // the 6th maintained store (round-11 missing #1): an out-of-band
+    // deleteMinhash lands in the sidecar; the NEXT micro-batch's policy
+    // pass must fold it physically (maxTombstones = 0 — any dead id
+    // makes compact due), and the freed identity must be re-admittable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_mx").toString
+    val store = s"$tmp/store"
+    Dedup.writeMinhash(
+      Seq((100L, "alpha beta gamma delta epsilon"),
+        (101L, "one two three four five six")).toDF("doc_id", "text"),
+      store, shingleSize = 1, numHashes = 128, bands = 32)
+    Dedup.deleteMinhash(spark, store, Seq(100L))
+    val policy = graft.ops.Layout.MaintenancePolicy(
+      maxSegments = 1000, maxTombstones = 0, maxSmallFiles = 100000)
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.streamingNearDupIntake(
+      mem.toDF().toDF("doc_id", "text"), store, s"$tmp/out", s"$tmp/ckpt",
+      maintenance = Some(policy)).start()
+    try {
+      // the twin of DELETED 100 must be admitted (its signatures left the
+      // store), and the batch's own maintenance pass folds the sidecar
+      mem.addData(Seq((1L, "alpha beta gamma delta epsilon")))
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L), s"the deleted identity must re-admit: $admitted")
+      val status = graft.ops.Layout.maintenanceDue(spark, store, policy)
+      assert(status.tombstones == 0 && !status.compactDue,
+        s"the sink must have compacted the sidecar away: $status")
+      assert(spark.read.parquet(s"$store/docs").select("doc_id")
+        .as[Long].collect().toSet == Set(101L, 1L),
+        "compact must purge the deleted doc physically, appends intact")
+    } finally q.stop()
+  }
+
   test("tokenBudgetIntake batch twin: exclusive-prefix rule in doc_id order") {
     val docs = Seq(
       (1L, "one two three", "a"),        // 3 tokens, total 3

@@ -281,6 +281,38 @@ class TextAnalyticsSpec extends SparkSpec {
       s"at most the cut element itself may be extra, got $extraPerSource")
   }
 
+  test("calibrateScoresApprox: a pre-existing cut column shares ONE contract across both regimes") {
+    // ADVICE r11: the literal-chain regime REPLACED a caller's stray
+    // `cut` column (withColumn's law) while the broadcast-join regime
+    // emitted a duplicate, ambiguous `cut` — behavior silently diverged
+    // across the MaxLiteralCutSources boundary. Both must replace.
+    val stray = calibCorpus.withColumn("cut", lit(-999.0))
+    val lit_ = TextAnalytics.calibrateScoresApprox(stray, "source", "score", 0.4)
+    assert(lit_.columns.count(_ == "cut") == 1)
+    assert(lit_.where(col("cut") === -999.0).count() == 0,
+      "the stray cut must be REPLACED in the literal regime")
+    // the broadcast regime: > MaxLiteralCutSources distinct sources
+    val wide = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(400))).as("source"),
+      (pmod(col("id"), lit(5)) / 4.0).as("score"))
+    val wideStray = wide.withColumn("cut", lit(-999.0))
+    val bc = TextAnalytics.calibrateScoresApprox(wideStray, "source", "score", 0.4)
+    assert(bc.columns.count(_ == "cut") == 1,
+      s"broadcast regime must not emit a duplicate cut: ${bc.columns.toSeq}")
+    assert(bc.where(col("cut") === -999.0).count() == 0)
+    val keptStray = bc.where(col("keep")).select("doc_id").as[Long].collect().toSet
+    val keptClean = TextAnalytics.calibrateScoresApprox(wide, "source", "score", 0.4)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(keptStray == keptClean, "the stray column must not change the keep set")
+    // and the emitted-name guard refuses a score column literally named cut
+    val e = intercept[IllegalArgumentException] {
+      TextAnalytics.calibrateScoresApprox(
+        stray.withColumnRenamed("score", "cut"), "source", "cut", 0.4)
+    }
+    assert(e.getMessage.contains("rename"))
+  }
+
   test("calibrateScoresApprox: null sources and all-null score groups") {
     val df = Seq[(Long, Option[String], Option[Double])](
       (0L, Some("a"), Some(0.9)), (1L, Some("a"), Some(0.5)),

@@ -392,6 +392,181 @@ class ServingSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() == 1, "a refused delete leaves the store intact")
   }
 
+  test("cachedAnswerBatch: forced banded route serves identical dispositions (RAG-body route parity)") {
+    // round-11 verdict #1's done-criterion: the composed serving loop now
+    // routes through the SAME exact-vs-banded chooser as the intake, and
+    // on a cos-1 re-ask fixture the two routes are value-equal (the c11b
+    // recipe applied to the RAG body)
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    def run(maxExact: Long): Map[Long, (String, Boolean, Long, Double)] = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_crag_route").toString + "/cache"
+      emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"),
+          concat(lit("seed "), col("vec_id")).as("answer")).write.parquet(tmp)
+      val batch = emb.where(col("vec_id") % 11 === 3)
+        .select(col("vec_id").as("query_id"),
+          concat(lit("question "), col("vec_id")).as("question"),
+          col("embedding").as("query_vec"))
+      CachedRag.cachedAnswerBatch(spark, batch, tmp, minCos = 0.95,
+        answerMisses, maxExactProduct = maxExact)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(2), r.getBoolean(3), r.getLong(4), r.getDouble(5))).toMap
+    }
+    val exact = run(Long.MaxValue)
+    val banded = run(0L)
+    assert(banded == exact,
+      "the banded RAG body must serve every exact-duplicate hit, answer and " +
+        s"admit the same misses: $banded vs $exact")
+    assert(exact.values.exists(_._2) && exact.values.exists(!_._2),
+      "fixture must exercise both hit and miss arms")
+  }
+
+  test("idCutoff: exact keep counts even when the percentile seed is coarse") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(1000).select(col("id").as("cache_id"))
+    // accuracy=10 forces large rank error, exercising BOTH correction
+    // branches across the sweep; the law must hold regardless of seed
+    for (keepN <- Seq(1L, 7L, 250L, 500L, 993L, 999L)) {
+      val cutoff = SemanticCache.idCutoff(ids, 1000L, keepN, accuracy = 10)
+      assert(cutoff == 1000L - keepN,
+        s"keepN=$keepN: cutoff $cutoff must be the keepN-th highest id")
+      assert(ids.where(col("cache_id") >= cutoff).count() == keepN)
+    }
+  }
+
+  test("cache eviction boundary: cap 1 keeps exactly the newest entry") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_evict1").toString + "/cache"
+    (1L to 5L).map(i => (i, Array(i.toFloat, 1.0f), s"ans $i"))
+      .toDF("cache_id", "embedding", "answer").write.parquet(tmp)
+    assert(SemanticCache.evictCache(spark, tmp, maxEntries = 1) == ((5L, 1L)))
+    val kept = spark.read.parquet(tmp).select("cache_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L), s"cap 1 must keep only the newest minted id: $kept")
+  }
+
+  test("LRU eviction: a hit refreshes, an unhit entry ages out, absent history degrades to FIFO") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ci_lru").toString
+    val cache = s"$tmp/cache"
+    val disp = s"$tmp/disp"
+    def seed(): Unit = {
+      (1L to 3L).map(i => (i, Array(i.toFloat, 1.0f), s"ans $i"))
+        .toDF("cache_id", "embedding", "answer")
+        .write.mode("overwrite").parquet(cache)
+    }
+    seed()
+    // disposition history: batch 1 HIT entry 1 (refreshing it); 2 and 3
+    // were never served from → they age as -1, FIFO among themselves
+    Seq((1L, true, 1L)).toDF("cache_id", "hit", "batch")
+      .write.partitionBy("batch").parquet(disp)
+    assert(SemanticCache.evictCacheLru(spark, cache, disp, maxEntries = 2) == ((3L, 2L)))
+    val kept = spark.read.parquet(cache).select("cache_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"the refreshed entry survives, the oldest unhit one ages out: $kept")
+    // at cap: no-op
+    assert(SemanticCache.evictCacheLru(spark, cache, disp, maxEntries = 2) == ((2L, 2L)))
+    // absent history: pure FIFO (newest minted ids kept)
+    seed()
+    assert(SemanticCache.evictCacheLru(spark, cache, s"$tmp/nope", maxEntries = 2) == ((3L, 2L)))
+    val fifo = spark.read.parquet(cache).select("cache_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(fifo == Set(2L, 3L), s"no history means FIFO: $fifo")
+  }
+
+  test("cacheReport: hit rate and the paid/avoided cost ledger on the nano grid") {
+    val disp = Seq(
+      // batch 1: one priced miss (minting 1000001), one seed hit
+      (1000001L, false, 0.5, 1L),
+      (7L, true, 0.0, 1L),
+      // batch 2: a hit on the minted entry (avoids its 0.5), a seed hit
+      // (no priced history -> avoids 0), one more priced miss
+      (1000001L, true, 0.0, 2L),
+      (7L, true, 0.0, 2L),
+      (1000005L, false, 0.25, 2L)
+    ).toDF("cache_id", "hit", "cost", "batch")
+    val got = SemanticCache.cacheReport(disp).orderBy("batch")
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1L, 0.5, 500000000L, 0L),
+      (2L, 3L, 2L, 1L, 0.666667, 250000000L, 500000000L)),
+      s"report mismatch: $got")
+  }
+
+  test("chatTurn: memory composes — prompts grow, a re-ask hits at cost 0, appends land") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    val v1 = Array(1.0f, 0.0f)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val t0 = ChatRag.chatTurn(spark,
+      Seq(("s1", 1L, "q one", v1)).toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.95, answerMisses)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getBoolean(5), r.getLong(6), r.getDouble(7), r.getLong(8)))
+    assert(t0.toSeq == Seq(("s1", 0L, 1L, "computed: q one", false, 1000001L, 0.5, 3L)),
+      s"turn 0: empty history -> 3-message prompt, miss answered: ${t0.toSeq}")
+    val m0 = spark.read.parquet(mem).orderBy("turn")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(m0 == Seq(("s1", 0L, "user", "q one"),
+      ("s1", 1L, "assistant", "computed: q one")),
+      s"C4 append law: $m0")
+    // turn 1: the SAME question re-asked — hit at cost 0, prompt now
+    // carries the remembered turn (3 + 2 faithful replays x 2 rows = 7)
+    val t1 = ChatRag.chatTurn(spark,
+      Seq(("s1", 5L, "q one", v1)).toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.95, answerMisses)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getBoolean(5), r.getLong(6), r.getDouble(7), r.getLong(8)))
+    assert(t1.toSeq == Seq(("s1", 2L, 5L, "computed: q one", true, 1000001L, 0.0, 7L)),
+      s"turn 1: hit served from store, prompt grew by the memory: ${t1.toSeq}")
+    assert(spark.read.parquet(mem).count() == 4L,
+      "each turn appends its (question, answer) pair")
+  }
+
+  test("intakeBatch job budget: one micro-batch stays within its scheduling budget") {
+    // the round-11 hygiene note: intakeBatch fires several driver actions
+    // per micro-batch (batch/store counts, checkpoints, the collision
+    // guard, the insert). Each is cheap, but at second-scale micro-batches
+    // the job-scheduling overhead compounds — this pins the TOTAL job
+    // count (body + one consumer action) so a refactor that quietly adds
+    // per-batch jobs fails loudly instead of surfacing as st18 latency.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_budget").toString + "/cache"
+    Seq((7L, Array(1.0f, 0.0f), "seed")).toDF("cache_id", "embedding", "answer")
+      .write.parquet(tmp)
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.6f, 0.8f))
+    ).toDF("query_id", "query_vec")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SemanticCache.intakeBatch(spark, batch, tmp, minCos = 0.95).collect()
+      Thread.sleep(1500) // listener bus is async; drain before reading
+      val n = jobs.get()
+      info(s"intakeBatch micro-batch issued $n jobs")
+      // measured 27 after folding the collision check into one collect
+      // (the pre-fold shape was 30); +1 headroom for scheduler jitter
+      assert(n <= 28, s"intake job budget blown: $n jobs for one micro-batch")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cache intake: carryCols persist payload columns on inserted entries") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files
