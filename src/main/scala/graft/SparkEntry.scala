@@ -2730,6 +2730,34 @@ object SparkEntry {
           "hit", "cache_id", "cost", "n_prompt_msgs")
         .orderBy("turn", "session_id")
     }
+    reg("st20_chat_rag_stream") { (s, dir) =>
+      // ep6 through the STREAMING body (ChatRag.chatTurnBody — shared
+      // with streamingChatRag so wrapper and oracle-checked body cannot
+      // drift; the MemoryStream + ledger law is ServingSpec's): two
+      // micro-batch TURNS land at batch=0/1 dirs, the registered output
+      // is the partition-discovered read-back — value-equal to ep6 row
+      // for row, so its sequential cache+memory oracle applies verbatim
+      import graft.serve.ChatRag
+      val (tmp, queries, answerMisses) = cachedRagFixture(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_st20").toString
+      val (mem, out) = (s"$root/memory", s"$root/disp")
+      ChatRag.chatTurnBody(s,
+        queries.where(col("query_id").isin(3, 7))
+          .withColumn("session_id",
+            when(col("query_id") === 3, "1").otherwise("2")),
+        mem, tmp, out, 0L, minCos = 0.95, answerMisses)
+      val q1 = queries.where(col("query_id") === 11)
+        .withColumn("session_id", lit("1"))
+        .unionByName(queries.where(col("query_id") === 3)
+          .select((col("query_id") + 200).as("query_id"), col("question"),
+            col("query_vec"))
+          .withColumn("session_id", lit("2")))
+      ChatRag.chatTurnBody(s, q1, mem, tmp, out, 1L, minCos = 0.95, answerMisses)
+      s.read.parquet(out)
+        .select("session_id", "turn", "query_id", "question", "answer",
+          "hit", "cache_id", "cost", "n_prompt_msgs")
+        .orderBy("turn", "session_id")
+    }
     reg("c13_cache_report") { (s, dir) =>
       // cache OBSERVABILITY (round-11 missing #3 — a cache you can't
       // measure is a cache you can't size): hit rate and cost
@@ -4271,6 +4299,10 @@ object SparkEntry {
     // ep6: the chat composition's sequential state (cache AND memory)
     // replayed in CTEs — see chatRagOracle's scaladoc
     "ep6_chat_rag" -> chatRagOracle,
+    // st20: ep6 through the streaming body — value-equal (shared
+    // chatTurn + shared fixture), read back through the partitioned
+    // sink layout, so the same sequential-state recompute holds
+    "st20_chat_rag_stream" -> chatRagOracle,
     // c13: the whole ep5 disposition chain re-derived (cachedRagOracle
     // as a subquery), then the report aggregate — hit rate is an exact
     // int ratio, costs are nano-grid integer sums (associative, the

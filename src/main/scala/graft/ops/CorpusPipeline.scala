@@ -533,14 +533,21 @@ object CorpusPipeline {
       batchId: Long,
       minCos: Double,
       idOffset: Long = 1000000L,
-      cacheMaxEntries: Option[Int] = None): Unit = {
+      cacheMaxEntries: Option[Int] = None,
+      evictLru: Boolean = false): Unit = {
     graft.serve.SemanticCache
       .intakeBatch(spark, batch, cachePath, minCos, idOffset)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     // optional size cap, applied AFTER the insert (the runs-itself
-    // stance): FIFO eviction by minted id; an at/below-cap pass costs
-    // one count. Legal under the sink's single-writer law.
-    cacheMaxEntries.foreach(graft.serve.SemanticCache.evictCache(spark, cachePath, _))
+    // stance): FIFO eviction by minted id, or — evictLru — recency
+    // folded from the landed disposition dirs (see
+    // [[graft.serve.CachedRag.cachedRagBatchBody]]); an at/below-cap
+    // pass costs one count. Legal under the sink's single-writer law.
+    cacheMaxEntries.foreach { cap =>
+      if (evictLru)
+        graft.serve.SemanticCache.evictCacheLru(spark, cachePath, outPath, cap)
+      else graft.serve.SemanticCache.evictCache(spark, cachePath, cap)
+    }
     ()
   }
 
@@ -563,12 +570,13 @@ object CorpusPipeline {
       checkpoint: String,
       minCos: Double = 0.95,
       idOffset: Long = 1000000L,
-      cacheMaxEntries: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      cacheMaxEntries: Option[Int] = None,
+      evictLru: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cacheIntakeBatchBody(batch.sparkSession, batch, cachePath, outPath,
-          batchId, minCos, idOffset, cacheMaxEntries)
+          batchId, minCos, idOffset, cacheMaxEntries, evictLru)
       }
 
   /** The auto-maintenance policy loop — the last gap between "has the

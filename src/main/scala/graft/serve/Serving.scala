@@ -371,12 +371,21 @@ object CachedRag {
       minCos: Double,
       answerMisses: DataFrame => DataFrame,
       idOffset: Long = 1000000L,
-      cacheMaxEntries: Option[Int] = None): Unit = {
+      cacheMaxEntries: Option[Int] = None,
+      evictLru: Boolean = false): Unit = {
     cachedAnswerBatch(spark, batch, cachePath, minCos, answerMisses, idOffset)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-    // optional size cap AFTER serving the batch: FIFO by minted id, the
-    // evicted questions simply miss + re-admit on their next ask
-    cacheMaxEntries.foreach(SemanticCache.evictCache(spark, cachePath, _))
+    // optional size cap AFTER serving the batch. Default FIFO by minted
+    // id (evicted questions miss + re-admit on their next ask);
+    // evictLru = true folds recency from the dispositions THIS loop just
+    // landed (`outPath`'s batch dirs ARE the history), so a hot entry
+    // survives caps a FIFO would age out. History grows one dir per
+    // batch — prune old batch dirs out-of-band if the stream is
+    // long-lived and the recency horizon should be bounded.
+    cacheMaxEntries.foreach { cap =>
+      if (evictLru) SemanticCache.evictCacheLru(spark, cachePath, outPath, cap)
+      else SemanticCache.evictCache(spark, cachePath, cap)
+    }
     ()
   }
 
@@ -396,12 +405,13 @@ object CachedRag {
       answerMisses: DataFrame => DataFrame,
       minCos: Double = 0.95,
       idOffset: Long = 1000000L,
-      cacheMaxEntries: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      cacheMaxEntries: Option[Int] = None,
+      evictLru: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cachedRagBatchBody(batch.sparkSession, batch, cachePath, outPath,
-          batchId, minCos, answerMisses, idOffset, cacheMaxEntries)
+          batchId, minCos, answerMisses, idOffset, cacheMaxEntries, evictLru)
       }
 }
 
@@ -478,8 +488,18 @@ object ChatRag {
         .select(col("session_id"), col("turn"), col("query_id"),
           col("question"), col("answer"), col("hit"), col("cache_id"),
           col("cost"), col("n_prompt_msgs")))
-    // the C4 append, AFTER every output above is checkpointed
-    out.select(col("session_id"),
+    // the C4 append, AFTER every output above is checkpointed.
+    // Guarded on (session_id, turn): a replay whose history is UNCHANGED
+    // (crash after the output write, before or during the append)
+    // re-mints the same turn numbers and the anti-join skips whatever
+    // already committed — memory is session-sized, so the fresh re-read
+    // is cheap. A replay whose first-delivery append DID land re-derives
+    // as a NEW turn (history max moved): the log records the re-served
+    // exchange again under fresh turn numbers — at-least-once on the
+    // conversation log inside that one crash window, never a wrong or
+    // half-written turn; the cache stays exactly-once (id-idempotent).
+    // [[streamingChatRag]]'s ledger makes the normal path exactly-once.
+    val appendRows = out.select(col("session_id"),
         explode(array(
           struct(col("turn"), lit("user").as("role"),
             col("question").as("content")),
@@ -487,9 +507,69 @@ object ChatRag {
             col("answer").as("content")))).as("__m"))
       .select(col("session_id"), col("__m.turn").as("turn"),
         col("__m.role").as("role"), col("__m.content").as("content"))
-      .write.mode("append").parquet(memoryPath)
+    val freshAppend =
+      if (fs.exists(mp))
+        appendRows.join(spark.read.parquet(memoryPath).select("session_id", "turn"),
+          Seq("session_id", "turn"), "left_anti")
+      else appendRows
+    freshAppend.write.mode("append").parquet(memoryPath)
     out
   }
+
+  /** One streaming micro-batch of chat turns: [[chatTurn]] landed at
+    * `outPath/batch=<id>/`. Shared by [[streamingChatRag]] and the
+    * registered twin (`st20`) so wrapper and oracle-checked body cannot
+    * drift.
+    */
+  def chatTurnBody(
+      spark: SparkSession,
+      batch: DataFrame,
+      memoryPath: String,
+      cachePath: String,
+      outPath: String,
+      batchId: Long,
+      minCos: Double,
+      answerMisses: DataFrame => DataFrame,
+      idOffset: Long = 1000000L): Unit = {
+    chatTurn(spark, batch, memoryPath, cachePath, minCos, answerMisses, idOffset)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    ()
+  }
+
+  /** The streaming chat loop — each micro-batch is one TURN per arriving
+    * session question, served through the cached loop with the memory
+    * table as conversational state. UNLIKE the stateless serving wrappers
+    * this one is LEDGERED (`memoryPath/_batches`, hidden from the memory
+    * read): the memory append is not naturally replay-convergent (a
+    * re-delivered turn re-appends under shifted turn numbers), so a
+    * completed batch must never re-run. The residual crash window (turn
+    * applied, marker unwritten) degrades the conversation LOG to
+    * at-least-once — a re-run whose first-delivery append landed records
+    * the re-served exchange again under fresh turn numbers (a crash
+    * before the append replays cleanly via the (session_id, turn)
+    * anti-join) — while the cache stays exactly-once (id-idempotent
+    * inserts) and the output dir re-derives self-healingly against the
+    * grown memory. Never a wrong or half-written turn.
+    */
+  def streamingChatRag(
+      questions: DataFrame,
+      memoryPath: String,
+      cachePath: String,
+      outPath: String,
+      checkpoint: String,
+      answerMisses: DataFrame => DataFrame,
+      minCos: Double = 0.95,
+      idOffset: Long = 1000000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    questions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Layout.ledgeredBatch(
+          batch.sparkSession, s"$memoryPath/_batches", batchId) {
+          chatTurnBody(batch.sparkSession, batch, memoryPath, cachePath,
+            outPath, batchId, minCos, answerMisses, idOffset)
+        }
+        ()
+      }
 }
 
 /** The LLM boundary (reference `ChatCompletion.create`, app.py:246-250).

@@ -534,6 +534,71 @@ class ServingSpec extends SparkSpec {
       "each turn appends its (question, answer) pair")
   }
 
+  test("streamingChatRag: turns accumulate memory across micro-batches, ledger blocks re-runs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_schat").toString
+    val (cache, mem, out) = (s"$tmp/cache", s"$tmp/mem", s"$tmp/out")
+    val v1 = Array(1.0f, 0.0f)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val stream = MemoryStream[(String, Long, String, Array[Float])]
+    val q = ChatRag.streamingChatRag(
+      stream.toDF().toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, out, s"$tmp/ckpt", answerMisses).start()
+    try {
+      stream.addData(("s1", 1L, "q one", v1)) // turn 0: miss, answered
+      q.processAllAvailable()
+      stream.addData(("s1", 5L, "q one", v1)) // turn 1: re-ask, hit at cost 0
+      q.processAllAvailable()
+      val disp = spark.read.parquet(out)
+        .select("batch", "session_id", "turn", "hit", "cost", "n_prompt_msgs")
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getLong(5))).toMap
+      assert(disp(0) == (0L, false, 0.5, 3L), s"turn 0 drifted: $disp")
+      assert(disp(1) == (2L, true, 0.0, 7L),
+        s"turn 1 must hit at cost 0 with the remembered prompt: $disp")
+      assert(spark.read.parquet(mem).count() == 4L,
+        "two turns append four memory rows")
+      // the ledger refuses a completed batch outright
+      assert(!graft.ops.Layout.ledgeredBatch(spark, s"$mem/_batches", 0L) {
+        fail("a ledgered batch must never re-run")
+      })
+    } finally q.stop()
+  }
+
+  test("streamingCachedRag with evictLru: the refreshed entry survives the cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrag_lru").toString
+    val (cache, out) = (s"$tmp/cache", s"$tmp/out")
+    val (v1, v2, v3) = (Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(0.6f, 0.8f))
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val stream = MemoryStream[(Long, String, Array[Float])]
+    val q = CachedRag.streamingCachedRag(
+      stream.toDF().toDF("query_id", "question", "query_vec"),
+      cache, out, s"$tmp/ckpt", answerMisses,
+      cacheMaxEntries = Some(2), evictLru = true).start()
+    try {
+      stream.addData(Seq((1L, "q one", v1), (2L, "q two", v2))) // both admit
+      q.processAllAvailable()
+      // batch 1: a NEW question (third entry) + a re-ask refreshing 1000001
+      stream.addData(Seq((3L, "q three", v3), (10L, "q one again", v1)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(cache).select("cache_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1000001L, 1000003L),
+        s"LRU must keep the refreshed entry (FIFO would keep 1000002): $kept")
+    } finally q.stop()
+  }
+
   test("intakeBatch job budget: one micro-batch stays within its scheduling budget") {
     // the round-11 hygiene note: intakeBatch fires several driver actions
     // per micro-batch (batch/store counts, checkpoints, the collision
