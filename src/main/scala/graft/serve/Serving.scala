@@ -450,6 +450,15 @@ object ChatRag {
     * Returns `(session_id, turn, query_id, question, answer, hit,
     * cache_id, cost, n_prompt_msgs)` — `turn` is the user turn number
     * this question was recorded under.
+    *
+    * `memoryWindow = Some((maxTurns, tokenBudget))` bounds the PROMPT's
+    * history through [[SessionMemory.windowedMemory]] (the c9 law:
+    * newest rows first, whole messages only, inside the token budget) —
+    * the production upgrade of the reference's unbounded
+    * ConversationBufferMemory replay (app.py:227), whose prompt grows
+    * without limit as a session ages. Only the prompt is windowed: turn
+    * NUMBERING and the append still ride the full log, so bounding the
+    * context never renumbers or loses conversation history.
     */
   def chatTurn(
       spark: SparkSession,
@@ -458,7 +467,8 @@ object ChatRag {
       cachePath: String,
       minCos: Double,
       answerMisses: DataFrame => DataFrame,
-      idOffset: Long = 1000000L): DataFrame = {
+      idOffset: Long = 1000000L,
+      memoryWindow: Option[(Int, Long)] = None): DataFrame = {
     import graft.ops.Ann.materializeOnce
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -472,8 +482,14 @@ object ChatRag {
         questions.select("query_id", "question", "query_vec"),
         cachePath, minCos, answerMisses, idOffset)
         .join(questions.select("session_id", "query_id"), Seq("query_id")))
+    val promptHistory = memoryWindow match {
+      case Some((maxTurns, tokenBudget)) =>
+        SessionMemory.windowedMemory(history, maxTurns, tokenBudget)
+          .select("session_id", "turn", "role", "content")
+      case None => history
+    }
     val prompts = PromptAssembly.messages(
-      history,
+      promptHistory,
       disp.select(col("session_id"), col("question"),
         coalesce(col("answer"), lit(Config.NoInfoFallback)).as("context")),
       faithful = true)
@@ -530,8 +546,10 @@ object ChatRag {
       batchId: Long,
       minCos: Double,
       answerMisses: DataFrame => DataFrame,
-      idOffset: Long = 1000000L): Unit = {
-    chatTurn(spark, batch, memoryPath, cachePath, minCos, answerMisses, idOffset)
+      idOffset: Long = 1000000L,
+      memoryWindow: Option[(Int, Long)] = None): Unit = {
+    chatTurn(spark, batch, memoryPath, cachePath, minCos, answerMisses,
+      idOffset, memoryWindow)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     ()
   }
@@ -559,14 +577,15 @@ object ChatRag {
       checkpoint: String,
       answerMisses: DataFrame => DataFrame,
       minCos: Double = 0.95,
-      idOffset: Long = 1000000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      idOffset: Long = 1000000L,
+      memoryWindow: Option[(Int, Long)] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Layout.ledgeredBatch(
           batch.sparkSession, s"$memoryPath/_batches", batchId) {
           chatTurnBody(batch.sparkSession, batch, memoryPath, cachePath,
-            outPath, batchId, minCos, answerMisses, idOffset)
+            outPath, batchId, minCos, answerMisses, idOffset, memoryWindow)
         }
         ()
       }

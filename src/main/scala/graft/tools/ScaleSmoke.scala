@@ -897,6 +897,37 @@ object ScaleSmoke {
         .agg(min(col("cache_id"))).head.getLong(0)
       assert(minKept == evictRows - cap,
         s"FIFO keep law: min kept id must be ${evictRows - cap}, got $minKept")
+
+      // 14c. LRU eviction at the same cap scale: the 3M-entry store from
+      // 14b plus a synthetic disposition history refreshing its OLDEST
+      // million (one batch dir — recency folds as one cache-bounded
+      // aggregate + a driver-sized histogram + an id cutoff within the
+      // single -1 band). Cap 2M keeps the refreshed million PLUS the
+      // youngest million of the never-served band — exactly the set FIFO
+      // would get wrong.
+      val lruDisp = java.nio.file.Files
+        .createTempDirectory("graft_scale_lru").toString + "/disp"
+      val lo = evictRows - cap // 14b's min kept id
+      val refreshedHi = lo + cap / 3
+      spark.range(lo, refreshedHi).select(
+        col("id").as("cache_id"), lit(true).as("hit"), lit(0.0).as("cost"))
+        .write.parquet(s"$lruDisp/batch=1")
+      val lruCap = (cap * 2 / 3).toInt
+      time("evict_lru_3m_to_2m", cap.toLong) {
+        val (b, a) = graft.serve.SemanticCache
+          .evictCacheLru(spark, evPath, lruDisp, lruCap)
+        assert(b == cap && a == lruCap, s"LRU evict law drifted: $b -> $a")
+        a
+      }
+      val keptLru = spark.read.parquet(evPath)
+      val nRefreshed = keptLru
+        .where(col("cache_id") >= lo && col("cache_id") < refreshedHi).count()
+      assert(nRefreshed == cap / 3,
+        s"every refreshed entry must survive the LRU cap: $nRefreshed")
+      val minBand = keptLru.where(col("cache_id") >= refreshedHi)
+        .agg(min(col("cache_id"))).head.getLong(0)
+      assert(minBand == evictRows - (lruCap - cap / 3),
+        s"the never-served band must keep its youngest ids FIFO: $minBand")
     }
 
     section("codegen_ab") {

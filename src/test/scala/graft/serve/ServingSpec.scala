@@ -534,6 +534,30 @@ class ServingSpec extends SparkSpec {
       "each turn appends its (question, answer) pair")
   }
 
+  test("chatTurn memoryWindow: the prompt is bounded by the c9 law, the log and turn numbers are not") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_win").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    val v1 = Array(1.0f, 0.0f)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    def ask(qid: Long, window: Option[(Int, Long)]) = ChatRag.chatTurn(spark,
+      Seq(("s1", qid, "q one", v1)).toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.95, answerMisses, memoryWindow = window)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    assert(ask(1L, None) == ((0L, 3L)))
+    assert(ask(2L, None) == ((2L, 7L)))
+    // turn 3 unwindowed would carry 4 remembered rows (3 + 2*4 = 11);
+    // the c9 window keeps the newest 2 rows -> 3 + 2*2 = 7. Turn
+    // numbering still rides the FULL log (turn 4, not a renumber).
+    assert(ask(3L, Some((2, 1000L))) == ((4L, 7L)),
+      "the window must bound the prompt without renumbering the conversation")
+    assert(spark.read.parquet(mem).count() == 6L,
+      "the log keeps every turn — only the prompt is windowed")
+  }
+
   test("streamingChatRag: turns accumulate memory across micro-batches, ledger blocks re-runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
