@@ -1472,6 +1472,26 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"))
         .orderBy("vec_id")
     }
+    reg("p22_hard_negatives") { (s, dir) =>
+      // DPR-style hard-negative mining (Karpukhin et al. 2020): per
+      // training query the 5 NEAREST corpus vectors excluding the
+      // query's own positive set (itself + a designated partner) — the
+      // near-boundary negatives a retriever trains on. Fetch depth
+      // k + maxPos makes the post-exclusion cut exact; DuckDB
+      // recomputes brute force with the same (dist, id) tie law
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val pos = qs.select(col("query_id"), col("query_id").as("doc_id"))
+        .unionByName(qs.select(col("query_id"),
+          (col("query_id") + 11).as("doc_id")))
+      graft.ops.TrainingData.hardNegatives(
+        qs, emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        pos, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }
     reg("p3_stratified_sample") { (s, dir) =>
       graft.ops.TrainingData.stratifiedSample(T(s, dir, "documents"), "lang", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
@@ -5477,6 +5497,28 @@ object SparkEntry {
     // determinism pin; the quota law is p3's, spec-verified independently
     "p21_cluster_sample" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/p21_cluster_sample_sf001.parquet')",
+    // p22: brute-force kNN minus the positive set, same (dist, id) tie law
+    "p22_hard_negatives" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |pos AS (SELECT query_id, query_id AS doc_id FROM qs
+        |  UNION ALL SELECT query_id, query_id + 11 FROM qs),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+        |  FROM embeddings e, qs q),
+        |negs AS (
+        |  SELECT s.query_id, s.doc_id, s.dist FROM scored s
+        |  LEFT JOIN pos p ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+        |  WHERE p.doc_id IS NULL),
+        |ranked AS (
+        |  SELECT query_id, doc_id, dist, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+        |  FROM negs)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(dist, 4) AS dist
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "p3_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

@@ -665,4 +665,56 @@ object TrainingData {
       .orderBy(col("score_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** DPR-style hard-negative mining (Karpukhin et al. 2020 §5.2): for
+    * each training query, the k nearest corpus items EXCLUDING its own
+    * positives — the near-boundary negatives that actually train a
+    * retriever (random negatives are trivially separable and teach
+    * little). Candidates fetch at depth k + the max positives any query
+    * carries (one driver-sized aggregate — training pairs are bounded
+    * per query by construction, and the bound is required loudly),
+    * positives drop by anti-join, and the dense re-rank cut at k is
+    * EXACT: no query can lose more than its own positive count from the
+    * fetched prefix. Ties break (dist asc, id asc) — the house kNN law.
+    *
+    * Scale: the fetch IS the batch-kNN heap ([[graft.search.Knn
+    * .topKBatch]] — broadcast queries, map-side partial top-k, the
+    * corpus never shuffles); the re-rank window sees only k + maxPos
+    * rows per query (WindowGroupLimit, no full sort). At corpus scales
+    * where exact scoring is off the table, swap the fetch for
+    * [[graft.ops.Ann.rpTopKBatch]] at the same depth — hard negatives
+    * tolerate approximate recall by definition (a missed near neighbor
+    * just yields the next-nearest negative).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      positives: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      idCol: String = "doc_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k > 0, "hardNegatives: k must be positive")
+    val maxPos = positives.groupBy(col(queryIdCol))
+      .count().agg(max(col("count"))).head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(maxPos <= 10000,
+      s"hardNegatives: $maxPos positives on one query — the fetch depth " +
+        "k + maxPos assumes bounded per-query positives")
+    val fetched = graft.search.Knn.topKBatch(
+      queries, corpus, k + maxPos.toInt, queryIdCol, queryVecCol, idCol, embCol)
+    val negs = fetched.join(
+      positives.select(col(queryIdCol),
+        col(idCol).cast("long").as(idCol)),
+      Seq(queryIdCol, idCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("rank"))
+    negs.withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select(col(queryIdCol), col("neg_rank").cast("long").as("rank"),
+        col(idCol), col("dist"))
+  }
 }

@@ -397,6 +397,20 @@ object CachedRag {
     * re-derive identical dispositions (given a deterministic
     * `answerMisses`) and overwrite its own output dir.
     */
+  /** `ledgered = true` is for a NON-deterministic `answerMisses` (a real
+    * LLM behind [[HttpAnswerer]]): the ledger-free convergence story
+    * assumes a re-delivered batch re-derives the SAME answers, which
+    * only a deterministic pipeline guarantees — with a live model, a
+    * replay would re-answer differently and overwrite its output dir
+    * with divergent dispositions (and pay the generation cost again).
+    * The ledger (`outPath/_batches` — inside the disposition root, which
+    * is never swap-rewritten, unlike the cache dir eviction replaces
+    * wholesale; underscore-hidden from the history's partitioned reads)
+    * makes a completed batch never re-run; the residual crash window
+    * re-answers once more and self-heals (the id-idempotent insert
+    * still admits only one entry per query id — the second answer wins
+    * nothing, it is simply not inserted).
+    */
   def streamingCachedRag(
       questions: DataFrame,
       cachePath: String,
@@ -406,12 +420,19 @@ object CachedRag {
       minCos: Double = 0.95,
       idOffset: Long = 1000000L,
       cacheMaxEntries: Option[Int] = None,
-      evictLru: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      evictLru: Boolean = false,
+      ledgered: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cachedRagBatchBody(batch.sparkSession, batch, cachePath, outPath,
-          batchId, minCos, answerMisses, idOffset, cacheMaxEntries, evictLru)
+        def body(): Unit =
+          cachedRagBatchBody(batch.sparkSession, batch, cachePath, outPath,
+            batchId, minCos, answerMisses, idOffset, cacheMaxEntries, evictLru)
+        if (ledgered)
+          graft.ops.Layout.ledgeredBatch(
+            batch.sparkSession, s"$outPath/_batches", batchId)(body())
+        else body()
+        ()
       }
 }
 
@@ -475,8 +496,17 @@ object ChatRag {
     def emptyMemory = questions.select(
       col("session_id"), lit(0L).as("turn"),
       lit("").as("role"), lit("").as("content")).limit(0)
+    // the batch's sessions are micro-batch-bounded by contract, so the
+    // history read pushes `session_id IN (...)` into the memory scan
+    // (the b11b discipline) — a memory table holds EVERY session ever
+    // served, and this turn needs only the arriving ones
+    val sessionIds = questions.select("session_id").distinct()
+      .collect().map(_.get(0)).toSeq
     val history = materializeOnce(
-      if (fs.exists(mp)) spark.read.parquet(memoryPath) else emptyMemory)
+      if (fs.exists(mp))
+        spark.read.parquet(memoryPath)
+          .where(col("session_id").isin(sessionIds: _*))
+      else emptyMemory)
     val disp = materializeOnce(
       CachedRag.cachedAnswerBatch(spark,
         questions.select("query_id", "question", "query_vec"),
@@ -939,12 +969,15 @@ object SemanticCache {
     * FIFO among themselves by minted id, which is also the tie law
     * within a batch.
     *
-    * Scale shape: recency is one cache-bounded aggregate over the
-    * disposition table; the distinct `batch` values are a driver-sized
-    * set (one per micro-batch ever served), so the keep-set is a
-    * last_use cutoff from a collected per-batch histogram plus an
-    * [[idCutoff]] WITHIN the single boundary band, applied as a
-    * filter + shuffle semi-join — no global sort, no driver keep-list.
+    * Scale shape: recency folds INCREMENTALLY through [[foldRecency]]
+    * (a cache-bounded `_recency/` sidecar + high-water markers, so a
+    * per-batch eviction reads only the batch dirs it has not yet
+    * folded — never the whole history, and folded dirs may be pruned);
+    * the distinct `last_use` values are a driver-sized set (one per
+    * micro-batch ever served), so the keep-set is a last_use cutoff
+    * from a collected per-batch histogram plus an [[idCutoff]] WITHIN
+    * the single boundary band, applied as a filter + shuffle semi-join
+    * — no global sort, no driver keep-list.
     * FIFO ([[evictCache]]) stays the default; this is the opt-in
     * upgrade. Returns (entries before, after).
     */
@@ -957,16 +990,7 @@ object SemanticCache {
     val stored = spark.read.parquet(cachePath)
     val before = stored.count()
     if (before <= maxEntries) return (before, before)
-    val dp = new org.apache.hadoop.fs.Path(dispositionsPath)
-    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
-    val lastUse =
-      if (fs.exists(dp))
-        spark.read.parquet(dispositionsPath)
-          .groupBy(col("cache_id").cast("long").as("cache_id"))
-          .agg(max(col("batch").cast("long")).as("last_use"))
-      else
-        stored.select(col("cache_id").cast("long").as("cache_id"),
-          lit(null).cast("long").as("last_use")).limit(0)
+    val lastUse = foldRecency(spark, dispositionsPath)
     val keyed = graft.ops.Ann.materializeOnce(
       stored.select(col("cache_id").cast("long").as("cache_id"))
         .join(lastUse, Seq("cache_id"), "left")
@@ -999,6 +1023,65 @@ object SemanticCache {
       stored.join(keepIds.select("cache_id"), Seq("cache_id"), "left_semi"))
     swapInto(spark, cachePath, kept)
     (before, maxEntries.toLong)
+  }
+
+  /** [[evictCacheLru]]'s incremental recency fold. The disposition
+    * history grows one `batch=<id>/` dir per micro-batch FOREVER, and a
+    * per-batch LRU eviction that re-scanned it all would be O(history)
+    * per batch — quadratic over a stream's life. Instead, (cache_id →
+    * max batch) folds into a cache-bounded `_recency/` sidecar INSIDE
+    * the dispositions dir (underscore-prefixed, so the history's own
+    * partitioned reads — [[cacheReport]] — never see it): each fold
+    * reads ONLY the batch dirs above the high-water marker, max-merges
+    * them into the state table, swaps it through the hidden staging
+    * discipline, then advances the marker (digit-named files, max
+    * wins). Max-merge is idempotent, so every crash window (state
+    * written / marker unwritten, or the reverse) re-folds harmlessly;
+    * pruning old batch dirs after they are folded is SAFE — their
+    * recency lives on in the state. Single-writer, like the eviction
+    * that calls it. Returns the (cache_id, last_use) table,
+    * checkpointed when it folded fresh dirs.
+    */
+  private[graft] def foldRecency(
+      spark: SparkSession, dispositionsPath: String): DataFrame = {
+    val dp = new org.apache.hadoop.fs.Path(dispositionsPath)
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    def empty = spark.range(0)
+      .select(col("id").as("cache_id"), col("id").as("last_use"))
+    if (!fs.exists(dp)) return empty
+    val recDir = new org.apache.hadoop.fs.Path(dp, "_recency")
+    val statePath = new org.apache.hadoop.fs.Path(recDir, "state").toString
+    val marks =
+      if (!fs.exists(recDir)) Seq.empty[Long]
+      else fs.listStatus(recDir).toSeq.filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    val water = if (marks.isEmpty) Long.MinValue else marks.max
+    val base =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+        spark.read.parquet(statePath)
+      else empty
+    val batchNs = fs.listStatus(dp).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=")).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted
+    val newNs = batchNs.filter(_ > water)
+    if (newNs.isEmpty) return base
+    val fresh = newNs.map { n =>
+      spark.read.parquet(s"$dispositionsPath/batch=$n")
+        .select(col("cache_id").cast("long").as("cache_id"),
+          lit(n).as("last_use"))
+    }.reduce(_ unionByName _)
+    val merged = graft.ops.Ann.materializeOnce(
+      base.unionByName(fresh)
+        .groupBy("cache_id").agg(max(col("last_use")).as("last_use")))
+    val staging = graft.ops.Layout.compactStaging(fs, statePath)
+    merged.write.mode("overwrite").parquet(staging)
+    graft.ops.Layout.swapDir(fs, statePath, staging)
+    fs.mkdirs(recDir)
+    fs.create(new org.apache.hadoop.fs.Path(recDir, newNs.max.toString)).close()
+    marks.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(recDir, m.toString), false))
+    merged
   }
 
   /** Cache OBSERVABILITY over the landed dispositions — the serving-tier

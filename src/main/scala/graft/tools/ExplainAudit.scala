@@ -187,6 +187,13 @@ object ExplainAudit {
         (p => p.contains("centroid_id")),
       "no shuffled cartesian in the composed IVFPQ path" ->
         (p => !p.contains("CartesianProduct")))
+    audit("p22_hard_negatives")(
+      "candidate fetch is the partial top-k heap (corpus never shuffles wholesale)" ->
+        (p => p.contains("partial_topk_by_dist")),
+      "queries broadcast into the scored scan" ->
+        (p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      "the dense re-rank runs as a group-limited window over the bounded prefix" ->
+        (p => p.contains("WindowGroupLimit")))
     audit("p4_source_mixture")(
       "quota table is the broadcast side" ->
         (p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),

@@ -437,4 +437,28 @@ class TrainingDataSpec extends SparkSpec {
     // a 5-token budget still admits the first doc (exclusive prefix 0 < 5)
     assert(a.where(col("source") === "src2").count() == 1)
   }
+
+  test("hardNegatives: positives excluded exactly, ranks dense, no-positive queries get plain top-k") {
+    // vectors on a line: distance order from query q is |i - q|
+    val emb = spark.range(10).select(
+      col("id").as("doc_id"),
+      array(col("id").cast("float"), lit(0.0f)).as("embedding"))
+    val qs = Seq((100L, Array(0.0f, 0.0f)), (200L, Array(9.0f, 0.0f)))
+      .toDF("query_id", "query_vec")
+    // query 100's positives CROWD its top (docs 0 and 1 are ranks 1-2);
+    // query 200 has none
+    val pos = Seq((100L, 0L), (100L, 1L)).toDF("query_id", "doc_id")
+    val got = TrainingData.hardNegatives(qs, emb, pos, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (100L, 1L, 2L), (100L, 2L, 3L), (100L, 3L, 4L), // raw ranks 3-5, re-ranked dense
+      (200L, 1L, 9L), (200L, 2L, 8L), (200L, 3L, 7L)), // plain top-k, nothing excluded
+      s"hard-negative law drifted: $got")
+    // the fetch-depth guard: a query whose positives are unbounded refuses
+    val wide = spark.range(20000).select(lit(1L).as("query_id"), col("id").as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.hardNegatives(qs, emb, wide, k = 3)
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
 }

@@ -534,6 +534,35 @@ class ServingSpec extends SparkSpec {
       "each turn appends its (question, answer) pair")
   }
 
+  test("LRU recency fold is incremental: folded history survives pruned batch dirs") {
+    // the sidecar law: once a batch dir is folded into _recency/state,
+    // the dir itself may be PRUNED — recency lives on. Without the
+    // sidecar the second eviction below would see no history at all and
+    // FIFO would keep the wrong entry.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ci_lruinc").toString
+    val (cache, disp) = (s"$tmp/cache", s"$tmp/disp")
+    (1L to 3L).map(i => (i, Array(i.toFloat, 1.0f), s"ans $i"))
+      .toDF("cache_id", "embedding", "answer").write.parquet(cache)
+    Seq((1L, true, 1L)).toDF("cache_id", "hit", "batch")
+      .write.partitionBy("batch").parquet(disp)
+    assert(SemanticCache.evictCacheLru(spark, cache, disp, maxEntries = 2) == ((3L, 2L)))
+    val fs = new org.apache.hadoop.fs.Path(disp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$disp/_recency/state")),
+      "the fold must land the recency sidecar")
+    // prune the folded dir; evict again — entry 1's refresh must be
+    // remembered from the sidecar, so it beats the younger never-used 3
+    fs.delete(new org.apache.hadoop.fs.Path(s"$disp/batch=1"), true)
+    assert(SemanticCache.evictCacheLru(spark, cache, disp, maxEntries = 1) == ((2L, 1L)))
+    val kept = spark.read.parquet(cache).select("cache_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L),
+      s"recency must survive pruning via the sidecar (FIFO would keep 3): $kept")
+    // idempotent re-fold: a marker at the water line folds nothing new
+    assert(SemanticCache.foldRecency(spark, disp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
+  }
+
   test("chatTurn memoryWindow: the prompt is bounded by the c9 law, the log and turn numbers are not") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_chat_win").toString
@@ -620,6 +649,41 @@ class ServingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(kept == Set(1000001L, 1000003L),
         s"LRU must keep the refreshed entry (FIFO would keep 1000002): $kept")
+    } finally q.stop()
+  }
+
+  test("streamingCachedRag ledgered mode: a completed batch never re-runs a live answerer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrag_led").toString
+    val (cache, out) = (s"$tmp/cache", s"$tmp/out")
+    // a NON-deterministic answerer (the live-LLM stand-in): each pipeline
+    // construction stamps a fresh generation counter into the answer
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => {
+        val n = calls.incrementAndGet()
+        missQ.select(col("query_id"), col("question"),
+          concat(lit(s"gen $n: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      }
+    val stream = MemoryStream[(Long, String, Array[Float])]
+    val q = CachedRag.streamingCachedRag(
+      stream.toDF().toDF("query_id", "question", "query_vec"),
+      cache, out, s"$tmp/ckpt", answerMisses, ledgered = true).start()
+    try {
+      stream.addData((1L, "q one", Array(1.0f, 0.0f)))
+      q.processAllAvailable()
+      val ans = spark.read.parquet(s"$out/batch=0").select("answer")
+        .head.getString(0)
+      assert(ans == "gen 1: q one", s"first delivery answers live: $ans")
+      // a re-delivered batch id must refuse outright — with a live model,
+      // re-running would produce "gen 2" answers and divergent output
+      assert(!graft.ops.Layout.ledgeredBatch(spark, s"$out/_batches", 0L) {
+        fail("a ledgered serving batch must never re-run")
+      })
+      assert(spark.read.parquet(cache).count() == 1)
     } finally q.stop()
   }
 
