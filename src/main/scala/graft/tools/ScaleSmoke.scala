@@ -928,6 +928,40 @@ object ScaleSmoke {
         .agg(min(col("cache_id"))).head.getLong(0)
       assert(minBand == evictRows - (lruCap - cap / 3),
         s"the never-served band must keep its youngest ids FIFO: $minBand")
+
+      // 14d. one chat TURN against session-scale conversational state: a
+      // 2M-session memory table (8M rows — every session two remembered
+      // turns) served a 1k-session batch. The turn's memory read pushes
+      // the arriving ids into the scan (the round-12 chatTurn fix — the
+      // pre-fix shape scanned and checkpointed ALL sessions' history
+      // every turn), so the turn costs the BATCH, not the state. Every
+      // prompt must carry its session's 4 remembered rows (3 + 2·4 = 11).
+      val nSessions = n(2000000L)
+      val chatRoot = java.nio.file.Files
+        .createTempDirectory("graft_scale_chat").toString
+      spark.range(nSessions).select(
+        concat(lit("s"), col("id")).as("session_id"),
+        explode(sequence(lit(0L), lit(3L))).as("turn"))
+        .select(col("session_id"), col("turn"),
+          when(pmod(col("turn"), lit(2)) === 0, "user").otherwise("assistant").as("role"),
+          concat(lit("remembered message "), col("turn")).as("content"))
+        .write.parquet(s"$chatRoot/memory")
+      val chatBatch = spark.range(1000).select(
+        concat(lit("s"), col("id") * (nSessions / 1000)).as("session_id"),
+        (col("id") + 50000000L).as("query_id"),
+        concat(lit("chat question "), col("id")).as("question"),
+        randVec(col("id") + 999000000L, 77L).as("query_vec"))
+        .localCheckpoint(true)
+      var turn: DataFrame = null
+      time("chat_turn_1k_x_2m_sessions", 1000L) {
+        turn = graft.serve.ChatRag.chatTurn(spark, chatBatch,
+          s"$chatRoot/memory", s"$chatRoot/cache", minCos = 0.999,
+          answerMisses).localCheckpoint(true)
+        turn.count()
+      }
+      val okPrompts = turn.where(col("n_prompt_msgs") === 11 && col("turn") === 4).count()
+      assert(okPrompts == 1000L,
+        s"every prompt must carry its session's remembered rows: $okPrompts of 1000")
     }
 
     section("codegen_ab") {
