@@ -681,10 +681,13 @@ object TrainingData {
     * .topKBatch]] — broadcast queries, map-side partial top-k, the
     * corpus never shuffles); the re-rank window sees only k + maxPos
     * rows per query (WindowGroupLimit, no full sort). At corpus scales
-    * where exact scoring is off the table, swap the fetch for
-    * [[graft.ops.Ann.rpTopKBatch]] at the same depth — hard negatives
-    * tolerate approximate recall by definition (a missed near neighbor
-    * just yields the next-nearest negative).
+    * where exact scoring is off the table, `approx = true` routes the
+    * fetch through [[graft.ops.Ann.rpTopKBatch]] at the same depth
+    * (band-bucketed candidates, exact distances on the shortlist, same
+    * (dist, id) tie law) — hard negatives tolerate approximate recall
+    * by definition (a missed near neighbor just yields the
+    * next-nearest negative; exclusion of positives stays EXACT either
+    * way, so an approximate fetch can never leak a positive in).
     */
   def hardNegatives(
       queries: DataFrame,
@@ -694,7 +697,11 @@ object TrainingData {
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
       idCol: String = "doc_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      approx: Boolean = false,
+      nTables: Int = 12,
+      nProjs: Int = 3,
+      width: Double = 0.5): DataFrame = {
     require(k > 0, "hardNegatives: k must be positive")
     val maxPos = positives.groupBy(col(queryIdCol))
       .count().agg(max(col("count"))).head match {
@@ -704,8 +711,14 @@ object TrainingData {
     require(maxPos <= 10000,
       s"hardNegatives: $maxPos positives on one query — the fetch depth " +
         "k + maxPos assumes bounded per-query positives")
-    val fetched = graft.search.Knn.topKBatch(
-      queries, corpus, k + maxPos.toInt, queryIdCol, queryVecCol, idCol, embCol)
+    val fetched =
+      if (approx)
+        graft.ops.Ann.rpTopKBatch(queries, corpus, k + maxPos.toInt,
+          nTables, nProjs, width,
+          queryIdCol = queryIdCol, queryVecCol = queryVecCol,
+          idCol = idCol, vecCol = embCol)
+      else graft.search.Knn.topKBatch(
+        queries, corpus, k + maxPos.toInt, queryIdCol, queryVecCol, idCol, embCol)
     val negs = fetched.join(
       positives.select(col(queryIdCol),
         col(idCol).cast("long").as(idCol)),

@@ -396,6 +396,18 @@ object Drive {
         .select("cache_id").head.getLong(0)
       println(s"LRU evicted $lb -> $la: survivor $survivor " +
         "(the REFRESHED entry; FIFO would have kept 1000007)")
+
+      // round 12: DPR hard-negative mining — per query the nearest
+      // corpus vectors EXCLUDING its positives (itself here)
+      println("== round-12: hard-negative mining (top-3 excluding self) ==")
+      graft.ops.TrainingData.hardNegatives(
+        emb.where(col("vec_id").isin(3, 7))
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        emb.where(col("vec_id").isin(3, 7))
+          .select(col("vec_id").as("query_id"), col("vec_id").as("doc_id")),
+        k = 3)
+        .orderBy("query_id", "rank").show(6, false)
     }
 
     spark.stop()

@@ -460,5 +460,14 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.hardNegatives(qs, emb, wide, k = 3)
     }
     assert(e.getMessage.contains("bounded"))
+    // the banded route: a width generous enough that every point shares
+    // band keys makes the candidate set total — the approx fetch must
+    // then equal the exact route bit for bit (and positives can never
+    // leak in on EITHER route, the anti-join is downstream of the fetch)
+    val approx = TrainingData.hardNegatives(qs, emb, pos, k = 3,
+      approx = true, width = 20.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(approx == got,
+      s"total-candidate banding must reproduce the exact route: $approx")
   }
 }
