@@ -310,9 +310,12 @@ object CachedRag {
     // exact broadcast scan was measured at 709 s/OOM past ~1e8
     // batch × cache pairs. Dispositions are value-equal for exact
     // re-asks (identical band keys collide in every table), so the
-    // registered ep5/st19 oracles hold on either route.
+    // registered ep5/st19 oracles hold on either route. The router
+    // counts VISIBLE (store minus own minted ids) so a crash-replay —
+    // whose first delivery's insertions sit in the raw store — computes
+    // the same product and takes the same route as the first delivery.
     val disp = materializeOnce(SemanticCache.routeLookup(batch, visible, minCos,
-      maxExactProduct = maxExactProduct, storeCount = Some(stored0.count())))
+      maxExactProduct = maxExactProduct))
     val missQ = materializeOnce(
       disp.where(!col("hit")).select("query_id").join(batch, Seq("query_id")))
     val missRows =
@@ -502,6 +505,14 @@ object ChatRag {
     // served, and this turn needs only the arriving ones
     val sessionIds = questions.select("session_id").distinct()
       .collect().map(_.get(0)).toSeq
+    // the one-question-per-session-per-turn contract fails LOUDLY (the
+    // house require stance): a violating batch would mint the same turn
+    // number for both questions and silently corrupt the log's
+    // role-alternation — every other contract in this tier refuses
+    val nQuestions = questions.count()
+    require(sessionIds.length.toLong == nQuestions,
+      s"chatTurn: one question per session per turn — got " +
+        s"$nQuestions questions over ${sessionIds.length} sessions")
     val history = materializeOnce(
       if (fs.exists(mp))
         spark.read.parquet(memoryPath)
@@ -534,16 +545,19 @@ object ChatRag {
         .select(col("session_id"), col("turn"), col("query_id"),
           col("question"), col("answer"), col("hit"), col("cache_id"),
           col("cost"), col("n_prompt_msgs")))
-    // the C4 append, AFTER every output above is checkpointed.
+    // the C4 append, AFTER every output above is checkpointed. The
+    // append lands as ONE file (the rows are 2 × a micro-batch-bounded
+    // session count), so its job commit is a single rename — the batch's
+    // memory rows are all-or-nothing, never a half-written turn whose
+    // dangling user row would shift the next replay's numbering.
     // Guarded on (session_id, turn): a replay whose history is UNCHANGED
-    // (crash after the output write, before or during the append)
-    // re-mints the same turn numbers and the anti-join skips whatever
-    // already committed — memory is session-sized, so the fresh re-read
-    // is cheap. A replay whose first-delivery append DID land re-derives
-    // as a NEW turn (history max moved): the log records the re-served
-    // exchange again under fresh turn numbers — at-least-once on the
-    // conversation log inside that one crash window, never a wrong or
-    // half-written turn; the cache stays exactly-once (id-idempotent).
+    // (the append never landed) re-mints the same turn numbers and the
+    // anti-join — pruned to this batch's sessions, like the history read
+    // — skips nothing and appends cleanly; a replay whose append DID
+    // land re-derives as a NEW turn (history max moved): the log records
+    // the re-served exchange again under fresh turn numbers —
+    // at-least-once on the conversation log inside that one crash
+    // window; the cache stays exactly-once (id-idempotent).
     // [[streamingChatRag]]'s ledger makes the normal path exactly-once.
     val appendRows = out.select(col("session_id"),
         explode(array(
@@ -555,10 +569,13 @@ object ChatRag {
         col("__m.role").as("role"), col("__m.content").as("content"))
     val freshAppend =
       if (fs.exists(mp))
-        appendRows.join(spark.read.parquet(memoryPath).select("session_id", "turn"),
+        appendRows.join(
+          spark.read.parquet(memoryPath)
+            .where(col("session_id").isin(sessionIds: _*))
+            .select("session_id", "turn"),
           Seq("session_id", "turn"), "left_anti")
       else appendRows
-    freshAppend.write.mode("append").parquet(memoryPath)
+    freshAppend.coalesce(1).write.mode("append").parquet(memoryPath)
     out
   }
 
@@ -808,7 +825,7 @@ object SemanticCache {
     val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
     val looked = materializeOnce(
       routeLookup(batch, visible, minCos, queryIdCol, queryVecCol,
-        maxExactProduct, storeCount = Some(stored.count()))
+        maxExactProduct)
         .join(batch.select((col(queryIdCol).as("query_id") +:
           col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")))
     // within-batch resolve over the misses (step 2). Pair generation is
@@ -1035,10 +1052,14 @@ object SemanticCache {
     * reads ONLY the batch dirs above the high-water marker, max-merges
     * them into the state table, swaps it through the hidden staging
     * discipline, then advances the marker (digit-named files, max
-    * wins). Max-merge is idempotent, so every crash window (state
-    * written / marker unwritten, or the reverse) re-folds harmlessly;
-    * pruning old batch dirs after they are folded is SAFE — their
-    * recency lives on in the state. Single-writer, like the eviction
+    * wins). Max-merge is idempotent, so the ordinary crash windows
+    * (state written / marker unwritten) re-fold harmlessly, and the
+    * rename window INSIDE the state swap is detected — markers without
+    * a state table reset the water mark so every dir still on disk
+    * refolds. Pruning a batch dir after a successful fold is safe (its
+    * recency lives on in the state); prune concurrently with a fold and
+    * a swap-window crash can degrade the pruned dirs' entries to the
+    * never-used default — degrade, not corrupt. Single-writer, like the eviction
     * that calls it. Returns the (cache_id, last_use) table,
     * checkpointed when it folded fresh dirs.
     */
@@ -1055,11 +1076,17 @@ object SemanticCache {
       if (!fs.exists(recDir)) Seq.empty[Long]
       else fs.listStatus(recDir).toSeq.filter(_.isFile).map(_.getPath.getName)
         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-    val water = if (marks.isEmpty) Long.MinValue else marks.max
-    val base =
-      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-        spark.read.parquet(statePath)
-      else empty
+    val stateExists = fs.exists(new org.apache.hadoop.fs.Path(statePath))
+    // markers WITHOUT a state table = a crash inside the state swap's
+    // rename window destroyed the fold — trusting the water mark then
+    // would silently age every previously-folded entry to -1 (inverting
+    // LRU for exactly the hot set). Reset the water so every batch dir
+    // still on disk refolds; only dirs pruned BEFORE such a crash lose
+    // their recency (they degrade to the never-used default — prune
+    // after a successful fold, not concurrently with one).
+    val water =
+      if (marks.isEmpty || !stateExists) Long.MinValue else marks.max
+    val base = if (stateExists) spark.read.parquet(statePath) else empty
     val batchNs = fs.listStatus(dp).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=")).filter(n => n.nonEmpty && n.forall(_.isDigit))
@@ -1170,8 +1197,8 @@ object SemanticCache {
     * approximate EXCEPT cos-1 re-asked questions, whose identical band
     * keys always collide; a banding-missed near-hit re-answers and
     * re-inserts — never serves a wrong entry). Both counts are cheap
-    * (the batch is micro-batch bounded, a parquet store count is a
-    * metadata sum) and caller-supplied when already known.
+    * (the batch is micro-batch bounded; the visible count reads one
+    * column) and caller-supplied when already known.
     *
     * The banded route runs DEEPER AND-amplification than
     * [[lookupBanded]]'s serving default (8 tables × 6 projs vs 12 × 3):
@@ -1186,7 +1213,13 @@ object SemanticCache {
     * (round-11 verdict #1: the composed serving loop was pinned to the
     * exact broadcast path and would have paid the measured 709 s/OOM
     * wall at exactly the banded-scale caches [[lookupBanded]] exists
-    * for).
+    * for). The default store count is VISIBLE's — one cache_id-column
+    * scan through the own-id anti-join — not the raw store's metadata
+    * count, deliberately: a crash-replayed batch finds its own first
+    * delivery's insertions in the raw store, and counting them could
+    * flip the route across the exact/banded boundary and re-derive
+    * near-hit dispositions differently; the visible count is identical
+    * on first delivery and replay by construction.
     */
   private[graft] def routeLookup(
       batch: DataFrame,

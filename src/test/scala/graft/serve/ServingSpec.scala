@@ -563,6 +563,40 @@ class ServingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
   }
 
+  test("foldRecency: markers without a state table reset the water (swap-crash recovery)") {
+    // a crash inside the state swap's rename window leaves the markers
+    // but no state — trusting the water mark then would age every
+    // previously-folded entry to -1 (inverting LRU for the hot set);
+    // the fold must instead refold every dir still on disk
+    val disp = java.nio.file.Files.createTempDirectory("graft_foldrec").toString + "/disp"
+    Seq((5L, true, 2L)).toDF("cache_id", "hit", "batch")
+      .write.partitionBy("batch").parquet(disp)
+    def fold() = SemanticCache.foldRecency(spark, disp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold() == Map(5L -> 2L))
+    val fs = new org.apache.hadoop.fs.Path(disp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$disp/_recency/state"), true)
+    assert(fold() == Map(5L -> 2L),
+      "a lost state table must refold the on-disk dirs, not trust the stale water")
+  }
+
+  test("chatTurn refuses two questions for one session in a single turn") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_2q").toString
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        col("question").as("answer"), lit(0.5).as("cost"))
+    val e = intercept[IllegalArgumentException] {
+      ChatRag.chatTurn(spark,
+        Seq(("s1", 1L, "q one", Array(1.0f, 0.0f)),
+          ("s1", 2L, "q two", Array(0.0f, 1.0f)))
+          .toDF("session_id", "query_id", "question", "query_vec"),
+        s"$tmp/mem", s"$tmp/cache", minCos = 0.95, answerMisses)
+    }
+    assert(e.getMessage.contains("one question per session"),
+      s"the contract must refuse loudly: ${e.getMessage}")
+  }
+
   test("chatTurn memoryWindow: the prompt is bounded by the c9 law, the log and turn numbers are not") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_chat_win").toString
@@ -714,9 +748,11 @@ class ServingSpec extends SparkSpec {
       Thread.sleep(1500) // listener bus is async; drain before reading
       val n = jobs.get()
       info(s"intakeBatch micro-batch issued $n jobs")
-      // measured 27 after folding the collision check into one collect
-      // (the pre-fold shape was 30); +1 headroom for scheduler jitter
-      assert(n <= 28, s"intake job budget blown: $n jobs for one micro-batch")
+      // measured 28: the collision check folded into one collect took the
+      // pre-fold 30 to 27, then replay-stable routing (count VISIBLE, not
+      // the raw store — a deliberate +1-job trade for route stability
+      // under crash replay) brought it to 28; +1 headroom for jitter
+      assert(n <= 29, s"intake job budget blown: $n jobs for one micro-batch")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
