@@ -5,7 +5,7 @@ import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.{ImageIoDecoder, Multimodal, SyntheticImages}
 import graft.ops.{Ann, Dedup, Hnsw, Layout, Pq, Relational, Skew, Sq, StreamingOps, TextAnalytics}
-import graft.search.Knn
+import graft.search.{Knn, Mmr}
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -355,6 +355,26 @@ object SparkEntry {
                 substring(col("paragraph"), 1, 10).as("t")))),
               x => x.getField("t")), "|").as("preview"))
         .orderBy("section")
+    }
+    reg("q11_mmr_rerank") { (s, dir) =>
+      // diversity-aware top-k (LangChain max_marginal_relevance_search,
+      // the sibling API of the reference's similarity_search): exact
+      // L2 fetch of 8 candidates per query, then the greedy cosine MMR
+      // selection — fully recomputed (unrolled) by the DuckDB oracle.
+      // Queries are REVERSED corpus embeddings: an exact permutation
+      // (bit-identical in both engines, no float arithmetic) that is not
+      // colinear with any stored vector — a corpus-member query makes
+      // every stage-2 score an exact-zero tie (rel ≡ sim-to-first-pick)
+      // and would reduce the oracle to the tie law
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"),
+          reverse(col("embedding")).as("query_vec"))
+      Mmr.mmrTopKBatch(qs, emb, k = 3, fetchK = 8, lambdaMult = 0.5,
+        idCol = "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("query_id", "rank")
     }
 
     // ---- pipeline transforms (T1-T7)
@@ -4449,6 +4469,77 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // q11: the WHOLE greedy MMR selection recomputed in SQL — candidates
+    // by (L2 asc, id asc), relevance/diversity cosines via the same
+    // left-to-right list_sum folds as q1b/q2b, the k=3 greedy unrolled as
+    // three argmax stages (score desc, id asc — the Spark tie law)
+    "q11_mmr_rerank" ->
+      """WITH qs AS (SELECT vec_id AS query_id, list_reverse(embedding) AS qv
+        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |cand0 AS (
+        |  SELECT q.query_id, e.vec_id, e.embedding,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS rel
+        |  FROM embeddings e, qs q),
+        |cand AS (
+        |  SELECT query_id, vec_id, embedding, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS rn FROM cand0) WHERE rn <= 8),
+        |sims AS (
+        |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        |s1 AS (
+        |  SELECT query_id, vec_id, rel, 0.5 * rel AS score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT c.query_id, c.vec_id, c.rel,
+        |    0.5 * c.rel - 0.5 * x1.sim AS score
+        |  FROM cand c
+        |  JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+        |  JOIN sims x1 ON x1.query_id = c.query_id
+        |    AND x1.va = c.vec_id AND x1.vb = s1.vec_id),
+        |s2 AS (
+        |  SELECT query_id, vec_id, rel, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM m2) WHERE rn = 1),
+        |m3 AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    0.5 * c.rel - 0.5 * greatest(x1.sim, x2.sim) AS score
+        |  FROM cand c
+        |  JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+        |  JOIN s2 ON c.query_id = s2.query_id AND c.vec_id <> s2.vec_id
+        |  JOIN sims x1 ON x1.query_id = c.query_id
+        |    AND x1.va = c.vec_id AND x1.vb = s1.vec_id
+        |  JOIN sims x2 ON x2.query_id = c.query_id
+        |    AND x2.va = c.vec_id AND x2.vb = s2.vec_id),
+        |s3 AS (
+        |  SELECT query_id, vec_id, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id,
+        |       round(score, 6) AS mmr_score FROM s1
+        |UNION ALL
+        |SELECT query_id, CAST(2 AS BIGINT) AS rank, vec_id,
+        |       round(score, 6) AS mmr_score FROM s2
+        |UNION ALL
+        |SELECT query_id, CAST(3 AS BIGINT) AS rank, vec_id,
+        |       round(score, 6) AS mmr_score FROM s3
+        |ORDER BY query_id, rank""".stripMargin,
     "q2b_knn_hof_cosine" ->
       s"""WITH q AS $QvSql,
          |scored AS (

@@ -408,6 +408,18 @@ object Drive {
           .select(col("vec_id").as("query_id"), col("vec_id").as("doc_id")),
         k = 3)
         .orderBy("query_id", "rank").show(6, false)
+
+      // round 12: MMR diversity re-rank (the LangChain
+      // max_marginal_relevance_search shape) — reversed-embedding
+      // queries (a corpus-member query degenerates every stage-2 score
+      // to an exact-zero tie), k=3 of 8 fetched, lambda 0.5
+      println("== round-12: MMR diversity re-rank (k=3, fetchK=8) ==")
+      graft.search.Mmr.mmrTopKBatch(
+        emb.where(col("vec_id").isin(3, 7))
+          .select(col("vec_id").as("query_id"),
+            reverse(col("embedding")).as("query_vec")),
+        emb, k = 3, fetchK = 8, idCol = "vec_id")
+        .orderBy("query_id", "rank").show(6, false)
     }
 
     spark.stop()

@@ -67,6 +67,13 @@ object ExplainAudit {
       "broadcast queries side" -> (p => p.contains("BroadcastNestedLoopJoin")
         || p.contains("BroadcastExchange")),
       "partial top-k aggregate" -> (p => p.contains("partial_topk_by_dist")))
+    audit("q11_mmr_rerank")(
+      "candidate fetch via the bounded-heap aggregate (no window sort)" ->
+        (p => p.contains("partial_topk_by_dist")),
+      "greedy stage is MapGroups (one query-keyed group pass)" ->
+        (p => p.contains("MapGroups")),
+      "no Window stage anywhere in the composed plan" ->
+        (p => !p.contains("Window")))
     audit("r2_shipping_priority")(
       "customer broadcast, not shuffled" -> (p => p.contains("BroadcastHashJoin")),
       "segment filter pushed" -> (p => p.contains("EqualTo(c_mktsegment,BUILDING)")))
