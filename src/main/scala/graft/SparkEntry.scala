@@ -5,7 +5,7 @@ import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.{ImageIoDecoder, Multimodal, SyntheticImages}
 import graft.ops.{Ann, Dedup, Hnsw, Layout, Pq, Relational, Skew, Sq, StreamingOps, TextAnalytics}
-import graft.search.{Knn, Mmr}
+import graft.search.{Eval, Knn, Mmr}
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2076,6 +2076,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    reg("a15_ann_recall") { (s, dir) =>
+      // the approximate-route MEASUREMENT loop: recall@k / MRR / nDCG of
+      // the RP-banded probe against exact brute force over the same
+      // queries, through the b3 evaluator — "measure, don't guess" as a
+      // first-class operator composition (the AnnSpec recall floors are
+      // test-side; this is the production-side audit a 100 TB serving
+      // stack runs per index build). Reversed-embedding queries so the
+      // probe is not a self-lookup; golden-pinned (the RP bands are
+      // seeded — the same reason a6 pins), core-count swept
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"),
+          reverse(col("embedding")).as("query_vec"))
+      val truth = Knn.topKBatch(qs, emb, 10, idCol = "vec_id")
+        .select(col("query_id"), col("vec_id"), lit(1L).as("rel"))
+      val approx = Ann.rpTopKBatch(qs, emb, 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      Eval.evaluate(approx, truth, k = 10)
+        .select(col("query_id"), col("hits_rel"), col("truth_total"),
+          col("recall"), col("first_rel_rank"), col("rr"), col("ndcg"))
+        .orderBy("query_id")
+    }
     reg("t8_index_mor") { (s, dir) =>
       // merge-on-read index maintenance: the resolution law (a row is dead
       // iff its doc holds a tombstone with tomb_epoch >= the row's epoch,
@@ -4416,6 +4438,10 @@ object SparkEntry {
     "a13b_hnsw_merged" -> bruteForceKnnOracle(5),
     "a14_hnsw_routed" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a14_hnsw_routed_sf001.parquet')",
+    // a15: seeded RP bands (the a6 pin rationale); the evaluator itself is
+    // fully oracled by b3 — this pin freezes the measured recall numbers
+    "a15_ann_recall" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a15_ann_recall_sf001.parquet')",
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->
