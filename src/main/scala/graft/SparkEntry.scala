@@ -474,6 +474,27 @@ object SparkEntry {
         d.where(col("lang") === "en"), d.where(col("lang") === "es"))
         .select("doc_id", "lang").orderBy("doc_id")
     }
+    reg("s9_warc_ingest") { (s, dir) =>
+      // the web-scale front door (Common Crawl's container): documents
+      // serialize into 4 gzip-per-record WARC blobs (the write arm), the
+      // parser streams them back (the read arm), the response-text
+      // decode repairs rather than throws — the oracle recomputes the
+      // roundtrip identity from the documents table
+      import graft.ingest.Warc
+      val docs = T(s, dir, "documents")
+      val recs = docs.select(
+        (col("doc_id") % 4).cast("long").as("shard"),
+        concat(lit("http://corpus.local/doc/"), col("doc_id")).as("uri"),
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("rid"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val blobs = Warc.toWarcBlobs(recs, "shard", "uri", "rid", "payload")
+      Warc.responseText(Warc.parseBlobs(blobs, "content"))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("n_bytes"), col("text"))
+        .orderBy("doc_id")
+    }
     reg("s1_raw_ingest") { (s, dir) =>
       // EP1 front door from genuine files on disk (app.py:191-205): fixture
       // rows are materialized as .html/.xml/.csv files in a temp dir, then
@@ -4721,6 +4742,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, lang FROM documents WHERE lang = 'es')
         |ORDER BY doc_id""".stripMargin,
+    "s9_warc_ingest" ->
+      """SELECT doc_id,
+        |  'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s1_raw_ingest" ->
       """WITH markup AS (
         |  SELECT printf('doc_%04d.', doc_id)

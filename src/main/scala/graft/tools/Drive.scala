@@ -420,6 +420,22 @@ object Drive {
             reverse(col("embedding")).as("query_vec")),
         emb, k = 3, fetchK = 8, idCol = "vec_id")
         .orderBy("query_id", "rank").show(6, false)
+
+      // round 12: WARC roundtrip — documents shard into gzip-per-record
+      // archives (the Common Crawl layout) and stream back through the
+      // parser + mojibake-safe decode
+      println("== round-12: WARC ingest roundtrip (4 gz shards) ==")
+      val wdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val wrecs = wdocs.select(
+        (col("doc_id") % 4).cast("long").as("shard"),
+        concat(lit("http://corpus.local/doc/"), col("doc_id")).as("uri"),
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("rid"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val wblobs = graft.ingest.Warc.toWarcBlobs(wrecs, "shard", "uri", "rid", "payload")
+      val parsed = graft.ingest.Warc.responseText(
+        graft.ingest.Warc.parseBlobs(wblobs, "content"))
+      println(s"records roundtripped: ${parsed.count()} of ${wdocs.count()} docs")
+      parsed.select("target_uri", "n_bytes").orderBy("target_uri").show(3, false)
     }
 
     spark.stop()

@@ -67,6 +67,10 @@ object ExplainAudit {
       "broadcast queries side" -> (p => p.contains("BroadcastNestedLoopJoin")
         || p.contains("BroadcastExchange")),
       "partial top-k aggregate" -> (p => p.contains("partial_topk_by_dist")))
+    audit("s9_warc_ingest")(
+      "write arm is one keyed MapGroups" -> (p => p.contains("MapGroups")),
+      "roundtrip has no join" -> (p => !p.contains("Join")),
+      "and no window" -> (p => !p.contains("Window")))
     audit("q11_mmr_rerank")(
       "candidate fetch via the bounded-heap aggregate (no window sort)" ->
         (p => p.contains("partial_topk_by_dist")),

@@ -1,0 +1,116 @@
+package graft.ingest
+
+import graft.SparkSpec
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(id: Int, body: String, wtype: String = "response") =
+    Warc.WarcRecord(wtype, s"urn:graft:$id", s"http://x.local/doc/$id",
+      "text/plain; charset=utf-8", body.getBytes(StandardCharsets.UTF_8))
+
+  test("roundtrip identity, plain and gzip-per-record") {
+    val rs = Seq(rec(1, "hello"), rec(2, "wörld ünïcode"), rec(3, ""))
+    for (gz <- Seq(false, true)) {
+      val parsed = Warc.parseAll(Warc.writeRecords(rs.iterator, gz))
+      assert(parsed.map(_.recordId) == rs.map(_.recordId))
+      assert(parsed.map(_.targetUri) == rs.map(_.targetUri))
+      parsed.zip(rs).foreach { case (p, r) =>
+        assert(java.util.Arrays.equals(p.payload, r.payload))
+      }
+    }
+  }
+
+  test("binary-safe payload (CRLF pairs and gzip magic inside the body)") {
+    val tricky = Array[Byte](0x1f, 0x8b.toByte, '\r', '\n', '\r', '\n',
+      'W', 'A', 'R', 'C', '/', 0, -1, 0x42)
+    val r = Warc.WarcRecord("resource", "urn:graft:bin", "", "", tricky)
+    for (gz <- Seq(false, true)) {
+      val parsed = Warc.parseAll(Warc.writeRecords(Iterator(r, rec(9, "tail")), gz))
+      assert(parsed.length == 2)
+      assert(java.util.Arrays.equals(parsed.head.payload, tricky))
+      assert(parsed(1).recordId == "urn:graft:9")
+    }
+  }
+
+  test("empty blob parses to zero records") {
+    assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
+  }
+
+  test("malformed archives refuse loudly") {
+    // truncated payload
+    val good = Warc.writeRecords(Iterator(rec(1, "0123456789")), gzipPerRecord = false)
+    intercept[IllegalArgumentException] {
+      Warc.parseAll(good.dropRight(7)) // cuts into the payload
+    }
+    // missing Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    intercept[IllegalArgumentException] { Warc.parseAll(noLen) }
+    // not a WARC stream at all
+    intercept[IllegalArgumentException] {
+      Warc.parseAll("HTTP/1.1 200 OK\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    }
+    // folded header lines are unsupported, not silently misparsed
+    val folded = ("WARC/1.0\r\nWARC-Type: response\r\n  continued\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+    intercept[IllegalArgumentException] { Warc.parseAll(folded) }
+  }
+
+  test("readWarc: one task per file via binaryFile, gzip detected per file") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "a.warc").toPath,
+        Warc.writeRecords(Iterator(rec(1, "plain one"), rec(2, "plain two")),
+          gzipPerRecord = false))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "b.warc.gz").toPath,
+        Warc.writeRecords(Iterator(rec(3, "gz three")), gzipPerRecord = true))
+      // a decoy the glob must skip
+      java.nio.file.Files.write(
+        new java.io.File(dir, "notes.txt").toPath, "nope".getBytes)
+      val got = Warc.readWarc(spark, dir.getAbsolutePath)
+        .select("record_id", "target_uri").as[(String, String)]
+        .collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq ==
+        Seq("urn:graft:1", "urn:graft:2", "urn:graft:3"))
+      assert(got.forall { case (id, uri) => uri.endsWith(id.split(':').last) })
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("parseBlobs carries provenance columns through") {
+    val blob = Warc.writeRecords(Iterator(rec(5, "five")), gzipPerRecord = true)
+    val df = Seq(("shard-a", 42L, blob)).toDF("shard", "gen", "content")
+    val out = Warc.parseBlobs(df).select("shard", "gen", "record_id")
+      .as[(String, Long, String)].collect()
+    assert(out.toSeq == Seq(("shard-a", 42L, "urn:graft:5")))
+  }
+
+  test("responseText keeps responses only and decodes UTF-8") {
+    val rs = Seq(rec(1, "texto en español"), rec(2, "req", wtype = "request"))
+    val blob = Warc.writeRecords(rs.iterator, gzipPerRecord = false)
+    val df = Warc.parseBlobs(Seq(Tuple1(blob)).toDF("content"))
+    val out = Warc.responseText(df)
+      .select("record_id", "text", "n_bytes").as[(String, String, Long)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == "urn:graft:1")
+    assert(out.head._2 == "texto en español")
+    assert(out.head._3 == "texto en español".getBytes(StandardCharsets.UTF_8).length)
+  }
+
+  test("responseText repairs invalid UTF-8 instead of throwing") {
+    // a real crawl always carries mojibake; decode('UTF-8') would raise
+    // MALFORMED_CHARACTER_CODING and kill the job on the first bad page
+    val bad = Warc.WarcRecord("response", "urn:graft:bad", "http://x/bad",
+      "text/plain", Array[Byte](0x68, 0xff.toByte, 0x69))
+    val blob = Warc.writeRecords(Iterator(bad), gzipPerRecord = true)
+    val out = Warc.responseText(Warc.parseBlobs(Seq(Tuple1(blob)).toDF("content")))
+      .select("text").as[String].head()
+    assert(out == "h�i")
+  }
+}
