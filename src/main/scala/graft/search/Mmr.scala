@@ -53,7 +53,10 @@ object Mmr {
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
       idCol: String = "chunk_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      nTables: Int = 8,
+      nProjs: Int = 3,
+      width: Double = 0.5): DataFrame = {
     require(k > 0, s"mmrTopKBatch: k $k must be > 0")
     require(fetchK >= k, s"mmrTopKBatch: fetchK $fetchK must be >= k $k")
     // the greedy group materializes fetchK vectors per query — keep the
@@ -68,7 +71,12 @@ object Mmr {
     import spark.implicits._
     val cands =
       (if (approx)
+        // banding knobs pass through (the hardNegatives pattern): a
+        // clustered corpus under the shallow default admits bucket-sized
+        // candidate sets — deep-AND (higher nProjs) is the dense-data
+        // setting, exactly as on the semantic-cache route (c10b)
         graft.ops.Ann.rpTopKBatch(queries, index, fetchK,
+          nTables, nProjs, width,
           queryIdCol = queryIdCol, queryVecCol = queryVecCol,
           idCol = idCol, vecCol = embCol)
       else

@@ -964,6 +964,55 @@ object ScaleSmoke {
         s"every prompt must carry its session's remembered rows: $okPrompts of 1000")
     }
 
+    section("round12b") {
+      // 15a. WARC write→parse at corpus scale: 2M synthetic docs
+      // (~realistic 40-word pages) sharded into 256 gzip-per-record
+      // blobs — the Common Crawl layout — then streamed back through
+      // the parser + mojibake-safe decode. The parallel unit is the
+      // blob (≙ file), so throughput scales with cores; the roundtrip
+      // count is the correctness assert.
+      val wRows = n(2000000L)
+      val wRecs = synthDocs(wRows, 40).select(
+        pmod(col("doc_id"), lit(256)).cast("long").as("shard"),
+        concat(lit("http://c.local/doc/"), col("doc_id")).as("uri"),
+        concat(lit("urn:g:"), col("doc_id")).as("rid"),
+        encode(col("text"), "UTF-8").as("payload"))
+      var blobs: DataFrame = null
+      time("warc_write_gz", wRows) {
+        blobs = graft.ingest.Warc
+          .toWarcBlobs(wRecs, "shard", "uri", "rid", "payload")
+          .localCheckpoint(true)
+        blobs.count()
+      }
+      val gzMb = blobs.agg(sum(length(col("content")))).head.getLong(0) / 1e6
+      val parsed = graft.ingest.Warc.responseText(
+        graft.ingest.Warc.parseBlobs(blobs, "content"))
+      assertBucketed(parsed, "warc_parse")
+      var parsedN = 0L
+      time("warc_parse_decode", wRows) { parsedN = parsed.count(); parsedN }
+      assert(parsedN == wRows, s"warc roundtrip lost rows: $parsedN of $wRows")
+      println(f"   (archive size: $gzMb%.0f MB gzipped)")
+
+      // 15b. MMR over the banded fetch route: 10k queries diversified
+      // against a 1M-vector index — the fetch (rpTopKBatch) carries the
+      // corpus cost, the greedy stage adds one query-keyed pass over
+      // fetchK=32 candidates per query. Deep-AND banding (8×6): the
+      // clustered synthetic corpus under the shallow 8×3 default admits
+      // bucket-sized candidate sets (measured: a 79 GB sort spill at
+      // this query count) — the same dense-data lesson as the semantic
+      // cache's banded route.
+      val mQ = n(10000L); val mIdx = n(1000000L)
+      val idx = clusteredVecs(mIdx, 32, 7, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val mq = clusteredVecs(mQ, 32, 99, "query_id", "query_vec")
+      val mmr = graft.search.Mmr.mmrTopKBatch(
+        mq, idx, k = 8, fetchK = 32, approx = true, idCol = "vec_id",
+        nTables = 8, nProjs = 6)
+      var mmrN = 0L
+      time("mmr_banded_10k_x_1m", mQ) { mmrN = mmr.count(); mmrN }
+      assert(mmrN > 0 && mmrN <= mQ * 8, s"mmr row count off: $mmrN")
+    }
+
     section("codegen_ab") {
       // 11a. rp banding: 10M x 32-d, 8 tables x 3 projs — the banding
       // engine under a6/a3/cosinePairsRp/rpTopKBatch. The flat form
