@@ -495,6 +495,28 @@ object SparkEntry {
           col("target_uri"), col("n_bytes"), col("text"))
         .orderBy("doc_id")
     }
+    reg("s10_jsonl_ingest") { (s, dir) =>
+      // the JSONL interchange arm under the PERMISSIVE + audit contract:
+      // documents serialize to JSON lines (newlines inside text stay
+      // escaped on one line — the format's point), two planted corrupt
+      // lines ride along, and the parse must round-trip the good rows
+      // bit-exactly while landing the bad ones in the audit column with
+      // every data field null — nothing dropped, nothing fatal
+      import s.implicits._
+      val lines = T(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text")))
+          .as("line"))
+        .unionByName(Seq(
+          "not json at all",
+          """{"doc_id": -1, "lang": "xx""""). // unclosed — truncated write
+          toDF("line"))
+      TextSources.parseJsonlLines(lines, "line",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, text STRING"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("_corrupt_record").as("corrupt_record"))
+        .orderBy(col("doc_id").asc_nulls_last, col("corrupt_record"))
+    }
     reg("s1_raw_ingest") { (s, dir) =>
       // EP1 front door from genuine files on disk (app.py:191-205): fixture
       // rows are materialized as .html/.xml/.csv files in a temp dir, then
@@ -4742,6 +4764,14 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, lang FROM documents WHERE lang = 'es')
         |ORDER BY doc_id""".stripMargin,
+    "s10_jsonl_ingest" ->
+      """SELECT doc_id, lang, text, CAST(NULL AS VARCHAR) AS corrupt_record
+        |FROM documents
+        |UNION ALL SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS VARCHAR), 'not json at all'
+        |UNION ALL SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS VARCHAR), '{"doc_id": -1, "lang": "xx"'
+        |ORDER BY doc_id NULLS LAST, corrupt_record""".stripMargin,
     "s9_warc_ingest" ->
       """SELECT doc_id,
         |  'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,

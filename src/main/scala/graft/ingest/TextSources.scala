@@ -132,4 +132,60 @@ object TextSources {
   /** S7: multi-source union (`text += ...` app.py:192-205, per-doc rows). */
   def unionCorpus(sources: DataFrame*): DataFrame =
     sources.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** S10/JSONL — the dominant LLM-dataset interchange format (one JSON
+    * object per line; RedPajama/Dolma/FineWeb all ship it). The 100 TB
+    * discipline, enforced rather than suggested:
+    *
+    *  - the schema is GIVEN, never inferred — inference is a full extra
+    *    pass over the corpus before the first useful byte;
+    *  - corrupt lines neither kill the job (FAILFAST) nor vanish
+    *    (DROPMALFORMED): PERMISSIVE parsing lands them in a
+    *    `_corrupt_record` audit column, so bad-line rates are a
+    *    queryable signal (count them, alert on them) instead of silent
+    *    data loss;
+    *  - line-splittable text files keep per-line parallelism — JSONL's
+    *    entire reason to exist over a JSON array.
+    *
+    * Returns the caller's schema plus `_corrupt_record` (null on good
+    * rows, the raw line on bad ones — good fields are null there).
+    *
+    * Spark guard to know (QUERY_ONLY_CORRUPT_RECORD_COLUMN): a query
+    * over the FILE arm whose referenced columns are ONLY the audit
+    * column is refused by Spark itself — project at least one data
+    * column alongside (`select($"_corrupt_record", $"doc_id")`), or
+    * audit after a materialization. The column arm
+    * ([[parseJsonlLines]]) has no such restriction.
+    */
+  def jsonlDocs(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "jsonlDocs adds the _corrupt_record audit column itself")
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** The column arm of [[jsonlDocs]]: parse a string column of JSONL
+    * lines already in flight (a Kafka value, a WARC payload, a
+    * synthesized fixture) under the same PERMISSIVE + audit contract.
+    * Emits the schema's fields flattened plus `_corrupt_record`.
+    */
+  def parseJsonlLines(
+      lines: DataFrame,
+      lineCol: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "parseJsonlLines adds the _corrupt_record audit column itself")
+    val full = schema.add("_corrupt_record", "string")
+    lines
+      .withColumn("__p", from_json(col(lineCol), full,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(full.fieldNames.map(f => col(s"__p.$f").as(f)): _*)
+  }
 }

@@ -436,6 +436,17 @@ object Drive {
         graft.ingest.Warc.parseBlobs(wblobs, "content"))
       println(s"records roundtripped: ${parsed.count()} of ${wdocs.count()} docs")
       parsed.select("target_uri", "n_bytes").orderBy("target_uri").show(3, false)
+
+      // round 12: JSONL arm — PERMISSIVE parse with the corrupt-line audit
+      println("== round-12: JSONL ingest (audit contract) ==")
+      val jlines = wdocs
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("line"))
+        .unionByName(Seq("definitely not json").toDF("line"))
+      val jparsed = graft.ingest.TextSources.parseJsonlLines(jlines, "line",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, text STRING"))
+      val nCorrupt = jparsed.where(col("_corrupt_record").isNotNull).count()
+      println(s"parsed: ${jparsed.count()} lines, $nCorrupt corrupt (audited, not dropped)")
     }
 
     spark.stop()

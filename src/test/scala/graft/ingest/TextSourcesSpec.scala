@@ -88,4 +88,66 @@ class TextSourcesSpec extends SparkSpec {
     assert(u.count() == 2)
     assert(u.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  private val jsonlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, text STRING")
+
+  test("jsonlDocs: explicit schema, corrupt lines audited not dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "part0.jsonl").toPath,
+        Seq(
+          """{"doc_id": 1, "lang": "en", "text": "line one\nwith newline"}""",
+          """not json at all""",
+          """{"doc_id": 2, "lang": "es", "text": "dos"}""",
+          """{"doc_id": 3, "lang": "en", "text": "truncat""" // unclosed
+        ).mkString("\n").getBytes("UTF-8"))
+      val got = TextSources.jsonlDocs(spark, dir.getAbsolutePath, jsonlSchema)
+      assert(got.schema.fieldNames.toSeq ==
+        Seq("doc_id", "lang", "text", "_corrupt_record"))
+      val good = got.where($"_corrupt_record".isNull)
+        .select("doc_id", "lang", "text")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(good.toSeq == Seq(
+        (1L, "en", "line one\nwith newline"), (2L, "es", "dos")))
+      // the audit projection must touch a data column too — Spark's
+      // QUERY_ONLY_CORRUPT_RECORD_COLUMN guard refuses corrupt-only
+      // queries over raw files (documented on jsonlDocs)
+      val bad = got.where($"_corrupt_record".isNotNull)
+        .select($"_corrupt_record", $"doc_id")
+        .as[(String, Option[Long])].collect().sortBy(_._1)
+      assert(bad.length == 2)
+      assert(bad.exists(_._1.startsWith("not json")))
+      assert(bad.exists(_._1.contains("truncat")))
+      // corrupt rows carry no parsed fields
+      assert(bad.forall(_._2.isEmpty))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("parseJsonlLines: to_json roundtrip is identity; audit column law") {
+    val docs = Seq((10L, "en", "a\nb"), (11L, "fr", "c")).toDF("doc_id", "lang", "text")
+    val lines = docs.select(to_json(struct($"doc_id", $"lang", $"text")).as("line"))
+      .union(Seq("""{"doc_id": 12, "lang": "xx"""").toDF("line"))
+    val parsed = TextSources.parseJsonlLines(lines, "line", jsonlSchema)
+    val good = parsed.where($"_corrupt_record".isNull)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(good.toSeq == Seq((10L, "en", "a\nb"), (11L, "fr", "c")))
+    assert(parsed.where($"_corrupt_record".isNotNull).count() == 1)
+  }
+
+  test("jsonl arms refuse a schema that already claims the audit column") {
+    intercept[IllegalArgumentException] {
+      TextSources.parseJsonlLines(
+        Seq("x").toDF("line"), "line",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "_corrupt_record STRING, a BIGINT"))
+    }
+    intercept[IllegalArgumentException] {
+      TextSources.jsonlDocs(spark, "/nonexistent",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "_corrupt_record STRING, a BIGINT"))
+    }
+  }
 }
