@@ -235,6 +235,45 @@ object Warc {
         .select(col("path"), col("content")),
       "content")
 
+  /** Streaming twin of [[readWarc]]: a crawl LANDING DIRECTORY consumed
+    * continuously — each new `.warc(.gz)` file becomes one micro-batch
+    * unit (the file-source checkpoint log tracks seen files, so a
+    * restart never re-ingests; `maxFilesPerTrigger` bounds a batch when
+    * the crawler dumps thousands of files at once). The parse is the
+    * SAME [[parseBlobs]] the batch arm runs — stateless, so the sink
+    * needs no ledger: parquet-append exactly-once comes from the sink
+    * checkpoint alone.
+    */
+  def readWarcStream(
+      spark: SparkSession,
+      dir: String,
+      pathGlobFilter: String = "*.warc*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // streaming file sources refuse to infer — binaryFile's schema is
+    // FIXED by the format, so supply it verbatim
+    val binaryFileSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    parseBlobs(
+      reader.load(dir).select(col("path"), col("content")),
+      "content")
+  }
+
+  /** Land a streaming record frame (from [[readWarcStream]], typically
+    * through [[responseText]]) as an append-only parquet corpus.
+    */
+  def corpusSink(
+      records: DataFrame,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outPath)
+
   /** The text arm: keep `response` records and decode the payload as
     * UTF-8 with invalid sequences → U+FFFD, deterministically — a crawl
     * ALWAYS carries some, and `decode(payload, 'UTF-8')` THROWS on them

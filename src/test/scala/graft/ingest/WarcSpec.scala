@@ -103,6 +103,47 @@ class WarcSpec extends SparkSpec {
     assert(out.head._3 == "texto en español".getBytes(StandardCharsets.UTF_8).length)
   }
 
+  test("streaming intake: waves land once, a restart never re-ingests") {
+    val root = java.nio.file.Files.createTempDirectory("warcstream").toFile
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val out = new java.io.File(root, "corpus").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def drop(name: String, ids: Seq[Int]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(landing, name).toPath,
+        Warc.writeRecords(ids.iterator.map(i => rec(i, s"body $i")),
+          gzipPerRecord = true))
+    def startQuery() =
+      Warc.corpusSink(
+        Warc.responseText(
+          Warc.readWarcStream(spark, landing.getAbsolutePath))
+          .select("record_id", "target_uri", "text"),
+        out, ckpt).start()
+    try {
+      drop("w1.warc.gz", Seq(1, 2))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      drop("w2.warc.gz", Seq(3))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(spark.read.parquet(out).count() == 3)
+      // a file landed while the query is DOWN is picked up on restart
+      // from the same checkpoint — and nothing already seen re-ingests
+      drop("w3.warc.gz", Seq(4, 5))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out)
+        .select("record_id").as[String].collect().sorted.toSeq
+      assert(rows == Seq(1, 2, 3, 4, 5).map(i => s"urn:graft:$i"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("responseText repairs invalid UTF-8 instead of throwing") {
     // a real crawl always carries mojibake; decode('UTF-8') would raise
     // MALFORMED_CHARACTER_CODING and kill the job on the first bad page
