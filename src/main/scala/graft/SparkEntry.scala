@@ -210,6 +210,72 @@ object SparkEntry {
 
   private val QvSql = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)"
 
+  // the shared MMR greedy-selection CTE chain (q11 + ep7 oracles):
+  // candidates by (L2 asc, id asc), relevance/diversity cosines via the
+  // same left-to-right list_sum folds as q1b/q2b, the k=3 greedy
+  // unrolled as three argmax stages (score desc, id asc — the Spark tie
+  // law); reversed-embedding queries (exact permutation, bit-identical
+  // in both engines)
+  private val MmrGreedyCtes =
+    ("""WITH qs AS (SELECT vec_id AS query_id, list_reverse(embedding) AS qv
+        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |cand0 AS (
+        |  SELECT q.query_id, e.vec_id, e.embedding,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS rel
+        |  FROM embeddings e, qs q),
+        |cand AS (
+        |  SELECT query_id, vec_id, embedding, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, vec_id) AS rn FROM cand0) WHERE rn <= 8),
+        |sims AS (
+        |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        |s1 AS (
+        |  SELECT query_id, vec_id, rel, 0.5 * rel AS score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT c.query_id, c.vec_id, c.rel,
+        |    0.5 * c.rel - 0.5 * x1.sim AS score
+        |  FROM cand c
+        |  JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+        |  JOIN sims x1 ON x1.query_id = c.query_id
+        |    AND x1.va = c.vec_id AND x1.vb = s1.vec_id),
+        |s2 AS (
+        |  SELECT query_id, vec_id, rel, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM m2) WHERE rn = 1),
+        |m3 AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    0.5 * c.rel - 0.5 * greatest(x1.sim, x2.sim) AS score
+        |  FROM cand c
+        |  JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+        |  JOIN s2 ON c.query_id = s2.query_id AND c.vec_id <> s2.vec_id
+        |  JOIN sims x1 ON x1.query_id = c.query_id
+        |    AND x1.va = c.vec_id AND x1.vb = s1.vec_id
+        |  JOIN sims x2 ON x2.query_id = c.query_id
+        |    AND x2.va = c.vec_id AND x2.vb = s2.vec_id),
+        |s3 AS (
+        |  SELECT query_id, vec_id, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
+      """).stripMargin
+
   // p13/p14 z-order oracle pieces: the same bucket exprs as the Spark
   // query, and the Morton interleave written out as DuckDB bit algebra
   // (bit b of x -> output 2b, bit b of y -> output 2b+1 — mirrors
@@ -2863,6 +2929,28 @@ object SparkEntry {
           "hit", "cache_id", "cost", "n_prompt_msgs")
         .orderBy("turn", "session_id")
     }
+    reg("ep7_diverse_rag") { (s, dir) =>
+      // diversity-aware RAG serving — the LangChain retriever's
+      // search_type="mmr" flag, one switch away from ep2's plain
+      // similarity retrieval: q11's MMR selection feeds the context in
+      // SELECTION order (rank, not distance — diversification reorders
+      // deliberately), then the echo answer law. Fully SQL-oracled: the
+      // unrolled q11 greedy + ordered string_agg + the first-line echo
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"),
+          reverse(col("embedding")).as("query_vec"))
+      val picks = Mmr.mmrTopKBatch(qs, emb, k = 3, fetchK = 8,
+        idCol = "vec_id")
+      val hits = picks.join(
+        T(s, dir, "documents").select(col("doc_id").as("vec_id"), col("text")),
+        Seq("vec_id"))
+      val ctx = ContextAssembly.assemble(hits, "query_id", "text", "rank")
+        .withColumn("question", concat(lit("q"), col("query_id")))
+      EchoAnswerer.answer(ctx, "question", "context")
+        .select(col("query_id"), col("answer"))
+        .orderBy("query_id")
+    }
     reg("c13_cache_report") { (s, dir) =>
       // cache OBSERVABILITY (round-11 missing #3 — a cache you can't
       // measure is a cache you can't size): hit rate and cost
@@ -4541,65 +4629,10 @@ object SparkEntry {
     // q11: the WHOLE greedy MMR selection recomputed in SQL — candidates
     // by (L2 asc, id asc), relevance/diversity cosines via the same
     // left-to-right list_sum folds as q1b/q2b, the k=3 greedy unrolled as
-    // three argmax stages (score desc, id asc — the Spark tie law)
+    // three argmax stages (score desc, id asc — the Spark tie law).
+    // The CTE chain is shared with ep7 (MmrGreedyCtes below the map).
     "q11_mmr_rerank" ->
-      """WITH qs AS (SELECT vec_id AS query_id, list_reverse(embedding) AS qv
-        |            FROM embeddings WHERE vec_id IN (3, 7, 11)),
-        |cand0 AS (
-        |  SELECT q.query_id, e.vec_id, e.embedding,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
-        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS rel
-        |  FROM embeddings e, qs q),
-        |cand AS (
-        |  SELECT query_id, vec_id, embedding, rel FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dist, vec_id) AS rn FROM cand0) WHERE rn <= 8),
-        |sims AS (
-        |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
-        |  FROM cand a JOIN cand b
-        |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
-        |s1 AS (
-        |  SELECT query_id, vec_id, rel, 0.5 * rel AS score FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
-        |m2 AS (
-        |  SELECT c.query_id, c.vec_id, c.rel,
-        |    0.5 * c.rel - 0.5 * x1.sim AS score
-        |  FROM cand c
-        |  JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
-        |  JOIN sims x1 ON x1.query_id = c.query_id
-        |    AND x1.va = c.vec_id AND x1.vb = s1.vec_id),
-        |s2 AS (
-        |  SELECT query_id, vec_id, rel, score FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id) AS rn FROM m2) WHERE rn = 1),
-        |m3 AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    0.5 * c.rel - 0.5 * greatest(x1.sim, x2.sim) AS score
-        |  FROM cand c
-        |  JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
-        |  JOIN s2 ON c.query_id = s2.query_id AND c.vec_id <> s2.vec_id
-        |  JOIN sims x1 ON x1.query_id = c.query_id
-        |    AND x1.va = c.vec_id AND x1.vb = s1.vec_id
-        |  JOIN sims x2 ON x2.query_id = c.query_id
-        |    AND x2.va = c.vec_id AND x2.vb = s2.vec_id),
-        |s3 AS (
-        |  SELECT query_id, vec_id, score FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
+      (MmrGreedyCtes + """
         |SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id,
         |       round(score, 6) AS mmr_score FROM s1
         |UNION ALL
@@ -4608,7 +4641,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT query_id, CAST(3 AS BIGINT) AS rank, vec_id,
         |       round(score, 6) AS mmr_score FROM s3
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // ep7: q11's selection feeding context assembly in SELECTION order
+    // and the echo-answer law — the whole diversity-aware serving chain
+    // recomputed
+    "ep7_diverse_rag" ->
+      (MmrGreedyCtes + """,
+        |picks AS (
+        |  SELECT query_id, 1 AS rank, vec_id FROM s1
+        |  UNION ALL SELECT query_id, 2, vec_id FROM s2
+        |  UNION ALL SELECT query_id, 3, vec_id FROM s3),
+        |ctx AS (
+        |  SELECT p.query_id,
+        |         string_agg(d.text, chr(10) ORDER BY p.rank) AS context
+        |  FROM picks p JOIN documents d ON d.doc_id = p.vec_id
+        |  GROUP BY p.query_id)
+        |SELECT query_id,
+        |       '[InfoBot] ' || split_part(context, chr(10), 1) AS answer
+        |FROM ctx ORDER BY query_id""".stripMargin),
     "q2b_knn_hof_cosine" ->
       s"""WITH q AS $QvSql,
          |scored AS (
