@@ -62,7 +62,7 @@ object Warc {
       def h(k: String, v: String): Unit = {
         require(!v.contains('\r') && !v.contains('\n'),
           s"WARC header $k value must be single-line")
-        one.write(s"$k: $v\r\n".getBytes(StandardCharsets.US_ASCII))
+        one.write(s"$k: $v\r\n".getBytes(StandardCharsets.UTF_8))
       }
       h("WARC-Type", r.warcType)
       h("WARC-Record-ID", r.recordId)
@@ -141,9 +141,11 @@ object Warc {
     out.result()
   }
 
-  /** CRLF-terminated ASCII line; null at EOF. Headers are ASCII per the
-    * spec; a bare LF terminator is tolerated (lenient like HTTP parsers,
-    * the payload itself is untouched either way).
+  /** CRLF-terminated header line decoded as UTF-8 (ISO 28500 allows
+    * UTF-8 in header values — a crawl's target URIs are not ASCII; an
+    * ASCII decode would mangle them silently); null at EOF. A bare LF
+    * terminator is tolerated (lenient like HTTP parsers, the payload
+    * itself is untouched either way).
     */
   private def readLine(in: InputStream): String = {
     val buf = new ByteArrayOutputStream(128)
@@ -156,7 +158,7 @@ object Warc {
     if (b < 0 && buf.size() == 0) return null
     val a = buf.toByteArray
     val n = if (a.nonEmpty && a(a.length - 1) == '\r') a.length - 1 else a.length
-    new String(a, 0, n, StandardCharsets.US_ASCII)
+    new String(a, 0, n, StandardCharsets.UTF_8)
   }
 
   /** Columnar record schema shared by the two read arms. */

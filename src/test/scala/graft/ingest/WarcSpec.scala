@@ -35,6 +35,15 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("UTF-8 header values (non-ASCII target URIs) roundtrip intact") {
+    val r = Warc.WarcRecord("response", "urn:graft:u",
+      "http://例え.jp/ページ?q=ñandú", "text/plain", "x".getBytes)
+    for (gz <- Seq(false, true)) {
+      val parsed = Warc.parseAll(Warc.writeRecords(Iterator(r), gz))
+      assert(parsed.head.targetUri == "http://例え.jp/ページ?q=ñandú")
+    }
+  }
+
   test("empty blob parses to zero records") {
     assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
   }
