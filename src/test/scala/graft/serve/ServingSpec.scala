@@ -756,6 +756,45 @@ class ServingSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("cachedAnswerBatch job budget: one serving micro-batch stays pinned") {
+    // the composed loop runs the intake's jobs PLUS its own (lookup
+    // checkpoint, miss routing, answer pipeline, hit-id collect, the
+    // two answer joins) — pin the total so a refactor that quietly adds
+    // per-batch driver actions fails loudly instead of surfacing as
+    // st19 latency (the intakeBatch budget's rationale, one level up)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_crag_budget").toString + "/cache"
+    Seq((7L, Array(1.0f, 0.0f), "seed answer"))
+      .toDF("cache_id", "embedding", "answer").write.parquet(tmp)
+    val batch = Seq(
+      (1L, "q one", Array(1.0f, 0.0f)),  // hit on the seed
+      (2L, "q two", Array(0.0f, 1.0f))   // miss -> answered + admitted
+    ).toDF("query_id", "question", "query_vec")
+    def echoMisses(missQ: org.apache.spark.sql.DataFrame) =
+      missQ.select(col("query_id"), col("question"),
+        concat(lit("ans "), col("question")).as("answer"),
+        lit(0.01).as("cost"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CachedRag.cachedAnswerBatch(spark, batch, tmp, minCos = 0.95,
+        echoMisses).collect()
+      Thread.sleep(1500) // listener bus is async; drain before reading
+      val n = jobs.get()
+      info(s"cachedAnswerBatch micro-batch issued $n jobs")
+      // measured 54: the embedded intake's 28 plus the loop's own
+      // route counts, lookup/miss/priced checkpoints, hit-id collect
+      // and the answer joins; +2 headroom for jitter
+      assert(n <= 56, s"serving-loop job budget blown: $n jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cache intake: carryCols persist payload columns on inserted entries") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files
