@@ -1169,6 +1169,40 @@ object SemanticCache {
     (before, after)
   }
 
+  /** Index-rebuild INVALIDATION: drop every entry minted BEFORE the
+    * watermark id. The cache memoizes answers derived from a corpus
+    * index; after a rebuild / re-embedding / document sweep, answers
+    * minted against the old index are not too numerous (eviction's
+    * concern) — they are WRONG, and [[evictCache]]/[[evictCacheLru]]
+    * would happily keep serving the hottest stale ones. The minted-id
+    * scheme gives mint ORDER (the same law FIFO eviction rests on), so
+    * "minted before the rebuild" is exactly `cache_id < minCacheId`:
+    * record the max minted id at rebuild time and invalidate under it.
+    * One scan-stage filter + the shared swap tail — no sort, no
+    * driver-side id list. An invalidated question re-asked is a miss →
+    * re-answered against the NEW index → re-admitted under its fresh
+    * id (the self-healing loop, same as takedown). A watermark at or
+    * below the oldest entry is a no-op that never rewrites; a watermark
+    * past every entry refuses loudly like [[deleteCacheEntries]].
+    * Returns (before, after).
+    */
+  def invalidateCacheBefore(
+      spark: SparkSession,
+      cachePath: String,
+      minCacheId: Long): (Long, Long) = {
+    val stored = spark.read.parquet(cachePath)
+    val before = stored.count()
+    val kept = graft.ops.Ann.materializeOnce(
+      stored.where(col("cache_id").cast("long") >= minCacheId))
+    val after = kept.count()
+    if (after == before) return (before, before) // nothing stale: no rewrite
+    require(after > 0,
+      s"invalidateCacheBefore: watermark $minCacheId would empty " +
+        s"$cachePath — remove the cache directory instead")
+    swapInto(spark, cachePath, kept)
+    (before, after)
+  }
+
   /** Shared rewrite tail: materialized rows → hidden staging → swap. */
   private def swapInto(
       spark: SparkSession, cachePath: String, rows: DataFrame): Unit = {

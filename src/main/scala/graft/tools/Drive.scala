@@ -357,6 +357,11 @@ object Drive {
         .select("query_id", "hit", "cache_id", "cost").orderBy("query_id").show(3)
       val (cb, ca) = graft.serve.SemanticCache.evictCache(spark, cache, maxEntries = 2)
       println(s"cache evicted (FIFO by minted id): $cb -> $ca entries")
+      // round 12: index-rebuild invalidation — answers minted before the
+      // watermark are stale (wrong, not merely numerous) and swept
+      val (ib, ia) = graft.serve.SemanticCache
+        .invalidateCacheBefore(spark, cache, minCacheId = 1000011L)
+      println(s"cache invalidated below mint watermark 1000011: $ib -> $ia entries")
 
       // round 12: the CHAT composition around the cached loop, the
       // observability report, and LRU eviction from the disposition

@@ -392,6 +392,38 @@ class ServingSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() == 1, "a refused delete leaves the store intact")
   }
 
+  test("invalidateCacheBefore: stale-mint sweep, boundary survives, no-op never rewrites, heals on re-ask") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ci_inval").toString + "/cache"
+    Seq(
+      (100L, Array(1.0f, 0.0f), "old a"),
+      (200L, Array(0.0f, 1.0f), "old b"),
+      (1000005L, Array(0.6f, 0.8f), "new c"))
+      .toDF("cache_id", "embedding", "answer").write.parquet(tmp)
+    // watermark at or below the oldest entry: declared no-op, no rewrite
+    assert(SemanticCache.invalidateCacheBefore(spark, tmp, 50L) == ((3L, 3L)))
+    // the rebuild sweep: strictly-older mints go, the boundary id stays
+    assert(SemanticCache.invalidateCacheBefore(spark, tmp, 200L) == ((3L, 2L)))
+    assert(spark.read.parquet(tmp).select("cache_id")
+      .as[Long].collect().toSet == Set(200L, 1000005L))
+    // an invalidated question re-asked is a MISS against the new state
+    // and re-admits under its fresh minted id — the self-healing loop
+    val reask = Seq((7L, Array(1.0f, 0.0f), "re-answered"))
+      .toDF("query_id", "query_vec", "answer")
+    val disp = SemanticCache.intakeBatch(spark, reask, tmp, minCos = 0.95,
+      carryCols = Seq("answer"))
+    assert(disp.where($"hit").count() == 0)
+    assert(spark.read.parquet(tmp).select("cache_id")
+      .as[Long].collect().toSet == Set(200L, 1000005L, 1000007L))
+    // a watermark past every entry refuses loudly (takedown's law)
+    val e = intercept[IllegalArgumentException] {
+      SemanticCache.invalidateCacheBefore(spark, tmp, 99999999L)
+    }
+    assert(e.getMessage.contains("would empty"))
+    assert(spark.read.parquet(tmp).count() == 3,
+      "a refused invalidation leaves the store intact")
+  }
+
   test("cachedAnswerBatch: forced banded route serves identical dispositions (RAG-body route parity)") {
     // round-11 verdict #1's done-criterion: the composed serving loop now
     // routes through the SAME exact-vs-banded chooser as the intake, and
