@@ -5,7 +5,7 @@ import graft.index.VectorIndex
 import graft.ingest.TextSources
 import graft.multimodal.{ImageIoDecoder, Multimodal, SyntheticImages}
 import graft.ops.{Ann, Dedup, Hnsw, Layout, Pq, Relational, Skew, Sq, StreamingOps, TextAnalytics}
-import graft.search.{Eval, Knn, Mmr}
+import graft.search.{Eval, Knn, Mmr, Snippets}
 import graft.serve._
 import graft.transform.{Chunker, Sectionizer}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2787,6 +2787,25 @@ object SparkEntry {
           col("doc_id"), col("rr_score"))
         .orderBy("query_id", "rank")
     }
+    reg("b12_snippets") { (s, dir) =>
+      // keyword-in-context snippets — the presentation step between a
+      // ranked hit list and a results page: earliest-term anchor
+      // (position asc, term asc tie law), 40-char window in original
+      // casing, no-match hits emit the document head instead of
+      // vanishing. Fixed q×10-doc hit grid so the oracle recomputes the
+      // law itself rather than replaying a retrieval chain b1 already
+      // proves
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark window merge"),
+        (1L, "slow filter vector"),
+        (2L, "customer query scan")).toDF("query_id", "query_text")
+      val docs = T(s, dir, "documents")
+      val hits = qs.select(col("query_id"))
+        .crossJoin(docs.select(col("doc_id")).where(col("doc_id") < 10))
+      Snippets.snippets(hits, docs, qs, window = 40)
+        .orderBy("query_id", "doc_id")
+    }
     reg("ep4_hybrid_rag") { (s, dir) =>
       // the COMPLETE reference serving flow over the persisted hybrid
       // stack: b6's channels (bucket-pruned BM25 postings + exhaustive-ef
@@ -4519,6 +4538,38 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // b9: fused top-10 → overlap rescore → top-4 by the tie law —
     // every stage recomputed in SQL
+    // b12: the snippet law recomputed — same tokenizer, same
+    // earliest-(pos, term) anchor argmin, same window arithmetic
+    "b12_snippets" ->
+      """WITH qs(query_id, query_text) AS (VALUES
+        |    (0, 'spark window merge'),
+        |    (1, 'slow filter vector'),
+        |    (2, 'customer query scan')),
+        |terms AS (
+        |  SELECT query_id, unnest(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(query_text), '[^a-z0-9]+'),
+        |    t -> length(t) > 0))) AS term
+        |  FROM qs),
+        |hits AS (
+        |  SELECT q.query_id, d.doc_id, d.text
+        |  FROM qs q, documents d WHERE d.doc_id < 10),
+        |loc AS (
+        |  SELECT h.query_id, h.doc_id, t.term,
+        |         strpos(lower(h.text), t.term) AS pos
+        |  FROM hits h JOIN terms t USING (query_id)
+        |  WHERE strpos(lower(h.text), t.term) > 0),
+        |best AS (
+        |  SELECT query_id, doc_id, term, pos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |      ORDER BY pos, term) AS rn FROM loc) WHERE rn = 1)
+        |SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id,
+        |  b.term AS matched_term,
+        |  CAST(COALESCE(b.pos, 0) AS INT) AS match_pos,
+        |  CASE WHEN b.pos IS NOT NULL
+        |    THEN substr(h.text, greatest(1, b.pos - 40), 80 + length(b.term))
+        |    ELSE substr(h.text, 1, 80) END AS snippet
+        |FROM hits h LEFT JOIN best b USING (query_id, doc_id)
+        |ORDER BY query_id, doc_id""".stripMargin,
     "b9_rerank_overlap" ->
       (hybridRrfCtes + """,
         |cand AS (SELECT query_id, doc_id, rank FROM franked WHERE rank <= 10),
