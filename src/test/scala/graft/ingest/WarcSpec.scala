@@ -153,6 +153,59 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("property: random archives roundtrip exactly (seeded, 200 cases)") {
+    val rnd = new scala.util.Random(421L)
+    val types = Vector("response", "request", "metadata", "resource", "conversion")
+    (1 to 200).foreach { i =>
+      val n = rnd.nextInt(6) // 0..5 records, empty archives included
+      val rs = (0 until n).map { j =>
+        val payload = new Array[Byte](rnd.nextInt(512))
+        rnd.nextBytes(payload) // arbitrary bytes — CRLFs, gzip magic, anything
+        Warc.WarcRecord(
+          types(rnd.nextInt(types.length)),
+          s"urn:graft:$i:$j",
+          if (rnd.nextBoolean()) s"http://h$i.local/p$j?q=ü${rnd.nextInt(10)}" else "",
+          if (rnd.nextBoolean()) "application/octet-stream" else "",
+          payload)
+      }
+      val gz = rnd.nextBoolean()
+      val parsed = Warc.parseAll(Warc.writeRecords(rs.iterator, gz))
+      assert(parsed.length == rs.length, s"case $i (gz=$gz)")
+      parsed.zip(rs).foreach { case (p, r) =>
+        assert(p.warcType == r.warcType && p.recordId == r.recordId &&
+          p.targetUri == r.targetUri && p.contentType == r.contentType &&
+          java.util.Arrays.equals(p.payload, r.payload), s"case $i (gz=$gz)")
+      }
+    }
+  }
+
+  test("property: any truncation parses to a record prefix or refuses — never garbage") {
+    // the crash-mid-write / torn-download contract: a cut archive must
+    // either yield exactly the records before the cut or throw loudly
+    val rnd = new scala.util.Random(422L)
+    val rs = (0 until 4).map(j => rec(j, s"payload body $j with some length"))
+    for (gz <- Seq(false, true); _ <- 1 to 100) {
+      val full = Warc.writeRecords(rs.iterator, gz)
+      val cut = rnd.nextInt(full.length) // strictly shorter than full
+      val got =
+        try Right(Warc.parseAll(full.take(cut)))
+        catch {
+          case _: IllegalArgumentException | _: NumberFormatException |
+               _: java.io.IOException => Left(())
+        }
+      got match {
+        case Left(_) => // loud refusal: fine
+        case Right(parsed) =>
+          assert(parsed.length < rs.length, s"cut=$cut gz=$gz parsed all?")
+          parsed.zip(rs).foreach { case (p, r) =>
+            assert(p.recordId == r.recordId &&
+              java.util.Arrays.equals(p.payload, r.payload),
+              s"cut=$cut gz=$gz yielded a non-prefix record")
+          }
+      }
+    }
+  }
+
   test("responseText repairs invalid UTF-8 instead of throwing") {
     // a real crawl always carries mojibake; decode('UTF-8') would raise
     // MALFORMED_CHARACTER_CODING and kill the job on the first bad page
