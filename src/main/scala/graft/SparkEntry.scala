@@ -1827,6 +1827,21 @@ object SparkEntry {
           round(col("pct_rank"), 6).as("pct_rank"), col("keep"))
         .orderBy("doc_id")
     }
+    reg("x26_rouge_eval") { (s, dir) =>
+      // generation eval — ROUGE-1 and ROUGE-2 with the clipped-count
+      // multiset law over overlapping text windows (candidate = head,
+      // reference = shifted window of the same doc, so the metrics are
+      // non-trivial); the oracle re-derives tokens, sliding grams,
+      // clipped counts, and all three ratios
+      import graft.serve.GenEval
+      val pairs = T(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").as("pair_id"),
+          substring(col("text"), 1, 200).as("candidate"),
+          substring(col("text"), 50, 300).as("reference"))
+      GenEval.rougeN(pairs, 1)
+        .unionByName(GenEval.rougeN(pairs, 2))
+        .orderBy("pair_id", "n")
+    }
     reg("p15_domain_cap") { (s, dir) =>
       // RefinedWeb-style URL curation front gate: registered-domain fold →
       // blocklist → per-domain cap (anti-SEO: a link-farm domain contributes
@@ -5403,6 +5418,58 @@ object SparkEntry {
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // x26: tokens → sliding n-grams → clipped multiset overlap → the
+    // three ratios, re-derived for both n side by side
+    "x26_rouge_eval" ->
+      """WITH pairs AS (
+        |  SELECT doc_id AS pair_id,
+        |         substr(text, 1, 200) AS candidate,
+        |         substr(text, 50, 300) AS reference
+        |  FROM documents WHERE doc_id < 40),
+        |ns(n) AS (VALUES (1), (2)),
+        |sides AS (
+        |  SELECT pair_id, n, 'c' AS side, candidate AS txt FROM pairs, ns
+        |  UNION ALL
+        |  SELECT pair_id, n, 'r', reference FROM pairs, ns),
+        |toks AS (
+        |  SELECT pair_id, n, side,
+        |    list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9]+'),
+        |      t -> length(t) > 0) AS tk
+        |  FROM sides),
+        |grams AS (
+        |  SELECT pair_id, n, side,
+        |    unnest(CASE WHEN len(tk) >= n THEN
+        |      list_transform(range(1, len(tk) - n + 2),
+        |        i -> array_to_string(tk[i:i+n-1], ' '))
+        |      ELSE []::VARCHAR[] END) AS gram
+        |  FROM toks),
+        |cnts AS (
+        |  SELECT pair_id, n, gram,
+        |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS c_cnt,
+        |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS r_cnt
+        |  FROM grams GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT pair_id, n,
+        |    CAST(sum(c_cnt) AS BIGINT) AS cand_grams,
+        |    CAST(sum(r_cnt) AS BIGINT) AS ref_grams,
+        |    CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS overlap
+        |  FROM cnts GROUP BY 1, 2)
+        |SELECT p.pair_id, CAST(ns.n AS INT) AS n,
+        |  COALESCE(a.cand_grams, 0) AS cand_grams,
+        |  COALESCE(a.ref_grams, 0) AS ref_grams,
+        |  COALESCE(a.overlap, 0) AS overlap,
+        |  round(CASE WHEN COALESCE(a.cand_grams, 0) > 0
+        |    THEN CAST(a.overlap AS DOUBLE) / a.cand_grams ELSE 0.0 END, 6)
+        |    AS precision,
+        |  round(CASE WHEN COALESCE(a.ref_grams, 0) > 0
+        |    THEN CAST(a.overlap AS DOUBLE) / a.ref_grams ELSE 0.0 END, 6)
+        |    AS recall,
+        |  round(CASE WHEN COALESCE(a.cand_grams, 0) + COALESCE(a.ref_grams, 0) > 0
+        |    THEN 2.0 * a.overlap / (a.cand_grams + a.ref_grams) ELSE 0.0 END, 6)
+        |    AS f1
+        |FROM pairs p CROSS JOIN ns
+        |LEFT JOIN agg a ON a.pair_id = p.pair_id AND a.n = ns.n
+        |ORDER BY p.pair_id, ns.n""".stripMargin,
     "x25_score_calibration" ->
       """WITH q AS (
         |  SELECT doc_id, source, round(
