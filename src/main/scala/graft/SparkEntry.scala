@@ -1842,6 +1842,14 @@ object SparkEntry {
         .unionByName(GenEval.rougeN(pairs, 2))
         .orderBy("pair_id", "n")
     }
+    reg("x27_collocations") { (s, dir) =>
+      // PMI collocation mining (Church & Hanks) — multiword-expression
+      // discovery over adjacent in-document bigrams; exact integer
+      // counts, one rounded ln at the end (the b3 float discipline)
+      TextAnalytics.collocations(
+        T(s, dir, "documents").where(col("doc_id") < 80), minPairCount = 3L)
+        .orderBy("w1", "w2")
+    }
     reg("p15_domain_cap") { (s, dir) =>
       // RefinedWeb-style URL curation front gate: registered-domain fold →
       // blocklist → per-domain cap (anti-SEO: a link-farm domain contributes
@@ -5470,6 +5478,37 @@ object SparkEntry {
         |FROM pairs p CROSS JOIN ns
         |LEFT JOIN agg a ON a.pair_id = p.pair_id AND a.n = ns.n
         |ORDER BY p.pair_id, ns.n""".stripMargin,
+    // x27: unigram/bigram integer counts re-derived, PMI as one ln at
+    // the end over the same exact integers
+    "x27_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    t -> length(t) > 0) AS tk
+        |  FROM documents WHERE doc_id < 80),
+        |uni AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+        |bi_all AS (
+        |  SELECT w1, w2, count(*) AS pair_count FROM (
+        |    SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |    FROM toks, unnest(range(1, len(tk))) AS u(i)
+        |    WHERE len(tk) > 1)
+        |  GROUP BY w1, w2),
+        |bi AS (SELECT * FROM bi_all WHERE pair_count >= 3),
+        |tot AS (
+        |  SELECT (SELECT sum(cnt) FROM uni) AS n_uni,
+        |         (SELECT sum(pair_count) FROM bi_all) AS n_bi)
+        |SELECT b.w1, b.w2, b.pair_count,
+        |  u1.cnt AS w1_count, u2.cnt AS w2_count,
+        |  round(
+        |    ln(CAST(b.pair_count AS DOUBLE) * t.n_uni * t.n_uni) -
+        |    ln(CAST(t.n_bi AS DOUBLE) * u1.cnt * u2.cnt), 6) AS pmi
+        |FROM bi b
+        |JOIN uni u1 ON u1.w = b.w1
+        |JOIN uni u2 ON u2.w = b.w2
+        |CROSS JOIN tot t
+        |ORDER BY b.w1, b.w2""".stripMargin,
     "x25_score_calibration" ->
       """WITH q AS (
         |  SELECT doc_id, source, round(

@@ -608,4 +608,63 @@ object TextAnalytics {
     * past this many distinct sources the cuts broadcast-join instead.
     */
   private[graft] val MaxLiteralCutSources = 256
+
+  /** PMI collocation mining (Church & Hanks 1990) — multiword-expression
+    * discovery over the corpus's adjacent bigrams: `pmi(a, b) =
+    * ln(P(a b) · N_uni² / (N_bi · count(a) · count(b)))` folded as
+    * `ln(pair·N_uni²) − ln(N_bi·cnt_a·cnt_b)` over exact integer counts,
+    * rounded to 6 decimals (the b3 discipline: all float work happens
+    * once, on exact integers both engines reproduce). Corpus analytics a
+    * curation pipeline actually uses: high-PMI pairs are terms of art
+    * ("monte carlo") worth protecting from token-level ops; low-PMI
+    * high-frequency pairs are boilerplate indicators.
+    *
+    * `minPairCount` prunes the long tail BEFORE the joins (a hapax
+    * bigram has meaningless PMI, and at corpus scale the tail IS the
+    * data volume). Scale shape: one token explode (scan stage), one
+    * bigram explode, three keyed aggregates, then two word-keyed hash
+    * joins attaching unigram counts to the pruned pair table — never a
+    * cross join, never a driver-side vocabulary.
+    *
+    * Bigram adjacency is WITHIN a document (no cross-doc pairs); tokens
+    * under the [[graft.search.Bm25]] law.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1,
+      s"collocations: minPairCount $minPairCount must be >= 1")
+    val toks = docs.select(
+      graft.search.Bm25.tokensCol(col(textCol)).as("__t"))
+    val uni = toks
+      .select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val biAll = toks
+      .where(size(col("__t")) > 1) // sequence(1, 0) descends — see BpeSpec
+      .select(explode(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))")).as("__p"))
+      .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    // N_bi is ALL adjacent bigrams, summed BEFORE the prune — P(a b)'s
+    // denominator must not move when the reporting knob does (pruning
+    // with a post-prune total would inflate every surviving pair's PMI
+    // as minPairCount rises)
+    val bi = biAll.where(col("pair_count") >= minPairCount)
+    val nUni = uni.agg(sum("cnt")).head.getLong(0)
+    val nBi = biAll.agg(sum("pair_count")).head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    bi
+      .join(uni.select(col("w").as("w1"), col("cnt").as("w1_count")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("w2_count")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        col("w1_count"), col("w2_count"),
+        round(
+          log(col("pair_count").cast("double") * nUni * nUni) -
+            log(lit(nBi).cast("double") * col("w1_count") * col("w2_count")),
+          6).as("pmi"))
+  }
 }

@@ -379,4 +379,37 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"scan-stage gate must not shuffle:\n$plan")
   }
+
+  test("collocations: hand-computed PMI over exact counts") {
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val got = TextAnalytics.collocations(docs, minPairCount = 1L)
+      .orderBy("w1", "w2")
+      .select("w1", "w2", "pair_count", "w1_count", "w2_count", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // uni: a=3 b=2 c=1, N_uni=6; bi: (a,b)=2 (a,c)=1, N_bi=3
+    // pmi(a,b) = ln(2*36 / (3*3*2)) = ln 4; pmi(a,c) = ln(36/9) = ln 4
+    val ln4 = math.round(math.log(4.0) * 1e6) / 1e6
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2L, ln4),
+      ("a", "c", 1L, 3L, 1L, ln4)))
+  }
+
+  test("collocations: minPairCount prunes hapax bigrams; no cross-doc adjacency") {
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val pruned = TextAnalytics.collocations(docs, minPairCount = 2L)
+      .select("w1", "w2", "pmi").as[(String, String, Double)].collect().toSeq
+    assert(pruned.map(p => (p._1, p._2)) == Seq(("a", "b")))
+    // the prune is a REPORTING knob: N_bi sums before it, so a pair's
+    // PMI is identical at any minPairCount it survives
+    val unpruned = TextAnalytics.collocations(docs, minPairCount = 1L)
+      .where($"w1" === "a" && $"w2" === "b")
+      .select("pmi").as[Double].head()
+    assert(pruned.head._3 == unpruned)
+    // adjacency never spans documents
+    val split = Seq("x", "y").toDF("text")
+    assert(TextAnalytics.collocations(split, minPairCount = 1L).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextAnalytics.collocations(docs, minPairCount = 0L)
+    }
+  }
 }
