@@ -67,6 +67,15 @@ object Mmr {
       "route's output directly instead")
     require(lambdaMult >= 0.0 && lambdaMult <= 1.0,
       s"mmrTopKBatch: lambdaMult $lambdaMult must be in [0, 1]")
+    // the greedy stage keys groups on the query id cast to long — a
+    // non-integral id would cast to null and silently collapse EVERY
+    // query into one group (the topKBatch guard, applied to the query
+    // side this operator actually groups on)
+    val qIdType = queries.schema(queryIdCol).dataType
+    require(
+      qIdType == org.apache.spark.sql.types.LongType ||
+        qIdType == org.apache.spark.sql.types.IntegerType,
+      s"mmrTopKBatch query id column '$queryIdCol' must be integral, got $qIdType")
     val spark = index.sparkSession
     import spark.implicits._
     val cands =

@@ -184,5 +184,12 @@ class MmrSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mmr.mmrTopKBatch(q, index, k = 2, fetchK = 9999)
     }
+    // a string query id would cast to null and collapse every query
+    // into one greedy group — refuse at the door
+    intercept[IllegalArgumentException] {
+      Mmr.mmrTopKBatch(
+        Seq(("q1", Array(1.0f, 0.0f))).toDF("query_id", "query_vec"),
+        index, k = 2)
+    }
   }
 }
