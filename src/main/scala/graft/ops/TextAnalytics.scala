@@ -650,13 +650,18 @@ object TextAnalytics {
     // N_bi is ALL adjacent bigrams, summed BEFORE the prune — P(a b)'s
     // denominator must not move when the reporting knob does (pruning
     // with a post-prune total would inflate every surviving pair's PMI
-    // as minPairCount rises)
+    // as minPairCount rises). Both totals are SCAN-STAGE token-count
+    // sums (Σ|toks|, Σ max(|toks|−1, 0)) in ONE driver action — summing
+    // the count tables instead re-ran the full explode + shuffle once
+    // per total on top of the final action's own run (measured 275 s at
+    // 10M docs; the token-sum form leaves the heavy shuffles to exactly
+    // one computation each)
     val bi = biAll.where(col("pair_count") >= minPairCount)
-    val nUni = uni.agg(sum("cnt")).head.getLong(0)
-    val nBi = biAll.agg(sum("pair_count")).head match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    val tot = toks.agg(
+      sum(size(col("__t")).cast("long")).as("nu"),
+      sum(greatest(size(col("__t")) - 1, lit(0)).cast("long")).as("nb")).head
+    val nUni = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nBi = if (tot.isNullAt(1)) 0L else tot.getLong(1)
     bi
       .join(uni.select(col("w").as("w1"), col("cnt").as("w1_count")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cnt").as("w2_count")), Seq("w2"))

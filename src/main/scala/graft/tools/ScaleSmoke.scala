@@ -1013,6 +1013,34 @@ object ScaleSmoke {
       assert(mmrN > 0 && mmrN <= mQ * 8, s"mmr row count off: $mmrN")
     }
 
+    section("round12c") {
+      // 16a. PMI collocations at corpus scale: 10M docs × 25 tokens —
+      // the bigram explode is ~240M rows through one keyed aggregate;
+      // the planted near-dup pairs (~1%) are the repeated-bigram mass
+      // that survives the prune
+      val cRows = n(10000000L)
+      val cd = synthDocs(cRows, 25).localCheckpoint(true)
+      val coll = graft.ops.TextAnalytics.collocations(cd, minPairCount = 2L)
+      assertBucketed(coll, "collocations")
+      var nColl = 0L
+      time("collocations_10m_docs", cRows) { nColl = coll.count(); nColl }
+      assert(nColl > 0, "planted dup-doc bigrams must survive the prune")
+
+      // 16b. ROUGE-2 at eval-set scale: 1M (candidate, reference) pairs
+      // of ~25-token texts — pair-local grams, one (pair, gram) shuffle;
+      // identical-prefix pairs so overlap is non-trivial end to end
+      val rRows = n(1000000L)
+      val rp = synthDocs(rRows, 25)
+        .select(col("doc_id").as("pair_id"), col("text").as("candidate"),
+          concat(col("text"), lit(" tail alpha beta")).as("reference"))
+        .localCheckpoint(true)
+      val rn = graft.serve.GenEval.rougeN(rp, 2)
+      assertBucketed(rn, "rouge")
+      var rOut = 0L
+      time("rouge2_1m_pairs", rRows) { rOut = rn.count(); rOut }
+      assert(rOut == rRows, s"every pair must emit a row: $rOut of $rRows")
+    }
+
     section("codegen_ab") {
       // 11a. rp banding: 10M x 32-d, 8 tables x 3 projs — the banding
       // engine under a6/a3/cosinePairsRp/rpTopKBatch. The flat form
