@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * `Content-Length` payload bytes, then a blank-line pair separating it
   * from the next record; records concatenate into a file. Common Crawl
   * gzips each record as its OWN gzip member so readers can split at
-  * member boundaries; `java.util.zip.GZIPInputStream` transparently
-  * concatenates members, and because records are length-prefixed the
-  * decompressed stream parses sequentially without member bookkeeping.
+  * member boundaries; the strict multi-member reader below concatenates
+  * members with exact byte accounting (the JDK's GZIPInputStream would
+  * silently swallow a corrupt member as EOF), and because records are
+  * length-prefixed the decompressed stream parses sequentially.
   *
   * Scale shape: one WARC file is inherently sequential (gzip members +
   * length-prefixed records), so the parallel unit is the FILE —
@@ -95,11 +96,130 @@ object Warc {
     val raw: InputStream =
       if (bytes.length >= 2 &&
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
+        // NOT java.util.zip.GZIPInputStream: it silently treats a corrupt
+        // member HEADER mid-archive as EOF (it probes the next member's
+        // magic and, on mismatch, reports end-of-stream), so a damaged
+        // multi-member .warc.gz would parse to a clean record PREFIX with
+        // no error — at odds with the refuse-loudly stance (ADVICE r12;
+        // the truncation property only covers byte-truncation). The
+        // strict reader walks members with exact byte accounting and
+        // verifies each trailer, so damage anywhere in the archive is an
+        // exception, never a prefix.
+        new StrictMultiMemberGzip(bytes)
       else new ByteArrayInputStream(bytes)
     val in = new java.io.BufferedInputStream(raw, 65536)
     try parseStream(in)
     finally in.close() // releases the gzip Inflater's native window now
+  }
+
+  /** Streaming multi-member gzip reader with NO silent-EOF path (RFC
+    * 1952): every member's header is validated (magic, CM = deflate,
+    * reserved flag bits), FEXTRA/FNAME/FCOMMENT/FHCRC fields are walked
+    * per the spec, the deflate body inflates with exact input
+    * accounting, and the 8-byte trailer's CRC32 + ISIZE are verified
+    * against the decompressed bytes. Bytes after a member's trailer must
+    * begin the next member — anything else (corrupt magic, truncated
+    * body, garbage tail) throws. Memory stays O(buffer): the compressed
+    * blob is the caller's array; decompression is pull-driven.
+    */
+  private final class StrictMultiMemberGzip(bytes: Array[Byte]) extends InputStream {
+    private val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
+    private val crc = new java.util.zip.CRC32
+    private var pos = 0 // next unconsumed offset in `bytes`
+    private var dataStart = 0 // where the current member's deflate body began
+    private var memberOut = 0L // decompressed bytes of the current member
+    private var inMember = false
+    private var closed = false
+
+    private def u8(i: Int): Int = {
+      require(i < bytes.length,
+        s"truncated gzip archive: expected a byte at offset $i, input ends at ${bytes.length}")
+      bytes(i) & 0xff
+    }
+    private def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    private def u32le(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+
+    /** Parse one member header at `pos`; positions the inflater at the
+      * deflate body. False at a clean end-of-archive.
+      */
+    private def startMember(): Boolean = {
+      if (pos == bytes.length) return false
+      require(u8(pos) == 0x1f && u8(pos + 1) == 0x8b,
+        f"corrupt gzip member at offset $pos: bad magic 0x${u8(pos)}%02x${u8(pos + 1)}%02x")
+      require(u8(pos + 2) == 8,
+        s"gzip member at offset $pos: unsupported compression method ${u8(pos + 2)}")
+      val flg = u8(pos + 3)
+      require((flg & 0xe0) == 0,
+        s"gzip member at offset $pos: reserved FLG bits set ($flg)")
+      var p = pos + 10 // magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1)
+      if ((flg & 4) != 0) p += 2 + u16le(p) // FEXTRA: XLEN + payload
+      if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      require(p <= bytes.length,
+        s"truncated gzip member header at offset $pos")
+      inf.reset()
+      inf.setInput(bytes, p, bytes.length - p)
+      crc.reset()
+      dataStart = p
+      memberOut = 0L
+      inMember = true
+      true
+    }
+
+    /** Member body finished: account exactly how much input the deflate
+      * stream consumed, verify the trailer, and position at the next
+      * member (or archive end).
+      */
+    private def finishMember(): Unit = {
+      pos = dataStart + ((bytes.length - dataStart) - inf.getRemaining)
+      val storedCrc = u32le(pos)
+      val storedIsize = u32le(pos + 4)
+      require(storedCrc == crc.getValue,
+        f"gzip member CRC mismatch at offset $pos: stored 0x$storedCrc%08x, computed 0x${crc.getValue}%08x")
+      require(storedIsize == (memberOut & 0xffffffffL),
+        s"gzip member ISIZE mismatch at offset $pos: stored $storedIsize, decompressed $memberOut")
+      pos += 8
+      inMember = false
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (closed) throw new java.io.IOException("stream closed")
+      if (len == 0) return 0
+      if (!inMember && !startMember()) return -1
+      def inflate(): Int =
+        try inf.inflate(b, off, len)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt deflate data in gzip member starting at offset $dataStart: ${e.getMessage}")
+        }
+      var n = inflate()
+      while (n == 0) {
+        if (inf.finished()) {
+          finishMember()
+          if (!startMember()) return -1
+          n = inflate()
+        } else if (inf.needsInput() || inf.needsDictionary())
+          throw new IllegalArgumentException(
+            s"truncated gzip member: deflate stream ended at input offset ${bytes.length}")
+        else n = inflate()
+      }
+      crc.update(b, off, n)
+      memberOut += n
+      n
+    }
+
+    override def close(): Unit = {
+      if (!closed) { closed = true; inf.end() }
+    }
   }
 
   private def parseStream(in: InputStream): Seq[WarcRecord] = {
@@ -117,7 +237,13 @@ object Warc {
           val i = hl.indexOf(':')
           require(i > 0, s"malformed WARC header line '${hl.take(40)}'" +
             " (folded/continued headers are not supported)")
-          headers.put(hl.substring(0, i).trim.toLowerCase, hl.substring(i + 1).trim)
+          // Locale.ROOT: the default locale's toLowerCase is not a header
+          // fold — under tr-TR, 'Content-Length' lowercases to a
+          // dotless-ı form that never matches the lookup keys, so every
+          // record would be rejected as missing Content-Length (ADVICE r12)
+          headers.put(
+            hl.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
+            hl.substring(i + 1).trim)
           hl = readLine(in)
         }
         require(hl != null, "truncated WARC record: EOF inside the header block")

@@ -106,6 +106,14 @@ object Mmr {
         graft.functions.VectorFunctions
           .cosineSimilarity(col("__cv"), col("__qv")).as("rel"),
         col("__cv"))
+      // one candidate row per (query, id): duplicate ids in the index
+      // multiply rows through the vector re-join, and the greedy loop's
+      // taken() is per-array-SLOT — the same id could then be selected at
+      // two ranks (ADVICE r12). Unique index ids are the contract (as in
+      // Knn/Ann); this dedup makes a replayed/doubled row benign — two
+      // DIFFERENT vectors under one id remain a producer bug, resolved
+      // arbitrarily here rather than corrupting the rank list.
+      .dropDuplicates("qid", "cid")
       .as[(Long, Long, Double, Array[Float])]
     val lam = lambdaMult
     val kk = k

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * original casing, centered on the anchor. A hit none of whose terms
   * occur (a vector-route hit, a stemmed-away keyword) still emits: null
   * anchor, position 0, the document HEAD as the snippet — result rows
-  * must never vanish at the presentation step.
+  * must never vanish at the presentation step. The same law covers a hit
+  * whose doc id is MISSING from the docs frame (a takedown racing the
+  * search): the row emits with a null snippet, never disappears.
   *
   * Scale shape: terms explode per query (queries × |terms|, tiny), join
   * the HIT LIST (queries × k — never the corpus), fetch each hit's text
@@ -42,8 +44,12 @@ object Snippets {
     val terms = queries.select(
       col(queryIdCol),
       explode(array_distinct(Bm25.tokensCol(col(queryTextCol)))).as("__term"))
+    // LEFT join: a hit whose doc id is absent from the docs frame (a
+    // takedown raced the search, a stale index entry) must still emit its
+    // row — null snippet, not a vanished result (ADVICE r12; the same law
+    // as the no-matching-term case below)
     val withText = hits.select(col(queryIdCol), col(idCol))
-      .join(docs.select(col(idCol), col(textCol).as("__text")), Seq(idCol))
+      .join(docs.select(col(idCol), col(textCol).as("__text")), Seq(idCol), "left")
     val located = withText
       .join(terms, Seq(queryIdCol))
       // functions.locate only takes a literal needle; the SQL builtin

@@ -41,6 +41,18 @@ object GenEval {
       candCol: String = "candidate",
       refCol: String = "reference"): DataFrame = {
     require(n >= 1 && n <= 8, s"rougeN: n $n must be in [1, 8]")
+    // pair-id uniqueness fails LOUDLY (ADVICE r12): duplicate ids would
+    // merge both rows' gram multisets into one and the final distinct()
+    // would emit a single plausible-but-wrong P/R/F1 row — a silent blend.
+    // One aggregate action over the id column only (an eval set is
+    // gold-sized, and an eval that can silently blend is worse than one
+    // that pays a count).
+    val ids = pairs.agg(
+      count(lit(1)).as("__n"), count_distinct(col(idCol)).as("__d")).head
+    require(ids.getLong(0) == ids.getLong(1),
+      s"rougeN: ${ids.getLong(0) - ids.getLong(1)} duplicate $idCol value(s) " +
+        "— gram counts would silently blend across rows; key each " +
+        "(candidate, reference) row uniquely")
     def gramCounts(textCol: String, cntName: String) =
       pairs
         .select(col(idCol),

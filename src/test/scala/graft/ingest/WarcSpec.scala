@@ -68,6 +68,32 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Warc.parseAll(folded) }
   }
 
+  test("mid-archive gzip member corruption refuses — never a silent prefix") {
+    // GZIPInputStream treats a corrupt member HEADER mid-archive as EOF:
+    // without the leftover-bytes check, a 3-member archive whose middle
+    // member's magic is damaged parses to record 1 with no error
+    val rs = Seq(rec(1, "alpha"), rec(2, "bravo"), rec(3, "charlie"))
+    val blob = Warc.writeRecords(rs.iterator, gzipPerRecord = true)
+    // locate the SECOND member's gzip magic (0x1f 0x8b) and damage it
+    var second = -1
+    var seen = 0
+    var i = 0
+    while (i < blob.length - 1 && second < 0) {
+      if ((blob(i) & 0xff) == 0x1f && (blob(i + 1) & 0xff) == 0x8b) {
+        seen += 1
+        if (seen == 2) second = i
+        i += 2
+      } else i += 1
+    }
+    assert(second > 0, "test setup: no second gzip member found")
+    val corrupt = blob.clone()
+    corrupt(second) = 0x00
+    val e = intercept[IllegalArgumentException] { Warc.parseAll(corrupt) }
+    assert(e.getMessage.contains("corrupt gzip member"))
+    // and the clean archive still parses all three
+    assert(Warc.parseAll(blob).map(_.recordId) == rs.map(_.recordId))
+  }
+
   test("readWarc: one task per file via binaryFile, gzip detected per file") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
     try {

@@ -170,6 +170,22 @@ class MmrSpec extends SparkSpec {
     assert(got == refMmr(q, docs, 2, 0.5).map(_._1))
   }
 
+  test("duplicate index ids never occupy two ranks") {
+    // a doubled row (replayed append, producer bug) multiplies candidate
+    // rows through the vector re-join; the greedy's taken() is per
+    // array-slot, so without the (qid, cid) dedup id 0 could be selected
+    // at ranks 1 AND 2 (ADVICE r12)
+    val dup = index.unionByName(
+      Seq((0L, Array(1.00f, 0.00f))).toDF("chunk_id", "embedding"))
+    val got = Mmr.mmrTopKBatch(queries(Array(1.0f, 0.0f)), dup, k = 3, fetchK = 6)
+      .orderBy("rank").select("chunk_id").as[Long].collect().toSeq
+    assert(got.distinct == got, s"id repeated across ranks: $got")
+    // and the selection matches the clean index's
+    val clean = Mmr.mmrTopKBatch(queries(Array(1.0f, 0.0f)), index, k = 3, fetchK = 6)
+      .orderBy("rank").select("chunk_id").as[Long].collect().toSeq
+    assert(got == clean)
+  }
+
   test("refuses bad knobs loudly") {
     val q = queries(Array(1.0f, 0.0f))
     intercept[IllegalArgumentException] {

@@ -63,6 +63,20 @@ class SnippetsSpec extends SparkSpec {
       (0L, 1L, Some("fox")), (0L, 2L, None), (1L, 2L, Some("filler"))))
   }
 
+  test("a hit whose doc id is missing from docs still emits (null snippet)") {
+    // takedown-raced hit: doc 99 is not in the docs frame — the row must
+    // survive the presentation step, not silently vanish (ADVICE r12)
+    val qs = Seq((0L, "fox")).toDF("query_id", "query_text")
+    val hits = Seq((0L, 1L), (0L, 99L)).toDF("query_id", "doc_id")
+    val out = Snippets.snippets(hits, docs, qs, window = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "matched_term", "match_pos", "snippet")
+      .as[(Long, Option[String], Int, Option[String])].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 99L))
+    val (_, term, pos, snip) = out(1)
+    assert(term.isEmpty && pos == 0 && snip.isEmpty)
+  }
+
   test("refuses a non-positive window") {
     intercept[IllegalArgumentException] {
       Snippets.snippets(

@@ -61,6 +61,17 @@ class GenEvalSpec extends SparkSpec {
     assert(got(1)._4 == 0L)
   }
 
+  test("duplicate pair ids refuse loudly instead of silently blending") {
+    // two rows under one id would merge gram multisets and emit a single
+    // plausible-but-wrong row (ADVICE r12)
+    val e = intercept[IllegalArgumentException] {
+      GenEval.rougeN(Seq(
+        (1L, "hello world", "hello world"),
+        (1L, "goodbye moon", "goodbye moon")).toDF("pair_id", "candidate", "reference"), 1)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("refuses an out-of-range n") {
     intercept[IllegalArgumentException] {
       GenEval.rougeN(Seq((1L, "a", "b")).toDF("pair_id", "candidate", "reference"), 0)
