@@ -116,8 +116,7 @@ object SparkEntry {
     */
   private def cachedRagFixture(s: SparkSession, dir: String)
       : (String, DataFrame, DataFrame => DataFrame) = {
-    import graft.serve.{Config, ContextAssembly, Costing, EchoAnswerer, OverlapReranker, Reranker}
-    import graft.search.Bm25
+    import graft.serve.Config
     val docs = T(s, dir, "documents")
     val emb = T(s, dir, "embeddings")
     val tmp = java.nio.file.Files
@@ -130,24 +129,55 @@ object SparkEntry {
       .join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id").as("query_id"), col("text").as("question"),
         col("embedding").as("query_vec"))
-    val answerMisses: DataFrame => DataFrame = missQ => {
-      // bounded serving batch: the id collect drives the term-pruned
-      // postings probe (the restrictToTerms house pattern)
-      val missIds = missQ.select("query_id").collect()
-        .map(_.getLong(0)).toSeq.sorted
-      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20, missIds)
+    // the SETTLED half of the fixture rides the shared per-JVM cache (the
+    // b11b discipline — round-12 verdict #2): the miss pipeline is
+    // deterministic and already oracled standalone (b6/b9/ep4/c6/c9), so
+    // each bench sample of the composed batteries pays only the
+    // composition under test — lookup, intake, memory, prompt laws, all
+    // of which stay FRESH per call (new cache/memory dirs above)
+    val answered = cachedMissAnswers(s, dir)
+    val answerMisses: DataFrame => DataFrame = missQ =>
+      missQ.select("query_id").join(answered, Seq("query_id"))
+        .select("query_id", "question", "answer", "cost")
+    (tmp, queries, answerMisses)
+  }
+
+  /** The priced miss-pipeline answers for the serving fixtures' three
+    * candidate questions (docs 3/7/11), built ONCE per (JVM, fixture dir)
+    * and joined per `answerMisses` call. Values are identical to running
+    * the pipeline per micro-batch — answerMisses is deterministic by the
+    * [[graft.serve.CachedRag]] contract, BM25 per-query scores are
+    * unaffected by which other queries share the probe (restrictToTerms
+    * keeps the UNION of query terms; scoring consults only each query's
+    * own), and the dense channel is per-query — so the sequential-state
+    * oracles (ep5/ep6/st19/st20/c13/c14) apply verbatim. What changes is
+    * the BENCH: repeat samples of the composed serving batteries no
+    * longer re-run the retrieve → rerank → context → echo → pricing
+    * chain per sample (round-12 verdict #2: st20 alone was 17% of the
+    * suite, all of it settled-fixture rebuild).
+    */
+  private val missAnswerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedMissAnswers(s: SparkSession, dir: String): DataFrame = {
+    val path = missAnswerCache.computeIfAbsent(dir, { _ =>
+      import graft.serve.{ContextAssembly, Costing, EchoAnswerer, OverlapReranker, Reranker}
+      import graft.search.Bm25
+      val docs = T(s, dir, "documents")
+      val allQ = docs.where(col("doc_id").isin(3, 7, 11))
+        .select(col("doc_id").as("query_id"), col("text").as("question"))
+      val (sparse, dense) = atRestHybridChannels(s, dir, k = 20)
       val fused = Bm25.rrfFuse(Seq(sparse, dense), k = 10)
       val reranked = Reranker.rerankTopK(fused,
-        missQ.select(col("query_id"), col("question").as("query_text")),
+        allQ.select(col("query_id"), col("question").as("query_text")),
         docs, OverlapReranker, k = 4)
       val hits4 = reranked
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("query_id"), col("text"), col("rank").cast("double").as("dist"))
       val ctx = ContextAssembly.assembleAll(
-        missQ.select("query_id", "question"), hits4)
-      val answered = EchoAnswerer.answer(ctx, "question", "context")
-      Costing.withCost(
-        answered
+        allQ.select("query_id", "question"), hits4)
+      val answeredAll = EchoAnswerer.answer(ctx, "question", "context")
+      val priced = Costing.withCost(
+        answeredAll
           .withColumn("prompt_tokens",
             graft.ops.TextAnalytics.tokenCount(col("question")) +
               graft.ops.TextAnalytics.tokenCount(col("context")))
@@ -156,8 +186,15 @@ object SparkEntry {
         col("prompt_tokens"), col("completion_tokens"))
         .withColumn("cost", round(col("cost"), 8))
         .select("query_id", "question", "answer", "cost")
-    }
-    (tmp, queries, answerMisses)
+      // parquet path, not a cached DataFrame: the memo must survive
+      // session turnover in one JVM (the indexCache discipline — a
+      // cached plan is bound to the SparkContext that built it)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_missans").toString + "/answers"
+      priced.coalesce(1).write.parquet(out)
+      out
+    })
+    s.read.parquet(path)
   }
 
   /** Documents with synthesized title structure: every doc whose id is not

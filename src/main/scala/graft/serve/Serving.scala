@@ -450,6 +450,81 @@ object CachedRag {
   */
 object ChatRag {
 
+  /** Memory-table LAYOUT (round-12 verdict #1 — the one store that had no
+    * lifecycle): the table is hash-partitioned on `sbucket =
+    * crc32(session_id) mod memoryBuckets`, so a turn's history read
+    * targets only the arriving sessions' bucket DIRECTORIES — the
+    * per-turn listing walks a bounded set of dirs, never the whole table
+    * (a million-turn deployment's root listing was a driver-side
+    * metadata bottleneck), and with the maintenance arm compacting each
+    * bucket the file count per dir stays bounded too. CRC32 is computed
+    * identically on both sides of the boundary: the write path's
+    * `crc32(cast(session_id as binary))` column and the driver-side
+    * [[sessionBucket]] over the same UTF-8 bytes.
+    *
+    * Tables created before this layout (flat files at the root) are
+    * detected and served through the legacy arm — full-listing read,
+    * flat append, NO maintenance (file compaction at the root would
+    * swap away the `_batches` ledger) — so an existing deployment keeps
+    * working; new tables always get the bucketed layout.
+    */
+  private[graft] def sessionBucket(id: Any, nBuckets: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(String.valueOf(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % nBuckets).toInt
+  }
+
+  private def bucketExpr(nBuckets: Int): Column =
+    pmod(crc32(col("session_id").cast("string").cast("binary")),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** True when the table at `mp` should be read/written bucketed: a new
+    * table, or one that already has `sbucket=` partition dirs. A table
+    * holding flat data files and no bucket dirs is legacy.
+    */
+  private def isBucketed(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(mp)) return true
+    val entries = fs.listStatus(mp).toSeq
+    val hasBucketDirs = entries.exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+    val hasFlatData = entries.exists(e =>
+      e.isFile && !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith(".") && e.getLen > 0)
+    hasBucketDirs || !hasFlatData
+  }
+
+  /** The arriving sessions' slice of the memory table: bucketed tables
+    * read ONLY the touched `sbucket=` dirs (exists-filtered — a brand-new
+    * session's bucket may not exist yet) with the session IN-filter
+    * pushed into those scans; legacy tables read the root and prune rows
+    * only. Returns None when nothing exists to read.
+    */
+  private def readMemorySlice(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path,
+      memoryPath: String,
+      bucketed: Boolean,
+      sessionIds: Seq[Any],
+      nBuckets: Int): Option[DataFrame] = {
+    if (!fs.exists(mp)) return None
+    if (bucketed) {
+      val dirs = sessionIds.map(sessionBucket(_, nBuckets)).distinct.sorted
+        .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
+        .filter(fs.exists(_))
+      if (dirs.isEmpty) None
+      else Some(
+        spark.read.parquet(dirs.map(_.toString): _*)
+          .where(col("session_id").isin(sessionIds: _*))
+          .select("session_id", "turn", "role", "content"))
+    } else Some(
+      spark.read.parquet(memoryPath)
+        .where(col("session_id").isin(sessionIds: _*))
+        .select("session_id", "turn", "role", "content"))
+  }
+
   /** One chat TURN for a batch of sessions — ONE question per session per
     * turn (the reference's chat contract; several sessions serve in
     * parallel, the batch dimension):
@@ -483,6 +558,15 @@ object ChatRag {
     * without limit as a session ages. Only the prompt is windowed: turn
     * NUMBERING and the append still ride the full log, so bounding the
     * context never renumbers or loses conversation history.
+    *
+    * `memoryBuckets` sets the table's hash-partition fan-out (see the
+    * layout note above — reads touch only the arriving sessions'
+    * buckets); `maintenance = Some(policy)` runs the
+    * [[graft.ops.Layout.MaintenancePolicy]] file-compact arm after the
+    * append, bin-packing each bucket dir when small files accumulate —
+    * the same runs-itself wiring every other maintained store has.
+    * Neither knob changes any served value: ep6/st20's oracles hold on
+    * either layout, with or without the policy.
     */
   def chatTurn(
       spark: SparkSession,
@@ -492,17 +576,22 @@ object ChatRag {
       minCos: Double,
       answerMisses: DataFrame => DataFrame,
       idOffset: Long = 1000000L,
-      memoryWindow: Option[(Int, Long)] = None): DataFrame = {
+      memoryWindow: Option[(Int, Long)] = None,
+      memoryBuckets: Int = 16,
+      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): DataFrame = {
     import graft.ops.Ann.materializeOnce
+    require(memoryBuckets > 0, s"chatTurn: memoryBuckets $memoryBuckets must be > 0")
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketed = isBucketed(fs, mp)
     def emptyMemory = questions.select(
       col("session_id"), lit(0L).as("turn"),
       lit("").as("role"), lit("").as("content")).limit(0)
     // the batch's sessions are micro-batch-bounded by contract, so the
-    // history read pushes `session_id IN (...)` into the memory scan
-    // (the b11b discipline) — a memory table holds EVERY session ever
-    // served, and this turn needs only the arriving ones
+    // history read targets the arriving sessions' bucket dirs and pushes
+    // `session_id IN (...)` into those scans (the b11b discipline) — a
+    // memory table holds EVERY session ever served, and this turn needs
+    // only the arriving ones; the listing walks only the touched buckets
     val sessionIds = questions.select("session_id").distinct()
       .collect().map(_.get(0)).toSeq
     // the one-question-per-session-per-turn contract fails LOUDLY (the
@@ -514,10 +603,8 @@ object ChatRag {
       s"chatTurn: one question per session per turn — got " +
         s"$nQuestions questions over ${sessionIds.length} sessions")
     val history = materializeOnce(
-      if (fs.exists(mp))
-        spark.read.parquet(memoryPath)
-          .where(col("session_id").isin(sessionIds: _*))
-      else emptyMemory)
+      readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
+        memoryBuckets).getOrElse(emptyMemory))
     val disp = materializeOnce(
       CachedRag.cachedAnswerBatch(spark,
         questions.select("query_id", "question", "query_vec"),
@@ -545,11 +632,11 @@ object ChatRag {
         .select(col("session_id"), col("turn"), col("query_id"),
           col("question"), col("answer"), col("hit"), col("cache_id"),
           col("cost"), col("n_prompt_msgs")))
-    // the C4 append, AFTER every output above is checkpointed. The
-    // append lands as ONE file (the rows are 2 × a micro-batch-bounded
-    // session count), so its job commit is a single rename — the batch's
-    // memory rows are all-or-nothing, never a half-written turn whose
-    // dangling user row would shift the next replay's numbering.
+    // the C4 append, AFTER every output above is checkpointed. The rows
+    // are 2 × a micro-batch-bounded session count, written by ONE task
+    // (one file per touched bucket) — a session's user+assistant pair
+    // always shares a file, never a half-written turn whose dangling
+    // user row would shift the next replay's numbering.
     // Guarded on (session_id, turn): a replay whose history is UNCHANGED
     // (the append never landed) re-mints the same turn numbers and the
     // anti-join — pruned to this batch's sessions, like the history read
@@ -568,14 +655,47 @@ object ChatRag {
       .select(col("session_id"), col("__m.turn").as("turn"),
         col("__m.role").as("role"), col("__m.content").as("content"))
     val freshAppend =
-      if (fs.exists(mp))
-        appendRows.join(
-          spark.read.parquet(memoryPath)
-            .where(col("session_id").isin(sessionIds: _*))
-            .select("session_id", "turn"),
-          Seq("session_id", "turn"), "left_anti")
-      else appendRows
-    freshAppend.coalesce(1).write.mode("append").parquet(memoryPath)
+      readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
+        memoryBuckets) match {
+        case Some(existing) =>
+          appendRows.join(existing.select("session_id", "turn"),
+            Seq("session_id", "turn"), "left_anti")
+        case None => appendRows
+      }
+    // bucketed: ONE task writes one file per TOUCHED bucket; a session's
+    // two rows share a bucket, so each session's turn stays all-or-nothing
+    // within one file commit (cross-bucket partiality on a driver crash
+    // heals through the (session_id, turn) anti-join above). Legacy: the
+    // original single-file append.
+    if (bucketed)
+      freshAppend.withColumn("sbucket", bucketExpr(memoryBuckets))
+        .coalesce(1).write.mode("append").partitionBy("sbucket")
+        .parquet(memoryPath)
+    else
+      freshAppend.coalesce(1).write.mode("append").parquet(memoryPath)
+    // the LIFECYCLE arm (round-12 verdict #1): every other maintained
+    // store runs the policy loop; the memory table appends one file per
+    // touched bucket per turn forever without this. Metadata-only signal
+    // (maintenanceDue lists, never scans data); the action bin-packs each
+    // bucket dir through the house swap discipline. Bucket dirs only —
+    // compacting the ROOT would swap away the `_batches` stream ledger —
+    // so legacy flat tables get no file compaction (migrate by starting
+    // a bucketed table and replaying, or accept the legacy listing cost).
+    maintenance.foreach { pol =>
+      if (bucketed) {
+        val status = graft.ops.Layout.maintenanceDue(spark, memoryPath, pol,
+          idCol = "session_id")
+        if (status.fileCompactDue)
+          fs.listStatus(mp).toSeq
+            .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+            .foreach { d =>
+              graft.ops.Layout.compactFiles(spark, d.getPath.toString,
+                targetBytes = pol.smallFileBytes * 8)
+              ()
+            }
+      }
+      ()
+    }
     out
   }
 
@@ -594,9 +714,11 @@ object ChatRag {
       minCos: Double,
       answerMisses: DataFrame => DataFrame,
       idOffset: Long = 1000000L,
-      memoryWindow: Option[(Int, Long)] = None): Unit = {
+      memoryWindow: Option[(Int, Long)] = None,
+      memoryBuckets: Int = 16,
+      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): Unit = {
     chatTurn(spark, batch, memoryPath, cachePath, minCos, answerMisses,
-      idOffset, memoryWindow)
+      idOffset, memoryWindow, memoryBuckets, maintenance)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     ()
   }
@@ -625,14 +747,17 @@ object ChatRag {
       answerMisses: DataFrame => DataFrame,
       minCos: Double = 0.95,
       idOffset: Long = 1000000L,
-      memoryWindow: Option[(Int, Long)] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      memoryWindow: Option[(Int, Long)] = None,
+      memoryBuckets: Int = 16,
+      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Layout.ledgeredBatch(
           batch.sparkSession, s"$memoryPath/_batches", batchId) {
           chatTurnBody(batch.sparkSession, batch, memoryPath, cachePath,
-            outPath, batchId, minCos, answerMisses, idOffset, memoryWindow)
+            outPath, batchId, minCos, answerMisses, idOffset, memoryWindow,
+            memoryBuckets, maintenance)
         }
         ()
       }

@@ -549,6 +549,7 @@ class ServingSpec extends SparkSpec {
     assert(t0.toSeq == Seq(("s1", 0L, 1L, "computed: q one", false, 1000001L, 0.5, 3L)),
       s"turn 0: empty history -> 3-message prompt, miss answered: ${t0.toSeq}")
     val m0 = spark.read.parquet(mem).orderBy("turn")
+      .select("session_id", "turn", "role", "content")
       .as[(String, Long, String, String)].collect().toSeq
     assert(m0 == Seq(("s1", 0L, "user", "q one"),
       ("s1", 1L, "assistant", "computed: q one")),
@@ -651,6 +652,117 @@ class ServingSpec extends SparkSpec {
       "the window must bound the prompt without renumbering the conversation")
     assert(spark.read.parquet(mem).count() == 6L,
       "the log keeps every turn — only the prompt is windowed")
+  }
+
+  test("chat memory lifecycle: turns accumulate files, the policy folds them, values unchanged") {
+    // round-12 verdict #1: the memory table was the one store with no
+    // lifecycle — one file per turn forever. With the policy wired, N
+    // turns converge to a bounded file count per bucket dir, and neither
+    // the log nor the dispositions change.
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_maint").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val pol = graft.ops.Layout.MaintenancePolicy(
+      maxSmallFiles = 3, smallFileBytes = 1L << 20)
+    val nTurns = 8
+    (0 until nTurns).foreach { i =>
+      // distinct questions so every turn is a miss (vectors far apart)
+      val v = Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat)
+      val out = ChatRag.chatTurn(spark,
+        Seq(("s1", 100L + i, s"q $i", v))
+          .toDF("session_id", "query_id", "question", "query_vec"),
+        mem, cache, minCos = 0.999, answerMisses, maintenance = Some(pol))
+        .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+      assert(out == ((2L * i, 3L + 4L * i)),
+        s"turn $i drifted under maintenance: $out")
+    }
+    // the log is complete and correctly numbered
+    val log = spark.read.parquet(mem)
+      .select("session_id", "turn", "role", "content")
+      .orderBy("turn").as[(String, Long, String, String)].collect().toSeq
+    assert(log.size == 2 * nTurns)
+    assert(log.map(_._2) == (0L until 2L * nTurns))
+    assert(log.map(_._3) == (0 until nTurns).flatMap(_ => Seq("user", "assistant")))
+    // and the policy folded the per-turn files: without it, s1's bucket
+    // dir would hold nTurns files; the compact bin-packs them
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bucket = new org.apache.hadoop.fs.Path(
+      mem, s"sbucket=${graft.serve.ChatRag.sessionBucket("s1", 16)}")
+    val files = fs.listStatus(bucket).count { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    assert(files < nTurns && files <= pol.maxSmallFiles + 2,
+      s"policy never folded the per-turn appends: $files files")
+  }
+
+  test("chat memory bucketing: reads touch only the arriving sessions' bucket dirs") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_bkt").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    // two sessions landing in DIFFERENT buckets (4-bucket table)
+    val ids = Seq("s1", "s2", "s3", "s4", "s5")
+    val (a, b) = {
+      val byB = ids.groupBy(graft.serve.ChatRag.sessionBucket(_, 4))
+      val two = byB.values.take(2).toSeq
+      (two.head.head, two(1).head)
+    }
+    def ask(sid: String, qid: Long, v: Array[Float]) = ChatRag.chatTurn(spark,
+      Seq((sid, qid, s"q of $sid $qid", v))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, answerMisses, memoryBuckets = 4)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    assert(ask(a, 1L, Array(1.0f, 0.0f)) == ((0L, 3L)))
+    assert(ask(b, 2L, Array(0.0f, 1.0f)) == ((0L, 3L)))
+    // session a's second turn must see ONLY its own history (2 rows -> 7)
+    assert(ask(a, 3L, Array(0.7f, 0.7f)) == ((2L, 7L)))
+    // the two sessions landed in separate bucket dirs
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(mem)).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+      .map(_.getPath.getName).sorted
+    assert(buckets == Seq(
+      s"sbucket=${graft.serve.ChatRag.sessionBucket(a, 4)}",
+      s"sbucket=${graft.serve.ChatRag.sessionBucket(b, 4)}").sorted.distinct,
+      s"unexpected bucket dirs: $buckets")
+  }
+
+  test("chat memory legacy layout: a flat pre-bucketing table keeps working") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_legacy").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    // a table written by the PRE-layout code: flat files at the root
+    Seq(("s1", 0L, "user", "old q"), ("s1", 1L, "assistant", "old a"))
+      .toDF("session_id", "turn", "role", "content")
+      .coalesce(1).write.parquet(mem)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val out = ChatRag.chatTurn(spark,
+      Seq(("s1", 9L, "new q", Array(1.0f, 0.0f)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.95, answerMisses)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    // history seen (turn continues at 2, prompt carries 2 remembered rows)
+    assert(out == ((2L, 7L)), s"legacy history lost: $out")
+    // the append stayed FLAT — no sbucket dirs were mixed into the table
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(mem)).exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("sbucket=")),
+      "legacy tables must not grow partition dirs")
+    assert(spark.read.parquet(mem).count() == 4L)
   }
 
   test("streamingChatRag: turns accumulate memory across micro-batches, ledger blocks re-runs") {
