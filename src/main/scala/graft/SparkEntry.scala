@@ -135,9 +135,14 @@ object SparkEntry {
     // each bench sample of the composed batteries pays only the
     // composition under test — lookup, intake, memory, prompt laws, all
     // of which stay FRESH per call (new cache/memory dirs above)
+    // joined on the QUESTION, not the id: answerMisses is deterministic
+    // per question content (the CachedRag contract), and a re-asked
+    // question arrives under a fresh id (ep5's +100 batch, ep6's 203,
+    // c14's post-invalidation 107) — keying by text serves any of them
     val answered = cachedMissAnswers(s, dir)
     val answerMisses: DataFrame => DataFrame = missQ =>
-      missQ.select("query_id").join(answered, Seq("query_id"))
+      missQ.select("query_id", "question")
+        .join(answered.select("question", "answer", "cost"), Seq("question"))
         .select("query_id", "question", "answer", "cost")
     (tmp, queries, answerMisses)
   }
@@ -831,6 +836,41 @@ object SparkEntry {
       graft.serve.SemanticCache.evictCache(s, tmp, maxEntries = 50)
       graft.serve.SemanticCache.deleteCacheEntries(s, tmp, Seq(1000003L, 490L))
       s.read.parquet(tmp)
+        .select(col("cache_id").cast("long").as("cache_id"), col("answer"))
+        .orderBy("cache_id")
+    }
+    reg("c12b_cache_evict_lru") { (s, dir) =>
+      // the LRU policy's own oracled row (round-12 verdict item 4 —
+      // c12 covers FIFO only; LRU was spec + ScaleSmoke): a seeded cache
+      // plus a two-batch disposition history whose SECOND batch
+      // refreshed the OLDEST id band — exactly the set FIFO would evict
+      // first. The eviction folds recency from the landed history
+      // (`_recency/` sidecar), walks the per-batch histogram newest
+      // first, and cuts the boundary band by highest id. DuckDB replays
+      // the whole keep-set law: (last_use desc, cache_id desc) rank ≤
+      // cap. Everything derives from the embeddings fixture, so the row
+      // is a full recompute, not a pin.
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_c12b").toString
+      val (cachePath, disp) = (s"$root/cache", s"$root/disp")
+      emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("cache_id"), col("embedding"),
+          concat(lit("seed "), col("vec_id")).as("answer"))
+        .write.parquet(cachePath)
+      // batch 1 refreshed the even multiples of 7; batch 2 refreshed the
+      // oldest band (ids < 70) LAST — max-merge gives them last_use 2
+      emb.where(pmod(col("vec_id"), lit(14)) === 0)
+        .select(col("vec_id").as("cache_id"), lit(true).as("hit"),
+          lit(0.0).as("cost"))
+        .write.parquet(s"$disp/batch=1")
+      emb.where(pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") < 70)
+        .select(col("vec_id").as("cache_id"), lit(true).as("hit"),
+          lit(0.0).as("cost"))
+        .write.parquet(s"$disp/batch=2")
+      graft.serve.SemanticCache.evictCacheLru(s, cachePath, disp,
+        maxEntries = 25)
+      s.read.parquet(cachePath)
         .select(col("cache_id").cast("long").as("cache_id"), col("answer"))
         .orderBy("cache_id")
     }
@@ -3050,6 +3090,39 @@ object SparkEntry {
         answerMisses).withColumn("batch", lit(2L))
       SemanticCache.cacheReport(b1.unionByName(b2)).orderBy("batch")
     }
+    reg("c14_cache_invalidate") { (s, dir) =>
+      // the cache's correctness story after an index REBUILD (round-12
+      // verdict item 3 — spec-only until now): answers minted against the
+      // old index are not too numerous, they are WRONG. Batch 1 serves
+      // vs the seed (7 hits it, 3/11 answer + mint); the rebuild records
+      // its mint watermark (idOffset — every pre-rebuild entry sits
+      // below it) and invalidateCacheBefore sweeps the seed while batch
+      // 1's fresh mints survive; batch 2 re-asks all three under new
+      // ids — 103/111 hit the surviving mints at cos 1 and cost 0, but
+      // 107 (whose entry was the swept seed) must MISS, re-answer
+      // against the rebuilt pipeline, and re-admit under its own id:
+      // the self-healing loop, oracled end to end. b1 is checkpointed
+      // BEFORE the sweep (the swap replaces the files its lazy plan
+      // would re-read).
+      import graft.serve.{CachedRag, SemanticCache}
+      import graft.ops.Ann.materializeOnce
+      val (tmp, queries, answerMisses) = cachedRagFixture(s, dir)
+      val b1 = materializeOnce(
+        CachedRag.cachedAnswerBatch(s, queries, tmp, minCos = 0.95,
+          answerMisses).withColumn("batch", lit(1L)))
+      val (nBefore, nAfter) =
+        SemanticCache.invalidateCacheBefore(s, tmp, 1000000L)
+      require(nBefore == 3 && nAfter == 2,
+        s"c14 premise drifted: sweep $nBefore -> $nAfter (expected 3 -> 2)")
+      val b2q = queries.select((col("query_id") + 100).as("query_id"),
+        col("question"), col("query_vec"))
+      val b2 = CachedRag.cachedAnswerBatch(s, b2q, tmp, minCos = 0.95,
+        answerMisses).withColumn("batch", lit(2L))
+      b1.unionByName(b2)
+        .select("batch", "query_id", "question", "answer", "hit",
+          "cache_id", "cost")
+        .orderBy("batch", "query_id")
+    }
 
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
       // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
@@ -3989,6 +4062,131 @@ object SparkEntry {
          |ORDER BY turn, session_id""".stripMargin
   }
 
+  /** c14's oracle: the invalidation chain replayed sequentially — batch-1
+    * dispositions vs the seed (ep5's recipe, but priced for ALL three
+    * candidate questions, the ep6 recipe — the post-sweep re-ask of doc
+    * 7's question needs its pipeline answer), the
+    * `invalidateCacheBefore(idOffset)` sweep (seed dropped, mints kept —
+    * `cache_id < 1000000` exactly), then batch-2 lookups vs the surviving
+    * mints with the 107 miss re-answered and re-admitted.
+    */
+  private lazy val cacheInvalidateOracle: String = {
+    val seedAns = s"[${sqlEsc(graft.serve.Config.AgentName)}] precomputed answer for doc 7"
+    bm25OracleCore(
+      s"""q0 AS (SELECT d.doc_id AS src_doc, d.text AS question, e.embedding AS qv
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.doc_id IN (3, 7, 11)),
+         |seed AS (SELECT CAST(500007 AS BIGINT) AS cache_id, embedding AS cv,
+         |    '$seedAns' AS answer
+         |  FROM embeddings WHERE vec_id = 7),
+         |qs AS (SELECT src_doc AS query_id, question AS query_text FROM q0),""".stripMargin) +
+      s""",
+         |sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+         |qv2 AS (SELECT src_doc AS query_id, qv FROM q0),
+         |dscored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))) AS dist
+         |  FROM embeddings e, qv2 q),
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+         |    FROM dscored) WHERE rank <= 20),
+         |contribs AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM sparse
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS contrib FROM dense),
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
+         |  FROM contribs GROUP BY 1, 2),
+         |franked AS (
+         |  SELECT query_id, doc_id, rrf_scaled, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+         |  FROM fused),
+         |cand AS (SELECT query_id, doc_id, rank FROM franked WHERE rank <= 10),
+         |rtk AS (SELECT doc_id, list_distinct(list_filter(
+         |    regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+         |    t -> length(t) > 0)) AS tk FROM documents),
+         |rsc AS (
+         |  SELECT c.query_id, c.doc_id, c.rank,
+         |    CAST(len(list_filter(qt.tk, t -> list_contains(dt.tk, t)))
+         |      AS BIGINT) AS rr_score
+         |  FROM cand c
+         |  JOIN rtk qt ON qt.doc_id = c.query_id
+         |  JOIN rtk dt ON dt.doc_id = c.doc_id),
+         |rr AS (
+         |  SELECT query_id, doc_id, rr_score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rr_score DESC, rank, doc_id) AS rrank
+         |  FROM rsc),
+         |top4 AS (SELECT query_id, doc_id, rrank FROM rr WHERE rrank <= 4),
+         |ctx AS (
+         |  SELECT t.query_id,
+         |    string_agg(d.text, chr(10) ORDER BY t.rrank, d.text) AS context
+         |  FROM top4 t JOIN documents d ON d.doc_id = t.doc_id
+         |  GROUP BY t.query_id),
+         |ansd AS (
+         |  SELECT c.query_id AS src_doc, q.question,
+         |    '[${sqlEsc(graft.serve.Config.AgentName)}] ' ||
+         |      split_part(c.context, chr(10), 1) AS answer, c.context
+         |  FROM ctx c JOIN q0 q ON q.src_doc = c.query_id),
+         |priced AS (
+         |  SELECT src_doc, question, answer,
+         |    round(CAST(${tok("question")} + ${tok("context")} AS BIGINT) * 0.00001
+         |        + CAST(${tok("answer")} AS BIGINT) * 0.00003, 8) AS cost
+         |  FROM ansd),
+         |l1 AS (SELECT q.src_doc, s.cache_id,
+         |    ${cosE("q.qv", "s.cv")} AS cos
+         |  FROM q0 q, seed s),
+         |h1 AS (SELECT src_doc, cache_id, row_number() OVER (
+         |    PARTITION BY src_doc ORDER BY cos DESC, cache_id) AS rn
+         |  FROM l1 WHERE cos >= 0.95),
+         |b1rows AS (
+         |  SELECT CAST(1 AS BIGINT) AS batch,
+         |    CAST(q.src_doc AS BIGINT) AS query_id, p.question,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN s.answer ELSE p.answer END AS answer,
+         |    h.cache_id IS NOT NULL AS hit,
+         |    coalesce(h.cache_id, CAST(q.src_doc + 1000000 AS BIGINT)) AS cache_id,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN 0.0 ELSE p.cost END AS cost
+         |  FROM q0 q
+         |  JOIN priced p ON p.src_doc = q.src_doc
+         |  LEFT JOIN (SELECT * FROM h1 WHERE rn = 1) h ON h.src_doc = q.src_doc
+         |  LEFT JOIN seed s ON s.cache_id = h.cache_id),
+         |-- invalidateCacheBefore(1000000): everything minted before the
+         |-- rebuild watermark is swept — the seed goes, batch-1's mints
+         |-- (>= 1000000 by construction) survive
+         |cache2 AS (
+         |  SELECT CAST(q.src_doc + 1000000 AS BIGINT) AS cache_id,
+         |    q.qv AS cv, p.answer
+         |  FROM q0 q JOIN priced p ON p.src_doc = q.src_doc
+         |  WHERE q.src_doc NOT IN (SELECT src_doc FROM h1 WHERE rn = 1)),
+         |b2q AS (SELECT src_doc, src_doc + 100 AS query_id, question, qv FROM q0),
+         |l2 AS (SELECT q.query_id, c.cache_id,
+         |    ${cosE("q.qv", "c.cv")} AS cos
+         |  FROM b2q q, cache2 c),
+         |h2 AS (SELECT query_id, cache_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cache_id) AS rn
+         |  FROM l2 WHERE cos >= 0.95),
+         |b2rows AS (
+         |  SELECT CAST(2 AS BIGINT) AS batch,
+         |    CAST(q.query_id AS BIGINT) AS query_id, q.question,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN c.answer ELSE p.answer END AS answer,
+         |    h.cache_id IS NOT NULL AS hit,
+         |    coalesce(h.cache_id, CAST(q.query_id + 1000000 AS BIGINT)) AS cache_id,
+         |    CASE WHEN h.cache_id IS NOT NULL THEN 0.0 ELSE p.cost END AS cost
+         |  FROM b2q q
+         |  JOIN priced p ON p.src_doc = q.src_doc
+         |  LEFT JOIN (SELECT * FROM h2 WHERE rn = 1) h ON h.query_id = q.query_id
+         |  LEFT JOIN cache2 c ON c.cache_id = h.cache_id)
+         |SELECT batch, query_id, question, answer, hit, cache_id,
+         |  CAST(cost AS DOUBLE) AS cost
+         |FROM (SELECT * FROM b1rows UNION ALL SELECT * FROM b2rows)
+         |ORDER BY batch, query_id""".stripMargin
+  }
+
   /** b7/b7b's shared oracle: phrases re-derived from the fixture, every
     * adjacency count recomputed brute-force.
     */
@@ -4571,6 +4769,9 @@ object SparkEntry {
     // ep6: the chat composition's sequential state (cache AND memory)
     // replayed in CTEs — see chatRagOracle's scaladoc
     "ep6_chat_rag" -> chatRagOracle,
+    // c14: rebuild invalidation — b1 vs seed, the watermark sweep, b2's
+    // post-sweep re-asks (107 must miss + re-answer) replayed in CTEs
+    "c14_cache_invalidate" -> cacheInvalidateOracle,
     // st20: ep6 through the streaming body — value-equal (shared
     // chatTurn + shared fixture), read back through the partitioned
     // sink layout, so the same sequential-state recompute holds
@@ -5091,6 +5292,24 @@ object SparkEntry {
          |WHERE rn <= 50 AND cache_id NOT IN (1000003, 490)
          |ORDER BY cache_id""".stripMargin
     },
+    // c12b: the LRU keep-set law replayed — last_use from the constructed
+    // two-batch history (max batch per id; band 2 = the re-refreshed
+    // oldest ids, band 1 = batch-1-only ids, -1 = never served), keep =
+    // rank ≤ cap by (last_use desc, cache_id desc) — the histogram walk +
+    // in-band id cutoff collapse to exactly this total order
+    "c12b_cache_evict_lru" ->
+      """WITH cache0 AS (SELECT vec_id AS cache_id, 'seed ' || vec_id AS answer
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |lu AS (SELECT cache_id,
+        |    CASE WHEN cache_id < 70 THEN 2
+        |         WHEN cache_id % 14 = 0 THEN 1
+        |         ELSE -1 END AS last_use
+        |  FROM cache0),
+        |ranked AS (SELECT c.cache_id, c.answer, row_number() OVER (
+        |    ORDER BY l.last_use DESC, c.cache_id DESC) AS rn
+        |  FROM cache0 c JOIN lu l USING (cache_id))
+        |SELECT CAST(cache_id AS BIGINT) AS cache_id, answer FROM ranked
+        |WHERE rn <= 25 ORDER BY cache_id""".stripMargin,
     // c10b: seeded RP banding isn't SQL-expressible — determinism pin
     // (pin_sweep-verified); the banded-vs-exact parity law is ServingSpec's
     "c10b_semantic_cache_banded" ->
