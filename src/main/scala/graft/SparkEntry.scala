@@ -340,6 +340,13 @@ object SparkEntry {
   private val s1ScaffoldDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** ep8_warc_rag's .warc.gz scaffold dirs, one per fixture dir per JVM
+    * (built once — the archives are immutable inputs, so Bench repeats
+    * time the pipeline, not the scaffold write).
+    */
+  private val ep8ScaffoldDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   // ------------------------------------------------------------ flagship
 
   /** EP1+EP2 end-to-end on sf0.001: ingest → sectionize → chunk → embed →
@@ -484,6 +491,29 @@ object SparkEntry {
           col("vec_id"), round(col("mmr_score"), 6).as("mmr_score"))
         .orderBy("query_id", "rank")
     }
+    reg("q11b_mmr_banded") { (s, dir) =>
+      // the banded fetch route under its own oracled row (round-12
+      // verdict item 5 — `approx = true` was ScaleSmoke-only; the house
+      // precedent is c10b/d19b: optional/approximate paths get rows):
+      // q11's exact shape with the candidate fetch through rpTopKBatch
+      // at the a15 serving default (8x3 — the fixture's near-random
+      // embeddings sit far apart, where deep-AND keys rarely collide;
+      // the dense-data 8x6 setting stays the scale tier's measured
+      // territory, ScaleSmoke 15b). The greedy law over whatever pool
+      // the bands recall is MmrSpec's; seeded RP hashes aren't
+      // SQL-expressible, so this is a determinism pin
+      // (pin_sweep-verified). The companion `a16` row audits this fetch
+      // route's recall against exact truth.
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"),
+          reverse(col("embedding")).as("query_vec"))
+      Mmr.mmrTopKBatch(qs, emb, k = 3, fetchK = 8, lambdaMult = 0.5,
+        approx = true, idCol = "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("query_id", "rank")
+    }
 
     // ---- pipeline transforms (T1-T7)
     reg("t1_titles") { (s, dir) =>
@@ -624,6 +654,58 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"),
           col("_corrupt_record").as("corrupt_record"))
         .orderBy(col("doc_id").asc_nulls_last, col("corrupt_record"))
+    }
+    reg("ep8_warc_rag") { (s, dir) => // golden-parquet oracle (determinism pin)
+      // the Common-Crawl-to-RAG front door COMPOSED end to end (round-12
+      // missing #2 — every stage green standalone, never composed):
+      // genuine .warc.gz files on disk → readWarc (binaryFile, one task
+      // per archive) → responseText (mojibake-safe decode) → stripMarkup
+      // → the EP1 index pipeline (sectionize → chunk → embed, ep3's
+      // fit/buildWith) → batch RAG serving (RagServing.answerBatch) —
+      // the reference's app.py:191-205 → 110-131 generalized to the
+      // container web corpora actually ship in. Fixture docs (with the
+      // docs2 title structure) wrap in minimal HTML and shard into 4
+      // gzip-per-record archives; stripMarkup recovers the exact text2,
+      // so the downstream index equals ep3's premise — but built through
+      // the real file path. ExplainAudit asserts the pre-sectionize
+      // stretch is ONE narrow stage (no Exchange). Deterministic
+      // (TF-IDF embed + tie laws), pinned like ep2/ep3.
+      import java.nio.file.Files
+      val tmp = SparkEntry.ep8ScaffoldDirs.computeIfAbsent(dir, _ => {
+        val d = Files.createTempDirectory("graft_ep8_")
+        d.toFile.deleteOnExit()
+        graft.ingest.Warc.toWarcBlobs(
+          docs2(s, dir).where(col("doc_id") < 100).select(
+            pmod(col("doc_id"), lit(4)).cast("string").as("shard"),
+            // zero-padded uri: toWarcBlobs sorts each shard by uri, so
+            // in-archive record order is doc-id order, deterministically
+            concat(lit("http://corpus.local/doc/"),
+              lpad(col("doc_id").cast("string"), 4, "0")).as("uri"),
+            concat(lit("urn:graft:"), col("doc_id")).as("rid"),
+            encode(concat(lit("<html><body><pre>"), col("text2"),
+              lit("</pre></body></html>")), "UTF-8").as("payload")),
+          "shard", "uri", "rid", "payload",
+          contentType = "text/html; charset=utf-8")
+          .collect().foreach { r =>
+            Files.write(d.resolve(s"shard-${r.getString(0)}.warc.gz"),
+              r.getAs[Array[Byte]]("content"))
+          }
+        d
+      })
+      val corpus = graft.ingest.Warc.responseText(
+        graft.ingest.Warc.readWarc(s, tmp.toString))
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+          TextSources.stripMarkup(col("text")).as("text"))
+      val embedder = VectorIndex.fit(corpus)
+      val index = VectorIndex.buildWith(corpus, embedder)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import s.implicits._
+      val questions = Seq(
+        (1L, "customer order data stream"),
+        (2L, "regional supplier lineitem revenue")).toDF("query_id", "question")
+      RagServing.answerBatch(questions, index, embedder)
+        .orderBy("query_id")
     }
     reg("s1_raw_ingest") { (s, dir) =>
       // EP1 front door from genuine files on disk (app.py:191-205): fixture
@@ -2303,6 +2385,27 @@ object SparkEntry {
       val approx = Ann.rpTopKBatch(qs, emb, 10)
         .select(col("query_id"), col("vec_id"), col("rank"))
       Eval.evaluate(approx, truth, k = 10)
+        .select(col("query_id"), col("hits_rel"), col("truth_total"),
+          col("recall"), col("first_rel_rank"), col("rr"), col("ndcg"))
+        .orderBy("query_id")
+    }
+    reg("a16_mmr_fetch_recall") { (s, dir) =>
+      // a15's audit pointed at q11b's EXACT fetch route: the RP banding
+      // the banded MMR rides (the 8x3 serving default), measured against
+      // exact truth at the same fetchK — so the q11b pin is never
+      // trusted blind (round-12 verdict item 5's second half: a recall
+      // row for the banded fetch). Golden-pinned like a15 (seeded
+      // bands); MmrSpec asserts the recall floor test-side — the row's
+      // job is hash-level regression detection.
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"),
+          reverse(col("embedding")).as("query_vec"))
+      val truth = Knn.topKBatch(qs, emb, 8, idCol = "vec_id")
+        .select(col("query_id"), col("vec_id"), lit(1L).as("rel"))
+      val approx = Ann.rpTopKBatch(qs, emb, 8)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      Eval.evaluate(approx, truth, k = 8)
         .select(col("query_id"), col("hits_rel"), col("truth_total"),
           col("recall"), col("first_rel_rank"), col("rr"), col("ndcg"))
         .orderBy("query_id")
@@ -4462,6 +4565,10 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/ep2_rag_answer_sf001.parquet')",
     "ep3_rag_batch" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/ep3_rag_batch_sf001.parquet')",
+    // ep8: the WARC→index→RAG composition — TF-IDF embed isn't
+    // SQL-expressible (t6's reason); determinism pin, pin_sweep-swept
+    "ep8_warc_rag" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/ep8_warc_rag_sf001.parquet')",
     //  - the remaining pins below freeze DETERMINISM of seeded/approximate
     //    operators (fixed-seed MLlib fits, hash-based signatures, sketches):
     //    semantic quality bounds live in ScalaTest (recall/precision/
@@ -4885,6 +4992,13 @@ object SparkEntry {
     // fully oracled by b3 — this pin freezes the measured recall numbers
     "a15_ann_recall" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a15_ann_recall_sf001.parquet')",
+    // q11b/a16: the banded-MMR route and its fetch-recall audit — seeded
+    // RP bands aren't SQL-expressible; determinism pins (pin_sweep-swept),
+    // the greedy law + recall floors asserted test-side
+    "q11b_mmr_banded" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/q11b_mmr_banded_sf001.parquet')",
+    "a16_mmr_fetch_recall" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/a16_mmr_fetch_recall_sf001.parquet')",
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->

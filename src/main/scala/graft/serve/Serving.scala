@@ -383,8 +383,8 @@ object CachedRag {
     // evictLru = true folds recency from the dispositions THIS loop just
     // landed (`outPath`'s batch dirs ARE the history), so a hot entry
     // survives caps a FIFO would age out. History grows one dir per
-    // batch — prune old batch dirs out-of-band if the stream is
-    // long-lived and the recency horizon should be bounded.
+    // batch — [[SemanticCache.pruneDispositions]] retires folded dirs
+    // past a retention horizon when the stream is long-lived.
     cacheMaxEntries.foreach { cap =>
       if (evictLru) SemanticCache.evictCacheLru(spark, cachePath, outPath, cap)
       else SemanticCache.evictCache(spark, cachePath, cap)
@@ -1234,6 +1234,95 @@ object SemanticCache {
     marks.foreach(m =>
       fs.delete(new org.apache.hadoop.fs.Path(recDir, m.toString), false))
     merged
+  }
+
+  /** Disposition-history RETENTION (round-12 missing #4): the serving
+    * loops land one `batch=<id>/` dir per micro-batch FOREVER — a
+    * year-old deployment carries every batch dir it ever served. Pruning
+    * is safe once a dir's recency has been folded into the `_recency/`
+    * sidecar ([[foldRecency]]'s law: folded recency lives on in the
+    * state), so this operator deletes every `batch=<id>` dir with
+    * `id < retainFrom`, REFUSING (default) any dir not yet at or below
+    * the fold's high-water mark — pruning an unfolded dir would silently
+    * age its entries to never-used, inverting LRU for exactly the warm
+    * set. Deployments that never fold (pure-FIFO caches, report-free
+    * loops) pass `requireFolded = false` and accept that the pruned
+    * window's recency and report rows are gone. The horizon lands as a
+    * `_retention/<retainFrom>` marker (digit-named, max wins) so
+    * [[readDispositions]] below the horizon refuses loudly instead of
+    * returning a silently partial ledger. Single-writer, like every
+    * maintenance op. Returns (batch dirs before, after).
+    */
+  def pruneDispositions(
+      spark: SparkSession,
+      dispositionsPath: String,
+      retainFrom: Long,
+      requireFolded: Boolean = true): (Int, Int) = {
+    val dp = new org.apache.hadoop.fs.Path(dispositionsPath)
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dp)) return (0, 0)
+    val batchNs = fs.listStatus(dp).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=")).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+    val prune = batchNs.filter(_ < retainFrom).sorted
+    if (prune.nonEmpty && requireFolded) {
+      val recDir = new org.apache.hadoop.fs.Path(dp, "_recency")
+      val stateExists =
+        fs.exists(new org.apache.hadoop.fs.Path(recDir, "state"))
+      val water =
+        if (!stateExists || !fs.exists(recDir)) Long.MinValue
+        else fs.listStatus(recDir).toSeq.filter(_.isFile)
+          .map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+          .foldLeft(Long.MinValue)(math.max)
+      require(prune.max <= water,
+        s"pruneDispositions: batch dirs ${prune.filter(_ > water).mkString(",")} " +
+          s"are not folded into $dispositionsPath/_recency (high-water $water) " +
+          "— fold first (evictCacheLru/foldRecency), or pass " +
+          "requireFolded = false to discard their recency")
+    }
+    prune.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dp, s"batch=$n"), true))
+    if (prune.nonEmpty) {
+      val retDir = new org.apache.hadoop.fs.Path(dp, "_retention")
+      fs.mkdirs(retDir)
+      val old = fs.listStatus(retDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      if (!old.exists(_ >= retainFrom)) {
+        fs.create(new org.apache.hadoop.fs.Path(retDir, retainFrom.toString)).close()
+        old.filter(_ < retainFrom).foreach(m =>
+          fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
+      }
+    }
+    (batchNs.size, batchNs.size - prune.size)
+  }
+
+  /** The disposition history as a DataFrame (partition-discovered
+    * `batch` column), honoring the retention horizon: a read whose
+    * `fromBatch` reaches below a pruned window refuses loudly — the
+    * t8c below-horizon law — instead of silently reporting over a
+    * partial ledger. Feed the result to [[cacheReport]].
+    */
+  def readDispositions(
+      spark: SparkSession,
+      dispositionsPath: String,
+      fromBatch: Long = 0L): DataFrame = {
+    val dp = new org.apache.hadoop.fs.Path(dispositionsPath)
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    val retDir = new org.apache.hadoop.fs.Path(dp, "_retention")
+    val horizon =
+      if (!fs.exists(retDir)) Long.MinValue
+      else fs.listStatus(retDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(Long.MinValue)(math.max)
+    require(fromBatch >= horizon,
+      s"readDispositions: batches below $horizon were pruned from " +
+        s"$dispositionsPath — fromBatch $fromBatch reaches into discarded history")
+    spark.read.parquet(dispositionsPath)
+      .where(col("batch") >= fromBatch)
   }
 
   /** Cache OBSERVABILITY over the landed dispositions — the serving-tier

@@ -493,6 +493,35 @@ object ExplainAudit {
       } else println("PASS index_partition_pruning: section filter prunes at scan")
     }
 
+    // ep8's pre-sectionize stretch: .warc.gz file → records → decoded
+    // text → stripped doc rows must be ONE narrow stage — a task per
+    // archive file, zero Exchange (the sectionizer's per-doc window is
+    // the composition's FIRST shuffle, by design).
+    {
+      import org.apache.spark.sql.functions.{col, split, element_at}
+      val d = java.nio.file.Files.createTempDirectory("graft_audit_ep8")
+      val blob = graft.ingest.Warc.writeRecords(Iterator(
+        graft.ingest.Warc.WarcRecord("response", "urn:a:1",
+          "http://x.local/doc/0001", "text/html",
+          "<html><body><pre>hello audit</pre></body></html>"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+        gzipPerRecord = true)
+      java.nio.file.Files.write(d.resolve("a.warc.gz"), blob)
+      val corpus = graft.ingest.Warc.responseText(
+        graft.ingest.Warc.readWarc(spark, d.toString))
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+          graft.ingest.TextSources.stripMarkup(col("text")).as("text"))
+      val plan = corpus.queryExecution.executedPlan.toString
+      val ok = !plan.contains("Exchange")
+      if (!ok) {
+        failed += 1
+        println("FAIL ep8_warc_rag: pre-sectionize stretch shuffles")
+        println(plan.linesIterator.take(40).mkString("\n"))
+      } else println(
+        "PASS ep8_warc_rag: pre-sectionize stretch is shuffle-free (one task per archive)")
+    }
+
     println(if (failed == 0) "ALL PLAN AUDITS PASS" else s"$failed AUDIT(S) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)

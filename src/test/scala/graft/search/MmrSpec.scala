@@ -186,6 +186,27 @@ class MmrSpec extends SparkSpec {
     assert(got == clean)
   }
 
+  test("banded fetch route: recall floor on the sf0.01 fixture (the a16 audit's law)") {
+    // the q11b/a16 pins are hash-level regression detectors; the QUALITY
+    // floor lives here — the 8x3 serving-default banding must recall at
+    // least half of the exact top-8 on the fixture's embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qs = emb.where(col("vec_id").isin(3, 7, 11))
+      .select(col("vec_id").as("query_id"),
+        reverse(col("embedding")).as("query_vec"))
+    val truth = Knn.topKBatch(qs, emb, 8, idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val approx = graft.ops.Ann.rpTopKBatch(qs, emb, 8)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }.toSeq
+    assert(recalls.nonEmpty && recalls.sum / recalls.size >= 0.5,
+      s"banded fetch recall collapsed: $recalls")
+  }
+
   test("refuses bad knobs loudly") {
     val q = queries(Array(1.0f, 0.0f))
     intercept[IllegalArgumentException] {

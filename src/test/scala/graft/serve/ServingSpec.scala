@@ -596,6 +596,49 @@ class ServingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
   }
 
+  test("pruneDispositions: folded dirs retire, LRU/report unchanged, below-horizon reads refuse") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val disp = s"$root/disp"
+    (1 to 4).foreach { b =>
+      Seq((100L + b, b % 2 == 0, 0.25))
+        .toDF("cache_id", "hit", "cost")
+        .write.parquet(s"$disp/batch=$b")
+    }
+    // unfolded dirs refuse by default — their recency would silently age
+    val e = intercept[IllegalArgumentException] {
+      SemanticCache.pruneDispositions(spark, disp, retainFrom = 3L)
+    }
+    assert(e.getMessage.contains("not folded"), e.getMessage)
+    // fold, then prune batches 1-2
+    val folded = SemanticCache.foldRecency(spark, disp)
+      .orderBy("cache_id").as[(Long, Long)].collect().toSeq
+    val (before, after) =
+      SemanticCache.pruneDispositions(spark, disp, retainFrom = 3L)
+    assert((before, after) == ((4, 2)))
+    // the folded recency is INTACT — pruned dirs' last_use lives in state
+    val refolded = SemanticCache.foldRecency(spark, disp)
+      .orderBy("cache_id").as[(Long, Long)].collect().toSeq
+    assert(refolded == folded, s"pruning changed recency: $refolded vs $folded")
+    // the report over the retained window is computable and correct
+    val report = SemanticCache.cacheReport(
+      SemanticCache.readDispositions(spark, disp, fromBatch = 3L))
+      .orderBy("batch").select("batch", "n_queries").as[(Long, Long)]
+      .collect().toSeq
+    assert(report == Seq((3L, 1L), (4L, 1L)))
+    // below-horizon reads refuse loudly instead of a silent partial ledger
+    val e2 = intercept[IllegalArgumentException] {
+      SemanticCache.readDispositions(spark, disp, fromBatch = 1L)
+    }
+    assert(e2.getMessage.contains("pruned"), e2.getMessage)
+    // idempotent + monotone: re-pruning at the same horizon is a no-op
+    assert(SemanticCache.pruneDispositions(spark, disp, 3L) == ((2, 2)))
+    // a never-folded deployment can opt out of the fold requirement
+    val (b2, a2) = SemanticCache.pruneDispositions(spark, disp,
+      retainFrom = 4L, requireFolded = false)
+    assert((b2, a2) == ((2, 1)))
+  }
+
   test("foldRecency: markers without a state table reset the water (swap-crash recovery)") {
     // a crash inside the state swap's rename window leaves the markers
     // but no state — trusting the water mark then would age every
