@@ -474,7 +474,7 @@ object ChatRag {
     (c.getValue % nBuckets).toInt
   }
 
-  private def bucketExpr(nBuckets: Int): Column =
+  private[graft] def bucketExpr(nBuckets: Int): Column =
     pmod(crc32(col("session_id").cast("string").cast("binary")),
       lit(nBuckets.toLong)).cast("int")
 

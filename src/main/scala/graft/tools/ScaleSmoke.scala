@@ -931,37 +931,88 @@ object ScaleSmoke {
 
       // 14d. one chat TURN against session-scale conversational state: a
       // 2M-session memory table (8M rows — every session two remembered
-      // turns) served a 1k-session batch. The turn's memory read pushes
-      // the arriving ids into the scan (the round-12 chatTurn fix — the
-      // pre-fix shape scanned and checkpointed ALL sessions' history
-      // every turn), so the turn costs the BATCH, not the state. Every
-      // prompt must carry its session's 4 remembered rows (3 + 2·4 = 11).
+      // turns, landed in the round-13 BUCKETED layout) served a
+      // 1k-session batch. The turn's memory read targets the arriving
+      // sessions' bucket dirs and pushes the session ids into those
+      // scans (the round-12 chatTurn fix — the pre-fix shape scanned
+      // and checkpointed ALL sessions' history every turn), so the turn
+      // costs the BATCH, not the state. Every prompt must carry its
+      // session's 4 remembered rows (3 + 2·4 = 11).
       val nSessions = n(2000000L)
       val chatRoot = java.nio.file.Files
         .createTempDirectory("graft_scale_chat").toString
+      val memDir = s"$chatRoot/memory"
       spark.range(nSessions).select(
         concat(lit("s"), col("id")).as("session_id"),
         explode(sequence(lit(0L), lit(3L))).as("turn"))
         .select(col("session_id"), col("turn"),
           when(pmod(col("turn"), lit(2)) === 0, "user").otherwise("assistant").as("role"),
           concat(lit("remembered message "), col("turn")).as("content"))
-        .write.parquet(s"$chatRoot/memory")
-      val chatBatch = spark.range(1000).select(
+        .withColumn("sbucket", graft.serve.ChatRag.bucketExpr(16))
+        .write.partitionBy("sbucket").parquet(memDir)
+      def chatBatch(qidOff: Long) = spark.range(1000).select(
         concat(lit("s"), col("id") * (nSessions / 1000)).as("session_id"),
-        (col("id") + 50000000L).as("query_id"),
+        (col("id") + qidOff).as("query_id"),
         concat(lit("chat question "), col("id")).as("question"),
         randVec(col("id") + 999000000L, 77L).as("query_vec"))
         .localCheckpoint(true)
-      var turn: DataFrame = null
-      time("chat_turn_1k_x_2m_sessions", 1000L) {
-        turn = graft.serve.ChatRag.chatTurn(spark, chatBatch,
-          s"$chatRoot/memory", s"$chatRoot/cache", minCos = 0.999,
-          answerMisses).localCheckpoint(true)
-        turn.count()
+      def oneTurn(label: String, qidOff: Long,
+          maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): DataFrame = {
+        var turn: DataFrame = null
+        time(label, 1000L) {
+          turn = graft.serve.ChatRag.chatTurn(spark, chatBatch(qidOff),
+            memDir, s"$chatRoot/cache", minCos = 0.999,
+            answerMisses, maintenance = maintenance).localCheckpoint(true)
+          turn.count()
+        }
+        turn
       }
+      val turn = oneTurn("chat_turn_1k_x_2m_sessions", 50000000L)
       val okPrompts = turn.where(col("n_prompt_msgs") === 11 && col("turn") === 4).count()
       assert(okPrompts == 1000L,
         s"every prompt must carry its session's remembered rows: $okPrompts of 1000")
+
+      // 14e. the round-12 done-criterion: the SAME turn cost class after
+      // hundreds of accumulated per-turn append files. 300 single-turn
+      // appends land as 300 one-file commits spread over the 16 bucket
+      // dirs (one task per session — byte-identical to chatTurn's write
+      // path), then a turn must still cost the batch; the maintenance
+      // turn folds each bucket with the policy's file-compact arm and
+      // the post-fold turn re-checks. Re-asked vectors hit turn 1's
+      // minted entries at cost 0, so what these turns measure is exactly
+      // the memory read + append under file accumulation.
+      spark.range(300).select(
+        concat(lit("old"), col("id")).as("session_id"),
+        explode(sequence(lit(0L), lit(1L))).as("turn"))
+        .select(col("session_id"), col("turn"),
+          when(col("turn") === 0, "user").otherwise("assistant").as("role"),
+          lit("accumulated prior turn").as("content"))
+        .repartition(300, col("session_id"))
+        .withColumn("sbucket", graft.serve.ChatRag.bucketExpr(16))
+        .write.mode("append").partitionBy("sbucket").parquet(memDir)
+      val t2 = oneTurn("chat_turn_after_300_files", 51000000L)
+      assert(t2.where(col("n_prompt_msgs") === 15 && col("turn") === 6).count() == 1000L,
+        "turn-2 prompts must carry 6 remembered rows")
+      val pol = graft.ops.Layout.MaintenancePolicy(maxSmallFiles = 64)
+      val t3 = oneTurn("chat_turn_fold", 52000000L, maintenance = Some(pol))
+      assert(t3.where(col("turn") === 8).count() == 1000L)
+      val fs = new org.apache.hadoop.fs.Path(memDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dataFiles = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(memDir), true)
+        var nF = 0
+        while (it.hasNext) {
+          val f = it.next()
+          val nm = f.getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith(".") && f.getLen > 0) nF += 1
+        }
+        nF
+      }
+      assert(dataFiles < 300,
+        s"the policy must fold the accumulated turn files: $dataFiles remain")
+      val t4 = oneTurn("chat_turn_post_fold", 53000000L)
+      assert(t4.where(col("n_prompt_msgs") === 23 && col("turn") === 10).count() == 1000L,
+        "the fold must not lose a remembered row")
     }
 
     section("round12b") {
