@@ -347,6 +347,20 @@ object SparkEntry {
   private val ep8ScaffoldDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** st21's frozen embedder, fit ONCE per (JVM, fixture dir) on the
+    * wave-1 corpus — the frozen-quantizer law streamingUpsertSink
+    * requires (later waves encode through the initial fit), and the
+    * bench economics of [[cachedIndex]] (repeat samples time the
+    * ingest, not a re-fit). The fitted state is a local IDF vector,
+    * session-independent.
+    */
+  private val st21Embedders = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.embed.HashingTfIdfEmbedder]()
+  private def st21Embedder(s: SparkSession, dir: String): graft.embed.HashingTfIdfEmbedder =
+    st21Embedders.computeIfAbsent(dir, _ =>
+      VectorIndex.fit(docs2(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), col("text2").as("text"))))
+
   // ------------------------------------------------------------ flagship
 
   /** EP1+EP2 end-to-end on sf0.001: ingest → sectionize → chunk → embed →
@@ -706,6 +720,70 @@ object SparkEntry {
         (2L, "regional supplier lineitem revenue")).toDF("query_id", "question")
       RagServing.answerBatch(questions, index, embedder)
         .orderBy("query_id")
+    }
+    reg("st21_warc_stream_index") { (s, dir) =>
+      // ep8's STREAMING twin — the crawl landing dir feeding the MoR
+      // upsert index wave by wave: each arriving .warc.gz becomes one
+      // micro-batch through the SAME parse → decode → strip derivation
+      // ep8 audits, upserted at the streamingUpsertSink epoch law
+      // (2·batch+1; the MemoryStream/file-source wiring and maintenance
+      // arm are VectorIndexSpec's — this registers the batch BODY, the
+      // st19/st20 convention). Wave 2 RE-CRAWLS docs 10-19 with changed
+      // text and adds 40-49: the resolved ACTIVE view must serve the
+      // re-crawl's generation only (the MoR replace law) while wave-1
+      // docs survive untouched. Deterministic (splitter + xxhash ids),
+      // pinned like ep8.
+      import java.nio.file.{Files, Paths}
+      val root = Files.createTempDirectory("graft_st21").toString
+      val (land, idx) = (s"$root/land", s"$root/idx")
+      Files.createDirectories(Paths.get(land))
+      def warcWave(docsDf: DataFrame, wave: Int): Unit =
+        graft.ingest.Warc.toWarcBlobs(
+          docsDf.select(
+            lit(wave.toString).as("shard"),
+            concat(lit("http://corpus.local/doc/"),
+              lpad(col("doc_id").cast("string"), 4, "0")).as("uri"),
+            concat(lit(s"urn:graft:w$wave:"), col("doc_id")).as("rid"),
+            encode(concat(lit("<html><body><pre>"), col("text"),
+              lit("</pre></body></html>")), "UTF-8").as("payload")),
+          "shard", "uri", "rid", "payload",
+          contentType = "text/html; charset=utf-8")
+          .collect().foreach { r =>
+            Files.write(Paths.get(land, s"wave-$wave.warc.gz"),
+              r.getAs[Array[Byte]]("content"))
+          }
+      def ingest(waveFile: String, batchId: Long): Unit = {
+        val batchDocs = graft.ingest.Warc.responseText(
+          graft.ingest.Warc.readWarc(s, waveFile))
+          .select(
+            element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+            TextSources.stripMarkup(col("text")).as("text"))
+        VectorIndex.upsertDocs(s, batchDocs, idx, st21Embedder(s, dir),
+          epoch = 2 * batchId + 1)
+        ()
+      }
+      val wave1 = docs2(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), col("text2").as("text"))
+      warcWave(wave1, 1)
+      ingest(s"$land/wave-1.warc.gz", 0L)
+      val wave2 = docs2(s, dir).where(col("doc_id").between(40, 49))
+        .select(col("doc_id"), col("text2").as("text"))
+        .unionByName(docs2(s, dir).where(col("doc_id").between(10, 19))
+          .select(col("doc_id"),
+            // marker APPENDED to the body (a leading all-caps line would
+            // become an empty chunk-less title section)
+            concat(col("text2"), lit("\nrecrawled v2")).as("text")))
+      warcWave(wave2, 2)
+      ingest(s"$land/wave-2.warc.gz", 1L)
+      VectorIndex.loadActive(s, idx)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("section")).as("n_sections"),
+          // the marker rides the chunk text — present iff the ACTIVE
+          // rows are wave 2's generation (the MoR replace law)
+          max(col("text").contains("recrawled v2").cast("long")).as("recrawled"))
+        .orderBy("doc_id")
     }
     reg("s1_raw_ingest") { (s, dir) =>
       // EP1 front door from genuine files on disk (app.py:191-205): fixture
@@ -4569,6 +4647,10 @@ object SparkEntry {
     // SQL-expressible (t6's reason); determinism pin, pin_sweep-swept
     "ep8_warc_rag" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/ep8_warc_rag_sf001.parquet')",
+    // st21: the streaming landing-dir twin — splitter chunk counts +
+    // MoR generations aren't SQL-expressible (t4's reason); pin
+    "st21_warc_stream_index" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/st21_warc_stream_index_sf001.parquet')",
     //  - the remaining pins below freeze DETERMINISM of seeded/approximate
     //    operators (fixed-seed MLlib fits, hash-based signatures, sketches):
     //    semantic quality bounds live in ScalaTest (recall/precision/
