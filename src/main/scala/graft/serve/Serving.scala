@@ -478,6 +478,37 @@ object ChatRag {
     pmod(crc32(col("session_id").cast("string").cast("binary")),
       lit(nBuckets.toLong)).cast("int")
 
+  /** The bucket count is a TABLE constant, not a per-call knob: reads
+    * target bucket DIRECTORIES by recomputing the session hash, so a
+    * later call with a different count would silently miss part of the
+    * history. The count is recorded at first write as a digit-named
+    * marker (`_nbuckets/<n>` — the ledger-file convention, hidden from
+    * reads), and the recorded value WINS over the parameter thereafter;
+    * `memoryBuckets` sizes NEW tables only.
+    */
+  private def effectiveBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path,
+      requested: Int): Int = {
+    val d = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
+    if (fs.exists(d)) {
+      val ns = fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
+      if (ns.nonEmpty) return ns.max
+    }
+    requested
+  }
+
+  private def recordBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path,
+      n: Int): Unit = {
+    val d = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
+    val m = new org.apache.hadoop.fs.Path(d, n.toString)
+    if (!fs.exists(m)) { fs.mkdirs(d); fs.create(m).close() }
+    ()
+  }
+
   /** True when the table at `mp` should be read/written bucketed: a new
     * table, or one that already has `sbucket=` partition dirs. A table
     * holding flat data files and no bucket dirs is legacy.
@@ -584,6 +615,10 @@ object ChatRag {
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val bucketed = isBucketed(fs, mp)
+    // the table's recorded fan-out wins over the parameter (a mismatched
+    // count would silently miss history — see effectiveBuckets)
+    val nBuckets = if (bucketed) effectiveBuckets(fs, mp, memoryBuckets)
+      else memoryBuckets
     def emptyMemory = questions.select(
       col("session_id"), lit(0L).as("turn"),
       lit("").as("role"), lit("").as("content")).limit(0)
@@ -604,7 +639,7 @@ object ChatRag {
         s"$nQuestions questions over ${sessionIds.length} sessions")
     val history = materializeOnce(
       readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
-        memoryBuckets).getOrElse(emptyMemory))
+        nBuckets).getOrElse(emptyMemory))
     val disp = materializeOnce(
       CachedRag.cachedAnswerBatch(spark,
         questions.select("query_id", "question", "query_vec"),
@@ -656,7 +691,7 @@ object ChatRag {
         col("__m.role").as("role"), col("__m.content").as("content"))
     val freshAppend =
       readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
-        memoryBuckets) match {
+        nBuckets) match {
         case Some(existing) =>
           appendRows.join(existing.select("session_id", "turn"),
             Seq("session_id", "turn"), "left_anti")
@@ -667,11 +702,15 @@ object ChatRag {
     // within one file commit (cross-bucket partiality on a driver crash
     // heals through the (session_id, turn) anti-join above). Legacy: the
     // original single-file append.
-    if (bucketed)
-      freshAppend.withColumn("sbucket", bucketExpr(memoryBuckets))
+    if (bucketed) {
+      // record the fan-out BEFORE the first append: a crash between
+      // append and marker would otherwise let a later caller re-derive
+      // a different count from its parameter
+      recordBuckets(fs, mp, nBuckets)
+      freshAppend.withColumn("sbucket", bucketExpr(nBuckets))
         .coalesce(1).write.mode("append").partitionBy("sbucket")
         .parquet(memoryPath)
-    else
+    } else
       freshAppend.coalesce(1).write.mode("append").parquet(memoryPath)
     // the LIFECYCLE arm (round-12 verdict #1): every other maintained
     // store runs the policy loop; the memory table appends one file per

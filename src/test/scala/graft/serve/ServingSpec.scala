@@ -780,6 +780,28 @@ class ServingSpec extends SparkSpec {
       s"unexpected bucket dirs: $buckets")
   }
 
+  test("chat memory fan-out is a table constant: a mismatched memoryBuckets param cannot lose history") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_nb").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    def ask(qid: Long, buckets: Int) = ChatRag.chatTurn(spark,
+      Seq(("s1", qid, s"q $qid", Array(math.cos(qid).toFloat, math.sin(qid).toFloat)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, answerMisses, memoryBuckets = buckets)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    assert(ask(1L, 16) == ((0L, 3L)))
+    // a later caller passing a DIFFERENT fan-out: the recorded table
+    // constant wins — without it, the read would recompute buckets mod 3,
+    // miss s1's dir, and silently restart the conversation at turn 0
+    assert(ask(2L, 3) == ((2L, 7L)),
+      "the recorded bucket count must win over the parameter")
+    assert(ask(3L, 64) == ((4L, 11L)))
+  }
+
   test("chat memory legacy layout: a flat pre-bucketing table keeps working") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_chat_legacy").toString
