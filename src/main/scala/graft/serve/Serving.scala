@@ -627,16 +627,20 @@ object ChatRag {
     // `session_id IN (...)` into those scans (the b11b discipline) — a
     // memory table holds EVERY session ever served, and this turn needs
     // only the arriving ones; the listing walks only the touched buckets
-    val sessionIds = questions.select("session_id").distinct()
-      .collect().map(_.get(0)).toSeq
-    // the one-question-per-session-per-turn contract fails LOUDLY (the
-    // house require stance): a violating batch would mint the same turn
-    // number for both questions and silently corrupt the log's
-    // role-alternation — every other contract in this tier refuses
-    val nQuestions = questions.count()
-    require(sessionIds.length.toLong == nQuestions,
-      s"chatTurn: one question per session per turn — got " +
-        s"$nQuestions questions over ${sessionIds.length} sessions")
+    // ONE driver action carries both the session-id list and the
+    // one-question-per-session-per-turn contract (the job-budget
+    // hygiene note — the previous distinct + count pair was two)
+    val sessionCounts = questions.groupBy("session_id")
+      .agg(count(lit(1)).as("__n")).collect()
+    val sessionIds = sessionCounts.map(_.get(0)).toSeq
+    // the contract fails LOUDLY (the house require stance): a violating
+    // batch would mint the same turn number for both questions and
+    // silently corrupt the log's role-alternation
+    val multi = sessionCounts.filter(_.getLong(1) > 1)
+    require(multi.isEmpty,
+      s"chatTurn: one question per session per turn — session(s) " +
+        s"${multi.map(_.get(0)).mkString(",")} sent " +
+        s"${multi.map(_.getLong(1)).mkString(",")} questions")
     val history = materializeOnce(
       readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
         nBuckets).getOrElse(emptyMemory))

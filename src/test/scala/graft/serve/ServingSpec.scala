@@ -1004,6 +1004,42 @@ class ServingSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("chatTurn job budget: one full chat turn stays pinned") {
+    // the composition's whole per-turn driver-action cost — the number
+    // st20's latency is made of. cachedAnswerBatch's 54 plus the turn's
+    // own: the fused session-contract aggregate, the history checkpoint,
+    // the prompt/nextTurn aggregates, the output checkpoint, the
+    // idempotence anti-join read and the bucketed append.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ct_budget").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    val batch = Seq(
+      ("s1", 1L, "q one", Array(1.0f, 0.0f)),
+      ("s2", 2L, "q two", Array(0.0f, 1.0f))
+    ).toDF("session_id", "query_id", "question", "query_vec")
+    def echoMisses(missQ: org.apache.spark.sql.DataFrame) =
+      missQ.select(col("query_id"), col("question"),
+        concat(lit("ans "), col("question")).as("answer"),
+        lit(0.01).as("cost"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ChatRag.chatTurn(spark, batch, mem, cache, minCos = 0.95, echoMisses)
+        .collect()
+      Thread.sleep(1500) // listener bus is async; drain before reading
+      val n = jobs.get()
+      info(s"chatTurn issued $n jobs")
+      // measured 42 (two-miss bootstrap turn: the embedded serving loop
+      // plus the turn's own aggregates/checkpoints/append); +4 headroom
+      assert(n <= 46, s"chat-turn job budget blown: $n jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cache intake: carryCols persist payload columns on inserted entries") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files
