@@ -1163,6 +1163,47 @@ object ScaleSmoke {
         s"codegen unit/dot diverged from the HOF twin: $dSum vs $dHofSum")
     }
 
+    section("round13") {
+      // 17. the web-corpus front door AT SCALE — ep8/st21's composed
+      // shape driven end to end at crawl size: 2M response records in
+      // 256 gzip-per-record archives (the 15a layout) parsed, decoded,
+      // markup-stripped, sectionized, chunked, embedded through a FROZEN
+      // TF-IDF fit (production freezes the embedder before the landing
+      // stream starts; the fit itself is one bounded-sample pass), and
+      // MoR-upserted as one ingest wave. Proves the pipeline's only
+      // shuffle is the sectionizer's doc-keyed window + the write — the
+      // parse/decode/strip stretch is the audited one-task-per-archive
+      // shape.
+      val iRows = n(2000000L)
+      val iRecs = synthDocs(iRows, 40).select(
+        pmod(col("doc_id"), lit(256)).cast("long").as("shard"),
+        concat(lit("http://c.local/doc/"), col("doc_id")).as("uri"),
+        concat(lit("urn:g:"), col("doc_id")).as("rid"),
+        encode(concat(lit("<html><body><pre>"), col("text"),
+          lit("</pre></body></html>")), "UTF-8").as("payload"))
+      val iBlobs = graft.ingest.Warc.toWarcBlobs(
+        iRecs, "shard", "uri", "rid", "payload",
+        contentType = "text/html; charset=utf-8").localCheckpoint(true)
+      iBlobs.count()
+      def corpus = graft.ingest.Warc.responseText(
+        graft.ingest.Warc.parseBlobs(iBlobs, "content"))
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+          graft.ingest.TextSources.stripMarkup(col("text")).as("text"))
+      assertBucketed(corpus, "warc_to_index corpus stretch")
+      val fitted = graft.index.VectorIndex.fit(
+        corpus.where(pmod(col("doc_id"), lit(20)) === 0)) // 5% fit sample
+      val w2iPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_w2i").toString + "/idx"
+      time("warc_to_index_2m", iRows) {
+        graft.index.VectorIndex.upsertDocs(spark, corpus, w2iPath, fitted,
+          epoch = 1)
+      }
+      val nActive = graft.index.VectorIndex.loadActive(spark, w2iPath).count()
+      assert(nActive >= iRows,
+        s"the ingested corpus must be fully indexed: $nActive chunks for $iRows docs")
+    }
+
     spark.stop()
   }
 }
