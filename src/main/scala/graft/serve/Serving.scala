@@ -781,6 +781,13 @@ object ChatRag {
     * inserts) and the output dir re-derives self-healingly against the
     * grown memory. Never a wrong or half-written turn.
     */
+  /** `maintenanceEvery` gates how often the policy SIGNAL is even
+    * evaluated: `maintenanceDue` is metadata-only but its recursive
+    * listing covers the WHOLE table — on an object store that listing
+    * is exactly the per-turn cost the bucketed layout exists to avoid,
+    * so a long-lived stream polls it every N batches (file accumulation
+    * between polls is bounded at one file per touched bucket per batch).
+    */
   def streamingChatRag(
       questions: DataFrame,
       memoryPath: String,
@@ -792,18 +799,24 @@ object ChatRag {
       idOffset: Long = 1000000L,
       memoryWindow: Option[(Int, Long)] = None,
       memoryBuckets: Int = 16,
-      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None,
+      maintenanceEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maintenanceEvery > 0,
+      s"streamingChatRag: maintenanceEvery $maintenanceEvery must be > 0")
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pol =
+          if (batchId % maintenanceEvery == 0) maintenance else None
         graft.ops.Layout.ledgeredBatch(
           batch.sparkSession, s"$memoryPath/_batches", batchId) {
           chatTurnBody(batch.sparkSession, batch, memoryPath, cachePath,
             outPath, batchId, minCos, answerMisses, idOffset, memoryWindow,
-            memoryBuckets, maintenance)
+            memoryBuckets, pol)
         }
         ()
       }
+  }
 }
 
 /** The LLM boundary (reference `ChatCompletion.create`, app.py:246-250).
