@@ -68,6 +68,45 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Warc.parseAll(folded) }
   }
 
+  test("gzip members with FEXTRA/FNAME/FCOMMENT/FHCRC header fields parse (RFC 1952 walk)") {
+    // our writer never emits these optional fields, but crawls in the
+    // wild do (wget writes FNAME) — the strict reader's header walk must
+    // skip them exactly, or every such archive would refuse at the door
+    val record = Warc.writeRecords(Iterator(rec(1, "flagged member payload")),
+      gzipPerRecord = false)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(record); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val crc = new java.util.zip.CRC32; crc.update(record)
+    val out = new java.io.ByteArrayOutputStream()
+    // header: magic, CM=8, FLG = FHCRC|FEXTRA|FNAME|FCOMMENT (0x1E)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0x1e, 0, 0, 0, 0, 0, 0x03))
+    out.write(Array[Byte](4, 0)) // XLEN = 4 (LE)
+    out.write("EXTR".getBytes("US-ASCII")) // FEXTRA payload
+    out.write("a-file-name.warc".getBytes("US-ASCII")); out.write(0) // FNAME
+    out.write("a comment".getBytes("US-ASCII")); out.write(0) // FCOMMENT
+    out.write(Array[Byte](0x42, 0x42)) // FHCRC (skipped, not verified)
+    out.write(comp.toByteArray)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    out.write(le32(crc.getValue))
+    out.write(le32(record.length.toLong))
+    val parsed = Warc.parseAll(out.toByteArray)
+    assert(parsed.length == 1 && parsed.head.recordId == "urn:graft:1")
+    assert(new String(parsed.head.payload, StandardCharsets.UTF_8) ==
+      "flagged member payload")
+    // reserved FLG bits refuse loudly
+    val reserved = out.toByteArray.clone()
+    reserved(3) = 0xe0.toByte
+    val e = intercept[IllegalArgumentException] { Warc.parseAll(reserved) }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("mid-archive gzip member corruption refuses — never a silent prefix") {
     // GZIPInputStream treats a corrupt member HEADER mid-archive as EOF:
     // without the leftover-bytes check, a 3-member archive whose middle
