@@ -452,6 +452,48 @@ object Drive {
           "doc_id BIGINT, lang STRING, text STRING"))
       val nCorrupt = jparsed.where(col("_corrupt_record").isNotNull).count()
       println(s"parsed: ${jparsed.count()} lines, $nCorrupt corrupt (audited, not dropped)")
+
+      // round 13: the chat-memory lifecycle — bucketed layout, policy
+      // fold, rebuild invalidation, disposition retention
+      println("== round-13: chat memory lifecycle + cache invalidation + retention ==")
+      val c13root = java.nio.file.Files.createTempDirectory("graft_drive13").toString
+      val (c13mem, c13cache, c13disp) =
+        (s"$c13root/mem", s"$c13root/cache", s"$c13root/disp")
+      val echoM: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        missQ => missQ.select(col("query_id"), col("question"),
+          concat(lit("computed: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      val pol13 = graft.ops.Layout.MaintenancePolicy(
+        maxSmallFiles = 3, smallFileBytes = 1L << 20)
+      import spark.implicits._
+      (0 until 6).foreach { i =>
+        val v = Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)
+        graft.serve.ChatRag.chatTurn(spark,
+          Seq(("drive-s1", 900L + i, s"drive q $i", v))
+            .toDF("session_id", "query_id", "question", "query_vec"),
+          c13mem, c13cache, minCos = 0.999, echoM, maintenance = Some(pol13))
+          .write.mode("overwrite").parquet(s"$c13disp/batch=$i")
+      }
+      val memRows = spark.read.parquet(c13mem).count()
+      val bucket = graft.serve.ChatRag.sessionBucket("drive-s1", 16)
+      val bucketFiles = new java.io.File(s"$c13mem/sbucket=$bucket")
+        .listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".") && f.length > 0)
+      println(s"6 turns -> $memRows memory rows in sbucket=$bucket " +
+        s"($bucketFiles files after the policy fold)")
+      // rebuild invalidation: sweep everything minted before the horizon
+      val (invB, invA) = graft.serve.SemanticCache
+        .invalidateCacheBefore(spark, c13cache, 1000903L)
+      println(s"invalidateCacheBefore: $invB -> $invA entries (pre-rebuild mints swept)")
+      // retention: fold recency, prune the folded early history
+      graft.serve.SemanticCache.evictCacheLru(spark, c13cache, c13disp,
+        maxEntries = 2)
+      val (prB, prA) = graft.serve.SemanticCache
+        .pruneDispositions(spark, c13disp, retainFrom = 4L)
+      println(s"pruneDispositions: $prB -> $prA batch dirs (folded history retired)")
+      val report = graft.serve.SemanticCache.cacheReport(
+        graft.serve.SemanticCache.readDispositions(spark, c13disp, fromBatch = 4L))
+      report.orderBy("batch").show(false)
     }
 
     spark.stop()
