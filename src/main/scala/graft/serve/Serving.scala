@@ -375,19 +375,41 @@ object CachedRag {
       answerMisses: DataFrame => DataFrame,
       idOffset: Long = 1000000L,
       cacheMaxEntries: Option[Int] = None,
-      evictLru: Boolean = false): Unit = {
+      evictLru: Boolean = false,
+      retainBatches: Option[Int] = None): Unit = {
     cachedAnswerBatch(spark, batch, cachePath, minCos, answerMisses, idOffset)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     // optional size cap AFTER serving the batch. Default FIFO by minted
     // id (evicted questions miss + re-admit on their next ask);
     // evictLru = true folds recency from the dispositions THIS loop just
     // landed (`outPath`'s batch dirs ARE the history), so a hot entry
-    // survives caps a FIFO would age out. History grows one dir per
-    // batch — [[SemanticCache.pruneDispositions]] retires folded dirs
-    // past a retention horizon when the stream is long-lived.
+    // survives caps a FIFO would age out.
     cacheMaxEntries.foreach { cap =>
       if (evictLru) SemanticCache.evictCacheLru(spark, cachePath, outPath, cap)
       else SemanticCache.evictCache(spark, cachePath, cap)
+    }
+    // disposition retention rides the same loop (round-13: the loop that
+    // lands one batch dir forever also retires them): keep the newest
+    // `retainBatches` dirs. Under an active LRU cap the fold's
+    // high-water IS this batch (the eviction above just folded), so the
+    // folded-only guard holds and recency survives every prune; a
+    // FIFO/uncapped deployment that opts in accepts losing the pruned
+    // window's recency and report rows (the documented retention trade —
+    // requireFolded = false). The horizon trails the checkpoint by a
+    // full window, so a crash-replayed LAST batch never reaches a
+    // pruned dir (it would simply re-land its own).
+    retainBatches.foreach { keep =>
+      require(keep > 0, s"retainBatches $keep must be > 0")
+      val lruActive = evictLru && cacheMaxEntries.nonEmpty
+      if (batchId + 1 > keep) {
+        // the eviction's under-cap early return skips its fold — advance
+        // the water explicitly (incremental, idempotent) so the
+        // folded-only guard can never refuse mid-stream
+        if (lruActive) { SemanticCache.foldRecency(spark, outPath); () }
+        SemanticCache.pruneDispositions(spark, outPath, batchId + 1 - keep,
+          requireFolded = lruActive)
+      }
+      ()
     }
     ()
   }
@@ -424,13 +446,15 @@ object CachedRag {
       idOffset: Long = 1000000L,
       cacheMaxEntries: Option[Int] = None,
       evictLru: Boolean = false,
-      ledgered: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      ledgered: Boolean = false,
+      retainBatches: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         def body(): Unit =
           cachedRagBatchBody(batch.sparkSession, batch, cachePath, outPath,
-            batchId, minCos, answerMisses, idOffset, cacheMaxEntries, evictLru)
+            batchId, minCos, answerMisses, idOffset, cacheMaxEntries, evictLru,
+            retainBatches)
         if (ledgered)
           graft.ops.Layout.ledgeredBatch(
             batch.sparkSession, s"$outPath/_batches", batchId)(body())

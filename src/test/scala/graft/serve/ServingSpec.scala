@@ -895,6 +895,54 @@ class ServingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCachedRag retainBatches: the loop retires its own folded history, recency intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrag_ret").toString
+    val (cache, out) = (s"$tmp/cache", s"$tmp/out")
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    def v(i: Int) = Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)
+    val stream = MemoryStream[(Long, String, Array[Float])]
+    val q = CachedRag.streamingCachedRag(
+      stream.toDF().toDF("query_id", "question", "query_vec"),
+      cache, out, s"$tmp/ckpt", answerMisses,
+      cacheMaxEntries = Some(3), evictLru = true,
+      retainBatches = Some(2)).start()
+    try {
+      // b0/b1 insert; b2 RE-ASKS the first question (refreshing 1000001's
+      // recency); b3 fills the cap and prunes dirs 0-1; b4 crosses the
+      // cap — the LRU must evict 1000002 and keep 1000001, whose
+      // refresh now lives only in the recency FOLD (its minting dir was
+      // pruned, its refreshing dir goes next)
+      Seq((1L, "q a", v(0)), (2L, "q b", v(1)), (50L, "q a again", v(0)),
+        (3L, "q c", v(3)), (4L, "q d", v(4))).foreach { row =>
+        stream.addData(row)
+        q.processAllAvailable()
+      }
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(out)).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).sorted
+      assert(dirs == Seq("batch=3", "batch=4"),
+        s"only the retention window may remain: $dirs")
+      val kept = spark.read.parquet(cache).select("cache_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1000001L, 1000003L, 1000004L),
+        s"LRU must keep the refreshed entry and evict 1000002: $kept")
+      // below-horizon reads refuse; the retained window reports fine
+      intercept[IllegalArgumentException] {
+        SemanticCache.readDispositions(spark, out, fromBatch = 0L)
+      }
+      assert(SemanticCache.cacheReport(
+        SemanticCache.readDispositions(spark, out, fromBatch = 3L)).count() == 2)
+    } finally q.stop()
+  }
+
   test("streamingCachedRag ledgered mode: a completed batch never re-runs a live answerer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
