@@ -534,7 +534,8 @@ object CorpusPipeline {
       minCos: Double,
       idOffset: Long = 1000000L,
       cacheMaxEntries: Option[Int] = None,
-      evictLru: Boolean = false): Unit = {
+      evictLru: Boolean = false,
+      retainBatches: Option[Int] = None): Unit = {
     graft.serve.SemanticCache
       .intakeBatch(spark, batch, cachePath, minCos, idOffset)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -547,6 +548,20 @@ object CorpusPipeline {
       if (evictLru)
         graft.serve.SemanticCache.evictCacheLru(spark, cachePath, outPath, cap)
       else graft.serve.SemanticCache.evictCache(spark, cachePath, cap)
+    }
+    // disposition retention, same wiring + guard as
+    // [[graft.serve.CachedRag.cachedRagBatchBody]] (round 13)
+    retainBatches.foreach { keep =>
+      require(keep > 0, s"retainBatches $keep must be > 0")
+      val lruActive = evictLru && cacheMaxEntries.nonEmpty
+      if (batchId + 1 > keep) {
+        if (lruActive) {
+          graft.serve.SemanticCache.foldRecency(spark, outPath); ()
+        }
+        graft.serve.SemanticCache.pruneDispositions(spark, outPath,
+          batchId + 1 - keep, requireFolded = lruActive)
+      }
+      ()
     }
     ()
   }
@@ -571,12 +586,13 @@ object CorpusPipeline {
       minCos: Double = 0.95,
       idOffset: Long = 1000000L,
       cacheMaxEntries: Option[Int] = None,
-      evictLru: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      evictLru: Boolean = false,
+      retainBatches: Option[Int] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cacheIntakeBatchBody(batch.sparkSession, batch, cachePath, outPath,
-          batchId, minCos, idOffset, cacheMaxEntries, evictLru)
+          batchId, minCos, idOffset, cacheMaxEntries, evictLru, retainBatches)
       }
 
   /** The auto-maintenance policy loop — the last gap between "has the
