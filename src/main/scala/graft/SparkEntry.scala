@@ -140,10 +140,23 @@ object SparkEntry {
     // question arrives under a fresh id (ep5's +100 batch, ep6's 203,
     // c14's post-invalidation 107) — keying by text serves any of them
     val answered = cachedMissAnswers(s, dir)
+    // LEFT join + raise_error on a null hit: an inner join would silently
+    // DROP any miss whose question drifted off the three precomputed
+    // candidates — rows vanishing from oracle outputs instead of failing
+    // loudly (the house require stance). raise_error keeps the premise
+    // check inside the one existing job.
     val answerMisses: DataFrame => DataFrame = missQ =>
       missQ.select("query_id", "question")
-        .join(answered.select("question", "answer", "cost"), Seq("question"))
-        .select("query_id", "question", "answer", "cost")
+        .join(answered.select("question", "answer", "cost"),
+          Seq("question"), "left")
+        .select(col("query_id"), col("question"),
+          when(col("answer").isNull, raise_error(concat(
+            lit("answerMisses fixture premise drift: no precomputed " +
+              "answer for question "), col("question"))))
+            .otherwise(col("answer")).as("answer"),
+          when(col("cost").isNull, raise_error(lit(
+            "answerMisses fixture premise drift: null cost")))
+            .otherwise(col("cost")).as("cost"))
     (tmp, queries, answerMisses)
   }
 
@@ -335,6 +348,25 @@ object SparkEntry {
     graft.ops.UrlCuration.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  /** Register a scaffold temp dir for recursive deletion at JVM exit.
+    * `File.deleteOnExit` removes only EMPTY directories — useless for
+    * these dirs, which are populated with fixture files after creation
+    * (ADVICE r13) — so a shutdown hook walks the tree newest-first.
+    */
+  private def deleteRecursivelyOnExit(d: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(d)) {
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }))
+    d
+  }
 
   /** s1_raw_ingest's file-scaffold dirs, one per fixture dir per JVM. */
   private val s1ScaffoldDirs =
@@ -686,8 +718,7 @@ object SparkEntry {
       // (TF-IDF embed + tie laws), pinned like ep2/ep3.
       import java.nio.file.Files
       val tmp = SparkEntry.ep8ScaffoldDirs.computeIfAbsent(dir, _ => {
-        val d = Files.createTempDirectory("graft_ep8_")
-        d.toFile.deleteOnExit()
+        val d = deleteRecursivelyOnExit(Files.createTempDirectory("graft_ep8_"))
         graft.ingest.Warc.toWarcBlobs(
           docs2(s, dir).where(col("doc_id") < 100).select(
             pmod(col("doc_id"), lit(4)).cast("string").as("shard"),
@@ -797,11 +828,8 @@ object SparkEntry {
       import java.nio.charset.StandardCharsets.UTF_8
       // one scaffold dir per (JVM, fixture): Bench re-runs each query for
       // medians and must not leak a fresh directory per invocation
-      val tmp = SparkEntry.s1ScaffoldDirs.computeIfAbsent(dir, _ => {
-        val d = Files.createTempDirectory("graft_s1_")
-        d.toFile.deleteOnExit()
-        d
-      })
+      val tmp = SparkEntry.s1ScaffoldDirs.computeIfAbsent(dir, _ =>
+        deleteRecursivelyOnExit(Files.createTempDirectory("graft_s1_")))
       tmp.toFile.listFiles().foreach(_.delete())
       T(s, dir, "documents").where(col("doc_id") < 50)
         .select("doc_id", "text").collect().foreach { r =>

@@ -156,7 +156,16 @@ object Warc {
       if ((flg & 4) != 0) p += 2 + u16le(p) // FEXTRA: XLEN + payload
       if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
       if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
-      if ((flg & 2) != 0) p += 2 // FHCRC
+      if ((flg & 2) != 0) { // FHCRC: CRC32 of the header bytes, low 16
+        val stored = u16le(p) // u16le probes p and p+1, bounds-checked
+        val hc = new java.util.zip.CRC32
+        hc.update(bytes, pos, p - pos)
+        val computed = (hc.getValue & 0xffffL).toInt
+        require(computed == stored,
+          f"gzip member at offset $pos: header CRC16 mismatch " +
+            f"(stored 0x$stored%04x, computed 0x$computed%04x)")
+        p += 2
+      }
       require(p <= bytes.length,
         s"truncated gzip member header at offset $pos")
       inf.reset()

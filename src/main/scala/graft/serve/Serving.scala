@@ -520,6 +520,15 @@ object ChatRag {
         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
       if (ns.nonEmpty) return ns.max
     }
+    // A markerless table that ALREADY has sbucket= dirs (written directly
+    // with partitionBy, or a pre-marker deployment) is the exact hazard
+    // the marker guards: trusting a later caller's different parameter
+    // would recompute wrong buckets and silently miss history. Freeze the
+    // first reader's count as the table constant — from here on the
+    // recorded value wins and a mismatched parameter is inert.
+    if (fs.exists(mp) && fs.listStatus(mp).exists(e =>
+        e.isDirectory && e.getPath.getName.startsWith("sbucket=")))
+      recordBuckets(fs, mp, requested)
     requested
   }
 
@@ -1362,8 +1371,13 @@ object SemanticCache {
           "— fold first (evictCacheLru/foldRecency), or pass " +
           "requireFolded = false to discard their recency")
     }
-    prune.foreach(n =>
-      fs.delete(new org.apache.hadoop.fs.Path(dp, s"batch=$n"), true))
+    // Horizon marker BEFORE the deletes: a crash between the two must
+    // over-refuse (marker advanced, dirs still present — readers below
+    // the horizon refuse though the data survives), never under-refuse
+    // (dirs gone, no marker — readDispositions(fromBatch=0) would
+    // silently return the partial ledger the marker exists to catch).
+    // The marker write is idempotent and monotone, so the over-refusing
+    // state heals on the next prune at the same horizon.
     if (prune.nonEmpty) {
       val retDir = new org.apache.hadoop.fs.Path(dp, "_retention")
       fs.mkdirs(retDir)
@@ -1376,6 +1390,8 @@ object SemanticCache {
           fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
       }
     }
+    prune.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dp, s"batch=$n"), true))
     (batchNs.size, batchNs.size - prune.size)
   }
 

@@ -89,7 +89,11 @@ class WarcSpec extends SparkSpec {
     out.write("EXTR".getBytes("US-ASCII")) // FEXTRA payload
     out.write("a-file-name.warc".getBytes("US-ASCII")); out.write(0) // FNAME
     out.write("a comment".getBytes("US-ASCII")); out.write(0) // FCOMMENT
-    out.write(Array[Byte](0x42, 0x42)) // FHCRC (skipped, not verified)
+    // FHCRC = low 16 bits of CRC32 over all header bytes so far, LE
+    val hcrc = new java.util.zip.CRC32; hcrc.update(out.toByteArray)
+    val fhcrcAt = out.size() // offset of the FHCRC field, for the negative case
+    out.write(Array[Byte](
+      (hcrc.getValue & 0xff).toByte, ((hcrc.getValue >> 8) & 0xff).toByte))
     out.write(comp.toByteArray)
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -105,6 +109,12 @@ class WarcSpec extends SparkSpec {
     reserved(3) = 0xe0.toByte
     val e = intercept[IllegalArgumentException] { Warc.parseAll(reserved) }
     assert(e.getMessage.contains("reserved"))
+    // a corrupted FHCRC refuses loudly (no-silent-corruption contract:
+    // every header field is verified, not just walked)
+    val badHcrc = out.toByteArray.clone()
+    badHcrc(fhcrcAt) = (badHcrc(fhcrcAt) ^ 0xff).toByte
+    val e2 = intercept[IllegalArgumentException] { Warc.parseAll(badHcrc) }
+    assert(e2.getMessage.contains("header CRC16 mismatch"))
   }
 
   test("mid-archive gzip member corruption refuses — never a silent prefix") {
