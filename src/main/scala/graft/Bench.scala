@@ -158,14 +158,37 @@ object Bench {
       "sf" -> sfStr))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), full + "\n")
 
-    // Compact stdout line: fixed headline subset only (~600 chars), printed
-    // after spark.stop() so no shutdown logging can land behind it.
+    // Compact stdout line, printed after spark.stop() so no shutdown
+    // logging can land behind it. The driver keeps only a 2000-char TAIL
+    // of stdout, so the full 220-query map cannot ride this line
+    // (BENCH.json is the canonical per-query record — round-13 verdict
+    // hygiene note); what does fit is the fixed headline subset PLUS the
+    // round's slowest remaining queries, padded up to a byte budget that
+    // keeps the whole line safely inside the tail window — so a
+    // round-over-round diff of the `_rNN` files always sees the queries
+    // that dominate the total.
     val headlineQs = Headline.flatMap(n => timings.get(n).map(v => n -> r3(warmMedian(v))))
+    val slowExtras = timings.toSeq
+      .filterNot { case (k, _) => Headline.contains(k) }
+      .map { case (k, v) => k -> warmMedian(v) }
+      .sortBy { case (k, t) => (-t, k) }
+    val lineBudget = 1700 // < the driver's 2000-char tail, minus trailer slack
+    val padded = {
+      val buf = scala.collection.mutable.ArrayBuffer(headlineQs: _*)
+      var len = dict(buf).length
+      slowExtras.foreach { case (k, t) =>
+        val entry = s""""${esc(k)}":${r3(t)}""".length + 1
+        if (len + entry <= lineBudget - 300) { // ~300 chars of fixed fields
+          buf += (k -> r3(t)); len += entry
+        }
+      }
+      buf.toSeq
+    }
     val compact = dict(Seq(
       "metric" -> "\"total\"",
       "value" -> r3(total),
       "unit" -> "\"sec\"",
-      "queries" -> dict(headlineQs),
+      "queries" -> dict(padded),
       "n_queries" -> timings.size.toString,
       "n_runs" -> nRuns.toString,
       "n_single" -> nSingle.toString,

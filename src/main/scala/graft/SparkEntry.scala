@@ -3333,6 +3333,102 @@ object SparkEntry {
         .orderBy("batch", "query_id")
     }
 
+    reg("c15_memory_delete") { (s, dir) =>
+      // right-to-be-forgotten for the conversation store, oracled END TO
+      // END as a sequential replay (round-13 missing #1): three sessions
+      // live two turns each; ChatRag.deleteSessions removes s7's entire
+      // history (and ONLY s7's — its bucket is rewritten, the others are
+      // untouched); a third turn then serves all three — the deleted
+      // session re-enters BRAND-NEW (turn numbering restarts at 0, empty
+      // prompt history: the documented law — resuming at max+1 would
+      // leak that history existed) while the survivors continue at turn
+      // 4. The registered output is the FINAL memory table — the store
+      // the op mutates — reconstructible in pure SQL because every
+      // answer is the deterministic echo and every question a documents
+      // row. Session sX asks doc X+i's text on turn i (all distinct
+      // vectors at minCos .999 → every turn misses, so the cache never
+      // couples turns).
+      import graft.serve.ChatRag
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_c15").toString
+      val (mem, cache) = (s"$root/memory", s"$root/cache")
+      val echo: DataFrame => DataFrame = missQ =>
+        missQ.select(col("query_id"), col("question"),
+          concat(lit("computed: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      def turnBatch(i: Int): DataFrame =
+        Seq(3L, 7L, 11L).map(b => (s"s$b", b + i)).toDF("session_id", "qdoc")
+          .join(docs, col("qdoc") === col("doc_id"))
+          .join(emb, col("qdoc") === col("vec_id"))
+          .select(col("session_id"),
+            (col("qdoc") + lit(100L * i)).as("query_id"),
+            col("text").as("question"), col("embedding").as("query_vec"))
+      def oneTurn(i: Int): DataFrame =
+        ChatRag.chatTurn(s, turnBatch(i), mem, cache, minCos = 0.999, echo)
+      oneTurn(0); oneTurn(1)
+      val removed = ChatRag.deleteSessions(s, mem, Seq("s7"))
+      require(removed == 4L,
+        s"c15 premise drifted: deleting s7 removed $removed rows (expected " +
+          "4 — two exchanges)")
+      val t2 = oneTurn(2).select("session_id", "turn", "n_prompt_msgs")
+        .as[(String, Long, Long)].collect()
+        .map { case (sid, t, n) => sid -> ((t, n)) }.toMap
+      // loud premise guards (the house require stance): the law under test
+      require(t2("s7") == ((0L, 3L)),
+        s"c15: deleted session must re-enter brand-new, got ${t2("s7")}")
+      require(t2("s3") == ((4L, 11L)) && t2("s11") == ((4L, 11L)),
+        s"c15: survivors must continue at turn 4 with full history, got $t2")
+      s.read.parquet(mem)
+        .select("session_id", "turn", "role", "content")
+        .orderBy("session_id", "turn")
+    }
+
+    reg("c16_memory_retention") { (s, dir) =>
+      // idle-session retention, oracled as a sequential replay (round-13
+      // missing #4): s3 and s11 speak at ts=1000; s11 alone returns at
+      // ts=2000; pruneIdleSessions(before=1500) retires s3 entirely (its
+      // NEWEST turn is too old) while s11's FULL history survives —
+      // max(ts) per session governs, so a live session's old rows are
+      // never clipped — and the UNTIMED session s7 (appended without
+      // turnTs: the pre-stamp legacy shape) is conservatively KEPT (age
+      // unknown; silent destruction is deleteSessions' explicit job).
+      // Output is the final memory table INCLUDING the ts column the
+      // lifecycle runs on (null for the untimed rows).
+      import graft.serve.ChatRag
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_c16").toString
+      val (mem, cache) = (s"$root/memory", s"$root/cache")
+      val echo: DataFrame => DataFrame = missQ =>
+        missQ.select(col("query_id"), col("question"),
+          concat(lit("computed: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      def batchOf(pairs: Seq[(String, Long)], qidOff: Long): DataFrame =
+        pairs.toDF("session_id", "qdoc")
+          .join(docs, col("qdoc") === col("doc_id"))
+          .join(emb, col("qdoc") === col("vec_id"))
+          .select(col("session_id"),
+            (col("qdoc") + lit(qidOff)).as("query_id"),
+            col("text").as("question"), col("embedding").as("query_vec"))
+      ChatRag.chatTurn(s, batchOf(Seq(("s3", 3L), ("s11", 11L)), 0L),
+        mem, cache, minCos = 0.999, echo, turnTs = Some(1000L))
+      ChatRag.chatTurn(s, batchOf(Seq(("s7", 7L)), 0L),
+        mem, cache, minCos = 0.999, echo) // untimed: the legacy row shape
+      ChatRag.chatTurn(s, batchOf(Seq(("s11", 12L)), 100L),
+        mem, cache, minCos = 0.999, echo, turnTs = Some(2000L))
+      val pruned = ChatRag.pruneIdleSessions(s, mem, beforeTs = 1500L)
+      require(pruned == 2L,
+        s"c16 premise drifted: pruning retired $pruned rows (expected 2 — " +
+          "s3's one exchange)")
+      // mergeSchema: the table deliberately straddles the optional ts
+      s.read.option("mergeSchema", "true").parquet(mem)
+        .select("session_id", "turn", "role", "content", "ts")
+        .orderBy("session_id", "turn")
+    }
+
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
       // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
       // with BOTH halves persisted: coarse lists from Ann.writeIvf
@@ -4989,6 +5085,43 @@ object SparkEntry {
     // c14: rebuild invalidation — b1 vs seed, the watermark sweep, b2's
     // post-sweep re-asks (107 must miss + re-answer) replayed in CTEs
     "c14_cache_invalidate" -> cacheInvalidateOracle,
+    // c15: the final memory table after turns → deleteSessions(s7) →
+    // turn — pure VALUES construction (echo answers, documents
+    // questions): survivors keep ords 0-2, the deleted session holds
+    // only its post-delete exchange, renumbered from 0
+    "c15_memory_delete" ->
+      """WITH m(base, ord, qdoc) AS (VALUES
+        |  (3,0,3),(3,1,4),(3,2,5),(7,0,9),(11,0,11),(11,1,12),(11,2,13)),
+        |pairs AS (
+        |  SELECT 's' || CAST(base AS VARCHAR) AS session_id,
+        |    CAST(ord*2 AS BIGINT) AS turn, 'user' AS role, d.text AS content
+        |  FROM m JOIN documents d ON d.doc_id = m.qdoc
+        |  UNION ALL
+        |  SELECT 's' || CAST(base AS VARCHAR),
+        |    CAST(ord*2+1 AS BIGINT), 'assistant', 'computed: ' || d.text
+        |  FROM m JOIN documents d ON d.doc_id = m.qdoc)
+        |SELECT session_id, turn, role, content FROM pairs
+        |ORDER BY session_id, turn""".stripMargin,
+    // c16: the final memory table after timestamped turns →
+    // pruneIdleSessions(1500) — s3 (newest ts 1000) retired, s11 whole
+    // (max ts 2000 governs, its ts=1000 rows survive), untimed s7 kept
+    "c16_memory_retention" ->
+      """WITH m(base, ord, qdoc, ts) AS (VALUES
+        |  (7, 0, 7, CAST(NULL AS BIGINT)),
+        |  (11, 0, 11, CAST(1000 AS BIGINT)),
+        |  (11, 1, 12, CAST(2000 AS BIGINT))),
+        |pairs AS (
+        |  SELECT 's' || CAST(base AS VARCHAR) AS session_id,
+        |    CAST(ord*2 AS BIGINT) AS turn, 'user' AS role,
+        |    d.text AS content, m.ts AS ts
+        |  FROM m JOIN documents d ON d.doc_id = m.qdoc
+        |  UNION ALL
+        |  SELECT 's' || CAST(base AS VARCHAR),
+        |    CAST(ord*2+1 AS BIGINT), 'assistant',
+        |    'computed: ' || d.text, m.ts
+        |  FROM m JOIN documents d ON d.doc_id = m.qdoc)
+        |SELECT session_id, turn, role, content, ts FROM pairs
+        |ORDER BY session_id, turn""".stripMargin,
     // st20: ep6 through the streaming body — value-equal (shared
     // chatTurn + shared fixture), read back through the partitioned
     // sink layout, so the same sequential-state recompute holds

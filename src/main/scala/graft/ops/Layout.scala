@@ -210,6 +210,222 @@ object Layout {
     CompactStats(leafFiles.size, after, totalBytes)
   }
 
+  /** [[compactSmallFiles]]' outcome: `rewrittenBytes` is the fold's real
+    * cost (the bytes read+rewritten — the size-peer classes that merged);
+    * `untouchedFiles` moved by metadata-only rename, never rewritten.
+    */
+  final case class TieredCompactStats(
+      filesBefore: Int,
+      filesAfter: Int,
+      untouchedFiles: Int,
+      rewrittenBytes: Long)
+
+  /** SIZE-TIERED minor compaction of a flat directory — the fold whose
+    * cost tracks the FRESH bytes, not the accumulated state (round-13
+    * verdict #1: [[compactFiles]] coalesces the WHOLE directory, so a
+    * store that appends small files forever rewrites its settled base on
+    * every trigger — write amplification O(state) per firing). Two laws:
+    *
+    *  - files ≥ `targetBytes` are SETTLED: never read, never rewritten —
+    *    they hop through the swap by metadata-only rename;
+    *  - below `targetBytes`, only SIZE PEERS are consumed (geometric
+    *    classes, base 4): a file is rewritten only when its class holds
+    *    ≥ 2 files; all consuming classes merge through ONE staged write
+    *    into ceil(bytes / targetBytes) outputs. A fold after N fresh
+    *    appends therefore rewrites ~the N fresh files; the previous
+    *    fold's merged output sits alone in a higher class and is left in
+    *    place until a size PEER joins it — each byte is rewritten
+    *    O(log₄(targetBytes / fileSize)) times over its whole life, the
+    *    LSM minor-compaction shape [[graft.search.Bm25.mergeSegments]]
+    *    and the HNSW tiered merge already follow. A fold's RESIDUE is at
+    *    most one file per size class (~log₄ targetBytes ≈ 13 singletons),
+    *    so a due signal thresholded above that cannot latch on a
+    *    directory the fold can no longer shrink.
+    *
+    * Swap protocol (single-writer, same reader contract as [[swapDir]]:
+    * reads inside the rename window fail loudly and retry, never see
+    * partial data): merged outputs land in the hidden staging sibling,
+    * a `_consumed` manifest (the merged inputs' names) commits the
+    * stage, THEN live renames aside, untouched files hop old → staged by
+    * name, staged renames live, old (now only consumed inputs) drops.
+    * A crash mid-swap leaves the live dir ABSENT (loud) with every byte
+    * preserved across the two hidden siblings, and the next call HEALS:
+    * live missing + old + committed stage ⇒ finish the move via the
+    * manifest. A crash before the manifest leaves live intact and the
+    * stale stage is swept. Directories with subdirectories or a
+    * `_tombstones` sidecar refuse (use [[compactFiles]] /
+    * [[graft.index.VectorIndex.compact]]).
+    */
+  def compactSmallFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): TieredCompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val stagedP = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.__compact")
+    val oldP = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.__old")
+    val manifestP = new org.apache.hadoop.fs.Path(stagedP, "_consumed")
+    def isData(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
+    // hop a data file between siblings, carrying its ChecksumFileSystem
+    // .crc shadow when one exists (a whole-dir rename moves them for
+    // free; per-file moves must do it by hand or the moved file loses
+    // its checksum)
+    def hop(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+        name: String): Unit = {
+      fs.rename(new org.apache.hadoop.fs.Path(from, name),
+        new org.apache.hadoop.fs.Path(to, name))
+      val crc = new org.apache.hadoop.fs.Path(from, s".$name.crc")
+      if (fs.exists(crc))
+        fs.rename(crc, new org.apache.hadoop.fs.Path(to, s".$name.crc"))
+      ()
+    }
+    def finishSwap(consumed: Set[String]): Unit = {
+      fs.listStatus(oldP).toSeq
+        .filter(f => f.isFile && isData(f.getPath.getName) &&
+          !consumed.contains(f.getPath.getName))
+        .foreach(f => hop(oldP, stagedP, f.getPath.getName))
+      // the manifest RIDES the rename (underscore-named — readers ignore
+      // it) and is cleaned from the live dir afterwards: deleting it
+      // before the rename would open a crash window where the live dir
+      // is absent and the stage uncommitted — unhealable
+      fs.rename(stagedP, hPath)
+      fs.delete(new org.apache.hadoop.fs.Path(hPath, "_consumed"), false)
+      fs.delete(oldP, true)
+      ()
+    }
+    def readManifest(): Set[String] = {
+      val in = fs.open(manifestP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    // HEAL: a crash between the live-aside rename and the final swap left
+    // the live dir absent with a committed stage — finish deterministically
+    if (!fs.exists(hPath) && fs.exists(oldP) && fs.exists(manifestP))
+      finishSwap(readManifest())
+    require(fs.exists(hPath),
+      s"compactSmallFiles: $path does not exist (and no healable " +
+        "crashed swap was found alongside it)")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_tombstones")),
+      s"compactSmallFiles: $path has a _tombstones sidecar (merge-on-read " +
+        "index) — use VectorIndex.compact, which resolves deletes")
+    // live exists ⇒ sibling leftovers are stale (a completed swap's old,
+    // or an uncommitted stage) — sweep them, along with a manifest whose
+    // post-rename cleanup was interrupted
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(stagedP)) fs.delete(stagedP, true)
+    fs.delete(new org.apache.hadoop.fs.Path(hPath, "_consumed"), false)
+    val entries = fs.listStatus(hPath).toSeq
+    require(!entries.exists(e => e.isDirectory && isData(e.getPath.getName)),
+      s"compactSmallFiles: $path has subdirectories — this tier compacts " +
+        "flat (bucket/partition) dirs; use compactFiles for nested layouts")
+    val files = entries.filter(e => e.isFile && isData(e.getPath.getName) &&
+      e.getLen > 0)
+    def sizeClass(len: Long): Int =
+      (math.log(len.toDouble.max(1.0)) / math.log(4.0)).toInt
+    val (settled, small) = files.partition(_.getLen >= targetBytes)
+    val mergeClasses = small.groupBy(f => sizeClass(f.getLen))
+      .filter(_._2.size >= 2)
+    if (mergeClasses.isEmpty)
+      return TieredCompactStats(files.size, files.size, files.size, 0L)
+    val consumedFiles = mergeClasses.values.flatten.toSeq
+    val consumed = consumedFiles.map(_.getPath.getName).toSet
+    val rewrittenBytes = consumedFiles.map(_.getLen).sum
+    // ONE staged write covers every merging class: the amplification law
+    // is about which INPUTS are rewritten (only size classes holding ≥ 2
+    // peers), not about keeping their outputs apart — combining outputs
+    // just settles the result faster, and a per-class job loop was pure
+    // scheduler overhead (~16 buckets × classes tiny jobs per fold).
+    // Live dir untouched and fully readable throughout; mergeSchema for
+    // the same straddling-appends reason as compactFiles.
+    // no localCheckpoint (unlike compactFiles): the inputs are explicit
+    // FILE paths that exist untouched until the post-swap delete, and the
+    // staged write completes before the live dir is mutated — there is no
+    // window where a task retry could re-read a replaced source
+    val outFiles =
+      math.max(1L, (rewrittenBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.option("mergeSchema", "true")
+      .parquet(consumedFiles.map(_.getPath.toString): _*)
+      .coalesce(outFiles)
+      .write.mode("overwrite").parquet(stagedP.toString)
+    // the manifest COMMITS the stage: heal only ever acts on a stage
+    // that lists exactly what was merged
+    val mOut = fs.create(manifestP, true)
+    try mOut.write(consumed.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mOut.close()
+    fs.rename(hPath, oldP)
+    finishSwap(consumed)
+    val after = fs.listStatus(hPath).toSeq
+      .count(f => f.isFile && isData(f.getPath.getName) && f.getLen > 0)
+    TieredCompactStats(files.size, after,
+      files.size - consumed.size, rewrittenBytes)
+  }
+
+  /** [[compactSmallFiles]] over many independent directories (the
+    * per-bucket fold of a hash-partitioned store): each dir's fold is a
+    * small single-writer job on disjoint paths, so they submit
+    * concurrently — Spark's scheduler interleaves them across the
+    * executor cores a serial loop would leave idle (measured: the 16-
+    * bucket memory fold spends most of its wall clock in per-job setup
+    * when run serially). Failures propagate: the first failed fold
+    * rethrows after the pool drains.
+    */
+  def compactSmallFilesAll(
+      spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String],
+      targetBytes: Long = 128L << 20,
+      parallelism: Int = 8): Seq[TieredCompactStats] = {
+    if (dirs.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, dirs.size)))
+    try {
+      val fs = dirs.map(d => pool.submit(
+        new java.util.concurrent.Callable[TieredCompactStats] {
+          def call(): TieredCompactStats =
+            compactSmallFiles(spark, d, targetBytes)
+        }))
+      fs.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** The per-subdirectory file-compact due signal (round-13 verdict #1a):
+    * ONE recursive listing of `root` — the same walk
+    * [[maintenanceDue]]'s table-wide `smallFiles` count pays — grouped by
+    * first-level partition dir, returning the dirs whose OWN small-file
+    * count trips `policy.maxSmallFiles`. A table-wide signal over a
+    * hash-partitioned store fires on aggregate noise and sweeps every
+    * partition; this scopes both the trigger and the unit of work to the
+    * partitions actually accumulating files.
+    */
+  def dueSubdirs(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      policy: MaintenancePolicy,
+      dirPrefix: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return Seq.empty
+    val rootQ = fs.makeQualified(hp).toString
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val it = fs.listFiles(hp, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+      val segs = rel.split('/')
+      val hidden = segs.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && segs.length >= 2 && segs.head.startsWith(dirPrefix) &&
+          f.getLen > 0 && f.getLen < policy.smallFileBytes)
+        counts.updateWith(segs.head)(c => Some(c.getOrElse(0) + 1))
+    }
+    counts.toSeq.filter(_._2 > policy.maxSmallFiles).map(_._1).sorted
+      .map(d => new org.apache.hadoop.fs.Path(hp, d).toString)
+  }
+
   /** Shared directory-swap tail of every compact in the repo (file
     * compaction here, [[graft.index.VectorIndex.compact]],
     * [[Hnsw.compact]], [[graft.search.Bm25.compactIndex]]): the staged

@@ -993,7 +993,10 @@ object ScaleSmoke {
       val t2 = oneTurn("chat_turn_after_300_files", 51000000L)
       assert(t2.where(col("n_prompt_msgs") === 15 && col("turn") === 6).count() == 1000L,
         "turn-2 prompts must carry 6 remembered rows")
-      val pol = graft.ops.Layout.MaintenancePolicy(maxSmallFiles = 64)
+      // the due signal is now PER BUCKET (round-13 verdict #1a), so the
+      // threshold scopes to a bucket dir's own count: ~19 of the 300
+      // accumulated files land in each of the 16 buckets
+      val pol = graft.ops.Layout.MaintenancePolicy(maxSmallFiles = 8)
       val t3 = oneTurn("chat_turn_fold", 52000000L, maintenance = Some(pol))
       assert(t3.where(col("turn") === 8).count() == 1000L)
       val fs = new org.apache.hadoop.fs.Path(memDir)
@@ -1013,6 +1016,55 @@ object ScaleSmoke {
       val t4 = oneTurn("chat_turn_post_fold", 53000000L)
       assert(t4.where(col("n_prompt_msgs") === 23 && col("turn") === 10).count() == 1000L,
         "the fold must not lose a remembered row")
+
+      // 14f. the round-13 done-criterion for the tiered fold: cost tracks
+      // the FRESH small-file bytes, not the settled state. Two dirs carry
+      // the SAME 128 fresh small files over a 1× vs 10× settled base —
+      // compactSmallFiles must rewrite the same bytes on both (settled
+      // files hop by metadata-only rename, never read), so the fold time
+      // stays flat as the base grows 10×.
+      def mkTier(name: String, settledParts: Int): String = {
+        val dir = s"$chatRoot/$name"
+        // sha2 payload: dictionary-resistant, so each settled part lands
+        // well above the 4 MB tier boundary (~15 MB) instead of snappy
+        // compressing below it
+        spark.range(settledParts * 200000L).select(
+          col("id").as("session_id"),
+          concat(sha2(col("id").cast("string"), 256),
+            sha2(concat(lit("x"), col("id")), 256)).as("content"))
+          .repartition(settledParts)
+          .write.parquet(dir)
+        spark.range(128L * 2000).select(
+          col("id").as("session_id"),
+          concat(lit("fresh small-file row "), col("id")).as("content"))
+          .repartition(128)
+          .write.mode("append").parquet(dir)
+        dir
+      }
+      val tier1 = mkTier("fold_tier_1x", 2)
+      val tier10 = mkTier("fold_tier_10x", 20)
+      val preRows1 = spark.read.parquet(tier1).count()
+      val preRows10 = spark.read.parquet(tier10).count()
+      var st1: graft.ops.Layout.TieredCompactStats = null
+      var st10: graft.ops.Layout.TieredCompactStats = null
+      time("tiered_fold_1x_base", 128L * 2000) {
+        st1 = graft.ops.Layout.compactSmallFiles(spark, tier1,
+          targetBytes = 4L << 20)
+        st1.filesAfter.toLong
+      }
+      time("tiered_fold_10x_base", 128L * 2000) {
+        st10 = graft.ops.Layout.compactSmallFiles(spark, tier10,
+          targetBytes = 4L << 20)
+        st10.filesAfter.toLong
+      }
+      assert(st1.rewrittenBytes == st10.rewrittenBytes,
+        s"the settled base leaked into the fold: ${st1.rewrittenBytes} vs " +
+          s"${st10.rewrittenBytes} bytes rewritten")
+      assert(st10.untouchedFiles >= 20,
+        s"the 10x settled base must hop untouched: ${st10.untouchedFiles}")
+      assert(spark.read.parquet(tier1).count() == preRows1 &&
+        spark.read.parquet(tier10).count() == preRows10,
+        "tiered fold must preserve every row")
     }
 
     section("round12b") {

@@ -142,6 +142,159 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/_tombstones").count() == 1)
   }
 
+  // ---- size-tiered minor compaction (round-13 verdict #1) ----
+
+  private def dataFiles(path: String): Seq[(String, Long)] =
+    new java.io.File(path).listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+      .map(f => (f.getName, f.length)).sortBy(_._1)
+
+  test("compactSmallFiles: size peers merge; settled and lone-class bases hop untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiered").toString
+    val path = s"$dir/t"
+    // a SETTLED file (>= targetBytes) and a sub-target MERGED BASE in its
+    // own size class — the two shapes a fold must never rewrite
+    spark.range(10000).select(sha2(col("id").cast("string"), 256).as("v"))
+      .coalesce(1).write.mode("append").parquet(path)
+    spark.range(1000).select(sha2(col("id").cast("string"), 256).as("v"))
+      .coalesce(1).write.mode("append").parquet(path)
+    // 10 fresh single-row appends: size peers (the per-turn append shape)
+    (0 until 10).foreach { i =>
+      spark.range(i, i + 1).select(lit(s"row $i").as("v"))
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val before = dataFiles(path)
+    assert(before.size == 12, s"setup: ${before.size} files")
+    val target = 256L << 10
+    val bases = before.filter(_._2 >= 10000L) // the settled + mid files
+    assert(bases.size == 2, s"setup: base files not distinguishable: $before")
+    val freshBytes = before.filter(_._2 < 10000L).map(_._2).sum
+
+    val st = Layout.compactSmallFiles(spark, path, targetBytes = target)
+    assert(st.filesBefore == 12 && st.filesAfter == 3,
+      s"expected 12 -> 3 (settled + base + one merged), got $st")
+    assert(st.rewrittenBytes == freshBytes,
+      s"fold cost must be the fresh bytes only: ${st.rewrittenBytes} vs $freshBytes")
+    assert(st.untouchedFiles == 2, s"both bases must hop untouched: $st")
+    val after = dataFiles(path)
+    // the bases survive by NAME and LENGTH — moved, never rewritten
+    bases.foreach { case (n, len) =>
+      assert(after.contains((n, len)), s"base $n was rewritten: $after")
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() == 11010, "every row must survive the fold")
+
+    // idempotent: nothing left to merge (each class a singleton)
+    val again = Layout.compactSmallFiles(spark, path, targetBytes = target)
+    assert(again.rewrittenBytes == 0L && again.filesAfter == 3,
+      s"second fold must no-op: $again")
+  }
+
+  test("compactSmallFiles: refuses nested dirs, tombstone sidecars, and a missing dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiered_ref").toString
+    val nested = s"$dir/nested"
+    spark.range(3).withColumn("p", col("id") % 2)
+      .write.partitionBy("p").parquet(nested)
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.compactSmallFiles(spark, nested)
+    }
+    assert(e1.getMessage.contains("subdirectories"))
+    val mor = s"$dir/mor"
+    spark.range(3).coalesce(1).write.parquet(mor)
+    spark.range(1).selectExpr("0 AS doc_id", "1 AS tomb_epoch")
+      .coalesce(1).write.parquet(s"$mor/_tombstones")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compactSmallFiles(spark, mor)
+    }
+    assert(e2.getMessage.contains("_tombstones"))
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.compactSmallFiles(spark, s"$dir/nope")
+    }
+    assert(e3.getMessage.contains("does not exist"))
+  }
+
+  test("compactSmallFiles: heals a crash between live-aside and the final rename") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiered_heal").toString
+    val path = s"$dir/t"
+    spark.range(5000).select(sha2(col("id").cast("string"), 256).as("v"))
+      .coalesce(1).write.mode("append").parquet(path)
+    (0 until 4).foreach { i =>
+      spark.range(i, i + 1).select(lit(s"fresh $i").as("v"))
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val smalls = dataFiles(path).filter(_._2 < 10000L).map(_._1)
+    val base = dataFiles(path).filter(_._2 >= 10000L)
+    assert(smalls.size == 4 && base.size == 1)
+    // hand-build the crashed state the protocol can leave: committed
+    // stage (merged outputs + _consumed manifest), live renamed aside
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = s"$dir/.t.__compact"
+    spark.read.parquet(smalls.map(n => s"$path/$n"): _*)
+      .coalesce(1).localCheckpoint(true)
+      .write.parquet(staged)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_consumed"), true)
+    out.write(smalls.sorted.mkString("\n").getBytes("UTF-8")); out.close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$dir/.t.__old")))
+    // the live dir is ABSENT (a reader fails loudly, never sees partial
+    // data); the next fold call heals deterministically via the manifest
+    val st = Layout.compactSmallFiles(spark, path, targetBytes = 256L << 10)
+    val after = dataFiles(path)
+    assert(after.contains(base.head), s"healed dir lost the base: $after")
+    assert(!after.map(_._1).exists(smalls.contains),
+      "consumed inputs must not resurrect")
+    assert(spark.read.parquet(path).count() == 5004,
+      "heal must recover every row")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.t.__old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(staged)))
+    assert(!new java.io.File(s"$path/_consumed").exists(),
+      "the manifest must not linger in the live dir")
+    assert(st.rewrittenBytes == 0L,
+      s"post-heal there is nothing left to merge: $st")
+  }
+
+  test("compactSmallFiles mergeSchema: straddling appends keep late columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiered_ms").toString
+    val path = s"$dir/t"
+    spark.range(5).toDF("id").coalesce(1).write.mode("append").parquet(path)
+    spark.range(5, 10).selectExpr("id", "id * 2 AS epoch")
+      .coalesce(1).write.mode("append").parquet(path)
+    spark.range(10, 15).toDF("id").coalesce(1).write.mode("append").parquet(path)
+    Layout.compactSmallFiles(spark, path, targetBytes = 1L << 20)
+    val back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(back.columns.toSet == Set("id", "epoch"))
+    assert(back.count() == 15 && back.where(col("epoch").isNotNull).count() == 5)
+  }
+
+  test("dueSubdirs: the per-bucket signal fires only on the accumulating bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_due").toString
+    val root = s"$dir/mem"
+    def appendN(bucket: Int, n: Int): Unit =
+      (0 until n).foreach { i =>
+        spark.range(i, i + 1).toDF("id").coalesce(1)
+          .write.mode("append").parquet(s"$root/sbucket=$bucket")
+      }
+    appendN(0, 5) // trips maxSmallFiles = 3
+    appendN(1, 2) // under
+    // bucket 2 holds one BIG file (>= smallFileBytes): never small
+    spark.range(40000).select(sha2(col("id").cast("string"), 256).as("v"))
+      .coalesce(1).write.parquet(s"$root/sbucket=2")
+    // ledger markers and hidden sidecars are not data files
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_batches/7"), true).close()
+    val pol = Layout.MaintenancePolicy(
+      maxSmallFiles = 3, smallFileBytes = 512L << 10)
+    val due = Layout.dueSubdirs(spark, root, pol, "sbucket=")
+    assert(due.size == 1 && due.head.endsWith("sbucket=0"),
+      s"only the accumulating bucket is due: $due")
+    // a missing root is quiet (new table, nothing to maintain)
+    assert(Layout.dueSubdirs(spark, s"$dir/nope", pol, "sbucket=").isEmpty)
+  }
+
   test("compactFiles mergeSchema: mixed-schema appends keep late columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_ms").toString
     val path = s"$dir/t"

@@ -830,6 +830,216 @@ class ServingSpec extends SparkSpec {
     assert(spark.read.parquet(mem).count() == 4L)
   }
 
+  private def echoMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    missQ => missQ.select(col("query_id"), col("question"),
+      concat(lit("computed: "), col("question")).as("answer"),
+      lit(0.5).as("cost"))
+
+  test("deleteSessions: only the victim's rows go; untouched buckets keep their files; return is brand-new") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_del").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    // three sessions: victim + a BUCKET-MATE (same dir — the rewrite must
+    // keep it) + one in a different dir (must stay byte-untouched)
+    val ids = (0 until 64).map(i => s"s$i")
+    val victim = ids.head
+    val vb = ChatRag.sessionBucket(victim, 4)
+    val mate = ids.tail.find(ChatRag.sessionBucket(_, 4) == vb).get
+    val other = ids.tail.find(ChatRag.sessionBucket(_, 4) != vb).get
+    def ask(sid: String, qid: Long) = ChatRag.chatTurn(spark,
+      Seq((sid, qid, s"q $sid $qid",
+        Array(math.cos(qid).toFloat, math.sin(qid).toFloat)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, echoMisses, memoryBuckets = 4)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    assert(ask(victim, 1L) == ((0L, 3L)))
+    assert(ask(victim, 2L) == ((2L, 7L)))
+    assert(ask(mate, 3L) == ((0L, 3L)))
+    assert(ask(other, 4L) == ((0L, 3L)))
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(b: Int): Seq[(String, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(mem, s"sbucket=$b")).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map(f => (f.getPath.getName, f.getLen)).sorted
+    val otherFiles = files(ChatRag.sessionBucket(other, 4))
+    assert(ChatRag.deleteSessions(spark, mem, Seq(victim),
+      memoryBuckets = 4) == 4L)
+    // the mate (same bucket) survives the rewrite; the other bucket's
+    // files were never touched — same names, same lengths
+    val left = spark.read.parquet(mem)
+      .select("session_id", "turn").as[(String, Long)].collect().toSet
+    assert(left == Set((mate, 0L), (mate, 1L), (other, 0L), (other, 1L)),
+      s"wrong survivors: $left")
+    assert(files(ChatRag.sessionBucket(other, 4)) == otherFiles,
+      "a bucket with no deleted session must stay byte-untouched")
+    // the returning victim is BRAND-NEW: turn numbering restarts at 0,
+    // empty prompt history
+    assert(ask(victim, 9L) == ((0L, 3L)),
+      "a deleted-then-returning session must serve as brand-new")
+    // deleting an id that never existed is a quiet no-op
+    assert(ChatRag.deleteSessions(spark, mem, Seq("never-seen"),
+      memoryBuckets = 4) == 0L)
+    // legacy flat tables refuse with the migration pointer
+    val legacy = s"$tmp/legacy"
+    Seq(("s1", 0L, "user", "old")).toDF("session_id", "turn", "role", "content")
+      .coalesce(1).write.parquet(legacy)
+    val e = intercept[IllegalArgumentException] {
+      ChatRag.deleteSessions(spark, legacy, Seq("s1"))
+    }
+    assert(e.getMessage.contains("rebucketMemoryTable"))
+  }
+
+  test("rebucketMemoryTable: widen fan-out — replay identical, one marker, ledger preserved, turns continue") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_rb").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    def ask(sid: String, qid: Long, buckets: Int) = ChatRag.chatTurn(spark,
+      Seq((sid, qid, s"q $sid $qid",
+        Array(math.cos(qid).toFloat, math.sin(qid).toFloat)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, echoMisses, memoryBuckets = buckets)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    assert(ask("sA", 1L, 4) == ((0L, 3L)))
+    assert(ask("sB", 2L, 4) == ((0L, 3L)))
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a stream ledger marker must ride the migration
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$mem/_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$mem/_batches/3"), true).close()
+    val before = spark.read.parquet(mem)
+      .select("session_id", "turn", "role", "content")
+      .as[(String, Long, String, String)].collect().sorted.toSeq
+    ChatRag.rebucketMemoryTable(spark, mem, newBuckets = 16)
+    val after = spark.read.parquet(mem)
+      .select("session_id", "turn", "role", "content")
+      .as[(String, Long, String, String)].collect().sorted.toSeq
+    assert(after == before, "replay must be identical across the resize")
+    // exactly ONE recorded fan-out — the new one
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets"))
+      .map(_.getPath.getName).toSeq
+    assert(markers == Seq("16"), s"markers after resize: $markers")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mem/_batches/3")),
+      "the stream ledger must survive the resize")
+    // the dirs are the NEW hashing; turns continue (recorded 16 wins even
+    // though the caller still passes 4)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(mem)).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+      .map(_.getPath.getName).toSet
+    assert(dirs == Set("sA", "sB").map(s =>
+      s"sbucket=${ChatRag.sessionBucket(s, 16)}"), s"dirs: $dirs")
+    assert(ask("sA", 5L, 4) == ((2L, 7L)),
+      "history must survive the resize and the stale caller parameter")
+  }
+
+  test("rebucketMemoryTable: migrates a legacy flat table (the from-nothing special case)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_mig").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    Seq(("s1", 0L, "user", "old q"), ("s1", 1L, "assistant", "old a"),
+      ("s2", 0L, "user", "other q"), ("s2", 1L, "assistant", "other a"))
+      .toDF("session_id", "turn", "role", "content")
+      .coalesce(1).write.parquet(mem)
+    ChatRag.rebucketMemoryTable(spark, mem, newBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets/8")))
+    val back = spark.read.parquet(mem)
+      .select("session_id", "turn", "role", "content")
+      .as[(String, Long, String, String)].collect().sorted.toSeq
+    assert(back == Seq(("s1", 0L, "user", "old q"),
+      ("s1", 1L, "assistant", "old a"), ("s2", 0L, "user", "other q"),
+      ("s2", 1L, "assistant", "other a")),
+      s"migration must be byte-faithful: $back")
+    // subsequent turns ride the bucketed (maintained) arm: turn numbering
+    // continues and the append lands in s1's bucket dir
+    val out = ChatRag.chatTurn(spark,
+      Seq(("s1", 9L, "new q", Array(1.0f, 0.0f)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, echoMisses)
+      .select("turn", "n_prompt_msgs").as[(Long, Long)].head()
+    assert(out == ((2L, 7L)))
+    val b1 = new org.apache.hadoop.fs.Path(
+      mem, s"sbucket=${ChatRag.sessionBucket("s1", 8)}")
+    assert(spark.read.parquet(b1.toString)
+      .where(col("turn") === 2L).count() == 1L,
+      "post-migration appends must land bucketed")
+  }
+
+  test("pruneIdleSessions: newest-turn horizon; live sessions keep old rows; untimed sessions kept") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_idle").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    def ask(sid: String, qid: Long, ts: Option[Long]) = ChatRag.chatTurn(spark,
+      Seq((sid, qid, s"q $sid $qid",
+        Array(math.cos(qid).toFloat, math.sin(qid).toFloat)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, echoMisses, turnTs = ts).count()
+    ask("idle", 1L, Some(1000L))
+    ask("live", 2L, Some(1000L))
+    ask("untimed", 3L, None) // the pre-stamp legacy row shape
+    ask("live", 4L, Some(2000L))
+    assert(ChatRag.pruneIdleSessions(spark, mem, beforeTs = 1500L) == 2L)
+    val left = spark.read.option("mergeSchema", "true").parquet(mem)
+      .groupBy("session_id").count()
+      .as[(String, Long)].collect().toMap
+    // live keeps ALL FOUR rows — max(ts)=2000 governs, the ts=1000 pair
+    // is not clipped; untimed is conservatively kept; idle is gone
+    assert(left == Map("live" -> 4L, "untimed" -> 2L), s"wrong state: $left")
+    // audit horizon recorded (digit-named, max wins)
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mem/_retention/1500")))
+    // idempotent: nothing left below the horizon
+    assert(ChatRag.pruneIdleSessions(spark, mem, beforeTs = 1500L) == 0L)
+    // a pruned session that returns is brand-new
+    assert(ChatRag.chatTurn(spark,
+      Seq(("idle", 9L, "back", Array(1.0f, 0.0f)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, echoMisses)
+      .select("turn").as[Long].head() == 0L)
+  }
+
+  test("ChatLog.deleteUsers: filter-rewrite with sidecars preserved; streaming-sink dirs refuse") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_log_del").toString
+    val log = s"$tmp/log"
+    ChatLog.append(Seq(("alice", "hi", "hello", 1L), ("bob", "yo", "hey", 2L))
+      .toDF("user", "message", "response", "ts"), log)
+    ChatLog.append(Seq(("alice", "more", "sure", 3L))
+      .toDF("user", "message", "response", "ts"), log)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a root sidecar must ride the rewrite
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$log/_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$log/_batches/1"), true).close()
+    assert(ChatLog.deleteUsers(spark, log, Seq("alice")) == 2L)
+    val left = spark.read.parquet(log)
+      .select("user", "message").as[(String, String)].collect().toSeq
+    assert(left == Seq(("bob", "yo")), s"wrong survivors: $left")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_batches/1")),
+      "sidecars must survive the rewrite")
+    // absent user: quiet no-op, no rewrite
+    assert(ChatLog.deleteUsers(spark, log, Seq("carol")) == 0L)
+    // emptied log: dir + sidecars remain, data gone, next append works
+    assert(ChatLog.deleteUsers(spark, log, Seq("bob")) == 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_batches/1")))
+    intercept[Exception] { spark.read.parquet(log).collect() } // loudly empty
+    ChatLog.append(Seq(("dave", "new", "ok", 9L))
+      .toDF("user", "message", "response", "ts"), log)
+    assert(spark.read.parquet(log).count() == 1L)
+    // a FileStreamSink dir refuses: its metadata log pins the file set
+    val sink = s"$tmp/sink"
+    Seq(("x", "m", "r", 1L)).toDF("user", "message", "response", "ts")
+      .write.parquet(sink)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$sink/_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      ChatLog.deleteUsers(spark, sink, Seq("x"))
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("streamingChatRag: turns accumulate memory across micro-batches, ledger blocks re-runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
