@@ -1886,6 +1886,36 @@ object SparkEntry {
           round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
     }
+    reg("p22b_hard_negative_recall") { (s, dir) =>
+      // the LAST approximate route without an oracled recall row
+      // (round-13 verdict stretch): hardNegatives(approx = true) rides
+      // rpTopKBatch with only a spec-side equivalence until now. Same
+      // evaluator discipline as a15/a16 — the EXACT route's negatives
+      // (p22's oracled fixture, deeper k) are the relevance truth, the
+      // banded route's negatives are the run, recall audited through
+      // Eval. Positive exclusion is exact on BOTH routes by construction
+      // (the anti-join sits after either fetch), so what this row guards
+      // is fetch recall — a banding regression (width, table count, hash
+      // seed) moves hits_rel/recall and breaks the pin. Golden-pinned
+      // (seeded bands), like every a-family recall row.
+      import graft.ops.TrainingData
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val pos = qs.select(col("query_id"), col("query_id").as("doc_id"))
+        .unionByName(qs.select(col("query_id"),
+          (col("query_id") + 11).as("doc_id")))
+      val corpus = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      val truth = TrainingData.hardNegatives(qs, corpus, pos, k = 8)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+      val approx = TrainingData
+        .hardNegatives(qs, corpus, pos, k = 8, approx = true)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Eval.evaluate(approx, truth, k = 8, idCol = "doc_id")
+        .select(col("query_id"), col("hits_rel"), col("truth_total"),
+          col("recall"), col("first_rel_rank"), col("rr"), col("ndcg"))
+        .orderBy("query_id")
+    }
     reg("p3_stratified_sample") { (s, dir) =>
       graft.ops.TrainingData.stratifiedSample(T(s, dir, "documents"), "lang", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
@@ -5242,6 +5272,10 @@ object SparkEntry {
       "SELECT * FROM read_parquet('/root/repo/fixtures/q11b_mmr_banded_sf001.parquet')",
     "a16_mmr_fetch_recall" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/a16_mmr_fetch_recall_sf001.parquet')",
+    // p22b: hardNegatives' banded fetch recall vs the exact route's
+    // truth — pin-swept 4/16/32 cores (seeded bands; exclusion exact)
+    "p22b_hard_negative_recall" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/p22b_hard_negative_recall_sf001.parquet')",
     "d5_minhash_pairs" ->
       "SELECT * FROM read_parquet('/root/repo/fixtures/d5_minhash_pairs_sf001.parquet')",
     "d6_simhash_pairs" ->
