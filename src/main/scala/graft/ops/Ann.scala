@@ -863,7 +863,10 @@ object Ann extends IndexLifecycle {
     fs.listStatus(lists).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
       .flatMap { p =>
-        val st = Layout.compactFiles(spark, p.getPath.toString, targetBytes)
+        // size-tiered (round-14): only size-peer small files rewrite;
+        // settled list files hop by rename — per-partition fold cost
+        // tracks the fresh appends, not the accumulated list
+        val st = Layout.compactSmallFiles(spark, p.getPath.toString, targetBytes)
         if (st.filesAfter < st.filesBefore)
           Some(p.getPath.getName.stripPrefix("centroid_id=").toInt ->
             (st.filesBefore, st.filesAfter))

@@ -759,7 +759,9 @@ object CorpusPipeline {
           maintainIndex(spark, path, pol, idCol = "vec_id",
             compact = Some(() => { graft.ops.Sq.compactCodes(spark, path); () }),
             compactFiles = Some(() => {
-              Layout.compactFiles(spark, s"$path/codes",
+              // size-tiered (round-14): settled code files hop by rename,
+              // only the per-batch small appends rewrite
+              Layout.compactSmallFiles(spark, s"$path/codes",
                 targetBytes = pol.smallFileBytes * 8); ()
             }))
           ()
@@ -791,7 +793,9 @@ object CorpusPipeline {
           maintainIndex(spark, path, pol, idCol = "vec_id",
             compact = Some(() => { graft.ops.Pq.compactCodes(spark, path); () }),
             compactFiles = Some(() => {
-              Layout.compactFiles(spark, s"$path/codes",
+              // size-tiered (round-14): settled code files hop by rename,
+              // only the per-batch small appends rewrite
+              Layout.compactSmallFiles(spark, s"$path/codes",
                 targetBytes = pol.smallFileBytes * 8); ()
             }))
           ()

@@ -560,7 +560,9 @@ object Dedup extends IndexLifecycle {
       path: String,
       targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
     Seq("bands", "sigs", "shingles", "docs").flatMap { t =>
-      val st = Layout.compactFiles(spark, s"$path/$t", targetBytes)
+      // size-tiered (round-14): the settled seed files hop by rename;
+      // only the per-batch small appends (size peers) rewrite
+      val st = Layout.compactSmallFiles(spark, s"$path/$t", targetBytes)
       if (st.filesAfter < st.filesBefore) Some(t -> (st.filesBefore, st.filesAfter))
       else None
     }.toMap

@@ -284,10 +284,21 @@ object Layout {
       ()
     }
     def finishSwap(consumed: Set[String]): Unit = {
-      fs.listStatus(oldP).toSeq
-        .filter(f => f.isFile && isData(f.getPath.getName) &&
-          !consumed.contains(f.getPath.getName))
-        .foreach(f => hop(oldP, stagedP, f.getPath.getName))
+      fs.listStatus(oldP).toSeq.foreach { e =>
+        val n = e.getPath.getName
+        if (e.isFile && isData(n)) {
+          if (!consumed.contains(n)) hop(oldP, stagedP, n)
+          // consumed inputs stay behind and drop with oldP
+        } else if (e.isDirectory) {
+          // hidden sidecar dirs (a ledger, a marker dir) ride the swap
+          // whole — visible subdirs were refused before staging
+          fs.rename(e.getPath, new org.apache.hadoop.fs.Path(stagedP, n))
+        } else if (n != "_SUCCESS" && n != "_consumed" && !n.endsWith(".crc")) {
+          // hidden marker FILES ride too; _SUCCESS is the staged write's
+          // own, .crc shadows either hopped with their file or are stale
+          fs.rename(e.getPath, new org.apache.hadoop.fs.Path(stagedP, n))
+        }
+      }
       // the manifest RIDES the rename (underscore-named — readers ignore
       // it) and is cleaned from the live dir afterwards: deleting it
       // before the rename would open a crash window where the live dir
