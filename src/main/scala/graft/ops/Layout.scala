@@ -340,7 +340,14 @@ object Layout {
       (math.log(len.toDouble.max(1.0)) / math.log(4.0)).toInt
     val (settled, small) = files.partition(_.getLen >= targetBytes)
     val mergeClasses = small.groupBy(f => sizeClass(f.getLen))
-      .filter(_._2.size >= 2)
+      .filter { case (_, fsOfClass) =>
+        // merge only when it REDUCES the file count: a class of two
+        // near-target files whose bytes already need two outputs would
+        // be a pure rewrite with no progress
+        val bytes = fsOfClass.map(_.getLen).sum
+        fsOfClass.size >= 2 &&
+          fsOfClass.size > ((bytes + targetBytes - 1) / targetBytes)
+      }
     if (mergeClasses.isEmpty)
       return TieredCompactStats(files.size, files.size, files.size, 0L)
     val consumedFiles = mergeClasses.values.flatten.toSeq

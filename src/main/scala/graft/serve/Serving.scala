@@ -807,9 +807,10 @@ object ChatRag {
       idOffset: Long = 1000000L,
       memoryWindow: Option[(Int, Long)] = None,
       memoryBuckets: Int = 16,
-      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): Unit = {
+      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None,
+      turnTs: Option[Long] = None): Unit = {
     chatTurn(spark, batch, memoryPath, cachePath, minCos, answerMisses,
-      idOffset, memoryWindow, memoryBuckets, maintenance)
+      idOffset, memoryWindow, memoryBuckets, maintenance, turnTs)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     ()
   }
@@ -848,7 +849,8 @@ object ChatRag {
       memoryWindow: Option[(Int, Long)] = None,
       memoryBuckets: Int = 16,
       maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None,
-      maintenanceEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      maintenanceEvery: Int = 16,
+      turnTsOf: Long => Option[Long] = _ => None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maintenanceEvery > 0,
       s"streamingChatRag: maintenanceEvery $maintenanceEvery must be > 0")
     questions.writeStream
@@ -858,9 +860,13 @@ object ChatRag {
           if (batchId % maintenanceEvery == 0) maintenance else None
         graft.ops.Layout.ledgeredBatch(
           batch.sparkSession, s"$memoryPath/_batches", batchId) {
+          // turnTsOf(batchId) stamps this batch's appends with the age
+          // signal pruneIdleSessions runs on — per-batch so the caller
+          // can thread a real clock (or the batch id itself) without the
+          // loop hard-wiring a nondeterministic now()
           chatTurnBody(batch.sparkSession, batch, memoryPath, cachePath,
             outPath, batchId, minCos, answerMisses, idOffset, memoryWindow,
-            memoryBuckets, pol)
+            memoryBuckets, pol, turnTsOf(batchId))
         }
         ()
       }
@@ -881,10 +887,15 @@ object ChatRag {
       dir: org.apache.hadoop.fs.Path,
       transform: DataFrame => DataFrame): (Long, Long) = {
     // mergeSchema: buckets whose appends straddle the optional `ts`
-    // column (see chatTurn's turnTs) must not drop it in the rewrite
+    // column (see chatTurn's turnTs) must not drop it in the rewrite.
+    // No localCheckpoint: every read (two counts + the staged write)
+    // completes against the untouched live dir BEFORE the swap, so the
+    // bucket is never pinned whole in the block manager — three bounded
+    // scans of one bucket dir beat capping the rewrite at executor
+    // storage when a bucket has grown rebucket-large.
     val before = spark.read.option("mergeSchema", "true")
       .parquet(dir.toString)
-    val kept = transform(before).localCheckpoint(true)
+    val kept = transform(before)
     val nBefore = before.count()
     val nAfter = kept.count()
     if (nAfter == 0L) {
@@ -899,6 +910,35 @@ object ChatRag {
       graft.ops.Layout.swapDir(fs, dir.toString, staged)
     }
     (nBefore, nAfter)
+  }
+
+  /** [[rewriteBucketDir]] over many buckets, submitted concurrently —
+    * the same disjoint-dirs argument as
+    * [[graft.ops.Layout.compactSmallFilesAll]]: each rewrite is a small
+    * single-writer job on its own directory, and a serial loop pays
+    * per-job setup latency per bucket (measured: ~60 sequential bucket
+    * rewrites dominated a 100-session delete). Returns rows removed;
+    * the first failed rewrite rethrows after the pool drains.
+    */
+  private def rewriteBucketDirsAll(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[org.apache.hadoop.fs.Path],
+      transform: DataFrame => DataFrame,
+      parallelism: Int = 8): Long = {
+    if (dirs.isEmpty) return 0L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, dirs.size)))
+    try {
+      val fut = dirs.map(d => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val (b, a) = rewriteBucketDir(spark, fs, d, transform)
+            b - a
+          }
+        }))
+      fut.map(_.get()).sum
+    } finally pool.shutdown()
   }
 
   private def requireBucketedFor(
@@ -941,14 +981,11 @@ object ChatRag {
     if (!fs.exists(mp)) return 0L
     requireBucketedFor("deleteSessions", fs, mp, memoryPath)
     val nBuckets = effectiveBuckets(fs, mp, memoryBuckets)
-    sessionIds.map(sessionBucket(_, nBuckets)).distinct.sorted
-      .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
-      .filter(fs.exists(_))
-      .map { d =>
-        val (b, a) = rewriteBucketDir(spark, fs, d,
-          df => df.where(!col("session_id").isin(sessionIds: _*)))
-        b - a
-      }.sum
+    rewriteBucketDirsAll(spark, fs,
+      sessionIds.map(sessionBucket(_, nBuckets)).distinct.sorted
+        .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
+        .filter(fs.exists(_)),
+      df => df.where(!col("session_id").isin(sessionIds: _*)))
   }
 
   /** Re-fan-out the memory table (round-13 missing #2) — and, as the
@@ -983,9 +1020,13 @@ object ChatRag {
     // partition discovery surfaces the old `sbucket` column on a bucketed
     // table; a legacy flat table has none. Either way the DATA columns
     // carry over verbatim (mergeSchema keeps a straddled `ts`).
+    // no localCheckpoint: the staged write is ONE streaming pass over the
+    // live root, which stays untouched until the single swap after the
+    // write completes — materializing the whole state through the block
+    // manager would cap rebucket at executor storage, the wrong bound for
+    // the full-state maintenance action
     val data = spark.read.option("mergeSchema", "true").parquet(memoryPath)
       .drop("sbucket")
-      .localCheckpoint(true) // materialize: the rewrite replaces its source
     val staged = graft.ops.Layout.compactStaging(fs, memoryPath)
     val sp = new org.apache.hadoop.fs.Path(staged)
     data.withColumn("sbucket", bucketExpr(newBuckets))
@@ -1031,23 +1072,22 @@ object ChatRag {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) return 0L
     requireBucketedFor("pruneIdleSessions", fs, mp, memoryPath)
-    val pruned = fs.listStatus(mp).toSeq
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
-      .map { d =>
-        val (b, a) = rewriteBucketDir(spark, fs, d.getPath, df =>
-          if (!df.columns.contains("ts")) df // untimed bucket: nothing ages
-          else {
-            // sessions are bucket-local (one hash home), so the idle set
-            // derives inside the bucket being rewritten
-            val idle = df.groupBy("session_id")
-              .agg(max(col("ts")).as("__newest"))
-              .where(col("__newest").isNotNull &&
-                col("__newest") < lit(beforeTs))
-              .select("session_id")
-            df.join(idle, Seq("session_id"), "left_anti")
-          })
-        b - a
-      }.sum
+    val pruned = rewriteBucketDirsAll(spark, fs,
+      fs.listStatus(mp).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+        .map(_.getPath),
+      df =>
+        if (!df.columns.contains("ts")) df // untimed bucket: nothing ages
+        else {
+          // sessions are bucket-local (one hash home), so the idle set
+          // derives inside the bucket being rewritten
+          val idle = df.groupBy("session_id")
+            .agg(max(col("ts")).as("__newest"))
+            .where(col("__newest").isNotNull &&
+              col("__newest") < lit(beforeTs))
+            .select("session_id")
+          df.join(idle, Seq("session_id"), "left_anti")
+        })
     if (pruned > 0) {
       val retDir = new org.apache.hadoop.fs.Path(mp, "_retention")
       fs.mkdirs(retDir)
@@ -1124,9 +1164,11 @@ object ChatLog {
         "_spark_metadata log pins the committed file set and would keep " +
         "serving the deleted generation after a swap; stop the stream, " +
         "delete _spark_metadata (reads fall back to the listing), re-run")
+    // no localCheckpoint: counts and the staged write all complete
+    // against the untouched live dir before the single swap (the same
+    // bound-by-scans-not-storage trade as rewriteBucketDir)
     val before = spark.read.option("mergeSchema", "true").parquet(path)
     val kept = before.where(!col(userCol).isin(users: _*))
-      .localCheckpoint(true) // materialize: the rewrite replaces its source
     val nBefore = before.count()
     val nAfter = kept.count()
     if (nAfter == nBefore) return 0L

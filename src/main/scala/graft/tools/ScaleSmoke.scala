@@ -1256,6 +1256,56 @@ object ScaleSmoke {
         s"the ingested corpus must be fully indexed: $nActive chunks for $iRows docs")
     }
 
+    section("round14") {
+      // 18. memory-lifecycle ops at deployment scale: an 8M-row memory
+      // table (2M sessions × 4 rows, 64 buckets). The claims under time:
+      //   - deleteSessions costs the VICTIMS' bucket dirs, not the state
+      //     (100 victims spread over ≤64 of 64 buckets — but a 256-bucket
+      //     table would touch ≤100/256th; the per-dir rewrite is the unit);
+      //   - pruneIdleSessions sweeps every bucket once (one filter-rewrite
+      //     per dir holding idle sessions);
+      //   - rebucketMemoryTable is the documented full-state rewrite —
+      //     recorded so the "rare explicit action" claim has a number.
+      val nSessions = n(2000000L)
+      val memRoot = java.nio.file.Files
+        .createTempDirectory("graft_scale_mlc").toString
+      val mem = s"$memRoot/memory"
+      spark.range(nSessions).select(
+        concat(lit("s"), col("id")).as("session_id"),
+        explode(sequence(lit(0L), lit(3L))).as("turn"))
+        .select(col("session_id"), col("turn"),
+          when(pmod(col("turn"), lit(2)) === 0, "user").otherwise("assistant").as("role"),
+          concat(lit("remembered message "), col("turn")).as("content"),
+          // stamped ages: half the sessions idle (ts 1000), half live (2000)
+          when(pmod(crc32(col("session_id").cast("binary")), lit(2)) === 0,
+            lit(1000L)).otherwise(lit(2000L)).as("ts"))
+        .withColumn("sbucket", graft.serve.ChatRag.bucketExpr(64))
+        .write.partitionBy("sbucket").parquet(mem)
+      val victims = (0 until 100).map(i => s"s${i * (nSessions / 100)}")
+      var removed = 0L
+      time("memory_delete_100_of_2m", nSessions) {
+        removed = graft.serve.ChatRag.deleteSessions(spark, mem, victims,
+          memoryBuckets = 64)
+        removed
+      }
+      assert(removed == 400L, s"100 sessions x 4 rows must go: $removed")
+      var pruned = 0L
+      time("memory_prune_idle_half", nSessions) {
+        pruned = graft.serve.ChatRag.pruneIdleSessions(spark, mem,
+          beforeTs = 1500L)
+        pruned
+      }
+      assert(pruned > 0 && pruned < nSessions * 4,
+        s"the idle half must go, the live half stay: $pruned")
+      val liveRows = nSessions * 4 - removed - pruned
+      time("memory_rebucket_64_to_256", nSessions) {
+        graft.serve.ChatRag.rebucketMemoryTable(spark, mem, newBuckets = 256)
+        1L
+      }
+      assert(spark.read.option("mergeSchema", "true").parquet(mem)
+        .count() == liveRows, "the resize must be row-exact")
+    }
+
     spark.stop()
   }
 }

@@ -1054,7 +1054,8 @@ class ServingSpec extends SparkSpec {
     val stream = MemoryStream[(String, Long, String, Array[Float])]
     val q = ChatRag.streamingChatRag(
       stream.toDF().toDF("session_id", "query_id", "question", "query_vec"),
-      mem, cache, out, s"$tmp/ckpt", answerMisses).start()
+      mem, cache, out, s"$tmp/ckpt", answerMisses,
+      turnTsOf = id => Some(1000L + id)).start()
     try {
       stream.addData(("s1", 1L, "q one", v1)) // turn 0: miss, answered
       q.processAllAvailable()
@@ -1069,6 +1070,10 @@ class ServingSpec extends SparkSpec {
         s"turn 1 must hit at cost 0 with the remembered prompt: $disp")
       assert(spark.read.parquet(mem).count() == 4L,
         "two turns append four memory rows")
+      // turnTsOf stamped each batch's appends — the retention age signal
+      assert(spark.read.parquet(mem).groupBy("ts").count()
+        .as[(Long, Long)].collect().toMap == Map(1000L -> 2L, 1001L -> 2L),
+        "per-batch turnTsOf must stamp the memory appends")
       // the ledger refuses a completed batch outright
       assert(!graft.ops.Layout.ledgeredBatch(spark, s"$mem/_batches", 0L) {
         fail("a ledgered batch must never re-run")
