@@ -1156,11 +1156,23 @@ object ChatLog {
       userCol: String = "user"): Long = {
     require(users.nonEmpty, "deleteUsers: empty user list")
     val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0L
+    deleteWhere(spark, path, col(userCol).isin(users: _*))
+  }
+
+  /** The shared filter-swap body of [[deleteUsers]] and [[pruneBefore]]:
+    * drops every row matching `pred`, preserving root sidecars.
+    */
+  private def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      pred: Column): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return 0L
     require(!fs.exists(new org.apache.hadoop.fs.Path(p, "_spark_metadata")),
-      s"deleteUsers: $path is a live FileStreamSink dir — its " +
+      s"chat-log rewrite: $path is a live FileStreamSink dir — its " +
         "_spark_metadata log pins the committed file set and would keep " +
         "serving the deleted generation after a swap; stop the stream, " +
         "delete _spark_metadata (reads fall back to the listing), re-run")
@@ -1168,7 +1180,7 @@ object ChatLog {
     // against the untouched live dir before the single swap (the same
     // bound-by-scans-not-storage trade as rewriteBucketDir)
     val before = spark.read.option("mergeSchema", "true").parquet(path)
-    val kept = before.where(!col(userCol).isin(users: _*))
+    val kept = before.where(!pred)
     val nBefore = before.count()
     val nAfter = kept.count()
     if (nAfter == nBefore) return 0L
@@ -1202,6 +1214,44 @@ object ChatLog {
       graft.ops.Layout.swapDir(fs, path, staged)
     }
     nBefore - nAfter
+  }
+
+  /** Chat-log RETENTION — the log-side twin of
+    * [[ChatRag.pruneIdleSessions]] (with [[deleteUsers]] every
+    * conversation store now has both a removal and an aging story):
+    * retires every record whose `ts` is older than `beforeTs`, through
+    * the same sidecar-preserving filter swap as [[deleteUsers]] (same
+    * FileStreamSink refusal, same loudly-empty contract). Records with a
+    * NULL ts are conservatively kept — age unknown; remove them
+    * explicitly via [[deleteUsers]]. The horizon lands as a
+    * `_retention/<beforeTs>` marker (digit-named, max wins — the audit
+    * convention), which the swap's sidecar copy carries forward.
+    * Returns rows pruned.
+    */
+  def pruneBefore(
+      spark: SparkSession,
+      path: String,
+      beforeTs: Long,
+      tsCol: String = "ts"): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0L
+    val pruned = deleteWhere(spark, path,
+      col(tsCol).isNotNull && col(tsCol) < lit(beforeTs))
+    if (pruned > 0) {
+      val retDir = new org.apache.hadoop.fs.Path(p, "_retention")
+      fs.mkdirs(retDir)
+      val old = fs.listStatus(retDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      if (!old.exists(_ >= beforeTs)) {
+        fs.create(new org.apache.hadoop.fs.Path(retDir, beforeTs.toString),
+          true).close()
+        old.filter(_ < beforeTs).foreach(m =>
+          fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
+      }
+    }
+    pruned
   }
 
   /** The log-record projection `(user, message, response, ts)` (app.py:65-70).

@@ -1040,6 +1040,27 @@ class ServingSpec extends SparkSpec {
     assert(e.getMessage.contains("_spark_metadata"))
   }
 
+  test("ChatLog.pruneBefore: ts horizon retires old records; null ts conservatively kept") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_log_ret").toString
+    val log = s"$tmp/log"
+    ChatLog.append(Seq(("a", "old", "r1", Some(100L)), ("b", "new", "r2", Some(900L)),
+      ("c", "untimed", "r3", None))
+      .toDF("user", "message", "response", "ts"), log)
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 500L) == 1L)
+    val left = spark.read.parquet(log).select("user").as[String].collect().toSet
+    assert(left == Set("b", "c"),
+      s"old goes, new and untimed stay: $left")
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_retention/500")))
+    // idempotent + the marker survives a later deleteUsers swap
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 500L) == 0L)
+    assert(ChatLog.deleteUsers(spark, log, Seq("c")) == 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_retention/500")),
+      "the retention marker must ride the deleteUsers sidecar copy")
+  }
+
   test("streamingChatRag: turns accumulate memory across micro-batches, ledger blocks re-runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
