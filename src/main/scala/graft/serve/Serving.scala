@@ -969,22 +969,41 @@ object ChatRag {
     * is untouched: it records which MICRO-BATCHES applied, not content,
     * so no replay can resurrect deleted rows. Legacy flat tables refuse
     * (migrate first); single-writer like every maintenance op.
+    *
+    * Bucket targeting trusts ONLY the recorded `_nbuckets` marker — a
+    * caller-supplied count on a markerless table could hash victims to
+    * the wrong dirs and silently PART-MISS the delete (non-compliance
+    * with no error, the worst failure a forget op can have), so a
+    * markerless bucketed table falls back to sweeping every `sbucket=`
+    * dir: correct under any fan-out, at full-sweep cost.
     */
   def deleteSessions(
       spark: SparkSession,
       memoryPath: String,
-      sessionIds: Seq[Any],
-      memoryBuckets: Int = 16): Long = {
+      sessionIds: Seq[Any]): Long = {
     require(sessionIds.nonEmpty, "deleteSessions: empty session-id list")
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) return 0L
     requireBucketedFor("deleteSessions", fs, mp, memoryPath)
-    val nBuckets = effectiveBuckets(fs, mp, memoryBuckets)
-    rewriteBucketDirsAll(spark, fs,
-      sessionIds.map(sessionBucket(_, nBuckets)).distinct.sorted
-        .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
-        .filter(fs.exists(_)),
+    val markerDir = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
+    val recorded: Option[Int] =
+      if (!fs.exists(markerDir)) None
+      else fs.listStatus(markerDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
+        .sorted.lastOption
+    val dirs = recorded match {
+      case Some(n) =>
+        sessionIds.map(sessionBucket(_, n)).distinct.sorted
+          .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
+          .filter(fs.exists(_))
+      case None =>
+        fs.listStatus(mp).toSeq
+          .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+          .map(_.getPath)
+    }
+    rewriteBucketDirsAll(spark, fs, dirs,
       df => df.where(!col("session_id").isin(sessionIds: _*)))
   }
 

@@ -1281,11 +1281,18 @@ object ScaleSmoke {
             lit(1000L)).otherwise(lit(2000L)).as("ts"))
         .withColumn("sbucket", graft.serve.ChatRag.bucketExpr(64))
         .write.partitionBy("sbucket").parquet(mem)
+      // record the fan-out the way chatTurn-created tables carry it —
+      // deleteSessions targets victim buckets ONLY through this marker
+      // (a markerless table gets the correct-but-full sweep)
+      val memFs = new org.apache.hadoop.fs.Path(mem)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      memFs.mkdirs(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets"))
+      memFs.create(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets/64"), true)
+        .close()
       val victims = (0 until 100).map(i => s"s${i * (nSessions / 100)}")
       var removed = 0L
       time("memory_delete_100_of_2m", nSessions) {
-        removed = graft.serve.ChatRag.deleteSessions(spark, mem, victims,
-          memoryBuckets = 64)
+        removed = graft.serve.ChatRag.deleteSessions(spark, mem, victims)
         removed
       }
       assert(removed == 400L, s"100 sessions x 4 rows must go: $removed")

@@ -864,8 +864,7 @@ class ServingSpec extends SparkSpec {
           !f.getPath.getName.startsWith("."))
         .map(f => (f.getPath.getName, f.getLen)).sorted
     val otherFiles = files(ChatRag.sessionBucket(other, 4))
-    assert(ChatRag.deleteSessions(spark, mem, Seq(victim),
-      memoryBuckets = 4) == 4L)
+    assert(ChatRag.deleteSessions(spark, mem, Seq(victim)) == 4L)
     // the mate (same bucket) survives the rewrite; the other bucket's
     // files were never touched — same names, same lengths
     val left = spark.read.parquet(mem)
@@ -879,8 +878,7 @@ class ServingSpec extends SparkSpec {
     assert(ask(victim, 9L) == ((0L, 3L)),
       "a deleted-then-returning session must serve as brand-new")
     // deleting an id that never existed is a quiet no-op
-    assert(ChatRag.deleteSessions(spark, mem, Seq("never-seen"),
-      memoryBuckets = 4) == 0L)
+    assert(ChatRag.deleteSessions(spark, mem, Seq("never-seen")) == 0L)
     // legacy flat tables refuse with the migration pointer
     val legacy = s"$tmp/legacy"
     Seq(("s1", 0L, "user", "old")).toDF("session_id", "turn", "role", "content")
@@ -889,6 +887,25 @@ class ServingSpec extends SparkSpec {
       ChatRag.deleteSessions(spark, legacy, Seq("s1"))
     }
     assert(e.getMessage.contains("rebucketMemoryTable"))
+  }
+
+  test("deleteSessions: a markerless bucketed table gets the full sweep — never a part-miss") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chat_delnm").toString
+    val mem = s"$tmp/mem"
+    // written directly with partitionBy under an 8-way fan-out and NO
+    // _nbuckets marker: targeting via any trusted parameter could hash
+    // the victim to the wrong dir and silently part-miss the delete —
+    // the fallback sweeps every bucket dir instead
+    Seq(("s1", 0L, "user", "a"), ("s1", 1L, "assistant", "b"),
+      ("s2", 0L, "user", "c"), ("s2", 1L, "assistant", "d"))
+      .toDF("session_id", "turn", "role", "content")
+      .withColumn("sbucket", ChatRag.bucketExpr(8))
+      .write.partitionBy("sbucket").parquet(mem)
+    assert(ChatRag.deleteSessions(spark, mem, Seq("s2")) == 2L)
+    val left = spark.read.parquet(mem)
+      .select("session_id").as[String].collect().toSet
+    assert(left == Set("s1"), s"victim gone, survivor intact: $left")
   }
 
   test("rebucketMemoryTable: widen fan-out — replay identical, one marker, ledger preserved, turns continue") {
