@@ -3415,6 +3415,68 @@ object SparkEntry {
         .orderBy("session_id", "turn")
     }
 
+    reg("c17_memory_rebucket") { (s, dir) =>
+      // the remaining memory-lifecycle WRITER oracled end to end
+      // (deletion = c15, retention = c16, this row = migration + resize):
+      // a LEGACY flat table — the pre-layout shape, seeded with each
+      // session's first exchange exactly as the old code wrote it —
+      // migrates through rebucketMemoryTable (the from-nothing case),
+      // serves a turn bucketed, then WIDENS 4 → 8 mid-life (the
+      // marker-replacing resize) and serves again. Layout is value-
+      // invisible and turn numbering NEVER restarts, so the final log
+      // equals the pure-SQL replay of the three exchanges — a migration
+      // that lost or renumbered a row, or a resize that stranded history
+      // under the old hashing, breaks the oracle.
+      import graft.serve.ChatRag
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_c17").toString
+      val (mem, cache) = (s"$root/memory", s"$root/cache")
+      val echo: DataFrame => DataFrame = missQ =>
+        missQ.select(col("query_id"), col("question"),
+          concat(lit("computed: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      // the legacy seed: turn-0 exchanges as FLAT root files
+      Seq(3L, 7L, 11L).map(b => (s"s$b", b)).toDF("session_id", "qdoc")
+        .join(docs, col("qdoc") === col("doc_id"))
+        .select(col("session_id"), col("text"))
+        .select(col("session_id"),
+          explode(array(
+            struct(lit(0L).as("turn"), lit("user").as("role"),
+              col("text").as("content")),
+            struct(lit(1L).as("turn"), lit("assistant").as("role"),
+              concat(lit("computed: "), col("text")).as("content")))).as("__m"))
+        .select(col("session_id"), col("__m.turn").as("turn"),
+          col("__m.role").as("role"), col("__m.content").as("content"))
+        .coalesce(1).write.parquet(mem)
+      def turnBatch(i: Int): DataFrame =
+        Seq(3L, 7L, 11L).map(b => (s"s$b", b + i)).toDF("session_id", "qdoc")
+          .join(docs, col("qdoc") === col("doc_id"))
+          .join(emb, col("qdoc") === col("vec_id"))
+          .select(col("session_id"),
+            (col("qdoc") + lit(100L * i)).as("query_id"),
+            col("text").as("question"), col("embedding").as("query_vec"))
+      def oneTurn(i: Int): Map[String, (Long, Long)] =
+        ChatRag.chatTurn(s, turnBatch(i), mem, cache, minCos = 0.999, echo)
+          .select("session_id", "turn", "n_prompt_msgs")
+          .as[(String, Long, Long)].collect()
+          .map { case (sid, t, n) => sid -> ((t, n)) }.toMap
+      ChatRag.rebucketMemoryTable(s, mem, newBuckets = 4) // the migration
+      val t1 = oneTurn(1)
+      require(t1.values.forall(_ == ((2L, 7L))),
+        s"c17: migrated history must continue at turn 2 with 2 remembered " +
+          s"rows in the prompt, got $t1")
+      ChatRag.rebucketMemoryTable(s, mem, newBuckets = 8) // the resize
+      val t2 = oneTurn(2)
+      require(t2.values.forall(_ == ((4L, 11L))),
+        s"c17: resized history must continue at turn 4 with 4 remembered " +
+          s"rows, got $t2")
+      s.read.parquet(mem)
+        .select("session_id", "turn", "role", "content")
+        .orderBy("session_id", "turn")
+    }
+
     reg("c16_memory_retention") { (s, dir) =>
       // idle-session retention, oracled as a sequential replay (round-13
       // missing #4): s3 and s11 speak at ts=1000; s11 alone returns at
@@ -5122,6 +5184,24 @@ object SparkEntry {
     "c15_memory_delete" ->
       """WITH m(base, ord, qdoc) AS (VALUES
         |  (3,0,3),(3,1,4),(3,2,5),(7,0,9),(11,0,11),(11,1,12),(11,2,13)),
+        |pairs AS (
+        |  SELECT 's' || CAST(base AS VARCHAR) AS session_id,
+        |    CAST(ord*2 AS BIGINT) AS turn, 'user' AS role, d.text AS content
+        |  FROM m JOIN documents d ON d.doc_id = m.qdoc
+        |  UNION ALL
+        |  SELECT 's' || CAST(base AS VARCHAR),
+        |    CAST(ord*2+1 AS BIGINT), 'assistant', 'computed: ' || d.text
+        |  FROM m JOIN documents d ON d.doc_id = m.qdoc)
+        |SELECT session_id, turn, role, content FROM pairs
+        |ORDER BY session_id, turn""".stripMargin,
+    // c17: flat seed → migrate → turn → widen 4→8 → turn — layout is
+    // value-invisible and numbering continuous, so the final log is the
+    // same VALUES replay shape as c15 with no deletion: ords 0-2 for
+    // every session
+    "c17_memory_rebucket" ->
+      """WITH m(base, ord, qdoc) AS (VALUES
+        |  (3,0,3),(3,1,4),(3,2,5),(7,0,7),(7,1,8),(7,2,9),
+        |  (11,0,11),(11,1,12),(11,2,13)),
         |pairs AS (
         |  SELECT 's' || CAST(base AS VARCHAR) AS session_id,
         |    CAST(ord*2 AS BIGINT) AS turn, 'user' AS role, d.text AS content

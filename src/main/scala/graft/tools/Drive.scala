@@ -494,6 +494,38 @@ object Drive {
       val report = graft.serve.SemanticCache.cacheReport(
         graft.serve.SemanticCache.readDispositions(spark, c13disp, fromBatch = 4L))
       report.orderBy("batch").show(false)
+
+      // round-14 memory lifecycle: widen the fan-out mid-life (recorded
+      // marker replaced, history intact), forget a session (c15's law:
+      // the return is brand-new), retire idle sessions by ts horizon
+      println("== memory lifecycle: rebucket -> forget -> idle retention ==")
+      graft.serve.ChatRag.rebucketMemoryTable(spark, c13mem, newBuckets = 64)
+      val postResize = graft.serve.ChatRag.chatTurn(spark,
+        Seq(("drive-s1", 990L, "post-resize q",
+          Array(math.cos(99.0).toFloat, math.sin(99.0).toFloat)))
+          .toDF("session_id", "query_id", "question", "query_vec"),
+        c13mem, c13cache, minCos = 0.999, echoM)
+        .select("turn").as[Long].head()
+      println(s"rebucket 16->64: next turn continues at $postResize")
+      val gone = graft.serve.ChatRag.deleteSessions(spark, c13mem,
+        Seq("drive-s1"))
+      val back = graft.serve.ChatRag.chatTurn(spark,
+        Seq(("drive-s1", 991L, "after forget",
+          Array(math.cos(77.0).toFloat, math.sin(77.0).toFloat)))
+          .toDF("session_id", "query_id", "question", "query_vec"),
+        c13mem, c13cache, minCos = 0.999, echoM, turnTs = Some(1500L))
+        .select("turn").as[Long].head()
+      println(s"deleteSessions removed $gone rows; returning session starts at turn $back")
+      // an idle session whose newest turn predates the horizon
+      graft.serve.ChatRag.chatTurn(spark,
+        Seq(("drive-idle", 992L, "stale session",
+          Array(math.cos(55.0).toFloat, math.sin(55.0).toFloat)))
+          .toDF("session_id", "query_id", "question", "query_vec"),
+        c13mem, c13cache, minCos = 0.999, echoM, turnTs = Some(500L)).count()
+      val idlePruned = graft.serve.ChatRag.pruneIdleSessions(spark, c13mem,
+        beforeTs = 1000L)
+      println(s"pruneIdleSessions(ts<1000) retired $idlePruned rows " +
+        s"(${spark.read.option("mergeSchema", "true").parquet(c13mem).count()} remain)")
     }
 
     spark.stop()
