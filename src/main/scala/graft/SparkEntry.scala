@@ -3382,7 +3382,8 @@ object SparkEntry {
       import s.implicits._
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_c15").toString
+      val root = deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_c15")).toString
       val (mem, cache) = (s"$root/memory", s"$root/cache")
       val echo: DataFrame => DataFrame = missQ =>
         missQ.select(col("query_id"), col("question"),
@@ -3431,7 +3432,8 @@ object SparkEntry {
       import s.implicits._
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_c17").toString
+      val root = deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_c17")).toString
       val (mem, cache) = (s"$root/memory", s"$root/cache")
       val echo: DataFrame => DataFrame = missQ =>
         missQ.select(col("query_id"), col("question"),
@@ -3492,7 +3494,8 @@ object SparkEntry {
       import s.implicits._
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_c16").toString
+      val root = deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_c16")).toString
       val (mem, cache) = (s"$root/memory", s"$root/cache")
       val echo: DataFrame => DataFrame = missQ =>
         missQ.select(col("query_id"), col("question"),

@@ -407,8 +407,48 @@ object Layout {
           def call(): TieredCompactStats =
             compactSmallFiles(spark, d, targetBytes)
         }))
-      fs.map(_.get())
+      // await EVERY fold before rethrowing the first failure — bailing
+      // early would leave sibling folds running, and a retry would race
+      // their staging dirs (single-writer breach)
+      val results = fs.map(f => scala.util.Try(f.get()))
+      results.collectFirst { case scala.util.Failure(e) =>
+        throw (e match {
+          case ee: java.util.concurrent.ExecutionException
+            if ee.getCause != null => ee.getCause
+          case other => other
+        })
+      }
+      results.map(_.get)
     } finally pool.shutdown()
+  }
+
+  /** Advance a digit-named retention-horizon marker (`<root>/_retention/
+    * <horizon>`, max wins) — the audit convention shared by the
+    * disposition ledger, the memory table, and the chat log. Idempotent
+    * and monotone: an existing marker at or above `horizon` is kept
+    * untouched (never regressed), otherwise the new marker lands FIRST
+    * and older ones are swept after — a crash mid-advance leaves at
+    * least one marker at or above the highest horizon ever requested.
+    * One implementation so the crash-ordering reasoning lives in one
+    * place (it was copy-pasted at three sites and had to be re-derived
+    * per site).
+    */
+  def advanceRetentionMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      horizon: Long): Unit = {
+    val retDir = new org.apache.hadoop.fs.Path(root, "_retention")
+    fs.mkdirs(retDir)
+    val old = fs.listStatus(retDir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    if (!old.exists(_ >= horizon)) {
+      fs.create(new org.apache.hadoop.fs.Path(retDir, horizon.toString),
+        true).close()
+      old.filter(_ < horizon).foreach(m =>
+        fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
+    }
+    ()
   }
 
   /** The per-subdirectory file-compact due signal (round-13 verdict #1a):

@@ -510,26 +510,45 @@ object ChatRag {
     * reads), and the recorded value WINS over the parameter thereafter;
     * `memoryBuckets` sizes NEW tables only.
     */
+  /** The recorded `_nbuckets` table constant, when one exists (max wins
+    * across marker files — the digit-marker convention). The ONE reader
+    * of the marker: [[effectiveBuckets]] and [[deleteSessions]] MUST
+    * agree on it, or deletes would target different buckets than turns
+    * write.
+    */
+  private def recordedBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path): Option[Int] = {
+    val d = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
+      .sorted.lastOption
+  }
+
   private def effectiveBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       mp: org.apache.hadoop.fs.Path,
       requested: Int): Int = {
-    val d = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
-    if (fs.exists(d)) {
-      val ns = fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
-      if (ns.nonEmpty) return ns.max
+    recordedBuckets(fs, mp).getOrElse {
+      // A markerless table that ALREADY has sbucket= dirs (written
+      // directly with partitionBy, or any path that bypassed the
+      // append's recordBuckets) is the exact hazard the marker guards —
+      // and NOTHING can verify the caller's parameter against how the
+      // rows were actually hashed (a table written mod 32 and first read
+      // with the default 16 would freeze a WRONG constant, silently
+      // splitting every session's history and part-missing later
+      // deletes). Refuse loudly: record the true fan-out explicitly, or
+      // rewrite through rebucketMemoryTable, which records it correctly
+      // by construction.
+      require(!fs.exists(mp) || !fs.listStatus(mp).exists(e =>
+          e.isDirectory && e.getPath.getName.startsWith("sbucket=")),
+        s"memory table $mp has sbucket= dirs but no _nbuckets marker — " +
+          "the fan-out cannot be inferred from a parameter (a wrong " +
+          "guess silently splits history). Record the true count as " +
+          "_nbuckets/<n>, or rewrite through rebucketMemoryTable")
+      requested
     }
-    // A markerless table that ALREADY has sbucket= dirs (written directly
-    // with partitionBy, or a pre-marker deployment) is the exact hazard
-    // the marker guards: trusting a later caller's different parameter
-    // would recompute wrong buckets and silently miss history. Freeze the
-    // first reader's count as the table constant — from here on the
-    // recorded value wins and a mismatched parameter is inert.
-    if (fs.exists(mp) && fs.listStatus(mp).exists(e =>
-        e.isDirectory && e.getPath.getName.startsWith("sbucket=")))
-      recordBuckets(fs, mp, requested)
-    requested
   }
 
   private def recordBuckets(
@@ -937,7 +956,20 @@ object ChatRag {
             b - a
           }
         }))
-      fut.map(_.get()).sum
+      // await EVERY task before rethrowing the first failure: bailing on
+      // the first .get() would leave sibling rewrites still running, and
+      // the caller's natural retry would then race their staging/aside
+      // dirs — two writers on one bucket, the exact single-writer breach
+      // the swap protocol forbids
+      val results = fut.map(f => scala.util.Try(f.get()))
+      results.collectFirst { case scala.util.Failure(e) =>
+        throw (e match {
+          case ee: java.util.concurrent.ExecutionException
+            if ee.getCause != null => ee.getCause
+          case other => other
+        })
+      }
+      results.map(_.get).sum
     } finally pool.shutdown()
   }
 
@@ -986,14 +1018,7 @@ object ChatRag {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) return 0L
     requireBucketedFor("deleteSessions", fs, mp, memoryPath)
-    val markerDir = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
-    val recorded: Option[Int] =
-      if (!fs.exists(markerDir)) None
-      else fs.listStatus(markerDir).toSeq.filter(_.isFile)
-        .map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
-        .sorted.lastOption
-    val dirs = recorded match {
+    val dirs = recordedBuckets(fs, mp) match {
       case Some(n) =>
         sessionIds.map(sessionBucket(_, n)).distinct.sorted
           .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
@@ -1003,8 +1028,11 @@ object ChatRag {
           .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
           .map(_.getPath)
     }
+    // null-safe keep: `!isin` alone is NULL for a null key, which would
+    // silently destroy (and count) every null-session row in the bucket
     rewriteBucketDirsAll(spark, fs, dirs,
-      df => df.where(!col("session_id").isin(sessionIds: _*)))
+      df => df.where(col("session_id").isNull ||
+        !col("session_id").isin(sessionIds: _*)))
   }
 
   /** Re-fan-out the memory table (round-13 missing #2) — and, as the
@@ -1107,19 +1135,8 @@ object ChatRag {
             .select("session_id")
           df.join(idle, Seq("session_id"), "left_anti")
         })
-    if (pruned > 0) {
-      val retDir = new org.apache.hadoop.fs.Path(mp, "_retention")
-      fs.mkdirs(retDir)
-      val old = fs.listStatus(retDir).toSeq.filter(_.isFile)
-        .map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      if (!old.exists(_ >= beforeTs)) {
-        fs.create(new org.apache.hadoop.fs.Path(retDir, beforeTs.toString),
-          true).close()
-        old.filter(_ < beforeTs).foreach(m =>
-          fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
-      }
-    }
+    if (pruned > 0)
+      graft.ops.Layout.advanceRetentionMarker(fs, mp, beforeTs)
     pruned
   }
 }
@@ -1199,39 +1216,33 @@ object ChatLog {
     // against the untouched live dir before the single swap (the same
     // bound-by-scans-not-storage trade as rewriteBucketDir)
     val before = spark.read.option("mergeSchema", "true").parquet(path)
-    val kept = before.where(!pred)
+    // null-safe: a row where pred is NULL (e.g. a null user against an
+    // isin list) is KEPT, not silently destroyed — only rows that
+    // definitely match are deleted
+    val kept = before.where(!coalesce(pred, lit(false)))
     val nBefore = before.count()
     val nAfter = kept.count()
     if (nAfter == nBefore) return 0L
-    if (nAfter == 0L) {
-      // rename-aside keeps the no-log window LOUD (missing dir), then the
-      // sidecars come back into a fresh empty root
-      val aside = new org.apache.hadoop.fs.Path(
-        p.getParent, s".${p.getName}.__old")
-      if (fs.exists(aside)) fs.delete(aside, true)
-      fs.rename(p, aside)
-      fs.mkdirs(p)
-      fs.listStatus(aside).toSeq
-        .filter { e =>
-          val n = e.getPath.getName
-          n.startsWith("_") && n != "_SUCCESS"
-        }
-        .foreach(e => fs.rename(e.getPath,
-          new org.apache.hadoop.fs.Path(p, e.getPath.getName)))
-      fs.delete(aside, true)
-    } else {
-      val staged = graft.ops.Layout.compactStaging(fs, path)
+    // ONE protocol for both outcomes: stage the surviving generation
+    // (possibly no data files at all — the loudly-empty contract), COPY
+    // the root sidecars into it (the live dir stays whole until the
+    // swap, so a crash anywhere before it loses nothing — the previous
+    // empty-branch rename-aside had a window that stranded the stream
+    // ledger in the hidden aside with no heal), then the single swap.
+    val staged = graft.ops.Layout.compactStaging(fs, path)
+    if (nAfter == 0L)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+    else
       kept.write.mode("overwrite").parquet(staged)
-      fs.listStatus(p).toSeq
-        .filter { e =>
-          val n = e.getPath.getName
-          n.startsWith("_") && n != "_SUCCESS"
-        }
-        .foreach(e => org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
-          new org.apache.hadoop.fs.Path(staged, e.getPath.getName),
-          false, true, conf))
-      graft.ops.Layout.swapDir(fs, path, staged)
-    }
+    fs.listStatus(p).toSeq
+      .filter { e =>
+        val n = e.getPath.getName
+        n.startsWith("_") && n != "_SUCCESS"
+      }
+      .foreach(e => org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+        new org.apache.hadoop.fs.Path(staged, e.getPath.getName),
+        false, true, conf))
+    graft.ops.Layout.swapDir(fs, path, staged)
     nBefore - nAfter
   }
 
@@ -1257,19 +1268,8 @@ object ChatLog {
     if (!fs.exists(p)) return 0L
     val pruned = deleteWhere(spark, path,
       col(tsCol).isNotNull && col(tsCol) < lit(beforeTs))
-    if (pruned > 0) {
-      val retDir = new org.apache.hadoop.fs.Path(p, "_retention")
-      fs.mkdirs(retDir)
-      val old = fs.listStatus(retDir).toSeq.filter(_.isFile)
-        .map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      if (!old.exists(_ >= beforeTs)) {
-        fs.create(new org.apache.hadoop.fs.Path(retDir, beforeTs.toString),
-          true).close()
-        old.filter(_ < beforeTs).foreach(m =>
-          fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
-      }
-    }
+    if (pruned > 0)
+      graft.ops.Layout.advanceRetentionMarker(fs, p, beforeTs)
     pruned
   }
 
@@ -1770,18 +1770,8 @@ object SemanticCache {
     // silently return the partial ledger the marker exists to catch).
     // The marker write is idempotent and monotone, so the over-refusing
     // state heals on the next prune at the same horizon.
-    if (prune.nonEmpty) {
-      val retDir = new org.apache.hadoop.fs.Path(dp, "_retention")
-      fs.mkdirs(retDir)
-      val old = fs.listStatus(retDir).toSeq.filter(_.isFile)
-        .map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      if (!old.exists(_ >= retainFrom)) {
-        fs.create(new org.apache.hadoop.fs.Path(retDir, retainFrom.toString)).close()
-        old.filter(_ < retainFrom).foreach(m =>
-          fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
-      }
-    }
+    if (prune.nonEmpty)
+      graft.ops.Layout.advanceRetentionMarker(fs, dp, retainFrom)
     prune.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(dp, s"batch=$n"), true))
     (batchNs.size, batchNs.size - prune.size)

@@ -950,6 +950,13 @@ object ScaleSmoke {
           concat(lit("remembered message "), col("turn")).as("content"))
         .withColumn("sbucket", graft.serve.ChatRag.bucketExpr(16))
         .write.partitionBy("sbucket").parquet(memDir)
+      // record the fan-out this direct write used — a markerless
+      // bucketed table refuses at read (the count cannot be inferred)
+      val memFs12 = new org.apache.hadoop.fs.Path(memDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      memFs12.mkdirs(new org.apache.hadoop.fs.Path(s"$memDir/_nbuckets"))
+      memFs12.create(
+        new org.apache.hadoop.fs.Path(s"$memDir/_nbuckets/16"), true).close()
       def chatBatch(qidOff: Long) = spark.range(1000).select(
         concat(lit("s"), col("id") * (nSessions / 1000)).as("session_id"),
         (col("id") + qidOff).as("query_id"),

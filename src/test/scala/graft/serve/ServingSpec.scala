@@ -906,6 +906,43 @@ class ServingSpec extends SparkSpec {
     val left = spark.read.parquet(mem)
       .select("session_id").as[String].collect().toSet
     assert(left == Set("s1"), s"victim gone, survivor intact: $left")
+    // and a chat TURN on the markerless table refuses loudly: the
+    // fan-out cannot be inferred from a parameter, and freezing a wrong
+    // guess would silently split every session's history
+    val e = intercept[IllegalArgumentException] {
+      ChatRag.chatTurn(spark,
+        Seq(("s1", 7L, "q", Array(1.0f, 0.0f)))
+          .toDF("session_id", "query_id", "question", "query_vec"),
+        mem, s"$tmp/cache", minCos = 0.999, echoMisses)
+    }
+    assert(e.getMessage.contains("_nbuckets"), e.getMessage)
+  }
+
+  test("deletion is null-safe: null-keyed rows survive deleteSessions and deleteUsers") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_null_del").toString
+    // memory table with a null-session row sharing the victim's bucket
+    // set (the full sweep visits every dir): `!isin` alone is NULL for a
+    // null key — the row would silently vanish and inflate the count
+    val mem = s"$tmp/mem"
+    Seq((Option("s1"), 0L, "user", "a"), (Option("s1"), 1L, "assistant", "b"),
+      (Option.empty[String], 0L, "user", "orphan"))
+      .toDF("session_id", "turn", "role", "content")
+      .withColumn("sbucket",
+        coalesce(ChatRag.bucketExpr(4), lit(0)))
+      .write.partitionBy("sbucket").parquet(mem)
+    assert(ChatRag.deleteSessions(spark, mem, Seq("s1")) == 2L,
+      "the count must not include the null-keyed row")
+    assert(spark.read.parquet(mem).where(col("session_id").isNull)
+      .count() == 1L, "the null-keyed row must survive")
+    // chat log twin
+    val log = s"$tmp/log"
+    Seq((Option("alice"), "hi", "r", 1L), (Option.empty[String], "sys", "r", 2L))
+      .toDF("user", "message", "response", "ts")
+      .coalesce(1).write.parquet(log)
+    assert(ChatLog.deleteUsers(spark, log, Seq("alice")) == 1L)
+    assert(spark.read.parquet(log).where(col("user").isNull).count() == 1L,
+      "the null-user record must survive the rewrite")
   }
 
   test("rebucketMemoryTable: widen fan-out — replay identical, one marker, ledger preserved, turns continue") {
