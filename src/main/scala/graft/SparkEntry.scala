@@ -3524,6 +3524,51 @@ object SparkEntry {
         .orderBy("session_id", "turn")
     }
 
+    reg("c18_chatlog_lifecycle") { (s, dir) =>
+      // the chat-log lifecycle on the day= layout, oracled end to end as
+      // a sequential replay (round-14 verdict #1 — retention was the one
+      // remaining recurring full-log rewrite): a LEGACY FLAT log (the
+      // pre-layout writer's shape) migrates through repartitionByDay,
+      // accumulates a day-partitioned append, pruneBefore(120) retires
+      // the seed day WHOLE by metadata drop and rewrites only the
+      // boundary day (110 goes, 150/190 stay), deleteUsers forgets u7
+      // from the live partitions only, and appends continue under the
+      // recorded width (250 → day 2; the untimed row → the
+      // conservatively-kept null partition). The final log equals the
+      // pure-SQL VALUES replay — a migration that lost a row, a
+      // partition drop that clipped an above-horizon day, or a delete
+      // that missed a live partition breaks the oracle.
+      import graft.serve.ChatLog
+      val docs = T(s, dir, "documents")
+      val root = deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_c18")).toString
+      val log = s"$root/log"
+      def rowsOf(entries: Seq[(String, Long, Option[Long])]): DataFrame = {
+        import s.implicits._
+        entries.toDF("user", "qdoc", "ts")
+          .join(docs, col("qdoc") === col("doc_id"))
+          .select(col("user"), col("text").as("message"),
+            concat(lit("computed: "), col("text")).as("response"), col("ts"))
+      }
+      rowsOf(Seq(("u3", 3L, Some(10L)), ("u7", 7L, Some(10L)),
+        ("u11", 11L, Some(10L)))).coalesce(1).write.parquet(log)
+      ChatLog.repartitionByDay(s, log, dayWidth = 100L)
+      ChatLog.append(rowsOf(Seq(("u3", 4L, Some(110L)),
+        ("u7", 8L, Some(150L)), ("u9", 9L, Some(190L)))), log)
+      val pruned = ChatLog.pruneBefore(s, log, beforeTs = 120L)
+      require(pruned == 4L,
+        s"c18 premise drifted: prune retired $pruned rows (expected 4 — " +
+          "the seed day whole + the boundary's one)")
+      val removed = ChatLog.deleteUsers(s, log, Seq("u7"))
+      require(removed == 1L,
+        s"c18 premise drifted: deleteUsers removed $removed rows (expected 1)")
+      ChatLog.append(rowsOf(Seq(("u11", 13L, Some(250L)),
+        ("sys", 14L, None))), log)
+      s.read.parquet(log)
+        .select("user", "message", "response", "ts")
+        .orderBy("user")
+    }
+
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
       // the FULL FAISS IVFPQ layout AT REST — the 100 TB serving shape
       // with BOTH halves persisted: coarse lists from Ann.writeIvf
@@ -5235,6 +5280,18 @@ object SparkEntry {
         |  FROM m JOIN documents d ON d.doc_id = m.qdoc)
         |SELECT session_id, turn, role, content, ts FROM pairs
         |ORDER BY session_id, turn""".stripMargin,
+    // c18: flat seed → migrate to day= layout → append → pruneBefore(120)
+    // (seed day dropped whole, boundary 110 clipped) → deleteUsers(u7) →
+    // append — survivors are exactly the three VALUES rows
+    "c18_chatlog_lifecycle" ->
+      """WITH m(u, qdoc, ts) AS (VALUES
+        |  ('u9', 9, CAST(190 AS BIGINT)),
+        |  ('u11', 13, CAST(250 AS BIGINT)),
+        |  ('sys', 14, CAST(NULL AS BIGINT)))
+        |SELECT m.u AS "user", d.text AS message,
+        |  'computed: ' || d.text AS response, m.ts AS ts
+        |FROM m JOIN documents d ON d.doc_id = m.qdoc
+        |ORDER BY "user"""".stripMargin,
     // st20: ep6 through the streaming body — value-equal (shared
     // chatTurn + shared fixture), read back through the partitioned
     // sink layout, so the same sequential-state recompute holds

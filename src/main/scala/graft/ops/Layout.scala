@@ -256,6 +256,131 @@ object Layout {
     * `_tombstones` sidecar refuse (use [[compactFiles]] /
     * [[graft.index.VectorIndex.compact]]).
     */
+  private def isDataName(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** The two hidden swap siblings of a data dir: `(staged, old)` =
+    * (`.{name}.__compact`, `.{name}.__old`). */
+  private[graft] def swapSiblings(
+      p: org.apache.hadoop.fs.Path): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) =
+    (new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.__compact"),
+      new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.__old"))
+
+  // hop a data file between siblings, carrying its ChecksumFileSystem
+  // .crc shadow when one exists (a whole-dir rename moves them for
+  // free; per-file moves must do it by hand or the moved file loses
+  // its checksum)
+  private def tieredHop(
+      fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+      name: String): Unit = {
+    fs.rename(new org.apache.hadoop.fs.Path(from, name),
+      new org.apache.hadoop.fs.Path(to, name))
+    val crc = new org.apache.hadoop.fs.Path(from, s".$name.crc")
+    if (fs.exists(crc))
+      fs.rename(crc, new org.apache.hadoop.fs.Path(to, s".$name.crc"))
+    ()
+  }
+
+  private def tieredFinishSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path,
+      consumed: Set[String]): Unit = {
+    val (stagedP, oldP) = swapSiblings(hPath)
+    fs.listStatus(oldP).toSeq.foreach { e =>
+      val n = e.getPath.getName
+      if (e.isFile && isDataName(n)) {
+        if (!consumed.contains(n)) tieredHop(fs, oldP, stagedP, n)
+        // consumed inputs stay behind and drop with oldP
+      } else if (e.isDirectory) {
+        // hidden sidecar dirs (a ledger, a marker dir) ride the swap
+        // whole — visible subdirs were refused before staging
+        fs.rename(e.getPath, new org.apache.hadoop.fs.Path(stagedP, n))
+      } else if (n != "_SUCCESS" && n != "_consumed" && !n.endsWith(".crc")) {
+        // hidden marker FILES ride too; _SUCCESS is the staged write's
+        // own, .crc shadows either hopped with their file or are stale
+        fs.rename(e.getPath, new org.apache.hadoop.fs.Path(stagedP, n))
+      }
+    }
+    // the manifest RIDES the rename (underscore-named — readers ignore
+    // it) and is cleaned from the live dir afterwards: deleting it
+    // before the rename would open a crash window where the live dir
+    // is absent and the stage uncommitted — unhealable
+    fs.rename(stagedP, hPath)
+    fs.delete(new org.apache.hadoop.fs.Path(hPath, "_consumed"), false)
+    fs.delete(oldP, true)
+    ()
+  }
+
+  private def tieredReadManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      manifestP: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = fs.open(manifestP)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** HEAL a crashed [[compactSmallFiles]] swap at `hPath`: live dir absent
+    * with the aside and a COMMITTED stage (`_consumed` manifest present) ⇒
+    * finish the move deterministically via the manifest (untouched files
+    * hop, consumed inputs drop). Returns true when a heal ran. Shared by
+    * compactSmallFiles' own entry and [[healOrSweepSwap]] so ANY
+    * maintenance op that targets the dir next can recover it, not just a
+    * retry of the fold itself.
+    */
+  private[graft] def healCrashedTieredSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path): Boolean = {
+    val (stagedP, oldP) = swapSiblings(hPath)
+    val manifestP = new org.apache.hadoop.fs.Path(stagedP, "_consumed")
+    if (!fs.exists(hPath) && fs.exists(oldP) && fs.exists(manifestP)) {
+      tieredFinishSwap(fs, hPath, tieredReadManifest(fs, manifestP))
+      true
+    } else false
+  }
+
+  /** Recover `dir` from ANY crashed swap/retire, or sweep superseded
+    * leftovers (ADVICE r14 #1: a crash between rename-aside and delete in
+    * a retire left the condemned rows in the hidden `.name.__old` forever,
+    * and a retried delete that filtered on `fs.exists(dir)` skipped them —
+    * the forget op reported success while the data persisted). Dispatch by
+    * crash signature:
+    *
+    *  - live dir PRESENT: any hidden sibling is a superseded generation
+    *    (completed swap whose final delete crashed) or an uncommitted
+    *    stage — sweep both;
+    *  - live absent + committed tiered stage (`_consumed` manifest) —
+    *    a crashed [[compactSmallFiles]]: heal via the manifest;
+    *  - live absent + stage + aside — a crashed [[swapDir]] window: the
+    *    stage was complete before the swap began (every writer stages
+    *    fully, then swaps), so finish it — rename staged to live, drop
+    *    the aside;
+    *  - live absent + aside only — a crashed RETIRE (every row was
+    *    condemned): sweep the aside, completing the deletion;
+    *  - live absent + stage only — an unreachable uncommitted stage: sweep.
+    *
+    * Single-writer contract: callers run this inside a maintenance op,
+    * never concurrently with another writer on the same dir.
+    */
+  private[graft] def healOrSweepSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val (staged, aside) = swapSiblings(dir)
+    if (fs.exists(dir)) {
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(staged)) fs.delete(staged, true)
+    } else if (healCrashedTieredSwap(fs, dir)) ()
+    else if (fs.exists(staged) && fs.exists(aside)) {
+      fs.rename(staged, dir)
+      fs.delete(aside, true)
+    } else {
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
+    ()
+  }
+
   def compactSmallFiles(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -263,61 +388,14 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val stagedP = new org.apache.hadoop.fs.Path(
-      hPath.getParent, s".${hPath.getName}.__compact")
-    val oldP = new org.apache.hadoop.fs.Path(
-      hPath.getParent, s".${hPath.getName}.__old")
+    val (stagedP, oldP) = swapSiblings(hPath)
     val manifestP = new org.apache.hadoop.fs.Path(stagedP, "_consumed")
-    def isData(name: String): Boolean =
-      !name.startsWith("_") && !name.startsWith(".")
-    // hop a data file between siblings, carrying its ChecksumFileSystem
-    // .crc shadow when one exists (a whole-dir rename moves them for
-    // free; per-file moves must do it by hand or the moved file loses
-    // its checksum)
-    def hop(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
-        name: String): Unit = {
-      fs.rename(new org.apache.hadoop.fs.Path(from, name),
-        new org.apache.hadoop.fs.Path(to, name))
-      val crc = new org.apache.hadoop.fs.Path(from, s".$name.crc")
-      if (fs.exists(crc))
-        fs.rename(crc, new org.apache.hadoop.fs.Path(to, s".$name.crc"))
-      ()
-    }
-    def finishSwap(consumed: Set[String]): Unit = {
-      fs.listStatus(oldP).toSeq.foreach { e =>
-        val n = e.getPath.getName
-        if (e.isFile && isData(n)) {
-          if (!consumed.contains(n)) hop(oldP, stagedP, n)
-          // consumed inputs stay behind and drop with oldP
-        } else if (e.isDirectory) {
-          // hidden sidecar dirs (a ledger, a marker dir) ride the swap
-          // whole — visible subdirs were refused before staging
-          fs.rename(e.getPath, new org.apache.hadoop.fs.Path(stagedP, n))
-        } else if (n != "_SUCCESS" && n != "_consumed" && !n.endsWith(".crc")) {
-          // hidden marker FILES ride too; _SUCCESS is the staged write's
-          // own, .crc shadows either hopped with their file or are stale
-          fs.rename(e.getPath, new org.apache.hadoop.fs.Path(stagedP, n))
-        }
-      }
-      // the manifest RIDES the rename (underscore-named — readers ignore
-      // it) and is cleaned from the live dir afterwards: deleting it
-      // before the rename would open a crash window where the live dir
-      // is absent and the stage uncommitted — unhealable
-      fs.rename(stagedP, hPath)
-      fs.delete(new org.apache.hadoop.fs.Path(hPath, "_consumed"), false)
-      fs.delete(oldP, true)
-      ()
-    }
-    def readManifest(): Set[String] = {
-      val in = fs.open(manifestP)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    }
+    def isData(name: String): Boolean = isDataName(name)
+    def finishSwap(consumed: Set[String]): Unit =
+      tieredFinishSwap(fs, hPath, consumed)
     // HEAL: a crash between the live-aside rename and the final swap left
     // the live dir absent with a committed stage — finish deterministically
-    if (!fs.exists(hPath) && fs.exists(oldP) && fs.exists(manifestP))
-      finishSwap(readManifest())
+    healCrashedTieredSwap(fs, hPath)
     require(fs.exists(hPath),
       s"compactSmallFiles: $path does not exist (and no healable " +
         "crashed swap was found alongside it)")

@@ -461,6 +461,58 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
 
+  /** C5 streaming variant on the `day=`-partitioned layout, with
+    * RETENTION riding the loop (round-14 verdict #6 — only affordable now
+    * that [[graft.serve.ChatLog.pruneBefore]] is a partition drop, not a
+    * full-log rewrite): each micro-batch appends through
+    * [[graft.serve.ChatLog.append]] behind a `_batches` ledger (the
+    * [[graft.ops.Layout.ledgeredBatch]] exactly-once convention —
+    * `foreachBatch` writes no `_spark_metadata`, so the log stays
+    * maintainable, unlike the [[chatLogSink]] FileStreamSink whose pinned
+    * file set refuses every rewrite), and every `pruneEvery`-th batch
+    * advances the horizon to the batch's own newest stamp minus
+    * `retainFor` — the stream's own clock, deterministic under replay (no
+    * wall time), monotone by the marker law. A batch with no stamped rows
+    * skips the poll; a non-positive horizon skips it too (start-up, when
+    * the stream is younger than the retention window).
+    */
+  def chatLogSinkPartitioned(
+      rows: DataFrame,
+      path: String,
+      checkpoint: String,
+      dayWidth: Long = graft.serve.ChatLog.DefaultDayWidth,
+      retainFor: Option[Long] = None,
+      pruneEvery: Int = 16,
+      tsCol: String = "ts"): DataStreamWriter[Row] = {
+    require(pruneEvery > 0,
+      s"chatLogSinkPartitioned: pruneEvery $pruneEvery must be > 0")
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.ops.Layout.ledgeredBatch(s, s"$path/_batches", batchId) {
+          graft.serve.ChatLog.append(batch, path, dayWidth, tsCol)
+        }
+        // retention OUTSIDE the ledger body: it is idempotent and
+        // monotone on its own, so a replayed batch re-polling it is
+        // harmless (and a ledger-skipped batch still keeps the horizon
+        // advancing)
+        retainFor.foreach { keep =>
+          require(keep > 0, s"chatLogSinkPartitioned: retainFor $keep must be > 0")
+          if (batchId % pruneEvery == 0) {
+            val mx = batch.agg(max(graft.serve.ChatLog.tsLong(batch, tsCol)))
+              .head
+            if (!mx.isNullAt(0) && mx.getLong(0) - keep > 0) {
+              graft.serve.ChatLog.pruneBefore(s, path, mx.getLong(0) - keep,
+                tsCol)
+              ()
+            }
+          }
+        }
+        ()
+      }
+  }
+
   // -------------------- transformWithState token-budget intake (Spark 4)
 
   /** One admitted document of [[tokenBudgetIntake]]. */

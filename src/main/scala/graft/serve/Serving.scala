@@ -900,7 +900,7 @@ object ChatRag {
     * path). Returns (rows before, rows after); an identity transform
     * leaves the dir byte-untouched.
     */
-  private def rewriteBucketDir(
+  private[serve] def rewriteBucketDir(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
@@ -939,7 +939,7 @@ object ChatRag {
     * rewrites dominated a 100-session delete). Returns rows removed;
     * the first failed rewrite rethrows after the pool drains.
     */
-  private def rewriteBucketDirsAll(
+  private[serve] def rewriteBucketDirsAll(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dirs: Seq[org.apache.hadoop.fs.Path],
@@ -971,6 +971,40 @@ object ChatRag {
       }
       results.map(_.get).sum
     } finally pool.shutdown()
+  }
+
+  /** Heal-or-sweep every bucket dir's crashed-swap leftovers under the
+    * table root (ADVICE r14 #1): a retire that crashed between its
+    * rename-aside and delete strands the condemned rows in a hidden
+    * `.sbucket=N.__old` that no later op targets (the bucket dir itself is
+    * absent, so exists-filters skip it) — a retried deleteSessions would
+    * report success while the forgotten rows persisted. One root listing
+    * finds every hidden sibling; [[graft.ops.Layout.healOrSweepSwap]]
+    * dispatches per crash signature (finish a committed swap, sweep a
+    * condemned aside or an uncommitted stage). Runs at the top of every
+    * bucket-rewriting lifecycle op, so a crash is recovered by whichever
+    * maintenance action touches the table next.
+    */
+  private def healBucketLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path): Unit =
+    healPartitionLeftovers(fs, mp, "sbucket=")
+
+  /** The generic form of the sweep above, shared with [[ChatLog]]'s
+    * `day=`-partitioned layout: heal-or-sweep every `prefix`-named
+    * partition dir's hidden swap siblings under `root`.
+    */
+  private[serve] def healPartitionLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      prefix: String): Unit = {
+    if (!fs.exists(root)) return
+    val Hidden = ("""^\.(""" + java.util.regex.Pattern.quote(prefix) +
+      """[^/]+)\.__(?:old|compact)$""").r
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case Hidden(live) => live }.distinct
+      .foreach(n => graft.ops.Layout.healOrSweepSwap(fs,
+        new org.apache.hadoop.fs.Path(root, n)))
   }
 
   private def requireBucketedFor(
@@ -1018,6 +1052,10 @@ object ChatRag {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) return 0L
     requireBucketedFor("deleteSessions", fs, mp, memoryPath)
+    // recover any crashed rewrite/retire FIRST: a lingering
+    // `.sbucket=N.__old` from a crashed retire holds exactly the rows a
+    // retried delete exists to remove (ADVICE r14 #1)
+    healBucketLeftovers(fs, mp)
     val dirs = recordedBuckets(fs, mp) match {
       case Some(n) =>
         sessionIds.map(sessionBucket(_, n)).distinct.sorted
@@ -1063,6 +1101,16 @@ object ChatRag {
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val conf = spark.sessionState.newHadoopConf()
     val fs = mp.getFileSystem(conf)
+    // HEAL a crashed swap of a PREVIOUS rebucket before the existence
+    // check (ADVICE r14 #3): a crash inside swapDir's two-rename window
+    // leaves the table root absent with the staged generation complete
+    // (the swap only begins after the staged write, its `_nbuckets`
+    // marker, and the sidecar copies all landed), and the bare
+    // require(exists) refused the retry with no recovery path short of
+    // hand-renaming hidden siblings. healOrSweepSwap finishes the swap
+    // (live absent + stage + aside ⇒ rename stage live), after which the
+    // retry proceeds — or no-ops at the same width, which is allowed.
+    graft.ops.Layout.healOrSweepSwap(fs, mp)
     require(fs.exists(mp), s"rebucketMemoryTable: $memoryPath does not exist")
     // partition discovery surfaces the old `sbucket` column on a bucketed
     // table; a legacy flat table has none. Either way the DATA columns
@@ -1108,8 +1156,23 @@ object ChatRag {
     * semantics are unchanged — a pruned session that returns is
     * brand-new, the [[deleteSessions]] turn-numbering law. The horizon
     * lands as a root `_retention/<beforeTs>` marker (digit-named, max
-    * wins — the audit convention of the disposition ledger). Rewrites
-    * every bucket dir that holds an idle session; returns rows pruned.
+    * wins — the audit convention of the disposition ledger), advanced
+    * BEFORE the destructive rewrites: the marker is idempotent and
+    * monotone, so over-recording an interrupted prune is harmless while
+    * the old order (marker after swap, gated on pruned > 0) lost the
+    * audit record permanently when a crash landed between them — the
+    * re-run pruned 0 and skipped the marker (ADVICE r14 #2).
+    *
+    * MIXED STAMPING (ADVICE r14 #4): a session holding ANY null-ts row has
+    * unknown age — its newest activity may be the untimed row (a
+    * [[streamingChatRag]] whose `turnTsOf` returned None for some batches)
+    * and max(ts) over the stamped subset cannot see that. Such sessions
+    * are conservatively KEPT; a session is pruned only when EVERY row is
+    * stamped and the newest stamp is below the horizon. Remove unknown-age
+    * sessions explicitly via [[deleteSessions]].
+    *
+    * Rewrites every bucket dir that holds an idle session; returns rows
+    * pruned.
     */
   def pruneIdleSessions(
       spark: SparkSession,
@@ -1119,7 +1182,9 @@ object ChatRag {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) return 0L
     requireBucketedFor("pruneIdleSessions", fs, mp, memoryPath)
-    val pruned = rewriteBucketDirsAll(spark, fs,
+    healBucketLeftovers(fs, mp)
+    graft.ops.Layout.advanceRetentionMarker(fs, mp, beforeTs)
+    rewriteBucketDirsAll(spark, fs,
       fs.listStatus(mp).toSeq
         .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
         .map(_.getPath),
@@ -1127,17 +1192,17 @@ object ChatRag {
         if (!df.columns.contains("ts")) df // untimed bucket: nothing ages
         else {
           // sessions are bucket-local (one hash home), so the idle set
-          // derives inside the bucket being rewritten
+          // derives inside the bucket being rewritten. A session is idle
+          // only when ALL its rows are stamped (no null ts — age fully
+          // known) and the newest stamp is below the horizon.
           val idle = df.groupBy("session_id")
-            .agg(max(col("ts")).as("__newest"))
+            .agg(max(col("ts")).as("__newest"),
+              count(when(col("ts").isNull, lit(1))).as("__untimed"))
             .where(col("__newest").isNotNull &&
-              col("__newest") < lit(beforeTs))
+              col("__newest") < lit(beforeTs) && col("__untimed") === 0)
             .select("session_id")
           df.join(idle, Seq("session_id"), "left_anti")
         })
-    if (pruned > 0)
-      graft.ops.Layout.advanceRetentionMarker(fs, mp, beforeTs)
-    pruned
   }
 }
 
@@ -1165,25 +1230,184 @@ object EchoAnswerer extends Answerer {
 
 /** C5: chat-log sink (Mongo insert_one, app.py:60-71 → append-only Parquet;
   * the streaming variant is writeStream in [[graft.ops.StreamingOps]]).
+  *
+  * LAYOUT (round-14 verdict #1 — the one remaining recurring-op scale
+  * flaw): the log is `day=`-partitioned on `floor(ts / dayWidth)`, the
+  * same partition discipline the memory table's `sbucket=` uses, because
+  * retention is a RECURRING op — [[pruneBefore]] fires on every horizon
+  * advance, and the previous flat layout paid a full-log filter rewrite
+  * per firing (O(log size) amortized: the textbook 100 TB scale-killer on
+  * an append-only audit stream). Partitioned, a horizon advance DROPS
+  * whole below-horizon `day=` dirs by metadata rename (never reading a
+  * data page) and rewrites at most the one boundary day; [[deleteUsers]]
+  * rewrites only the partitions retention hasn't already retired.
+  *
+  * The partition width is a TABLE constant recorded at first write as a
+  * digit-named `_daywidth/<w>` marker (max wins — the `_nbuckets`
+  * convention), and the recorded value WINS over the parameter
+  * thereafter: prune's partition-drop arithmetic derives from the width,
+  * so a mismatched guess could drop a partition still holding rows above
+  * the horizon. A markerless table that already has `day=` dirs REFUSES
+  * (nothing can verify the caller's width against how rows were actually
+  * assigned); legacy FLAT logs (pre-layout: data files at the root) are
+  * detected and served through the original full-scan arms — migrate via
+  * [[repartitionByDay]], the c17-style one-shot rewrite.
+  *
+  * Rows with a NULL ts land in the null partition
+  * (`day=__HIVE_DEFAULT_PARTITION__`) — age unknown, conservatively kept
+  * by retention forever, the same law the flat path applied row-wise;
+  * remove them explicitly via [[deleteUsers]]. Rows WITHOUT a ts column
+  * at all behave identically (day = null).
   */
 object ChatLog {
-  def append(rows: DataFrame, path: String): Unit =
-    rows.write.mode("append").parquet(path)
+
+  /** One day of epoch-millisecond timestamps — the default partition
+    * width. Tables whose `ts` is a LONG in other units (test fixtures,
+    * logical clocks) pass a width in those units; the recorded marker
+    * keeps every later call consistent.
+    */
+  val DefaultDayWidth: Long = 86400000L
+
+  private def widthMarkerDir(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_daywidth")
+
+  private def recordedWidth(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val d = widthMarkerDir(p)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .sorted.lastOption
+  }
+
+  private def recordWidth(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      w: Long): Unit = {
+    val m = new org.apache.hadoop.fs.Path(widthMarkerDir(p), w.toString)
+    if (!fs.exists(m)) { fs.mkdirs(widthMarkerDir(p)); fs.create(m).close() }
+    ()
+  }
+
+  /** True when the log at `p` should be written/maintained partitioned: a
+    * new table, or one that already has `day=` dirs. Flat data files at
+    * the root and no day dirs is the legacy shape.
+    */
+  private def isDayPartitioned(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(p)) return true
+    val entries = fs.listStatus(p).toSeq
+    val hasDayDirs = entries.exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("day="))
+    val hasFlatData = entries.exists(e =>
+      e.isFile && !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith(".") && e.getLen > 0)
+    hasDayDirs || !hasFlatData
+  }
+
+  private def effectiveWidth(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      requested: Long): Long = {
+    require(requested > 0, s"chat-log dayWidth $requested must be > 0")
+    recordedWidth(fs, p).getOrElse {
+      // a markerless table that already has day= dirs is the hazard the
+      // marker exists for: prune's partition-drop math derives from the
+      // width, and a wrong guess drops partitions still holding rows
+      // above the horizon — silent over-deletion. Refuse loudly.
+      require(!fs.exists(p) || !fs.listStatus(p).exists(e =>
+          e.isDirectory && e.getPath.getName.startsWith("day=")),
+        s"chat log $p has day= dirs but no _daywidth marker — the " +
+          "partition width cannot be inferred from a parameter (a wrong " +
+          "guess mis-targets retention's partition drops). Record the " +
+          "true width as _daywidth/<w>, or rewrite through " +
+          "repartitionByDay, which records it correctly by construction")
+      requested
+    }
+  }
+
+  /** The ts column as a LONG in the table's width units: integral columns
+    * pass through, timestamps become epoch millis (pair with the default
+    * [[DefaultDayWidth]]). Absent or other-typed ts → null (the row ages
+    * into the conservatively-kept null partition).
+    */
+  private[graft] def tsLong(rows: DataFrame, tsCol: String): Column = {
+    import org.apache.spark.sql.types._
+    rows.schema.find(_.name == tsCol).map(_.dataType) match {
+      case Some(TimestampType) => unix_millis(col(tsCol))
+      case Some(LongType) | Some(IntegerType) | Some(ShortType) =>
+        col(tsCol).cast("long")
+      case _ => lit(null).cast("long")
+    }
+  }
+
+  /** `floor(ts / width)` as exact integer division (the SQL `div`
+    * operator — never a double round-trip, whose 2^53 mantissa would
+    * alias distant days on extreme ts values). `div` truncates toward
+    * zero; ts domains are non-negative by contract (epoch millis /
+    * logical clocks), so trunc == floor.
+    */
+  private def withDay(rows: DataFrame, tsCol: String, width: Long): DataFrame =
+    rows.withColumn("__graft_ts", tsLong(rows, tsCol))
+      .withColumn("day", expr(s"__graft_ts div ${width}L"))
+      .drop("__graft_ts")
+
+  def append(rows: DataFrame, path: String,
+      dayWidth: Long = DefaultDayWidth, tsCol: String = "ts"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(rows.sparkSession.sessionState.newHadoopConf())
+    if (isDayPartitioned(fs, p)) {
+      val width = effectiveWidth(fs, p, dayWidth)
+      // marker BEFORE the first data write (the recordBuckets crash
+      // order): a crash between them must not let a later caller freeze
+      // a different width from its parameter
+      recordWidth(fs, p, width)
+      withDay(rows, tsCol, width)
+        .write.mode("append").partitionBy("day").parquet(path)
+    } else
+      // legacy flat log: keep appending flat (a mixed layout would make
+      // the day dirs lie about coverage); migrate via repartitionByDay
+      rows.write.mode("append").parquet(path)
+  }
+
+  /** The log's `day=` partition dirs as (dayValue, path); dayValue is
+    * None for the null partition (untimed rows).
+    */
+  private def dayDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(Option[Long], org.apache.hadoop.fs.Path)] =
+    fs.listStatus(p).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("day="))
+      .map { e =>
+        val v = e.getPath.getName.stripPrefix("day=")
+        val day =
+          if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(java.net.URLDecoder.decode(v, "UTF-8").toLong)
+        (day, e.getPath)
+      }
 
   /** Right-to-be-forgotten for the chat log — the log-side half of
     * [[ChatRag.deleteSessions]] (a GDPR request covers the conversation
-    * TRAIL, not just the serving memory). The log is an append-only
-    * audit stream with no per-user layout, so this is a full-scan filter
-    * rewrite behind the house swap — the one-shot compliance sweep; at
-    * 100 TB the log would be date-partitioned and only affected
-    * partitions rewritten. Root-level `_`-sidecars survive the swap
-    * (copied, so the live dir stays whole until the single rename). A
-    * dir carrying a `_spark_metadata` FileStreamSink log REFUSES: that
+    * TRAIL, not just the serving memory). On the `day=`-partitioned
+    * layout this rewrites each LIVE partition dir through the house swap
+    * — a user's records span days, so every partition retention hasn't
+    * already retired is filtered, but each is a bounded single-day unit
+    * of work and the below-horizon bulk of a 100 TB log is long gone
+    * (dropped by [[pruneBefore]], never scanned here). Root sidecars
+    * (`_batches` ledger, `_retention`, `_daywidth`) are NEVER touched —
+    * only partition dirs swap. Legacy flat logs take the original
+    * full-scan filter-rewrite (root sidecars copied across the swap).
+    *
+    * A dir carrying a `_spark_metadata` FileStreamSink log REFUSES: that
     * log pins the committed file set, so a swap behind it would keep
     * serving the deleted generation (or fail) — stop the stream, remove
     * `_spark_metadata` (reads fall back to directory listing), and
     * re-run. An emptied log keeps its sidecars and reads loudly-empty
-    * until the next append recreates data. Returns rows removed.
+    * until the next append recreates data. Null-`userCol` rows are
+    * conservatively kept (the null-safe predicate law). Returns rows
+    * removed.
     */
   def deleteUsers(
       spark: SparkSession,
@@ -1194,12 +1418,28 @@ object ChatLog {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return 0L
-    deleteWhere(spark, path, col(userCol).isin(users: _*))
+    if (isDayPartitioned(fs, p)) {
+      requireNotStreamSink(fs, p, path)
+      ChatRag.healPartitionLeftovers(fs, p, "day=")
+      ChatRag.rewriteBucketDirsAll(spark, fs, dayDirs(fs, p).map(_._2),
+        df => df.where(col(userCol).isNull || !col(userCol).isin(users: _*)))
+    } else
+      deleteWhere(spark, path, col(userCol).isin(users: _*))
   }
 
   /** The shared filter-swap body of [[deleteUsers]] and [[pruneBefore]]:
     * drops every row matching `pred`, preserving root sidecars.
     */
+  private def requireNotStreamSink(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      path: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(p, "_spark_metadata")),
+      s"chat-log rewrite: $path is a live FileStreamSink dir — its " +
+        "_spark_metadata log pins the committed file set and would keep " +
+        "serving the deleted generation after a swap; stop the stream, " +
+        "delete _spark_metadata (reads fall back to the listing), re-run")
+
   private def deleteWhere(
       spark: SparkSession,
       path: String,
@@ -1207,11 +1447,7 @@ object ChatLog {
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(p, "_spark_metadata")),
-      s"chat-log rewrite: $path is a live FileStreamSink dir — its " +
-        "_spark_metadata log pins the committed file set and would keep " +
-        "serving the deleted generation after a swap; stop the stream, " +
-        "delete _spark_metadata (reads fall back to the listing), re-run")
+    requireNotStreamSink(fs, p, path)
     // no localCheckpoint: counts and the staged write all complete
     // against the untouched live dir before the single swap (the same
     // bound-by-scans-not-storage trade as rewriteBucketDir)
@@ -1249,14 +1485,29 @@ object ChatLog {
   /** Chat-log RETENTION — the log-side twin of
     * [[ChatRag.pruneIdleSessions]] (with [[deleteUsers]] every
     * conversation store now has both a removal and an aging story):
-    * retires every record whose `ts` is older than `beforeTs`, through
-    * the same sidecar-preserving filter swap as [[deleteUsers]] (same
-    * FileStreamSink refusal, same loudly-empty contract). Records with a
-    * NULL ts are conservatively kept — age unknown; remove them
-    * explicitly via [[deleteUsers]]. The horizon lands as a
-    * `_retention/<beforeTs>` marker (digit-named, max wins — the audit
-    * convention), which the swap's sidecar copy carries forward.
-    * Returns rows pruned.
+    * retires every record whose `ts` is older than `beforeTs`. On the
+    * `day=`-partitioned layout this is the metadata-cost op the layout
+    * exists for (round-14 verdict #1): every partition whose day lies
+    * WHOLLY below the horizon (`day < beforeTs div width` — its newest
+    * possible ts is `(day+1)·width − 1 < beforeTs`) is RETIRED by the
+    * rename-aside discipline without reading a data page (the returned
+    * count comes from parquet footer metadata), and at most ONE boundary
+    * day is filter-rewritten (none at all when the horizon is
+    * width-aligned). Amortized cost per horizon advance is therefore the
+    * freshly-retired days, never the log — the LSM-law shape the memory
+    * fold follows. Legacy flat logs take the original full-scan filter
+    * swap (migrate via [[repartitionByDay]]).
+    *
+    * Records with a NULL ts (the null partition) are conservatively kept
+    * — age unknown; remove them explicitly via [[deleteUsers]]. The
+    * horizon lands as a `_retention/<beforeTs>` marker (digit-named, max
+    * wins — the audit convention), advanced BEFORE the destructive work
+    * (marker-first, ADVICE r14 #2: it is idempotent and monotone, so
+    * over-recording an interrupted prune is harmless, while
+    * marker-after-swap gated on pruned > 0 lost the audit record
+    * permanently on a crash between them — the re-run pruned 0 and
+    * skipped the marker); on the flat path the swap's sidecar copy
+    * carries it forward. Returns rows pruned.
     */
   def pruneBefore(
       spark: SparkSession,
@@ -1266,11 +1517,95 @@ object ChatLog {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return 0L
-    val pruned = deleteWhere(spark, path,
-      col(tsCol).isNotNull && col(tsCol) < lit(beforeTs))
-    if (pruned > 0)
+    // validate the refusal precondition BEFORE recording the horizon — a
+    // refused op must not claim retention advanced
+    requireNotStreamSink(fs, p, path)
+    if (isDayPartitioned(fs, p)) {
+      ChatRag.healPartitionLeftovers(fs, p, "day=")
+      val width = effectiveWidth(fs, p, DefaultDayWidth)
       graft.ops.Layout.advanceRetentionMarker(fs, p, beforeTs)
-    pruned
+      val horizonDay = Math.floorDiv(beforeTs, width)
+      val dirs = dayDirs(fs, p)
+      // whole-partition drops: count from footer metadata, then the
+      // retire rename-aside (single rename — readers never see a partial
+      // dir; a crash between the renames is healed-or-swept by the next
+      // lifecycle op's healPartitionLeftovers)
+      val dropped = dirs.collect {
+        case (Some(day), dir) if day < horizonDay =>
+          val n = spark.read.parquet(dir.toString).count()
+          val aside = new org.apache.hadoop.fs.Path(
+            dir.getParent, s".${dir.getName}.__old")
+          if (fs.exists(aside)) fs.delete(aside, true)
+          fs.rename(dir, aside)
+          fs.delete(aside, true)
+          n
+      }.sum
+      // the one boundary day straddles the horizon only when beforeTs is
+      // unaligned; a width-aligned horizon drops cleanly with zero reads
+      val boundary =
+        if (beforeTs % width == 0) 0L
+        else dirs.collect { case (Some(day), dir) if day == horizonDay =>
+          val (before, after) = ChatRag.rewriteBucketDir(spark, fs, dir,
+            df => {
+              val t = tsLong(df, tsCol)
+              df.where(t.isNull || t >= lit(beforeTs))
+            })
+          before - after
+        }.sum
+      dropped + boundary
+    } else {
+      graft.ops.Layout.advanceRetentionMarker(fs, p, beforeTs)
+      deleteWhere(spark, path,
+        col(tsCol).isNotNull && col(tsCol) < lit(beforeTs))
+    }
+  }
+
+  /** One-shot MIGRATION of a legacy flat chat log into the
+    * `day=`-partitioned layout (the [[ChatRag.rebucketMemoryTable]]
+    * discipline, applied to the log): one streaming pass rewrites the
+    * whole log into day dirs in a hidden staged sibling, the `_daywidth`
+    * marker and every root `_`-sidecar land IN the stage, then the
+    * single [[graft.ops.Layout.swapDir]] installs it — readers see the
+    * old layout or the new, never a mix, and a crash inside the swap
+    * window heals at the next entry (live-absent + complete stage ⇒
+    * finish). Values are layout-invariant; also serves as the explicit
+    * re-width action (recorded marker replaced wholesale). Idempotent —
+    * a no-op re-run after a crash-and-retry is allowed.
+    */
+  def repartitionByDay(
+      spark: SparkSession,
+      path: String,
+      dayWidth: Long = DefaultDayWidth,
+      tsCol: String = "ts"): Unit = {
+    require(dayWidth > 0, s"repartitionByDay: dayWidth $dayWidth must be > 0")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    // heal a previous migration's crashed swap before the existence check
+    graft.ops.Layout.healOrSweepSwap(fs, p)
+    require(fs.exists(p), s"repartitionByDay: $path does not exist")
+    requireNotStreamSink(fs, p, path)
+    val data = spark.read.option("mergeSchema", "true").parquet(path)
+      .drop("day")
+    val staged = graft.ops.Layout.compactStaging(fs, path)
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    withDay(data, tsCol, dayWidth)
+      .write.mode("overwrite").partitionBy("day").parquet(staged)
+    val wd = new org.apache.hadoop.fs.Path(sp, "_daywidth")
+    fs.mkdirs(wd)
+    fs.create(new org.apache.hadoop.fs.Path(wd, dayWidth.toString), true)
+      .close()
+    fs.listStatus(p).toSeq
+      .filter { e =>
+        val n = e.getPath.getName
+        n.startsWith("_") && n != "_daywidth" && n != "_SUCCESS"
+      }
+      .foreach { e =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+          new org.apache.hadoop.fs.Path(sp, e.getPath.getName),
+          false, true, conf)
+      }
+    graft.ops.Layout.swapDir(fs, path, staged)
   }
 
   /** The log-record projection `(user, message, response, ts)` (app.py:65-70).

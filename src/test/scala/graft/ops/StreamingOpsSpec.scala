@@ -569,6 +569,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chatLogSinkPartitioned: ledgered day-layout appends; retention rides the loop, horizon-bounded log") {
+    implicit val sqlC = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_chatlogp").toString
+    val (out, ckpt) = (s"$tmp/log", s"$tmp/ckpt")
+    val mem = MemoryStream[(String, String, String, Long)]
+    val rows = mem.toDF().toDF("user", "message", "response", "ts")
+    val q = StreamingOps.chatLogSinkPartitioned(rows, out, ckpt,
+      dayWidth = 100L, retainFor = Some(150L), pruneEvery = 1).start()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // batch 0: horizon (50 − 150) is non-positive — no prune at start-up
+      mem.addData(("u1", "m0", "r", 10L), ("u2", "m1", "r", 50L))
+      q.processAllAvailable()
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/day=0")),
+        "appends must land day-partitioned")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_batches/0")),
+        "the append must be ledgered (no _spark_metadata pin)")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_spark_metadata")))
+      // batch 1: newest stamp 260 − 150 = horizon 110 → day 0 drops whole;
+      // the stream's own log stays horizon-bounded with no external sweep
+      mem.addData(("u1", "m2", "r", 260L))
+      q.processAllAvailable()
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/day=0")),
+        "the loop's own retention poll must drop the below-horizon day")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/day=2")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_retention/110")),
+        "the horizon must be recorded (marker-first law)")
+      val left = spark.read.parquet(out).select("message")
+        .as[String].collect().toSet
+      assert(left == Set("m2"), s"horizon-bounded survivors: $left")
+    } finally q.stop()
+  }
+
   // ---------------------- transformWithState token-budget intake
 
   test("streamingCacheIntake: hits short-circuit, misses admitted, replayed micro-batch converges") {

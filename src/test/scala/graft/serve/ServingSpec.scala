@@ -100,7 +100,9 @@ class ServingSpec extends SparkSpec {
     ChatLog.append(r2, out)
     val logged = spark.read.parquet(out)
     assert(logged.count() == 2)
-    assert(logged.columns.toSeq == Seq("user", "message", "response", "ts"))
+    // the day= layout column rides reads after the data columns (a string
+    // ts can't derive a day — these rows age into the null partition)
+    assert(logged.columns.toSeq == Seq("user", "message", "response", "ts", "day"))
     assert(logged.select("response").as[String].collect().toSet == Set("ok", "ok2"))
   }
 
@@ -1113,6 +1115,191 @@ class ServingSpec extends SparkSpec {
     assert(ChatLog.deleteUsers(spark, log, Seq("c")) == 1L)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_retention/500")),
       "the retention marker must ride the deleteUsers sidecar copy")
+  }
+
+  test("ChatLog day layout: pruneBefore drops whole partitions metadata-only, rewrites only the boundary day") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_log_day").toString
+    val log = s"$tmp/log"
+    // width 100 (a logical-clock "day"): ts 10/50 → day 0, 110 → day 1,
+    // 250 → day 2, None → the null partition
+    ChatLog.append(Seq(("a", "d0a", "r", Some(10L)), ("a", "d0b", "r", Some(50L)),
+      ("b", "d1", "r", Some(110L)))
+      .toDF("user", "message", "response", "ts"), log, dayWidth = 100L)
+    // second append: the RECORDED width wins over a drifted parameter
+    ChatLog.append(Seq(("c", "d2", "r", Some(250L)),
+      ("n", "untimed", "r", Option.empty[Long]))
+      .toDF("user", "message", "response", "ts"), log, dayWidth = 7L)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dayDir(n: String) = new org.apache.hadoop.fs.Path(log, s"day=$n")
+    assert(fs.exists(dayDir("0")) && fs.exists(dayDir("1")) &&
+      fs.exists(dayDir("2")) && fs.exists(dayDir("__HIVE_DEFAULT_PARTITION__")),
+      "appends must land in ts-derived day partitions (recorded width wins)")
+    def filesOf(d: String): Seq[(String, Long)] =
+      fs.listStatus(dayDir(d)).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map(f => (f.getPath.getName, f.getLen)).sorted
+    val d2Before = filesOf("2")
+    // horizon 150: day 0 drops WHOLE (2 rows, footer-counted, never a
+    // data-page read); day 1 is the boundary (110 < 150 goes — emptied,
+    // so the dir retires); day 2 and the null partition are untouched
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 150L) == 3L)
+    assert(!fs.exists(dayDir("0")) && !fs.exists(dayDir("1")))
+    assert(filesOf("2") == d2Before,
+      "an above-horizon partition must stay byte-untouched")
+    assert(fs.exists(dayDir("__HIVE_DEFAULT_PARTITION__")),
+      "null-ts rows are conservatively kept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_retention/150")))
+    // idempotent; a width-ALIGNED horizon needs zero boundary rewrites
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 150L) == 0L)
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 200L) == 0L)
+    assert(filesOf("2") == d2Before)
+    val left = spark.read.parquet(log).select("message")
+      .as[String].collect().toSet
+    assert(left == Set("d2", "untimed"), s"wrong survivors: $left")
+    // deleteUsers rewrites only live partitions; root sidecars untouched
+    assert(ChatLog.deleteUsers(spark, log, Seq("c")) == 1L)
+    assert(!fs.exists(dayDir("2")), "an emptied partition retires")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_retention/200")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$log/_daywidth/100")),
+      "partition rewrites must never touch root sidecars")
+    // a markerless table with day= dirs refuses (the width cannot be
+    // verified against how rows were assigned — wrong math over-deletes)
+    val rogue = s"$tmp/rogue"
+    Seq(("x", "m", "r", 10L)).toDF("user", "message", "response", "ts")
+      .withColumn("day", lit(0L)).write.partitionBy("day").parquet(rogue)
+    val e = intercept[IllegalArgumentException] {
+      ChatLog.pruneBefore(spark, rogue, beforeTs = 5L)
+    }
+    assert(e.getMessage.contains("_daywidth"), e.getMessage)
+  }
+
+  test("ChatLog.repartitionByDay: migrates a legacy flat log; retention then drops partitions") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_log_mig").toString
+    val log = s"$tmp/log"
+    // the legacy flat shape (pre-layout writer)
+    Seq(("a", "old", "r", 10L), ("b", "mid", "r", 150L), ("c", "new", "r", 290L))
+      .toDF("user", "message", "response", "ts")
+      .coalesce(1).write.parquet(log)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$log/_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$log/_batches/5"), true).close()
+    val before = spark.read.parquet(log)
+      .select("user", "message", "response", "ts")
+      .as[(String, String, String, Long)].collect().sorted.toSeq
+    ChatLog.repartitionByDay(spark, log, dayWidth = 100L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_daywidth/100")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/_batches/5")),
+      "the stream ledger must ride the migration")
+    val after = spark.read.parquet(log)
+      .select("user", "message", "response", "ts")
+      .as[(String, String, String, Long)].collect().sorted.toSeq
+    assert(after == before, "migration must be value-faithful")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=0")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=2")))
+    // retention is now a partition drop; appends continue partitioned
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 100L) == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=0")))
+    ChatLog.append(Seq(("d", "later", "r", 310L))
+      .toDF("user", "message", "response", "ts"), log)
+    assert(spark.read.parquet(s"$log/day=3").count() == 1L,
+      "post-migration appends must honor the recorded width")
+  }
+
+  test("crashed retire/swap leftovers: the next lifecycle op heals or sweeps them (ADVICE r14)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val mem = s"$tmp/mem"
+    Seq(("s1", 0L, "user", "keep"), ("s2", 0L, "user", "forget"))
+      .toDF("session_id", "turn", "role", "content")
+      .withColumn("sbucket", ChatRag.bucketExpr(4))
+      .write.partitionBy("sbucket").parquet(mem)
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets/4"), true).close()
+    // simulate a RETIRE crash: the victim bucket renamed aside, the
+    // delete never ran — the forgotten rows linger in the hidden sibling
+    val b2 = new org.apache.hadoop.fs.Path(
+      mem, s"sbucket=${ChatRag.sessionBucket("s2", 4)}")
+    val aside = new org.apache.hadoop.fs.Path(
+      mem, s".${b2.getName}.__old")
+    assume(b2.getName != s"sbucket=${ChatRag.sessionBucket("s1", 4)}",
+      "fixture premise: victim and survivor hash apart")
+    fs.rename(b2, aside)
+    assert(fs.exists(aside) && !fs.exists(b2))
+    // the retried delete reports 0 (the data is already out of the live
+    // view) but MUST sweep the aside — before the fix it returned 0 and
+    // left the remnant forever
+    assert(ChatRag.deleteSessions(spark, mem, Seq("s2")) == 0L)
+    assert(!fs.exists(aside),
+      "a retried delete must remove the crashed retire's remnant")
+    // simulate a crashed SWAP WINDOW (rewrite path): live absent, aside +
+    // complete stage present — the next op must FINISH the swap, not sweep
+    val b1 = new org.apache.hadoop.fs.Path(
+      mem, s"sbucket=${ChatRag.sessionBucket("s1", 4)}")
+    val staged = new org.apache.hadoop.fs.Path(mem, s".${b1.getName}.__compact")
+    val aside1 = new org.apache.hadoop.fs.Path(mem, s".${b1.getName}.__old")
+    spark.read.parquet(b1.toString).write.parquet(staged.toString)
+    fs.rename(b1, aside1)
+    assert(ChatRag.deleteSessions(spark, mem, Seq("nobody")) == 0L)
+    assert(fs.exists(b1) && !fs.exists(aside1) && !fs.exists(staged),
+      "the healed swap must restore the staged generation")
+    assert(spark.read.parquet(mem).select("content").as[String]
+      .collect().toSet == Set("keep"), "no rows lost across the heal")
+    // rebucket crash: table root absent mid-swap, staged generation
+    // complete (data + _nbuckets) — the retry heals and proceeds
+    val rootStage = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(mem).getParent, ".mem.__compact")
+    val rootAside = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(mem).getParent, ".mem.__old")
+    spark.read.parquet(mem).drop("sbucket")
+      .withColumn("sbucket", ChatRag.bucketExpr(8))
+      .write.partitionBy("sbucket").parquet(rootStage.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(rootStage, "_nbuckets"))
+    fs.create(new org.apache.hadoop.fs.Path(rootStage, "_nbuckets/8"), true)
+      .close()
+    fs.rename(new org.apache.hadoop.fs.Path(mem), rootAside)
+    ChatRag.rebucketMemoryTable(spark, mem, newBuckets = 8)
+    assert(spark.read.parquet(mem).count() == 1L,
+      "the healed rebucket must serve the staged generation")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets"))
+      .map(_.getPath.getName).toSeq == Seq("8"))
+  }
+
+  test("pruneIdleSessions: mixed stamping keeps the session (any null ts = age unknown)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mixed").toString
+    val mem = s"$tmp/mem"
+    // s1: an OLD stamped turn plus a NEWER untimed one (turnTsOf returned
+    // None for that batch) — max(ts) over the stamped subset says idle,
+    // but the untimed row may be its newest activity; s2: fully stamped
+    // and stale — prunable
+    Seq((("s1"), 0L, "user", "old", Some(100L)),
+      (("s1"), 2L, "user", "recent but untimed", Option.empty[Long]),
+      (("s2"), 0L, "user", "stale", Some(100L)))
+      .toDF("session_id", "turn", "role", "content", "ts")
+      .withColumn("sbucket", ChatRag.bucketExpr(4))
+      .write.partitionBy("sbucket").parquet(mem)
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets/4"), true).close()
+    assert(ChatRag.pruneIdleSessions(spark, mem, beforeTs = 500L) == 1L,
+      "only the fully-stamped stale session is prunable")
+    val left = spark.read.parquet(mem).select("session_id")
+      .as[String].collect().toSet
+    assert(left == Set("s1"),
+      "a mixed-stamping session must survive — its age is unknown")
+    // marker-first: the horizon is recorded even by a no-op re-run
+    assert(ChatRag.pruneIdleSessions(spark, mem, beforeTs = 600L) == 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mem/_retention/600")),
+      "the audit marker must advance even when nothing pruned")
   }
 
   test("streamingChatRag: turns accumulate memory across micro-batches, ledger blocks re-runs") {
