@@ -774,9 +774,25 @@ object ChatRag {
       // append and marker would otherwise let a later caller re-derive
       // a different count from its parameter
       recordBuckets(fs, mp, nBuckets)
+      // pre-append existence per touched bucket: a bucket BORN with this
+      // append gets its recency sidecar from birth (complete by
+      // construction); a pre-existing untracked bucket stays untracked
+      // (a partial sidecar would lie stale-high about its older history)
+      val touched = sessionIds.groupBy(sessionBucket(_, nBuckets))
+      val preExists = touched.keys.map(b =>
+        b -> fs.exists(new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))).toMap
       freshAppend.withColumn("sbucket", bucketExpr(nBuckets))
         .coalesce(1).write.mode("append").partitionBy("sbucket")
         .parquet(memoryPath)
+      // recency deltas AFTER the data append — the stale-LOW crash
+      // direction (see RecencySidecar's staleness contract); the
+      // streaming ledger's replay re-lands a delta lost to the window
+      touched.foreach { case (b, ids) =>
+        RecencySidecar.appendDelta(fs,
+          new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"),
+          ids.map(id => (String.valueOf(id), turnTs)),
+          bootstrap = !preExists(b))
+      }
     } else
       freshAppend.coalesce(1).write.mode("append").parquet(memoryPath)
     // the LIFECYCLE arm (round-12 verdict #1): every other maintained
@@ -1068,9 +1084,19 @@ object ChatRag {
     }
     // null-safe keep: `!isin` alone is NULL for a null key, which would
     // silently destroy (and count) every null-session row in the bucket
-    rewriteBucketDirsAll(spark, fs, dirs,
+    val trackedBefore = dirs.filter(d => RecencySidecar.isTracked(fs, d)).toSet
+    val removed = rewriteBucketDirsAll(spark, fs, dirs,
       df => df.where(col("session_id").isNull ||
         !col("session_id").isin(sessionIds: _*)))
+    // a swapped bucket loses its recency sidecar with the replaced dir —
+    // rebuild it from the surviving data so idle-retention's no-op
+    // firings stay sidecar-only (identity rewrites kept theirs; retired
+    // dirs need none)
+    dirs.foreach { d =>
+      if (fs.exists(d) && trackedBefore(d) && !RecencySidecar.isTracked(fs, d))
+        RecencySidecar.refresh(spark, fs, d)
+    }
+    removed
   }
 
   /** Re-fan-out the memory table (round-13 missing #2) — and, as the
@@ -1184,10 +1210,25 @@ object ChatRag {
     requireBucketedFor("pruneIdleSessions", fs, mp, memoryPath)
     healBucketLeftovers(fs, mp)
     graft.ops.Layout.advanceRetentionMarker(fs, mp, beforeTs)
-    rewriteBucketDirsAll(spark, fs,
-      fs.listStatus(mp).toSeq
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
-        .map(_.getPath),
+    val bucketDirs = fs.listStatus(mp).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+      .map(_.getPath)
+    // the recency sidecar GATES which buckets scan (round-14 verdict #2):
+    // a tracked bucket whose folded state shows no candidate — no session
+    // fully stamped with max below the horizon — is skipped without
+    // touching a data page, so a no-idle firing over a fully-tracked
+    // table is sidecar-reads only, flat in the state size. Candidates
+    // never DECIDE: the rewrite below re-derives idleness from the data
+    // (the sidecar's stale-low direction means at worst an unnecessary
+    // scan or a deferred prune — see RecencySidecar's contract). An
+    // untracked bucket (legacy history) always scans, and the refresh
+    // below bootstraps its sidecar — the old full cost is paid ONCE.
+    val scan = bucketDirs.filter { d =>
+      !RecencySidecar.isTracked(fs, d) ||
+        RecencySidecar.readState(fs, d).values.exists(s =>
+          !s.untimed && s.maxTs.exists(_ < beforeTs))
+    }
+    val pruned = rewriteBucketDirsAll(spark, fs, scan,
       df =>
         if (!df.columns.contains("ts")) df // untimed bucket: nothing ages
         else {
@@ -1203,6 +1244,215 @@ object ChatRag {
             .select("session_id")
           df.join(idle, Seq("session_id"), "left_anti")
         })
+    // every scanned bucket gets a fresh snapshot: rebuilds what a swap
+    // replaced, bootstraps the untracked, and settles a stale-low
+    // candidate so it cannot re-trigger the next firing
+    scan.foreach(d => if (fs.exists(d)) RecencySidecar.refresh(spark, fs, d))
+    pruned
+  }
+
+  /** Explicit one-shot sidecar bootstrap: recompute every bucket's
+    * recency snapshot from data (one column-pruned scan per bucket), so
+    * the very FIRST [[pruneIdleSessions]] firing over a legacy table is
+    * already sidecar-gated instead of paying the bootstrap scan inside
+    * the retention path. Idempotent; also the repair action if an
+    * operator ever distrusts a sidecar (the fold is rebuilt wholesale).
+    */
+  def refreshRecencySidecars(spark: SparkSession, memoryPath: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(memoryPath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) return
+    requireBucketedFor("refreshRecencySidecars", fs, mp, memoryPath)
+    fs.listStatus(mp).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+      .foreach(e => RecencySidecar.refresh(spark, fs, e.getPath))
+  }
+}
+
+/** Per-bucket RECENCY SIDECAR for the memory table (round-14 verdict #2):
+  * a hidden `_recency/` dir inside each `sbucket=` dir holds tiny
+  * driver-written stats files — per session, the max append stamp and
+  * whether any append was untimed — so [[ChatRag.pruneIdleSessions]] can
+  * decide WHICH buckets hold idle candidates from sidecar reads alone. A
+  * firing with nothing idle reads no data page regardless of state size
+  * (the previous shape paid a full-state scan per firing even when
+  * nothing aged out). Two file kinds, folded by sequence number:
+  *
+  *  - `<seq>.log` — an append-time delta (`A<TAB>ts|-<TAB>sessionKey`,
+  *    one line per session the turn touched), written by
+  *    [[ChatRag.chatTurn]] right after the data append;
+  *  - `<seq>.snap` — a full recomputed per-session state
+  *    (`E<TAB>maxTs|-<TAB>untimed<TAB>sessionKey`), written after any
+  *    bucket rewrite that changed rows (delete/prune — the rewrite's swap
+  *    replaces the dir, so the sidecar is rebuilt from the surviving
+  *    data); files below the snap's seq are superseded and swept.
+  *
+  * The fold is COMMUTATIVE (max ts, OR untimed, no tombstone records —
+  * deletions rebuild via snapshots instead), so only the
+  * snap-supersedes-logs boundary needs ordering. Session keys are the
+  * same UTF-8 stringification [[ChatRag.sessionBucket]] hashes,
+  * URL-encoded so separators cannot corrupt lines; malformed/torn lines
+  * are skipped.
+  *
+  * STALENESS CONTRACT — the safe direction by construction: deltas land
+  * AFTER the data append, so a crash between them leaves the sidecar
+  * claiming an older stamp than the data holds (or missing the session
+  * entirely). Candidates only GATE which buckets scan — the rewrite
+  * derives idleness from the data itself — so a stale-low sidecar causes
+  * an unnecessary scan or a deferred prune, never a wrong deletion. The
+  * streaming loop's `_batches` ledger replay re-lands the lost delta. A
+  * bucket with NO sidecar (pre-sidecar history, or one rewritten by an
+  * op that couldn't rebuild it) is always scanned, and the scan
+  * bootstraps its snapshot — the first firing over legacy state pays the
+  * old full cost once, every later no-op firing is sidecar-only.
+  */
+private[serve] object RecencySidecar {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  final case class State(maxTs: Option[Long], untimed: Boolean)
+
+  def dir(bucket: Path): Path = new Path(bucket, "_recency")
+
+  def isTracked(fs: FileSystem, bucket: Path): Boolean =
+    fs.exists(dir(bucket))
+
+  private def seqOf(name: String): Option[(Long, Boolean)] = {
+    val i = name.lastIndexOf('.')
+    if (i <= 0) None
+    else {
+      val (stem, ext) = (name.substring(0, i), name.substring(i + 1))
+      if (stem.nonEmpty && stem.forall(_.isDigit) &&
+          (ext == "log" || ext == "snap"))
+        Some((stem.toLong, ext == "snap"))
+      else None
+    }
+  }
+
+  private def enc(key: String): String =
+    java.net.URLEncoder.encode(key, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def tsStr(ts: Option[Long]): String = ts.fold("-")(_.toString)
+  private def tsOf(s: String): Option[Long] =
+    if (s == "-" || s.isEmpty || !s.forall(_.isDigit)) None else Some(s.toLong)
+
+  /** Write `lines` as `<rdir>/<seq>.<ext>` through a hidden temp +
+    * rename, so a torn write can never surface as a half-parsed file.
+    */
+  private def writeFile(fs: FileSystem, rdir: Path, seq: Long, ext: String,
+      lines: Iterator[String]): Unit = {
+    fs.mkdirs(rdir)
+    val tmp = new Path(rdir, s".$seq.$ext.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+      lines.foreach { l => w.write(l); w.write('\n') }
+      w.flush()
+    } finally out.close()
+    fs.rename(tmp, new Path(rdir, s"$seq.$ext"))
+    ()
+  }
+
+  private def listFiles(fs: FileSystem, rdir: Path): Seq[(Long, Boolean, Path)] =
+    if (!fs.exists(rdir)) Seq.empty
+    else fs.listStatus(rdir).toSeq.filter(_.isFile)
+      .flatMap(f => seqOf(f.getPath.getName)
+        .map { case (seq, snap) => (seq, snap, f.getPath) })
+
+  private def nextSeq(files: Seq[(Long, Boolean, Path)]): Long =
+    files.map(_._1).maxOption.getOrElse(-1L) + 1L
+
+  /** Append one delta file recording this turn's touched sessions. When
+    * the bucket is untracked, `bootstrap = true` creates the sidecar
+    * (bucket born with this append — its history IS this delta);
+    * `bootstrap = false` skips (pre-sidecar history would be invisible,
+    * making the sidecar lie stale-high).
+    */
+  def appendDelta(fs: FileSystem, bucket: Path,
+      sessions: Seq[(String, Option[Long])], bootstrap: Boolean): Unit = {
+    val rdir = dir(bucket)
+    if (!fs.exists(rdir) && !bootstrap) return
+    val files = listFiles(fs, rdir)
+    writeFile(fs, rdir, nextSeq(files), "log",
+      sessions.iterator.map { case (k, ts) => s"A\t${tsStr(ts)}\t${enc(k)}" })
+  }
+
+  /** The folded per-session state: highest snap (if any) seeds it, logs
+    * above the snap's seq merge in (commutatively — order-free).
+    */
+  def readState(fs: FileSystem, bucket: Path): Map[String, State] = {
+    val files = listFiles(fs, dir(bucket))
+    if (files.isEmpty) return Map.empty
+    val snapSeq = files.filter(_._2).map(_._1).maxOption
+    val relevant = files.filter { case (seq, snap, _) =>
+      snapSeq match {
+        case Some(ss) => (snap && seq == ss) || (!snap && seq > ss)
+        case None => !snap
+      }
+    }
+    val acc = scala.collection.mutable.Map.empty[String, State]
+    def merge(k: String, ts: Option[Long], untimed: Boolean): Unit = {
+      val prev = acc.getOrElse(k, State(None, untimed = false))
+      acc(k) = State(
+        (prev.maxTs.toSeq ++ ts.toSeq).maxOption,
+        prev.untimed || untimed)
+    }
+    relevant.foreach { case (_, snap, p) =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .foreach { line =>
+          line.split('\t') match {
+            case Array("A", ts, k) if !snap =>
+              val t = tsOf(ts); merge(dec(k), t, untimed = t.isEmpty)
+            case Array("E", ts, u, k) if snap =>
+              merge(dec(k), tsOf(ts), untimed = u == "1")
+            case _ => () // torn/foreign line: skip — stale-low is safe
+          }
+        }
+      finally in.close()
+    }
+    acc.toMap
+  }
+
+  /** Recompute the bucket's snapshot from its DATA (one column-pruned
+    * scan of session_id + ts), superseding every older sidecar file —
+    * the rebuild after a rewrite, and the bootstrap for legacy buckets.
+    * A bucket with no ts column at all snapshots every session as
+    * untimed (age unknown — never a prune candidate).
+    */
+  def refresh(spark: SparkSession, fs: FileSystem, bucket: Path): Unit = {
+    if (!fs.exists(bucket)) return
+    val df = spark.read.option("mergeSchema", "true").parquet(bucket.toString)
+    val stats =
+      if (!df.columns.contains("ts"))
+        df.select(col("session_id").cast("string").as("__k"))
+          .where(col("__k").isNotNull).distinct()
+          .select(col("__k"), lit(null).cast("long").as("__mx"),
+            lit(true).as("__untimed"))
+      else
+        df.where(col("session_id").isNotNull)
+          .groupBy(col("session_id").cast("string").as("__k"))
+          .agg(max(col("ts")).as("__mx"),
+            (count(when(col("ts").isNull, lit(1))) > 0).as("__untimed"))
+    val rdir = dir(bucket)
+    val files = listFiles(fs, rdir)
+    val seq = nextSeq(files)
+    val it = stats.toLocalIterator()
+    writeFile(fs, rdir, seq, "snap",
+      new Iterator[String] {
+        def hasNext: Boolean = it.hasNext
+        def next(): String = {
+          val r = it.next()
+          val ts = if (r.isNullAt(1)) None else Some(r.getLong(1))
+          val u = if (r.getBoolean(2)) "1" else "0"
+          s"E\t${tsStr(ts)}\t$u\t${enc(r.getString(0))}"
+        }
+      })
+    // older files are superseded; a crash mid-sweep leaves files the
+    // fold ignores (below the snap's seq)
+    files.filter(_._1 < seq).foreach(f => fs.delete(f._3, false))
+    ()
   }
 }
 

@@ -1117,6 +1117,87 @@ class ServingSpec extends SparkSpec {
       "the retention marker must ride the deleteUsers sidecar copy")
   }
 
+  test("recency sidecar: tracked from birth, gates idle-retention scans, scan-equivalent, rebuilt on rewrite") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recency").toString
+    val (cache, mem) = (s"$tmp/cache", s"$tmp/mem")
+    def ask(sid: String, qid: Long, ts: Option[Long]) = ChatRag.chatTurn(spark,
+      Seq((sid, qid, s"q $sid $qid",
+        Array(math.cos(qid).toFloat, math.sin(qid).toFloat)))
+        .toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, minCos = 0.999, echoMisses, memoryBuckets = 4,
+      turnTs = ts).count()
+    ask("idle", 1L, Some(1000L))
+    ask("live", 2L, Some(1000L))
+    ask("mixed", 3L, Some(800L))
+    ask("mixed", 4L, None) // newest activity untimed — never prunable
+    ask("live", 5L, Some(2000L))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(mem).getFileSystem(conf)
+    def bucketDirs(root: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+        .map(_.getPath)
+    assert(bucketDirs(mem).forall(d => RecencySidecar.isTracked(fs, d)),
+      "chatTurn-born buckets must be tracked from birth")
+    // the folded state mirrors the appends: max stamp + untimed flag
+    val states = bucketDirs(mem).map(d => RecencySidecar.readState(fs, d))
+      .reduce(_ ++ _)
+    assert(states("live") == RecencySidecar.State(Some(2000L), untimed = false))
+    assert(states("mixed") == RecencySidecar.State(Some(800L), untimed = true))
+    // EQUIVALENCE: an untracked byte-identical clone prunes the same
+    val clone = s"$tmp/clone"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(mem),
+      fs, new org.apache.hadoop.fs.Path(clone), false, true, conf)
+    bucketDirs(clone).foreach(d =>
+      fs.delete(RecencySidecar.dir(d), true))
+    val prunedTracked = ChatRag.pruneIdleSessions(spark, mem, beforeTs = 1500L)
+    val prunedScan = ChatRag.pruneIdleSessions(spark, clone, beforeTs = 1500L)
+    assert(prunedTracked == prunedScan && prunedTracked == 2L,
+      s"sidecar-gated and full-scan prunes must agree: $prunedTracked vs $prunedScan")
+    def survivors(root: String) = spark.read.option("mergeSchema", "true")
+      .parquet(root).select("session_id").as[String].collect().toSet
+    assert(survivors(mem) == survivors(clone) &&
+      survivors(mem) == Set("live", "mixed"))
+    // the scan BOOTSTRAPS the clone's sidecars — later firings are gated
+    assert(bucketDirs(clone).forall(d => RecencySidecar.isTracked(fs, d)),
+      "a scanned bucket must leave a recomputed snapshot behind")
+    // deleteSessions rebuilds the sidecar of the bucket it swaps
+    assert(ChatRag.deleteSessions(spark, mem, Seq("live")) == 4L)
+    val afterDelete = bucketDirs(mem).map(d => RecencySidecar.readState(fs, d))
+      .reduce(_ ++ _)
+    assert(!afterDelete.contains("live"),
+      s"the rebuilt sidecar must forget the deleted session: $afterDelete")
+    assert(afterDelete.contains("mixed"))
+    // GATING, white-box: a no-idle firing touches no data file
+    val solo = s"$tmp/solo"
+    Seq(("s", 0L, "user", "x", Some(100L)))
+      .toDF("session_id", "turn", "role", "content", "ts")
+      .withColumn("sbucket", ChatRag.bucketExpr(2))
+      .write.partitionBy("sbucket").parquet(solo)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$solo/_nbuckets"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$solo/_nbuckets/2"), true).close()
+    ChatRag.refreshRecencySidecars(spark, solo)
+    val sdir = new org.apache.hadoop.fs.Path(
+      solo, s"sbucket=${ChatRag.sessionBucket("s", 2)}")
+    def dataFiles = fs.listStatus(sdir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sorted
+    val before = dataFiles
+    assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 50L) == 0L)
+    assert(dataFiles == before, "a no-idle firing must not touch data files")
+    // force the impossible stale-HIGH state to PROVE the gate consults
+    // the sidecar (the write ordering forbids this arising naturally)
+    RecencySidecar.appendDelta(fs, sdir, Seq(("s", Some(9999L))),
+      bootstrap = false)
+    assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 0L,
+      "a sidecar with no candidates must suppress the scan")
+    // the repair action rebuilds from data; retention then fires
+    ChatRag.refreshRecencySidecars(spark, solo)
+    assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 1L)
+  }
+
   test("ChatLog day layout: pruneBefore drops whole partitions metadata-only, rewrites only the boundary day") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_log_day").toString
