@@ -1092,10 +1092,8 @@ object ChatRag {
     // rebuild it from the surviving data so idle-retention's no-op
     // firings stay sidecar-only (identity rewrites kept theirs; retired
     // dirs need none)
-    dirs.foreach { d =>
-      if (fs.exists(d) && trackedBefore(d) && !RecencySidecar.isTracked(fs, d))
-        RecencySidecar.refresh(spark, fs, d)
-    }
+    RecencySidecar.refreshAll(spark, fs, dirs.filter(d =>
+      fs.exists(d) && trackedBefore(d) && !RecencySidecar.isTracked(fs, d)))
     removed
   }
 
@@ -1247,7 +1245,7 @@ object ChatRag {
     // every scanned bucket gets a fresh snapshot: rebuilds what a swap
     // replaced, bootstraps the untracked, and settles a stale-low
     // candidate so it cannot re-trigger the next firing
-    scan.foreach(d => if (fs.exists(d)) RecencySidecar.refresh(spark, fs, d))
+    RecencySidecar.refreshAll(spark, fs, scan.filter(fs.exists(_)))
     pruned
   }
 
@@ -1263,9 +1261,10 @@ object ChatRag {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) return
     requireBucketedFor("refreshRecencySidecars", fs, mp, memoryPath)
-    fs.listStatus(mp).toSeq
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
-      .foreach(e => RecencySidecar.refresh(spark, fs, e.getPath))
+    RecencySidecar.refreshAll(spark, fs,
+      fs.listStatus(mp).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+        .map(_.getPath))
   }
 }
 
@@ -1413,6 +1412,36 @@ private[serve] object RecencySidecar {
       finally in.close()
     }
     acc.toMap
+  }
+
+  /** [[refresh]] over many buckets, submitted concurrently — the same
+    * disjoint-dirs argument as
+    * [[graft.ops.Layout.compactSmallFilesAll]]: each refresh is a small
+    * single-writer job on its own directory, and a serial loop pays
+    * per-job setup latency per bucket (measured: the 64-bucket bootstrap
+    * spent most of its wall clock in job scheduling). First failure
+    * rethrows after the pool drains.
+    */
+  def refreshAll(spark: SparkSession, fs: FileSystem,
+      dirs: Seq[Path], parallelism: Int = 8): Unit = {
+    if (dirs.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, dirs.size)))
+    try {
+      val fut = dirs.map(d => pool.submit(
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = refresh(spark, fs, d)
+        }))
+      val results = fut.map(f => scala.util.Try(f.get()))
+      results.collectFirst { case scala.util.Failure(e) =>
+        throw (e match {
+          case ee: java.util.concurrent.ExecutionException
+            if ee.getCause != null => ee.getCause
+          case other => other
+        })
+      }
+      ()
+    } finally pool.shutdown()
   }
 
   /** Recompute the bucket's snapshot from its DATA (one column-pruned

@@ -1320,6 +1320,94 @@ object ScaleSmoke {
         .count() == liveRows, "the resize must be row-exact")
     }
 
+    section("round15") {
+      // 19. chat-log retention on the day= layout (round-14 verdict #1):
+      // a horizon advance must cost the freshly-retired days, not the
+      // log. Two logs carry the SAME per-day volume over a 1× vs 10× day
+      // count; pruning ONE day from each must cost the same (one
+      // footer-metadata count + one partition rename — no data page).
+      val logRoot = java.nio.file.Files
+        .createTempDirectory("graft_scale_log").toString
+      val rowsPerDay = n(200000L)
+      def mkLog(name: String, days: Int): String = {
+        val dir = s"$logRoot/$name"
+        val rows = spark.range(days * rowsPerDay).select(
+          concat(lit("u"), pmod(col("id"), lit(1000))).as("user"),
+          concat(lit("message "), col("id")).as("message"),
+          concat(lit("response "), col("id")).as("response"),
+          (expr(s"id div ${rowsPerDay}L") * lit(100L) +
+            pmod(col("id"), lit(100))).cast("long").as("ts"))
+        graft.serve.ChatLog.append(rows, dir, dayWidth = 100L)
+        dir
+      }
+      val log1 = mkLog("log_1x", 10)
+      val log10 = mkLog("log_10x", 100)
+      var p1 = 0L; var p10 = 0L
+      time("chatlog_prune_day_1x", rowsPerDay) {
+        p1 = graft.serve.ChatLog.pruneBefore(spark, log1, beforeTs = 100L)
+        p1
+      }
+      time("chatlog_prune_day_10x", rowsPerDay) {
+        p10 = graft.serve.ChatLog.pruneBefore(spark, log10, beforeTs = 100L)
+        p10
+      }
+      assert(p1 == rowsPerDay && p10 == rowsPerDay,
+        s"each prune retires exactly day 0: $p1 / $p10 of $rowsPerDay")
+      val fsLog = new org.apache.hadoop.fs.Path(log10)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fsLog.exists(new org.apache.hadoop.fs.Path(s"$log10/day=0")) &&
+        fsLog.exists(new org.apache.hadoop.fs.Path(s"$log10/day=1")))
+      // deleteUsers sweeps only LIVE partitions (99 remaining days here;
+      // on a retention-bounded deployment that is the window, not the
+      // log's lifetime) — recorded so the bounded-by-horizon claim has a
+      // number
+      time("chatlog_delete_user_10x", rowsPerDay * 99) {
+        graft.serve.ChatLog.deleteUsers(spark, log10, Seq("u5"))
+      }
+
+      // 20. recency-gated idle retention (round-14 verdict #2): a firing
+      // with nothing idle must read sidecars only — flat in state size —
+      // vs the pre-sidecar full-state scan. The full-scan firing
+      // BOOTSTRAPS the sidecars it lacked, so the third firing is gated
+      // again: legacy tables pay the old cost exactly once.
+      val nS = n(2000000L)
+      val mem2 = s"$logRoot/memory_live"
+      spark.range(nS).select(
+        concat(lit("s"), col("id")).as("session_id"),
+        explode(sequence(lit(0L), lit(3L))).as("turn"))
+        .select(col("session_id"), col("turn"),
+          when(pmod(col("turn"), lit(2)) === 0, "user").otherwise("assistant").as("role"),
+          concat(lit("remembered message "), col("turn")).as("content"),
+          lit(2000L).as("ts")) // everyone live: the no-idle steady state
+        .withColumn("sbucket", graft.serve.ChatRag.bucketExpr(64))
+        .write.partitionBy("sbucket").parquet(mem2)
+      val memFs2 = new org.apache.hadoop.fs.Path(mem2)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      memFs2.mkdirs(new org.apache.hadoop.fs.Path(s"$mem2/_nbuckets"))
+      memFs2.create(new org.apache.hadoop.fs.Path(s"$mem2/_nbuckets/64"), true)
+        .close()
+      time("recency_bootstrap_2m", nS) {
+        graft.serve.ChatRag.refreshRecencySidecars(spark, mem2); nS
+      }
+      time("prune_noidle_gated", nS) {
+        graft.serve.ChatRag.pruneIdleSessions(spark, mem2, beforeTs = 1500L)
+      }
+      // strip the sidecars: the legacy shape pays the full scan once...
+      new org.apache.hadoop.fs.Path(mem2)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      memFs2.listStatus(new org.apache.hadoop.fs.Path(mem2)).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+        .foreach(e => memFs2.delete(
+          new org.apache.hadoop.fs.Path(e.getPath, "_recency"), true))
+      time("prune_noidle_fullscan", nS) {
+        graft.serve.ChatRag.pruneIdleSessions(spark, mem2, beforeTs = 1500L)
+      }
+      // ...and that scan left snapshots behind — gated again
+      time("prune_noidle_regated", nS) {
+        graft.serve.ChatRag.pruneIdleSessions(spark, mem2, beforeTs = 1500L)
+      }
+    }
+
     spark.stop()
   }
 }
