@@ -80,6 +80,26 @@ object Bench {
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
 
+    // Contention CANARY (round-14 verdict #5): a fixed-cost, CPU-bound,
+    // IO-free calibration query — 400M xxhash64 folds through whole-stage
+    // codegen, no file reads, no shuffle — whose cost on an idle box is a
+    // constant of the hardware. A contended driver box inflates it
+    // proportionally to the stolen cores, so any reader can deflate a
+    // suspicious total from the artifact itself instead of re-running the
+    // suite (r14's 407 s vs idle 276.8 s cost the judge a full re-bench
+    // to adjudicate). Median of 3, recorded as `canary_sec` in both
+    // BENCH.json and the stdout line; PERF.md documents the idle-box
+    // value and the deflation rule.
+    val canary = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: a 400M-hash sum overflows long under ANSI
+        spark.range(400000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(run(), run(), run()).sorted.apply(1)
+    }
+
     // Sub-5s timings carry ±50% variance on a shared box; per-query numbers
     // are medians over `runs` repeats so round-over-round regressions are
     // detectable.
@@ -148,6 +168,7 @@ object Bench {
       "metric" -> "\"total\"",
       "value" -> r3(total),
       "unit" -> "\"sec\"",
+      "canary_sec" -> r3(canary),
       "queries" -> dict(timings.map { case (k, v) => k -> r3(warmMedian(v)) }),
       "runs" -> dict(timings.map { case (k, v) =>
         k -> v.map(r3).mkString("[", ",", "]") }),
@@ -188,6 +209,7 @@ object Bench {
       "metric" -> "\"total\"",
       "value" -> r3(total),
       "unit" -> "\"sec\"",
+      "canary_sec" -> r3(canary),
       "queries" -> dict(padded),
       "n_queries" -> timings.size.toString,
       "n_runs" -> nRuns.toString,

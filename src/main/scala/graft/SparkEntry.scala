@@ -215,6 +215,74 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Memoized chat-lifecycle SCAFFOLD (round-14 verdict #4, the
+    * [[cachedMissAnswers]] discipline applied to the c15/c16 batteries):
+    * their sequential chatTurn state machines have a SETTLED PREFIX — the
+    * turns before the lifecycle op under test — that is deterministic per
+    * fixture dir, yet was rebuilt per bench sample, so each sample
+    * charged the scaffold (~2 turns × several jobs) instead of the op.
+    * The prefix now builds ONCE per (JVM, fixture, key) into a prototype
+    * dir; every call gets a byte-identical COPY (a driver-side file copy
+    * of a few small parquet files — the op under test mutates its own
+    * copy, so calls stay independent). Values are unchanged by
+    * construction: echo answers are deterministic and no absolute path is
+    * stored inside the state, so the copied prefix is indistinguishable
+    * from a fresh build — the c15/c16 oracle hashes hold verbatim.
+    */
+  private val chatPrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedChatPrefix(s: SparkSession, dir: String, key: String)(
+      build: String => Unit): String = {
+    val proto = chatPrefixCache.computeIfAbsent(s"$dir#$key", { _ =>
+      val p = deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory(s"graft_proto_$key")).toString
+      build(p)
+      p
+    })
+    val root = deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory(s"graft_$key")).toString
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(proto).getFileSystem(conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(proto)).foreach { e =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+        new org.apache.hadoop.fs.Path(root, e.getPath.getName),
+        false, true, conf)
+    }
+    root
+  }
+
+  /** The c16/c19 shared settled prefix (built once per JVM via
+    * [[cachedChatPrefix]]): three deterministic chat turns — s3 and s11
+    * stamped at ts 1000, s7 untimed (the pre-stamp legacy row shape), s11
+    * returning at ts 2000 — the state both the retention oracle (c16) and
+    * the report oracle (c19) operate on.
+    */
+  private def c16PrefixBuild(s: SparkSession, dir: String, p: String): Unit = {
+    import graft.serve.ChatRag
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val emb = T(s, dir, "embeddings")
+    val echo: DataFrame => DataFrame = missQ =>
+      missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    def batchOf(pairs: Seq[(String, Long)], qidOff: Long): DataFrame =
+      pairs.toDF("session_id", "qdoc")
+        .join(docs, col("qdoc") === col("doc_id"))
+        .join(emb, col("qdoc") === col("vec_id"))
+        .select(col("session_id"),
+          (col("qdoc") + lit(qidOff)).as("query_id"),
+          col("text").as("question"), col("embedding").as("query_vec"))
+    val (mem, cache) = (s"$p/memory", s"$p/cache")
+    ChatRag.chatTurn(s, batchOf(Seq(("s3", 3L), ("s11", 11L)), 0L),
+      mem, cache, minCos = 0.999, echo, turnTs = Some(1000L))
+    ChatRag.chatTurn(s, batchOf(Seq(("s7", 7L)), 0L),
+      mem, cache, minCos = 0.999, echo) // untimed: the legacy row shape
+    ChatRag.chatTurn(s, batchOf(Seq(("s11", 12L)), 100L),
+      mem, cache, minCos = 0.999, echo, turnTs = Some(2000L))
+    ()
+  }
+
   /** Documents with synthesized title structure: every doc whose id is not
     * ≡0 (mod 10) gets an ALL-CAPS title line + blank line prepended; ids
     * ≡0 keep raw text (exercises the "General" default section).
@@ -3382,9 +3450,6 @@ object SparkEntry {
       import s.implicits._
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val root = deleteRecursivelyOnExit(
-        java.nio.file.Files.createTempDirectory("graft_c15")).toString
-      val (mem, cache) = (s"$root/memory", s"$root/cache")
       val echo: DataFrame => DataFrame = missQ =>
         missQ.select(col("query_id"), col("question"),
           concat(lit("computed: "), col("question")).as("answer"),
@@ -3396,9 +3461,18 @@ object SparkEntry {
           .select(col("session_id"),
             (col("qdoc") + lit(100L * i)).as("query_id"),
             col("text").as("question"), col("embedding").as("query_vec"))
+      // the settled two-turn prefix builds once per JVM (round-14 verdict
+      // #4); each call mutates its own byte-identical copy
+      val root = cachedChatPrefix(s, dir, "c15") { p =>
+        ChatRag.chatTurn(s, turnBatch(0), s"$p/memory", s"$p/cache",
+          minCos = 0.999, echo)
+        ChatRag.chatTurn(s, turnBatch(1), s"$p/memory", s"$p/cache",
+          minCos = 0.999, echo)
+        ()
+      }
+      val (mem, cache) = (s"$root/memory", s"$root/cache")
       def oneTurn(i: Int): DataFrame =
         ChatRag.chatTurn(s, turnBatch(i), mem, cache, minCos = 0.999, echo)
-      oneTurn(0); oneTurn(1)
       val removed = ChatRag.deleteSessions(s, mem, Seq("s7"))
       require(removed == 4L,
         s"c15 premise drifted: deleting s7 removed $removed rows (expected " +
@@ -3491,29 +3565,8 @@ object SparkEntry {
       // Output is the final memory table INCLUDING the ts column the
       // lifecycle runs on (null for the untimed rows).
       import graft.serve.ChatRag
-      import s.implicits._
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
-      val root = deleteRecursivelyOnExit(
-        java.nio.file.Files.createTempDirectory("graft_c16")).toString
-      val (mem, cache) = (s"$root/memory", s"$root/cache")
-      val echo: DataFrame => DataFrame = missQ =>
-        missQ.select(col("query_id"), col("question"),
-          concat(lit("computed: "), col("question")).as("answer"),
-          lit(0.5).as("cost"))
-      def batchOf(pairs: Seq[(String, Long)], qidOff: Long): DataFrame =
-        pairs.toDF("session_id", "qdoc")
-          .join(docs, col("qdoc") === col("doc_id"))
-          .join(emb, col("qdoc") === col("vec_id"))
-          .select(col("session_id"),
-            (col("qdoc") + lit(qidOff)).as("query_id"),
-            col("text").as("question"), col("embedding").as("query_vec"))
-      ChatRag.chatTurn(s, batchOf(Seq(("s3", 3L), ("s11", 11L)), 0L),
-        mem, cache, minCos = 0.999, echo, turnTs = Some(1000L))
-      ChatRag.chatTurn(s, batchOf(Seq(("s7", 7L)), 0L),
-        mem, cache, minCos = 0.999, echo) // untimed: the legacy row shape
-      ChatRag.chatTurn(s, batchOf(Seq(("s11", 12L)), 100L),
-        mem, cache, minCos = 0.999, echo, turnTs = Some(2000L))
+      val root = cachedChatPrefix(s, dir, "c16")(c16PrefixBuild(s, dir, _))
+      val mem = s"$root/memory"
       val pruned = ChatRag.pruneIdleSessions(s, mem, beforeTs = 1500L)
       require(pruned == 2L,
         s"c16 premise drifted: pruning retired $pruned rows (expected 2 — " +
@@ -3567,6 +3620,28 @@ object SparkEntry {
       s.read.parquet(log)
         .select("user", "message", "response", "ts")
         .orderBy("user")
+    }
+
+    reg("c19_memory_report") { (s, dir) =>
+      // the memory store's stats op (round-14 verdict #3 — the c13 twin;
+      // every lifecycle decision previously required hand-listing the
+      // table): the c16 state (two stamped sessions + one untimed) is
+      // pruned at 1500, then memoryReport answers what an operator asks
+      // before choosing a rebucket width or the next horizon — session/
+      // row/untimed counts and the stamp range from one two-column
+      // aggregate scan, the recorded _nbuckets constant and the
+      // _retention horizon from the markers. The file/byte columns are
+      // layout metadata (engine-dependent) and are exercised by the spec,
+      // not the oracle.
+      import graft.serve.ChatRag
+      val root = cachedChatPrefix(s, dir, "c16")(c16PrefixBuild(s, dir, _))
+      val mem = s"$root/memory"
+      val pruned = ChatRag.pruneIdleSessions(s, mem, beforeTs = 1500L)
+      require(pruned == 2L,
+        s"c19 premise drifted: pruning retired $pruned rows (expected 2)")
+      ChatRag.memoryReport(s, mem)
+        .select("n_sessions", "n_rows", "n_untimed_rows", "oldest_ts",
+          "newest_ts", "nbuckets", "retention_horizon")
     }
 
     reg("a8b_ivfpq_at_rest") { (s, dir) => // golden-pinned via a8's fixture
@@ -5280,6 +5355,28 @@ object SparkEntry {
         |  FROM m JOIN documents d ON d.doc_id = m.qdoc)
         |SELECT session_id, turn, role, content, ts FROM pairs
         |ORDER BY session_id, turn""".stripMargin,
+    // c19: the post-prune c16 state through memoryReport — counts and the
+    // stamp range recompute over the same VALUES replay as c16; the two
+    // marker columns are the op's recorded constants (fan-out 16 = the
+    // chatTurn default, horizon 1500 = the prune the scenario ran),
+    // premise-guarded scala-side
+    "c19_memory_report" ->
+      """WITH m(base, ord, ts) AS (VALUES
+        |  (7, 0, CAST(NULL AS BIGINT)),
+        |  (11, 0, CAST(1000 AS BIGINT)),
+        |  (11, 1, CAST(2000 AS BIGINT))),
+        |rows AS (
+        |  SELECT 's' || CAST(base AS VARCHAR) AS session_id, ts FROM m
+        |  UNION ALL
+        |  SELECT 's' || CAST(base AS VARCHAR), ts FROM m)
+        |SELECT CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_untimed_rows,
+        |  min(ts) AS oldest_ts, max(ts) AS newest_ts,
+        |  CAST(16 AS BIGINT) AS nbuckets,
+        |  CAST(1500 AS BIGINT) AS retention_horizon
+        |FROM rows""".stripMargin,
     // c18: flat seed → migrate to day= layout → append → pruneBefore(120)
     // (seed day dropped whole, boundary 110 clipped) → deleteUsers(u7) →
     // append — survivors are exactly the three VALUES rows

@@ -1249,6 +1249,79 @@ object ChatRag {
     pruned
   }
 
+  /** The memory store's stats/report op (round-14 verdict #3 — the
+    * [[SemanticCache.cacheReport]] twin): ONE row of exactly what an
+    * operator needs before choosing a lifecycle action (rebucket width,
+    * prune horizon, compaction), previously derivable only by
+    * hand-listing the table:
+    *
+    *  - `n_sessions`, `n_rows`, `n_untimed_rows` (rows with no age
+    *    stamp — the population [[pruneIdleSessions]] can never retire),
+    *    `oldest_ts`, `newest_ts` — one aggregate scan of two columns;
+    *  - `nbuckets` — the recorded `_nbuckets` table constant (null on a
+    *    legacy flat table), `retention_horizon` — the max `_retention`
+    *    marker (null before any prune);
+    *  - `n_bucket_dirs`, `n_files`, `bytes` — layout metadata from the
+    *    same recursive listing a read performs (hidden sidecars
+    *    excluded), the inputs to a rebucket/compaction decision.
+    *
+    * A nonexistent table reports zeros/nulls rather than refusing — the
+    * report is how an operator ASKS what state exists.
+    */
+  def memoryReport(spark: SparkSession, memoryPath: String): DataFrame = {
+    import spark.implicits._
+    val mp = new org.apache.hadoop.fs.Path(memoryPath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(mp)
+    val (nBucketDirs, nFiles, bytes) =
+      if (!exists) (0L, 0L, 0L)
+      else {
+        val dirs = fs.listStatus(mp).toSeq.count(e =>
+          e.isDirectory && e.getPath.getName.startsWith("sbucket=")).toLong
+        val it = fs.listFiles(mp, true)
+        var (nf, b) = (0L, 0L)
+        val rootQ = fs.makeQualified(mp).toString
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+          val hidden = rel.split('/').exists(s =>
+            s.startsWith("_") || s.startsWith("."))
+          if (!hidden && f.getLen > 0) { nf += 1; b += f.getLen }
+        }
+        (dirs, nf, b)
+      }
+    val recorded = if (exists) recordedBuckets(fs, mp) else None
+    val horizon = {
+      val rd = new org.apache.hadoop.fs.Path(mp, "_retention")
+      if (!exists || !fs.exists(rd)) None
+      else fs.listStatus(rd).toSeq.filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .maxOption
+    }
+    val dataStats =
+      if (!exists || nFiles == 0L) (0L, 0L, 0L, None: Option[Long], None: Option[Long])
+      else {
+        val df = spark.read.option("mergeSchema", "true").parquet(memoryPath)
+        val withTs =
+          if (df.columns.contains("ts")) df
+          else df.withColumn("ts", lit(null).cast("long"))
+        val r = withTs.agg(
+          count_distinct(col("session_id")).as("s"),
+          count(lit(1)).as("r"),
+          count(when(col("ts").isNull, lit(1))).as("u"),
+          min(col("ts")).as("lo"),
+          max(col("ts")).as("hi")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }
+    Seq((dataStats._1, dataStats._2, dataStats._3, dataStats._4, dataStats._5,
+      recorded.map(_.toLong), horizon, nBucketDirs, nFiles, bytes))
+      .toDF("n_sessions", "n_rows", "n_untimed_rows", "oldest_ts",
+        "newest_ts", "nbuckets", "retention_horizon", "n_bucket_dirs",
+        "n_files", "bytes")
+  }
+
   /** Explicit one-shot sidecar bootstrap: recompute every bucket's
     * recency snapshot from data (one column-pruned scan per bucket), so
     * the very FIRST [[pruneIdleSessions]] firing over a legacy table is

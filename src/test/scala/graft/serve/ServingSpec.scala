@@ -1198,6 +1198,40 @@ class ServingSpec extends SparkSpec {
     assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 1L)
   }
 
+  test("memoryReport: table stats + markers in one row; empty and legacy tables report, never refuse") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memrep").toString
+    // a nonexistent table reports zeros/nulls — the report is how an
+    // operator ASKS what exists
+    val r0 = ChatRag.memoryReport(spark, s"$tmp/nope").head()
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == 0L &&
+      r0.isNullAt(5) && r0.isNullAt(6) && r0.getLong(8) == 0L)
+    val mem = s"$tmp/mem"
+    Seq(("s1", 0L, "user", "a", Some(1000L)),
+      ("s1", 1L, "assistant", "b", Some(1000L)),
+      ("s2", 0L, "user", "c", Option.empty[Long]))
+      .toDF("session_id", "turn", "role", "content", "ts")
+      .withColumn("sbucket", ChatRag.bucketExpr(4))
+      .write.partitionBy("sbucket").parquet(mem)
+    val fs = new org.apache.hadoop.fs.Path(mem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$mem/_nbuckets/4"), true).close()
+    val r1 = ChatRag.memoryReport(spark, mem).head()
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 3L && r1.getLong(2) == 1L,
+      s"sessions/rows/untimed: $r1")
+    assert(r1.getLong(3) == 1000L && r1.getLong(4) == 1000L)
+    assert(r1.getLong(5) == 4L, "the recorded fan-out")
+    assert(r1.isNullAt(6), "no retention horizon before any prune")
+    assert(r1.getLong(7) > 0L && r1.getLong(8) > 0L && r1.getLong(9) > 0L,
+      s"layout metadata (bucket dirs/files/bytes) must be populated: $r1")
+    // the horizon column reflects the max _retention marker after a prune
+    assert(ChatRag.pruneIdleSessions(spark, mem, beforeTs = 1500L) == 2L)
+    val r2 = ChatRag.memoryReport(spark, mem).head()
+    assert(r2.getLong(6) == 1500L && r2.getLong(0) == 1L,
+      s"post-prune report: $r2")
+  }
+
   test("ChatLog day layout: pruneBefore drops whole partitions metadata-only, rewrites only the boundary day") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_log_day").toString
