@@ -526,6 +526,27 @@ object Drive {
         beforeTs = 1000L)
       println(s"pruneIdleSessions(ts<1000) retired $idlePruned rows " +
         s"(${spark.read.option("mergeSchema", "true").parquet(c13mem).count()} remain)")
+      // the round-15 observability row: what an operator reads before
+      // choosing the next lifecycle action
+      val rep = graft.serve.ChatRag.memoryReport(spark, c13mem).head()
+      println(s"memoryReport: sessions=${rep.getLong(0)} rows=${rep.getLong(1)} " +
+        s"nbuckets=${rep.getLong(5)} horizon=${rep.getLong(6)} files=${rep.getLong(8)}")
+
+      println("== chat-log day= layout: append -> prune (partition drop) -> forget ==")
+      val dayLog = s"$c13root/daylog"
+      import graft.serve.ChatLog
+      ChatLog.append(Seq(
+        ("drive-u1", "old question", "old answer", 10L),
+        ("drive-u2", "mid question", "mid answer", 150L),
+        ("drive-u1", "new question", "new answer", 250L))
+        .toDF("user", "message", "response", "ts"), dayLog, dayWidth = 100L)
+      val logPruned = ChatLog.pruneBefore(spark, dayLog, beforeTs = 100L)
+      val logForgot = ChatLog.deleteUsers(spark, dayLog, Seq("drive-u2"))
+      println(s"pruneBefore dropped day 0 ($logPruned rows, footer-counted); " +
+        s"deleteUsers forgot $logForgot; " +
+        s"${spark.read.parquet(dayLog).count()} survive in " +
+        s"day dirs; vacuum swept " +
+        s"${graft.ops.Layout.vacuum(spark, dayLog)} leftover groups")
     }
 
     spark.stop()

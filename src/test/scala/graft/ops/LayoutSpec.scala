@@ -517,4 +517,63 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(legacy), "the legacy visible staging must be swept")
     assert(spark.read.parquet(data).count() == 40L)
   }
+
+  test("vacuum: heals committed crashed swaps, sweeps condemned/uncommitted siblings, never touches live data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/table")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    def touch(p: org.apache.hadoop.fs.Path, names: String*): Unit = {
+      fs.mkdirs(p); names.foreach(n =>
+        fs.create(new org.apache.hadoop.fs.Path(p, n), true).close())
+    }
+    def child(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    // A: crashed TIERED FOLD — live absent, aside holds consumed inputs
+    // (a, b) + an untouched file (c), committed stage holds the merged
+    // output + the _consumed manifest. Heal must hop c, drop a/b.
+    touch(child(".partA.__old"), "a", "b", "c")
+    touch(child(".partA.__compact"), "merged")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(
+      child(".partA.__compact"), "_consumed"), true)
+    mf.write("a\nb".getBytes("UTF-8")); mf.close()
+    // B: crashed SWAPDIR window — live absent, stage complete + aside.
+    // Heal must install the stage and drop the aside.
+    touch(child(".partB.__old"), "old_gen")
+    touch(child(".partB.__compact"), "new_gen")
+    // C: crashed RETIRE — live absent, aside only (condemned rows). Sweep.
+    touch(child(".partC.__old"), "condemned")
+    // D: uncommitted stage, no live, no aside. Sweep.
+    touch(child(".partD.__compact"), "half_written")
+    // E: live PRESENT with superseded siblings — live data untouched,
+    // siblings swept.
+    touch(child("partE"), "live_data")
+    touch(child(".partE.__old"), "superseded")
+    touch(child(".partE.__compact"), "stale_stage")
+    assert(Layout.vacuum(spark, s"$tmp/table") == 5)
+    // visible names only: the local ChecksumFileSystem shadows every file
+    // with a .crc sibling
+    def names(p: org.apache.hadoop.fs.Path): Set[String] =
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).toSet
+    assert(names(child("partA")) == Set("merged", "c"),
+      s"tiered heal must hop the untouched file: ${names(child("partA"))}")
+    assert(names(child("partB")) == Set("new_gen"))
+    assert(!fs.exists(child("partC")) && !fs.exists(child(".partC.__old")))
+    assert(!fs.exists(child(".partD.__compact")) && !fs.exists(child("partD")))
+    assert(names(child("partE")) == Set("live_data"))
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.contains("__")).toSeq
+    assert(leftovers.isEmpty, s"no hidden sibling survives a vacuum: $leftovers")
+    // idempotent; and a vacuumed-away root heals too (rebucket crash):
+    // live absent + complete staged sibling of the ROOT
+    assert(Layout.vacuum(spark, s"$tmp/table") == 0)
+    val rootAside = new org.apache.hadoop.fs.Path(s"$tmp/.table.__old")
+    val rootStage = new org.apache.hadoop.fs.Path(s"$tmp/.table.__compact")
+    touch(rootStage, "staged_gen")
+    fs.rename(root, rootAside)
+    Layout.vacuum(spark, s"$tmp/table")
+    assert(names(root).contains("staged_gen") && !fs.exists(rootAside),
+      "a crashed whole-table swap must heal from the root's own siblings")
+  }
 }
