@@ -283,6 +283,41 @@ object SparkEntry {
     ()
   }
 
+  /** The c18/c20 shared chat-log lifecycle sequence into `root/log`: a
+    * legacy FLAT seed migrates through repartitionByDay (width 100),
+    * accumulates a day-partitioned append, pruneBefore(120) retires the
+    * seed day whole + clips the boundary, deleteUsers forgets u7, and a
+    * final append continues under the recorded width (250 → day 2; the
+    * untimed row → the null partition). Premise-guarded at each step.
+    */
+  private def c18LogBuild(s: SparkSession, dir: String, root: String): Unit = {
+    import graft.serve.ChatLog
+    val docs = T(s, dir, "documents")
+    val log = s"$root/log"
+    def rowsOf(entries: Seq[(String, Long, Option[Long])]): DataFrame = {
+      import s.implicits._
+      entries.toDF("user", "qdoc", "ts")
+        .join(docs, col("qdoc") === col("doc_id"))
+        .select(col("user"), col("text").as("message"),
+          concat(lit("computed: "), col("text")).as("response"), col("ts"))
+    }
+    rowsOf(Seq(("u3", 3L, Some(10L)), ("u7", 7L, Some(10L)),
+      ("u11", 11L, Some(10L)))).coalesce(1).write.parquet(log)
+    ChatLog.repartitionByDay(s, log, dayWidth = 100L)
+    ChatLog.append(rowsOf(Seq(("u3", 4L, Some(110L)),
+      ("u7", 8L, Some(150L)), ("u9", 9L, Some(190L)))), log)
+    val pruned = ChatLog.pruneBefore(s, log, beforeTs = 120L)
+    require(pruned == 4L,
+      s"c18 premise drifted: prune retired $pruned rows (expected 4 — " +
+        "the seed day whole + the boundary's one)")
+    val removed = ChatLog.deleteUsers(s, log, Seq("u7"))
+    require(removed == 1L,
+      s"c18 premise drifted: deleteUsers removed $removed rows (expected 1)")
+    ChatLog.append(rowsOf(Seq(("u11", 13L, Some(250L)),
+      ("sys", 14L, None))), log)
+    ()
+  }
+
   /** Documents with synthesized title structure: every doc whose id is not
     * ≡0 (mod 10) gets an ALL-CAPS title line + blank line prepended; ids
     * ≡0 keep raw text (exercises the "General" default section).
@@ -3591,35 +3626,27 @@ object SparkEntry {
       // pure-SQL VALUES replay — a migration that lost a row, a
       // partition drop that clipped an above-horizon day, or a delete
       // that missed a live partition breaks the oracle.
-      import graft.serve.ChatLog
-      val docs = T(s, dir, "documents")
       val root = deleteRecursivelyOnExit(
         java.nio.file.Files.createTempDirectory("graft_c18")).toString
-      val log = s"$root/log"
-      def rowsOf(entries: Seq[(String, Long, Option[Long])]): DataFrame = {
-        import s.implicits._
-        entries.toDF("user", "qdoc", "ts")
-          .join(docs, col("qdoc") === col("doc_id"))
-          .select(col("user"), col("text").as("message"),
-            concat(lit("computed: "), col("text")).as("response"), col("ts"))
-      }
-      rowsOf(Seq(("u3", 3L, Some(10L)), ("u7", 7L, Some(10L)),
-        ("u11", 11L, Some(10L)))).coalesce(1).write.parquet(log)
-      ChatLog.repartitionByDay(s, log, dayWidth = 100L)
-      ChatLog.append(rowsOf(Seq(("u3", 4L, Some(110L)),
-        ("u7", 8L, Some(150L)), ("u9", 9L, Some(190L)))), log)
-      val pruned = ChatLog.pruneBefore(s, log, beforeTs = 120L)
-      require(pruned == 4L,
-        s"c18 premise drifted: prune retired $pruned rows (expected 4 — " +
-          "the seed day whole + the boundary's one)")
-      val removed = ChatLog.deleteUsers(s, log, Seq("u7"))
-      require(removed == 1L,
-        s"c18 premise drifted: deleteUsers removed $removed rows (expected 1)")
-      ChatLog.append(rowsOf(Seq(("u11", 13L, Some(250L)),
-        ("sys", 14L, None))), log)
-      s.read.parquet(log)
+      c18LogBuild(s, dir, root)
+      s.read.parquet(s"$root/log")
         .select("user", "message", "response", "ts")
         .orderBy("user")
+    }
+
+    reg("c20_chatlog_report") { (s, dir) =>
+      // the chat log's observability row (the c19/c13 pattern): the c18
+      // final state — post-migration, post-prune, post-forget — through
+      // ChatLog.report. Counts, the user cardinality, the stamp range and
+      // the day-partition range recompute over the c18 survivors; the
+      // width/horizon columns are the op's recorded constants. The c18
+      // state builds once per JVM (its lifecycle ops are c18's OWN
+      // subject; here they are scaffold) and each call reads a copy.
+      val root = cachedChatPrefix(s, dir, "c18state")(c18LogBuild(s, dir, _))
+      graft.serve.ChatLog.report(s, s"$root/log")
+        .select("n_rows", "n_users", "n_untimed_rows", "oldest_ts",
+          "newest_ts", "n_days", "oldest_day", "newest_day", "day_width",
+          "retention_horizon")
     }
 
     reg("c19_memory_report") { (s, dir) =>
@@ -5377,6 +5404,25 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS nbuckets,
         |  CAST(1500 AS BIGINT) AS retention_horizon
         |FROM rows""".stripMargin,
+    // c20: the c18 survivors through ChatLog.report — counts, user
+    // cardinality, stamp range, and the day range (ts div 100, the
+    // recorded width) recomputed in SQL; width/horizon are the recorded
+    // constants of the scenario's own ops
+    "c20_chatlog_report" ->
+      """WITH m(u, ts) AS (VALUES
+        |  ('u9', CAST(190 AS BIGINT)),
+        |  ('u11', CAST(250 AS BIGINT)),
+        |  ('sys', CAST(NULL AS BIGINT)))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_untimed_rows,
+        |  min(ts) AS oldest_ts, max(ts) AS newest_ts,
+        |  CAST(count(DISTINCT ts // 100) AS BIGINT) AS n_days,
+        |  min(ts // 100) AS oldest_day, max(ts // 100) AS newest_day,
+        |  CAST(100 AS BIGINT) AS day_width,
+        |  CAST(120 AS BIGINT) AS retention_horizon
+        |FROM m""".stripMargin,
     // c18: flat seed → migrate to day= layout → append → pruneBefore(120)
     // (seed day dropped whole, boundary 110 clipped) → deleteUsers(u7) →
     // append — survivors are exactly the three VALUES rows

@@ -1960,6 +1960,73 @@ object ChatLog {
     graft.ops.Layout.swapDir(fs, path, staged)
   }
 
+  /** The chat log's stats/report op — [[ChatRag.memoryReport]]'s twin for
+    * the log store (an operator choosing a retention horizon or judging a
+    * migration needs: how many days exist, the day range, whether any
+    * rows sit in the conservatively-kept null partition, the recorded
+    * width, the last horizon): one row of
+    * `(n_rows, n_users, n_untimed_rows, oldest_ts, newest_ts, n_days,
+    * oldest_day, newest_day, day_width, retention_horizon, n_files,
+    * bytes)`. Counts and the ts range come from one two-column aggregate
+    * scan; day/marker/file columns are layout metadata. Legacy flat logs
+    * report with null day columns; a nonexistent log reports zeros/nulls.
+    */
+  def report(spark: SparkSession, path: String,
+      userCol: String = "user", tsCol: String = "ts"): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(p)
+    val (nFiles, bytes) =
+      if (!exists) (0L, 0L)
+      else {
+        val it = fs.listFiles(p, true)
+        var (nf, b) = (0L, 0L)
+        val rootQ = fs.makeQualified(p).toString
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+          val hidden = rel.split('/').exists(s =>
+            s.startsWith("_") || s.startsWith("."))
+          if (!hidden && f.getLen > 0) { nf += 1; b += f.getLen }
+        }
+        (nf, b)
+      }
+    val days = if (exists) dayDirs(fs, p).flatMap(_._1) else Seq.empty
+    val width = if (exists) recordedWidth(fs, p) else None
+    val horizon = {
+      val rd = new org.apache.hadoop.fs.Path(p, "_retention")
+      if (!exists || !fs.exists(rd)) None
+      else fs.listStatus(rd).toSeq.filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .maxOption
+    }
+    val dataStats =
+      if (!exists || nFiles == 0L)
+        (0L, 0L, 0L, None: Option[Long], None: Option[Long])
+      else {
+        val df = spark.read.option("mergeSchema", "true").parquet(path)
+        val t = tsLong(df, tsCol)
+        val u =
+          if (df.columns.contains(userCol)) col(userCol).cast("string")
+          else lit(null).cast("string")
+        val r = df.agg(
+          count(lit(1)).as("r"),
+          count_distinct(u).as("us"),
+          count(when(t.isNull, lit(1))).as("un"),
+          min(t).as("lo"), max(t).as("hi")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }
+    Seq((dataStats._1, dataStats._2, dataStats._3, dataStats._4, dataStats._5,
+      days.size.toLong, days.minOption, days.maxOption, width, horizon,
+      nFiles, bytes))
+      .toDF("n_rows", "n_users", "n_untimed_rows", "oldest_ts", "newest_ts",
+        "n_days", "oldest_day", "newest_day", "day_width",
+        "retention_horizon", "n_files", "bytes")
+  }
+
   /** The log-record projection `(user, message, response, ts)` (app.py:65-70).
     * `tsCol` defaults to now; tests/batch jobs pass a deterministic column.
     */

@@ -522,6 +522,33 @@ object ExplainAudit {
         "PASS ep8_warc_rag: pre-sectionize stretch is shuffle-free (one task per archive)")
     }
 
+    // Round-15 day-partitioned chat log: beyond the maintenance wins
+    // (prune = partition drop), the layout must also pay off at READ time
+    // — a horizon-scoped audit query (`day >= N`) must prune partitions
+    // at the scan, never read-then-filter.
+    {
+      import org.apache.spark.sql.functions.col
+      val d = java.nio.file.Files.createTempDirectory("graft_audit_daylog")
+      val log = s"$d/log"
+      import spark.implicits._
+      graft.serve.ChatLog.append(
+        Seq(("u1", "m0", "r", 10L), ("u2", "m1", "r", 150L),
+          ("u1", "m2", "r", 250L))
+          .toDF("user", "message", "response", "ts"),
+        log, dayWidth = 100L)
+      val scoped = spark.read.parquet(log).where(col("day") >= 2)
+      val plan = scoped.queryExecution.executedPlan.toString
+      val ok = plan.contains("PartitionFilters: [") && (
+        plan.contains("PartitionFilters: [isnotnull(day") ||
+          plan.contains("PartitionFilters: [(day"))
+      if (!ok) {
+        failed += 1
+        println("FAIL chatlog_day_pruning: day filter not pruning partitions")
+        println(plan.linesIterator.take(30).mkString("\n"))
+      } else println(
+        "PASS chatlog_day_pruning: horizon-scoped log reads prune day= partitions at scan")
+    }
+
     println(if (failed == 0) "ALL PLAN AUDITS PASS" else s"$failed AUDIT(S) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)

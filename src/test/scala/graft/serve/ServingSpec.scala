@@ -1326,6 +1326,36 @@ class ServingSpec extends SparkSpec {
       "post-migration appends must honor the recorded width")
   }
 
+  test("ChatLog.report: log stats + layout metadata; legacy and empty logs report, never refuse") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_logrep").toString
+    // nonexistent: zeros/nulls
+    val r0 = ChatLog.report(spark, s"$tmp/nope").head()
+    assert(r0.getLong(0) == 0L && r0.isNullAt(8) && r0.getLong(10) == 0L)
+    // day-partitioned log with a null-ts row and a prune behind it
+    val log = s"$tmp/log"
+    ChatLog.append(Seq(("a", "m1", "r", Some(110L)), ("b", "m2", "r", Some(250L)),
+      ("a", "m3", "r", Option.empty[Long]))
+      .toDF("user", "message", "response", "ts"), log, dayWidth = 100L)
+    ChatLog.pruneBefore(spark, log, beforeTs = 100L)
+    val r1 = ChatLog.report(spark, log).head()
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 2L && r1.getLong(2) == 1L,
+      s"rows/users/untimed: $r1")
+    assert(r1.getLong(3) == 110L && r1.getLong(4) == 250L)
+    assert(r1.getLong(5) == 2L && r1.getLong(6) == 1L && r1.getLong(7) == 2L,
+      s"day range (null partition not a day): $r1")
+    assert(r1.getLong(8) == 100L && r1.getLong(9) == 100L,
+      s"recorded width + horizon: $r1")
+    assert(r1.getLong(10) > 0L && r1.getLong(11) > 0L)
+    // legacy flat log: data stats populated, day columns null
+    val flat = s"$tmp/flat"
+    Seq(("x", "m", "r", 5L)).toDF("user", "message", "response", "ts")
+      .coalesce(1).write.parquet(flat)
+    val r2 = ChatLog.report(spark, flat).head()
+    assert(r2.getLong(0) == 1L && r2.getLong(5) == 0L && r2.isNullAt(8),
+      s"legacy log reports with null layout columns: $r2")
+  }
+
   test("crashed retire/swap leftovers: the next lifecycle op heals or sweeps them (ADVICE r14)") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
