@@ -651,6 +651,17 @@ object ChatRag {
     * Neither knob changes any served value: ep6/st20's oracles hold on
     * either layout, with or without the policy.
     */
+  /** `chatLog = Some(path)` lands each served exchange in the C5 chat
+    * log too — the reference's per-turn trail (app.py:258 calls
+    * guardar_chat_en_mongo after EVERY answer; the composition was the
+    * one reference behavior ep6 didn't carry): `user` = the session id,
+    * the app.py:65-70 record shape, stamped with the same `turnTs` age
+    * signal (untimed turns land in the log's null partition —
+    * conservatively kept by retention, the same law as memory). The log
+    * write shares the memory append's replay contract: at-least-once
+    * inside the ledger's residual crash window, exactly-once on the
+    * normal streaming path.
+    */
   def chatTurn(
       spark: SparkSession,
       questions: DataFrame,
@@ -662,7 +673,9 @@ object ChatRag {
       memoryWindow: Option[(Int, Long)] = None,
       memoryBuckets: Int = 16,
       maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None,
-      turnTs: Option[Long] = None): DataFrame = {
+      turnTs: Option[Long] = None,
+      chatLog: Option[String] = None,
+      chatLogWidth: Long = ChatLog.DefaultDayWidth): DataFrame = {
     import graft.ops.Ann.materializeOnce
     require(memoryBuckets > 0, s"chatTurn: memoryBuckets $memoryBuckets must be > 0")
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
@@ -822,6 +835,17 @@ object ChatRag {
       }
       ()
     }
+    // the C5 trail (see the chatLog doc note above): `out` is already
+    // materialized, so the log write re-serves nothing
+    chatLog.foreach { lp =>
+      val rec = out.select(col("session_id").cast("string").as("user"),
+        col("question").as("message"), col("answer").as("response"))
+      val stamped = turnTs match {
+        case Some(ts) => rec.withColumn("ts", lit(ts))
+        case None => rec.withColumn("ts", lit(null).cast("long"))
+      }
+      ChatLog.append(stamped.coalesce(1), lp, chatLogWidth)
+    }
     out
   }
 
@@ -843,9 +867,12 @@ object ChatRag {
       memoryWindow: Option[(Int, Long)] = None,
       memoryBuckets: Int = 16,
       maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None,
-      turnTs: Option[Long] = None): Unit = {
+      turnTs: Option[Long] = None,
+      chatLog: Option[String] = None,
+      chatLogWidth: Long = ChatLog.DefaultDayWidth): Unit = {
     chatTurn(spark, batch, memoryPath, cachePath, minCos, answerMisses,
-      idOffset, memoryWindow, memoryBuckets, maintenance, turnTs)
+      idOffset, memoryWindow, memoryBuckets, maintenance, turnTs,
+      chatLog, chatLogWidth)
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     ()
   }
@@ -872,6 +899,15 @@ object ChatRag {
     * so a long-lived stream polls it every N batches (file accumulation
     * between polls is bounded at one file per touched bucket per batch).
     */
+  /** `chatLogPath = Some(p)` composes the C5 trail into the loop (the
+    * reference's shape — every turn logs); `chatLogRetainFor = Some(keep)`
+    * additionally prunes the log past `turnTsOf(batchId) − keep` on the
+    * `maintenanceEvery` poll — affordable now that the day= layout makes
+    * a horizon advance a partition drop (round-14 verdict #6). The poll
+    * rides the caller's own clock (`turnTsOf`), so replays stay
+    * deterministic; retention sits OUTSIDE the ledger body (idempotent +
+    * monotone on its own).
+    */
   def streamingChatRag(
       questions: DataFrame,
       memoryPath: String,
@@ -885,9 +921,14 @@ object ChatRag {
       memoryBuckets: Int = 16,
       maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None,
       maintenanceEvery: Int = 16,
-      turnTsOf: Long => Option[Long] = _ => None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      turnTsOf: Long => Option[Long] = _ => None,
+      chatLogPath: Option[String] = None,
+      chatLogWidth: Long = ChatLog.DefaultDayWidth,
+      chatLogRetainFor: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maintenanceEvery > 0,
       s"streamingChatRag: maintenanceEvery $maintenanceEvery must be > 0")
+    require(chatLogRetainFor.isEmpty || chatLogPath.nonEmpty,
+      "streamingChatRag: chatLogRetainFor needs chatLogPath")
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -901,7 +942,16 @@ object ChatRag {
           // loop hard-wiring a nondeterministic now()
           chatTurnBody(batch.sparkSession, batch, memoryPath, cachePath,
             outPath, batchId, minCos, answerMisses, idOffset, memoryWindow,
-            memoryBuckets, pol, turnTsOf(batchId))
+            memoryBuckets, pol, turnTsOf(batchId), chatLogPath, chatLogWidth)
+        }
+        chatLogRetainFor.foreach { keep =>
+          require(keep > 0, s"streamingChatRag: chatLogRetainFor $keep must be > 0")
+          if (batchId % maintenanceEvery == 0)
+            turnTsOf(batchId).filter(_ - keep > 0).foreach { ts =>
+              ChatLog.pruneBefore(batch.sparkSession,
+                chatLogPath.get, ts - keep)
+              ()
+            }
         }
         ()
       }

@@ -1488,6 +1488,53 @@ class ServingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingChatRag with chatLogPath: every turn logs (the reference's trail); retention bounds the log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_schatlog").toString
+    val (cache, mem, out, log) = (s"$tmp/cache", s"$tmp/mem", s"$tmp/out", s"$tmp/log")
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val stream = MemoryStream[(String, Long, String, Array[Float])]
+    // width 100, keep 150, poll every batch; clock = 100·(batchId+1)
+    val q = ChatRag.streamingChatRag(
+      stream.toDF().toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, out, s"$tmp/ckpt", answerMisses,
+      maintenanceEvery = 1,
+      turnTsOf = id => Some(100L * (id + 1)),
+      chatLogPath = Some(log), chatLogWidth = 100L,
+      chatLogRetainFor = Some(150L)).start()
+    try {
+      stream.addData(("s1", 1L, "q one", v1)) // batch 0 @ ts 100
+      q.processAllAvailable()
+      val fs = new org.apache.hadoop.fs.Path(log)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=1")),
+        "the turn must land in the C5 log, day-partitioned")
+      val first = spark.read.parquet(log)
+        .select("user", "message", "response", "ts")
+        .as[(String, String, String, Long)].head()
+      assert(first == (("s1", "q one", "computed: q one", 100L)),
+        s"the log record is the reference's (user, message, response, ts) shape: $first")
+      // batches 1..3 advance the clock to ts 400 → horizon 250 → day 1 drops
+      stream.addData(("s1", 2L, "q two", v2)); q.processAllAvailable()
+      stream.addData(("s1", 3L, "q three", v1)); q.processAllAvailable()
+      stream.addData(("s1", 4L, "q four", v2)); q.processAllAvailable()
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=1")),
+        "the loop's own retention poll must drop below-horizon days")
+      val msgs = spark.read.parquet(log).select("message")
+        .as[String].collect().toSet
+      assert(msgs == Set("q three", "q four"),
+        s"the stream's log stays horizon-bounded: $msgs")
+      // the memory table is untouched by log retention — all four turns
+      assert(spark.read.parquet(mem).count() == 8L)
+    } finally q.stop()
+  }
+
   test("streamingCachedRag with evictLru: the refreshed entry survives the cap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
