@@ -483,7 +483,8 @@ object StreamingOps {
       dayWidth: Long = graft.serve.ChatLog.DefaultDayWidth,
       retainFor: Option[Long] = None,
       pruneEvery: Int = 16,
-      tsCol: String = "ts"): DataStreamWriter[Row] = {
+      tsCol: String = "ts",
+      maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): DataStreamWriter[Row] = {
     require(pruneEvery > 0,
       s"chatLogSinkPartitioned: pruneEvery $pruneEvery must be > 0")
     rows.writeStream
@@ -493,10 +494,10 @@ object StreamingOps {
         graft.ops.Layout.ledgeredBatch(s, s"$path/_batches", batchId) {
           graft.serve.ChatLog.append(batch, path, dayWidth, tsCol)
         }
-        // retention OUTSIDE the ledger body: it is idempotent and
-        // monotone on its own, so a replayed batch re-polling it is
-        // harmless (and a ledger-skipped batch still keeps the horizon
-        // advancing)
+        // retention + the hot-day file fold ride OUTSIDE the ledger body:
+        // both are idempotent and value-invisible on their own, so a
+        // replayed batch re-polling them is harmless (and a
+        // ledger-skipped batch still keeps the horizon advancing)
         retainFor.foreach { keep =>
           require(keep > 0, s"chatLogSinkPartitioned: retainFor $keep must be > 0")
           if (batchId % pruneEvery == 0) {
@@ -507,6 +508,15 @@ object StreamingOps {
                 tsCol)
               ()
             }
+          }
+        }
+        // each micro-batch lands one file per touched day — without the
+        // fold the HOT day accumulates forever (the memory table's
+        // per-turn accumulation, log-side)
+        maintenance.foreach { pol =>
+          if (batchId % pruneEvery == 0) {
+            graft.serve.ChatLog.compactSmallDayFiles(s, path, pol)
+            ()
           }
         }
         ()

@@ -953,6 +953,17 @@ object ChatRag {
               ()
             }
         }
+        // the log's hot-day file fold rides the SAME maintenance poll as
+        // the memory table's bucket fold: each turn lands one log file
+        // per touched day
+        chatLogPath.foreach { lp =>
+          maintenance.foreach { pol =>
+            if (batchId % maintenanceEvery == 0) {
+              ChatLog.compactSmallDayFiles(batch.sparkSession, lp, pol)
+              ()
+            }
+          }
+        }
         ()
       }
   }
@@ -2008,6 +2019,36 @@ object ChatLog {
           false, true, conf)
       }
     graft.ops.Layout.swapDir(fs, path, staged)
+  }
+
+  /** File-compaction maintenance for the `day=` layout: each append —
+    * and, in the streaming sinks, every micro-batch — lands one file per
+    * touched day, so the HOT day accumulates small files forever without
+    * this (the same per-turn accumulation the memory table's per-bucket
+    * fold bounds; a year of minute-batches is half a million files in
+    * the trailing window). Size-tiered per-day fold
+    * ([[graft.ops.Layout.compactSmallFiles]]: settled files hop by
+    * rename, only size-peer smalls rewrite — cost tracks the fresh
+    * appends), gated per-dir by each day's OWN small-file count
+    * ([[graft.ops.Layout.dueSubdirs]] — one recursive listing, the
+    * metadata-only signal). Cold days settle after one fold and never
+    * rewrite again; the null partition folds like any other day.
+    * Value-invisible; single-writer like every maintenance op. Returns
+    * the number of day dirs folded.
+    */
+  def compactSmallDayFiles(
+      spark: SparkSession,
+      path: String,
+      policy: graft.ops.Layout.MaintenancePolicy =
+        graft.ops.Layout.MaintenancePolicy()): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0
+    ChatRag.healPartitionLeftovers(fs, p, "day=")
+    val due = graft.ops.Layout.dueSubdirs(spark, path, policy, "day=")
+    graft.ops.Layout.compactSmallFilesAll(spark, due,
+      targetBytes = policy.smallFileBytes * 8)
+    due.size
   }
 
   /** The chat log's stats/report op — [[ChatRag.memoryReport]]'s twin for

@@ -1326,6 +1326,41 @@ class ServingSpec extends SparkSpec {
       "post-migration appends must honor the recorded width")
   }
 
+  test("ChatLog.compactSmallDayFiles: the hot day folds, cold days settle, values invariant") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_logfold").toString
+    val log = s"$tmp/log"
+    // 20 appends into the same hot day (+ one cold day) = 21 tiny files
+    (1 to 20).foreach { i =>
+      ChatLog.append(Seq((s"u$i", s"m$i", "r", 100L + i))
+        .toDF("user", "message", "response", "ts"), log, dayWidth = 100L)
+    }
+    ChatLog.append(Seq(("u0", "cold", "r", 950L))
+      .toDF("user", "message", "response", "ts"), log, dayWidth = 100L)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def filesIn(d: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(log, d)).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".") && f.getLen > 0
+      }
+    assert(filesIn("day=1") == 20, "one file per append before the fold")
+    val before = spark.read.parquet(log)
+      .select("user", "message", "ts").as[(String, String, Long)]
+      .collect().sorted.toSeq
+    val pol = graft.ops.Layout.MaintenancePolicy(maxSmallFiles = 8)
+    assert(ChatLog.compactSmallDayFiles(spark, log, pol) == 1,
+      "only the hot day trips its own due signal")
+    assert(filesIn("day=1") <= 8, s"the fold must bound the hot day: ${filesIn("day=1")}")
+    assert(filesIn("day=9") == 1, "the cold day is untouched")
+    val after = spark.read.parquet(log)
+      .select("user", "message", "ts").as[(String, String, Long)]
+      .collect().sorted.toSeq
+    assert(after == before, "the fold is value-invisible")
+    // residue law: a folded day cannot re-trip the signal
+    assert(ChatLog.compactSmallDayFiles(spark, log, pol) == 0)
+  }
+
   test("ChatLog.report: log stats + layout metadata; legacy and empty logs report, never refuse") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_logrep").toString
