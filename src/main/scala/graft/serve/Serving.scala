@@ -1284,8 +1284,7 @@ object ChatRag {
     // below bootstraps its sidecar — the old full cost is paid ONCE.
     val scan = bucketDirs.filter { d =>
       !RecencySidecar.isTracked(fs, d) ||
-        RecencySidecar.readState(fs, d).values.exists(s =>
-          !s.untimed && s.maxTs.exists(_ < beforeTs))
+        RecencySidecar.hasCandidate(fs, d, beforeTs)
     }
     val pruned = rewriteBucketDirsAll(spark, fs, scan,
       df =>
@@ -1449,14 +1448,14 @@ private[serve] object RecencySidecar {
   def isTracked(fs: FileSystem, bucket: Path): Boolean =
     fs.exists(dir(bucket))
 
-  private def seqOf(name: String): Option[(Long, Boolean)] = {
+  private def seqOf(name: String): Option[(Long, String)] = {
     val i = name.lastIndexOf('.')
     if (i <= 0) None
     else {
       val (stem, ext) = (name.substring(0, i), name.substring(i + 1))
       if (stem.nonEmpty && stem.forall(_.isDigit) &&
-          (ext == "log" || ext == "snap"))
-        Some((stem.toLong, ext == "snap"))
+          (ext == "log" || ext == "snap" || ext == "hdr"))
+        Some((stem.toLong, ext))
       else None
     }
   }
@@ -1487,13 +1486,13 @@ private[serve] object RecencySidecar {
     ()
   }
 
-  private def listFiles(fs: FileSystem, rdir: Path): Seq[(Long, Boolean, Path)] =
+  private def listFiles(fs: FileSystem, rdir: Path): Seq[(Long, String, Path)] =
     if (!fs.exists(rdir)) Seq.empty
     else fs.listStatus(rdir).toSeq.filter(_.isFile)
       .flatMap(f => seqOf(f.getPath.getName)
-        .map { case (seq, snap) => (seq, snap, f.getPath) })
+        .map { case (seq, kind) => (seq, kind, f.getPath) })
 
-  private def nextSeq(files: Seq[(Long, Boolean, Path)]): Long =
+  private def nextSeq(files: Seq[(Long, String, Path)]): Long =
     files.map(_._1).maxOption.getOrElse(-1L) + 1L
 
   /** Append one delta file recording this turn's touched sessions. When
@@ -1517,11 +1516,12 @@ private[serve] object RecencySidecar {
   def readState(fs: FileSystem, bucket: Path): Map[String, State] = {
     val files = listFiles(fs, dir(bucket))
     if (files.isEmpty) return Map.empty
-    val snapSeq = files.filter(_._2).map(_._1).maxOption
-    val relevant = files.filter { case (seq, snap, _) =>
+    val snapSeq = files.filter(_._2 == "snap").map(_._1).maxOption
+    val relevant = files.filter { case (seq, kind, _) =>
       snapSeq match {
-        case Some(ss) => (snap && seq == ss) || (!snap && seq > ss)
-        case None => !snap
+        case Some(ss) => (kind == "snap" && seq == ss) ||
+          (kind == "log" && seq > ss)
+        case None => kind == "log"
       }
     }
     val acc = scala.collection.mutable.Map.empty[String, State]
@@ -1531,14 +1531,14 @@ private[serve] object RecencySidecar {
         (prev.maxTs.toSeq ++ ts.toSeq).maxOption,
         prev.untimed || untimed)
     }
-    relevant.foreach { case (_, snap, p) =>
+    relevant.foreach { case (_, kind, p) =>
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .foreach { line =>
           line.split('\t') match {
-            case Array("A", ts, k) if !snap =>
+            case Array("A", ts, k) if kind == "log" =>
               val t = tsOf(ts); merge(dec(k), t, untimed = t.isEmpty)
-            case Array("E", ts, u, k) if snap =>
+            case Array("E", ts, u, k) if kind == "snap" =>
               merge(dec(k), tsOf(ts), untimed = u == "1")
             case _ => () // torn/foreign line: skip — stale-low is safe
           }
@@ -1546,6 +1546,62 @@ private[serve] object RecencySidecar {
       finally in.close()
     }
     acc.toMap
+  }
+
+  /** The CANDIDATE GATE, O(header + fresh deltas) — never O(sessions)
+    * (at 2M sessions the full [[readState]] fold cost ~2.4 s per no-op
+    * firing, which is the O(state) flaw class again at 100× scale): the
+    * snapshot's one-line `.hdr` companion carries the bucket's min
+    * fully-stamped session stamp, and deltas can only RAISE a session's
+    * stamp or add sessions (which land in the logs this gate scans), so
+    *
+    *   candidates possible ⇔ header min < horizon
+    *     ∨ some post-snap log record is stamped below the horizon.
+    *
+    * Over-approximation is the only error direction (a stale-low header
+    * triggers a scan that the refresh then settles); a missing/unreadable
+    * header falls back to the full fold — correct at the old cost.
+    */
+  def hasCandidate(fs: FileSystem, bucket: Path, horizon: Long): Boolean = {
+    val files = listFiles(fs, dir(bucket))
+    if (files.isEmpty) return true // no sidecar content: caller scans
+    val snapSeq = files.filter(_._2 == "snap").map(_._1).maxOption
+    val snapCand: Option[Boolean] = snapSeq match {
+      case None => Some(false) // never snapshotted: logs carry everything
+      case Some(ss) =>
+        files.find(f => f._2 == "hdr" && f._1 == ss).map(_._3).flatMap { p =>
+          val in = fs.open(p)
+          val first =
+            try new java.io.BufferedReader(
+              new java.io.InputStreamReader(in,
+                java.nio.charset.StandardCharsets.UTF_8)).readLine()
+            finally in.close()
+          Option(first).map(_.split('\t')).collect {
+            case Array("H", ts) => tsOf(ts).exists(_ < horizon)
+            case Array("H") => false // no fully-stamped session at all
+          }
+        }
+    }
+    snapCand match {
+      case None =>
+        // headerless snap (torn hdr write): full fold, the safe fallback
+        readState(fs, bucket).values.exists(s =>
+          !s.untimed && s.maxTs.exists(_ < horizon))
+      case Some(true) => true
+      case Some(false) =>
+        val floor = snapSeq.getOrElse(-1L)
+        files.filter(f => f._2 == "log" && f._1 > floor).exists { f =>
+          val in = fs.open(f._3)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .exists { line =>
+              line.split('\t') match {
+                case Array("A", ts, _) => tsOf(ts).exists(_ < horizon)
+                case _ => false
+              }
+            }
+          finally in.close()
+        }
+    }
   }
 
   /** [[refresh]] over many buckets, submitted concurrently — the same
@@ -1602,16 +1658,27 @@ private[serve] object RecencySidecar {
     val files = listFiles(fs, rdir)
     val seq = nextSeq(files)
     val it = stats.toLocalIterator()
+    // the candidate-gate header folds WHILE the body streams: min stamp
+    // over fully-stamped sessions (untimed sessions can never be
+    // candidates, so they don't lower it)
+    var hMin: Option[Long] = None
     writeFile(fs, rdir, seq, "snap",
       new Iterator[String] {
         def hasNext: Boolean = it.hasNext
         def next(): String = {
           val r = it.next()
           val ts = if (r.isNullAt(1)) None else Some(r.getLong(1))
-          val u = if (r.getBoolean(2)) "1" else "0"
+          val untimed = r.getBoolean(2)
+          if (!untimed && ts.nonEmpty)
+            hMin = Some(hMin.fold(ts.get)(math.min(_, ts.get)))
+          val u = if (untimed) "1" else "0"
           s"E\t${tsStr(ts)}\t$u\t${enc(r.getString(0))}"
         }
       })
+    // the header lands AFTER its snap: a crash between them leaves a
+    // headerless snap, which hasCandidate handles by the full-fold
+    // fallback until the next refresh
+    writeFile(fs, rdir, seq, "hdr", Iterator(s"H\t${tsStr(hMin)}"))
     // older files are superseded; a crash mid-sweep leaves files the
     // fold ignores (below the snap's seq)
     files.filter(_._1 < seq).foreach(f => fs.delete(f._3, false))

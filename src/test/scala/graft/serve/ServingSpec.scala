@@ -1188,11 +1188,23 @@ class ServingSpec extends SparkSpec {
     assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 50L) == 0L)
     assert(dataFiles == before, "a no-idle firing must not touch data files")
     // force the impossible stale-HIGH state to PROVE the gate consults
-    // the sidecar (the write ordering forbids this arising naturally)
-    RecencySidecar.appendDelta(fs, sdir, Seq(("s", Some(9999L))),
-      bootstrap = false)
+    // the sidecar (the write ordering forbids this arising naturally): a
+    // crafted snapshot + header claiming the only session is fresh
+    val rdir = RecencySidecar.dir(sdir)
+    fs.listStatus(rdir).foreach(f => fs.delete(f.getPath, false))
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(rdir, name), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    put("99.snap", "E\t9999\t0\ts\n")
+    put("99.hdr", "H\t9999\n")
     assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 0L,
-      "a sidecar with no candidates must suppress the scan")
+      "a header with no candidates must suppress the scan")
+    // a headerless snap (torn hdr write) falls back to the full fold —
+    // same verdict here, at the old cost
+    fs.delete(new org.apache.hadoop.fs.Path(rdir, "99.hdr"), false)
+    assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 0L,
+      "a torn header must fall back to the full fold, never misfire")
     // the repair action rebuilds from data; retention then fires
     ChatRag.refreshRecencySidecars(spark, solo)
     assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 1L)
