@@ -903,10 +903,14 @@ object ChatRag {
     * reference's shape — every turn logs); `chatLogRetainFor = Some(keep)`
     * additionally prunes the log past `turnTsOf(batchId) − keep` on the
     * `maintenanceEvery` poll — affordable now that the day= layout makes
-    * a horizon advance a partition drop (round-14 verdict #6). The poll
-    * rides the caller's own clock (`turnTsOf`), so replays stay
-    * deterministic; retention sits OUTSIDE the ledger body (idempotent +
-    * monotone on its own).
+    * a horizon advance a partition drop (round-14 verdict #6).
+    * `memoryRetainFor = Some(keep)` does the same for the MEMORY table
+    * through [[ChatRag.pruneIdleSessions]] — affordable now that the
+    * recency sidecar's header gate makes a nothing-idle firing O(bucket
+    * headers) (~0.05 s at 2M sessions), so the loop that grows the state
+    * also ages it, with no external retention job. All polls ride the
+    * caller's own clock (`turnTsOf`), so replays stay deterministic, and
+    * sit OUTSIDE the ledger body (idempotent + monotone on their own).
     */
   def streamingChatRag(
       questions: DataFrame,
@@ -924,7 +928,8 @@ object ChatRag {
       turnTsOf: Long => Option[Long] = _ => None,
       chatLogPath: Option[String] = None,
       chatLogWidth: Long = ChatLog.DefaultDayWidth,
-      chatLogRetainFor: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      chatLogRetainFor: Option[Long] = None,
+      memoryRetainFor: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maintenanceEvery > 0,
       s"streamingChatRag: maintenanceEvery $maintenanceEvery must be > 0")
     require(chatLogRetainFor.isEmpty || chatLogPath.nonEmpty,
@@ -963,6 +968,18 @@ object ChatRag {
               ()
             }
           }
+        }
+        // idle-session memory retention rides the loop too: the header
+        // gate makes the nothing-idle poll O(bucket headers), so this
+        // costs ~nothing until something actually ages out
+        memoryRetainFor.foreach { keep =>
+          require(keep > 0, s"streamingChatRag: memoryRetainFor $keep must be > 0")
+          if (batchId % maintenanceEvery == 0)
+            turnTsOf(batchId).filter(_ - keep > 0).foreach { ts =>
+              ChatRag.pruneIdleSessions(batch.sparkSession, memoryPath,
+                ts - keep)
+              ()
+            }
         }
         ()
       }

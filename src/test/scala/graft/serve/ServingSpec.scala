@@ -1582,6 +1582,47 @@ class ServingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingChatRag with memoryRetainFor: the loop ages its own memory state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlC = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_schatret").toString
+    val (cache, mem, out) = (s"$tmp/cache", s"$tmp/mem", s"$tmp/out")
+    val v1 = Array(1.0f, 0.0f); val v2 = Array(0.0f, 1.0f)
+    val answerMisses: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      missQ => missQ.select(col("query_id"), col("question"),
+        concat(lit("computed: "), col("question")).as("answer"),
+        lit(0.5).as("cost"))
+    val stream = MemoryStream[(String, Long, String, Array[Float])]
+    // clock = 100·(batchId+1); keep 150 → by batch 3 (ts 400, horizon
+    // 250) a session silent since batch 0 (ts 100) is idle
+    val q = ChatRag.streamingChatRag(
+      stream.toDF().toDF("session_id", "query_id", "question", "query_vec"),
+      mem, cache, out, s"$tmp/ckpt", answerMisses,
+      maintenanceEvery = 1,
+      turnTsOf = id => Some(100L * (id + 1)),
+      memoryRetainFor = Some(150L)).start()
+    try {
+      stream.addData(("gone", 1L, "only turn", v1), ("alive", 2L, "t0", v2))
+      q.processAllAvailable()
+      stream.addData(("alive", 3L, "t1", v1)); q.processAllAvailable()
+      stream.addData(("alive", 4L, "t2", v2)); q.processAllAvailable()
+      stream.addData(("alive", 5L, "t3", v1)); q.processAllAvailable()
+      val left = spark.read.option("mergeSchema", "true").parquet(mem)
+        .groupBy("session_id").count().as[(String, Long)].collect().toMap
+      // "gone" (newest ts 100 < the batch-3 horizon 250) was retired by
+      // the loop's own poll; "alive" keeps its FULL history (max ts
+      // governs — old rows of a live session are never clipped)
+      assert(left == Map("alive" -> 8L),
+        s"the loop must age its own state: $left")
+      // the loop advanced the retention marker (marker-first law)
+      val fs = new org.apache.hadoop.fs.Path(mem)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$mem/_retention"))
+        .map(_.getPath.getName.toLong).max == 250L)
+    } finally q.stop()
+  }
+
   test("streamingCachedRag with evictLru: the refreshed entry survives the cap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
