@@ -116,6 +116,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.VectorFunctions.buildRpBandKey _))
 
     ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(h, numHashes) - element-wise-min MinHash signature of shingle hashes"),
+      (es: Seq[Expression]) =>
+        graft.functions.MinHashSig(es(0), es(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("sig_match_count"),
+      info("sig_match_count",
+        "sig_match_count(a, b) - matching positions of two BIGINT minhash signatures"),
+      (es: Seq[Expression]) => graft.functions.SigMatchCount(es(0), es(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("cms_merge"),
       info("cms_merge", "cms_merge(sketch) - merge count-min sketches (binary)"),
       (es: Seq[Expression]) =>

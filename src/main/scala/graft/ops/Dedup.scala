@@ -319,17 +319,20 @@ object Dedup extends IndexLifecycle {
     docs.select(col(idCol), explode(sh).as("__h"))
   }
 
-  /** `(idCol, __sig ARRAY<LONG>)` minhash signatures — the codegen
-    * min-agg columns folded to one array per doc.
+  /** `(idCol, __sig ARRAY<LONG>)` minhash signatures via the single
+    * array-buffered [[graft.functions.MinHashSig]] aggregate. The
+    * previous shape — `numHashes` unrolled `min(xxhash64(__h, p))`
+    * columns folded by `array()` — blew Janino's 64 KB method limit at
+    * 128 permutations, so every signature pass ran the interpreted
+    * aggregate fallback; the typed aggregate is bit-identical in value
+    * (same `hashInt(p, hashLong(h, 42))` algebra) and keeps partial
+    * aggregation, with one array per doc on the shuffle.
     */
   private[graft] def signatureTable(
       exploded: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val minCols = (0 until numHashes).map(p =>
-      min(xxhash64(col("__h"), lit(p))).as(s"__m$p"))
+    graft.functions.MinHashAggregate.register(exploded.sparkSession)
     exploded.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(p => col(s"__m$p")): _*).as("__sig"))
+      .agg(call_function("minhash_sig", col("__h"), lit(numHashes)).as("__sig"))
   }
 
   /** `(idCol, band, band_key)` straight from exploded shingles — the
@@ -729,15 +732,18 @@ object Dedup extends IndexLifecycle {
         Seq("doc_id"), "left_semi")
       .dropDuplicates("doc_id")
       .select(col("doc_id").as("corpus_id"), col("__sig").as("__sigc"))
-    // matching-position count as FLAT codegen terms (the house unroll —
-    // a zip_with/aggregate HOF here would pay interpreter rates per pair)
-    val matchTerms = (1 to numHashes).map(i =>
-      when(element_at(col("__sigb"), i) === element_at(col("__sigc"), i), 1)
-        .otherwise(0))
+    // matching-position count via the compact codegen'd sig_match_count
+    // loop (a per-position when/sum unroll — the previous shape — gets
+    // fused into the upstream distinct's hash-agg output method by
+    // whole-stage codegen and blows Janino's 64 KB limit at 128 perms,
+    // dropping the stage to interpreted; a zip_with/aggregate HOF would
+    // pay allocation per pair)
+    graft.functions.MinHashAggregate.register(spark)
     cand
       .join(batchSigs, Seq("batch_id"))
       .join(corpusSigs, Seq("corpus_id"))
-      .withColumn("est_matches", matchTerms.reduce(_ + _).cast("long"))
+      .withColumn("est_matches",
+        call_function("sig_match_count", col("__sigb"), col("__sigc")))
       .withColumn("est_jaccard",
         round(col("est_matches").cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= minJaccardEst)
