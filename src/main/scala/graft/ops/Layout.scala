@@ -404,8 +404,22 @@ object Layout {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // the table root itself may be mid-swap (live absent, staged complete)
     healOrSweepSwap(fs, root)
+    sweepSwapSiblings(fs, root, """.+""")
+  }
+
+  /** Heal-or-sweep the hidden `.name.__old`/`.name.__compact` swap
+    * siblings directly under `root`, restricted to live names matching
+    * `livePattern` (a regex) — the ONE copy of the sibling-name
+    * convention, shared by [[vacuum]] (any name) and the lifecycle ops'
+    * partition-scoped sweeps (`sbucket=`/`day=` prefixes). Returns the
+    * number of sibling groups dispatched.
+    */
+  def sweepSwapSiblings(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      livePattern: String): Int = {
     if (!fs.exists(root)) return 0
-    val Hidden = """^\.(.+)\.__(?:old|compact)$""".r
+    val Hidden = ("""^\.(""" + livePattern + """)\.__(?:old|compact)$""").r
     val groups = fs.listStatus(root).toSeq.map(_.getPath.getName)
       .collect { case Hidden(live) => live }.distinct
     groups.foreach(n =>
@@ -507,20 +521,28 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String],
       targetBytes: Long = 128L << 20,
-      parallelism: Int = 8): Seq[TieredCompactStats] = {
-    if (dirs.isEmpty) return Seq.empty
+      parallelism: Int = 8): Seq[TieredCompactStats] =
+    mapConcurrently(dirs, parallelism)(d =>
+      compactSmallFiles(spark, d, targetBytes))
+
+  /** Run `f` over every item on a bounded pool and return the results in
+    * item order — the ONE copy of the maintenance fan-out protocol
+    * ([[compactSmallFilesAll]], the bucket-rewrite sweep, the recency
+    * bootstrap): await EVERY task before rethrowing the first failure's
+    * cause. Bailing on the first `.get()` would leave sibling tasks
+    * still running on their directories, and the caller's natural retry
+    * would then race their staging/aside dirs — two writers on one
+    * bucket, the exact single-writer breach the swap protocol forbids.
+    */
+  def mapConcurrently[A, B](items: Seq[A], parallelism: Int)(
+      f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, dirs.size)))
+      math.max(1, math.min(parallelism, items.size)))
     try {
-      val fs = dirs.map(d => pool.submit(
-        new java.util.concurrent.Callable[TieredCompactStats] {
-          def call(): TieredCompactStats =
-            compactSmallFiles(spark, d, targetBytes)
-        }))
-      // await EVERY fold before rethrowing the first failure — bailing
-      // early would leave sibling folds running, and a retry would race
-      // their staging dirs (single-writer breach)
-      val results = fs.map(f => scala.util.Try(f.get()))
+      val fut = items.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      val results = fut.map(f => scala.util.Try(f.get()))
       results.collectFirst { case scala.util.Failure(e) =>
         throw (e match {
           case ee: java.util.concurrent.ExecutionException
@@ -559,6 +581,63 @@ object Layout {
         fs.delete(new org.apache.hadoop.fs.Path(retDir, m.toString), false))
     }
     ()
+  }
+
+  /** Read a digit-named max-wins marker dir (`<root>/<name>/<value>`,
+    * highest value wins) — the ONE copy of the marker convention shared
+    * by `_nbuckets`, `_daywidth`, and `_retention` readers (it was
+    * re-implemented per site, one of them with a needless sort).
+    * Non-digit names are foreign files and ignored; a missing dir is
+    * simply "never recorded".
+    */
+  def readMaxDigitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      name: String): Option[Long] = {
+    val d = new org.apache.hadoop.fs.Path(root, name)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .maxOption
+  }
+
+  /** Write a digit-named marker value (idempotent — an existing file is
+    * left untouched). The write side of [[readMaxDigitMarker]]'s
+    * convention for `_nbuckets`/`_daywidth`-style recorded parameters;
+    * `_retention` advances through [[advanceRetentionMarker]], which
+    * additionally sweeps superseded values.
+    */
+  def writeDigitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      name: String,
+      value: Long): Unit = {
+    val d = new org.apache.hadoop.fs.Path(root, name)
+    val m = new org.apache.hadoop.fs.Path(d, value.toString)
+    if (!fs.exists(m)) { fs.mkdirs(d); fs.create(m).close() }
+    ()
+  }
+
+  /** `(nFiles, bytes)` over the table's VISIBLE data files — one
+    * recursive listing skipping every `_`/`.`-prefixed path segment
+    * (sidecars, staging, stream metadata) and zero-length commit
+    * markers. The layout-metadata half of the report ops.
+    */
+  def visibleFileStats(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, Long) = {
+    if (!fs.exists(root)) return (0L, 0L)
+    val it = fs.listFiles(root, true)
+    var (nf, b) = (0L, 0L)
+    val rootQ = fs.makeQualified(root).toString
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+      val hidden = rel.split('/').exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (!hidden && f.getLen > 0) { nf += 1; b += f.getLen }
+    }
+    (nf, b)
   }
 
   /** The per-subdirectory file-compact due signal (round-13 verdict #1a):

@@ -487,6 +487,12 @@ object StreamingOps {
       maintenance: Option[graft.ops.Layout.MaintenancePolicy] = None): DataStreamWriter[Row] = {
     require(pruneEvery > 0,
       s"chatLogSinkPartitioned: pruneEvery $pruneEvery must be > 0")
+    // eager, like the sibling params: a bad value must refuse at sink
+    // construction, not kill the running stream from inside its first
+    // micro-batch (after the checkpoint already exists)
+    retainFor.foreach { keep =>
+      require(keep > 0, s"chatLogSinkPartitioned: retainFor $keep must be > 0")
+    }
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -499,7 +505,6 @@ object StreamingOps {
         // replayed batch re-polling them is harmless (and a
         // ledger-skipped batch still keeps the horizon advancing)
         retainFor.foreach { keep =>
-          require(keep > 0, s"chatLogSinkPartitioned: retainFor $keep must be > 0")
           if (batchId % pruneEvery == 0) {
             val mx = batch.agg(max(graft.serve.ChatLog.tsLong(batch, tsCol)))
               .head

@@ -518,13 +518,8 @@ object ChatRag {
     */
   private def recordedBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
-      mp: org.apache.hadoop.fs.Path): Option[Int] = {
-    val d = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
-    if (!fs.exists(d)) None
-    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
-      .sorted.lastOption
-  }
+      mp: org.apache.hadoop.fs.Path): Option[Int] =
+    graft.ops.Layout.readMaxDigitMarker(fs, mp, "_nbuckets").map(_.toInt)
 
   private def effectiveBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -554,12 +549,8 @@ object ChatRag {
   private def recordBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       mp: org.apache.hadoop.fs.Path,
-      n: Int): Unit = {
-    val d = new org.apache.hadoop.fs.Path(mp, "_nbuckets")
-    val m = new org.apache.hadoop.fs.Path(d, n.toString)
-    if (!fs.exists(m)) { fs.mkdirs(d); fs.create(m).close() }
-    ()
-  }
+      n: Int): Unit =
+    graft.ops.Layout.writeDigitMarker(fs, mp, "_nbuckets", n.toLong)
 
   /** True when the table at `mp` should be read/written bucketed: a new
     * table, or one that already has `sbucket=` partition dirs. A table
@@ -934,6 +925,15 @@ object ChatRag {
       s"streamingChatRag: maintenanceEvery $maintenanceEvery must be > 0")
     require(chatLogRetainFor.isEmpty || chatLogPath.nonEmpty,
       "streamingChatRag: chatLogRetainFor needs chatLogPath")
+    // eager, like the sibling params: a bad window must refuse at sink
+    // construction, not kill the running stream from inside its first
+    // micro-batch (after the checkpoint already exists)
+    chatLogRetainFor.foreach { keep =>
+      require(keep > 0, s"streamingChatRag: chatLogRetainFor $keep must be > 0")
+    }
+    memoryRetainFor.foreach { keep =>
+      require(keep > 0, s"streamingChatRag: memoryRetainFor $keep must be > 0")
+    }
     questions.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -950,7 +950,6 @@ object ChatRag {
             memoryBuckets, pol, turnTsOf(batchId), chatLogPath, chatLogWidth)
         }
         chatLogRetainFor.foreach { keep =>
-          require(keep > 0, s"streamingChatRag: chatLogRetainFor $keep must be > 0")
           if (batchId % maintenanceEvery == 0)
             turnTsOf(batchId).filter(_ - keep > 0).foreach { ts =>
               ChatLog.pruneBefore(batch.sparkSession,
@@ -973,7 +972,6 @@ object ChatRag {
         // gate makes the nothing-idle poll O(bucket headers), so this
         // costs ~nothing until something actually ages out
         memoryRetainFor.foreach { keep =>
-          require(keep > 0, s"streamingChatRag: memoryRetainFor $keep must be > 0")
           if (batchId % maintenanceEvery == 0)
             turnTsOf(batchId).filter(_ - keep > 0).foreach { ts =>
               ChatRag.pruneIdleSessions(batch.sparkSession, memoryPath,
@@ -1038,34 +1036,11 @@ object ChatRag {
       fs: org.apache.hadoop.fs.FileSystem,
       dirs: Seq[org.apache.hadoop.fs.Path],
       transform: DataFrame => DataFrame,
-      parallelism: Int = 8): Long = {
-    if (dirs.isEmpty) return 0L
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, dirs.size)))
-    try {
-      val fut = dirs.map(d => pool.submit(
-        new java.util.concurrent.Callable[Long] {
-          def call(): Long = {
-            val (b, a) = rewriteBucketDir(spark, fs, d, transform)
-            b - a
-          }
-        }))
-      // await EVERY task before rethrowing the first failure: bailing on
-      // the first .get() would leave sibling rewrites still running, and
-      // the caller's natural retry would then race their staging/aside
-      // dirs — two writers on one bucket, the exact single-writer breach
-      // the swap protocol forbids
-      val results = fut.map(f => scala.util.Try(f.get()))
-      results.collectFirst { case scala.util.Failure(e) =>
-        throw (e match {
-          case ee: java.util.concurrent.ExecutionException
-            if ee.getCause != null => ee.getCause
-          case other => other
-        })
-      }
-      results.map(_.get).sum
-    } finally pool.shutdown()
-  }
+      parallelism: Int = 8): Long =
+    graft.ops.Layout.mapConcurrently(dirs, parallelism) { d =>
+      val (b, a) = rewriteBucketDir(spark, fs, d, transform)
+      b - a
+    }.sum
 
   /** Heal-or-sweep every bucket dir's crashed-swap leftovers under the
     * table root (ADVICE r14 #1): a retire that crashed between its
@@ -1092,13 +1067,9 @@ object ChatRag {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       prefix: String): Unit = {
-    if (!fs.exists(root)) return
-    val Hidden = ("""^\.(""" + java.util.regex.Pattern.quote(prefix) +
-      """[^/]+)\.__(?:old|compact)$""").r
-    fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect { case Hidden(live) => live }.distinct
-      .foreach(n => graft.ops.Layout.healOrSweepSwap(fs,
-        new org.apache.hadoop.fs.Path(root, n)))
+    graft.ops.Layout.sweepSwapSiblings(fs, root,
+      java.util.regex.Pattern.quote(prefix) + "[^/]+")
+    ()
   }
 
   private def requireBucketedFor(
@@ -1350,31 +1321,15 @@ object ChatRag {
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val exists = fs.exists(mp)
-    val (nBucketDirs, nFiles, bytes) =
-      if (!exists) (0L, 0L, 0L)
-      else {
-        val dirs = fs.listStatus(mp).toSeq.count(e =>
-          e.isDirectory && e.getPath.getName.startsWith("sbucket=")).toLong
-        val it = fs.listFiles(mp, true)
-        var (nf, b) = (0L, 0L)
-        val rootQ = fs.makeQualified(mp).toString
-        while (it.hasNext) {
-          val f = it.next()
-          val rel = f.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
-          val hidden = rel.split('/').exists(s =>
-            s.startsWith("_") || s.startsWith("."))
-          if (!hidden && f.getLen > 0) { nf += 1; b += f.getLen }
-        }
-        (dirs, nf, b)
-      }
+    val nBucketDirs =
+      if (!exists) 0L
+      else fs.listStatus(mp).toSeq.count(e =>
+        e.isDirectory && e.getPath.getName.startsWith("sbucket=")).toLong
+    val (nFiles, bytes) = graft.ops.Layout.visibleFileStats(fs, mp)
     val recorded = if (exists) recordedBuckets(fs, mp) else None
-    val horizon = {
-      val rd = new org.apache.hadoop.fs.Path(mp, "_retention")
-      if (!exists || !fs.exists(rd)) None
-      else fs.listStatus(rd).toSeq.filter(_.isFile).map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-        .maxOption
-    }
+    val horizon =
+      if (!exists) None
+      else graft.ops.Layout.readMaxDigitMarker(fs, mp, "_retention")
     val dataStats =
       if (!exists || nFiles == 0L) (0L, 0L, 0L, None: Option[Long], None: Option[Long])
       else {
@@ -1512,6 +1467,17 @@ private[serve] object RecencySidecar {
   private def nextSeq(files: Seq[(Long, String, Path)]): Long =
     files.map(_._1).maxOption.getOrElse(-1L) + 1L
 
+  /** Post-snap log files allowed to accumulate before [[appendDelta]]
+    * folds them into one. Bounds BOTH recurring costs the sidecar
+    * exists to cap: the candidate gate's per-firing log scan and
+    * appendDelta's own directory listing — without it, the advertised
+    * steady state (sessions stay live, so the gate never triggers a
+    * scan and [[refresh]] never runs) accumulates one log per turn
+    * forever, degrading both back to O(total turns): the exact
+    * unbounded-accumulation class the sidecar closes.
+    */
+  private val FoldLogsAt = 32
+
   /** Append one delta file recording this turn's touched sessions. When
     * the bucket is untracked, `bootstrap = true` creates the sidecar
     * (bucket born with this append — its history IS this delta);
@@ -1525,6 +1491,53 @@ private[serve] object RecencySidecar {
     val files = listFiles(fs, rdir)
     writeFile(fs, rdir, nextSeq(files), "log",
       sessions.iterator.map { case (k, ts) => s"A\t${tsStr(ts)}\t${enc(k)}" })
+    foldLogs(fs, rdir, files)
+  }
+
+  /** Fold the post-snap logs into ONE merged log when more than
+    * [[FoldLogsAt]] have accumulated — logs only, the snap is never
+    * rewritten, so the cost is proportional to the sessions the fresh
+    * deltas touched (the LSM minor-compaction law), not the bucket's
+    * session count. Merge semantics are exactly [[readState]]'s A-record
+    * fold: max ts per session, untimed OR'd — a session seen both
+    * stamped and untimed emits TWO records (one per fact), because a
+    * single A line cannot carry both. The merged log lands (temp +
+    * rename) at a seq above every input BEFORE the consumed logs are
+    * deleted; a crash between the two leaves both visible, and the
+    * fold's commutative/idempotent merge makes the duplicates harmless.
+    * Single-writer per bucket, like every sidecar mutation.
+    */
+  private def foldLogs(fs: FileSystem, rdir: Path,
+      filesBefore: Seq[(Long, String, Path)]): Unit = {
+    val snapSeq = filesBefore.filter(_._2 == "snap").map(_._1).maxOption
+    val logs = filesBefore.filter { case (seq, kind, _) =>
+      kind == "log" && snapSeq.forall(seq > _)
+    }
+    if (logs.size <= FoldLogsAt) return
+    val acc = scala.collection.mutable.Map.empty[String, State]
+    logs.foreach { case (_, _, p) =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .foreach { line =>
+          line.split('\t') match {
+            case Array("A", ts, k) =>
+              val t = tsOf(ts)
+              val key = dec(k)
+              val prev = acc.getOrElse(key, State(None, untimed = false))
+              acc(key) = State(
+                (prev.maxTs.toSeq ++ t.toSeq).maxOption,
+                prev.untimed || t.isEmpty)
+            case _ => () // torn/foreign line: skip, as readState does
+          }
+        }
+      finally in.close()
+    }
+    writeFile(fs, rdir, nextSeq(filesBefore) + 1L, "log",
+      acc.iterator.flatMap { case (k, st) =>
+        st.maxTs.map(t => s"A\t$t\t${enc(k)}").iterator ++
+          (if (st.untimed) Iterator(s"A\t-\t${enc(k)}") else Iterator.empty)
+      })
+    logs.foreach(f => fs.delete(f._3, false))
   }
 
   /** The folded per-session state: highest snap (if any) seeds it, logs
@@ -1631,24 +1644,9 @@ private[serve] object RecencySidecar {
     */
   def refreshAll(spark: SparkSession, fs: FileSystem,
       dirs: Seq[Path], parallelism: Int = 8): Unit = {
-    if (dirs.isEmpty) return
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, dirs.size)))
-    try {
-      val fut = dirs.map(d => pool.submit(
-        new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = refresh(spark, fs, d)
-        }))
-      val results = fut.map(f => scala.util.Try(f.get()))
-      results.collectFirst { case scala.util.Failure(e) =>
-        throw (e match {
-          case ee: java.util.concurrent.ExecutionException
-            if ee.getCause != null => ee.getCause
-          case other => other
-        })
-      }
-      ()
-    } finally pool.shutdown()
+    graft.ops.Layout.mapConcurrently(dirs, parallelism)(
+      refresh(spark, fs, _))
+    ()
   }
 
   /** Recompute the bucket's snapshot from its DATA (one column-pruned
@@ -1770,22 +1768,14 @@ object ChatLog {
 
   private def recordedWidth(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[Long] = {
-    val d = widthMarkerDir(p)
-    if (!fs.exists(d)) None
-    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .sorted.lastOption
-  }
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    graft.ops.Layout.readMaxDigitMarker(fs, p, "_daywidth")
 
   private def recordWidth(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
-      w: Long): Unit = {
-    val m = new org.apache.hadoop.fs.Path(widthMarkerDir(p), w.toString)
-    if (!fs.exists(m)) { fs.mkdirs(widthMarkerDir(p)); fs.create(m).close() }
-    ()
-  }
+      w: Long): Unit =
+    graft.ops.Layout.writeDigitMarker(fs, p, "_daywidth", w)
 
   /** True when the log at `p` should be written/maintained partitioned: a
     * new table, or one that already has `day=` dirs. Flat data files at
@@ -1840,15 +1830,20 @@ object ChatLog {
     }
   }
 
-  /** `floor(ts / width)` as exact integer division (the SQL `div`
-    * operator — never a double round-trip, whose 2^53 mantissa would
-    * alias distant days on extreme ts values). `div` truncates toward
-    * zero; ts domains are non-negative by contract (epoch millis /
-    * logical clocks), so trunc == floor.
+  /** `floor(ts / width)` as exact integer arithmetic (never a double
+    * round-trip, whose 2^53 mantissa would alias distant days on extreme
+    * ts values). The SQL `div` operator truncates toward zero, which
+    * diverges from floor for NEGATIVE ts (a pre-1970 TimestampType row
+    * would land in day 0 — above [[pruneBefore]]'s floorDiv horizon, so
+    * it could never be retired: silent under-deletion); the CASE term
+    * corrects trunc to floor exactly ([[Math.floorDiv]]'s law), keeping
+    * writer and pruner on ONE day function for every representable ts.
     */
   private def withDay(rows: DataFrame, tsCol: String, width: Long): DataFrame =
     rows.withColumn("__graft_ts", tsLong(rows, tsCol))
-      .withColumn("day", expr(s"__graft_ts div ${width}L"))
+      .withColumn("day", expr(
+        s"__graft_ts div ${width}L + " +
+          s"(CASE WHEN __graft_ts % ${width}L < 0 THEN -1 ELSE 0 END)"))
       .drop("__graft_ts")
 
   def append(rows: DataFrame, path: String,
@@ -2023,20 +2018,28 @@ object ChatLog {
       graft.ops.Layout.advanceRetentionMarker(fs, p, beforeTs)
       val horizonDay = Math.floorDiv(beforeTs, width)
       val dirs = dayDirs(fs, p)
-      // whole-partition drops: count from footer metadata, then the
-      // retire rename-aside (single rename — readers never see a partial
-      // dir; a crash between the renames is healed-or-swept by the next
-      // lifecycle op's healPartitionLeftovers)
-      val dropped = dirs.collect {
-        case (Some(day), dir) if day < horizonDay =>
-          val n = spark.read.parquet(dir.toString).count()
-          val aside = new org.apache.hadoop.fs.Path(
-            dir.getParent, s".${dir.getName}.__old")
-          if (fs.exists(aside)) fs.delete(aside, true)
-          fs.rename(dir, aside)
-          fs.delete(aside, true)
-          n
-      }.sum
+      // whole-partition drops: the returned count comes from parquet
+      // footer metadata in ONE combined job over every dropped dir (a
+      // per-dir count loop paid one serial Spark job per retired day —
+      // minutes of scheduling latency on a first-prune backlog of
+      // hundreds of days, inside the streaming maintenance poll), then
+      // the retire rename-aside per dir (single rename — readers never
+      // see a partial dir; a crash between the renames is
+      // healed-or-swept by the next lifecycle op's
+      // healPartitionLeftovers)
+      val dropDirs = dirs.collect {
+        case (Some(day), dir) if day < horizonDay => dir
+      }
+      val dropped =
+        if (dropDirs.isEmpty) 0L
+        else spark.read.parquet(dropDirs.map(_.toString): _*).count()
+      dropDirs.foreach { dir =>
+        val aside = new org.apache.hadoop.fs.Path(
+          dir.getParent, s".${dir.getName}.__old")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        fs.rename(dir, aside)
+        fs.delete(aside, true)
+      }
       // the one boundary day straddles the horizon only when beforeTs is
       // unaligned; a width-aligned horizon drops cleanly with zero reads
       val boundary =
@@ -2152,30 +2155,12 @@ object ChatLog {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val exists = fs.exists(p)
-    val (nFiles, bytes) =
-      if (!exists) (0L, 0L)
-      else {
-        val it = fs.listFiles(p, true)
-        var (nf, b) = (0L, 0L)
-        val rootQ = fs.makeQualified(p).toString
-        while (it.hasNext) {
-          val f = it.next()
-          val rel = f.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
-          val hidden = rel.split('/').exists(s =>
-            s.startsWith("_") || s.startsWith("."))
-          if (!hidden && f.getLen > 0) { nf += 1; b += f.getLen }
-        }
-        (nf, b)
-      }
+    val (nFiles, bytes) = graft.ops.Layout.visibleFileStats(fs, p)
     val days = if (exists) dayDirs(fs, p).flatMap(_._1) else Seq.empty
     val width = if (exists) recordedWidth(fs, p) else None
-    val horizon = {
-      val rd = new org.apache.hadoop.fs.Path(p, "_retention")
-      if (!exists || !fs.exists(rd)) None
-      else fs.listStatus(rd).toSeq.filter(_.isFile).map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-        .maxOption
-    }
+    val horizon =
+      if (!exists) None
+      else graft.ops.Layout.readMaxDigitMarker(fs, p, "_retention")
     val dataStats =
       if (!exists || nFiles == 0L)
         (0L, 0L, 0L, None: Option[Long], None: Option[Long])

@@ -569,6 +569,16 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chatLogSinkPartitioned: a bad retainFor refuses at construction, not inside the first micro-batch") {
+    import spark.implicits._
+    val dummy = Seq(("u", "m", "r", 1L)).toDF("user", "message", "response", "ts")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.chatLogSinkPartitioned(dummy, "/tmp/nope", "/tmp/nope_ck",
+        retainFor = Some(-5L))
+    }
+    assert(e.getMessage.contains("retainFor"))
+  }
+
   test("chatLogSinkPartitioned: ledgered day-layout appends; retention rides the loop, horizon-bounded log") {
     implicit val sqlC = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_chatlogp").toString

@@ -1210,6 +1210,72 @@ class ServingSpec extends SparkSpec {
     assert(ChatRag.pruneIdleSessions(spark, solo, beforeTs = 200L) == 1L)
   }
 
+  test("recency sidecar: steady-state deltas fold — file count bounded, state and gate preserved") {
+    // the no-idle steady state: sessions stay live, so the gate never
+    // triggers a scan and refresh never runs — without the appendDelta
+    // fold, one log file accumulates per turn FOREVER and both the gate
+    // and the append degrade back to O(total turns)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recfold").toString
+    val bucket = new org.apache.hadoop.fs.Path(s"$tmp/sbucket=0")
+    val fs = bucket.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(bucket)
+    for (i <- 0 until 48) {
+      RecencySidecar.appendDelta(fs, bucket, Seq(
+        ("a", Some(100L + i)),
+        ("b", if (i % 2 == 0) None else Some(50L + i))), bootstrap = true)
+    }
+    val logCount = fs.listStatus(RecencySidecar.dir(bucket)).toSeq
+      .count(_.getPath.getName.endsWith(".log"))
+    assert(logCount <= 34,
+      s"48 appends must fold, not accumulate 48 logs: $logCount")
+    // the folded state is EXACTLY the unfolded fold: max ts, untimed OR'd
+    // (the mixed session proves a fold can't collapse the two facts)
+    val st = RecencySidecar.readState(fs, bucket)
+    assert(st("a") == RecencySidecar.State(Some(147L), untimed = false), st)
+    assert(st("b") == RecencySidecar.State(Some(97L), untimed = true), st)
+    // the gate reads the same truth through the merged logs
+    assert(RecencySidecar.hasCandidate(fs, bucket, horizon = 120L),
+      "b's max stamp 97 < 120: candidates exist")
+    assert(!RecencySidecar.hasCandidate(fs, bucket, horizon = 45L),
+      "no stamped record below 45 exists anywhere: the merged logs must " +
+        "not manufacture one")
+  }
+
+  test("ChatLog day assignment floors negative ts — pruneBefore can retire pre-epoch rows") {
+    // SQL div truncates toward zero: a negative ts would land in day 0,
+    // ABOVE pruneBefore's floorDiv horizon, surviving every prune
+    val tmp = java.nio.file.Files.createTempDirectory("graft_negday").toString
+    val log = s"$tmp/log"
+    val rows = Seq(("u1", "old", "r", -100L), ("u2", "new", "r", 2500L))
+      .toDF("user", "message", "response", "ts")
+    ChatLog.append(rows, log, dayWidth = 1000L)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$log/day=-1")),
+      "ts=-100 at width 1000 floors to day -1, not day 0")
+    // a width-ALIGNED horizon drops the negative day with zero reads —
+    // the exact case trunc-day placement would silently survive
+    assert(ChatLog.pruneBefore(spark, log, beforeTs = 0L, tsCol = "ts") == 1L)
+    val left = spark.read.parquet(log).select("user").as[String].collect().toSeq
+    assert(left == Seq("u2"), s"the pre-epoch row must be gone: $left")
+  }
+
+  test("streamingChatRag: bad retention windows refuse at construction, not inside the first micro-batch") {
+    val dummy = Seq((1L, "q")).toDF("query_id", "question")
+    val e1 = intercept[IllegalArgumentException] {
+      ChatRag.streamingChatRag(dummy, "/tmp/nope_mem", "/tmp/nope_cache",
+        "/tmp/nope_out", "/tmp/nope_ck", echoMisses, minCos = 0.999,
+        chatLogPath = Some("/tmp/nope_log"), chatLogRetainFor = Some(-5L))
+    }
+    assert(e1.getMessage.contains("chatLogRetainFor"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChatRag.streamingChatRag(dummy, "/tmp/nope_mem", "/tmp/nope_cache",
+        "/tmp/nope_out", "/tmp/nope_ck", echoMisses, minCos = 0.999,
+        memoryRetainFor = Some(0L))
+    }
+    assert(e2.getMessage.contains("memoryRetainFor"))
+  }
+
   test("memoryReport: table stats + markers in one row; empty and legacy tables report, never refuse") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_memrep").toString
