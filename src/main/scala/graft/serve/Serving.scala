@@ -1410,7 +1410,7 @@ object ChatRag {
   * bootstraps its snapshot — the first firing over legacy state pays the
   * old full cost once, every later no-op firing is sidecar-only.
   */
-private[serve] object RecencySidecar {
+private[graft] object RecencySidecar {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   final case class State(maxTs: Option[Long], untimed: Boolean)

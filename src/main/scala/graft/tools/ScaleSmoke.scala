@@ -1406,6 +1406,29 @@ object ScaleSmoke {
       time("prune_noidle_regated", nS) {
         graft.serve.ChatRag.pruneIdleSessions(spark, mem2, beforeTs = 1500L)
       }
+      // 20b. the STEADY state the gate is advertised for: sessions stay
+      // live, so the gate never triggers a scan and refresh never runs —
+      // per-turn deltas must FOLD (appendDelta's log merge), or the
+      // sidecar re-accumulates O(total turns) of files and the "free"
+      // firing degrades with uptime. 2000 simulated turns against one
+      // bucket, then the same no-idle firing: file count bounded, cost
+      // flat vs prune_noidle_gated above.
+      val hot = memFs2.listStatus(new org.apache.hadoop.fs.Path(mem2)).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
+        .head.getPath
+      time("recency_2000_turn_deltas", 2000L) {
+        for (i <- 0 until 2000)
+          graft.serve.RecencySidecar.appendDelta(memFs2, hot,
+            Seq((s"s${i % 500}", Some(2000L + i))), bootstrap = false)
+        2000L
+      }
+      val sidecarFiles = memFs2.listStatus(
+        new org.apache.hadoop.fs.Path(hot, "_recency")).length
+      assert(sidecarFiles <= 40,
+        s"2000 turn deltas must fold, not accumulate: $sidecarFiles files")
+      time("prune_noidle_steady_state", nS) {
+        graft.serve.ChatRag.pruneIdleSessions(spark, mem2, beforeTs = 1500L)
+      }
     }
 
     spark.stop()
