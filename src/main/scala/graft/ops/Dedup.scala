@@ -396,20 +396,27 @@ object Dedup extends IndexLifecycle {
     // re-runs it
     val sigs = Ann.materializeOnce(
       signatureTable(exploded, "doc_id", numHashes))
-    bandsOfSigs(sigs, "doc_id", numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    exploded.write.mode("overwrite").parquet(s"$path/shingles")
-    // the docs/ ledger comes from the INPUT ids, not the exploded
+    // the five table writes are independent jobs over materialized parts
+    // into five disjoint dirs — landed concurrently (guide §2.6). A
+    // rebuild is a whole-state replace with no commit marker, so a crash
+    // mid-build leaves a partial store exactly as the sequential ordering
+    // did; only the wall cost changes (max of the five, not the sum).
+    // The docs/ ledger comes from the INPUT ids, not the exploded
     // shingles: a doc whose text yields zero shingles (empty text,
     // fewer tokens than shingleSize) has no banding surface but is
     // still PROCESSED — deriving the ledger from `exploded` would
     // re-ship it on every append forever
-    docs.select(col(idCol).as("doc_id")).distinct()
-      .write.mode("overwrite").parquet(s"$path/docs")
-    Seq((shingleSize, numHashes, bands))
-      .toDF("shingle_size", "num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => bandsOfSigs(sigs, "doc_id", numHashes, bands)
+        .write.mode("overwrite").parquet(s"$path/bands"),
+      () => sigs.write.mode("overwrite").parquet(s"$path/sigs"),
+      () => exploded.write.mode("overwrite").parquet(s"$path/shingles"),
+      () => docs.select(col(idCol).as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$path/docs"),
+      () => Seq((shingleSize, numHashes, bands))
+        .toDF("shingle_size", "num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")),
+      parallelism = 5)(_())
     // rebuild = whole-state replace: a stale batches ledger would
     // silently no-op replayed batch ids against the fresh store
     Layout.clearIndexSidecars(spark, path)
@@ -471,10 +478,16 @@ object Dedup extends IndexLifecycle {
       sigs: DataFrame,
       numHashes: Int,
       bands: Int): Unit = {
-    bandsOfSigs(sigs, "doc_id", numHashes, bands)
-      .write.mode("append").parquet(s"$path/bands")
-    sigs.write.mode("append").parquet(s"$path/sigs")
-    exploded.write.mode("append").parquet(s"$path/shingles")
+    // the three DATA appends are order-free among themselves (the crash
+    // law above only orders data-before-LEDGER), so they land
+    // concurrently (guide §2.6); the docs/ ledger append stays strictly
+    // last — it is what makes a replayed batch skip these ids
+    Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => bandsOfSigs(sigs, "doc_id", numHashes, bands)
+        .write.mode("append").parquet(s"$path/bands"),
+      () => sigs.write.mode("append").parquet(s"$path/sigs"),
+      () => exploded.write.mode("append").parquet(s"$path/shingles")),
+      parallelism = 3)(_())
     freshIds.write.mode("append").parquet(s"$path/docs")
   }
 
@@ -523,18 +536,26 @@ object Dedup extends IndexLifecycle {
         spark.range(0).select(col("id").as("doc_id"))
       else spark.read.parquet(tombFiles.map(_.toString): _*)
         .select(col("doc_id").cast("long").as("doc_id")).distinct()
-    val before = spark.read.parquet(s"$path/docs").count()
-    val after = before - (
-      if (tombFiles.isEmpty) 0L
-      else spark.read.parquet(s"$path/docs")
-        .join(dead, Seq("doc_id"), "left_semi").count())
+    // ONE ledger pass yields both counts (`dead` is distinct, so each
+    // docs row matches at most one dead row: count(*) is the old two-job
+    // `count()` and count(__dead) the old semi-join count)
+    val cnt = spark.read.parquet(s"$path/docs")
+      .join(dead.withColumn("__dead", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)), count("__dead")).head
+    val before = cnt.getLong(0)
+    val after = before - cnt.getLong(1)
     require(after > 0,
       s"compactMinhash: every doc at $path is tombstoned — delete the " +
         "store directory instead of compacting to empty")
-    Seq("bands", "sigs", "shingles", "docs").foreach { t =>
+    // stage all four rewrites concurrently (independent reads into four
+    // disjoint `.__compact` dirs — guide §2.6), then flip visibility with
+    // the sequential swaps exactly as before
+    Layout.mapConcurrently(Seq("bands", "sigs", "shingles", "docs"), 4) { t =>
       spark.read.parquet(s"$path/$t")
         .join(dead, Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$path/$t.__compact")
+    }
+    Seq("bands", "sigs", "shingles", "docs").foreach { t =>
       Layout.swapDir(fs, s"$path/$t", s"$path/$t.__compact")
     }
     Layout.spendTombstoneFiles(fs, s"$path/_tombstones", tombFiles)

@@ -185,9 +185,15 @@ object Bm25 extends graft.ops.IndexLifecycle {
       .withColumn("bucket", bucketCol(col("term"), termBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stats = bucketed
-        .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
-        .head()
+      // ONE postings aggregation feeds the docs/ table AND (N, tot_dl):
+      // sum(tf) over a doc's postings is its token count (tf counts the
+      // same token array dl sizes), so the stats fold rides the docs
+      // ledger (doc-count-sized) instead of paying a second
+      // postings-sized count_distinct pass (the round-15 fusion; was two
+      // full passes over `bucketed` per build)
+      val docsTbl = graft.ops.Ann.materializeOnce(
+        bucketed.select("doc_id", "dl").distinct())
+      val stats = docsTbl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
       val n = stats.getLong(0)
       // Postings write shape — a measured storage-dependent trade:
       //  - filesPerBucket ≥ 1 (default): doc-salted repartition keeps
@@ -206,10 +212,17 @@ object Bm25 extends graft.ops.IndexLifecycle {
         if (filesPerBucket <= 0) bucketed
         else bucketed.repartition(termBuckets * filesPerBucket, col("bucket"),
           pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
-      writeSegment(spark, path, 0L, postingsOut, bucketed,
-        n, if (n == 0) 0L else stats.getLong(1), overwrite = true)
-      Seq(termBuckets).toDF("term_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // meta rides the same concurrent wave as the four segment tables
+      // (guide §2.6 overlap): the commit marker below is still the LAST
+      // write, so readers never see a half-built index — same crash
+      // window as the sequential ordering, 5 small jobs' wall ≈ the max
+      // instead of the sum
+      graft.ops.Layout.mapConcurrently[() => Unit, Unit](Seq(
+        () => writeSegment(spark, path, 0L, postingsOut, bucketed, docsTbl,
+          n, if (n == 0) 0L else stats.getLong(1), overwrite = true),
+        () => Seq(termBuckets).toDF("term_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")),
+        parallelism = 2)(_())
       commitSeg(spark, path, 0L, reset = true)
       // a rebuild replaces the WHOLE index state: the previous life's
       // _tombstones sidecar and batches ledger go with it, or loadIndex
@@ -289,7 +302,15 @@ object Bm25 extends graft.ops.IndexLifecycle {
   }
 
   /** The four table writes of one segment (postings already bucketed;
-    * marker NOT written here — callers commit last).
+    * `docsTbl` the pre-materialized `(doc_id, dl)` ledger rows; marker
+    * NOT written here — callers commit last). The writes land
+    * CONCURRENTLY (guide §2.6): they are independent jobs over already
+    * materialized inputs targeting four disjoint directories, and the
+    * `_commits/<seg>` marker — the only thing that makes them visible —
+    * is written by the caller strictly after all four return, so the
+    * crash window is identical to the sequential ordering (an invisible
+    * orphan either way) while the wall cost of the three small ledger
+    * writes hides under the postings write.
     */
   private def writeSegment(
       spark: org.apache.spark.sql.SparkSession,
@@ -297,22 +318,26 @@ object Bm25 extends graft.ops.IndexLifecycle {
       seg: Long,
       postingsOut: DataFrame,
       bucketed: DataFrame,
+      docsTbl: DataFrame,
       nDocs: Long,
       totDl: Long,
       overwrite: Boolean): Unit = {
     import spark.implicits._
     val mode = if (overwrite) "overwrite" else "append"
-    postingsOut.withColumn("seg", lit(seg))
-      .write.mode(mode).partitionBy("seg", "bucket").parquet(s"$path/postings")
-    bucketed.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("seg", lit(seg))
-      .write.mode(mode).partitionBy("seg").parquet(s"$path/terms")
-    bucketed.select("doc_id", "dl").distinct()
-      .withColumn("seg", lit(seg))
-      .write.mode(mode).partitionBy("seg").parquet(s"$path/docs")
-    Seq((nDocs, totDl)).toDF("n_docs", "tot_dl")
-      .withColumn("seg", lit(seg))
-      .coalesce(1).write.mode(mode).partitionBy("seg").parquet(s"$path/stats")
+    graft.ops.Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => postingsOut.withColumn("seg", lit(seg))
+        .write.mode(mode).partitionBy("seg", "bucket").parquet(s"$path/postings"),
+      () => bucketed.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("seg", lit(seg))
+        .write.mode(mode).partitionBy("seg").parquet(s"$path/terms"),
+      () => docsTbl.select("doc_id", "dl")
+        .withColumn("seg", lit(seg))
+        .write.mode(mode).partitionBy("seg").parquet(s"$path/docs"),
+      () => Seq((nDocs, totDl)).toDF("n_docs", "tot_dl")
+        .withColumn("seg", lit(seg))
+        .coalesce(1).write.mode(mode).partitionBy("seg").parquet(s"$path/stats")),
+      parallelism = 4)(_())
+    ()
   }
 
   /** Load a persisted index. Postings stream straight off the bucketed
@@ -384,9 +409,11 @@ object Bm25 extends graft.ops.IndexLifecycle {
     val postings = graft.ops.Ann.materializeOnce(
       rawPostings(fresh, "doc_id", textCol)
         .withColumn("bucket", bucketCol(col("term"), nb)))
-    val stats = postings
-      .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
-      .head()
+    // one aggregation feeds the docs/ ledger AND (n, tot_dl) — the same
+    // sum(tf) == sum(dl) fusion as writeIndex (one postings pass, not two)
+    val docsTbl = graft.ops.Ann.materializeOnce(
+      postings.select("doc_id", "dl").distinct())
+    val stats = docsTbl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
     val n = stats.getLong(0)
     if (n == 0) return 0L
     // all four tables land under seg=<id>; the commit marker goes LAST,
@@ -394,7 +421,7 @@ object Bm25 extends graft.ops.IndexLifecycle {
     // half-applied append readers can see
     val seg = nextSegId(spark, path)
     writeSegment(spark, path, seg,
-      postings.repartition(col("bucket")), postings,
+      postings.repartition(col("bucket")), postings, docsTbl,
       n, stats.getLong(1), overwrite = false)
     commitSeg(spark, path, seg)
     n
@@ -460,11 +487,19 @@ object Bm25 extends graft.ops.IndexLifecycle {
     val live = graft.ops.Ann.materializeOnce(
       spark.read.parquet(s"$path/postings").where(segFilter).drop("seg")
         .join(dead, Seq("doc_id"), "left_anti"))
-    val stats = live
-      .agg(count_distinct(col("doc_id")).as("n"), sum("tf").as("tot"))
-      .head()
-    val before = spark.read.parquet(s"$path/docs").where(segFilter)
-      .select("doc_id").distinct().count()
+    // one postings aggregation feeds the rewritten docs/ ledger AND
+    // (n, tot_dl) — the writeIndex fusion (sum(dl) over the ledger ==
+    // sum(tf) over postings)
+    val docsTbl = graft.ops.Ann.materializeOnce(
+      live.select("doc_id", "dl").distinct())
+    val stats = docsTbl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
+    // `before` from the per-segment stats ledger, not a distinct+count
+    // over the corpus-sized docs/ table: committed segments hold disjoint
+    // doc ids (the append ledger's law), so sum(n_docs) IS the distinct
+    // count — segment-count-sized input instead of a corpus scan+shuffle
+    // (the guide's "don't pay a pass for a number a ledger already holds")
+    val before = spark.read.parquet(s"$path/stats").where(segFilter)
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long")).head.getLong(0)
     val n = stats.getLong(0)
     // refuse compacting to EMPTY: a dynamically-partitioned write of zero
     // rows emits no data files, and swapping that in leaves a postings/
@@ -478,23 +513,29 @@ object Bm25 extends graft.ops.IndexLifecycle {
     // after compacting a many-bucket index (5M-doc tier: the 1-file
     // layout probed 27.7 s vs 19.2 s on the 8-file layout — fewer
     // splits, fewer parallel readers)
-    live.repartition(nBuckets(spark, path) * math.max(1, filesPerBucket),
-        col("bucket"),
-        pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
-      .withColumn("seg", lit(0L))
-      .write.mode("overwrite").partitionBy("seg", "bucket")
-      .parquet(s"$path/postings.__compact")
-    live.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("seg", lit(0L))
-      .write.mode("overwrite").partitionBy("seg").parquet(s"$path/terms.__compact")
-    live.select("doc_id", "dl").distinct()
-      .withColumn("seg", lit(0L))
-      .write.mode("overwrite").partitionBy("seg").parquet(s"$path/docs.__compact")
-    Seq((n, if (n == 0) 0L else stats.getLong(1)))
-      .toDF("n_docs", "tot_dl")
-      .withColumn("seg", lit(0L))
-      .coalesce(1).write.mode("overwrite").partitionBy("seg")
-      .parquet(s"$path/stats.__compact")
+    // the four staged rewrites are independent jobs over the
+    // materialized `live`/`docsTbl` into four disjoint `.__compact` dirs
+    // — landed concurrently (guide §2.6); visibility still flips only at
+    // the sequential swaps below, so the crash window is unchanged
+    graft.ops.Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => live.repartition(nBuckets(spark, path) * math.max(1, filesPerBucket),
+          col("bucket"),
+          pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
+        .withColumn("seg", lit(0L))
+        .write.mode("overwrite").partitionBy("seg", "bucket")
+        .parquet(s"$path/postings.__compact"),
+      () => live.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("seg", lit(0L))
+        .write.mode("overwrite").partitionBy("seg").parquet(s"$path/terms.__compact"),
+      () => docsTbl.select("doc_id", "dl")
+        .withColumn("seg", lit(0L))
+        .write.mode("overwrite").partitionBy("seg").parquet(s"$path/docs.__compact"),
+      () => Seq((n, if (n == 0) 0L else stats.getLong(1)))
+        .toDF("n_docs", "tot_dl")
+        .withColumn("seg", lit(0L))
+        .coalesce(1).write.mode("overwrite").partitionBy("seg")
+        .parquet(s"$path/stats.__compact")),
+      parallelism = 4)(_())
     Seq("postings", "terms", "docs", "stats").foreach { t =>
       graft.ops.Layout.swapDir(fs, s"$path/$t", s"$path/$t.__compact")
     }
@@ -565,26 +606,32 @@ object Bm25 extends graft.ops.IndexLifecycle {
     // partition-pruned read of exactly the merged segments' directories,
     // re-aligned to the bucket layout (same write-parallelism knob as
     // writeIndex/compactIndex)
-    spark.read.parquet(s"$path/postings").where(segFilter).drop("seg")
-      .repartition(nBuckets(spark, path) * math.max(1, filesPerBucket),
-        col("bucket"),
-        pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
-      .withColumn("seg", lit(newSeg))
-      .write.mode("append").partitionBy("seg", "bucket").parquet(s"$path/postings")
+    // the four re-homed writes are invisible until the commit flip below
+    // (new seg id, uncommitted), so they land CONCURRENTLY (guide §2.6) —
+    // same crash window as the sequential ordering, the three tiny
+    // ledger-algebra writes hide under the postings re-home.
     // terms/docs/stats: exact ledger algebra over the merged segments —
     // no tokenization, no corpus read
-    spark.read.parquet(s"$path/terms").where(segFilter)
-      .groupBy("term").agg(sum("df").cast("long").as("df"))
-      .withColumn("seg", lit(newSeg))
-      .write.mode("append").partitionBy("seg").parquet(s"$path/terms")
-    spark.read.parquet(s"$path/docs").where(segFilter).drop("seg")
-      .withColumn("seg", lit(newSeg))
-      .write.mode("append").partitionBy("seg").parquet(s"$path/docs")
     val st = spark.read.parquet(s"$path/stats").where(segFilter)
       .agg(sum("n_docs").cast("long"), sum("tot_dl").cast("long")).head
-    Seq((st.getLong(0), st.getLong(1))).toDF("n_docs", "tot_dl")
-      .withColumn("seg", lit(newSeg))
-      .coalesce(1).write.mode("append").partitionBy("seg").parquet(s"$path/stats")
+    graft.ops.Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => spark.read.parquet(s"$path/postings").where(segFilter).drop("seg")
+        .repartition(nBuckets(spark, path) * math.max(1, filesPerBucket),
+          col("bucket"),
+          pmod(xxhash64(col("doc_id")), lit(math.max(1, filesPerBucket))))
+        .withColumn("seg", lit(newSeg))
+        .write.mode("append").partitionBy("seg", "bucket").parquet(s"$path/postings"),
+      () => spark.read.parquet(s"$path/terms").where(segFilter)
+        .groupBy("term").agg(sum("df").cast("long").as("df"))
+        .withColumn("seg", lit(newSeg))
+        .write.mode("append").partitionBy("seg").parquet(s"$path/terms"),
+      () => spark.read.parquet(s"$path/docs").where(segFilter).drop("seg")
+        .withColumn("seg", lit(newSeg))
+        .write.mode("append").partitionBy("seg").parquet(s"$path/docs"),
+      () => Seq((st.getLong(0), st.getLong(1))).toDF("n_docs", "tot_dl")
+        .withColumn("seg", lit(newSeg))
+        .coalesce(1).write.mode("append").partitionBy("seg").parquet(s"$path/stats")),
+      parallelism = 4)(_())
     // the one-flip commit: sources out, merge result in. Segments
     // committed by an APPEND while this merge rewrote its tail must
     // survive the flip, so the marker set is re-listed here — everything
