@@ -717,9 +717,14 @@ object Ann extends IndexLifecycle {
     * wants (each query touches nProbe directories, not the full scan).
     */
   def writeIvf(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
-    assigned.write.mode("overwrite")
-      .partitionBy("centroid_id").parquet(s"$path/lists")
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // two independent writes into disjoint dirs — landed concurrently
+    // (guide §2.6); a rebuild is a whole-state replace with no commit
+    // marker, so the crash exposure is the sequential ordering's
+    Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => assigned.write.mode("overwrite")
+        .partitionBy("centroid_id").parquet(s"$path/lists"),
+      () => centroids.write.mode("overwrite").parquet(s"$path/centroids")),
+      parallelism = 2)(_())
     // rebuild = whole-state replace: drop the previous life's
     // _tombstones sidecar and batches ledger (Layout.clearIndexSidecars
     // scaladoc has the failure modes)
@@ -789,14 +794,21 @@ object Ann extends IndexLifecycle {
     // for the next one instead of silently revived
     val tombFiles = Layout.snapshotTombstoneFiles(fs, s"$path/_tombstones")
     val lists = spark.read.parquet(s"$path/lists")
-    val before = lists.count()
-    val live = materializeOnce(
-      if (tombFiles.isEmpty) lists
-      else lists.join(
-        spark.read.parquet(tombFiles.map(_.toString): _*)
-          .select(col("vec_id").cast("long").as("vec_id")).distinct(),
-        Seq("vec_id"), "left_anti"))
-    val after = live.count()
+    // one ledger pass for both counts + an uncheckpointed single-consumer
+    // rewrite — the Layout.compactKeyedTable fusion (see there): `dead`
+    // is distinct, so count(__dead) is exactly the rows the anti-join
+    // drops, and `live` feeds only the staged write below
+    val dead =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
+        .select(col("vec_id").cast("long").as("vec_id")).distinct())
+    val cnt = dead.map(dd => lists
+      .join(dd.withColumn("__dead", lit(1)), Seq("vec_id"), "left")
+      .agg(count(lit(1)), count(col("__dead"))).head)
+    val before = cnt.map(_.getLong(0)).getOrElse(lists.count())
+    val after = cnt.map(r => r.getLong(0) - r.getLong(1)).getOrElse(before)
+    val live = dead.map(dd => lists.join(dd, Seq("vec_id"), "left_anti"))
+      .getOrElse(lists)
     // same refusal as Bm25.compactIndex: an all-dead compact would swap
     // in a data-file-less partitioned dir that loadIvf cannot read
     require(after > 0,

@@ -397,14 +397,19 @@ object Hnsw extends IndexLifecycle {
     import spark.implicits._
     Ann.requireIntegralId(index, idCol, "hnsw.write")
     val p = params
-    buildSegments(
-      index.select(
-        pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int").as("shard"),
-        col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
-      p).write.partitionBy("shard").mode("overwrite").parquet(segPath(path))
-    Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
-      .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
-      .write.mode("overwrite").parquet(metaPath(path))
+    // two independent writes into disjoint dirs — landed concurrently
+    // (guide §2.6); same crash exposure as the sequential ordering (a
+    // rebuild is a whole-state replace, no commit marker)
+    Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => buildSegments(
+        index.select(
+          pmod(xxhash64(col(idCol)), lit(p.numShards)).cast("int").as("shard"),
+          col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+        p).write.partitionBy("shard").mode("overwrite").parquet(segPath(path)),
+      () => Seq((p.m, p.efConstruction, p.efSearch, p.numShards, p.seed))
+        .toDF("m", "ef_construction", "ef_search", "num_shards", "seed")
+        .write.mode("overwrite").parquet(metaPath(path))),
+      parallelism = 2)(_())
     // rebuild = whole-state replace: drop the previous life's
     // _tombstones sidecar and batches ledger (Layout.clearIndexSidecars
     // scaladoc has the failure modes)

@@ -820,14 +820,30 @@ object Layout {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val tombFiles = snapshotTombstoneFiles(fs, tombPath)
     val data = spark.read.parquet(dataPath)
-    val before = data.count()
-    val live = Ann.materializeOnce(
-      if (tombFiles.isEmpty) data
-      else data.join(
-        spark.read.parquet(tombFiles.map(_.toString): _*)
-          .select(col(idCol).cast("long").as(idCol)).distinct(),
-        Seq(idCol), "left_anti"))
-    val after = live.count()
+    // ONE ledger pass yields both counts (`dead` is distinct, so each
+    // data row matches at most one dead row): count(*) is the old
+    // `before` and count(__dead) the rows the anti-join below drops.
+    // With the counts off `live`'s lineage, `live` is consumed exactly
+    // once (the staged write), so the old double-execution checkpoint
+    // (materializeOnce + a second count job) is gone too — the round-15
+    // guide-§1.2 fusion, two data passes and a checkpoint down to one
+    // pass.
+    val dead =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
+        .select(col(idCol).cast("long").as(idCol)).distinct())
+    val cnt = dead match {
+      case None => null
+      case Some(dd) => data
+        .join(dd.withColumn("__dead", lit(1)), Seq(idCol), "left")
+        .agg(count(lit(1)), count(col("__dead"))).head
+    }
+    val before = if (cnt == null) data.count() else cnt.getLong(0)
+    val after = if (cnt == null) before else before - cnt.getLong(1)
+    val live = dead match {
+      case None => data
+      case Some(dd) => data.join(dd, Seq(idCol), "left_anti")
+    }
     require(after > 0,
       s"$op: every row at $dataPath is tombstoned — delete the index " +
         "directory instead of compacting to empty")

@@ -301,15 +301,20 @@ object Pq extends IndexLifecycle {
   def write(codes: DataFrame, model: PqModel, path: String): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // three independent writes into disjoint dirs — landed concurrently
+    // (guide §2.6); same crash exposure as the sequential ordering (a
+    // rebuild is a whole-state replace, no commit marker)
     val rows = for {
       j <- 0 until model.m
       c <- 0 until model.k
     } yield (j, c, model.codebooks(j)(c).toSeq)
-    rows.toDF("j", "c", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((model.dims, model.m, model.k)).toDF("dims", "m", "k")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => codes.write.mode("overwrite").parquet(s"$path/codes"),
+      () => rows.toDF("j", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => Seq((model.dims, model.m, model.k)).toDF("dims", "m", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")),
+      parallelism = 3)(_())
     Layout.clearIndexSidecars(spark, path)
   }
 

@@ -197,10 +197,14 @@ object Sq extends IndexLifecycle {
     import spark.implicits._
     Ann.requireIntegralId(index, idCol, "sq.writeCodes")
     val model = fitBounds(index, vecCol)
-    encode(index, model, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/codes")
-    Seq((model.mins.toSeq, model.maxs.toSeq)).toDF("mins", "maxs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    // two independent writes into disjoint dirs — landed concurrently
+    // (guide §2.6); same crash exposure as the sequential ordering
+    Layout.mapConcurrently[() => Unit, Unit](Seq(
+      () => encode(index, model, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$path/codes"),
+      () => Seq((model.mins.toSeq, model.maxs.toSeq)).toDF("mins", "maxs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/model")),
+      parallelism = 2)(_())
     Layout.clearIndexSidecars(spark, path)
     model
   }

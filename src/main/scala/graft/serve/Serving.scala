@@ -322,11 +322,22 @@ object CachedRag {
       if (missQ.isEmpty) None
       else {
         val priced = materializeOnce(answerMisses(missQ))
-        val intake = SemanticCache.intakeBatch(spark,
-          priced.join(batch.select("query_id", "query_vec"), Seq("query_id"))
-            .select(col("query_id"), col("query_vec"), col("answer")),
-          cachePath, minCos, idOffset, carryCols = Seq("answer"),
-          maxExactProduct = maxExactProduct)
+        // feed the dispositions THIS loop already derived into the
+        // intake tail ([[SemanticCache.intakeResolved]]) instead of
+        // letting intakeBatch re-run a second full store lookup over the
+        // same visible view (the round-15 fusion — at banded scale the
+        // lookup IS the per-batch cost, and it ran twice). Equivalence:
+        // the intake's own lookup would probe `stored` minus the misses'
+        // minted ids; hits never insert, so that view holds exactly the
+        // same rows as `visible` (stored minus ALL own ids), and `disp`'s
+        // miss rows are the routeLookup result against it.
+        val intake = SemanticCache.intakeResolved(spark,
+          disp.where(!col("hit"))
+            .select("query_id", "cache_id", "cos", "hit")
+            .join(batch.select(col("query_id"), col("query_vec").as("__qv")),
+              Seq("query_id"))
+            .join(priced.select("query_id", "answer"), Seq("query_id")),
+          cachePath, minCos, idOffset, carryCols = Seq("answer"))
         Some(priced
           .join(intake.select("query_id", "cache_id", "hit"), Seq("query_id"))
           .select(col("query_id"), col("question"), col("answer"),
@@ -2343,11 +2354,39 @@ object SemanticCache {
     // exclude this batch's OWN (replayed) insertions from the lookup
     val ownIds = batch.select((col(queryIdCol) + idOffset).cast("long").as("cache_id"))
     val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
-    val looked = materializeOnce(
+    intakeResolved(spark,
       routeLookup(batch, visible, minCos, queryIdCol, queryVecCol,
         maxExactProduct)
         .join(batch.select((col(queryIdCol).as("query_id") +:
-          col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")))
+          col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")),
+      cachePath, minCos, idOffset, carryCols)
+  }
+
+  /** Steps 2–4 of [[intakeBatch]] — within-batch resolve, collision-
+    * checked insert, disposition assembly — over a PRE-COMPUTED lookup
+    * `looked0` of `(query_id, cache_id, cos, hit, __qv, carryCols*)`
+    * rows. Split out so the composed serving loop
+    * ([[CachedRag.cachedAnswerBatch]]) can feed the dispositions it
+    * already derived for its misses instead of paying a SECOND full
+    * store lookup per micro-batch (the round-15 fusion: the lookup is
+    * the probe-side cost that scales with the cache, and the loop ran
+    * it twice against the same visible view — once to route, once
+    * inside the intake). The caller owns the lookup-equivalence premise:
+    * `looked0`'s rows must be the [[routeLookup]] result against the
+    * store minus the batch's own minted ids, exactly what
+    * [[intakeBatch]] computes itself.
+    */
+  private[graft] def intakeResolved(
+      spark: SparkSession,
+      looked0: DataFrame,
+      cachePath: String,
+      minCos: Double,
+      idOffset: Long,
+      carryCols: Seq[String]): DataFrame = {
+    import graft.ops.Ann.materializeOnce
+    val p = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val looked = materializeOnce(looked0)
     // within-batch resolve over the misses (step 2). Pair generation is
     // the d8 selectivity law ([[graft.ops.Dedup.cosinePairsAuto]]): an
     // exact broadcast product under 10k misses, RP-banded candidates
@@ -2384,11 +2423,14 @@ object SemanticCache {
     // ids + a boolean only), so a single collect both checks the
     // collision law and feeds the insert's replay exclusion as a scan
     // filter — no checkpoint, no second count, no broadcast build.
-    val dups = stored.select(col("cache_id"), col("embedding").as("__old"))
-      .join(broadcast(inserts.select(col("cache_id"), col("embedding").as("__new"))),
-        Seq("cache_id"))
-      .select(col("cache_id"), (col("__old") <=> col("__new")).as("__same"))
-      .collect()
+    val dups =
+      if (!fs.exists(p)) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(cachePath)
+        .select(col("cache_id"), col("embedding").as("__old"))
+        .join(broadcast(inserts.select(col("cache_id"), col("embedding").as("__new"))),
+          Seq("cache_id"))
+        .select(col("cache_id"), (col("__old") <=> col("__new")).as("__same"))
+        .collect()
     val nCollisions = dups.count(!_.getBoolean(1))
     require(nCollisions == 0,
       s"$nCollisions cache_id collision(s): batch query ids map onto existing " +

@@ -95,6 +95,32 @@ object OptProbe {
       phase("deleteMinhash")(graft.ops.Dedup.deleteMinhash(spark, tmp3,
         Seq(17L, 20L)))
       phase("compactMinhash")(graft.ops.Dedup.compactMinhash(spark, tmp3))
+
+      println(s"== serving loop (round $round) ==")
+      import graft.serve.{CachedRag, ChatRag}
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val echo: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        missQ => missQ.select(col("query_id"), col("question"),
+          concat(lit("computed: "), col("question")).as("answer"),
+          lit(0.5).as("cost"))
+      def turnBatch(i: Int) = {
+        import spark.implicits._
+        Seq(3L, 7L, 11L).map(b => (s"s$b", b + i)).toDF("session_id", "qdoc")
+          .join(docs, col("qdoc") === col("doc_id"))
+          .join(emb, col("qdoc") === col("vec_id"))
+          .select(col("session_id"),
+            (col("qdoc") + lit(100L * i)).as("query_id"),
+            col("text").as("question"), col("embedding").as("query_vec"))
+      }
+      val root4 = java.nio.file.Files.createTempDirectory("graft_opt_srv").toString
+      val (mem, cache) = (s"$root4/memory", s"$root4/cache")
+      phase("chatTurn t0")(ChatRag.chatTurn(spark, turnBatch(0), mem, cache,
+        minCos = 0.999, echo).count())
+      phase("chatTurn t1")(ChatRag.chatTurn(spark, turnBatch(1), mem, cache,
+        minCos = 0.999, echo).count())
+      phase("cachedAnswerBatch")(CachedRag.cachedAnswerBatch(spark,
+        turnBatch(2).select("query_id", "question", "query_vec"),
+        cache, minCos = 0.999, echo).count())
     }
     spark.stop()
   }
