@@ -233,23 +233,27 @@ object Sq extends IndexLifecycle {
       maxOutOfBounds: Double = 0.05): Unit = {
     Ann.requireIntegralId(batch, idCol, "sq.appendCodes")
     val model = loadModel(spark, path)
-    // dims check FIRST, as its own action (the fitBounds order): the
-    // out-of-bounds aggregate below indexes every dim with element_at,
-    // which must not be the thing that discovers a short vector
-    val dRow = batch.agg(
-      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
-      count(lit(1)).as("n")).head
-    if (dRow.getLong(2) == 0L) return // empty batch: nothing to encode
-    require(dRow.getInt(0) == model.dims && dRow.getInt(1) == model.dims,
-      s"sq.appendCodes: batch dims [${dRow.getInt(0)}, ${dRow.getInt(1)}] " +
-        s"!= index dims ${model.dims}")
+    // ONE batch pass for the dims check AND the out-of-bounds fraction
+    // (guide §1.2 — this guard used to be two full aggregates over the
+    // batch). The oob sum indexes every dim with element_at, which must
+    // not be the thing that discovers a short vector, so it rides a
+    // size-guarded branch (`when` evaluates only the taken arm per row);
+    // the guarded value for a wrong-dims row never matters — the dims
+    // require below fails the whole append from the same aggregate row.
     val oobCells = (0 until model.dims).map { i =>
       val x = element_at(col(vecCol), i + 1).cast("double")
       when(x < lit(model.mins(i)) || x > lit(model.maxs(i)), 1L).otherwise(0L)
     }.reduce(_ + _)
-    val stats = batch.agg(
-      count(lit(1)).as("n"), sum(oobCells).as("n_oob")).head
-    val frac = stats.getLong(1).toDouble / (stats.getLong(0) * model.dims)
+    val dRow = batch.agg(
+      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"),
+      count(lit(1)).as("n"),
+      sum(when(size(col(vecCol)) === model.dims, oobCells)
+        .otherwise(lit(0L))).as("n_oob")).head
+    if (dRow.getLong(2) == 0L) return // empty batch: nothing to encode
+    require(dRow.getInt(0) == model.dims && dRow.getInt(1) == model.dims,
+      s"sq.appendCodes: batch dims [${dRow.getInt(0)}, ${dRow.getInt(1)}] " +
+        s"!= index dims ${model.dims}")
+    val frac = dRow.getLong(3).toDouble / (dRow.getLong(2) * model.dims)
     require(frac <= maxOutOfBounds,
       f"sq.appendCodes: $frac%.3f of the batch's values fall outside the " +
         f"frozen per-dim bounds (> $maxOutOfBounds%.3f) — the stored " +
