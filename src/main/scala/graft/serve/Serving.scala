@@ -771,14 +771,16 @@ object ChatRag {
       case Some(ts) => appendBase.withColumn("ts", lit(ts))
       case None => appendBase
     }
+    // the replay guard anti-joins against the SAME slice `history` was
+    // checkpointed from at turn start — not a second readMemorySlice:
+    // chatTurn is the table's single writer and nothing has appended
+    // between the two points, so the re-read was a duplicate bucket scan
+    // per turn (round-15 fusion; the getOrElse-empty arm makes the
+    // absent-table case an anti-join against zero rows — same no-op as
+    // the old None branch)
     val freshAppend =
-      readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
-        nBuckets) match {
-        case Some(existing) =>
-          appendRows.join(existing.select("session_id", "turn"),
-            Seq("session_id", "turn"), "left_anti")
-        case None => appendRows
-      }
+      appendRows.join(history.select("session_id", "turn"),
+        Seq("session_id", "turn"), "left_anti")
     // bucketed: ONE task writes one file per TOUCHED bucket; a session's
     // two rows share a bucket, so each session's turn stays all-or-nothing
     // within one file commit (cross-bucket partiality on a driver crash
