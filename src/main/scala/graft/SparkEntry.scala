@@ -1719,10 +1719,17 @@ object SparkEntry {
     reg("d9_cc_resolution") { (s, dir) =>
       // exact transitive-closure dedup: one representative per connected
       // component of the jaccard pair graph (oracled against a DuckDB
-      // recursive CTE — a genuine oracle for an iterative Spark algorithm)
+      // recursive CTE — a genuine oracle for an iterative Spark algorithm).
+      // Shuffles sized from the DOCS input (Layout.withShuffleSizedTo —
+      // every internal frame is bounded by a small multiple of the doc
+      // text; the pair-graph's own join-product estimate is useless);
+      // the CC loop's first action executes the whole pair pipeline, so
+      // the gate must wrap construction
       val docs = T(s, dir, "documents").where(col("doc_id") < 60)
-      val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
-      Dedup.dropNearDupsCC(docs, pairs).select("doc_id").orderBy("doc_id")
+      Layout.withShuffleSizedTo(s, Layout.planBytes(docs) * 4) {
+        val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
+        Dedup.dropNearDupsCC(docs, pairs).select("doc_id").orderBy("doc_id")
+      }
     }
     reg("d17_neardup_resolve_hashed") { (s, dir) =>
       // the 100 TB near-dup path end-to-end: vocabulary-free hashed
@@ -1732,36 +1739,48 @@ object SparkEntry {
       // prob ~5e-8 at 0.8, the d5b argument), emitting every doc's
       // component and keep decision, not just the survivor list
       val docs = T(s, dir, "documents").where(col("doc_id") < 200)
-      val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
-        numHashes = 128, bands = 32, minJaccard = 0.8)
-      // hybrid CC: post-banding pair sets are driver-small even for huge
-      // corpora — union-find below the threshold, distributed loop above
-      // (d9/d10 keep the pure distributed paths under oracle)
-      val comps = Dedup.connectedComponents(pairs, smallGraphCollect = 1L << 20)
-      docs.select(col("doc_id"))
-        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      // docs-derived shuffle sizing (see d9's note): the banding/verify
+      // pipeline executes eagerly inside connectedComponents' first count
+      Layout.withShuffleSizedTo(s, Layout.planBytes(docs) * 4) {
+        val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
+          numHashes = 128, bands = 32, minJaccard = 0.8)
+        // hybrid CC: post-banding pair sets are driver-small even for huge
+        // corpora — union-find below the threshold, distributed loop above
+        // (d9/d10 keep the pure distributed paths under oracle)
+        val comps = Dedup.connectedComponents(pairs, smallGraphCollect = 1L << 20)
+        docs.select(col("doc_id"))
+          .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+          .withColumn("kept", col("doc_id") === col("comp"))
+          .orderBy("doc_id")
+      }
     }
     reg("d18_quality_resolve") { (s, dir) =>
       // quality-aware keeper: same pair graph as d17, but each component
       // keeps its highest-quality member (ties -> min id) instead of the
       // min id — the RefinedWeb/FineWeb "keep the best copy" resolve rule
       val docs = T(s, dir, "documents").where(col("doc_id") < 200)
-      val scored = docs.select(col("doc_id"),
-        TextAnalytics.qualityScore(col("text")).as("quality"))
-      val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
-        numHashes = 128, bands = 32, minJaccard = 0.8)
-      Dedup.resolveNearDupsBy(scored, pairs, smallGraphCollect = 1L << 20)
-        .select(col("doc_id"), col("comp"), col("quality"), col("kept"))
-        .orderBy("doc_id")
+      // docs-derived shuffle sizing (see d9's note)
+      Layout.withShuffleSizedTo(s, Layout.planBytes(docs) * 4) {
+        val scored = docs.select(col("doc_id"),
+          TextAnalytics.qualityScore(col("text")).as("quality"))
+        val pairs = Dedup.minHashPairsHashed(docs, shingleSize = 1,
+          numHashes = 128, bands = 32, minJaccard = 0.8)
+        Dedup.resolveNearDupsBy(scored, pairs, smallGraphCollect = 1L << 20)
+          .select(col("doc_id"), col("comp"), col("quality"), col("kept"))
+          .orderBy("doc_id")
+      }
     }
     reg("d10_cc_star") { (s, dir) =>
       // the O(log n)-round star-contraction CC variant, oracled against
       // the same DuckDB recursive-CTE transitive closure as d9 — full
       // (id, comp) labels, not just the dedup survivors
       val docs = T(s, dir, "documents").where(col("doc_id") < 60)
+      // deliberately NOT wrapped in withShuffleSizedTo: the star loop's
+      // per-round count + exceptAll convergence actions measured 50%
+      // SLOWER at a 1-partition plan (with or without AQE) — the
+      // alternation needs the parallel rounds more than it suffers the
+      // tiny-task overhead, unlike the min-label loop (d9, −14% wrapped)
       val pairs = Dedup.jaccardPairs(docs, minSim = 0.8)
       Dedup.connectedComponentsStar(pairs).orderBy("id")
     }

@@ -1134,12 +1134,13 @@ object Dedup extends IndexLifecycle {
     // sets are pairs-after-banding, often thousands of rows even for
     // huge corpora, which is exactly the regime this serves. Bounded by
     // construction: the collect is refused-by-skip past the threshold.
+    // full count, not limit-count: limit short-circuits and leaves the
+    // persist unfilled, so any later consumer would recompute the whole
+    // pairs pipeline a second time (measured 2x the query's wall-clock);
+    // count() fills the cache the loop needs anyway — and the count is
+    // also what sizes the distributed loop's shuffles below
+    val m = edges.count()
     if (smallGraphCollect > 0) {
-      // full count, not limit-count: limit short-circuits and leaves the
-      // persist unfilled, so the collect below would recompute the whole
-      // pairs pipeline a second time (measured 2x the query's wall-clock);
-      // count() fills the cache the loop needs anyway if the path is big
-      val m = edges.count()
       if (m <= smallGraphCollect) {
         val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -1176,7 +1177,11 @@ object Dedup extends IndexLifecycle {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    try {
+    // size the per-round shuffles from the counted edge set (~48 B/row
+    // upper bound), not the cluster constant — see
+    // Layout.withShuffleSizedTo; min-label propagation is
+    // partition-invariant, so labels are identical either way
+    try Layout.withShuffleSizedTo(pairs.sparkSession, BigInt(m) * 48) {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint(true)
@@ -1276,6 +1281,10 @@ object Dedup extends IndexLifecycle {
     }
     var converged = false
     var i = 0
+    // NOT sized via withShuffleSizedTo: a 1-partition plan measured 50%
+    // slower here (the per-round count + exceptAll convergence actions
+    // and the alternation's joins want the parallel rounds), unlike the
+    // min-label loop in connectedComponents
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       converged = next.count() == edges.count() &&

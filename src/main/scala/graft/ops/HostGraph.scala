@@ -52,6 +52,16 @@ object HostGraph {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
+    // size every shuffle in the loop from the EDGE data, not the cluster
+    // constant (Layout.withShuffleSizedTo): every frame here — edges,
+    // nodes, ranks, per-iteration contributions — is bounded by the edge
+    // input, and `iterations` keyed shuffles of a KB-sized rank table
+    // fanned to shuffle.partitions × iterations near-empty tasks was the
+    // round-15 32-core anti-scaling (p17/p19 ran ~4× faster on 8 cores).
+    // The integer-grid algebra is partition-invariant, so ranks are
+    // bit-identical either way; at 100 TB the estimate exceeds the
+    // advisory size and nothing changes.
+    Layout.withShuffleSizedTo(edges0.sparkSession, Layout.planBytes(edges0)) {
     val edges = prepEdges(edges0, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -81,6 +91,7 @@ object HostGraph {
       freeCkpt(outdeg)
       ranks
     } finally edges.unpersist()
+    }
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank whose
@@ -105,6 +116,8 @@ object HostGraph {
     require(iterations >= 1, "trustRank needs at least one iteration")
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
+    // edge-data-derived shuffle sizing — see pageRank's note
+    Layout.withShuffleSizedTo(edges0.sparkSession, Layout.planBytes(edges0)) {
     val edges = prepEdges(edges0, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -137,6 +150,7 @@ object HostGraph {
       freeCkpt(nodes); freeCkpt(seedNodes); freeCkpt(bases); freeCkpt(outdeg)
       ranks
     } finally edges.unpersist()
+    }
   }
 
   /** Edge normalization for [[pageRank]]: cast, drop self-loops, dedup —
@@ -191,6 +205,8 @@ object HostGraph {
       dstCol: String = "dst"): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
     require(scale > 0, s"scale must be positive, got $scale")
+    // edge-data-derived shuffle sizing — see pageRank's note
+    Layout.withShuffleSizedTo(edges0.sparkSession, Layout.planBytes(edges0)) {
     val edgesS = prepEdges(edges0, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgesD = edgesS.repartition(col("dst"))
@@ -236,6 +252,7 @@ object HostGraph {
       freeCkpt(nodes); freeCkpt(hubs); freeCkpt(auths)
       out
     } finally { edgesD.unpersist(); edgesS.unpersist() }
+    }
   }
 
   /** Fill missing nodes with 0, L∞-normalize onto the grid, checkpoint.

@@ -576,4 +576,55 @@ class LayoutSpec extends SparkSpec {
     assert(names(root).contains("staged_gen") && !fs.exists(rootAside),
       "a crashed whole-table swap must heal from the root's own siblings")
   }
+
+  test("withShuffleSizedTo: derives partitions from bytes, restores conf, " +
+    "never shrinks for big/unknown estimates") {
+    val cur = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // tiny estimate -> 1 partition, AQE off, both restored after
+    Layout.withShuffleSizedTo(spark, BigInt(1024)) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "1")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+      // values are partitioning-invariant: a keyed aggregate under the
+      // 1-partition plan equals the ambient-plan result
+      val r = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k").agg(sum("v").as("s")).orderBy("k")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(r.size == 7 && r.map(_._2).sum == 4950)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == cur)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+    // disableAqeAtOne=false keeps AQE on even at 1 partition
+    Layout.withShuffleSizedTo(spark, BigInt(1024), disableAqeAtOne = false) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "1")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+    }
+    // mid-size estimate -> ceil(bytes/advisory), AQE untouched
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    if (cur.toInt > 2) {
+      Layout.withShuffleSizedTo(spark, BigInt(advisory) * 2) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+      }
+    }
+    // huge/unknown estimates (plan-stat default ~ Long.Max) never shrink
+    Layout.withShuffleSizedTo(spark, BigInt(Long.MaxValue)) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == cur)
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+    }
+    // conf restored even when the body throws
+    intercept[RuntimeException] {
+      Layout.withShuffleSizedTo(spark, BigInt(1)) { throw new RuntimeException("x") }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == cur)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+    // planBytes: a parquet-backed frame reports a real (small) size; an
+    // unresolvable estimate reports the safe huge default
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_wss").toString
+    spark.range(100).toDF("id").write.mode("overwrite").parquet(s"$tmp2/t")
+    val pb = Layout.planBytes(spark.read.parquet(s"$tmp2/t"))
+    assert(pb > 0 && pb < BigInt(advisory),
+      s"parquet-backed planBytes must be the real file size, got $pb")
+  }
 }
