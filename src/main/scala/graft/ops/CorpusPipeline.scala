@@ -393,10 +393,19 @@ object CorpusPipeline {
       textCol: String = "text",
       minJaccard: Double = 0.8,
       storeMaxBucketSize: Long = 1L << 20): DataFrame = {
-    val meta = spark.read.parquet(s"$storePath/meta")
-      .select("shingle_size", "num_hashes", "bands").head
+    val meta = Dedup.readMinhashMeta(spark, storePath)
     val (shingleSize, numHashes, bands) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // every shuffle in the intake sized from the REAL store bytes (file
+    // listing) + the batch's plan estimate (×4 bounds the shingle
+    // explode) instead of the cluster constant: the checkpoints/appends
+    // below are this function's own actions, so the scope covers the
+    // whole micro-batch (Layout.withShuffleSizedTo — measured 61 → 25
+    // jobs, 3.3 → 1.7 s warm per batch at sf0.1). An unknown batch
+    // estimate or a grown store disables the shrink — same plan as
+    // before at scale.
+    Layout.withShuffleSizedTo(spark,
+      BigInt(Layout.dirBytes(spark, storePath)) + Layout.planBytes(batch) * 4) {
     // ONE shingle-explode and ONE signature aggregate for the whole
     // batch, materialized up front and shared by all three stages. The
     // unfused composition (probe → resolve → append as standalone calls)
@@ -426,19 +435,24 @@ object CorpusPipeline {
     // a cascade of broadcast-build jobs (measured: the probe/resolve DAG
     // re-ran ~4x, 167 jobs/batch). Checkpointed, each DAG runs once.
     val ownIds = batch.select(col(idCol).as("corpus_id")).distinct()
-    val corpusDups = Ann.materializeOnce(
-      Dedup.storeProbeExact(spark, storePath,
-        exploded.select(col(idCol).as("batch_id"), col("__h")),
-        batchBands.select(col(idCol).as("batch_id"), col("band"), col("band_key")),
-        minJaccard, storeMaxBucketSize)
-        .join(broadcast(ownIds), Seq("corpus_id"), "left_anti")
-        .select(col("batch_id").as(idCol)).distinct())
+    // the probe folds STRAIGHT into the after-corpus id set (round-16:
+    // one checkpoint and one plan where corpusDups + afterCorpusIds were
+    // two — the corpus-dup ids were only ever consumed as "batch minus
+    // them", and `survivors` below re-derives the same set membership
+    // via a semi-join on afterCorpusIds, set-identical because every
+    // probe hit is a batch id)
+    val afterCorpusIds = Ann.materializeOnce(
+      batch.select(idCol).distinct()
+        .join(Dedup.storeProbeExact(spark, storePath,
+            exploded.select(col(idCol).as("batch_id"), col("__h")),
+            batchBands.select(col(idCol).as("batch_id"), col("band"), col("band_key")),
+            minJaccard, storeMaxBucketSize)
+          .join(broadcast(ownIds), Seq("corpus_id"), "left_anti")
+          .select(col("batch_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti"))
     // 2. within-batch resolve over the SAME parts, restricted to the
     // corpus survivors (shingling/signatures are per-doc, so filtering
     // the batch-wide tables is exactly re-deriving them from afterCorpus)
-    val afterCorpusIds = Ann.materializeOnce(
-      batch.select(idCol).distinct()
-        .join(corpusDups, Seq(idCol), "left_anti"))
     val losers = Ann.materializeOnce(
       Dedup.pairsFromBanded(
         exploded.join(afterCorpusIds, Seq(idCol), "left_semi"),
@@ -448,11 +462,11 @@ object CorpusPipeline {
         .select(col("id_b").cast(batch.schema(idCol).dataType).as(idCol))
         .distinct())
     val survivors = Ann.materializeOnce(
-      batch.join(corpusDups, Seq(idCol), "left_anti")
+      batch.join(afterCorpusIds, Seq(idCol), "left_semi")
         .join(losers, Seq(idCol), "left_anti"))
     // 3. append the survivors through the docs/ ledger — the same parts
     // again, filtered to fresh ids (doc-idempotent, data before ledger)
-    val existing = spark.read.parquet(s"$storePath/docs").select("doc_id")
+    val existing = Dedup.readMinhashDocs(spark, storePath)
     val freshIds = Ann.materializeOnce(
       survivors.select(col(idCol).as("doc_id")).distinct()
         .join(existing, Seq("doc_id"), "left_anti"))
@@ -464,6 +478,7 @@ object CorpusPipeline {
           .join(freshIds, Seq("doc_id"), "left_semi"),
         numHashes, bands)
     survivors
+    }
   }
 
   /** Streaming continuous-crawl intake over the signature store: each

@@ -361,6 +361,39 @@ object Dedup extends IndexLifecycle {
 
   // --------------------------------------------- at-rest signature store
 
+  // Fixed store-table schemas: the write side pins these shapes, so
+  // readers declare them instead of paying a footer-inference driver JOB
+  // per spark.read.parquet (guide §6 metadata cost — the intake path
+  // reads meta+docs per micro-batch and the probes read bands/shingles/
+  // sigs per call; same recipe as Bm25.readTable).
+  private def readTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, ddl: String): DataFrame =
+    spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(path)
+  private val MetaDdl = "shingle_size INT, num_hashes INT, bands INT"
+  private val DocsDdl = "doc_id BIGINT"
+  private val BandsDdl = "doc_id BIGINT, band INT, band_key BIGINT"
+  private val SigsDdl = "doc_id BIGINT, __sig ARRAY<BIGINT>"
+  private val ShinglesDdl = "doc_id BIGINT, __h BIGINT"
+
+  /** The store's (shingle_size, num_hashes, bands) law row — schema'd
+    * read shared with the fused intake path in
+    * [[graft.ops.CorpusPipeline.nearDupIntakeBatch]].
+    */
+  private[graft] def readMinhashMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.Row =
+    readTable(spark, s"$path/meta", MetaDdl)
+      .select("shingle_size", "num_hashes", "bands").head
+
+  /** The store's `docs/` append-idempotency ledger — schema'd read shared
+    * with the fused intake path.
+    */
+  private[graft] def readMinhashDocs(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readTable(spark, s"$path/docs", DocsDdl).select("doc_id")
+
   /** Persist the corpus's minhash state under `path` — the signature
     * store a continuous-crawl pipeline keeps so each NEW batch is
     * near-dup-checked against the corpus WITHOUT recomputing corpus
@@ -388,6 +421,10 @@ object Dedup extends IndexLifecycle {
       s"writeMinhash: numHashes $numHashes must be a multiple of bands $bands")
     val spark = docs.sparkSession
     import spark.implicits._
+    // store-build shuffles sized from the input docs (×4 bounds the
+    // shingle explode) — Layout.withShuffleSizedTo; the checkpoints and
+    // five writes below are this function's own actions
+    Layout.withShuffleSizedTo(spark, Layout.planBytes(docs) * 4) {
     val exploded = Ann.materializeOnce(
       shingleExplode(docs, idCol, textCol, shingleSize)
         .repartition(col(idCol)).select(col(idCol).as("doc_id"), col("__h")))
@@ -420,6 +457,7 @@ object Dedup extends IndexLifecycle {
     // rebuild = whole-state replace: a stale batches ledger would
     // silently no-op replayed batch ids against the fresh store
     Layout.clearIndexSidecars(spark, path)
+    }
   }
 
   /** Add a new batch to the store — appends only, doc-idempotent via the
@@ -441,9 +479,14 @@ object Dedup extends IndexLifecycle {
       path: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Long = {
-    val meta = spark.read.parquet(s"$path/meta")
+    val meta = readTable(spark, s"$path/meta", MetaDdl)
       .select("shingle_size", "num_hashes", "bands").head
-    val existing = spark.read.parquet(s"$path/docs").select("doc_id")
+    val existing = readTable(spark, s"$path/docs", DocsDdl).select("doc_id")
+    // append shuffles sized from the delta + the docs ledger's real
+    // bytes (Layout.withShuffleSizedTo; ×4 bounds the shingle explode)
+    Layout.withShuffleSizedTo(spark,
+      BigInt(Layout.dirBytes(spark, s"$path/docs")) +
+        Layout.planBytes(newDocs) * 4) {
     // materialize the fresh id set BEFORE any write: it is both the
     // return count and the ledger delta, and its lineage reads the
     // docs/ ledger the append below extends
@@ -463,6 +506,7 @@ object Dedup extends IndexLifecycle {
     appendPartsToStore(path, freshIds, exploded, sigs,
       meta.getInt(1), meta.getInt(2))
     n
+    }
   }
 
   /** The four store appends of [[appendMinhash]] over PRE-BUILT,
@@ -499,7 +543,8 @@ object Dedup extends IndexLifecycle {
   private def storedBands(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     Layout.excludeTombstoned(spark,
-      spark.read.parquet(s"$path/bands"), s"$path/_tombstones", "doc_id")
+      readTable(spark, s"$path/bands", BandsDdl),
+      s"$path/_tombstones", "doc_id")
 
   /** Mark corpus docs deleted in the signature store — the
     * [[graft.search.Bm25.deleteDocs]] / [[Hnsw.delete]] stance,
@@ -539,7 +584,7 @@ object Dedup extends IndexLifecycle {
     // ONE ledger pass yields both counts (`dead` is distinct, so each
     // docs row matches at most one dead row: count(*) is the old two-job
     // `count()` and count(__dead) the old semi-join count)
-    val cnt = spark.read.parquet(s"$path/docs")
+    val cnt = readTable(spark, s"$path/docs", DocsDdl)
       .join(dead.withColumn("__dead", lit(1)), Seq("doc_id"), "left")
       .agg(count(lit(1)), count("__dead")).head
     val before = cnt.getLong(0)
@@ -550,8 +595,10 @@ object Dedup extends IndexLifecycle {
     // stage all four rewrites concurrently (independent reads into four
     // disjoint `.__compact` dirs — guide §2.6), then flip visibility with
     // the sequential swaps exactly as before
+    val tableDdl = Map("bands" -> BandsDdl, "sigs" -> SigsDdl,
+      "shingles" -> ShinglesDdl, "docs" -> DocsDdl)
     Layout.mapConcurrently(Seq("bands", "sigs", "shingles", "docs"), 4) { t =>
-      spark.read.parquet(s"$path/$t")
+      readTable(spark, s"$path/$t", tableDdl(t))
         .join(dead, Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$path/$t.__compact")
     }
@@ -623,7 +670,7 @@ object Dedup extends IndexLifecycle {
       textCol: String = "text",
       minJaccard: Double = 0.8,
       maxBucketSize: Long = 1L << 20): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta")
+    val meta = readTable(spark, s"$path/meta", MetaDdl)
       .select("shingle_size", "num_hashes", "bands").head
     val exploded = Ann.materializeOnce(
       shingleExplode(batch, idCol, textCol, meta.getInt(0))
@@ -682,7 +729,7 @@ object Dedup extends IndexLifecycle {
       .where(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()
-    val corpusSets = spark.read.parquet(s"$path/shingles")
+    val corpusSets = readTable(spark, s"$path/shingles", ShinglesDdl)
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("__h")).as("__shc"))
@@ -722,7 +769,7 @@ object Dedup extends IndexLifecycle {
       textCol: String = "text",
       minJaccardEst: Double = 0.8,
       maxBucketSize: Long = 1L << 20): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta")
+    val meta = readTable(spark, s"$path/meta", MetaDdl)
       .select("shingle_size", "num_hashes", "bands").head
     val numHashes = meta.getInt(1)
     val batchSigs = Ann.materializeOnce(
@@ -748,7 +795,7 @@ object Dedup extends IndexLifecycle {
     // rows; the exact probe is immune (collect_set), this one must fold
     // them or emit duplicate pairs. Duplicates are always exact row
     // copies (same doc → same signature), so any copy is the right one.
-    val corpusSigs = spark.read.parquet(s"$path/sigs")
+    val corpusSigs = readTable(spark, s"$path/sigs", SigsDdl)
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .dropDuplicates("doc_id")

@@ -314,10 +314,27 @@ object CachedRag {
     // counts VISIBLE (store minus own minted ids) so a crash-replay —
     // whose first delivery's insertions sit in the raw store — computes
     // the same product and takes the same route as the first delivery.
-    val disp = materializeOnce(SemanticCache.routeLookup(batch, visible, minCos,
-      maxExactProduct = maxExactProduct))
-    val missQ = materializeOnce(
-      disp.where(!col("hit")).select("query_id").join(batch, Seq("query_id")))
+    // the router's counts double as the shuffle-sizing gate (see
+    // intakeBatch): the lookup + miss-slice scope is sized from the real
+    // store bytes + batch rows; `answerMisses` below runs OUTSIDE the
+    // scope — its pipeline touches caller-owned tables this gate cannot
+    // see
+    val nBatch = batch.count()
+    val nStore = visible.count()
+    val opBytes = BigInt(nBatch) * SemanticCache.ServingRowBytes +
+      BigInt(graft.ops.Layout.dirBytes(spark, cachePath))
+    // disableAqeAtOne=false: the banded lookup's checkpoint-rejoin plan
+    // trips a Spark analyzer conflicting-reference error when analyzed
+    // with AQE disabled (same empirical rule as the star loop — keep AQE
+    // for bodies that re-join checkpointed subtrees)
+    val (disp, missQ) = graft.ops.Layout.withShuffleSizedTo(spark, opBytes,
+      disableAqeAtOne = false) {
+      val d = materializeOnce(SemanticCache.routeLookup(batch, visible, minCos,
+        maxExactProduct = maxExactProduct,
+        batchCount = Some(nBatch), storeCount = Some(nStore)))
+      (d, materializeOnce(
+        d.where(!col("hit")).select("query_id").join(batch, Seq("query_id"))))
+    }
     val missRows =
       if (missQ.isEmpty) None
       else {
@@ -337,7 +354,8 @@ object CachedRag {
             .join(batch.select(col("query_id"), col("query_vec").as("__qv")),
               Seq("query_id"))
             .join(priced.select("query_id", "answer"), Seq("query_id")),
-          cachePath, minCos, idOffset, carryCols = Seq("answer"))
+          cachePath, minCos, idOffset, carryCols = Seq("answer"),
+          batchRowBound = nBatch)
         Some(priced
           .join(intake.select("query_id", "cache_id", "hit"), Seq("query_id"))
           .select(col("query_id"), col("question"), col("answer"),
@@ -709,14 +727,31 @@ object ChatRag {
       s"chatTurn: one question per session per turn — session(s) " +
         s"${multi.map(_.get(0)).mkString(",")} sent " +
         s"${multi.map(_.getLong(1)).mkString(",")} questions")
-    val history = materializeOnce(
-      readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
-        nBuckets).getOrElse(emptyMemory))
+    // size the turn's own scaffolding shuffles from what the contract
+    // bounds them by: the touched buckets' REAL bytes (the only history
+    // this turn can read) + sessions × a generous serving-row width.
+    // The disposition pass below is NOT in any scope here — its
+    // answerMisses pipeline touches caller-owned tables; the cache loop
+    // sizes itself (see cachedAnswerBatch/intakeResolved).
+    val sliceBytes =
+      if (!bucketed) graft.ops.Layout.dirBytes(spark, memoryPath)
+      else sessionIds.map(sessionBucket(_, nBuckets)).distinct
+        .map(b => new org.apache.hadoop.fs.Path(mp, s"sbucket=$b"))
+        .filter(fs.exists(_))
+        .map(d => fs.getContentSummary(d).getLength).sum
+    val turnBytes = BigInt(sliceBytes) +
+      BigInt(sessionIds.size) * 2 * SemanticCache.ServingRowBytes
+    val history = graft.ops.Layout.withShuffleSizedTo(spark, turnBytes) {
+      materializeOnce(
+        readMemorySlice(spark, fs, mp, memoryPath, bucketed, sessionIds,
+          nBuckets).getOrElse(emptyMemory))
+    }
     val disp = materializeOnce(
       CachedRag.cachedAnswerBatch(spark,
         questions.select("query_id", "question", "query_vec"),
         cachePath, minCos, answerMisses, idOffset)
         .join(questions.select("session_id", "query_id"), Seq("query_id")))
+    graft.ops.Layout.withShuffleSizedTo(spark, turnBytes) {
     val promptHistory = memoryWindow match {
       case Some((maxTurns, tokenBudget)) =>
         SessionMemory.windowedMemory(history, maxTurns, tokenBudget)
@@ -851,6 +886,7 @@ object ChatRag {
       ChatLog.append(stamped.coalesce(1), lp, chatLogWidth)
     }
     out
+    }
   }
 
   /** One streaming micro-batch of chat turns: [[chatTurn]] landed at
@@ -2356,12 +2392,25 @@ object SemanticCache {
     // exclude this batch's OWN (replayed) insertions from the lookup
     val ownIds = batch.select((col(queryIdCol) + idOffset).cast("long").as("cache_id"))
     val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
-    intakeResolved(spark,
-      routeLookup(batch, visible, minCos, queryIdCol, queryVecCol,
-        maxExactProduct)
-        .join(batch.select((col(queryIdCol).as("query_id") +:
-          col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")),
-      cachePath, minCos, idOffset, carryCols)
+    // the router's own (batch, visible) counts double as the shuffle-
+    // sizing gate (Layout.withShuffleSizedTo): hoisted here and passed
+    // down, so sizing costs no extra job. Store bytes come from the real
+    // file listing; the batch side is rows × a generous serving-row
+    // width. A banded-scale cache or a bulk batch raises the estimate
+    // past the advisory size and the plan is exactly as before.
+    val nBatch = batch.count()
+    val nStore = visible.count()
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(nBatch) * ServingRowBytes +
+        BigInt(graft.ops.Layout.dirBytes(spark, cachePath)),
+      disableAqeAtOne = false) {
+      intakeResolved(spark,
+        routeLookup(batch, visible, minCos, queryIdCol, queryVecCol,
+          maxExactProduct, batchCount = Some(nBatch), storeCount = Some(nStore))
+          .join(batch.select((col(queryIdCol).as("query_id") +:
+            col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")),
+        cachePath, minCos, idOffset, carryCols, batchRowBound = nBatch)
+    }
   }
 
   /** Steps 2–4 of [[intakeBatch]] — within-batch resolve, collision-
@@ -2384,11 +2433,24 @@ object SemanticCache {
       cachePath: String,
       minCos: Double,
       idOffset: Long,
-      carryCols: Seq[String]): DataFrame = {
+      carryCols: Seq[String],
+      batchRowBound: Long = Long.MaxValue): DataFrame = {
     import graft.ops.Ann.materializeOnce
     val p = new org.apache.hadoop.fs.Path(cachePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val looked = materializeOnce(looked0)
+    // size the resolve/insert tail from the REAL store bytes + the
+    // caller's batch-row bound (both callers already counted the batch
+    // for the lookup router, so the gate costs NO extra job; the default
+    // Long.MaxValue means "unknown" and leaves the plan untouched).
+    // disableAqeAtOne=false: the in-batch resolve can route through the
+    // banded pair path, whose checkpoint-rejoin plan trips a Spark
+    // analyzer conflicting-reference error when analyzed with AQE off.
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      (BigInt(batchRowBound) * ServingRowBytes)
+        .min(BigInt(Long.MaxValue)) +
+        BigInt(graft.ops.Layout.dirBytes(spark, cachePath)),
+      disableAqeAtOne = false) {
     // within-batch resolve over the misses (step 2). Pair generation is
     // the d8 selectivity law ([[graft.ops.Dedup.cosinePairsAuto]]): an
     // exact broadcast product under 10k misses, RP-banded candidates
@@ -2447,6 +2509,7 @@ object SemanticCache {
           (col("query_id") + idOffset).cast("long")).as("cache_id"),
         coalesce(col("cos"), col("__in_cos")).as("cos"),
         (col("hit") || col("__in_cid").isNotNull).as("hit"))
+    }
   }
 
   /** Size-cap EVICTION — the lifecycle half every index family already
@@ -2931,6 +2994,15 @@ object SemanticCache {
     * chat batch vs a 1M cache stays exact; a 100k bulk batch goes banded.
     */
   private[graft] val MaxExactLookupProduct: Long = 100000000L
+
+  /** Generous per-row byte bound for serving-batch frames (question text
+    * + query embedding + carried answer) — the batch side of the
+    * [[graft.ops.Layout.withShuffleSizedTo]] gates: serving rows are
+    * KB-scale by the micro-batch contract, and the bound only has to be
+    * an upper estimate (an 8× miss still leaves partitions far under
+    * the advisory size).
+    */
+  private[graft] val ServingRowBytes: Long = 8192L
 
   def lookupBanded(
       queries: DataFrame,
