@@ -2487,6 +2487,11 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sq_lc").toString + "/idx"
+      // the lifecycle's eager op sequence runs here at construction —
+      // shuffles sized from the embedding input (Layout.withShuffleSizedTo,
+      // ×4 bounds every intermediate; AQE kept for the probe joins)
+      Layout.withShuffleSizedTo(s, Layout.planBytes(emb) * 4,
+        disableAqeAtOne = false) {
       Sq.writeCodes(emb.where(pmod(col("vec_id"), lit(2)) === 0), tmp)
       Sq.appendCodes(s, emb.where(pmod(col("vec_id"), lit(2)) === 1), tmp)
       Sq.deleteCodes(s, tmp, Seq(130L, 340L, 30L))
@@ -2503,6 +2508,7 @@ object SparkEntry {
         compacted.collect().map(_.toString).toSeq,
         "marked-codes and compacted-codes probes must agree")
       compacted
+      }
     }
 
     reg("a7c_pq_lifecycle") { (s, dir) => // golden-pinned: seeded codebooks
@@ -2517,6 +2523,9 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_pq_lc").toString + "/idx"
+      // sized like a9c (see there)
+      Layout.withShuffleSizedTo(s, Layout.planBytes(emb) * 4,
+        disableAqeAtOne = false) {
       val seed = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val model = Pq.fitSampled(seed, dims = 64, m = 8, k = 16, maxIter = 10)
       Pq.write(Pq.encode(seed, model), model, tmp)
@@ -2538,6 +2547,7 @@ object SparkEntry {
         compacted.collect().map(_.toString).toSeq,
         "marked-codes and compacted-codes probes must agree")
       compacted
+      }
     }
 
     reg("a12_hnsw_topk") { (s, dir) =>
@@ -3748,6 +3758,9 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_lc").toString
       val (ivfPath, pqPath) = (s"$tmp/ivf", s"$tmp/pq")
+      // sized like a9c (see there)
+      Layout.withShuffleSizedTo(s, Layout.planBytes(emb) * 4,
+        disableAqeAtOne = false) {
       val seed = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val (assigned, centroids) = Ann.buildIvfSampled(seed, nLists = 4)
@@ -3777,6 +3790,7 @@ object SparkEntry {
         compacted.collect().map(_.toString).toSeq,
         "marked and compacted composite probes must agree")
       compacted
+      }
     }
 
     reg("a4_lsh_batch") { (s, dir) => // rows-only: LSH approximate

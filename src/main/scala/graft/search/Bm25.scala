@@ -179,6 +179,11 @@ object Bm25 extends graft.ops.IndexLifecycle {
     require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    // build shuffles sized from the input docs (×3 bounds the token
+    // explode; the bucket-aligned postings write keeps its explicit
+    // repartition count either way) — Layout.withShuffleSizedTo
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      graft.ops.Layout.planBytes(docs) * 3, disableAqeAtOne = false) {
     // one tokenize+aggregate pass feeds all four tables — persist, or
     // every write below re-runs the corpus build (the double-eval trap)
     val bucketed = rawPostings(docs, idCol, textCol)
@@ -230,6 +235,7 @@ object Bm25 extends graft.ops.IndexLifecycle {
       // and appendIndexBatch would no-op previously used batch ids
       graft.ops.Layout.clearIndexSidecars(spark, path)
     } finally bucketed.unpersist()
+    }
     loadIndex(spark, path)
   }
 
@@ -427,6 +433,14 @@ object Bm25 extends graft.ops.IndexLifecycle {
     val existing = readTable(spark, s"$path/docs", DocsDdl)
       .where(col("seg").isin(committed.map(x => x: Any): _*))
       .select("doc_id")
+    // append shuffles sized from the delta docs + the ledger's real
+    // bytes (Layout.withShuffleSizedTo): the postings write keeps its
+    // explicit bucket-aligned repartition either way; only the implicit
+    // aggregate/join fan-outs shrink on KB-scale deltas
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, s"$path/docs")) +
+        graft.ops.Layout.planBytes(newDocs) * 3,
+      disableAqeAtOne = false) {
     val fresh = newDocs
       .withColumn("doc_id", col(idCol).cast("long"))
       .join(existing, Seq("doc_id"), "left_anti")
@@ -453,6 +467,7 @@ object Bm25 extends graft.ops.IndexLifecycle {
       n, stats.getLong(1), overwrite = false)
     commitSeg(spark, path, seg)
     n
+    }
   }
 
   private def tombPath(path: String) = tombstonesPath(path)
@@ -507,6 +522,11 @@ object Bm25 extends graft.ops.IndexLifecycle {
     require(committed.nonEmpty,
       s"compactIndex: no committed segments at $path")
     val segFilter = col("seg").isin(committed.map(x => x: Any): _*)
+    // compact is a full-index rewrite: sized from the index's real bytes
+    // (no shrink once the postings outgrow one advisory partition)
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, path)),
+      disableAqeAtOne = false) {
     // anti joins, not broadcast sets: compact is the path that must stay
     // scale-safe at ANY tombstone count (the probe-side cap does not
     // apply here — same split as Hnsw.compact vs its probes). Orphan
@@ -577,6 +597,7 @@ object Bm25 extends graft.ops.IndexLifecycle {
     // this compact keeps its (unfolded) tombstones for the next one
     graft.ops.Layout.spendTombstoneFiles(fs, tombPath(path), tombFiles)
     (before, n)
+    }
   }
 
   /** Tiered segment merge — the Lucene merge-policy half [[compactIndex]]
@@ -643,6 +664,12 @@ object Bm25 extends graft.ops.IndexLifecycle {
     // no tokenization, no corpus read
     val st = readTable(spark, s"$path/stats", StatsDdl).where(segFilter)
       .agg(sum("n_docs").cast("long"), sum("tot_dl").cast("long")).head
+    // the re-home is sized from the merged segments' ledgered token
+    // count (tot_dl ≈ postings rows; ~32 B/posting row) — exactly the
+    // tiered-merge premise that bytes rewritten track the small tail,
+    // never the whole index
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(st.getLong(1)) * 32, disableAqeAtOne = false) {
     graft.ops.Layout.mapConcurrently[() => Unit, Unit](Seq(
       () => readTable(spark, s"$path/postings", PostingsDdl)
         .where(segFilter).drop("seg")
@@ -663,6 +690,7 @@ object Bm25 extends graft.ops.IndexLifecycle {
         .withColumn("seg", lit(newSeg))
         .coalesce(1).write.mode("append").partitionBy("seg").parquet(s"$path/stats")),
       parallelism = 4)(_())
+    }
     // the one-flip commit: sources out, merge result in. Segments
     // committed by an APPEND while this merge rewrote its tail must
     // survive the flip, so the marker set is re-listed here — everything

@@ -1170,6 +1170,12 @@ object ChatRag {
     // `.sbucket=N.__old` from a crashed retire holds exactly the rows a
     // retried delete exists to remove (ADVICE r14 #1)
     healBucketLeftovers(fs, mp)
+    // bucket rewrites sized from the table's real bytes
+    // (Layout.withShuffleSizedTo) — a KB-scale memory table was paying a
+    // 32-way fan-out per touched bucket; a grown table keeps its plan
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, memoryPath)),
+      disableAqeAtOne = false) {
     val dirs = recordedBuckets(fs, mp) match {
       case Some(n) =>
         sessionIds.map(sessionBucket(_, n)).distinct.sorted
@@ -1193,6 +1199,7 @@ object ChatRag {
     RecencySidecar.refreshAll(spark, fs, dirs.filter(d =>
       fs.exists(d) && trackedBefore(d) && !RecencySidecar.isTracked(fs, d)))
     removed
+    }
   }
 
   /** Re-fan-out the memory table (round-13 missing #2) — and, as the
@@ -1246,8 +1253,14 @@ object ChatRag {
       .drop("sbucket")
     val staged = graft.ops.Layout.compactStaging(fs, memoryPath)
     val sp = new org.apache.hadoop.fs.Path(staged)
-    data.withColumn("sbucket", bucketExpr(newBuckets))
-      .write.mode("overwrite").partitionBy("sbucket").parquet(staged)
+    // the one streaming rewrite pass, sized from the table's real bytes
+    // (full-state by design — at scale the gate leaves the plan alone)
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, memoryPath)),
+      disableAqeAtOne = false) {
+      data.withColumn("sbucket", bucketExpr(newBuckets))
+        .write.mode("overwrite").partitionBy("sbucket").parquet(staged)
+    }
     val nd = new org.apache.hadoop.fs.Path(sp, "_nbuckets")
     fs.mkdirs(nd)
     fs.create(new org.apache.hadoop.fs.Path(nd, newBuckets.toString), true)
@@ -1306,6 +1319,10 @@ object ChatRag {
     requireBucketedFor("pruneIdleSessions", fs, mp, memoryPath)
     healBucketLeftovers(fs, mp)
     graft.ops.Layout.advanceRetentionMarker(fs, mp, beforeTs)
+    // bucket rewrites sized from the table's real bytes (see deleteSessions)
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, memoryPath)),
+      disableAqeAtOne = false) {
     val bucketDirs = fs.listStatus(mp).toSeq
       .filter(e => e.isDirectory && e.getPath.getName.startsWith("sbucket="))
       .map(_.getPath)
@@ -1344,6 +1361,7 @@ object ChatRag {
     // candidate so it cannot re-trigger the next firing
     RecencySidecar.refreshAll(spark, fs, scan.filter(fs.exists(_)))
     pruned
+    }
   }
 
   /** The memory store's stats/report op (round-14 verdict #3 — the
@@ -1381,7 +1399,8 @@ object ChatRag {
       else graft.ops.Layout.readMaxDigitMarker(fs, mp, "_retention")
     val dataStats =
       if (!exists || nFiles == 0L) (0L, 0L, 0L, None: Option[Long], None: Option[Long])
-      else {
+      else graft.ops.Layout.withShuffleSizedTo(spark, BigInt(bytes),
+        disableAqeAtOne = false) {
         val df = spark.read.option("mergeSchema", "true").parquet(memoryPath)
         val withTs =
           if (df.columns.contains("ts")) df
@@ -2536,6 +2555,10 @@ object SemanticCache {
       cachePath: String,
       maxEntries: Int): (Long, Long) = {
     require(maxEntries > 0, s"evictCache: maxEntries $maxEntries must be > 0")
+    // sized from the store's real bytes (see invalidateCacheBefore)
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, cachePath)),
+      disableAqeAtOne = false) {
     val stored = spark.read.parquet(cachePath)
     val before = stored.count()
     if (before <= maxEntries) return (before, before)
@@ -2553,6 +2576,7 @@ object SemanticCache {
       stored.where(col("cache_id").cast("long") >= cutoff))
     swapInto(spark, cachePath, kept)
     (before, maxEntries.toLong)
+    }
   }
 
   /** The k-HIGHEST-id cutoff as one scalar: the smallest id `c` such
@@ -2903,6 +2927,10 @@ object SemanticCache {
       spark: SparkSession,
       cachePath: String,
       minCacheId: Long): (Long, Long) = {
+    // sweep sized from the store's real bytes (one pass + rewrite)
+    graft.ops.Layout.withShuffleSizedTo(spark,
+      BigInt(graft.ops.Layout.dirBytes(spark, cachePath)),
+      disableAqeAtOne = false) {
     val stored = spark.read.parquet(cachePath)
     val before = stored.count()
     val kept = graft.ops.Ann.materializeOnce(
@@ -2914,6 +2942,7 @@ object SemanticCache {
         s"$cachePath — remove the cache directory instead")
     swapInto(spark, cachePath, kept)
     (before, after)
+    }
   }
 
   /** Shared rewrite tail: materialized rows → hidden staging → swap. */
