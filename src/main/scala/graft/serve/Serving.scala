@@ -295,14 +295,22 @@ object CachedRag {
       idOffset: Long = 1000000L,
       maxExactProduct: Long = SemanticCache.MaxExactLookupProduct): DataFrame = {
     import graft.ops.Ann.materializeOnce
+    // materialize the caller's batch ONCE: the loop references it from
+    // ~8 downstream plans (router count, own-id exclusion, lookup, miss
+    // slice, intake joins, hit assembly), and an unmaterialized frame
+    // re-plans AND re-executes its whole subtree per consumer — in the
+    // chat composition that subtree is a multi-join per turn (the
+    // double-execution class, guide §1.2; micro-batch-bounded by
+    // contract, so the checkpoint is bounded)
+    val batch0 = materializeOnce(batch)
     val p = new org.apache.hadoop.fs.Path(cachePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def emptyStore = batch.select(
+    def emptyStore = batch0.select(
       col("query_id").cast("long").as("cache_id"),
       col("query_vec").as("embedding"),
       lit(null).cast("string").as("answer")).limit(0)
     val stored0 = if (fs.exists(p)) spark.read.parquet(cachePath) else emptyStore
-    val ownIds = batch.select((col("query_id") + idOffset).cast("long").as("cache_id"))
+    val ownIds = batch0.select((col("query_id") + idOffset).cast("long").as("cache_id"))
     val visible = stored0.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
     // the INTAKE's router, not the pinned exact path (round-11 verdict
     // #1): a banded-scale cache served through the composed loop must
@@ -319,7 +327,7 @@ object CachedRag {
     // store bytes + batch rows; `answerMisses` below runs OUTSIDE the
     // scope — its pipeline touches caller-owned tables this gate cannot
     // see
-    val nBatch = batch.count()
+    val nBatch = batch0.count()
     val nStore = visible.count()
     val opBytes = BigInt(nBatch) * SemanticCache.ServingRowBytes +
       BigInt(graft.ops.Layout.dirBytes(spark, cachePath))
@@ -329,11 +337,11 @@ object CachedRag {
     // for bodies that re-join checkpointed subtrees)
     val (disp, missQ) = graft.ops.Layout.withShuffleSizedTo(spark, opBytes,
       disableAqeAtOne = false) {
-      val d = materializeOnce(SemanticCache.routeLookup(batch, visible, minCos,
+      val d = materializeOnce(SemanticCache.routeLookup(batch0, visible, minCos,
         maxExactProduct = maxExactProduct,
         batchCount = Some(nBatch), storeCount = Some(nStore)))
       (d, materializeOnce(
-        d.where(!col("hit")).select("query_id").join(batch, Seq("query_id"))))
+        d.where(!col("hit")).select("query_id").join(batch0, Seq("query_id"))))
     }
     val missRows =
       if (missQ.isEmpty) None
@@ -351,7 +359,7 @@ object CachedRag {
         val intake = SemanticCache.intakeResolved(spark,
           disp.where(!col("hit"))
             .select("query_id", "cache_id", "cos", "hit")
-            .join(batch.select(col("query_id"), col("query_vec").as("__qv")),
+            .join(batch0.select(col("query_id"), col("query_vec").as("__qv")),
               Seq("query_id"))
             .join(priced.select("query_id", "answer"), Seq("query_id")),
           cachePath, minCos, idOffset, carryCols = Seq("answer"),
@@ -373,7 +381,7 @@ object CachedRag {
     val hitRows = disp.where(col("hit"))
       .join(storedAfter.where(col("cache_id").isin(hitIds.map(x => x: Any): _*))
         .select(col("cache_id"), col("answer")), Seq("cache_id"))
-      .join(batch.select("query_id", "question"), Seq("query_id"))
+      .join(batch0.select("query_id", "question"), Seq("query_id"))
       .select(col("query_id"), col("question"), col("answer"),
         col("hit"), col("cache_id"), lit(0.0).as("cost"))
     missRows.map(hitRows.unionByName(_)).getOrElse(hitRows)
@@ -698,6 +706,11 @@ object ChatRag {
       chatLogWidth: Long = ChatLog.DefaultDayWidth): DataFrame = {
     import graft.ops.Ann.materializeOnce
     require(memoryBuckets > 0, s"chatTurn: memoryBuckets $memoryBuckets must be > 0")
+    // materialize the turn's questions ONCE (see cachedAnswerBatch's
+    // note): the batch subtree — often a multi-join the caller assembled
+    // — otherwise re-plans and re-executes for the session-contract
+    // collect, the disposition pass and the session join
+    val questions0 = materializeOnce(questions)
     val mp = new org.apache.hadoop.fs.Path(memoryPath)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val bucketed = isBucketed(fs, mp)
@@ -705,7 +718,7 @@ object ChatRag {
     // count would silently miss history — see effectiveBuckets)
     val nBuckets = if (bucketed) effectiveBuckets(fs, mp, memoryBuckets)
       else memoryBuckets
-    def emptyMemory = questions.select(
+    def emptyMemory = questions0.select(
       col("session_id"), lit(0L).as("turn"),
       lit("").as("role"), lit("").as("content")).limit(0)
     // the batch's sessions are micro-batch-bounded by contract, so the
@@ -716,7 +729,7 @@ object ChatRag {
     // ONE driver action carries both the session-id list and the
     // one-question-per-session-per-turn contract (the job-budget
     // hygiene note — the previous distinct + count pair was two)
-    val sessionCounts = questions.groupBy("session_id")
+    val sessionCounts = questions0.groupBy("session_id")
       .agg(count(lit(1)).as("__n")).collect()
     val sessionIds = sessionCounts.map(_.get(0)).toSeq
     // the contract fails LOUDLY (the house require stance): a violating
@@ -748,9 +761,9 @@ object ChatRag {
     }
     val disp = materializeOnce(
       CachedRag.cachedAnswerBatch(spark,
-        questions.select("query_id", "question", "query_vec"),
+        questions0.select("query_id", "question", "query_vec"),
         cachePath, minCos, answerMisses, idOffset)
-        .join(questions.select("session_id", "query_id"), Seq("query_id")))
+        .join(questions0.select("session_id", "query_id"), Seq("query_id")))
     graft.ops.Layout.withShuffleSizedTo(spark, turnBytes) {
     val promptHistory = memoryWindow match {
       case Some((maxTurns, tokenBudget)) =>
@@ -2401,15 +2414,21 @@ object SemanticCache {
     import graft.ops.Ann.materializeOnce
     require(!carryCols.exists(Set("query_id", "cache_id", "cos", "hit")),
       s"carryCols ${carryCols.mkString(",")} clash with the disposition schema")
+    // materialize the caller's batch ONCE: the intake references it from
+    // several downstream plans (router count, own-id exclusion, lookup,
+    // the carry-col join), and an unmaterialized frame re-plans AND
+    // re-executes its whole subtree per consumer (the double-execution
+    // class, guide §1.2; micro-batch-bounded by contract)
+    val batch0 = materializeOnce(batch)
     val p = new org.apache.hadoop.fs.Path(cachePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val stored =
       if (fs.exists(p)) spark.read.parquet(cachePath)
       else // bootstrap: an absent store is an empty cache with the batch's schema
-        batch.select(col(queryIdCol).cast("long").as("cache_id"),
+        batch0.select(col(queryIdCol).cast("long").as("cache_id"),
           col(queryVecCol).as("embedding")).limit(0)
     // exclude this batch's OWN (replayed) insertions from the lookup
-    val ownIds = batch.select((col(queryIdCol) + idOffset).cast("long").as("cache_id"))
+    val ownIds = batch0.select((col(queryIdCol) + idOffset).cast("long").as("cache_id"))
     val visible = stored.join(broadcast(ownIds), Seq("cache_id"), "left_anti")
     // the router's own (batch, visible) counts double as the shuffle-
     // sizing gate (Layout.withShuffleSizedTo): hoisted here and passed
@@ -2417,16 +2436,16 @@ object SemanticCache {
     // file listing; the batch side is rows × a generous serving-row
     // width. A banded-scale cache or a bulk batch raises the estimate
     // past the advisory size and the plan is exactly as before.
-    val nBatch = batch.count()
+    val nBatch = batch0.count()
     val nStore = visible.count()
     graft.ops.Layout.withShuffleSizedTo(spark,
       BigInt(nBatch) * ServingRowBytes +
         BigInt(graft.ops.Layout.dirBytes(spark, cachePath)),
       disableAqeAtOne = false) {
       intakeResolved(spark,
-        routeLookup(batch, visible, minCos, queryIdCol, queryVecCol,
+        routeLookup(batch0, visible, minCos, queryIdCol, queryVecCol,
           maxExactProduct, batchCount = Some(nBatch), storeCount = Some(nStore))
-          .join(batch.select((col(queryIdCol).as("query_id") +:
+          .join(batch0.select((col(queryIdCol).as("query_id") +:
             col(queryVecCol).as("__qv") +: carryCols.map(col)): _*), Seq("query_id")),
         cachePath, minCos, idOffset, carryCols, batchRowBound = nBatch)
     }
